@@ -1,13 +1,801 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.expectations.{Between, GreaterThan, NotNull, Suite}
+import graft.functions.{Aggregators, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sinks.Merge
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: the full operator surface of the engine, each entry
+  * paired with DuckDB-equivalent SQL in [[SparkEntry.oracleSql]] (omitted
+  * only for ops whose kernels are not SQL-expressible — those get rows-only
+  * checks and ScalaTest coverage instead).
+  *
+  * Determinism rules (so the driver's hash compare is bit-stable):
+  *  - every query has a total ORDER BY on both sides;
+  *  - sums/averages of arbitrary doubles round-trip through DECIMAL(18,6)
+  *    (exact for this data, order-insensitive, identical in both engines);
+  *  - integer-valued outputs are BIGINT on both sides (DuckDB's SUM(int) is
+  *    HUGEINT, Spark's size()/rank() are INT — both get explicit casts);
+  *  - no raw timestamp output columns (tz-awareness differs across readers);
+  *    dates/strings instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read nanos as long (legacy conf) and rebuild a µs timestamp
+    * with integral division (`div`, not `/` — ns epoch values exceed the
+    * 53-bit double mantissa). DuckDB truncates ns→µs the same way.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact, order-insensitive sum of a ≤6-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Exact-sum average (deterministic double division). */
+  private def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    queries("q1_gold_agg")(spark, dir)
+  }
+
+  // =================================================================
+  // Query registry — one entry per implemented operator (SURVEY §2).
+  // =================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- P1/P2: projection + rename ------------------------------------
+    "q_projection" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").alias("line_no"),
+          col("l_quantity").alias("qty"), col("l_returnflag").alias("flag"))
+        .orderBy("l_orderkey", "line_no")),
+
+    // ---- P3/P6: casts + date extraction --------------------------------
+    "q_cast_types" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").alias("line_no"),
+          col("l_quantity").cast("bigint").alias("qty_int"),
+          date_format(col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ship_date"))
+        .orderBy("l_orderkey", "line_no")),
+
+    "q_date_parts" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").alias("o_year"),
+          month(col("o_orderdate")).cast("long").alias("o_month"))
+        .agg(count(lit(1)).alias("n_orders"), dsum(col("o_totalprice")).alias("sum_price"))
+        .orderBy("o_year", "o_month")),
+
+    // ---- P4/P5: literal + derived columns ------------------------------
+    "q_derived_cols" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), lit("cryptocurrency").alias("category"),
+          (col("c_acctbal") + 100.0).alias("bal_adj"),
+          upper(col("c_mktsegment")).alias("segment"))
+        .orderBy("c_custkey")),
+
+    // ---- P7: filter predicates (quality-gate shapes) -------------------
+    "q_filter_predicates" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_discount") > 0.05 && col("l_quantity") <= 25 &&
+          col("l_returnflag") =!= "A" && col("l_shipdate").isNotNull)
+        .groupBy(col("l_returnflag").alias("flag"))
+        .agg(count(lit(1)).alias("n"), sum(col("l_quantity")).alias("sum_qty"))
+        .orderBy("flag")),
+
+    // ---- P8: scalar built-ins (string/math/regex) ----------------------
+    "q_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), upper(col("source")).alias("src_u"),
+          length(col("text")).cast("long").alias("len"),
+          substring(col("text"), 1, 10).alias("prefix"),
+          concat(col("lang"), lit("-"), col("source")).alias("tag"),
+          round(col("n_chars") / 100.0, 4).alias("hundredths"))
+        .orderBy("doc_id")),
+
+    "q_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").alias("k"))
+        .orderBy("event_id")),
+
+    // ---- A1: THE gold aggregate (hash group-by) ------------------------
+    "q1_gold_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).alias("sum_qty"),
+          avg(col("l_quantity")).alias("avg_qty"),
+          dsum(col("l_extendedprice")).alias("sum_price"),
+          davg(col("l_extendedprice")).alias("avg_price"),
+          min(col("l_extendedprice")).alias("min_price"),
+          max(col("l_extendedprice")).alias("max_price"),
+          count(lit(1)).alias("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- A2/A3: counts + empty-input guard -----------------------------
+    "q_counts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(count(lit(1)).alias("n_rows"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).alias("n_discounted"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).alias("n_null_qty"))
+    }),
+
+    "q_empty_guard" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(lit(1) === lit(0))
+        .agg(count(lit(1)).alias("n_rows_when_empty"))),
+
+    // ---- A4: distinct / count-distinct ---------------------------------
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").alias("flag"), col("l_linestatus").alias("status"))
+        .distinct()
+        .orderBy("flag", "status")),
+
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .agg(countDistinct(col("o_custkey")).alias("n_customers"),
+          countDistinct(col("o_orderstatus")).alias("n_statuses"),
+          count(lit(1)).alias("n_orders"))),
+
+    // ---- A5: rollup ----------------------------------------------------
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("n"), sum(col("l_quantity")).alias("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).alias("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).alias("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    // ---- A6: custom typed Aggregator UDAF ------------------------------
+    "q_udaf_sum" -> ((s, dir) => {
+      val sumUdaf = udaf(Aggregators.SumDouble, Encoders.scalaDouble)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").alias("flag"))
+        .agg(sumUdaf(col("l_quantity")).alias("sum_qty"))
+        .orderBy("flag")
+    }),
+
+    // ---- J1: left-anti (insert-ignore shape) ---------------------------
+    "q_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")),
+
+    "q_insert_ignore" -> ((s, dir) => {
+      val customer = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val existing = customer.filter(col("c_custkey") <= 700)
+      val incoming = customer.filter(col("c_custkey").between(500, 900))
+      Merge.insertIgnore(existing, broadcast(incoming), Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- J2: last-writer-wins merge (upsert shape) ---------------------
+    "q_upsert_merge" -> ((s, dir) => {
+      val orders   = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val existing = orders.filter(col("o_orderkey") % 2 === 0)
+      val incoming = orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      Merge.upsert(existing, incoming, Seq("o_orderkey"))
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- J3: broadcast star join (dim ⋈ fact) --------------------------
+    "q_join_star" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).alias("n_orders"), dsum(col("o_totalprice")).alias("revenue"))
+        .orderBy("r_name")),
+
+    // ---- J4: join planning surface -------------------------------------
+    "q_join_inner_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n_lines"), sum(col("l_quantity")).alias("sum_qty"),
+          dsum(col("l_extendedprice")).alias("sum_price"))
+        .orderBy("o_orderpriority")),
+
+    "q_join_semi" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 48),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey")),
+
+    "q_join_theta" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey") &&
+            col("s_acctbal") > col("n_nationkey") * 100.0)
+        .select(col("s_suppkey"), col("n_name"))
+        .orderBy("s_suppkey")),
+
+    "q_join_asof" -> ((s, dir) => {
+      val ev        = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").alias("purchase_id"), col("user_id"), col("ts").alias("p_ts"))
+      val clicks    = ev.filter(col("event_type") === "click")
+        .select(col("event_id").alias("click_id"), col("user_id"), col("ts").alias("c_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+        .orderBy(col("c_ts").desc, col("click_id").desc)
+      purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // ---- O1/O2: top-k (TakeOrderedAndProject) --------------------------
+    "q_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(10)),
+
+    // ---- U1: set ops ---------------------------------------------------
+    "q_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey"), lit("big").alias("bucket"))
+        .unionByName(
+          o.filter(col("o_totalprice") < 2000.0)
+            .select(col("o_orderkey"), lit("small").alias("bucket")))
+        .orderBy("o_orderkey", "bucket")
+    }),
+
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").alias("custkey"))
+        .intersect(t(s, dir, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").alias("custkey")))
+        .orderBy("custkey")),
+
+    "q_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").alias("custkey"))
+        .except(t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").alias("custkey")))
+        .orderBy("custkey")),
+
+    // ---- W1: window functions ------------------------------------------
+    "q_window_rank" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("c_mktsegment"), col("rn"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val frame = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events(s, dir)
+        .filter(col("user_id") < 5)
+        .withColumn("running_sum",
+          sum(col("value").cast("decimal(18,6)")).over(frame).cast("double"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"), col("running_sum"),
+          col("prev_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q_window_movavg" -> ((s, dir) => {
+      val frame = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, 0)
+      events(s, dir)
+        .filter(col("user_id") < 5)
+        .withColumn("mov_avg",
+          sum(col("value").cast("decimal(18,6)")).over(frame).cast("double") /
+            count(lit(1)).over(frame))
+        .select(col("user_id"), col("event_id"), round(col("mov_avg"), 6).alias("mov_avg"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- streaming twin: tumbling-window agg (batch parity query) ------
+    "q_events_hourly" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .alias("window_start"), col("event_type"))
+        .agg(count(lit(1)).alias("n_events"), dsum(col("value")).alias("sum_value"))
+        .orderBy("window_start", "event_type")),
+
+    // ---- V1: schema-contract violation counting ------------------------
+    "q_contract_check" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        sum(when(col("doc_id").isNull, 1L).otherwise(0L)).alias("null_doc_id"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).alias("null_text"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).alias("null_lang"),
+        sum(when(col("n_chars").isNull || col("n_chars") < 0, 1L).otherwise(0L))
+          .alias("bad_n_chars"))),
+
+    // ---- V2: expectations suite as one-pass aggregation ----------------
+    "q_expectations" -> ((s, dir) =>
+      Suite("orders_suite", Seq(
+        NotNull("o_orderkey"),
+        NotNull("o_custkey"),
+        GreaterThan("o_totalprice", 0d),
+        Between("o_totalprice", 0d, 1e9)
+      )).violationsDf(t(s, dir, "orders"))),
+
+    // ---- V3: cross-store row-count reconciliation ----------------------
+    "q_reconcile_counts" -> ((s, dir) => {
+      val orderCount = t(s, dir, "orders").agg(count(lit(1)).alias("orders_total"))
+      val lineOrders = t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).alias("orders_with_lines"))
+      orderCount.crossJoin(lineOrders)
+        .withColumn("reconciled", col("orders_total") >= col("orders_with_lines"))
+    }),
+
+    // ---- V4: sanity gates over a computed gold table -------------------
+    "q_sanity_gates" -> ((s, dir) => {
+      val gold = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(davg(col("o_totalprice")).alias("avg_p"),
+          min(col("o_totalprice")).alias("min_p"),
+          max(col("o_totalprice")).alias("max_p"))
+      gold.agg(count(lit(1)).alias("n_groups"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).alias("null_ids"),
+        sum(when(col("avg_p") <= 0 || col("min_p") < 0 || col("max_p") < col("min_p"), 1L)
+          .otherwise(0L)).alias("bad_metrics"))
+    }),
+
+    // ---- V5: freshest-day quality check --------------------------------
+    "q_quality_latest" -> ((s, dir) => {
+      val ev     = events(s, dir)
+      val maxDay = ev.agg(max(date_trunc("day", col("ts"))).alias("max_day"))
+      ev.crossJoin(broadcast(maxDay))
+        .filter(date_trunc("day", col("ts")) === col("max_day"))
+        .agg(count(lit(1)).alias("n_rows"),
+          sum(when(col("value").isNull || col("value") <= 0, 1L).otherwise(0L))
+            .alias("bad_values"))
+    }),
+
+    // ================= north-star: dedup ===============================
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("text")).alias("n_unique"), count(lit(1)).alias("n_docs"))
+        .orderBy("source")),
+
+    "q_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.exactByContent(t(s, dir, "documents"))
+        .agg(count(lit(1)).alias("n_after_dedup"))),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      // Plant exact duplicates (doc_id + 1_000_000) so recall is provable;
+      // near-dup pairs among the originals ride along.
+      val docs    = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.minhashLshPairs(docs.unionByName(planted), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleSize = 3, minJaccard = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.withSimhash(t(s, dir, "documents"))
+        .groupBy(col("simhash")).agg(count(lit(1)).alias("n"))
+        .agg(count(lit(1)).alias("n_distinct_simhash"), sum(col("n")).alias("n_docs"))),
+
+    "q_dedup_ngram" -> ((s, dir) => {
+      val docs    = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      Dedup.ngramJaccardPairs(docs.unionByName(planted), "doc_id", "text",
+          n = 3, minJaccard = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q_dedup_embedding" -> ((s, dir) => {
+      val emb     = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      Dedup.embeddingNearDupPairs(emb.unionByName(planted), "vec_id", "embedding",
+          dim = 64, planeBits = 12, minCosine = 0.999)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ================= north-star: similarity search ====================
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank").cast("long").alias("rank"), col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, bits = 10, probeBits = 6)
+        .select(col("query_id"), col("rank").cast("long").alias("rank"), col("neighbor_id"),
+          col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ================= north-star: text analysis ========================
+    "q_text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").alias("n_tokens"),
+          length(col("text")).cast("long").alias("n_chars_m"))
+        .orderBy("doc_id")),
+
+    "q_text_termfreq" -> ((s, dir) =>
+      TextAnalysis.termFrequencies(t(s, dir, "documents"))
+        .orderBy(col("freq").desc, col("term").asc)
+        .limit(20)),
+
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.stopwordRatio(TextFunctions.tokens(col("text")),
+            Seq("the", "a")), 6).alias("stop_ratio"))
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).alias("fp_md5"))
+        .orderBy("doc_id")),
+
+    "q_text_langid" -> ((s, dir) =>
+      TextAnalysis.withLanguage(t(s, dir, "documents"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")),
+
+    // ================= north-star: multimodal ===========================
+    "q_multimodal_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").alias("byte_len"),
+          sha2(col("payload"), 256).alias("sha"))
+        .orderBy("doc_id")),
+
+    "q_multimodal_frames" -> ((s, dir) =>
+      graft.operators.Multimodal.sampleFrames(
+          t(s, dir, "documents")
+            .select(col("doc_id").alias("media_id"), lit("video").alias("kind"),
+              col("source").alias("uri"), encode(col("text"), "UTF-8").alias("payload"))
+            .filter(col("media_id") < 100),
+          framesPerItem = 4)
+        .select(col("media_id"), col("uri"), col("frame_idx").cast("long").alias("frame_idx"),
+          col("frame_offset_ms").cast("long").alias("frame_offset_ms"))
+        .orderBy("media_id", "frame_idx"))
+  )
+
+  /** Headline subset timed by [[Bench]] (heavier, scale-relevant shapes). */
+  val benchQueries: Seq[String] = Seq(
+    "q1_gold_agg", "q_join_star", "q_join_inner_agg", "q_window_rank",
+    "q_topk", "q_rollup", "q_dedup_exact", "q_dedup_minhash",
+    "q_ann_bruteforce", "q_ann_lsh", "q_text_termfreq", "q_events_hourly"
+  )
+
+  // =================================================================
+  // DuckDB oracle SQL — same tables, same column names, same ORDER BY.
+  // =================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q_projection" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |       l_quantity AS qty, l_returnflag AS flag
+        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin,
+
+    "q_cast_types" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |       CAST(l_quantity AS BIGINT) AS qty_int,
+        |       strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS o_month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+
+    "q_derived_cols" ->
+      """SELECT c_custkey, 'cryptocurrency' AS category,
+        |       c_acctbal + 100.0 AS bal_adj, UPPER(c_mktsegment) AS segment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_filter_predicates" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_discount > 0.05 AND l_quantity <= 25
+        |  AND l_returnflag <> 'A' AND l_shipdate IS NOT NULL
+        |GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT doc_id, UPPER(source) AS src_u,
+        |       CAST(LENGTH(text) AS BIGINT) AS len,
+        |       SUBSTRING(text, 1, 10) AS prefix,
+        |       lang || '-' || source AS tag,
+        |       ROUND(n_chars / 100.0, 4) AS hundredths
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q1_gold_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       AVG(l_quantity) AS avg_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |       MIN(l_extendedprice) AS min_price,
+        |       MAX(l_extendedprice) AS max_price,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_counts" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+        |       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_empty_guard" ->
+      "SELECT COUNT(*) AS n_rows_when_empty FROM lineitem WHERE 1 = 0",
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status
+        |FROM lineitem ORDER BY flag, status""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+        |       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+        |       COUNT(*) AS n_orders
+        |FROM orders""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+        |       COALESCE(l_linestatus, '(all)') AS status,
+        |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_udaf_sum" ->
+      """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_insert_ignore" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey <= 700 OR c_custkey BETWEEN 500 AND 900
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_upsert_merge" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |       ROUND(COALESCE(i.o_totalprice, e.o_totalprice), 2) AS price
+        |FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_star" ->
+      """SELECT r_name, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_join_inner_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines, SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT s_suppkey, n_name FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND s_acctbal > n_nationkey * 100.0
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_asof" ->
+      """WITH pc AS (
+        |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, click_id FROM pc WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_orderkey, 'big' AS bucket FROM orders WHERE o_totalprice > 450000.0
+        |UNION ALL
+        |SELECT o_orderkey, 'small' AS bucket FROM orders WHERE o_totalprice < 2000.0
+        |ORDER BY o_orderkey, bucket""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+        |ORDER BY custkey""".stripMargin,
+
+    "q_window_rank" ->
+      """WITH ranked AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |         CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC))
+        |SELECT c_mktsegment, rn, rnk, c_custkey, c_acctbal FROM ranked
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT user_id, event_id, value,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+        |       LAG(value, 1) OVER (
+        |         PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+        |FROM events WHERE user_id < 5 ORDER BY user_id, event_id""".stripMargin,
+
+    "q_window_movavg" ->
+      """SELECT user_id, event_id,
+        |       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |             / COUNT(*) OVER w, 6) AS mov_avg
+        |FROM events WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_contract_check" ->
+      """SELECT CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc_id,
+        |       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+        |       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+        |       CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_n_chars
+        |FROM documents""".stripMargin,
+
+    "q_expectations" ->
+      """SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |       CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |       CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0 AND o_totalprice <= 1e9, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |FROM orders""".stripMargin,
+
+    "q_reconcile_counts" ->
+      """SELECT (SELECT COUNT(*) FROM orders) AS orders_total,
+        |       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS orders_with_lines,
+        |       (SELECT COUNT(*) FROM orders) >=
+        |         (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS reconciled""".stripMargin,
+
+    "q_sanity_gates" ->
+      """WITH gold AS (
+        |  SELECT o_custkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_p,
+        |         MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT COUNT(*) AS n_groups,
+        |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ids,
+        |       CAST(SUM(CASE WHEN avg_p <= 0 OR min_p < 0 OR max_p < min_p THEN 1 ELSE 0 END) AS BIGINT) AS bad_metrics
+        |FROM gold""".stripMargin,
+
+    "q_quality_latest" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_values
+        |FROM events
+        |WHERE date_trunc('day', ts) = (SELECT MAX(date_trunc('day', ts)) FROM events)""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT source, COUNT(DISTINCT text) AS n_unique, COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      """SELECT COUNT(DISTINCT md5(lower(trim(text)))) AS n_after_dedup FROM documents""".stripMargin,
+
+    // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram / q_dedup_embedding /
+    // q_ann_lsh / q_text_langid: kernels (murmur3/FNV/LSH/heuristic) are not
+    // SQL-expressible — rows-only checks; ScalaTest covers semantics.
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |                    e.vec_id ASC) AS rank
+        |  FROM q CROSS JOIN (SELECT vec_id, embedding FROM embeddings) e
+        |  WHERE e.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id FROM scored
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(LENGTH(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_termfreq" ->
+      """SELECT term, COUNT(*) AS freq FROM (
+        |  SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS term
+        |  FROM documents)
+        |WHERE LENGTH(term) > 0
+        |GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       ROUND(CASE WHEN LEN(toks) = 0 THEN 0.0
+        |             ELSE CAST(LEN(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
+        |                  / CAST(LEN(toks) AS DOUBLE) END, 6) AS stop_ratio
+        |FROM (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id",
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(OCTET_LENGTH(encode(text)) AS BIGINT) AS byte_len,
+        |       sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT d.doc_id AS media_id, d.source AS uri,
+        |       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(f.frame_idx * 1000 AS BIGINT) AS frame_offset_ms
+        |FROM documents d
+        |CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS frame_idx) f
+        |WHERE d.doc_id < 100
+        |ORDER BY media_id, frame_idx""".stripMargin
+  )
 }

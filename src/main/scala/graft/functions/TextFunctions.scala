@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis kernels (north-star text ops over `documents.parquet`).
+  *
+  * Everything expressible with `org.apache.spark.sql.functions` built-ins
+  * stays a built-in composition (codegen'd, pushdown-friendly); only the two
+  * genuinely scalar-custom ops — 64-bit SimHash and a polynomial rolling-hash
+  * fingerprint — are native Catalyst expressions whose `doGenCode` calls a
+  * static JVM kernel, keeping whole-stage codegen intact.
+  */
+object TextKernels {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — stable token hash, no allocation. */
+  def fnv1a64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash of a token array: per-bit majority vote of token hashes.
+    * Near-duplicate texts land within a small Hamming distance.
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Polynomial rolling hash (base-31 mod 2^64) over the whole string —
+    * a deterministic document fingerprint cheaper than a cryptographic hash.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** `simhash64(tokens)` over an `array<string>` column. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.simhash64(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `rolling_hash(text)` — 64-bit polynomial fingerprint of a string column. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.rollingHash(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextFunctions {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Token count without materializing the token array downstream. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces plus punctuation/digit runs —
+    * a regex approximation of byte-pair tokenizer output length.
+    */
+  def approxBpeTokenCount(text: Column): Column =
+    size(filter(split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => length(t) > 0))
+
+  /** Word n-gram shingles of the token array (for MinHash / Jaccard). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Share of tokens that appear in `stopwords`. */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val stop = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(stop, t))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+          length(text).cast("double"))
+
+  /** Composite document quality score in [0, 1]: favors mid-length docs with
+    * a natural-language stopword share and low punctuation noise (the
+    * length/punct/stopword recipe used by LLM corpus filters).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val lenScore  = least(size(toks).cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(toks, stopwords) * 5.0, lit(1.0))
+    val punctOk   = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
+    round((lenScore * 0.4 + stopScore * 0.4 + punctOk * 0.2), 6)
+  }
+
+  def simhash(toks: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(toks)))
+
+  def rollingHash(text: Column): Column =
+    GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(text)))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "builtin")
+    registry.createOrReplaceTempFunction("rolling_hash",
+      exprs => RollingHash(exprs.head), "builtin")
+  }
+}

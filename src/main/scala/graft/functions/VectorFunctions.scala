@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.types._
+
+/** Vector math over `ArrayType(FloatType)` embedding columns (north-star
+  * similarity search; `embeddings.parquet` carries 64-dim float vectors).
+  *
+  * Hot-path kernels are static JVM methods over Spark's unsafe `ArrayData`
+  * (no boxing, no `Seq` conversion), and the Catalyst expressions call them
+  * from `doGenCode` — so similarity scoring stays inside whole-stage codegen
+  * instead of falling out to a Scala UDF with per-row serialization. At 100 TB
+  * the scoring loop is the innermost kernel of the ANN scan; this is the
+  * preference order from SURVEY §7.3: native `Expression` > UDF.
+  */
+object VectorKernels {
+
+  /** Cosine similarity of two float vectors, accumulated in double. */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  def normFloat(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Random-hyperplane (SimHash) signature bits packed into a Long: bit j is
+    * the sign of `v · plane_j`. `planes` is a flattened row-major
+    * (numBits × dim) float array. Used by LSH bucketing for ANN and
+    * embedding near-dup detection — at scale this is the map-side hash that
+    * replaces the all-pairs cartesian.
+    */
+  def hyperplaneBits(v: ArrayData, planes: Array[Float], dim: Int): Long = {
+    val numBits = planes.length / dim
+    var bits = 0L
+    var j = 0
+    while (j < numBits) {
+      var dot = 0.0
+      val off = j * dim
+      val n = math.min(dim, v.numElements())
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (dot >= 0) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+}
+
+/** `cosine_similarity(a, b)` over two float-array columns. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.cosineFloat($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dot_product(a, b)` over two float-array columns. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorKernels.dotFloat($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level API + optional SQL registration. */
+object VectorFunctions {
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Register `cosine_similarity` / `dot_product` for `spark.sql` use. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)), "builtin")
+    registry.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)), "builtin")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling (north-star): image/audio/video payloads ride
+  * through the engine as opaque `binary` columns with typed metadata structs;
+  * decode / feature-extract run as partition-batched transforms.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked deterministic STUB — the Spark-side plumbing (schema,
+  * partition batching, typed signatures, binary hygiene) is real and tested,
+  * and swapping the stub for a JNI/codec call changes nothing structural.
+  *
+  * Scale posture: decode is a narrow `mapPartitions` (no shuffle); payload
+  * bytes never pass through a wide transform; repartitioning for decoder
+  * parallelism happens on the small metadata projection, not the blobs.
+  */
+object Multimodal {
+
+  /** Typed media row: opaque payload + envelope metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,          // "image" | "audio" | "video"
+      uri: String,
+      payload: Array[Byte]
+  )
+
+  final case class DecodedMedia(
+      media_id: Long,
+      kind: String,
+      uri: String,
+      byte_len: Long,
+      sha256: String,
+      width: Int,            // STUB-derived for image/video; 0 for audio
+      height: Int,
+      channels: Int,
+      duration_ms: Long      // STUB-derived for audio/video; 0 for image
+  )
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("uri", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)
+  ))
+
+  /** STUB decode kernel — deterministic fake dimensions derived from the
+    * payload bytes. Replace with a real codec (e.g. javacv / a JNI decoder)
+    * in a container that ships one; the signature and batching stay as-is.
+    */
+  private[operators] def stubDecode(kind: String, payload: Array[Byte]): (Int, Int, Int, Long) = {
+    if (payload == null || payload.isEmpty) (0, 0, 0, 0L)
+    else {
+      val h = payload.foldLeft(17L)((acc, b) => acc * 31L + (b & 0xffL)).abs
+      kind match {
+        case "image" => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, 0L)
+        case "audio" => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L)
+        case "video" => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, (h % 600000L) + 1L)
+        case _       => (0, 0, 0, 0L)
+      }
+    }
+  }
+
+  /** Decode/feature-extract as a typed partition-batched transform: one
+    * MessageDigest per partition, rows streamed, no shuffle.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    implicit val enc = Encoders.product[DecodedMedia]
+    media.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
+        digest.reset()
+        val sha = digest.digest(bytes).map("%02x".format(_)).mkString
+        val (w, h, c, d) = stubDecode(r.kind, bytes)
+        DecodedMedia(r.media_id, r.kind, r.uri, bytes.length.toLong, sha, w, h, c, d)
+      }
+    }
+  }
+
+  /** Frame-sampling plumbing for video rows: emits `framesPerItem` sample
+    * descriptors per video (frame index + deterministic offset). The frame
+    * *decode* is the same STUB boundary; the explode/flatMap shape is what a
+    * real sampler uses.
+    */
+  def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .withColumn("frame_idx", explode(sequence(lit(0), lit(framesPerItem - 1))))
+      .withColumn("frame_offset_ms", col("frame_idx") * lit(1000L))
+      .select(col("media_id"), col("uri"), col("frame_idx"), col("frame_offset_ms"))
+
+  /** Untyped metadata pass usable straight from SQL: byte length + sha2 over
+    * the binary column, without deserializing payloads into JVM objects twice.
+    */
+  def withBinaryMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("byte_len", length(col(payloadCol)).cast("long"))
+      .withColumn("sha256", sha2(col(payloadCol), 256))
+}

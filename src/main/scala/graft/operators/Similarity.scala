@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions, VectorKernels}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Random-hyperplane LSH bucket id for a float vector: the packed sign bits
+  * of `planeBits` random projections. Planes are generated deterministically
+  * from `seed` on the driver and shipped as a codegen reference object —
+  * the per-row work stays inside whole-stage codegen.
+  */
+case class HyperplaneLsh(child: Expression, planes: Array[Float], dim: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.hyperplaneBits(in.asInstanceOf[ArrayData], planes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.hyperplaneBits($c, $planesRef, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`) — north-star similarity search.
+  *
+  * Two paths:
+  *  - [[Similarity.bruteForceTopK]]: exact cosine top-k. The query set is
+  *    broadcast (it is small by construction); the corpus is scanned once,
+  *    scored by the codegen'd [[graft.functions.CosineSimilarity]], and
+  *    ranked per query. Correctness baseline and still the right plan when
+  *    |queries| is small.
+  *  - [[Similarity.lshTopK]]: the scale path. Corpus and queries are bucketed
+  *    by random-hyperplane LSH (optionally probing neighbor buckets); scoring
+  *    happens only inside matching buckets, so the scan shrinks from
+  *    |corpus|×|queries| to the bucket collision set. At 100 TB the bucketed
+  *    equi-join is a uniform hash shuffle — no cartesian anywhere in the plan.
+  */
+object Similarity {
+
+  /** Deterministic N(0,1) hyperplanes, flattened row-major (bits × dim). */
+  def randomPlanes(dim: Int, bits: Int, seed: Long): Array[Float] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(bits * dim)(rnd.nextGaussian().toFloat)
+  }
+
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    GraftSqlBridge.column(
+      HyperplaneLsh(GraftSqlBridge.expression(vec), randomPlanes(dim, bits, seed), dim))
+
+  /** Exact top-k neighbors per query: broadcast queries × corpus scan +
+    * per-query rank. `queries` must be small (it is broadcast).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"))
+  }
+
+  /** Approximate top-k: equi-join corpus and queries on the LSH bucket
+    * (multi-probe: queries additionally match buckets at Hamming distance 1
+    * when `probeBits > 0`), then exact-rank within candidates.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, bits: Int = 12, probeBits: Int = 4, seed: Long = 42L): DataFrame = {
+    val bucket = hyperplaneBucket(col(vecCol), dim, bits, seed)
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
+      bucket.alias("__bucket"))
+    // Multi-probe: each query also probes the buckets that differ in one of
+    // the first `probeBits` bits — recall insurance against boundary effects.
+    val probes = array((lit(0L) +: (0 until probeBits).map(b => lit(1L << b))): _*)
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
+        bucket.alias("__qb"))
+      .withColumn("__bucket", explode(transform(probes, m => col("__qb").bitwiseXOR(m))))
+    val candidates = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("__qv"), col("__cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a documents table (`doc_id`, `text`, …) —
+  * the north-star LLM-corpus preparation surface: language ID, quality
+  * scoring, token counting, fingerprinting, term statistics.
+  *
+  * All per-document ops are narrow (no shuffle) built-in/codegen expressions;
+  * the only shuffles are the explicit term-frequency aggregations. At 100 TB
+  * these run as map-side partial aggregates; nothing collects to the driver.
+  */
+object TextAnalysis {
+
+  /** English-ish function words used for stopword/quality features. */
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with")
+
+  /** Tiny per-language function-word profiles for the n-gram/word heuristic
+    * language detector. Public-knowledge function words per language.
+    */
+  val languageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人")
+  )
+
+  /** Per-document analysis columns: token counts, quality features, and both
+    * fingerprints. One narrow projection, no shuffle.
+    */
+  def analyze(docs: DataFrame, textCol: String = "text",
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val text = col(textCol)
+    val toks = TextFunctions.tokens(text)
+    docs
+      .withColumn("n_tokens", TextFunctions.tokenCount(text))
+      .withColumn("n_subwords", TextFunctions.approxBpeTokenCount(text))
+      .withColumn("stop_ratio", round(TextFunctions.stopwordRatio(toks, stopwords), 6))
+      .withColumn("punct_ratio", round(TextFunctions.punctRatio(text), 6))
+      .withColumn("quality_score", TextFunctions.qualityScore(text, stopwords))
+      .withColumn("fingerprint_md5", md5(text))
+      .withColumn("fingerprint_roll", TextFunctions.rollingHash(text))
+  }
+
+  /** Heuristic language ID: score each candidate language by the share of
+    * tokens (or characters, for zh) matching its function-word profile and
+    * take the argmax; `und` when nothing matches. Pure built-ins → codegen.
+    */
+  def langIdCol(textCol: Column,
+      profiles: Map[String, Seq[String]] = languageProfiles): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val profile = array(words.map(lit): _*)
+      val score =
+        if (lang == "zh")
+          // zh has no whitespace tokens: count profile characters present.
+          size(filter(profile, w => textCol.contains(w))).cast("double")
+        else
+          when(size(toks) === 0, 0.0)
+            .otherwise(size(filter(toks, t => array_contains(profile, t))).cast("double") /
+              size(toks).cast("double"))
+      lang -> score
+    }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(score === best && score > 0.0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  def withLanguage(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("lang_pred", langIdCol(col(textCol)))
+
+  /** Corpus term frequencies: explode tokens → count. Partial (map-side)
+    * aggregation makes the shuffle carry one row per distinct term per
+    * partition, not one per token occurrence.
+    */
+  def termFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).alias("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).alias("freq"))
+
+  /** Document frequencies (documents containing the term) — the DF side of
+    * TF-IDF. `array_distinct` before the explode keeps the shuffle at one row
+    * per (doc, distinct term).
+    */
+  def documentFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(array_distinct(TextFunctions.tokens(col(textCol)))).alias("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).alias("doc_freq"))
+}

@@ -1,0 +1,106 @@
+package graft.pipeline
+
+import graft.expectations.Suites
+import graft.ops.CoinOps
+import graft.sinks.{LakeSink, Merge}
+import graft.schema.CoinSchemas
+import graft.sources.CoinSources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end medallion pipeline (SURVEY §3 EP1) — the Spark re-expression of
+  * the reference's 14-task flagship DAG (`dags/coin_data_pipeline_optimized
+  * .py:1243`): one SparkSession, one linear driver program; stages are pure
+  * `DataFrame => DataFrame` functions, and only lake writes materialize.
+  *
+  * ```
+  * bronze JSON (dt=ds) -> bronzeToSilver -> contract V1 -> expectations V2
+  *   -> publish silver (atomic + sidecar)
+  *   -> goldDailyMetrics -> sanity V4 -> publish gold
+  *   -> serve gold (upsert, last-writer-wins) -> gates V3/V5/V6/V7
+  * ```
+  */
+object CoinPipeline {
+
+  final case class RunResult(
+      dt: String,
+      silverRows: Long,
+      goldRows: Long,
+      servedGoldRows: Long
+  )
+
+  /** Run the full pipeline for one partition date.
+    *
+    * @param bronzeRoot lake root holding `coins/dt=<ds>/ *.json`
+    * @param lakeRoot   output lake root (silver + gold datasets)
+    * @param serveRoot  warehouse-equivalent serving root (parquet table
+    *                   maintained with upsert semantics; stands in for the
+    *                   Postgres gold table in this zero-egress build)
+    * @param scheduled  whether this is a scheduled run (enables the SLA gate)
+    */
+  def run(
+      spark: SparkSession,
+      ds: String,
+      bronzeRoot: String,
+      lakeRoot: String,
+      serveRoot: String,
+      scheduled: Boolean = false,
+      now: java.time.Instant = java.time.Instant.now
+  ): RunResult = {
+    val bronzePath = s"$bronzeRoot/coins/dt=$ds"
+
+    // Extract + bronze read (S3): schema-on-read of the raw JSON array.
+    val bronze = CoinSources.readBronzeJson(spark, bronzePath)
+    CoinOps.assertNonEmpty(bronze, s"bronze dt=$ds")
+
+    // Silver transform (P1-P3) + contract (V1) + expectations (V2).
+    val silver = CoinOps.enforcedSilver(CoinOps.bronzeToSilver(bronze))
+    Suites.fluentSilverSuite.enforce(silver)
+
+    val silverRows = LakeSink.publishPartition(spark, silver, lakeRoot, "silver/coins", ds,
+      CoinSchemas.silverSchemaVersion, bronzePath)
+
+    // Gold build (A1) from the published silver partition.
+    val publishedSilver = CoinSources.readSilver(spark, s"$lakeRoot/silver/coins/dt=$ds")
+    val gold = CoinOps.goldDailyMetrics(publishedSilver, ds)
+    CoinOps.assertGoldSanity(gold, ds)
+    val goldRows = LakeSink.publishPartition(spark, gold.orderBy("coin_id"), lakeRoot,
+      "gold/coins_daily", ds, "v1", s"$lakeRoot/silver/coins/dt=$ds")
+
+    // Serve: last-writer-wins upsert on (dt, coin_id) — reference S8.
+    val lakeGold  = CoinSources.readGold(spark, s"$lakeRoot/gold/coins_daily/dt=$ds")
+      .withColumn("dt", lit(ds))
+    val served    = upsertServe(spark, lakeGold, serveRoot)
+
+    // Quality gates V3-V7.
+    val servedForDs = served.filter(col("dt") === ds)
+    CoinOps.assertCountsReconcile(lakeGold, servedForDs, ds)
+    CoinOps.assertGoldQuality(lakeGold, ds)
+    CoinOps.assertFreshness(spark, s"$lakeRoot/gold/coins_daily/dt=$ds")
+    CoinOps.assertSla(java.time.LocalDate.parse(ds), now, scheduled)
+
+    RunResult(ds, silverRows, goldRows, servedForDs.count())
+  }
+
+  /** Maintain the serving table with `ON CONFLICT (dt, coin_id) DO UPDATE`
+    * semantics on parquet: read-if-exists, [[Merge.upsert]], write back.
+    * The incoming day is ~100 rows, so it is broadcast and the existing table
+    * never shuffles for the anti/merge work at scale.
+    */
+  private def upsertServe(spark: SparkSession, incoming: DataFrame, serveRoot: String): DataFrame = {
+    val path = s"$serveRoot/gold_coin_daily_metrics"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Merge.upsert(spark.read.parquet(path), broadcast(incoming), Seq("dt", "coin_id"))
+      else incoming
+    val staging = new org.apache.hadoop.fs.Path(s"$serveRoot/.staging-${java.util.UUID.randomUUID}")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val finalP = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(finalP)) fs.delete(finalP, true)
+    if (!fs.rename(staging, finalP))
+      throw new java.io.IOException(s"serve publish failed: $staging -> $finalP")
+    spark.read.parquet(path)
+  }
+}

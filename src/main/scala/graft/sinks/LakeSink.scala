@@ -1,0 +1,82 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Partitioned-lake writer with atomic publish + `_metadata.json` sidecar
+  * (SURVEY §4 P3/P4; reference `dags/coin_data_pipeline_optimized.py:443-479`:
+  * write tmp key → copy to final → delete tmp → write sidecar).
+  *
+  * Spark-native realization: write the partition to a staging directory with
+  * the normal committer (task/job atomicity), then a single filesystem
+  * `rename` into the final `dt=…` directory — rename is atomic on
+  * HDFS-compatible filesystems; on object stores the job committer provides
+  * the all-or-nothing step instead and this layer degrades to copy+delete.
+  * Re-running a day replaces the partition wholesale (idempotent, the
+  * reference's `replace=True` semantics).
+  */
+object LakeSink {
+
+  final case class PartitionMeta(
+      dataset: String,
+      schemaVersion: String,
+      executionDate: String,
+      rowCount: Long,
+      sourcePath: String,
+      createdAt: String
+  )
+
+  /** Write `df` as the single `dt=<dt>` partition of `<root>/<dataset>`,
+    * atomically, and publish the metadata sidecar. Returns the row count.
+    */
+  def publishPartition(
+      spark: SparkSession,
+      df: DataFrame,
+      root: String,
+      dataset: String,
+      dt: String,
+      schemaVersion: String,
+      sourcePath: String
+  ): Long = {
+    val fs       = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalDir = new Path(s"$root/$dataset/dt=$dt")
+    val staging  = new Path(s"$root/$dataset/.staging-dt=$dt-${java.util.UUID.randomUUID}")
+
+    df.write.mode("overwrite").parquet(staging.toString)
+    // Row count from the written files' footers — avoids recomputing the plan.
+    val rowCount = spark.read.parquet(staging.toString).count()
+
+    if (fs.exists(finalDir)) fs.delete(finalDir, true)
+    if (!fs.rename(staging, finalDir))
+      throw new java.io.IOException(s"atomic publish failed: $staging -> $finalDir")
+
+    val meta = PartitionMeta(dataset, schemaVersion, dt, rowCount, sourcePath,
+      java.time.Instant.now.toString)
+    writeSidecar(fs, finalDir, meta)
+    rowCount
+  }
+
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      m: PartitionMeta): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json =
+      s"""{"dataset": ${q(m.dataset)}, "schema_version": ${q(m.schemaVersion)}, """ +
+        s""""execution_date": ${q(m.executionDate)}, "row_count": ${m.rowCount}, """ +
+        s""""source_path": ${q(m.sourcePath)}, "created_at": ${q(m.createdAt)}}"""
+    val out = fs.create(new Path(dir, "_metadata.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a partition's sidecar back (for reconciliation / freshness gates). */
+  def readSidecar(spark: SparkSession, partitionDir: String): Option[String] = {
+    val p  = new Path(partitionDir, "_metadata.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the `events` table (SURVEY §2.8 — the
+  * reference is daily batch, so streaming is an engine extension: the same
+  * micro-batch semantics expressed natively).
+  *
+  * Patterns covered:
+  *  - file-source `readStream` with an explicit schema (no inference pass);
+  *  - event-time watermark + tumbling-window aggregation;
+  *  - arbitrary stateful processing via `flatMapGroupsWithState`
+  *    (session windows with an inactivity gap);
+  *  - `Trigger.AvailableNow` batch-parity runs: the streaming query drains the
+  *    directory and stops, so tests can assert stream ≡ batch.
+  *
+  * Scale posture: the windowed agg is a streaming partial+final agg keyed by
+  * (window, event_type); state is bounded by the watermark. Sessionization
+  * state is per-user and expires on event-time timeout — no unbounded state.
+  */
+object EventsStreaming {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Streaming tumbling-window aggregate: per (1-hour window, event_type)
+    * count and value sum, 1-hour watermark for late data.
+    */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("sum_value"))
+      .select(col("window.start").alias("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** The batch twin of [[hourlyAgg]] — used by tests to assert parity. */
+  def hourlyAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).alias("window_start"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("sum_value"))
+
+  /** Drain `inputDir` with AvailableNow into an in-memory table; returns the
+    * completed result. Complete mode keeps the full aggregate for assertion.
+    */
+  def runHourlyAggAvailableNow(spark: SparkSession, inputDir: String,
+      queryName: String = "events_hourly"): DataFrame = {
+    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+    val q = hourlyAgg(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Event-time sessionization with an inactivity `gapMinutes`: emits one row
+    * per closed session per user. State is per-user and expires via
+    * event-time timeout against the watermark.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSession] = {
+    val gapMs = gapMinutes * 60L * 1000L
+    implicit val outEnc = Encoders.product[UserSession]
+    implicit val stateEnc = Encoders.product[SessionState]
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[UserSession] = {
+      val events = rows.toSeq.sortBy(_.ts.getTime)
+      if (events.isEmpty && state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(UserSession(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.end), s.n, s.sum))
+      } else {
+        var closed = List.empty[UserSession]
+        var cur = state.getOption
+        events.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+            case Some(s) =>
+              closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.end), s.n, s.sum)
+              cur = Some(SessionState(t, t, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
