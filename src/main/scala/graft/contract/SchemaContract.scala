@@ -39,7 +39,9 @@ object SchemaContract {
 
     val checks: Seq[Column] = contract.fields.toSeq.flatMap { f =>
       val src  = col(f.name)
-      val cast = src.cast(f.dataType)
+      // try_cast, not cast: under ANSI mode (Spark 4 default) a failed cast
+      // throws mid-aggregation; the contract must *count* failures instead.
+      val cast = src.try_cast(f.dataType)
       val castFail = sum(when(src.isNotNull && cast.isNull, 1L).otherwise(0L))
         .alias(s"${f.name}__cast")
       val nullViol =
@@ -68,6 +70,6 @@ object SchemaContract {
         .map { case (k, v) => s"$k: $v rows" }.mkString("; ")
       throw SchemaContractViolation(s"schema contract violated — $detail")
     }
-    df.select(contract.fields.toSeq.map(f => col(f.name).cast(f.dataType).alias(f.name)): _*)
+    df.select(contract.fields.toSeq.map(f => col(f.name).try_cast(f.dataType).alias(f.name)): _*)
   }
 }

@@ -86,7 +86,15 @@ final case class Suite(name: String, expectations: Seq[Expectation]) {
         val ok = df.schema.find(_.name == c).exists(_.dataType == dt)
         ExpectationResult(e.name, if (ok) 0L else 1L)
     }
-    val rowLevel = expectations.flatMap(e => violated(df, e).map(e -> _))
+    // A row-level expectation on a column the frame doesn't have can't be
+    // compiled into the aggregation — report it failed instead of letting
+    // Spark's analyzer throw UNRESOLVED_COLUMN.
+    val (resolvable, unresolvable) =
+      expectations.partition(e => df.columns.contains(e.column) ||
+        !violated(df, e).isDefined)
+    val missingResults =
+      unresolvable.map(e => ExpectationResult(e.name, 1L))
+    val rowLevel = resolvable.flatMap(e => violated(df, e).map(e -> _))
     val rowResults =
       if (rowLevel.isEmpty) Seq.empty
       else {
@@ -98,7 +106,7 @@ final case class Suite(name: String, expectations: Seq[Expectation]) {
           ExpectationResult(e.name, if (row.isNullAt(i)) 0L else row.getLong(i))
         }
       }
-    schemaResults ++ rowResults
+    schemaResults ++ missingResults ++ rowResults
   }
 
   /** The row-level expectations as a single-row violation-count DataFrame

@@ -3,9 +3,13 @@ package graft.sinks
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Partitioned-lake writer with atomic publish + `_metadata.json` sidecar
+/** Partitioned-lake writer with atomic publish + metadata sidecar
   * (SURVEY §4 P3/P4; reference `dags/coin_data_pipeline_optimized.py:443-479`:
-  * write tmp key → copy to final → delete tmp → write sidecar).
+  * write tmp key → copy to final → delete tmp → write sidecar). The sidecar
+  * is named `.metadata.json` (dot-hidden): Spark's file index special-cases
+  * any `_metadata*` name as a parquet summary file and would try to parse the
+  * JSON as parquet footers — the reference's `_metadata.json` name is a
+  * pandas-only convention that breaks `spark.read.parquet` on the directory.
   *
   * Spark-native realization: write the partition to a staging directory with
   * the normal committer (task/job atomicity), then a single filesystem
@@ -63,14 +67,14 @@ object LakeSink {
       s"""{"dataset": ${q(m.dataset)}, "schema_version": ${q(m.schemaVersion)}, """ +
         s""""execution_date": ${q(m.executionDate)}, "row_count": ${m.rowCount}, """ +
         s""""source_path": ${q(m.sourcePath)}, "created_at": ${q(m.createdAt)}}"""
-    val out = fs.create(new Path(dir, "_metadata.json"), true)
+    val out = fs.create(new Path(dir, ".metadata.json"), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   /** Read a partition's sidecar back (for reconciliation / freshness gates). */
   def readSidecar(spark: SparkSession, partitionDir: String): Option[String] = {
-    val p  = new Path(partitionDir, "_metadata.json")
+    val p  = new Path(partitionDir, ".metadata.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {

@@ -1,0 +1,72 @@
+package graft
+
+import graft.sinks.{JdbcUpsertSink, Merge}
+import org.apache.spark.sql.DataFrame
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class MergeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def kv(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("k", "v")
+
+  private def asMap(df: DataFrame): Map[Long, Set[String]] =
+    df.collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("insertIgnore keeps existing rows on conflict and adds fresh keys") {
+    val existing = kv(Seq(1L -> "old1", 2L -> "old2"))
+    val incoming = kv(Seq(2L -> "new2", 3L -> "new3"))
+    val out = asMap(Merge.insertIgnore(existing, incoming, Seq("k")))
+    out shouldBe Map(1L -> Set("old1"), 2L -> Set("old2"), 3L -> Set("new3"))
+  }
+
+  test("upsert replaces on conflict and keeps both unmatched sides") {
+    val existing = kv(Seq(1L -> "old1", 2L -> "old2"))
+    val incoming = kv(Seq(2L -> "new2", 3L -> "new3"))
+    val out = asMap(Merge.upsert(existing, incoming, Seq("k")))
+    out shouldBe Map(1L -> Set("old1"), 2L -> Set("new2"), 3L -> Set("new3"))
+  }
+
+  test("property: both merges are idempotent (load ∘ load ≡ load)") {
+    val rowsGen = Gen.listOf(Gen.zip(Gen.choose(0L, 6L), Gen.oneOf("a", "b", "c")))
+    val prop = Prop.forAll(rowsGen, rowsGen) { (tgt, src) =>
+      val existing = kv(tgt.distinctBy(_._1))
+      val incoming = kv(src.distinctBy(_._1))
+      val up1 = Merge.upsert(existing, incoming, Seq("k"))
+      val up2 = Merge.upsert(up1, incoming, Seq("k"))
+      val ii1 = Merge.insertIgnore(existing, incoming, Seq("k"))
+      val ii2 = Merge.insertIgnore(ii1, incoming, Seq("k"))
+      asMap(up1) == asMap(up2) && asMap(ii1) == asMap(ii2)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("upsert result keys are the union; each key has exactly one row") {
+    val existing = kv(Seq(1L -> "a", 2L -> "a", 5L -> "a"))
+    val incoming = kv(Seq(2L -> "b", 3L -> "b"))
+    val out = Merge.upsert(existing, incoming, Seq("k"))
+    out.count() shouldBe 4
+    out.select("k").distinct().count() shouldBe 4
+  }
+
+  test("incoming duplicates: insertIgnore picks at most one winner per key") {
+    val existing = kv(Seq(1L -> "old"))
+    val incoming = kv(Seq(2L -> "x", 2L -> "y"))
+    val out = Merge.insertIgnore(existing, incoming, Seq("k"))
+    out.filter($"k" === 2L).count() shouldBe 1
+  }
+
+  test("JDBC upsert SQL generation matches Postgres ON CONFLICT shapes") {
+    JdbcUpsertSink.insertIgnoreSql("coin_dimension",
+      Seq("coin_id", "name", "symbol", "category"), Seq("coin_id")) shouldBe
+      "INSERT INTO coin_dimension (coin_id, name, symbol, category) " +
+        "VALUES (?, ?, ?, ?) ON CONFLICT (coin_id) DO NOTHING"
+    JdbcUpsertSink.upsertSql("gold_coin_daily_metrics",
+      Seq("dt", "coin_id", "avg_price_usd"), Seq("dt", "coin_id")) shouldBe
+      "INSERT INTO gold_coin_daily_metrics (dt, coin_id, avg_price_usd) " +
+        "VALUES (?, ?, ?) ON CONFLICT (dt, coin_id) DO UPDATE SET " +
+        "avg_price_usd = EXCLUDED.avg_price_usd"
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.{DecodedMedia, MediaRow}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def media(kind: String, n: Int): Seq[MediaRow] =
+    (0 until n).map(i =>
+      MediaRow(i.toLong, kind, s"s3://bucket/$kind/$i.bin",
+        s"payload-$kind-$i".getBytes("UTF-8")))
+
+  test("decode is a typed, deterministic partition transform") {
+    val ds = spark.createDataset(media("image", 8))
+    val out1 = Multimodal.decode(ds).collect().sortBy(_.media_id)
+    val out2 = Multimodal.decode(ds).collect().sortBy(_.media_id)
+    out1 shouldBe out2
+    out1.foreach { d =>
+      d.byte_len should be > 0L
+      d.sha256.length shouldBe 64
+      d.width should be > 0
+      d.channels shouldBe 3
+      d.duration_ms shouldBe 0L
+    }
+  }
+
+  test("sha256 matches the JVM digest (binary hygiene through the engine)") {
+    val payload = "payload-image-0".getBytes("UTF-8")
+    val want = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload).map("%02x".format(_)).mkString
+    val got = Multimodal.decode(spark.createDataset(media("image", 1)))
+      .collect().head.sha256
+    got shouldBe want
+  }
+
+  test("audio/video stubs fill the right metadata fields") {
+    val audio = Multimodal.decode(spark.createDataset(media("audio", 2))).collect()
+    audio.foreach { d => d.width shouldBe 0; d.duration_ms should be > 0L }
+    val video = Multimodal.decode(spark.createDataset(media("video", 2))).collect()
+    video.foreach { d => d.width should be > 0; d.duration_ms should be > 0L }
+  }
+
+  test("decode survives null payloads") {
+    val ds = spark.createDataset(Seq(MediaRow(1L, "image", "u", null)))
+    val d = Multimodal.decode(ds).collect().head
+    d.byte_len shouldBe 0L
+    d.width shouldBe 0
+  }
+
+  test("frame sampling emits framesPerItem descriptors per video only") {
+    val df = spark.createDataset(media("video", 3) ++ media("image", 2)).toDF()
+    val frames = Multimodal.sampleFrames(df, framesPerItem = 4)
+    frames.count() shouldBe 12
+    frames.select("frame_offset_ms").as[Long].collect().max shouldBe 3000L
+  }
+
+  test("binary metadata pass works untyped from a DataFrame") {
+    val df = spark.createDataset(media("image", 2)).toDF()
+    val out = Multimodal.withBinaryMeta(df)
+    out.filter($"byte_len" <= 0).count() shouldBe 0
+    out.select("sha256").as[String].collect().foreach(_.length shouldBe 64)
+  }
+}

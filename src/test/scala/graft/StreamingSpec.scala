@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("AvailableNow hourly agg equals the batch twin") {
+    val rows = Seq(
+      Event(1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 00:40:00"), 2L, "click", 2.0),
+      Event(3L, ts("2024-01-01 01:05:00"), 1L, "view", 3.0),
+      Event(4L, ts("2024-01-01 01:55:00"), 3L, "click", 4.0),
+      Event(5L, ts("2024-01-01 02:20:00"), 1L, "purchase", 5.0)
+    )
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    df.write.mode("overwrite").parquet(dir)
+
+    val streamed = EventsStreaming.runHourlyAggAvailableNow(spark, dir, "t_hourly")
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventsStreaming.hourlyAggBatch(spark.read.parquet(dir))
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    streamed shouldBe batch
+    streamed.size shouldBe 4
+  }
+
+  test("sessionize closes sessions on gap and on end-of-stream timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val sessions = EventsStreaming.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream
+      .format("memory").queryName("t_sessions").outputMode("append").start()
+    try {
+      // user 1: two sessions separated by > 30 min; user 2: one session.
+      input.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 00:10:00"), 1L, "view", 2.0),
+        Event(3L, ts("2024-01-01 01:00:00"), 1L, "click", 3.0),
+        Event(4L, ts("2024-01-01 00:05:00"), 2L, "click", 4.0))
+      q.processAllAvailable()
+      // push the watermark far forward so open sessions time out.
+      input.addData(Event(99L, ts("2024-01-02 12:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("t_sessions")
+        .select($"user_id", $"n_events", $"sum_value").as[(Long, Long, Double)]
+        .collect().toSet
+      out should contain ((1L, 2L, 3.0))   // first session: events 1+2
+      out should contain ((1L, 1L, 3.0))   // second session: event 3
+      out should contain ((2L, 1L, 4.0))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.{TextFunctions, TextKernels}
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("analyze adds all feature columns without dropping input columns") {
+    val out = TextAnalysis.analyze(docs)
+    out.columns should contain allOf ("doc_id", "text", "n_tokens", "n_subwords",
+      "stop_ratio", "punct_ratio", "quality_score", "fingerprint_md5", "fingerprint_roll")
+    out.count() shouldBe docs.count()
+  }
+
+  test("token count matches a manual split") {
+    val df = Seq((1L, "a bb  ccc"), (2L, "  x ")).toDF("doc_id", "text")
+    TextAnalysis.analyze(df).orderBy("doc_id")
+      .select("n_tokens").as[Int].collect().toSeq shouldBe Seq(3, 1)
+  }
+
+  test("stopword ratio and punct ratio are exact on crafted input") {
+    val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
+    val r = TextAnalysis.analyze(df).select("stop_ratio", "punct_ratio").head()
+    r.getDouble(0) shouldBe 0.6 +- 1e-9 // the, and, the of 5
+    r.getDouble(1) shouldBe 0.0
+  }
+
+  test("quality score lands in [0,1] and penalizes noise") {
+    val clean = "the quick brown fox jumps over the lazy dog and runs to the hills " * 3
+    val noisy = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( ))))"
+    val df = Seq((1L, clean), (2L, noisy)).toDF("doc_id", "text")
+    val scores = TextAnalysis.analyze(df).orderBy("doc_id")
+      .select("quality_score").as[Double].collect()
+    all(scores.toSeq) should (be >= 0.0 and be <= 1.0)
+    scores(0) should be > scores(1)
+  }
+
+  test("language ID picks the profile language on clear inputs") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "el gato de la casa es un amigo y se va por los campos"),
+      (3L, "der Hund ist von den Bergen und die Sonne ist mit uns"),
+      (4L, "le chat et les chiens du village sont une famille"),
+      (5L, "这是一个很好的例子我们都有")
+    ).toDF("doc_id", "text")
+    TextAnalysis.withLanguage(df).orderBy("doc_id")
+      .select("lang_pred").as[String].collect().toSeq shouldBe
+      Seq("en", "es", "de", "fr", "zh")
+  }
+
+  test("term frequencies count every token occurrence") {
+    val df = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val tf = TextAnalysis.termFrequencies(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tf shouldBe Map("a" -> 2L, "b" -> 2L, "c" -> 1L)
+    val dfreq = TextAnalysis.documentFrequencies(df).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    dfreq shouldBe Map("a" -> 1L, "b" -> 2L, "c" -> 1L)
+  }
+
+  test("rolling hash kernel matches the column expression") {
+    val s = "hello world"
+    val viaKernel = TextKernels.rollingHash(UTF8String.fromString(s))
+    val viaCol = Seq(s).toDF("t")
+      .select(TextFunctions.rollingHash($"t")).as[Long].head()
+    viaCol shouldBe viaKernel
+  }
+
+  test("shingles produce n-grams; short docs fall back to one shingle") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = df.select($"doc_id",
+      TextFunctions.shingles(TextFunctions.tokens($"text"), 3).alias("sh"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    sh(0)._2 shouldBe Seq("a b c", "b c d")
+    sh(1)._2 shouldBe Seq("a b")
+  }
+}
