@@ -69,6 +69,30 @@ object TextKernels {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** All `numHashes` MinHash minima of an int-array in one pass; seeded
+    * murmur3 per element matches Spark's `hash(int, seed)`. An empty input
+    * yields a signature of Int.MaxValue sentinels.
+    */
+  def minhashSignature(sh: ArrayData, numHashes: Int): ArrayData = {
+    val out = new Array[Int](numHashes)
+    java.util.Arrays.fill(out, Int.MaxValue)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      if (!sh.isNullAt(j)) {
+        val v = sh.getInt(j)
+        var i = 0
+        while (i < numHashes) {
+          val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, i)
+          if (h < out(i)) out(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** `simhash64(tokens)` over an `array<string>` column. */
@@ -79,6 +103,23 @@ case class SimHash64(child: Expression)
     TextKernels.simhash64(in.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `minhash_sig(hashed_shingles, k)` — all `k` MinHash minima in ONE pass
+  * over the shingle-hash array. Seeded murmur3 per element matches
+  * `functions.hash(col, seed)` on ints, so the signature equals the
+  * `array((0 until k).map(i => array_min(transform(sh, s => hash(s, i)))))`
+  * composition while doing k·n integer hashes instead of k interpreted
+  * array traversals (higher-order functions don't codegen).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.minhashSignature(in.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.minhashSignature($c, $numHashes)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -95,6 +136,16 @@ case class RollingHash(child: Expression)
 
 object TextFunctions {
 
+  /** Let-binding for column expressions: evaluates `c` ONCE per row and binds
+    * it to a lambda variable inside `f`. Composite expressions built from
+    * higher-order functions run interpreted (no whole-stage codegen, so no
+    * common-subexpression elimination); without this, an expression like
+    * `transform(seq, i => slice(toks, i, n))` re-evaluates the full `toks`
+    * subtree — a regex split — once per element instead of once per row.
+    */
+  def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -109,16 +160,20 @@ object TextFunctions {
 
   /** Word n-gram shingles of the token array (for MinHash / Jaccard). */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    bindOnce(toks) { t =>
+      when(size(t) < n, array(concat_ws(" ", t)))
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    }
 
   /** Share of tokens that appear in `stopwords`. */
   def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
     val stop = array(stopwords.map(lit): _*)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(size(filter(toks, t => array_contains(stop, t))).cast("double") /
-        size(toks).cast("double"))
+    bindOnce(toks) { t =>
+      when(size(t) === 0, lit(0.0))
+        .otherwise(size(filter(t, x => array_contains(stop, x))).cast("double") /
+          size(t).cast("double"))
+    }
   }
 
   /** Punctuation character ratio. */
@@ -142,6 +197,13 @@ object TextFunctions {
 
   def simhash(toks: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(toks)))
+
+  /** MinHash signature (array of `numHashes` ints) of a hashed-shingle
+    * int-array column — single-pass kernel, codegen-friendly.
+    */
+  def minhashSig(hashedShingles: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      MinHashSignature(GraftSqlBridge.expression(hashedShingles), numHashes))
 
   def rollingHash(text: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(text)))

@@ -36,10 +36,8 @@ object Dedup {
     * min over the document's word-`shingleSize` shingles of
     * `murmur3(shingle, seed=i)`. Pure built-ins → whole-stage codegen.
     */
-  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int): Column = {
-    val sh = TextFunctions.shingles(TextFunctions.tokens(textCol), shingleSize)
-    array((0 until numHashes).map(i => array_min(transform(sh, s => hash(s, lit(i))))): _*)
-  }
+  def minhashSignature(textCol: Column, numHashes: Int, shingleSize: Int): Column =
+    TextFunctions.minhashSig(hashedShingles(textCol, shingleSize), numHashes)
 
   /** MinHash + LSH near-duplicate candidate pairs with verified Jaccard.
     *
@@ -50,6 +48,32 @@ object Dedup {
     * Returns `(id_a, id_b, jaccard)` with `id_a < id_b`. The join key is
     * `(band, band_hash)` so the shuffle is uniform; no cartesian anywhere.
     */
+  /** Hashed shingle set: distinct murmur3 of each word-`n` shingle. Jaccard
+    * over the int sets equals Jaccard over the string sets up to hash
+    * collisions (~n²/2³² per doc — negligible), and both the LSH shuffle and
+    * the verify intersect move 4-byte ints instead of strings.
+    */
+  private def hashedShingles(textCol: Column, n: Int): Column =
+    array_distinct(transform(
+      TextFunctions.shingles(TextFunctions.tokens(textCol), n), s => hash(s)))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Candidate id-pairs → verified pairs: re-attach each side's shingle set
+    * by id and keep pairs with Jaccard ≥ `minJaccard`. The joins shuffle the
+    * (small) candidate set and the per-doc shingle sets once each — the
+    * band/bucket join itself never carries document payloads.
+    */
+  private def verifyJaccard(candidates: DataFrame, withSh: DataFrame,
+      minJaccard: Double): DataFrame =
+    candidates
+      .join(withSh.select(col("__id").alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
+      .join(withSh.select(col("__id").alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).alias("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -61,31 +85,26 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df
-      .select(col(idCol).alias("__id"),
-        array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), shingleSize))
-          .alias("__sh"))
-      .withColumn("__sig", array((0 until numHashes).map(i =>
-        array_min(transform(col("__sh"), s => hash(s, lit(i))))): _*))
+    val withSh = df.select(col(idCol).alias("__id"),
+      hashedShingles(col(textCol), shingleSize).alias("__sh"))
+    val withSig = withSh
+      .withColumn("__sig", TextFunctions.minhashSig(col("__sh"), numHashes))
 
+    // Banded rows carry ONLY (id, band, bucket): at scale the LSH shuffle is
+    // `bands` 12-byte rows per doc, not `bands` copies of the shingle set.
     val banded = withSig.select(
-      col("__id"), col("__sh"),
+      col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("__sig"), b * rows + 1, lit(rows))))).as(Seq("__band", "__bucket"))
     )
 
-    val a = banded.select(col("__band"), col("__bucket"),
-      col("__id").alias("id_a"), col("__sh").alias("sh_a"))
-    val b = banded.select(col("__band"), col("__bucket"),
-      col("__id").alias("id_b"), col("__sh").alias("sh_b"))
-
-    a.join(b, Seq("__band", "__bucket"))
+    val candidates = banded.alias("a")
+      .join(banded.alias("b"), Seq("__band", "__bucket"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).alias("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
       .dropDuplicates("id_a", "id_b")
+
+    verifyJaccard(candidates, withSh, minJaccard)
   }
 
   /** SimHash near-dup clustering: 64-bit simhash per doc; docs sharing the
@@ -102,17 +121,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String = "text",
       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val withSh = df.select(col(idCol).alias("__id"),
-      array_distinct(TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n)).alias("__sh"))
-      .withColumn("__minsh", array_min(transform(col("__sh"), s => hash(s))))
-    val a = withSh.select(col("__minsh"), col("__id").alias("id_a"), col("__sh").alias("sh_a"))
-    val b = withSh.select(col("__minsh"), col("__id").alias("id_b"), col("__sh").alias("sh_b"))
-    a.join(b, "__minsh")
+      hashedShingles(col(textCol), n).alias("__sh"))
+    val blocked = withSh.select(col("__id"),
+      array_min(col("__sh")).alias("__minsh"))
+    val candidates = blocked.alias("a").join(blocked.alias("b"), Seq("__minsh"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).alias("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
       .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candidates, withSh, minJaccard)
   }
 
   /** Embedding near-dup pairs: LSH-bucket on random-hyperplane sign bits,
@@ -122,15 +138,18 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planeBits: Int = 16, minCosine: Double = 0.95,
       seed: Long = 42L): DataFrame = {
-    val bucketed = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
-      .withColumn("__bucket", Similarity.hyperplaneBucket(col("__v"), dim, planeBits, seed))
-    val a = bucketed.select(col("__bucket"), col("__id").alias("id_a"), col("__v").alias("v_a"))
-    val b = bucketed.select(col("__bucket"), col("__id").alias("id_b"), col("__v").alias("v_b"))
-    a.join(b, "__bucket")
+    val vecs = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
+    val bucketed = vecs.select(col("__id"),
+      Similarity.hyperplaneBucket(col("__v"), dim, planeBits, seed).alias("__bucket"))
+    val candidates = bucketed.alias("a").join(bucketed.alias("b"), Seq("__bucket"))
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(vecs.select(col("__id").alias("id_a"), col("__v").alias("v_a")), Seq("id_a"))
+      .join(vecs.select(col("__id").alias("id_b"), col("__v").alias("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         VectorFunctions.cosineSim(col("v_a"), col("v_b")).alias("cosine"))
       .filter(col("cosine") >= minCosine)
-      .dropDuplicates("id_a", "id_b")
   }
 }

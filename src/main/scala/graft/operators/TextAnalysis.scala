@@ -52,10 +52,14 @@ object TextAnalysis {
     */
   def langIdCol(textCol: Column,
       profiles: Map[String, Seq[String]] = languageProfiles): Column = {
-    val toks = TextFunctions.tokens(textCol)
-    val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val profile = array(words.map(lit): _*)
-      val score =
+    val langs = profiles.toSeq.sortBy(_._1)
+    // Let-bind the token array and the score vector: without the binds, each
+    // `when(score === best)` arm re-expands every score subtree and each
+    // score re-expands the tokenizing regex split — a combinatorial blowup
+    // in interpreted (higher-order-function) evaluation.
+    TextFunctions.bindOnce(TextFunctions.tokens(textCol)) { toks =>
+      val scores: Seq[Column] = langs.map { case (lang, words) =>
+        val profile = array(words.map(lit): _*)
         if (lang == "zh")
           // zh has no whitespace tokens: count profile characters present.
           size(filter(profile, w => textCol.contains(w))).cast("double")
@@ -63,11 +67,13 @@ object TextAnalysis {
           when(size(toks) === 0, 0.0)
             .otherwise(size(filter(toks, t => array_contains(profile, t))).cast("double") /
               size(toks).cast("double"))
-      lang -> score
-    }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldLeft(lit("und")) { case (acc, (lang, score)) =>
-      when(score === best && score > 0.0, lit(lang)).otherwise(acc)
+      }
+      TextFunctions.bindOnce(array(scores: _*)) { sa =>
+        val best = array_max(sa)
+        langs.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, _), i)) =>
+          when(element_at(sa, i + 1) === best && best > 0.0, lit(lang)).otherwise(acc)
+        }
+      }
     }
   }
 
