@@ -13,6 +13,8 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val name = args(0)
+    if (sys.env.contains("SCRATCH_NO_CODEGEN"))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()

@@ -70,6 +70,44 @@ object TextKernels {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Distinct murmur3(seed=42) hashes of the word-`n` shingles of a token
+    * array, in one pass — value-identical to
+    * `array_distinct(transform(shingles(toks, n), s => hash(s)))` (Spark's
+    * `hash` is murmur3 seed 42 over the UTF-8 bytes) while avoiding four
+    * interpreted higher-order traversals per row. If fewer than `n` tokens,
+    * the single shingle is all tokens space-joined (same as `shingles`).
+    */
+  def hashedShingles(toks: ArrayData, n: Int): ArrayData = {
+    val m    = toks.numElements()
+    val sep  = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[Integer]
+    def hashOf(parts: Array[UTF8String]): Int = {
+      val s = UTF8String.concatWs(sep, parts: _*)
+      org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+    }
+    def tokenAt(i: Int): UTF8String =
+      if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+    if (m < n) {
+      val parts = Array.tabulate(m)(tokenAt)
+      seen.add(hashOf(parts))
+    } else {
+      var i = 0
+      while (i + n <= m) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = tokenAt(i + j); j += 1 }
+        seen.add(hashOf(parts))
+        i += 1
+      }
+    }
+    val out = new Array[Int](seen.size)
+    val it  = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** All `numHashes` MinHash minima of an int-array in one pass; seeded
     * murmur3 per element matches Spark's `hash(int, seed)`. An empty input
     * yields a signature of Int.MaxValue sentinels.
@@ -103,6 +141,21 @@ case class SimHash64(child: Expression)
     TextKernels.simhash64(in.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash64($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `hashed_shingles(tokens, n)` — distinct murmur3 hashes of word-n-gram
+  * shingles in one codegen'd pass (see [[TextKernels.hashedShingles]]).
+  * Keeping this a native expression (rather than a transform/array_distinct
+  * composition) keeps the dedup pipelines inside whole-stage codegen.
+  */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.hashedShingles(in.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.hashedShingles($c, $n)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -197,6 +250,10 @@ object TextFunctions {
 
   def simhash(toks: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(toks)))
+
+  /** Distinct murmur3 hashes of word-`n` shingles of a token-array column. */
+  def hashedShingles(toks: Column, n: Int): Column =
+    GraftSqlBridge.column(HashedShingles(GraftSqlBridge.expression(toks), n))
 
   /** MinHash signature (array of `numHashes` ints) of a hashed-shingle
     * int-array column — single-pass kernel, codegen-friendly.

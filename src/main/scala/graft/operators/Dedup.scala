@@ -51,11 +51,11 @@ object Dedup {
   /** Hashed shingle set: distinct murmur3 of each word-`n` shingle. Jaccard
     * over the int sets equals Jaccard over the string sets up to hash
     * collisions (~n²/2³² per doc — negligible), and both the LSH shuffle and
-    * the verify intersect move 4-byte ints instead of strings.
+    * the verify intersect move 4-byte ints instead of strings. Native
+    * single-pass expression, so the dedup pipeline stays in codegen.
     */
   private def hashedShingles(textCol: Column, n: Int): Column =
-    array_distinct(transform(
-      TextFunctions.shingles(TextFunctions.tokens(textCol), n), s => hash(s)))
+    TextFunctions.hashedShingles(TextFunctions.tokens(textCol), n)
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
