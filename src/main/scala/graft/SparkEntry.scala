@@ -439,6 +439,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, numCells = 16, nprobe = 4)
+        .select(col("query_id"), col("rank").cast("long").alias("rank"), col("neighbor_id"),
+          col("cosine"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ================= north-star: text analysis ========================
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -744,8 +753,9 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT md5(lower(trim(text)))) AS n_after_dedup FROM documents""".stripMargin,
 
     // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram / q_dedup_embedding /
-    // q_ann_lsh / q_text_langid: kernels (murmur3/FNV/LSH/heuristic) are not
-    // SQL-expressible — rows-only checks; ScalaTest covers semantics.
+    // q_ann_lsh / q_ann_ivf / q_text_langid: kernels (murmur3/FNV/LSH/
+    // k-means/heuristic) are not SQL-expressible — rows-only checks;
+    // ScalaTest covers semantics.
 
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),

@@ -72,6 +72,37 @@ object VectorKernels {
     }
     bits
   }
+
+  /** Indexes of the `nprobe` best-scoring cells for `v` against a flattened
+    * row-major (numCells × dim) matrix of L2-NORMALIZED centroids, by dot
+    * product (= cosine ranking, since the query norm is constant across
+    * cells). Single pass with an insertion top-p — the IVF coarse-quantizer
+    * probe, kept inside whole-stage codegen.
+    */
+  def nearestCells(v: ArrayData, centroids: Array[Float], dim: Int, nprobe: Int): ArrayData = {
+    val numCells = centroids.length / dim
+    val p = math.min(nprobe, numCells)
+    val bestIdx   = new Array[Int](p)
+    val bestScore = new Array[Double](p)
+    java.util.Arrays.fill(bestScore, Double.NegativeInfinity)
+    val n = math.min(dim, v.numElements())
+    var c = 0
+    while (c < numCells) {
+      var dot = 0.0
+      val off = c * dim
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * centroids(off + i); i += 1 }
+      if (dot > bestScore(p - 1)) {
+        var j = p - 1
+        while (j > 0 && bestScore(j - 1) < dot) {
+          bestScore(j) = bestScore(j - 1); bestIdx(j) = bestIdx(j - 1); j -= 1
+        }
+        bestScore(j) = dot; bestIdx(j) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestIdx)
+  }
 }
 
 /** `cosine_similarity(a, b)` over two float-array columns. */
@@ -100,6 +131,22 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `nearest_cells(vec)` — top-`nprobe` IVF cell ids for a float vector
+  * against a broadcast (codegen reference) normalized-centroid matrix.
+  */
+case class NearestCells(child: Expression, centroids: Array[Float], dim: Int, nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.nearestCells(in.asInstanceOf[ArrayData], centroids, dim, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.nearestCells($c, $ref, $dim, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-level API + optional SQL registration. */
 object VectorFunctions {
 
@@ -110,6 +157,11 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Top-`nprobe` IVF cell ids (array<int>) for a float-vector column. */
+  def nearestCells(vec: Column, centroids: Array[Float], dim: Int, nprobe: Int): Column =
+    GraftSqlBridge.column(
+      NearestCells(GraftSqlBridge.expression(vec), centroids, dim, nprobe))
 
   /** Register `cosine_similarity` / `dot_product` for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {

@@ -73,6 +73,58 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"))
   }
 
+  /** Train an IVF coarse quantizer: k-means over the corpus vectors (MLlib,
+    * deterministic under `seed`), centers L2-normalized and flattened
+    * row-major (numCells × dim) for the codegen'd cell-probe kernel.
+    */
+  def trainIvfCentroids(corpus: DataFrame, vecCol: String, dim: Int,
+      numCells: Int, seed: Long = 42L): Array[Float] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol)).alias("features"))
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10).fit(train)
+    val flat = new Array[Float](numCells * dim)
+    model.clusterCenters.zipWithIndex.foreach { case (center, c) =>
+      val arr  = center.toArray
+      val norm = math.sqrt(arr.map(x => x * x).sum) max 1e-12
+      var i = 0
+      while (i < dim && i < arr.length) {
+        flat(c * dim + i) = (arr(i) / norm).toFloat; i += 1
+      }
+    }
+    flat
+  }
+
+  /** IVF approximate top-k — the classic inverted-file ANN layout: corpus
+    * rows live in the cell of their nearest centroid; each query probes its
+    * `nprobe` closest cells and exact-ranks only those candidates. At scale
+    * the corpus assignment is a narrow map (centroids ride along as a
+    * broadcast reference object) and the probe join is a uniform hash
+    * shuffle on the cell id — no cartesian. Train once, reuse across query
+    * batches.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, numCells: Int = 64, nprobe: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, vecCol, dim, numCells, seed)
+    val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
+      element_at(VectorFunctions.nearestCells(col(vecCol), centroids, dim, 1), 1)
+        .alias("__cell"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
+        explode(VectorFunctions.nearestCells(col(vecCol), centroids, dim, nprobe))
+          .alias("__cell"))
+    val candidates = c.join(broadcast(q), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).alias("cosine"))
+  }
+
   /** Approximate top-k: equi-join corpus and queries on the LSH bucket
     * (multi-probe: queries additionally match buckets at Hamming distance 1
     * when `probeBits > 0`), then exact-rank within candidates.

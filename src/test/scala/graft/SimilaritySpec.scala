@@ -87,6 +87,28 @@ class SimilaritySpec extends SparkTestBase {
     plan should include("hyperplanelsh")
   }
 
+  test("IVF top-k routes planted near-duplicate queries to their source") {
+    val rnd  = new java.util.Random(11L)
+    val base = emb.filter($"vec_id" < 30).as[(Long, Array[Float])].collect()
+    val perturbed = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val queries = spark.createDataset(perturbed.toSeq).toDF("vec_id", "embedding")
+    // A barely-perturbed query lands in (or probes into) its source's cell.
+    val hits = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 1, dim = 64, numCells = 16, nprobe = 4)
+      .filter($"neighbor_id" === $"query_id" - 100000L)
+      .count()
+    hits.toDouble / base.length should be >= 0.9
+  }
+
+  test("IVF path probes cells, not the cross product") {
+    val plan = Similarity.ivfTopK(emb, emb.limit(5), "vec_id", "embedding",
+      k = 3, dim = 64, numCells = 8, nprobe = 2).queryExecution.executedPlan.toString()
+    plan.toLowerCase should not include "cartesian"
+    plan should include("nearestcells")
+  }
+
   test("hyperplane bucket is deterministic across invocations") {
     val b1 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 12, 42L)).collect()
     val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 12, 42L)).collect()
