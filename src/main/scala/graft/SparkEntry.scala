@@ -2,7 +2,7 @@ package graft
 
 import graft.expectations.{Between, GreaterThan, NotNull, Suite}
 import graft.functions.{Aggregators, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Skew, TextAnalysis}
 import graft.sinks.Merge
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -156,6 +156,28 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("(all)")).alias("status"),
           col("n"), col("sum_qty"))
         .orderBy("flag", "status")),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("n"), sum(col("l_quantity")).alias("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).alias("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).alias("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")),
+
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").alias("flag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"))
+        .orderBy("flag")),
+
+    // ---- skew-handling: two-phase salted aggregation -------------------
+    "q_skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", buckets = 16)
+        .orderBy("l_returnflag")),
 
     // ---- A6: custom typed Aggregator UDAF ------------------------------
     "q_udaf_sum" -> ((s, dir) => {
@@ -589,6 +611,27 @@ object SparkEntry {
         |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+        |       COALESCE(l_linestatus, '(all)') AS status,
+        |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag AS flag,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_val,
+        |       COUNT(l_quantity) AS n,
+        |       MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_val
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_udaf_sum" ->
       """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty

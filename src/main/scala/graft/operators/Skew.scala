@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling operators for 100 TB-scale aggregation.
+  *
+  * Spark's hash aggregate already does a map-side partial pass, which
+  * absorbs *moderate* key skew. Salting matters when a handful of hot keys
+  * still overwhelm their reducer after partial aggregation — e.g. a
+  * high-cardinality groupBy where partials can't fully combine (distinct-ish
+  * state, huge per-key maps) or a downstream stage keyed on the hot key.
+  * The pattern: aggregate on (key, salt) first — the hot key fans out over
+  * `buckets` reducers — then merge the per-salt partials on the key alone.
+  * Both phases are algebraic, so the result is identical to a direct
+  * groupBy. (Skewed JOINs are left to AQE's skew-join splitting, which
+  * Spark enables by default — don't hand-roll what the runtime re-plans.)
+  */
+object Skew {
+
+  /** Two-phase salted sum/count/min/max/avg of `valueCol` by `keys`.
+    * Deterministic salt (murmur3 of the value) so replays are stable; sums
+    * accumulate in decimal so the merge order can't perturb doubles.
+    * Output columns: keys, `sum_val`, `n`, `min_val`, `max_val`, `avg_val`.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int = 16): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val keyCols = keys.map(col)
+    val v = col(valueCol)
+    val partial = df
+      .withColumn("__salt", pmod(hash(v), lit(buckets)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(
+        sum(v.cast("decimal(18,6)")).alias("__psum"),
+        count(v).alias("__pcnt"),
+        min(v).alias("__pmin"),
+        max(v).alias("__pmax"))
+    partial
+      .groupBy(keyCols: _*)
+      .agg(
+        sum(col("__psum")).cast("double").alias("sum_val"),
+        sum(col("__pcnt")).alias("n"),
+        min(col("__pmin")).alias("min_val"),
+        max(col("__pmax")).alias("max_val"),
+        (sum(col("__psum")).cast("double") / sum(col("__pcnt"))).alias("avg_val"))
+  }
+}
