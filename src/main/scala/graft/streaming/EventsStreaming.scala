@@ -43,6 +43,28 @@ object EventsStreaming {
       .select(col("window.start").alias("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming sliding-window aggregate: 1-hour windows every 30 minutes —
+    * each event lands in two windows; watermark bounds state.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"))
+      .select(col("window.start").alias("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Streaming exact dedup on `event_id` — the streaming twin of the batch
+    * dedup north-star. State is one key per event inside the watermark
+    * horizon and is dropped once the watermark passes (bounded state; at
+    * scale this is the standard exactly-once ingest guard in front of a
+    * lake sink).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** The batch twin of [[hourlyAgg]] — used by tests to assert parity. */
   def hourlyAggBatch(events: DataFrame): DataFrame =
     events

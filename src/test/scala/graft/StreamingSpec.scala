@@ -34,6 +34,47 @@ class StreamingSpec extends SparkTestBase {
     streamed.size shouldBe 4
   }
 
+  test("streaming dedup drops within-watermark duplicate event_ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val deduped = EventsStreaming.dedupEvents(
+      input.toDS().toDF().withColumn("props", lit("{}")))
+    val q = deduped.writeStream
+      .format("memory").queryName("t_dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+        Event(1L, ts("2024-01-01 00:00:30"), 1L, "click", 1.0), // dup delivery
+        Event(2L, ts("2024-01-01 00:05:00"), 2L, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(2L, ts("2024-01-01 00:06:00"), 2L, "view", 2.0),  // dup, later batch
+        Event(3L, ts("2024-01-01 00:10:00"), 1L, "click", 3.0))
+      q.processAllAvailable()
+
+      val ids = spark.table("t_dedup").select($"event_id").as[Long].collect().sorted
+      ids shouldBe Array(1L, 2L, 3L)
+    } finally q.stop()
+  }
+
+  test("sliding windows assign each event to two overlapping windows") {
+    val events = Seq(
+      Event(1L, ts("2024-01-01 00:40:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 01:10:00"), 2L, "click", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    // Batch-execute the streaming definition (windows are the same logical op).
+    val out = EventsStreaming.slidingAgg(events)
+      .select($"window_start", $"n_events")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    out.size shouldBe 3
+    out(ts("2024-01-01 00:00:00")) shouldBe 1L // event 1 only
+    out(ts("2024-01-01 00:30:00")) shouldBe 2L // both events overlap here
+    out(ts("2024-01-01 01:00:00")) shouldBe 1L // event 2 only
+  }
+
   test("sessionize closes sessions on gap and on end-of-stream timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
