@@ -2,7 +2,7 @@ package graft
 
 import graft.expectations.{Between, GreaterThan, NotNull, Suite}
 import graft.functions.{Aggregators, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.sinks.Merge
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -248,6 +248,17 @@ object SparkEntry {
             col("s_acctbal") > col("n_nationkey") * 100.0)
         .select(col("s_suppkey"), col("n_name"))
         .orderBy("s_suppkey")),
+
+    "q_join_range" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_acctbal") - 50.0).alias("lo"), (col("s_acctbal") + 50.0).alias("hi"))
+      RangeJoin.pointInInterval(cust, supp, "c_acctbal", "lo", "hi", binWidth = 100.0)
+        .select(col("c_custkey"), col("s_suppkey"))
+        .orderBy("c_custkey", "s_suppkey")
+    }),
 
     "q_join_asof" -> ((s, dir) => {
       val ev        = events(s, dir)
@@ -684,6 +695,12 @@ object SparkEntry {
       """SELECT s_suppkey, n_name FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey AND s_acctbal > n_nationkey * 100.0
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT c_custkey, s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal <= s.s_acctbal + 50
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
 
     "q_join_asof" ->
       """WITH pc AS (
