@@ -81,8 +81,14 @@ object Similarity {
       numCells: Int, seed: Long = 42L): Array[Float] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(col(vecCol)).alias("features"))
-    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10).fit(train)
+    // Cache across the iterations' rescans; random init, not k-means|| —
+    // the parallel init runs ~5 extra job rounds for a coarse quantizer
+    // whose cells only need to be roughly balanced.
+    val train = corpus.select(array_to_vector(col(vecCol)).alias("features")).cache()
+    val model =
+      try new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
+        .setInitMode("random").fit(train)
+      finally train.unpersist()
     val flat = new Array[Float](numCells * dim)
     model.clusterCenters.zipWithIndex.foreach { case (center, c) =>
       val arr  = center.toArray
