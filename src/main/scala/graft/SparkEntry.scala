@@ -179,6 +179,61 @@ object SparkEntry {
       Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", buckets = 16)
         .orderBy("l_returnflag")),
 
+    // ---- A6: HLL distinct-count sketch (rows-only: estimate is sketch-
+    // deterministic but not SQL-reproducible; spec bounds the error) -----
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n    = docs.count()
+      val tf   = TextAnalysis.termFrequencies(docs)
+      val dfq  = TextAnalysis.documentFrequencies(docs)
+      tf.join(dfq, Seq("term"))
+        .withColumn("tfidf",
+          round(col("freq") * log(lit(n.toDouble) / col("doc_freq")), 6))
+        .filter(col("tfidf") > 0)
+        .orderBy(col("tfidf").desc, col("term").asc)
+        .limit(20)
+        .select(col("term"), col("freq"), col("doc_freq"), col("tfidf"))
+    }),
+
+    "q_hll_distinct" -> ((s, dir) => {
+      val hll = udaf(new Aggregators.HyperLogLog(12))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").alias("k"))
+        .agg(hll(col("k")).alias("hll_estimate"),
+          countDistinct(col("k")).alias("n_exact"))
+    }),
+
+    // ---- multi-join analytics (TPC-H Q3/Q5 shapes) ---------------------
+    "q_tpch_q3" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").alias("o_date"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .alias("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
+    "q_tpch_q5" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .alias("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)),
+
     // ---- A6: custom typed Aggregator UDAF ------------------------------
     "q_udaf_sum" -> ((s, dir) => {
       val sumUdaf = udaf(Aggregators.SumDouble, Encoders.scalaDouble)
@@ -647,6 +702,47 @@ object SparkEntry {
     "q_udaf_sum" ->
       """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT term, COUNT(*) AS freq FROM toks WHERE length(term) > 0 GROUP BY term
+        |), df AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM toks
+        |  WHERE length(term) > 0 GROUP BY term
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT term, freq, doc_freq,
+        |       ROUND(freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS tfidf
+        |FROM tf JOIN df USING (term), n
+        |WHERE ROUND(freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) > 0
+        |ORDER BY tfidf DESC, term ASC LIMIT 20""".stripMargin,
+
+    // q_hll_distinct: sketch estimate — rows-only; AggregatorSpec bounds error.
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
