@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Optimizer rule: rewrite an inner join whose ONLY cross-side predicates
+  * form a point-in-interval range (`p >= lo AND p <= hi`, point from one
+  * side, bounds from the other) into the binned equi-join that
+  * [[graft.operators.RangeJoin.pointInInterval]] builds by hand:
+  *
+  * {{{
+  *   points JOIN intervals ON p BETWEEN lo AND hi          -- BNLJ, O(n·m)
+  * =>
+  *   Project(points + __bin = floor(p/w))
+  *     JOIN Generate(explode(sequence(floor(lo/w), floor(hi/w))), intervals)
+  *     ON __bin = __bin_iv AND p BETWEEN lo AND hi          -- hash join
+  * }}}
+  *
+  * Each (point, interval) pair meets in exactly one bin — the point's — so
+  * the rewrite is exactly result-preserving (nulls: a null point bins to a
+  * null key and never matches; a null bound makes `sequence` null and the
+  * Generate emits nothing — both match the predicate's behavior).
+  *
+  * Off by default; enabled by setting the bin width:
+  * `SET spark.graft.rangejoin.binwidth=<numeric>`. Pick it near the typical
+  * interval width. Joins that already have an equi-predicate are left alone
+  * (they hash-join fine without help).
+  */
+case class BinnedRangeJoinRule() extends Rule[LogicalPlan] {
+
+  private val confKey = "spark.graft.rangejoin.binwidth"
+
+  private case class RangeMatch(point: Expression, lo: Expression, hi: Expression,
+      pointOnLeft: Boolean)
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other     => Seq(other)
+  }
+
+  private def sideOf(e: Expression, left: LogicalPlan, right: LogicalPlan): Option[Boolean] = {
+    val refs = e.references
+    if (refs.isEmpty) None
+    else if (refs.subsetOf(left.outputSet)) Some(true)
+    else if (refs.subsetOf(right.outputSet)) Some(false)
+    else None
+  }
+
+  /** Find `p >= lo` and `p <= hi` (or strict variants are NOT eligible —
+    * bins are inclusive; strict bounds stay in the residual predicate, so
+    * they'd still be correct, but we only *trigger* on the inclusive pair
+    * plus optionally strict ones) with point and bounds on opposite sides.
+    */
+  private def findRange(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Option[RangeMatch] = {
+    // normalized (point, bound, isLower): p >= lo / lo <= p → lower bound
+    val bounds = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true))
+      case GreaterThan(a, b)        => Seq((a, b, true))
+      case LessThanOrEqual(a, b)    => Seq((a, b, false))
+      case LessThan(a, b)           => Seq((a, b, false))
+      case _                        => Seq.empty
+    }.flatMap { case (a, b, isLower) =>
+      (sideOf(a, left, right), sideOf(b, left, right)) match {
+        case (Some(sa), Some(sb)) if sa != sb =>
+          // orient as (point, bound, pointSideIsLeft, boundKind)
+          Seq((a, b, sa, isLower))
+        case _ => Seq.empty
+      }
+    }
+    val candidates = for {
+      (p1, lo, s1, true)  <- bounds
+      (p2, hi, s2, false) <- bounds
+      if s1 == s2 && p1.semanticEquals(p2)
+      if p1.dataType.isInstanceOf[NumericType]
+      if lo.dataType.isInstanceOf[NumericType] && hi.dataType.isInstanceOf[NumericType]
+    } yield RangeMatch(p1, lo, hi, s1)
+    candidates.headOption
+  }
+
+  private def hasCrossEquality(conjuncts: Seq[Expression], left: LogicalPlan,
+      right: LogicalPlan): Boolean =
+    conjuncts.exists {
+      case EqualTo(a, b) =>
+        (sideOf(a, left, right), sideOf(b, left, right)) match {
+          case (Some(sa), Some(sb)) => sa != sb
+          case _                    => false
+        }
+      case _ => false
+    }
+
+  private def binOf(e: Expression, width: Double): Expression =
+    Cast(Floor(Divide(Cast(e, DoubleType), Literal(width))), LongType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(confKey, "")
+    if (width.isEmpty) return plan
+    val w = width.toDouble
+    require(w > 0, s"$confKey must be positive, got $w")
+
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if left.resolved && right.resolved =>
+        val conjuncts = splitConjuncts(cond)
+        if (hasCrossEquality(conjuncts, left, right)) j
+        else findRange(conjuncts, left, right) match {
+          case None => j
+          case Some(RangeMatch(p, lo, hi, pointOnLeft)) =>
+            val (points, intervals) = if (pointOnLeft) (left, right) else (right, left)
+
+            val pBinAlias = Alias(binOf(p, w), "__graft_bin")()
+            val pointsP   = Project(points.output :+ pBinAlias, points)
+
+            // Sequence is timezone-aware (for date/timestamp ranges) and is
+            // unresolved until a timeZoneId is attached, even for longs.
+            val seq = Sequence(binOf(lo, w), binOf(hi, w), None,
+              Some(conf.sessionLocalTimeZone))
+            val ivBinAttr = AttributeReference("__graft_bin_iv", LongType, nullable = false)()
+            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+              qualifier = None, generatorOutput = Seq(ivBinAttr), child = intervals)
+
+            val binEq = EqualTo(pBinAlias.toAttribute, ivBinAttr)
+            val (newLeft, newRight) =
+              if (pointOnLeft) (pointsP, gen) else (gen, pointsP)
+            val rewritten = Join(newLeft, newRight, Inner,
+              Some(And(binEq, cond)), hint)
+            Project(j.output, rewritten)
+        }
+    }
+  }
+}

@@ -13,4 +13,29 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a NEW session over an existing context with the given extensions
+    * applied — `SparkSession.builder.getOrCreate` reuses the default session
+    * and silently ignores `spark.sql.extensions`, so tests (and any host
+    * embedding the engine next to an existing session) need the direct
+    * constructor, which is `private[sql]`.
+    */
+  def newSessionWithExtensions(
+      sc: org.apache.spark.SparkContext,
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    // The 6-arg primary constructor is Scala-restricted beyond even this
+    // package but public in bytecode (private[x] erases to public); the
+    // builder path can't be used because getOrCreate reuses the default
+    // session. Signature: (sc, sharedState, parentSessionState, extensions,
+    // initialSessionOptions, parentManagedJobTags).
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getConstructors.find(_.getParameterCount == 6)
+      .getOrElse(throw new IllegalStateException(
+        "classic.SparkSession 6-arg constructor not found — Spark version change?"))
+    ctor.newInstance(sc, None, None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions must light up the custom expressions as SQL functions in
+  * a session configured only via `spark.sql.extensions` — no imperative
+  * registration.
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  // getOrCreate would reuse the shared test session and silently skip
+  // extension injection — build a genuinely new session over the same
+  // SparkContext with GraftExtensions applied.
+  private lazy val extSpark: SparkSession =
+    org.apache.spark.sql.graftbridge.GraftSqlBridge.newSessionWithExtensions(
+      spark.sparkContext, new graft.plans.GraftExtensions().apply(_))
+
+  test("extension-injected SQL functions resolve and compute") {
+    val row = extSpark.sql(
+      """SELECT
+        |  round(cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)), 6) AS cos_same,
+        |  round(cosine_similarity(array(1.0F, 0.0F), array(0.0F, 1.0F)), 6) AS cos_orth,
+        |  dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dot,
+        |  simhash64(array('a', 'b')) = simhash64(array('a', 'b')) AS sim_det,
+        |  rolling_hash('abc') AS rh,
+        |  size(hashed_shingles(array('a','b','c','d'), 2)) AS n_shingles,
+        |  size(minhash_sig(hashed_shingles(array('a','b','c'), 2), 8)) AS sig_len
+        |""".stripMargin).collect()(0)
+    row.getDouble(0) shouldBe 1.0
+    row.getDouble(1) shouldBe 0.0
+    row.getDouble(2) shouldBe 11.0
+    row.getBoolean(3) shouldBe true
+    row.getLong(4) should not be 0L
+    row.getInt(5) shouldBe 3   // "a b","b c","c d"
+    row.getInt(6) shouldBe 8
+  }
+
+  test("BinnedRangeJoinRule rewrites a BETWEEN join to a hash join when enabled") {
+    val sfDir = "/root/testdata/sf0.001"
+    val cust = extSpark.read.parquet(s"$sfDir/customer.parquet")
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.col("c_acctbal"))
+    val supp = extSpark.read.parquet(s"$sfDir/supplier.parquet")
+    cust.createOrReplaceTempView("cust_v")
+    supp.createOrReplaceTempView("supp_v")
+
+    val sql =
+      """SELECT c_custkey, s_suppkey FROM cust_v JOIN supp_v
+        |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50""".stripMargin
+
+    // Without the conf: nested-loop (baseline result + plan).
+    val naive = extSpark.sql(sql)
+    naive.queryExecution.executedPlan.toString() should include("BroadcastNestedLoop")
+    val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    extSpark.conf.set("spark.graft.rangejoin.binwidth", "100")
+    try {
+      val rewritten = extSpark.sql(sql)
+      val plan = rewritten.queryExecution.executedPlan.toString()
+      plan should not include "BroadcastNestedLoop"
+      plan should include("HashJoin")
+      rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+    } finally extSpark.conf.unset("spark.graft.rangejoin.binwidth")
+  }
+}
