@@ -73,6 +73,24 @@ object VectorKernels {
     bits
   }
 
+  /** L2-normalize a float vector (zero vector passes through as zeros).
+    * Pre-normalizing a corpus turns every cosine into a dot product — at
+    * scale that halves the FLOPs of the ANN scoring loop.
+    */
+  def l2Normalize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i).toDouble; s += x * x; i += 1 }
+    val norm = math.sqrt(s)
+    if (norm > 0.0) {
+      i = 0
+      while (i < n) { out(i) = (v.getFloat(i) / norm).toFloat; i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Indexes of the `nprobe` best-scoring cells for `v` against a flattened
     * row-major (numCells × dim) matrix of L2-NORMALIZED centroids, by dot
     * product (= cosine ranking, since the query norm is constant across
@@ -131,6 +149,17 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `l2_normalize(vec)` — unit-norm float vector (zeros stay zeros). */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.l2Normalize(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.l2Normalize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `nearest_cells(vec)` — top-`nprobe` IVF cell ids for a float vector
   * against a broadcast (codegen reference) normalized-centroid matrix.
   */
@@ -157,6 +186,9 @@ object VectorFunctions {
   def dotProduct(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def l2Normalize(v: Column): Column =
+    GraftSqlBridge.column(L2Normalize(GraftSqlBridge.expression(v)))
 
   /** Top-`nprobe` IVF cell ids (array<int>) for a float-vector column. */
   def nearestCells(vec: Column, centroids: Array[Float], dim: Int, nprobe: Int): Column =

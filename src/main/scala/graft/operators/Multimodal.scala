@@ -80,6 +80,29 @@ object Multimodal {
     }
   }
 
+  /** Resize plumbing (aspect-preserving fit into `maxW`×`maxH`, no upscale):
+    * recomputes target dimensions and re-stamps metadata in the same
+    * partition-batched shape `decode` uses; the pixel transcode itself is
+    * the same STUB boundary (payload passes through untouched here — a real
+    * codec swaps bytes inside the same mapPartitions batch).
+    */
+  def resize(decoded: Dataset[DecodedMedia], maxW: Int, maxH: Int): Dataset[DecodedMedia] = {
+    require(maxW > 0 && maxH > 0, "target dims must be positive")
+    implicit val enc = Encoders.product[DecodedMedia]
+    decoded.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.width <= 0 || r.height <= 0) r
+        else {
+          val scale = math.min(1.0,
+            math.min(maxW.toDouble / r.width, maxH.toDouble / r.height))
+          r.copy(
+            width = math.max(1, math.round(r.width * scale).toInt),
+            height = math.max(1, math.round(r.height * scale).toInt))
+        }
+      }
+    }
+  }
+
   /** Frame-sampling plumbing for video rows: emits `framesPerItem` sample
     * descriptors per video (frame index + deterministic offset). The frame
     * *decode* is the same STUB boundary; the explode/flatMap shape is what a

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CosineSimilarity, DotProduct, HashedShingles, MinHashSignature, RollingHash, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, HashedShingles, L2Normalize, MinHashSignature, RollingHash, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - dot product of two float vectors"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("l2_normalize"),
+      info("l2_normalize", "l2_normalize(v) - unit-norm float vector"),
+      (exprs: Seq[Expression]) => L2Normalize(exprs(0))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))

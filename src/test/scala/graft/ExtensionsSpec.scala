@@ -24,7 +24,9 @@ class ExtensionsSpec extends SparkTestBase {
         |  simhash64(array('a', 'b')) = simhash64(array('a', 'b')) AS sim_det,
         |  rolling_hash('abc') AS rh,
         |  size(hashed_shingles(array('a','b','c','d'), 2)) AS n_shingles,
-        |  size(minhash_sig(hashed_shingles(array('a','b','c'), 2), 8)) AS sig_len
+        |  size(minhash_sig(hashed_shingles(array('a','b','c'), 2), 8)) AS sig_len,
+        |  round(sqrt(aggregate(transform(l2_normalize(array(3.0F, 4.0F)), x -> CAST(x * x AS DOUBLE)),
+        |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)), 6) AS unit_norm
         |""".stripMargin).collect()(0)
     row.getDouble(0) shouldBe 1.0
     row.getDouble(1) shouldBe 0.0
@@ -33,6 +35,7 @@ class ExtensionsSpec extends SparkTestBase {
     row.getLong(4) should not be 0L
     row.getInt(5) shouldBe 3   // "a b","b c","c d"
     row.getInt(6) shouldBe 8
+    row.getDouble(7) shouldBe 1.0
   }
 
   test("BinnedRangeJoinRule rewrites a BETWEEN join to a hash join when enabled") {

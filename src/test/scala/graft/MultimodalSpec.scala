@@ -56,6 +56,26 @@ class MultimodalSpec extends SparkTestBase {
     frames.select("frame_offset_ms").as[Long].collect().max shouldBe 3000L
   }
 
+  test("resize fits into the target box, preserves aspect, never upscales") {
+    val decoded = Multimodal.decode(spark.createDataset(media("image", 12)))
+    val resized = Multimodal.resize(decoded, 256, 256).collect()
+    val orig    = decoded.collect().map(d => d.media_id -> d).toMap
+    resized.foreach { r =>
+      val o = orig(r.media_id)
+      r.width should be <= o.width   // never upscales
+      r.height should be <= o.height
+      if (o.width > 256 || o.height > 256) {
+        (r.width <= 256 && r.height <= 256) shouldBe true
+        val arOrig = o.width.toDouble / o.height
+        val arNew  = r.width.toDouble / r.height
+        math.abs(arOrig - arNew) / arOrig should be < 0.05
+      } else {
+        r.width shouldBe o.width
+        r.height shouldBe o.height
+      }
+    }
+  }
+
   test("binary metadata pass works untyped from a DataFrame") {
     val df = spark.createDataset(media("image", 2)).toDF()
     val out = Multimodal.withBinaryMeta(df)
