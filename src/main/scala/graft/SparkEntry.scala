@@ -166,6 +166,37 @@ object SparkEntry {
           col("n"), col("sum_qty"))
         .orderBy("flag", "status")),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+          |       COALESCE(l_linestatus, '(all)') AS status,
+          |       COUNT(*) AS n
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY flag, status""".stripMargin)
+    }),
+
+    "q_sessionize_batch" -> ((s, dir) => {
+      // Batch twin of streaming sessionization: a session break is a >30min
+      // gap; session id = running count of breaks per user (two windows, no
+      // state) — the classic lag/cumsum formulation.
+      val ev = events(s, dir).filter(col("user_id") < 20)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).alias("n_events"),
+          dsum(col("value")).alias("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").alias("flag"))
@@ -684,6 +715,35 @@ object SparkEntry {
         |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+        |       COALESCE(l_linestatus, '(all)') AS status,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+
+    "q_sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+        |  FROM events WHERE user_id < 20
+        |), gaps AS (
+        |  SELECT user_id, event_id, value, ts_us,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sessions AS (
+        |  SELECT user_id, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gaps
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag AS flag,
