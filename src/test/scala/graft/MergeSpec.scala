@@ -58,6 +58,32 @@ class MergeSpec extends SparkTestBase {
     out.filter($"k" === 2L).count() shouldBe 1
   }
 
+  test("JDBC sink executes batched partition writes against a real database") {
+    // Derby ships with Spark (metastore dependency); its SQL has no ON
+    // CONFLICT, so this exercises the execution path — per-partition
+    // connections, prepared-statement batching, transaction commit — with a
+    // plain INSERT. The ON CONFLICT texts are asserted separately below.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE fact (coin_id VARCHAR(32), price_usd DOUBLE)")
+    conn.close()
+
+    val df = spark.range(250).selectExpr(
+      "CAST(concat('coin-', id) AS STRING) AS coin_id",
+      "CAST(id AS DOUBLE) * 1.5 AS price_usd")
+    JdbcUpsertSink.write(df, url, new java.util.Properties,
+      "INSERT INTO fact (coin_id, price_usd) VALUES (?, ?)", batchSize = 100)
+
+    val check = java.sql.DriverManager.getConnection(url)
+    val rs = check.createStatement().executeQuery(
+      "SELECT COUNT(*), SUM(price_usd) FROM fact")
+    rs.next() shouldBe true
+    rs.getLong(1) shouldBe 250L
+    rs.getDouble(2) shouldBe (0 until 250).map(_ * 1.5).sum +- 1e-9
+    check.close()
+  }
+
   test("JDBC upsert SQL generation matches Postgres ON CONFLICT shapes") {
     JdbcUpsertSink.insertIgnoreSql("coin_dimension",
       Seq("coin_id", "name", "symbol", "category"), Seq("coin_id")) shouldBe
