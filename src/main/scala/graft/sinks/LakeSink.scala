@@ -60,6 +60,20 @@ object LakeSink {
     rowCount
   }
 
+  /** Raw-zone CSV write (SURVEY §2.1 S2 — the v1/day-9 DAGs' `to_csv` with
+    * header, no index column). Same staging-dir + rename atomicity as the
+    * parquet publish.
+    */
+  def writeCsv(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+    val finalDir = new Path(dir)
+    val fs       = finalDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging  = new Path(finalDir.getParent, s".staging-csv-${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite").option("header", value = true).csv(staging.toString)
+    if (fs.exists(finalDir)) fs.delete(finalDir, true)
+    if (!fs.rename(staging, finalDir))
+      throw new java.io.IOException(s"atomic publish failed: $staging -> $finalDir")
+  }
+
   private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       m: PartitionMeta): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

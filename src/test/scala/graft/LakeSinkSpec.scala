@@ -29,6 +29,18 @@ class LakeSinkSpec extends SparkTestBase {
       .filter(_.startsWith(".staging")) shouldBe empty
   }
 
+  test("CSV write round-trips with header and matches the raw reader") {
+    val dir = Files.createTempDirectory("graft-csv").toString + "/raw"
+    val df = Seq(("bitcoin", 91343.0), ("ethereum", 3116.61)).toDF("id", "current_price")
+    LakeSink.writeCsv(spark, df, dir)
+    val back = spark.read.option("header", true)
+      .option("inferSchema", true).csv(dir)
+    back.count() shouldBe 2
+    back.columns.toSeq shouldBe Seq("id", "current_price")
+    back.filter($"id" === "bitcoin").select($"current_price")
+      .head().getDouble(0) shouldBe 91343.0
+  }
+
   test("partitions land side by side and read as a partitioned table") {
     val root = Files.createTempDirectory("graft-lake2").toString
     LakeSink.publishPartition(spark, Seq((1L, "a")).toDF("k", "v"), root, "gold/t",
