@@ -84,7 +84,12 @@ object Similarity {
     // Cache across the iterations' rescans; random init, not k-means|| —
     // the parallel init runs ~5 extra job rounds for a coarse quantizer
     // whose cells only need to be roughly balanced.
-    val train = corpus.select(array_to_vector(col(vecCol)).alias("features")).cache()
+    // Coalesce(1): the quantizer trains on a sample-scale set (thousands of
+    // centroid-estimation rows, not the corpus at large) — one task per
+    // k-means iteration instead of one per shuffle partition cuts pure
+    // scheduling overhead; at real scale pass a .sample of the corpus in.
+    val train = corpus.select(array_to_vector(col(vecCol)).alias("features"))
+      .coalesce(1).cache()
     val model =
       try new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
         .setInitMode("random").fit(train)
