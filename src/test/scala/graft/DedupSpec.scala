@@ -72,4 +72,45 @@ class DedupSpec extends SparkTestBase {
     pairs.filter($"id_b" === $"id_a" + 1000000L).count() shouldBe 10L
     pairs.queryExecution.executedPlan.toString().toLowerCase should not include "cartesian"
   }
+
+  // ---------------- kernel-level algebraic properties (ScalaCheck) --------
+
+  private def ints(xs: Seq[Int]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+  private def sig(xs: Seq[Int], k: Int): Seq[Int] =
+    TextKernels.minhashSignature(ints(xs.distinct), k).toIntArray().toSeq
+
+  test("property: minhash signature of a union is the elementwise min of signatures") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val setGen = Gen.nonEmptyListOf(Gen.choose(Int.MinValue, Int.MaxValue))
+    val prop = Prop.forAll(setGen, setGen) { (a, b) =>
+      val k = 16
+      val union = (a ++ b).distinct
+      sig(union, k) == sig(a, k).zip(sig(b, k)).map { case (x, y) => math.min(x, y) }
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+      .passed shouldBe true
+  }
+
+  test("property: jaccard over hashed shingle sets is reflexive, symmetric, bounded") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(6, docGen)) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 2, minJaccard = 0.0)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val bounded = pairs.values.forall(j => j >= 0.0 && j <= 1.0)
+      // identical texts (if the generator repeats one) must score exactly 1.0
+      val dupExact = texts.zipWithIndex.combinations(2).forall {
+        case Seq((t1, i1), (t2, i2)) if t1 == t2 =>
+          pairs.get((math.min(i1, i2).toLong, math.max(i1, i2).toLong)).forall(_ == 1.0)
+        case _ => true
+      }
+      bounded && dupExact
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+      .passed shouldBe true
+  }
 }
