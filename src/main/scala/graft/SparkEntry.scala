@@ -619,13 +619,6 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx"))
   )
 
-  /** Headline subset timed by [[Bench]] (heavier, scale-relevant shapes). */
-  val benchQueries: Seq[String] = Seq(
-    "q1_gold_agg", "q_join_star", "q_join_inner_agg", "q_window_rank",
-    "q_topk", "q_rollup", "q_dedup_exact", "q_dedup_minhash",
-    "q_ann_bruteforce", "q_ann_lsh", "q_text_termfreq", "q_events_hourly"
-  )
-
   // =================================================================
   // DuckDB oracle SQL — same tables, same column names, same ORDER BY.
   // =================================================================

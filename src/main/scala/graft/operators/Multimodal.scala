@@ -108,12 +108,16 @@ object Multimodal {
     * *decode* is the same STUB boundary; the explode/flatMap shape is what a
     * real sampler uses.
     */
-  def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame =
+  def sampleFrames(media: DataFrame, framesPerItem: Int): DataFrame = {
+    // Guard: sequence(0, framesPerItem-1) with framesPerItem = 0 would step
+    // DOWNWARD and emit bogus frames 0 and -1 rather than none.
+    require(framesPerItem > 0, s"framesPerItem must be positive, got $framesPerItem")
     media
       .filter(col("kind") === "video")
       .withColumn("frame_idx", explode(sequence(lit(0), lit(framesPerItem - 1))))
       .withColumn("frame_offset_ms", col("frame_idx") * lit(1000L))
       .select(col("media_id"), col("uri"), col("frame_idx"), col("frame_offset_ms"))
+  }
 
   /** Untyped metadata pass usable straight from SQL: byte length + sha2 over
     * the binary column, without deserializing payloads into JVM objects twice.

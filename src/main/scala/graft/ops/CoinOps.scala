@@ -32,7 +32,10 @@ object CoinOps {
       col("name"),
       col("current_price").cast("double").alias("price_usd"),
       col("market_cap").cast("double").alias("market_cap"),
-      to_timestamp(col("last_updated")).alias("timestamp")
+      // try_to_timestamp, not to_timestamp: under ANSI mode a malformed
+      // last_updated would throw mid-scan; a null here is instead COUNTED
+      // (and hard-failed) by the V1 schema contract that follows.
+      try_to_timestamp(col("last_updated")).alias("timestamp")
     )
 
   /** Silver with the SILVER_SCHEMA_V1 contract enforced (V1 — hard fail). */

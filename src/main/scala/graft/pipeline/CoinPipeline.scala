@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.expectations.Suites
 import graft.ops.CoinOps
-import graft.sinks.{LakeSink, Merge}
+import graft.sinks.LakeSink
 import graft.schema.CoinSchemas
 import graft.sources.CoinSources
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -83,24 +83,28 @@ object CoinPipeline {
   }
 
   /** Maintain the serving table with `ON CONFLICT (dt, coin_id) DO UPDATE`
-    * semantics on parquet: read-if-exists, [[Merge.upsert]], write back.
-    * The incoming day is ~100 rows, so it is broadcast and the existing table
-    * never shuffles for the anti/merge work at scale.
+    * semantics on parquet, join-based so the broadcast actually applies:
+    * `incoming ∪ (existing ⟕anti incoming)` — source-wins on the keys, the
+    * existing (growing) table streams through one broadcast left-anti join
+    * against the ~100-row day and never shuffles. (The window-based
+    * [[Merge.upsert]] is the general operator for arbitrary multi-row
+    * sources; here `incoming` is key-unique by construction — it comes out
+    * of a groupBy on the key — so the cheap join form is exact.)
     */
   private def upsertServe(spark: SparkSession, incoming: DataFrame, serveRoot: String): DataFrame = {
     val path = s"$serveRoot/gold_coin_daily_metrics"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalP = new org.apache.hadoop.fs.Path(path)
+    val fs = finalP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-        Merge.upsert(spark.read.parquet(path), broadcast(incoming), Seq("dt", "coin_id"))
-      else incoming
+      if (fs.exists(finalP)) {
+        val existing = spark.read.parquet(path)
+        val keep = existing.join(broadcast(incoming.select(col("dt"), col("coin_id"))),
+          Seq("dt", "coin_id"), "left_anti")
+        incoming.unionByName(keep)
+      } else incoming
     val staging = new org.apache.hadoop.fs.Path(s"$serveRoot/.staging-${java.util.UUID.randomUUID}")
     merged.write.mode("overwrite").parquet(staging.toString)
-    val finalP = new org.apache.hadoop.fs.Path(path)
-    if (fs.exists(finalP)) fs.delete(finalP, true)
-    if (!fs.rename(staging, finalP))
-      throw new java.io.IOException(s"serve publish failed: $staging -> $finalP")
+    LakeSink.swapIn(fs, staging, finalP)
     spark.read.parquet(path)
   }
 }

@@ -49,19 +49,21 @@ case class BinnedRangeJoinRule() extends Rule[LogicalPlan] {
     else None
   }
 
-  /** Find `p >= lo` and `p <= hi` (or strict variants are NOT eligible —
-    * bins are inclusive; strict bounds stay in the residual predicate, so
-    * they'd still be correct, but we only *trigger* on the inclusive pair
-    * plus optionally strict ones) with point and bounds on opposite sides.
+  /** Find a lower and an upper bound on the same point expression with the
+    * bounds on the opposite side. Every comparison is normalized in BOTH
+    * orientations (`p >= lo` ≡ `lo <= p`; `p <= hi` ≡ `hi >= p`), so the
+    * spelling order doesn't decide whether the rewrite fires. The bounds
+    * stay in the residual predicate, so strict variants are exact too (the
+    * bin join only over-generates candidates).
     */
   private def findRange(conjuncts: Seq[Expression], left: LogicalPlan,
       right: LogicalPlan): Option[RangeMatch] = {
-    // normalized (point, bound, isLower): p >= lo / lo <= p → lower bound
+    // normalized (point, bound, isLower): both operand orders emitted
     val bounds = conjuncts.flatMap {
-      case GreaterThanOrEqual(a, b) => Seq((a, b, true))
-      case GreaterThan(a, b)        => Seq((a, b, true))
-      case LessThanOrEqual(a, b)    => Seq((a, b, false))
-      case LessThan(a, b)           => Seq((a, b, false))
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case GreaterThan(a, b)        => Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b)    => Seq((a, b, false), (b, a, true))
+      case LessThan(a, b)           => Seq((a, b, false), (b, a, true))
       case _                        => Seq.empty
     }.flatMap { case (a, b, isLower) =>
       (sideOf(a, left, right), sideOf(b, left, right)) match {

@@ -50,9 +50,7 @@ object LakeSink {
     // Row count from the written files' footers — avoids recomputing the plan.
     val rowCount = spark.read.parquet(staging.toString).count()
 
-    if (fs.exists(finalDir)) fs.delete(finalDir, true)
-    if (!fs.rename(staging, finalDir))
-      throw new java.io.IOException(s"atomic publish failed: $staging -> $finalDir")
+    swapIn(fs, staging, finalDir)
 
     val meta = PartitionMeta(dataset, schemaVersion, dt, rowCount, sourcePath,
       java.time.Instant.now.toString)
@@ -69,9 +67,27 @@ object LakeSink {
     val fs       = finalDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging  = new Path(finalDir.getParent, s".staging-csv-${java.util.UUID.randomUUID}")
     df.write.mode("overwrite").option("header", value = true).csv(staging.toString)
-    if (fs.exists(finalDir)) fs.delete(finalDir, true)
-    if (!fs.rename(staging, finalDir))
+    swapIn(fs, staging, finalDir)
+  }
+
+  /** Publish `staging` at `finalDir` without a data-loss window: the live
+    * dir is renamed ASIDE (not deleted) before the staging rename, and
+    * restored if that rename fails — a crash mid-swap leaves either the old
+    * or the new fileset recoverable, never neither. (Plain
+    * delete-then-rename loses the partition if the process dies between the
+    * two calls.)
+    */
+  private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, finalDir: Path): Unit = {
+    val backup = new Path(finalDir.getParent, s".backup-${finalDir.getName}-${java.util.UUID.randomUUID}")
+    val hadOld = fs.exists(finalDir)
+    if (hadOld && !fs.rename(finalDir, backup))
+      throw new java.io.IOException(s"publish: cannot move $finalDir aside")
+    if (!fs.rename(staging, finalDir)) {
+      if (hadOld) fs.rename(backup, finalDir) // roll back
       throw new java.io.IOException(s"atomic publish failed: $staging -> $finalDir")
+    }
+    if (hadOld) fs.delete(backup, true)
   }
 
   private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, dir: Path,

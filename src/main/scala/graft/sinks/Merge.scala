@@ -37,14 +37,17 @@ object Merge {
   /** `INSERT … ON CONFLICT DO UPDATE` (last-writer-wins): incoming rows
     * replace existing rows with the same key; unmatched rows on either side
     * survive. Ties inside `incoming` are broken by `orderCol` descending when
-    * given (e.g. an event-time column), else arbitrarily-but-deterministically
-    * by preferring later duplicates being dropped first.
+    * given (e.g. an event-time column), then by a murmur3 hash of the full
+    * row — without that final tiebreak, equal-priority duplicates would win
+    * by shuffle arrival order and two runs of the same merge could publish
+    * different tables.
     */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
       orderCol: Option[String] = None): DataFrame = {
     val src = incoming.withColumn("__prio", lit(1))
     val tgt = existing.withColumn("__prio", lit(0))
-    val ordering = col("__prio").desc +: orderCol.map(col(_).desc).toSeq
+    val rowHash = hash(incoming.columns.map(col).toSeq: _*)
+    val ordering = (col("__prio").desc +: orderCol.map(col(_).desc).toSeq) :+ rowHash.asc
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     tgt.unionByName(src)
       .withColumn("__rn", row_number().over(w))

@@ -57,6 +57,12 @@ def values_equal(a, b):
 
 queries = sorted([d for d in os.listdir(out_dir)
                   if os.path.isdir(os.path.join(out_dir, d))])
+
+# Registered-query manifest (written by Verify): any registered query with no
+# output dir FAILED in Verify — without this check a rows-only query that
+# throws would silently vanish from the gate.
+manifest_path = os.path.join(out_dir, "queries.json")
+registered = json.load(open(manifest_path)) if os.path.exists(manifest_path) else []
 n_pass = n_fail = n_rowsonly = 0
 for q in queries:
     files = glob.glob(os.path.join(out_dir, q, "*.parquet"))
@@ -89,9 +95,9 @@ for q in queries:
         print(f"FAIL  {q}: {msg}")
         n_fail += 1
 
-missing = set(oracle) - set(queries)
+missing = (set(oracle) | set(registered)) - set(queries)
 for q in sorted(missing):
-    print(f"FAIL  {q}: oracle declared but no query output")
+    print(f"FAIL  {q}: registered but no query output (threw in Verify?)")
     n_fail += 1
 print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only "
       f"of {len(queries)} queries")
