@@ -65,6 +65,28 @@ object EventsStreaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream join: attribute each purchase to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so Spark can expire
+    * buffered state on both sides — the canonical bounded-state
+    * stream-stream equi-join (user_id) + time-range shape.
+    */
+  def clickPurchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .selectExpr("event_id AS click_id", "user_id AS click_user", "ts AS click_ts")
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .selectExpr("event_id AS purchase_id", "user_id", "ts AS purchase_ts",
+        "value AS purchase_value")
+      .withWatermark("purchase_ts", "2 hours")
+    p.join(c, expr(
+        """click_user = user_id AND
+          |click_ts <= purchase_ts AND
+          |click_ts >= purchase_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** The batch twin of [[hourlyAgg]] — used by tests to assert parity. */
   def hourlyAggBatch(events: DataFrame): DataFrame =
     events

@@ -75,6 +75,31 @@ class StreamingSpec extends SparkTestBase {
     out(ts("2024-01-01 01:00:00")) shouldBe 1L // event 2 only
   }
 
+  test("stream-stream join attributes purchases to preceding-hour clicks only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clickIn    = MemoryStream[Event]
+    val purchaseIn = MemoryStream[Event]
+
+    val out = EventsStreaming.clickPurchaseAttribution(
+      clickIn.toDS().toDF(), purchaseIn.toDS().toDF())
+    val q = out.writeStream
+      .format("memory").queryName("t_attr").outputMode("append").start()
+    try {
+      clickIn.addData(
+        Event(10L, ts("2024-01-01 09:30:00"), 1L, "click", 0.0),  // in window
+        Event(11L, ts("2024-01-01 08:00:00"), 1L, "click", 0.0),  // too old
+        Event(12L, ts("2024-01-01 09:45:00"), 2L, "click", 0.0))  // other user
+      purchaseIn.addData(
+        Event(20L, ts("2024-01-01 10:00:00"), 1L, "purchase", 99.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("t_attr")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      rows shouldBe Set((20L, 10L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on end-of-stream timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
