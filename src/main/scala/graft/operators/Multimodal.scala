@@ -46,16 +46,33 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = true)
   ))
 
-  /** STUB decode kernel — deterministic fake dimensions derived from the
-    * payload bytes. Replace with a real codec (e.g. javacv / a JNI decoder)
-    * in a container that ships one; the signature and batching stay as-is.
+  /** Image decode via the JDK's own codecs (`javax.imageio` reads PNG/JPEG/
+    * GIF/BMP without extra dependencies): real width/height/channels for
+    * payloads ImageIO recognizes, None otherwise.
+    */
+  private[operators] def imageIoDecode(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight,
+        math.max(1, img.getColorModel.getNumComponents)))
+    } catch { case _: Exception => None }
+
+  /** Decode kernel: REAL for images the JDK can read (javax.imageio);
+    * deterministic STUB for audio/video and unrecognized image bytes (no
+    * audio/video codecs ship in this container — swapping in a real one
+    * changes nothing structural).
     */
   private[operators] def stubDecode(kind: String, payload: Array[Byte]): (Int, Int, Int, Long) = {
     if (payload == null || payload.isEmpty) (0, 0, 0, 0L)
     else {
-      val h = payload.foldLeft(17L)((acc, b) => acc * 31L + (b & 0xffL)).abs
+      lazy val h = payload.foldLeft(17L)((acc, b) => acc * 31L + (b & 0xffL)).abs
       kind match {
-        case "image" => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, 0L)
+        case "image" =>
+          imageIoDecode(payload) match {
+            case Some((w, ht, c)) => (w, ht, c, 0L)
+            case None => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, 0L)
+          }
         case "audio" => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L)
         case "video" => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, (h % 600000L) + 1L)
         case _       => (0, 0, 0, 0L)

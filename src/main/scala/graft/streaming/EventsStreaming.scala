@@ -109,6 +109,46 @@ object EventsStreaming {
     spark.table(queryName)
   }
 
+  /** Streaming → lake glue: maintain a parquet serving table of the hourly
+    * aggregate with `foreachBatch` + keyed upsert. Each micro-batch's
+    * (window, event_type) rows replace their keys in the served table
+    * (source-wins join merge + atomic swap), so replays and AvailableNow
+    * re-drains are idempotent — the streaming twin of the reference's gold
+    * warehouse upsert (S8).
+    */
+  def serveHourlyAgg(spark: SparkSession, inputDir: String, serveDir: String): Unit = {
+    val stream = spark.readStream.schema(eventSchema).parquet(inputDir)
+    val q = hourlyAgg(stream).writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertParquet(batch.sparkSession, batch, serveDir,
+          Seq("window_start", "event_type"))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Keyed source-wins upsert into a parquet dir with atomic swap. */
+  private def upsertParquet(spark: SparkSession, incoming: DataFrame,
+      dir: String, keys: Seq[String]): Unit = {
+    val finalP = new org.apache.hadoop.fs.Path(dir)
+    val fs = finalP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot = incoming.cache()
+    try {
+      val merged =
+        if (fs.exists(finalP)) {
+          val existing = spark.read.parquet(dir)
+          snapshot.unionByName(
+            existing.join(broadcast(snapshot.select(keys.map(col): _*)), keys, "left_anti"))
+        } else snapshot
+      val staging = new org.apache.hadoop.fs.Path(
+        finalP.getParent, s".staging-${java.util.UUID.randomUUID}")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      graft.sinks.LakeSink.swapIn(fs, staging, finalP)
+    } finally snapshot.unpersist()
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, sum: Double)

@@ -56,6 +56,29 @@ class MultimodalSpec extends SparkTestBase {
     frames.select("frame_offset_ms").as[Long].collect().max shouldBe 3000L
   }
 
+  test("real PNG payloads decode to their true dimensions via the JDK codec") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "image", "s3://b/a.png", png(320, 200)),
+      MediaRow(2L, "image", "s3://b/b.png", png(64, 64)),
+      MediaRow(3L, "image", "s3://b/junk.bin", "not-an-image".getBytes("UTF-8")))
+    val out = Multimodal.decode(spark.createDataset(rows))
+      .collect().map(d => d.media_id -> d).toMap
+    out(1L).width shouldBe 320
+    out(1L).height shouldBe 200
+    out(1L).channels shouldBe 3
+    out(2L).width shouldBe 64
+    // unrecognized bytes fall back to the deterministic stub, not a crash
+    out(3L).width should be > 0
+  }
+
   test("resize fits into the target box, preserves aspect, never upscales") {
     val decoded = Multimodal.decode(spark.createDataset(media("image", 12)))
     val resized = Multimodal.resize(decoded, 256, 256).collect()
