@@ -962,9 +962,38 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT md5(lower(trim(text)))) AS n_after_dedup FROM documents""".stripMargin,
 
     // q_dedup_minhash / q_dedup_simhash / q_dedup_ngram / q_dedup_embedding /
-    // q_ann_lsh / q_ann_ivf / q_text_langid: kernels (murmur3/FNV/LSH/
-    // k-means/heuristic) are not SQL-expressible — rows-only checks;
-    // ScalaTest covers semantics.
+    // q_ann_lsh / q_ann_ivf: kernels (murmur3/FNV/LSH/k-means) are not
+    // SQL-expressible — rows-only checks; ScalaTest covers semantics.
+
+    "q_text_langid" ->
+      """WITH toks AS (
+        |  SELECT lang, text, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(
+        |      ['der','die','das','und','ist','von','mit','den','ein','zu'], x))) AS DOUBLE) / len(t) END AS s_de,
+        |    CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','and','of','to','in','is','it','for','that'], x))) AS DOUBLE) / len(t) END AS s_en,
+        |    CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(
+        |      ['el','la','de','que','y','en','un','los','se','por'], x))) AS DOUBLE) / len(t) END AS s_es,
+        |    CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains(
+        |      ['le','la','de','et','les','des','un','une','du','que'], x))) AS DOUBLE) / len(t) END AS s_fr,
+        |    CAST(len(list_filter(['的','是','了','在','和','有','我','不','这','人'],
+        |      w -> contains(text, w))) AS DOUBLE) AS s_zh
+        |  FROM toks
+        |), p AS (
+        |  SELECT lang,
+        |    CASE WHEN s_zh = b AND b > 0 THEN 'zh'
+        |         WHEN s_fr = b AND b > 0 THEN 'fr'
+        |         WHEN s_es = b AND b > 0 THEN 'es'
+        |         WHEN s_en = b AND b > 0 THEN 'en'
+        |         WHEN s_de = b AND b > 0 THEN 'de'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS b FROM s)
+        |)
+        |SELECT lang, lang_pred, COUNT(*) AS n FROM p
+        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
