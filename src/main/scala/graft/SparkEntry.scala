@@ -758,7 +758,7 @@ object SparkEntry {
 
     "q_text_tfidf" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[\s\x0b]+')) AS term
         |  FROM documents
         |), tf AS (
         |  SELECT term, COUNT(*) AS freq FROM toks WHERE length(term) > 0 GROUP BY term
@@ -967,7 +967,7 @@ object SparkEntry {
 
     "q_text_langid" ->
       """WITH toks AS (
-        |  SELECT lang, text, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  SELECT lang, text, string_split_regex(lower(trim(text)), '[\s\x0b]+') AS t
         |  FROM documents
         |), s AS (
         |  SELECT lang,
@@ -1009,13 +1009,13 @@ object SparkEntry {
 
     "q_text_tokens" ->
       """SELECT doc_id,
-        |       CAST(LEN(string_split_regex(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(LEN(string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+')) AS BIGINT) AS n_tokens,
         |       CAST(LENGTH(text) AS BIGINT) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_termfreq" ->
       """SELECT term, COUNT(*) AS freq FROM (
-        |  SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\s+')) AS term
+        |  SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+')) AS term
         |  FROM documents)
         |WHERE LENGTH(term) > 0
         |GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin,
@@ -1025,7 +1025,7 @@ object SparkEntry {
         |       ROUND(CASE WHEN LEN(toks) = 0 THEN 0.0
         |             ELSE CAST(LEN(list_filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
         |                  / CAST(LEN(toks) AS DOUBLE) END, 6) AS stop_ratio
-        |FROM (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '\s+') AS toks
+        |FROM (SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+') AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * through the engine as opaque `binary` columns with typed metadata structs;
   * decode / feature-extract run as partition-batched transforms.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB — the Spark-side plumbing (schema,
-  * partition batching, typed signatures, binary hygiene) is real and tested,
-  * and swapping the stub for a JNI/codec call changes nothing structural.
+  * Image decode is REAL for formats the JDK reads (PNG/JPEG/GIF/BMP via
+  * `javax.imageio`, in-memory). Audio/video decode — no codecs ship in this
+  * container — is a clearly-marked deterministic STUB; the Spark-side
+  * plumbing (schema, partition batching, typed signatures, binary hygiene)
+  * is real and tested, and swapping the stub for a JNI/codec call changes
+  * nothing structural.
   *
   * Scale posture: decode is a narrow `mapPartitions` (no shuffle); payload
   * bytes never pass through a wide transform; repartitioning for decoder
@@ -50,8 +52,13 @@ object Multimodal {
     * GIF/BMP without extra dependencies): real width/height/channels for
     * payloads ImageIO recognizes, None otherwise.
     */
+  // One-time: keep ImageIO fully in memory — with the default disk cache,
+  // every read spools the (already in-memory) payload to a tmpdir file.
+  private lazy val imageIoInMemory: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   private[operators] def imageIoDecode(payload: Array[Byte]): Option[(Int, Int, Int)] =
     try {
+      imageIoInMemory
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else Some((img.getWidth, img.getHeight,

@@ -97,14 +97,17 @@ object CoinPipeline {
     val fs = finalP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
       if (fs.exists(finalP)) {
-        val existing = spark.read.parquet(path)
-        val keep = existing.join(broadcast(incoming.select(col("dt"), col("coin_id"))),
-          Seq("dt", "coin_id"), "left_anti")
+        val existing = spark.read.parquet(path).alias("e")
+        val incomingKeys = broadcast(
+          incoming.select(col("dt"), col("coin_id")).dropDuplicates("dt", "coin_id")).alias("i")
+        // null-safe key equality: a null key must still anti-match its twin
+        val keep = existing.join(incomingKeys,
+          col("e.dt") <=> col("i.dt") && col("e.coin_id") <=> col("i.coin_id"), "left_anti")
         incoming.unionByName(keep)
       } else incoming
-    val staging = new org.apache.hadoop.fs.Path(s"$serveRoot/.staging-${java.util.UUID.randomUUID}")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    LakeSink.swapIn(fs, staging, finalP)
+    LakeSink.stageAndSwap(fs, finalP) { staging =>
+      merged.write.mode("overwrite").parquet(staging.toString)
+    }
     spark.read.parquet(path)
   }
 }

@@ -44,13 +44,13 @@ object LakeSink {
   ): Long = {
     val fs       = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val finalDir = new Path(s"$root/$dataset/dt=$dt")
-    val staging  = new Path(s"$root/$dataset/.staging-dt=$dt-${java.util.UUID.randomUUID}")
 
-    df.write.mode("overwrite").parquet(staging.toString)
-    // Row count from the written files' footers — avoids recomputing the plan.
-    val rowCount = spark.read.parquet(staging.toString).count()
-
-    swapIn(fs, staging, finalDir)
+    var rowCount = 0L
+    stageAndSwap(fs, finalDir) { staging =>
+      df.write.mode("overwrite").parquet(staging.toString)
+      // Row count from the written files' footers — avoids recomputing the plan.
+      rowCount = spark.read.parquet(staging.toString).count()
+    }
 
     val meta = PartitionMeta(dataset, schemaVersion, dt, rowCount, sourcePath,
       java.time.Instant.now.toString)
@@ -65,9 +65,9 @@ object LakeSink {
   def writeCsv(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     val finalDir = new Path(dir)
     val fs       = finalDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging  = new Path(finalDir.getParent, s".staging-csv-${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").option("header", value = true).csv(staging.toString)
-    swapIn(fs, staging, finalDir)
+    stageAndSwap(fs, finalDir) { staging =>
+      df.write.mode("overwrite").option("header", value = true).csv(staging.toString)
+    }
   }
 
   /** Publish `staging` at `finalDir` without a data-loss window: the live
@@ -77,6 +77,23 @@ object LakeSink {
     * delete-then-rename loses the partition if the process dies between the
     * two calls.)
     */
+  /** Stage-and-swap with failure cleanup: run `write` against a fresh
+    * staging path, then [[swapIn]]; on ANY failure the staging dir is
+    * removed so repeated failing runs can't accumulate orphaned data.
+    */
+  private[graft] def stageAndSwap(fs: org.apache.hadoop.fs.FileSystem,
+      finalDir: Path)(write: Path => Unit): Unit = {
+    val staging = new Path(finalDir.getParent, s".staging-${java.util.UUID.randomUUID}")
+    try {
+      write(staging)
+      swapIn(fs, staging, finalDir)
+    } catch {
+      case e: Throwable =>
+        try fs.delete(staging, true) catch { case _: Exception => () }
+        throw e
+    }
+  }
+
   private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
       staging: Path, finalDir: Path): Unit = {
     val backup = new Path(finalDir.getParent, s".backup-${finalDir.getName}-${java.util.UUID.randomUUID}")

@@ -129,7 +129,11 @@ object EventsStreaming {
     q.awaitTermination()
   }
 
-  /** Keyed source-wins upsert into a parquet dir with atomic swap. */
+  /** Keyed source-wins upsert into a parquet dir with atomic swap. The
+    * anti-join is NULL-SAFE (`<=>`) on the keys: with plain equality a
+    * null-keyed row (event_type is nullable) would never anti-match its
+    * existing twin and duplicate on every replay, breaking idempotency.
+    */
   private def upsertParquet(spark: SparkSession, incoming: DataFrame,
       dir: String, keys: Seq[String]): Unit = {
     val finalP = new org.apache.hadoop.fs.Path(dir)
@@ -138,14 +142,16 @@ object EventsStreaming {
     try {
       val merged =
         if (fs.exists(finalP)) {
-          val existing = spark.read.parquet(dir)
+          val existing = spark.read.parquet(dir).alias("e")
+          val incomingKeys = broadcast(
+            snapshot.select(keys.map(col): _*).dropDuplicates(keys)).alias("i")
+          val cond = keys.map(k => col(s"e.$k") <=> col(s"i.$k")).reduce(_ && _)
           snapshot.unionByName(
-            existing.join(broadcast(snapshot.select(keys.map(col): _*)), keys, "left_anti"))
+            existing.join(incomingKeys, cond, "left_anti"))
         } else snapshot
-      val staging = new org.apache.hadoop.fs.Path(
-        finalP.getParent, s".staging-${java.util.UUID.randomUUID}")
-      merged.write.mode("overwrite").parquet(staging.toString)
-      graft.sinks.LakeSink.swapIn(fs, staging, finalP)
+      graft.sinks.LakeSink.stageAndSwap(fs, finalP) { staging =>
+        merged.write.mode("overwrite").parquet(staging.toString)
+      }
     } finally snapshot.unpersist()
   }
 
