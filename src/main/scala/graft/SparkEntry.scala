@@ -598,6 +598,18 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")),
 
+    // ---- composed corpus-curation funnel (rows-only: the near-dup stage
+    // is MinHash-kernel-based; stage components are oracle-checked
+    // individually via q_text_quality / q_text_langid / q_dedup_fingerprint)
+    "q_corpus_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val (_, r) = graft.pipeline.CorpusPipeline.curate(docs, minQuality = 0.0,
+        allowedLangs = Seq("en", "es", "fr", "de", "zh", "und"))
+      import s.implicits._
+      Seq((r.input, r.afterQuality, r.afterLanguage, r.afterExactDedup, r.afterNearDup))
+        .toDF("input", "after_quality", "after_language", "after_exact", "after_neardup")
+    }),
+
     // ================= north-star: multimodal ===========================
     "q_multimodal_meta" -> ((s, dir) =>
       t(s, dir, "documents")

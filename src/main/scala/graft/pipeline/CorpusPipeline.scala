@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LLM training-corpus curation — the composed north-star pipeline:
+  *
+  * ```
+  * documents → quality score ≥ min   (length/stopword/punctuation recipe)
+  *           → language allow-list   (function-word n-gram heuristic)
+  *           → exact dedup           (content fingerprint)
+  *           → near-dup removal      (MinHash+LSH pairs; keep the lowest id
+  *                                    of each connected pair)
+  *           → curated frame + funnel report
+  * ```
+  *
+  * Scale posture: the first three stages are narrow (per-row expressions +
+  * one fingerprint dropDuplicates shuffle); near-dup uses the bucketed LSH
+  * join (no cartesian) and removes via a broadcast-friendly left-anti join
+  * on the (small) kill-list. The funnel counts come from ONE pass per stage
+  * boundary, not per-row driver loops.
+  */
+object CorpusPipeline {
+
+  final case class FunnelReport(
+      input: Long,
+      afterQuality: Long,
+      afterLanguage: Long,
+      afterExactDedup: Long,
+      afterNearDup: Long
+  )
+
+  /** Curate `docs` (needs `doc_id` and `textCol`); returns the curated frame
+    * and the per-stage funnel.
+    */
+  def curate(
+      docs: DataFrame,
+      textCol: String = "text",
+      minQuality: Double = 0.3,
+      allowedLangs: Seq[String] = Seq("en"),
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.9
+  ): (DataFrame, FunnelReport) = {
+    val input = docs.count()
+
+    val scored = docs.withColumn("quality_score",
+      TextFunctions.qualityScore(col(textCol), TextAnalysis.defaultStopwords))
+    val quality = scored.filter(col("quality_score") >= minQuality)
+    val nQuality = quality.count()
+
+    val langed = quality
+      .withColumn("lang_pred", TextAnalysis.langIdCol(col(textCol)))
+      .filter(col("lang_pred").isin(allowedLangs: _*))
+    val nLang = langed.count()
+
+    val exact  = Dedup.exactByContent(langed, textCol)
+    val nExact = exact.count()
+
+    // Near-dup kill-list: for every verified pair, the higher id dies. The
+    // kill-list is pair-count-sized (small), so the anti-join broadcasts.
+    val pairs = Dedup.minhashLshPairs(exact, "doc_id", textCol,
+      shingleSize = shingleSize, minJaccard = minJaccard)
+    val kill = pairs.select(col("id_b").alias("doc_id")).distinct()
+    val curated = exact.join(broadcast(kill), Seq("doc_id"), "left_anti")
+    val nFinal  = curated.count()
+
+    (curated, FunnelReport(input, nQuality, nLang, nExact, nFinal))
+  }
+}
