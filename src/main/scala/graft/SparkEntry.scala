@@ -598,6 +598,16 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")),
 
+    "q_pack_sequences" -> ((s, dir) => {
+      val withTokens = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long")
+          .alias("n_tokens"))
+      TextAnalysis.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048L)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).alias("n_docs"), sum(col("n_tokens")).alias("n_tokens"))
+        .orderBy("bin_id")
+    }),
+
     // ---- composed corpus-curation funnel (rows-only: the near-dup stage
     // is MinHash-kernel-based; stage components are oracle-checked
     // individually via q_text_quality / q_text_langid / q_dedup_fingerprint)
@@ -767,6 +777,20 @@ object SparkEntry {
     "q_udaf_sum" ->
       """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin_id
+        |  FROM tok
+        |)
+        |SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY bin_id ORDER BY bin_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

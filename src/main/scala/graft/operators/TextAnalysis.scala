@@ -80,6 +80,26 @@ object TextAnalysis {
   def withLanguage(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("lang_pred", langIdCol(col(textCol)))
 
+  /** Token-budget sequence packing: assign documents (in a stable explicit
+    * order) to contiguous training-context bins of at most `budget` tokens —
+    * bin id = floor(preceding-token-total / budget). One window over the
+    * ordering column; documents larger than the budget occupy their own
+    * bin(s). At scale, partition the ordering key space first (e.g. shard by
+    * hash, pack within shards) so the window never globally sorts the
+    * corpus; the per-shard semantics are identical.
+    */
+  def packSequences(docs: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("__cum_before") / budget).cast("long"))
+      .drop("__cum_before")
+  }
+
   /** Corpus term frequencies: explode tokens → count. Partial (map-side)
     * aggregation makes the shuffle carry one row per distinct term per
     * partition, not one per token occurrence.

@@ -79,4 +79,27 @@ class TextAnalysisSpec extends SparkTestBase {
     sh(0)._2 shouldBe Seq("a b c", "b c d")
     sh(1)._2 shouldBe Seq("a b")
   }
+
+  test("sequence packing fills contiguous bins up to the token budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 100L), (2L, 500L), (3L, 600L),   // bin 0: cum_before 0,100,600
+      (4L, 900L),                            // cum_before 1200 -> bin 1
+      (5L, 3000L),                           // cum_before 2100 -> bin 2 (oversized doc)
+      (6L, 10L)                              // cum_before 5100 -> bin 5
+    ).toDF("doc_id", "n_tokens")
+    val out = graft.operators.TextAnalysis.packSequences(docs, "doc_id", "n_tokens", 1000L)
+      .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
+    out(1L) shouldBe 0L
+    out(2L) shouldBe 0L
+    out(3L) shouldBe 0L
+    out(4L) shouldBe 1L
+    out(5L) shouldBe 2L
+    out(6L) shouldBe 5L
+
+    // invariant: bin ids are monotone in the ordering column
+    val seqd = graft.operators.TextAnalysis.packSequences(docs, "doc_id", "n_tokens", 1000L)
+      .orderBy("doc_id").select($"bin_id").as[Long].collect()
+    seqd.sliding(2).foreach { case Array(a, b) => a should be <= b; case _ => }
+  }
 }
