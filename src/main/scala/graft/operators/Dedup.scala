@@ -107,6 +107,49 @@ object Dedup {
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
+  /** Connected components over a near-dup pair graph (`id_a`, `id_b`) by
+    * iterative min-label propagation: every node converges to the smallest
+    * id reachable from it. O(diameter) rounds — near-dup clusters are
+    * shallow (duplicates of duplicates), so convergence is fast; each round
+    * is one shuffle on node id and lineage is cut with `localCheckpoint` so
+    * the plan doesn't grow unboundedly. Returns (`id`, `component`).
+    *
+    * This is what turns PAIRWISE near-dup output into correct dedup: for a
+    * chain A~B~C where A and C are not directly similar, pairwise removal
+    * keeps A and C; component-wise keeps only A.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").alias("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each node adopts min(own component, neighbors' components)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").alias("id"))
+        .agg(min(col("component")).alias("__nc"))
+      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("__nc"), col("component")))
+            .alias("component"))
+        .localCheckpoint()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("id"))
+        .filter(col("u.component") =!= col("l.component"))
+        .count()
+      labels = updated
+      converged = changed == 0L
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup clustering: 64-bit simhash per doc; docs sharing the
     * hash (Hamming 0) group directly. For Hamming ≤ k matching, block on
     * rotated prefix bands of the hash (same bucket-join shape as MinHash).

@@ -58,11 +58,15 @@ object CorpusPipeline {
     val exact  = Dedup.exactByContent(langed, textCol)
     val nExact = exact.count()
 
-    // Near-dup kill-list: for every verified pair, the higher id dies. The
-    // kill-list is pair-count-sized (small), so the anti-join broadcasts.
+    // Near-dup kill-list via CONNECTED COMPONENTS over the pair graph: each
+    // transitive cluster keeps its minimum id (pairwise removal would keep
+    // both ends of an A~B~C chain). The kill-list is cluster-member-sized
+    // (small), so the anti-join broadcasts.
     val pairs = Dedup.minhashLshPairs(exact, "doc_id", textCol,
       shingleSize = shingleSize, minJaccard = minJaccard)
-    val kill = pairs.select(col("id_b").alias("doc_id")).distinct()
+    val comps = Dedup.connectedComponents(pairs)
+    val kill  = comps.filter(col("id") =!= col("component"))
+      .select(col("id").alias("doc_id"))
     val curated = exact.join(broadcast(kill), Seq("doc_id"), "left_anti")
     val nFinal  = curated.count()
 

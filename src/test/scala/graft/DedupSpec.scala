@@ -73,6 +73,57 @@ class DedupSpec extends SparkTestBase {
     pairs.queryExecution.executedPlan.toString().toLowerCase should not include "cartesian"
   }
 
+  test("connected components collapses transitive near-dup chains") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus isolated pair 10-11, and 20-21-22 star
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    comps(1L) shouldBe 1L
+    comps(2L) shouldBe 1L
+    comps(3L) shouldBe 1L
+    comps(4L) shouldBe 1L
+    comps(10L) shouldBe 10L
+    comps(11L) shouldBe 10L
+    comps(21L) shouldBe 20L
+    comps(22L) shouldBe 20L
+  }
+
+  test("property: component labels are the true minimum over a random graph") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.filter(e => e._1 != e._2))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      edges.isEmpty || {
+        val comps = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        // reference union-find on the driver
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = nodes.map { n =>
+          val members = nodes.filter(m => find(m) == find(n))
+          n -> members.min
+        }.toMap
+        nodes.forall(n => comps(n) == want(n))
+      }
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+      .passed shouldBe true
+  }
+
   // ---------------- kernel-level algebraic properties (ScalaCheck) --------
 
   private def ints(xs: Seq[Int]) =
