@@ -65,10 +65,29 @@ object Multimodal {
         math.max(1, img.getColorModel.getNumComponents)))
     } catch { case _: Exception => None }
 
-  /** Decode kernel: REAL for images the JDK can read (javax.imageio);
-    * deterministic STUB for audio/video and unrecognized image bytes (no
-    * audio/video codecs ship in this container — swapping in a real one
-    * changes nothing structural).
+  /** Audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU):
+    * (channels, duration_ms) when the header parses, None otherwise.
+    */
+  private[operators] def audioDecode(payload: Array[Byte]): Option[(Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt      = in.getFormat
+        val frames   = in.getFrameLength
+        val duration =
+          if (frames > 0 && fmt.getFrameRate > 0)
+            math.round(frames * 1000.0 / fmt.getFrameRate)
+          else 0L
+        Some((math.max(1, fmt.getChannels), duration))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Decode kernel: REAL for images (javax.imageio: PNG/JPEG/GIF/BMP) and
+    * audio (javax.sound.sampled: WAV/AIFF/AU) the JDK can read;
+    * deterministic STUB for video and unrecognized bytes (no video codecs
+    * ship in this container — swapping a real one in changes nothing
+    * structural).
     */
   private[operators] def stubDecode(kind: String, payload: Array[Byte]): (Int, Int, Int, Long) = {
     if (payload == null || payload.isEmpty) (0, 0, 0, 0L)
@@ -80,7 +99,11 @@ object Multimodal {
             case Some((w, ht, c)) => (w, ht, c, 0L)
             case None => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, 0L)
           }
-        case "audio" => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L)
+        case "audio" =>
+          audioDecode(payload) match {
+            case Some((c, d)) => (0, 0, c, d)
+            case None         => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L)
+          }
         case "video" => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, (h % 600000L) + 1L)
         case _       => (0, 0, 0, 0L)
       }

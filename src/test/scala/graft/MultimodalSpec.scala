@@ -79,6 +79,31 @@ class MultimodalSpec extends SparkTestBase {
     out(3L).width should be > 0
   }
 
+  test("real WAV payloads decode to true channel count and duration") {
+    def wav(channels: Int, seconds: Double, sampleRate: Float = 8000f): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+      val nFrames = (sampleRate * seconds).toLong
+      val data = new Array[Byte](nFrames.toInt * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "audio", "s3://b/mono.wav", wav(1, 2.0)),
+      MediaRow(2L, "audio", "s3://b/stereo.wav", wav(2, 0.5)),
+      MediaRow(3L, "audio", "s3://b/junk.bin", "not-audio".getBytes("UTF-8")))
+    val out = Multimodal.decode(spark.createDataset(rows))
+      .collect().map(d => d.media_id -> d).toMap
+    out(1L).channels shouldBe 1
+    out(1L).duration_ms shouldBe 2000L
+    out(2L).channels shouldBe 2
+    out(2L).duration_ms shouldBe 500L
+    out(3L).duration_ms should be > 0L  // stub fallback, not a crash
+  }
+
   test("resize fits into the target box, preserves aspect, never upscales") {
     val decoded = Multimodal.decode(spark.createDataset(media("image", 12)))
     val resized = Multimodal.resize(decoded, 256, 256).collect()
