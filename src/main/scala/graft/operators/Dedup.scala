@@ -32,6 +32,20 @@ object Dedup {
       .dropDuplicates("__fp")
       .drop("__fp")
 
+  /** Exact content dedup with a DETERMINISTIC survivor: the minimum id per
+    * fingerprint. `dropDuplicates` keeps whichever row the shuffle delivers
+    * first — fine for cardinality, wrong for reproducible corpus curation.
+    */
+  def exactByContentKeepMin(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    df.withColumn("__fp", md5(lower(trim(col(textCol)))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** MinHash signature column: for each of `numHashes` hash functions, the
     * min over the document's word-`shingleSize` shingles of
     * `murmur3(shingle, seed=i)`. Pure built-ins → whole-stage codegen.
@@ -143,10 +157,17 @@ object Dedup {
         .join(labels.alias("l"), Seq("id"))
         .filter(col("u.component") =!= col("l.component"))
         .count()
+      labels.unpersist() // superseded checkpoint — don't stack maxIter copies
       labels = updated
       converged = changed == 0L
       i += 1
     }
+    // Fail loudly: silently returning partial labels would let duplicate
+    // cluster members survive dedup with no signal anywhere downstream.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "pair-graph diameter exceeds maxIter; raise it")
     labels
   }
 

@@ -73,13 +73,13 @@ object Multimodal {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
-        val fmt      = in.getFormat
-        val frames   = in.getFrameLength
-        val duration =
-          if (frames > 0 && fmt.getFrameRate > 0)
-            math.round(frames * 1000.0 / fmt.getFrameRate)
-          else 0L
-        Some((math.max(1, fmt.getChannels), duration))
+        val fmt    = in.getFormat
+        val frames = in.getFrameLength
+        // AudioSystem.NOT_SPECIFIED frame length → fall back to the stub so
+        // audio rows keep the duration_ms > 0 invariant.
+        if (frames <= 0 || fmt.getFrameRate <= 0) None
+        else Some((math.max(1, fmt.getChannels),
+          math.max(1L, math.round(frames * 1000.0 / fmt.getFrameRate))))
       } finally in.close()
     } catch { case _: Exception => None }
 

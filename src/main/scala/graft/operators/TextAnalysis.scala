@@ -80,13 +80,16 @@ object TextAnalysis {
   def withLanguage(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("lang_pred", langIdCol(col(textCol)))
 
-  /** Token-budget sequence packing: assign documents (in a stable explicit
-    * order) to contiguous training-context bins of at most `budget` tokens —
-    * bin id = floor(preceding-token-total / budget). One window over the
-    * ordering column; documents larger than the budget occupy their own
-    * bin(s). At scale, partition the ordering key space first (e.g. shard by
-    * hash, pack within shards) so the window never globally sorts the
-    * corpus; the per-shard semantics are identical.
+  /** Token-budget sequence packing, contiguous-fill flavor: documents (in a
+    * stable explicit order) are laid end to end and bin id =
+    * floor(preceding-token-total / budget). A document that straddles a
+    * boundary stays whole in the earlier bin, so a bin can exceed `budget`
+    * by up to that document's length — consumers either truncate/split the
+    * straddler (the usual LLM pretraining choice) or cap document length
+    * upstream. This keeps packing a single window (no sequential state);
+    * strict never-overflow greedy packing needs a per-shard sequential scan.
+    * At scale, shard by hash first and pack within shards so the window
+    * never globally sorts the corpus.
     */
   def packSequences(docs: DataFrame, orderCol: String, tokenCol: String,
       budget: Long): DataFrame = {

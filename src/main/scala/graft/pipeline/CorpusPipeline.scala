@@ -45,31 +45,40 @@ object CorpusPipeline {
   ): (DataFrame, FunnelReport) = {
     val input = docs.count()
 
+    // Persist each stage frame before its funnel count: the counts are
+    // actions, and without the persists every stage's lineage (scan,
+    // quality scoring, language ID, dedup shuffle) would re-execute for
+    // each downstream boundary.
     val scored = docs.withColumn("quality_score",
       TextFunctions.qualityScore(col(textCol), TextAnalysis.defaultStopwords))
-    val quality = scored.filter(col("quality_score") >= minQuality)
-    val nQuality = quality.count()
-
+    val quality = scored.filter(col("quality_score") >= minQuality).persist()
     val langed = quality
       .withColumn("lang_pred", TextAnalysis.langIdCol(col(textCol)))
       .filter(col("lang_pred").isin(allowedLangs: _*))
-    val nLang = langed.count()
+      .persist()
+    // Deterministic survivor (min doc_id per fingerprint) so curation is
+    // reproducible run to run.
+    val exact = Dedup.exactByContentKeepMin(langed, "doc_id", textCol).persist()
+    try {
+      val nQuality = quality.count()
+      val nLang    = langed.count()
+      val nExact   = exact.count()
 
-    val exact  = Dedup.exactByContent(langed, textCol)
-    val nExact = exact.count()
+      // Near-dup kill-list via CONNECTED COMPONENTS over the pair graph:
+      // each transitive cluster keeps its minimum id (pairwise removal would
+      // keep both ends of an A~B~C chain). No broadcast hint — the kill-list
+      // scales with the corpus's duplicate fraction, so AQE decides.
+      val pairs = Dedup.minhashLshPairs(exact, "doc_id", textCol,
+        shingleSize = shingleSize, minJaccard = minJaccard)
+      val comps = Dedup.connectedComponents(pairs)
+      val kill  = comps.filter(col("id") =!= col("component"))
+        .select(col("id").alias("doc_id"))
+      val curated = exact.join(kill, Seq("doc_id"), "left_anti")
+      val nFinal  = curated.count()
 
-    // Near-dup kill-list via CONNECTED COMPONENTS over the pair graph: each
-    // transitive cluster keeps its minimum id (pairwise removal would keep
-    // both ends of an A~B~C chain). The kill-list is cluster-member-sized
-    // (small), so the anti-join broadcasts.
-    val pairs = Dedup.minhashLshPairs(exact, "doc_id", textCol,
-      shingleSize = shingleSize, minJaccard = minJaccard)
-    val comps = Dedup.connectedComponents(pairs)
-    val kill  = comps.filter(col("id") =!= col("component"))
-      .select(col("id").alias("doc_id"))
-    val curated = exact.join(broadcast(kill), Seq("doc_id"), "left_anti")
-    val nFinal  = curated.count()
-
-    (curated, FunnelReport(input, nQuality, nLang, nExact, nFinal))
+      (curated.localCheckpoint(), FunnelReport(input, nQuality, nLang, nExact, nFinal))
+    } finally {
+      quality.unpersist(); langed.unpersist(); exact.unpersist()
+    }
   }
 }
