@@ -148,17 +148,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").alias("id"))
         .agg(min(col("component")).alias("__nc"))
+      // keep the previous label in the same frame: change detection is then
+      // a filter-count on the checkpointed result, not another join action
       val updated = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").alias("__prev"),
           least(col("component"), coalesce(col("__nc"), col("component")))
             .alias("component"))
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("id"))
-        .filter(col("u.component") =!= col("l.component"))
-        .count()
+      val changed = updated.filter(col("__prev") =!= col("component")).count()
       labels.unpersist() // superseded checkpoint — don't stack maxIter copies
-      labels = updated
+      labels = updated.drop("__prev")
       converged = changed == 0L
       i += 1
     }
