@@ -608,6 +608,14 @@ object SparkEntry {
         .orderBy("bin_id")
     }),
 
+    // rows-only: Bernoulli sampling is seed-deterministic in Spark but not
+    // reproducible in DuckDB SQL; spec bounds the mixture proportions.
+    "q_mix_sources" -> ((s, dir) =>
+      TextAnalysis.mixSources(t(s, dir, "documents"),
+          "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy(col("source")).agg(count(lit(1)).alias("n"))
+        .orderBy("source")),
+
     // ---- composed corpus-curation funnel (rows-only: the near-dup stage
     // is MinHash-kernel-based; stage components are oracle-checked
     // individually via q_text_quality / q_text_langid / q_dedup_fingerprint)

@@ -103,6 +103,34 @@ object TextAnalysis {
       .drop("__cum_before")
   }
 
+  /** Source-mixing resampler: downsample each source so the output
+    * approximates the target mixture `weights` (e.g. 60% web, 30% books,
+    * 10% code) without upsampling — the largest feasible corpus honoring
+    * the ratios. Per-source Bernoulli rates are computed from one count
+    * pass; sampling is seeded `sampleBy` (deterministic for a fixed input
+    * layout). Sources absent from `weights` are dropped.
+    */
+  def mixSources(docs: DataFrame, sourceCol: String,
+      weights: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val wSum = weights.values.sum
+    val norm = weights.view.mapValues(_ / wSum).toMap
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).alias("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Largest total T with T * norm(s) <= count(s) for every wanted source:
+    val feasible = norm.collect {
+      case (s, w) if counts.getOrElse(s, 0L) > 0 => counts(s) / w
+    }
+    require(feasible.nonEmpty, "no requested source present in the data")
+    val total = feasible.min
+    val rates = norm.map { case (s, w) =>
+      s -> math.min(1.0, if (counts.getOrElse(s, 0L) == 0) 0.0
+        else total * w / counts(s))
+    }
+    docs.stat.sampleBy(sourceCol, rates, seed)
+  }
+
   /** Corpus term frequencies: explode tokens → count. Partial (map-side)
     * aggregation makes the shuffle carry one row per distinct term per
     * partition, not one per token occurrence.

@@ -102,4 +102,32 @@ class TextAnalysisSpec extends SparkTestBase {
       .orderBy("doc_id").select($"bin_id").as[Long].collect()
     seqd.sliding(2).foreach { case Array(a, b) => a should be <= b; case _ => }
   }
+
+  test("source mixing hits target ratios without upsampling, deterministically") {
+    import spark.implicits._
+    val docs = spark.range(30000).select(
+      when(col("id") % 3 === 0, "web")
+        .when(col("id") % 3 === 1, "books").otherwise("code").alias("source"),
+      col("id"))
+    val mixed = graft.operators.TextAnalysis.mixSources(docs, "source",
+      Map("web" -> 0.6, "books" -> 0.3, "code" -> 0.1))
+    val counts = mixed.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    // 10k per source; web is the constraint: total ≈ 10k/0.6 ≈ 16.7k
+    counts("web").toDouble / total shouldBe 0.6 +- 0.05
+    counts("books").toDouble / total shouldBe 0.3 +- 0.05
+    counts("code").toDouble / total shouldBe 0.1 +- 0.05
+    counts.values.foreach(_ should be <= 10000L) // never upsamples
+
+    // deterministic for a fixed seed and input
+    val again = graft.operators.TextAnalysis.mixSources(docs, "source",
+      Map("web" -> 0.6, "books" -> 0.3, "code" -> 0.1))
+    again.count() shouldBe mixed.count()
+
+    // unknown sources are dropped
+    val dropped = graft.operators.TextAnalysis.mixSources(docs, "source",
+      Map("web" -> 1.0))
+    dropped.select($"source").distinct().as[String].collect().toSeq shouldBe Seq("web")
+  }
 }
