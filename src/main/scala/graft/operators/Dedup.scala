@@ -137,8 +137,11 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").alias("id")).distinct()
-      .withColumn("component", col("id"))
+    // init = min(self, min direct neighbor): fuses the first propagation
+    // round into label construction (one fewer checkpoint+count round)
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).alias("component"))
+      .select(col("src").alias("id"), col("component"))
       .localCheckpoint()
     var converged = false
     var i = 0
