@@ -93,6 +93,32 @@ class CoinEtlGoldenSpec extends SparkTestBase {
     CoinOps.assertGoldSanity(gold, dt)
   }
 
+  test("second fixture day (dt=2026-01-10) replays silver and gold as well") {
+    val dt2 = "2026-01-10"
+    val bronze2 = CoinSources.readBronzeJson(spark, fixture(s"crypto-lake/bronze/coins/dt=$dt2"))
+    val silver2 = CoinOps.enforcedSilver(CoinOps.bronzeToSilver(bronze2))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
+      val wantSilver = spark.read.parquet(fixture(s"crypto-lake/silver/coins/dt=$dt2"))
+      silver2.count() shouldBe wantSilver.count()
+      val j = silver2.alias("g").join(wantSilver.alias("w"), Seq("coin_id"), "full_outer")
+      j.filter(col("g.symbol").isNull || col("w.symbol").isNull).count() shouldBe 0
+      def relErr(c: String) =
+        abs(col(s"g.$c") - col(s"w.$c")) / greatest(abs(col(s"w.$c")), lit(1e-300))
+      j.select(greatest(relErr("price_usd"), relErr("market_cap")).alias("e"))
+        .agg(max(col("e"))).collect()(0).getDouble(0) should be < 1e-9
+    } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+    val gold2     = CoinOps.goldDailyMetrics(silver2, dt2)
+    val wantGold2 = spark.read.parquet(fixture(s"crypto-lake/gold/coins_daily/dt=$dt2"))
+    val jg = gold2.alias("g").join(wantGold2.alias("e"), Seq("coin_id"), "full_outer")
+    jg.filter(col("g.avg_price_usd").isNull || col("e.avg_price_usd").isNull)
+      .count() shouldBe 0
+    jg.select(max(abs(col("g.avg_price_usd") - col("e.avg_price_usd"))))
+      .collect()(0).getDouble(0) should be < 1e-9
+  }
+
   test("dimension and fact row shapes match the warehouse contracts") {
     val dim = CoinOps.dimensionRows(silver)
     dim.columns.toSeq shouldBe Seq("coin_id", "name", "symbol", "category")
