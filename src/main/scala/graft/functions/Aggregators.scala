@@ -40,31 +40,110 @@ object Aggregators {
       case 64 => 0.709
       case _  => 0.7213 / (1 + 1.079 / m)
     }
-    override def zero: Array[Byte] = new Array[Byte](m)
-    override def reduce(regs: Array[Byte], v: String): Array[Byte] = {
-      if (v != null) {
-        val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
-        val h64 = org.apache.spark.unsafe.hash.Murmur3_x86_32
-          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42).toLong & 0xffffffffL |
-          (org.apache.spark.unsafe.hash.Murmur3_x86_32
-            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 43).toLong << 32)
-        val idx  = (h64 >>> (64 - p)).toInt
-        val rest = h64 << p
-        val rank = (if (rest == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(rest)) + 1
-        if (rank > (regs(idx) & 0xff)) regs(idx) = rank.toByte
+    // Buffer encoding — byte 0 is the format tag:
+    //   0 (sparse): [(idx: 2 bytes big-endian)(rank: 1 byte)] * n — low-
+    //     cardinality groups carry 1+3n bytes instead of the 2^p dense
+    //     array, which matters when a groupBy has millions of small groups;
+    //   1 (dense):  2^p register bytes.
+    // Register contents are IDENTICAL either way, so estimates don't depend
+    // on which groups densified.
+    private val sparseLimit = m / 8 // densify beyond 3*m/8 bytes anyway
+
+    override def zero: Array[Byte] = Array[Byte](0)
+
+    private def sparseCount(buf: Array[Byte]): Int = (buf.length - 1) / 3
+    private def sparseIdx(buf: Array[Byte], k: Int): Int =
+      ((buf(1 + 3 * k) & 0xff) << 8) | (buf(2 + 3 * k) & 0xff)
+    private def sparseRank(buf: Array[Byte], k: Int): Int = buf(3 + 3 * k) & 0xff
+
+    private def densify(buf: Array[Byte]): Array[Byte] = {
+      if (buf.nonEmpty && buf(0) == 1) return buf
+      val regs = new Array[Byte](1 + m)
+      regs(0) = 1
+      var k = 0
+      val n = sparseCount(buf)
+      while (k < n) {
+        val i = sparseIdx(buf, k); val r = sparseRank(buf, k)
+        if (r > (regs(1 + i) & 0xff)) regs(1 + i) = r.toByte
+        k += 1
       }
       regs
     }
-    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < m) { if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i); i += 1 }
-      a
+
+    private def sparseUpsert(buf: Array[Byte], idx: Int, rank: Int): Array[Byte] = {
+      var k = 0
+      val n = sparseCount(buf)
+      while (k < n) {
+        if (sparseIdx(buf, k) == idx) {
+          if (rank > sparseRank(buf, k)) buf(3 + 3 * k) = rank.toByte
+          return buf
+        }
+        k += 1
+      }
+      if (n + 1 > sparseLimit) {
+        val dense = densify(buf)
+        if (rank > (dense(1 + idx) & 0xff)) dense(1 + idx) = rank.toByte
+        dense
+      } else {
+        val out = java.util.Arrays.copyOf(buf, buf.length + 3)
+        out(buf.length)     = ((idx >> 8) & 0xff).toByte
+        out(buf.length + 1) = (idx & 0xff).toByte
+        out(buf.length + 2) = rank.toByte
+        out
+      }
     }
-    override def finish(regs: Array[Byte]): Long = {
+
+    override def reduce(buf: Array[Byte], v: String): Array[Byte] = {
+      if (v == null) return buf
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      val h64 = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42).toLong & 0xffffffffL |
+        (org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 43).toLong << 32)
+      val idx  = (h64 >>> (64 - p)).toInt
+      val rest = h64 << p
+      val rank = (if (rest == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+      if (buf.nonEmpty && buf(0) == 1) {
+        if (rank > (buf(1 + idx) & 0xff)) buf(1 + idx) = rank.toByte
+        buf
+      } else sparseUpsert(buf, idx, rank)
+    }
+
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      val aSparse = a.isEmpty || a(0) == 0
+      val bSparse = b.isEmpty || b(0) == 0
+      if (aSparse && bSparse) {
+        // fold b's entries into a (densifies automatically past the limit)
+        var out = a
+        var k = 0
+        val n = sparseCount(b)
+        while (k < n) {
+          out = if (out.nonEmpty && out(0) == 1) {
+            val i = sparseIdx(b, k); val r = sparseRank(b, k)
+            if (r > (out(1 + i) & 0xff)) out(1 + i) = r.toByte
+            out
+          } else sparseUpsert(out, sparseIdx(b, k), sparseRank(b, k))
+          k += 1
+        }
+        out
+      } else {
+        val dense = densify(a)
+        val other = densify(b)
+        var i = 1
+        while (i <= m) {
+          if ((other(i) & 0xff) > (dense(i) & 0xff)) dense(i) = other(i)
+          i += 1
+        }
+        dense
+      }
+    }
+
+    override def finish(buf: Array[Byte]): Long = {
+      val regs = densify(buf)
       var invSum = 0.0
       var zeros  = 0
-      var i = 0
-      while (i < m) {
+      var i = 1
+      while (i <= m) {
         val r = regs(i) & 0xff
         invSum += 1.0 / (1L << r)
         if (r == 0) zeros += 1

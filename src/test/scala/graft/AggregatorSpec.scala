@@ -25,6 +25,28 @@ class AggregatorSpec extends SparkTestBase {
     math.abs(est - 50000).toDouble / 50000 should be < 0.03
   }
 
+  test("HLL sparse buffers stay tiny for small groups and estimate exactly like dense") {
+    val hll = udaf(new Aggregators.HyperLogLog(12))
+    // many groups, each with a handful of members: buffers must stay sparse
+    val grouped = spark.range(10000).select(
+      (col("id") % 2000).alias("g"), concat(lit("m"), col("id")).alias("k"))
+      .groupBy(col("g")).agg(hll(col("k")).alias("est"))
+    val ests = grouped.select(col("est")).as[Long].collect()
+    ests.length shouldBe 2000
+    // tiny groups: linear counting counts occupied registers — 5, minus the
+    // rare in-group register collision (~0.25% of groups)
+    ests.foreach(e => e should (be >= 4L and be <= 5L))
+    ests.count(_ == 5L) should be > 1950
+
+    // sparse->dense transition must not change the estimate: feed the same
+    // keys through one group (forces densify) and through a fresh dense-only
+    // computation path via many partitions (forces merges of mixed formats)
+    val keys = spark.range(3000).select(concat(lit("x"), col("id")).alias("k"))
+    val oneShot = keys.coalesce(1).agg(hll(col("k"))).as[Long].head()
+    val merged  = keys.repartition(16).agg(hll(col("k"))).as[Long].head()
+    merged shouldBe oneShot
+  }
+
   test("HLL small-range linear counting is near-exact") {
     val hll = udaf(new Aggregators.HyperLogLog(12))
     val df  = spark.range(100).select(concat(lit("x"), col("id")).alias("k"))
