@@ -226,6 +226,15 @@ object SparkEntry {
         .select(col("term"), col("freq"), col("doc_freq"), col("tfidf"))
     }),
 
+    "q_hll_by_group" -> ((s, dir) => {
+      val hll = udaf(new Aggregators.HyperLogLog(12))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(hll(col("o_custkey").cast("string")).alias("hll_customers"),
+          countDistinct(col("o_custkey")).alias("n_exact"))
+        .orderBy("o_orderstatus")
+    }),
+
     "q_hll_distinct" -> ((s, dir) => {
       val hll = udaf(new Aggregators.HyperLogLog(12))
       t(s, dir, "lineitem")
