@@ -26,13 +26,17 @@ object Aggregators {
   /** HyperLogLog distinct-count sketch (Flajolet et al.) as a typed
     * `Aggregator`: 2^p byte registers, murmur3-hashed inputs, harmonic-mean
     * estimate with the standard small-range (linear counting) correction.
-    * The buffer is a fixed 2^p-byte array regardless of cardinality — the
-    * sketch shape that makes distinct counts mergeable across partitions,
-    * days, and tables at 100 TB (union = register-wise max), unlike exact
-    * count-distinct whose state grows with cardinality.
+    * The buffer is at most 2^p bytes regardless of cardinality (and only
+    * 1+3n bytes while a group has ≤n occupied registers — see the sparse
+    * encoding below) — the sketch shape that makes distinct counts
+    * mergeable across partitions, days, and tables at 100 TB (union =
+    * register-wise max), unlike exact count-distinct whose state grows
+    * with cardinality.
     */
   final class HyperLogLog(p: Int = 12) extends Aggregator[String, Array[Byte], Long]
       with Serializable {
+    require(p >= 4 && p <= 16,
+      s"p must be in [4, 16] (sparse encoding packs register indexes into 2 bytes); got $p")
     private val m = 1 << p
     private val alpha = m match {
       case 16 => 0.673
@@ -46,8 +50,11 @@ object Aggregators {
     //     array, which matters when a groupBy has millions of small groups;
     //   1 (dense):  2^p register bytes.
     // Register contents are IDENTICAL either way, so estimates don't depend
-    // on which groups densified.
-    private val sparseLimit = m / 8 // densify beyond 3*m/8 bytes anyway
+    // on which groups densified. The sparse limit is capped at 128 entries:
+    // sparseUpsert is a linear scan per input row, so the cap bounds the
+    // per-row cost for high-row/medium-cardinality groups that would
+    // otherwise sit just under a larger threshold forever.
+    private val sparseLimit = math.min(m / 8, 128)
 
     override def zero: Array[Byte] = Array[Byte](0)
 

@@ -114,19 +114,26 @@ object TextAnalysis {
       weights: Map[String, Double], seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be positive")
+    require(docs.schema(sourceCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"mixSources needs a string source column; '$sourceCol' is " +
+        docs.schema(sourceCol).dataType.simpleString)
     val wSum = weights.values.sum
     val norm = weights.view.mapValues(_ / wSum).toMap
+    // NULL-source rows have no stratum in the rates map and are dropped by
+    // sampleBy, same as sources absent from `weights`.
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).alias("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Every weighted source must exist — silently shipping a corpus missing
+    // a whole source would defeat the point of mixture control.
+    val absent = norm.keys.filterNot(s => counts.getOrElse(s, 0L) > 0)
+    require(absent.isEmpty,
+      s"requested sources absent from the data: ${absent.mkString(", ")}")
     // Largest total T with T * norm(s) <= count(s) for every wanted source:
-    val feasible = norm.collect {
-      case (s, w) if counts.getOrElse(s, 0L) > 0 => counts(s) / w
-    }
-    require(feasible.nonEmpty, "no requested source present in the data")
-    val total = feasible.min
+    val total = norm.map { case (s, w) => counts(s) / w }.min
     val rates = norm.map { case (s, w) =>
-      s -> math.min(1.0, if (counts.getOrElse(s, 0L) == 0) 0.0
-        else total * w / counts(s))
+      s -> math.min(1.0, total * w / counts(s))
     }
     docs.stat.sampleBy(sourceCol, rates, seed)
   }

@@ -102,8 +102,13 @@ class CoinEtlGoldenSpec extends SparkTestBase {
     try {
       val wantSilver = spark.read.parquet(fixture(s"crypto-lake/silver/coins/dt=$dt2"))
       silver2.count() shouldBe wantSilver.count()
-      val j = silver2.alias("g").join(wantSilver.alias("w"), Seq("coin_id"), "full_outer")
+      val g2 = silver2.withColumn("ts_ms", unix_millis(col("timestamp")))
+      val w2 = wantSilver.withColumn("ts_ms", expr("timestamp div 1000000L"))
+      val j = g2.alias("g").join(w2.alias("w"), Seq("coin_id"), "full_outer")
       j.filter(col("g.symbol").isNull || col("w.symbol").isNull).count() shouldBe 0
+      j.filter(col("g.symbol") =!= col("w.symbol") ||
+        col("g.name") =!= col("w.name") ||
+        col("g.ts_ms") =!= col("w.ts_ms")).count() shouldBe 0
       def relErr(c: String) =
         abs(col(s"g.$c") - col(s"w.$c")) / greatest(abs(col(s"w.$c")), lit(1e-300))
       j.select(greatest(relErr("price_usd"), relErr("market_cap")).alias("e"))
