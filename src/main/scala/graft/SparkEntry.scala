@@ -625,6 +625,26 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).alias("n"))
         .orderBy("source")),
 
+    // Oracle-checked funnel prefix: the quality/language/exact-dedup stages
+    // (the near-dup stage is MinHash-kernel-based and stays in
+    // q_corpus_funnel below).
+    "q_corpus_funnel_sql" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = docs.withColumn("q",
+        TextFunctions.qualityScore(col("text"), TextAnalysis.defaultStopwords))
+      val quality = scored.filter(col("q") >= 0.3)
+      val langed = quality
+        .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
+        .filter(col("lang_pred").isin("en", "und"))
+      langed.agg(
+        count(lit(1)).alias("after_language"),
+        countDistinct(md5(lower(trim(col("text"))))).alias("after_exact"))
+        .crossJoin(broadcast(quality.agg(count(lit(1)).alias("after_quality"))))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).alias("input"))))
+        .select(col("input"), col("after_quality"), col("after_language"),
+          col("after_exact"))
+    }),
+
     // ---- composed corpus-curation funnel (rows-only: the near-dup stage
     // is MinHash-kernel-based; stage components are oracle-checked
     // individually via q_text_quality / q_text_langid / q_dedup_fingerprint)
@@ -824,6 +844,54 @@ object SparkEntry {
         |FROM tf JOIN df USING (term), n
         |WHERE ROUND(freq * ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) > 0
         |ORDER BY tfidf DESC, term ASC LIMIT 20""".stripMargin,
+
+    "q_corpus_funnel_sql" ->
+      """WITH base AS (
+        |  SELECT text, string_split_regex(lower(trim(text)), '[\s\x0b]+') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT text, toks,
+        |    ROUND(
+        |      LEAST(CAST(LEN(toks) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+        |      LEAST((CASE WHEN LEN(toks) = 0 THEN 0.0
+        |             ELSE CAST(LEN(list_filter(toks, t -> list_contains(
+        |               ['the','a','an','and','or','of','to','in','is','it','for','on','with'], t)))
+        |               AS DOUBLE) / CAST(LEN(toks) AS DOUBLE) END) * 5.0, 1.0) * 0.4 +
+        |      (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |             ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |               AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE) END) * 10.0, 1.0)) * 0.2
+        |    , 6) AS qscore
+        |  FROM base
+        |), quality AS (SELECT text, toks FROM q WHERE qscore >= 0.3
+        |), ls AS (
+        |  SELECT text,
+        |    CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE CAST(LEN(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','von','mit','den','ein','zu'], x))) AS DOUBLE) / LEN(toks) END AS s_de,
+        |    CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE CAST(LEN(list_filter(toks, x -> list_contains(
+        |      ['the','a','and','of','to','in','is','it','for','that'], x))) AS DOUBLE) / LEN(toks) END AS s_en,
+        |    CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE CAST(LEN(list_filter(toks, x -> list_contains(
+        |      ['el','la','de','que','y','en','un','los','se','por'], x))) AS DOUBLE) / LEN(toks) END AS s_es,
+        |    CASE WHEN LEN(toks) = 0 THEN 0.0 ELSE CAST(LEN(list_filter(toks, x -> list_contains(
+        |      ['le','la','de','et','les','des','un','une','du','que'], x))) AS DOUBLE) / LEN(toks) END AS s_fr,
+        |    CAST(LEN(list_filter(['的','是','了','在','和','有','我','不','这','人'],
+        |      w -> contains(text, w))) AS DOUBLE) AS s_zh
+        |  FROM quality
+        |), langed AS (
+        |  SELECT text FROM (
+        |    SELECT text,
+        |      CASE WHEN s_zh = b AND b > 0 THEN 'zh'
+        |           WHEN s_fr = b AND b > 0 THEN 'fr'
+        |           WHEN s_es = b AND b > 0 THEN 'es'
+        |           WHEN s_en = b AND b > 0 THEN 'en'
+        |           WHEN s_de = b AND b > 0 THEN 'de'
+        |           ELSE 'und' END AS lang_pred
+        |    FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS b FROM ls)
+        |  ) WHERE lang_pred IN ('en', 'und')
+        |)
+        |SELECT (SELECT COUNT(*) FROM documents) AS input,
+        |       (SELECT COUNT(*) FROM quality) AS after_quality,
+        |       (SELECT COUNT(*) FROM langed) AS after_language,
+        |       (SELECT COUNT(DISTINCT md5(lower(trim(text)))) FROM langed) AS after_exact""".stripMargin,
 
     // q_hll_distinct: sketch estimate — rows-only; AggregatorSpec bounds error.
 
