@@ -344,6 +344,33 @@ object SparkEntry {
         .select(col("s_suppkey"), col("n_name"))
         .orderBy("s_suppkey")),
 
+    "q_join_full_outer" -> ((s, dir) => {
+      // customers with no orders and order-years with no BUILDING customers
+      val bld = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      val agg = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).alias("n_orders"))
+      bld.join(agg, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).alias("custkey"),
+          coalesce(col("c_name"), lit("(no-building-cust)")).alias("name"),
+          coalesce(col("n_orders"), lit(0L)).alias("n_orders"))
+        .orderBy("custkey")
+    }),
+
+    "q_window_lead_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          col("next_bal"), col("quartile"))
+        .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey"))
+    }),
+
     "q_join_range" -> ((s, dir) => {
       val cust = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal"))
@@ -965,6 +992,23 @@ object SparkEntry {
       """SELECT s_suppkey, n_name FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey AND s_acctbal > n_nationkey * 100.0
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_join_full_outer" ->
+      """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+        |       COALESCE(c_name, '(no-building-cust)') AS name,
+        |       COALESCE(n_orders, 0) AS n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q_window_lead_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |       LEAD(c_acctbal, 1) OVER w AS next_bal,
+        |       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
 
     "q_join_range" ->
       """SELECT c_custkey, s_suppkey
