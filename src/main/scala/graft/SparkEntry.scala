@@ -157,6 +157,31 @@ object SparkEntry {
           col("n"), col("sum_qty"))
         .orderBy("flag", "status")),
 
+    // ---- pivot / unpivot (wide<->long reshaping) -----------------------
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).alias("n_f"),
+          coalesce(col("O"), lit(0L)).alias("n_o"),
+          coalesce(col("P"), lit(0L)).alias("n_p"))
+        .orderBy("o_orderpriority")),
+
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_extendedprice")).alias("price"),
+          dsum(col("l_tax")).alias("tax"),
+          dsum(col("l_discount")).alias("discount"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("price"), col("tax"), col("discount")),
+          "measure", "value")
+        .select(col("l_returnflag"), col("measure"),
+          round(col("value"), 6).alias("value"))
+        .orderBy("l_returnflag", "measure")),
+
     "q_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -787,6 +812,25 @@ object SparkEntry {
         |       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS tax,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS discount
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, ROUND(value, 6) AS value
+        |FROM agg UNPIVOT (value FOR measure IN (price, tax, discount))
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, '(all)') AS flag,
