@@ -108,6 +108,38 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").alias("k"))
         .orderBy("event_id")),
 
+    // ---- SQL subquery surface (EXISTS / scalar) ------------------------
+    "q_subquery_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("cust_sq")
+      t(s, dir, "orders").createOrReplaceTempView("ord_sq")
+      s.sql(
+        """SELECT c_custkey, c_name FROM cust_sq c
+          |WHERE EXISTS (SELECT 1 FROM ord_sq o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q_subquery_scalar" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_sq")
+      // decimal-exact sum / count for the threshold: a plain AVG of doubles
+      // is summation-order-dependent and could differ between engines in
+      // the last ulp, flipping rows at the boundary
+      s.sql(
+        """SELECT l_returnflag, COUNT(*) AS n_above_avg
+          |FROM li_sq
+          |WHERE l_extendedprice >
+          |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+          |   FROM li_sq)
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    "q_regexp" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).alias("name_digits"),
+          col("c_name").rlike("[0-9]{3}").alias("has_3digits"))
+        .orderBy("c_custkey")),
+
     // ---- A1: THE gold aggregate (hash group-by) ------------------------
     "q1_gold_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -775,6 +807,25 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_subquery_scalar" ->
+      """SELECT l_returnflag, COUNT(*) AS n_above_avg
+        |FROM lineitem
+        |WHERE l_extendedprice >
+        |  (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |   FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_regexp" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |       regexp_matches(c_name, '[0-9]{3}') AS has_3digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q1_gold_agg" ->
       """SELECT l_returnflag, l_linestatus,
