@@ -108,6 +108,22 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").alias("k"))
         .orderBy("event_id")),
 
+    // ---- array / higher-order-function surface: results must equal the
+    // closed-form identities the oracle computes arithmetically -----------
+    "q_array_funcs" -> ((s, dir) => {
+      val qty = col("l_quantity").cast("long")
+      val arr = sequence(lit(1L), qty)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").alias("line_no"),
+          qty.alias("qty"),
+          aggregate(arr, lit(0L), (acc, x) => acc + x).alias("s_sum"),
+          size(filter(arr, x => x % 2L === 0L)).cast("long").alias("n_even"),
+          aggregate(zip_with(arr, arr, (a, b) => a * b), lit(0L),
+            (acc, x) => acc + x).alias("sum_sq"),
+          exists(arr, x => x > 40L).alias("any_gt40"))
+        .orderBy("l_orderkey", "line_no")
+    }),
+
     // ---- SQL subquery surface (EXISTS / scalar) ------------------------
     "q_subquery_exists" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("cust_sq")
@@ -807,6 +823,16 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |       CAST(l_quantity AS BIGINT) AS qty,
+        |       (CAST(l_quantity AS BIGINT) * (CAST(l_quantity AS BIGINT) + 1)) // 2 AS s_sum,
+        |       CAST(l_quantity AS BIGINT) // 2 AS n_even,
+        |       (CAST(l_quantity AS BIGINT) * (CAST(l_quantity AS BIGINT) + 1)
+        |         * (2 * CAST(l_quantity AS BIGINT) + 1)) // 6 AS sum_sq,
+        |       CAST(l_quantity AS BIGINT) > 40 AS any_gt40
+        |FROM lineitem ORDER BY l_orderkey, line_no""".stripMargin,
 
     "q_subquery_exists" ->
       """SELECT c_custkey, c_name FROM customer c
