@@ -711,10 +711,13 @@ object SparkEntry {
       val withTokens = t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long")
           .alias("n_tokens"))
-      TextAnalysis.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048L)
-        .groupBy(col("bin_id"))
+      // Explicit mod shard (instead of the default murmur3 shard) so the
+      // DuckDB oracle can reproduce the shard assignment exactly.
+      TextAnalysis.packSequences(withTokens, "doc_id", "n_tokens", budget = 2048L,
+          numShards = 8, shard = Some(pmod(col("doc_id"), lit(8L))))
+        .groupBy(col("shard"), col("bin_id"))
         .agg(count(lit(1)).alias("n_docs"), sum(col("n_tokens")).alias("n_tokens"))
-        .orderBy("bin_id")
+        .orderBy("shard", "bin_id")
     }),
 
     // rows-only: Bernoulli sampling is seed-deterministic in Spark but not
@@ -965,17 +968,17 @@ object SparkEntry {
 
     "q_pack_sequences" ->
       """WITH tok AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(LEN(string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+')) AS BIGINT) AS n_tokens
         |  FROM documents
         |), packed AS (
-        |  SELECT doc_id, n_tokens,
-        |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin_id
         |  FROM tok
         |)
-        |SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-        |FROM packed GROUP BY bin_id ORDER BY bin_id""".stripMargin,
+        |SELECT shard, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM packed GROUP BY shard, bin_id ORDER BY shard, bin_id""".stripMargin,
 
     "q_text_tfidf" ->
       """WITH toks AS (

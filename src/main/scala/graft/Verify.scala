@@ -5,7 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional third arg: comma-separated query-name substrings for fast
+    // local iteration on a subset (the driver always runs the full set).
+    val nameFilter: String => Boolean = args.lift(2) match {
+      case Some(subs) =>
+        val pats = subs.split(",").toSeq
+        name => pats.exists(name.contains)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +23,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failures = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+    val failures = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1))
+      .flatMap { case (name, fn) =>
       try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name"); None }
       catch { case e: Throwable =>
@@ -35,7 +44,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => nameFilter(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Full registry + failure list: without this, a rows-only query (no
@@ -43,7 +52,8 @@ object Verify {
     // any listdir-based compare — the gate would report green on a broken
     // query. local_check.py treats registered-but-missing as FAIL.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq.filter(nameFilter).sorted.map(q)
+        .mkString("[", ",", "]"))
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       failures.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()

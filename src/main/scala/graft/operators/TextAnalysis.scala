@@ -80,24 +80,37 @@ object TextAnalysis {
   def withLanguage(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("lang_pred", langIdCol(col(textCol)))
 
-  /** Token-budget sequence packing, contiguous-fill flavor: documents (in a
-    * stable explicit order) are laid end to end and bin id =
-    * floor(preceding-token-total / budget). A document that straddles a
-    * boundary stays whole in the earlier bin, so a bin can exceed `budget`
-    * by up to that document's length — consumers either truncate/split the
-    * straddler (the usual LLM pretraining choice) or cap document length
-    * upstream. This keeps packing a single window (no sequential state);
-    * strict never-overflow greedy packing needs a per-shard sequential scan.
-    * At scale, shard by hash first and pack within shards so the window
-    * never globally sorts the corpus.
+  /** Token-budget sequence packing, sharded contiguous-fill flavor.
+    *
+    * Documents are hash-sharded (`shard = pmod(hash(orderCol), numShards)` by
+    * default, or any caller-supplied shard expression), then WITHIN each shard
+    * laid end to end in `orderCol` order with
+    * `bin_id = floor(preceding-token-total-in-shard / budget)`. The packed
+    * identity is the pair (`shard`, `bin_id`). The running-sum window
+    * partitions by shard, so at 100 TB the sort is per-shard-parallel — there
+    * is never a single-partition global window Exchange; `numShards` should be
+    * sized so one shard's rows fit a task comfortably (corpus_tokens /
+    * numShards ≲ a few GiB of (id, count) rows).
+    *
+    * A document that straddles a boundary stays whole in the earlier bin, so
+    * a bin can exceed `budget` by up to that document's length — consumers
+    * either truncate/split the straddler (the usual LLM pretraining choice)
+    * or cap document length upstream. `numShards = 1` degenerates to the
+    * single-sequence global packing (small-data / strict-order use only).
     */
   def packSequences(docs: DataFrame, orderCol: String, tokenCol: String,
-      budget: Long): DataFrame = {
+      budget: Long, numShards: Int = 64, shard: Option[Column] = None): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    require(numShards > 0, "numShards must be positive")
+    val shardCol =
+      if (numShards == 1) lit(0L)
+      else shard.getOrElse(pmod(hash(col(orderCol)), lit(numShards))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
       .orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
+      .withColumn("shard", shardCol)
       .withColumn("__cum_before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("bin_id", floor(col("__cum_before") / budget).cast("long"))
       .drop("__cum_before")

@@ -88,7 +88,8 @@ class TextAnalysisSpec extends SparkTestBase {
       (5L, 3000L),                           // cum_before 2100 -> bin 2 (oversized doc)
       (6L, 10L)                              // cum_before 5100 -> bin 5
     ).toDF("doc_id", "n_tokens")
-    val out = graft.operators.TextAnalysis.packSequences(docs, "doc_id", "n_tokens", 1000L)
+    val out = graft.operators.TextAnalysis
+      .packSequences(docs, "doc_id", "n_tokens", 1000L, numShards = 1)
       .select($"doc_id", $"bin_id").as[(Long, Long)].collect().toMap
     out(1L) shouldBe 0L
     out(2L) shouldBe 0L
@@ -98,9 +99,39 @@ class TextAnalysisSpec extends SparkTestBase {
     out(6L) shouldBe 5L
 
     // invariant: bin ids are monotone in the ordering column
-    val seqd = graft.operators.TextAnalysis.packSequences(docs, "doc_id", "n_tokens", 1000L)
+    val seqd = graft.operators.TextAnalysis
+      .packSequences(docs, "doc_id", "n_tokens", 1000L, numShards = 1)
       .orderBy("doc_id").select($"bin_id").as[Long].collect()
     seqd.sliding(2).foreach { case Array(a, b) => a should be <= b; case _ => }
+  }
+
+  test("sharded packing parallelizes: per-shard bins, no global window") {
+    import spark.implicits._
+    val docs = spark.range(1, 10001).select(
+      $"id".alias("doc_id"), (pmod($"id" * 37L, lit(400L)) + 1L).alias("n_tokens"))
+    val packed = graft.operators.TextAnalysis
+      .packSequences(docs, "doc_id", "n_tokens", 2048L, numShards = 8)
+    val rows = packed.select($"shard", $"doc_id", $"bin_id", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+
+    // nothing lost, every row gets a shard in range and a bin
+    rows.length shouldBe 10000
+    rows.map(_._1).distinct.sorted shouldBe (0L until 8L).toArray
+    // within each shard, bins are monotone in doc_id and start at 0
+    rows.groupBy(_._1).foreach { case (_, shardRows) =>
+      val ordered = shardRows.sortBy(_._2).map(_._3)
+      ordered.head shouldBe 0L
+      ordered.sliding(2).foreach { case Array(a, b) => a should be <= b; case _ => }
+    }
+    // per-(shard,bin) token totals respect budget + one straddler (≤400)
+    rows.groupBy(r => (r._1, r._3)).foreach { case (_, binRows) =>
+      binRows.map(_._4).sum should be <= (2048L + 400L)
+    }
+
+    // the physical plan must not contain a single-partition window Exchange
+    val plan = packed.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning")
+    plan should not include "SinglePartition"
   }
 
   test("source mixing hits target ratios without upsampling, deterministically") {
