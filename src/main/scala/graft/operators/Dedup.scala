@@ -75,6 +75,62 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Candidate pairs from a bucketed table (`__id` + bucket key columns),
+    * with a hot-bucket cap: buckets of ≤ `maxBucketSize` docs emit all pairs
+    * (the classic LSH construction); larger buckets emit STAR pairs to the
+    * bucket's min id instead — k−1 rows, not k², so one viral document
+    * duplicated 100k times can't quadratically stall the stage. Star capping
+    * is lossless for the mass-duplicate case that creates hot buckets
+    * (identical docs all verify against the representative, and connected
+    * components restores the full cluster); what it gives up is DIRECT pair
+    * coverage between near-but-not-identical members of an oversized
+    * bucket. Not silent: capped pairs are emitted with `capped = true`
+    * (callers who need the audit keep the column; the dedup operators drop
+    * it after `bucketStats` logging is possible via [[bucketStats]]).
+    */
+  private def cappedCandidatePairs(bucketed: DataFrame, keyCols: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize > 1, "maxBucketSize must exceed 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val sized = bucketed
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__rep", min(col("__id")).over(w))
+    val small = sized.filter(col("__n") <= maxBucketSize)
+      .select(keyCols.map(col) :+ col("__id"): _*)
+    val smallPairs = small.alias("a").join(small.alias("b"), keyCols)
+      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("capped", lit(false))
+    val starPairs = sized
+      .filter(col("__n") > maxBucketSize && col("__id") =!= col("__rep"))
+      .select(col("__rep").alias("id_a"), col("__id").alias("id_b"))
+      .withColumn("capped", lit(true))
+    smallPairs.unionByName(starPairs)
+      .groupBy(col("id_a"), col("id_b"))
+      // a pair met in any uncapped bucket counts as uncapped
+      .agg(min(col("capped")).alias("capped"))
+  }
+
+  /** Bucket-size diagnostics for a capped LSH run: one row per bucket with
+    * its size and whether it exceeds `maxBucketSize` — the "what was
+    * dropped" audit for the hot-bucket cap (pair coverage inside flagged
+    * buckets is star-shaped, not all-pairs).
+    */
+  def bucketStats(df: DataFrame, idCol: String, textCol: String = "text",
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucketSize: Int = defaultMaxBucketSize): DataFrame =
+    bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
+      .groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).alias("bucket_size"))
+      .withColumn("over_cap", col("bucket_size") > maxBucketSize)
+
+  /** Default hot-bucket cap: all-pairs inside a 256-doc bucket is ~32k
+    * candidate rows — safely within a task; beyond that the quadratic term
+    * dominates and star capping takes over.
+    */
+  val defaultMaxBucketSize: Int = 256
+
   /** Candidate id-pairs → verified pairs: re-attach each side's shingle set
     * by id and keep pairs with Jaccard ≥ `minJaccard`. The joins shuffle the
     * (small) candidate set and the per-doc shingle sets once each — the
@@ -88,6 +144,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).alias("jaccard"))
       .filter(col("jaccard") >= minJaccard)
 
+  /** (id, band, bucket) rows for the banded-LSH join. Banded rows carry ONLY
+    * (id, band, bucket): at scale the LSH shuffle is `bands` 12-byte rows per
+    * doc, not `bands` copies of the shingle set.
+    */
+  private def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    df.select(col(idCol).alias("__id"),
+        TextFunctions.minhashSig(hashedShingles(col(textCol), shingleSize), numHashes)
+          .alias("__sig"))
+      .select(
+        col("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("__sig"), b * rows + 1, lit(rows))))).as(Seq("__band", "__bucket")))
+  }
+
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
@@ -95,29 +168,14 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      minJaccard: Double = 0.8
+      minJaccard: Double = 0.8,
+      maxBucketSize: Int = defaultMaxBucketSize
   ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val withSh = df.select(col(idCol).alias("__id"),
       hashedShingles(col(textCol), shingleSize).alias("__sh"))
-    val withSig = withSh
-      .withColumn("__sig", TextFunctions.minhashSig(col("__sh"), numHashes))
-
-    // Banded rows carry ONLY (id, band, bucket): at scale the LSH shuffle is
-    // `bands` 12-byte rows per doc, not `bands` copies of the shingle set.
-    val banded = withSig.select(
-      col("__id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("__sig"), b * rows + 1, lit(rows))))).as(Seq("__band", "__bucket"))
-    )
-
-    val candidates = banded.alias("a")
-      .join(banded.alias("b"), Seq("__band", "__bucket"))
-      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
+    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
+    val candidates = cappedCandidatePairs(banded, Seq("__band", "__bucket"),
+      maxBucketSize).drop("capped")
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
@@ -185,15 +243,14 @@ object Dedup {
     * rare shingle hash (min shingle hash = cheapest 1-hash MinHash band).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String = "text",
-      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.5,
+      maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
     val withSh = df.select(col(idCol).alias("__id"),
       hashedShingles(col(textCol), n).alias("__sh"))
     val blocked = withSh.select(col("__id"),
       array_min(col("__sh")).alias("__minsh"))
-    val candidates = blocked.alias("a").join(blocked.alias("b"), Seq("__minsh"))
-      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = cappedCandidatePairs(blocked, Seq("__minsh"), maxBucketSize)
+      .drop("capped")
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
@@ -203,14 +260,12 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planeBits: Int = 16, minCosine: Double = 0.95,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
     val vecs = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
     val bucketed = vecs.select(col("__id"),
       Similarity.hyperplaneBucket(col("__v"), dim, planeBits, seed).alias("__bucket"))
-    val candidates = bucketed.alias("a").join(bucketed.alias("b"), Seq("__bucket"))
-      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val candidates = cappedCandidatePairs(bucketed, Seq("__bucket"), maxBucketSize)
+      .drop("capped")
     candidates
       .join(vecs.select(col("__id").alias("id_a"), col("__v").alias("v_a")), Seq("id_a"))
       .join(vecs.select(col("__id").alias("id_b"), col("__v").alias("v_b")), Seq("id_b"))

@@ -143,6 +143,35 @@ class DedupSpec extends SparkTestBase {
       .passed shouldBe true
   }
 
+  test("hot bucket: 10k identical docs yield star pairs, not k-squared") {
+    import spark.implicits._
+    // 10k copies of one doc (every band collides → one 10k bucket per band)
+    // plus a small distinct near-dup pair that must still be found all-pairs.
+    val hot = spark.range(10000).select($"id".alias("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog again and again").alias("text"))
+    val tail = Seq(
+      (20001L, "completely different text about spark shuffles and parquet files"),
+      (20002L, "completely different text about spark shuffles and parquet files")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(hot.unionByName(tail), "doc_id", "text",
+      numHashes = 32, bands = 8, shingleSize = 3, minJaccard = 0.9,
+      maxBucketSize = 64)
+    val n = pairs.count()
+    // star cap: k−1 pairs for the hot cluster (+1 for the tail pair), never
+    // the ~50M all-pairs rows of an uncapped 10k bucket
+    n shouldBe 10000L
+    // connectivity is preserved: connected components still collapses the
+    // whole hot cluster to one representative
+    val comps = Dedup.connectedComponents(pairs.select($"id_a", $"id_b"))
+      .select($"component").distinct().as[Long].collect().sorted
+    comps shouldBe Array(0L, 20001L)
+    // and the oversized buckets are visible to the audit surface
+    val flagged = Dedup.bucketStats(hot.unionByName(tail), "doc_id", "text",
+      numHashes = 32, bands = 8, shingleSize = 3, maxBucketSize = 64)
+      .filter($"over_cap").count()
+    flagged shouldBe 8L // one hot bucket per band
+  }
+
   test("property: jaccard over hashed shingle sets is reflexive, symmetric, bounded") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
