@@ -1,9 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registered query at
+  * `SPARK_GRAFT_SF_DIR`, printing ONE JSON line.
+  *
+  * Each query runs twice: `value`/`queries` report the COLD first run
+  * (comparable across rounds and to the recorded baseline), and
+  * `warm_total`/`queries_warm` the immediately-following warm run —
+  * steady-state numbers with JIT/classloading/scan-setup amortized.
+  *
+  * Failure contract: a failed query is reported as -1, never folded into
+  * either total, AND the process exits nonzero with `"valid":false` in the
+  * JSON — a consumer can never mistake a partial total for a speedup.
+  *
+  * `SPARK_GRAFT_BENCH_FILTER` (comma-separated name substrings) restricts
+  * the set for local iteration; the driver runs unfiltered.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nameFilter: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_FILTER") match {
+      case Some(subs) =>
+        val pats = subs.split(",").toSeq
+        name => pats.exists(name.contains)
+      case None => _ => true
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -13,20 +35,30 @@ object Bench {
     // Warm up codegen/classloading/scan machinery so the first timed query
     // doesn't absorb ~4 s of session startup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // A failed query is reported as -1 (never folded into the total) so a
-    // regression that breaks queries can't masquerade as a speedup.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val queries = SparkEntry.queries.toSeq.filter(kv => nameFilter(kv._1)).sortBy(_._1)
+    val results = queries.map { case (name, fn) =>
+      val cold = try time(fn)
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1.0 }
+      val warm = if (cold < 0) -1.0 else
+        try time(fn)
+        catch { case e: Throwable => System.err.println(s"[bench] $name warm failed: $e"); -1.0 }
+      (name, cold, warm)
+    }
+    def timesJson(sel: ((String, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + sel(r)).mkString("{", ",", "}")
+    val failed = results.collect { case (k, c, w) if c < 0 || w < 0 => "\"" + k + "\"" }
+    val coldTotal = results.map(_._2).filter(_ >= 0).sum
+    val warmTotal = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","valid":${failed.isEmpty},""" +
+      s""""warm_total":$warmTotal,"queries":${timesJson(_._2)},""" +
+      s""""queries_warm":${timesJson(_._3)},""" +
       s""""failures":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -190,38 +190,74 @@ object Dedup {
     * chain A~B~C where A and C are not directly similar, pairwise removal
     * keeps A and C; component-wise keeps only A.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
-      .unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
-      .distinct()
-      .localCheckpoint()
+  /** @param checkpointDir when set, per-round lineage cuts use RELIABLE
+    *   `checkpoint()` into this directory (survives executor loss — required
+    *   at cluster scale; set it to durable storage, e.g. an object-store
+    *   path). When None, `localCheckpoint` (executor-local blocks) is used —
+    *   fine single-node / small-job, but an executor loss aborts the job.
+    * @param smallGraphThreshold edge-count at or below which the component
+    *   labels are computed by a single driver-side union-find pass instead of
+    *   the iterative distributed loop. Near-dup pair graphs are usually tiny
+    *   relative to the corpus (they scale with the duplicate fraction, not
+    *   the corpus), and a bounded collect beats 3–5 whole shuffle rounds of
+    *   scheduling for them. The default (~4M edges ≈ 64 MB of id pairs) is
+    *   safe for any driver; set 0 to force the distributed path.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None,
+      smallGraphThreshold: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val undirected = cut(pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    if (undirected.count() <= smallGraphThreshold)
+      return smallGraphComponents(undirected)
+    // Edges are re-joined every round on dst: pre-hash-partition on dst and
+    // persist, so each round reuses the cached layout instead of re-shuffling
+    // the edge table (the per-round exchange is then labels-only).
+    val edges = cut(undirected
+      .unionByName(undirected.select(col("dst").alias("src"), col("src").alias("dst")))
+      .repartition(col("dst")))
     // init = min(self, min direct neighbor): fuses the first propagation
     // round into label construction (one fewer checkpoint+count round)
-    var labels = edges.groupBy(col("src"))
+    var labels = cut(edges.groupBy(col("src"))
       .agg(least(col("src"), min(col("dst"))).alias("component"))
-      .select(col("src").alias("id"), col("component"))
-      .localCheckpoint()
+      .select(col("src").alias("id"), col("component")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts min(own component, neighbors' components)
+      // One-hop: each node adopts min(own component, neighbors' components).
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").alias("id"))
         .agg(min(col("component")).alias("__nc"))
+      // Two-hop pointer doubling: follow the label's own label
+      // (component values are node ids), so chains contract exponentially —
+      // O(log diameter) rounds instead of O(diameter). Labels only ever
+      // point at reachable ids, so doubling preserves correctness.
+      val viaDouble = labels.alias("l1")
+        .join(labels.alias("l2"), col("l1.component") === col("l2.id"), "left")
+        .select(col("l1.id").alias("id"),
+          col("l2.component").alias("__dc"))
       // keep the previous label in the same frame: change detection is then
       // a filter-count on the checkpointed result, not another join action
-      val updated = labels.join(viaNeighbors, Seq("id"), "left")
+      val updated = cut(labels.join(viaNeighbors, Seq("id"), "left")
+        .join(viaDouble, Seq("id"), "left")
         .select(col("id"), col("component").alias("__prev"),
-          least(col("component"), coalesce(col("__nc"), col("component")))
-            .alias("component"))
-        .localCheckpoint()
+          least(col("component"),
+            least(coalesce(col("__nc"), col("component")),
+              coalesce(col("__dc"), col("component"))))
+            .alias("component")))
       val changed = updated.filter(col("__prev") =!= col("component")).count()
       labels.unpersist() // superseded checkpoint — don't stack maxIter copies
       labels = updated.drop("__prev")
       converged = changed == 0L
       i += 1
     }
+    edges.unpersist()
     // Fail loudly: silently returning partial labels would let duplicate
     // cluster members survive dedup with no signal anywhere downstream.
     if (!converged)
@@ -229,6 +265,32 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "pair-graph diameter exceeds maxIter; raise it")
     labels
+  }
+
+  /** Driver union-find for pair graphs under `smallGraphThreshold`: union by
+    * MIN root with path compression, so each tree's root is the component's
+    * minimum id — identical labels to the distributed min-propagation loop.
+    * The collect is bounded by the caller's threshold (≈64 MB at default).
+    */
+  private def smallGraphComponents(edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("src"), col("dst")).collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "component")
   }
 
   /** SimHash near-dup clustering: 64-bit simhash per doc; docs sharing the

@@ -43,26 +43,32 @@ object CorpusPipeline {
       shingleSize: Int = 3,
       minJaccard: Double = 0.9
   ): (DataFrame, FunnelReport) = {
-    val input = docs.count()
-
-    // Persist each stage frame before its funnel count: the counts are
-    // actions, and without the persists every stage's lineage (scan,
-    // quality scoring, language ID, dedup shuffle) would re-execute for
-    // each downstream boundary.
-    val scored = docs.withColumn("quality_score",
-      TextFunctions.qualityScore(col(textCol), TextAnalysis.defaultStopwords))
-    val quality = scored.filter(col("quality_score") >= minQuality).persist()
-    val langed = quality
+    // One annotated pass over the corpus (quality + language are the two
+    // expensive per-row expressions), persisted once with disk spill; every
+    // stage count then comes from ONE aggregation over the cache instead of
+    // an action per stage boundary. after_exact = countDistinct(fingerprint)
+    // of the survivors — no need to materialize the dedup before counting it.
+    val annotated = docs
+      .withColumn("quality_score",
+        TextFunctions.qualityScore(col(textCol), TextAnalysis.defaultStopwords))
       .withColumn("lang_pred", TextAnalysis.langIdCol(col(textCol)))
-      .filter(col("lang_pred").isin(allowedLangs: _*))
-      .persist()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qOk = col("quality_score") >= minQuality
+    val lOk = qOk && col("lang_pred").isin(allowedLangs: _*)
+    val langed = annotated.filter(lOk)
     // Deterministic survivor (min doc_id per fingerprint) so curation is
     // reproducible run to run.
     val exact = Dedup.exactByContentKeepMin(langed, "doc_id", textCol).persist()
     try {
-      val nQuality = quality.count()
-      val nLang    = langed.count()
-      val nExact   = exact.count()
+      val stats = annotated.agg(
+        count(lit(1)).alias("input"),
+        coalesce(sum(when(qOk, 1L)), lit(0L)).alias("q"),
+        coalesce(sum(when(lOk, 1L)), lit(0L)).alias("l"),
+        countDistinct(when(lOk, md5(lower(trim(col(textCol)))))).alias("e")).head()
+      val input    = stats.getLong(0)
+      val nQuality = stats.getLong(1)
+      val nLang    = stats.getLong(2)
+      val nExact   = stats.getLong(3)
 
       // Near-dup kill-list via CONNECTED COMPONENTS over the pair graph:
       // each transitive cluster keeps its minimum id (pairwise removal would
@@ -78,7 +84,7 @@ object CorpusPipeline {
 
       (curated.localCheckpoint(), FunnelReport(input, nQuality, nLang, nExact, nFinal))
     } finally {
-      quality.unpersist(); langed.unpersist(); exact.unpersist()
+      annotated.unpersist(); exact.unpersist()
     }
   }
 }

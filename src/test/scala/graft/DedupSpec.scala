@@ -93,6 +93,33 @@ class DedupSpec extends SparkTestBase {
     comps(22L) shouldBe 20L
   }
 
+  test("pointer doubling: a 200-deep chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // one-hop min propagation needs ~200 rounds here; doubling needs ~8
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 12,
+        smallGraphThreshold = 0L) // force the distributed loop
+      .select($"component").distinct().as[Long].collect()
+    comps shouldBe Array(0L)
+  }
+
+  test("distributed loop, reliable checkpoint, and union-find paths agree") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 10L)).toDF("id_a", "id_b")
+    val viaUnionFind = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaDistributed = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    val viaReliable = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    viaDistributed shouldBe viaUnionFind
+    viaReliable shouldBe viaUnionFind
+    viaUnionFind shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 30L -> 10L)
+  }
+
   test("property: component labels are the true minimum over a random graph") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
@@ -100,7 +127,10 @@ class DedupSpec extends SparkTestBase {
       .map(_.filter(e => e._1 != e._2))
     val prop = Prop.forAll(edgeGen) { edges =>
       edges.isEmpty || {
-        val comps = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        // force the distributed loop — the driver union-find path is the
+        // in-test reference below, so it must not be the implementation too
+        val comps = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            smallGraphThreshold = 0L)
           .as[(Long, Long)].collect().toMap
         // reference union-find on the driver
         val parent = scala.collection.mutable.Map[Long, Long]()
