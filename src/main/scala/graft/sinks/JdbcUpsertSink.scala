@@ -32,10 +32,75 @@ object JdbcUpsertSink {
     s"${insertIgnoreSql(table, columns, keys).stripSuffix(" DO NOTHING")} DO UPDATE SET $sets"
   }
 
-  /** Execute `sql` for every row of `df`, batched per partition. */
+  /** SQL type for a CAST in the ANSI MERGE source row — parameters inside a
+    * `USING (VALUES …)` derived table are untyped in strict engines (Derby),
+    * so every placeholder is cast from the DataFrame schema.
+    */
+  def sqlType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType        => "BIGINT"
+      case IntegerType     => "INTEGER"
+      case ShortType       => "SMALLINT"
+      case DoubleType      => "DOUBLE"
+      case FloatType       => "REAL"
+      case BooleanType     => "BOOLEAN"
+      case DateType        => "DATE"
+      case TimestampType   => "TIMESTAMP"
+      // Derby/DB2 cap DECIMAL precision at 31 (Spark's default is 38,18)
+      case d: DecimalType =>
+        val p = math.min(d.precision, 31)
+        s"DECIMAL($p,${math.min(d.scale, p)})"
+      case StringType      => "VARCHAR(4000)"
+      case other => throw new IllegalArgumentException(
+        s"no JDBC merge mapping for ${other.simpleString}")
+    }
+  }
+
+  /** A generated statement plus the DataFrame-column order its `?`
+    * placeholders bind in (a column may repeat — MERGE references the key
+    * in the ON clause and again in the INSERT values).
+    */
+  final case class Statement(sql: String, paramColumns: Seq[String])
+
+  /** ANSI `MERGE INTO` upsert for engines whose MERGE source must be a base
+    * table (Derby, DB2): the one-row dummy table `SYSIBM.SYSDUMMY1` drives
+    * the merge and every value arrives as a CAST parameter in the clause
+    * that needs it — keys in ON, all columns in INSERT, non-keys in UPDATE
+    * (`updateOnMatch = true`) or no matched-clause at all (insert-ignore).
+    * Parameters inside MERGE are untyped in strict engines, hence the casts
+    * from the DataFrame schema.
+    */
+  def mergeSql(table: String, schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String], updateOnMatch: Boolean): Statement = {
+    val columns = schema.fields.map(_.name).toSeq
+    require(keys.nonEmpty && keys.forall(columns.contains), s"keys $keys must be columns")
+    def cast(c: String): String =
+      s"CAST(? AS ${sqlType(schema(c).dataType)})"
+    val on  = keys.map(k => s"t.$k = ${cast(k)}").mkString(" AND ")
+    val ins = columns.map(cast).mkString(", ")
+    val nonKeys = columns.filterNot(keys.contains)
+    val matched =
+      if (updateOnMatch && nonKeys.nonEmpty)
+        s" WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"$c = ${cast(c)}").mkString(", ")}"
+      else ""
+    Statement(
+      s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d " +
+        s"ON $on WHEN NOT MATCHED THEN INSERT (${columns.mkString(", ")}) VALUES ($ins)" +
+        matched,
+      keys ++ columns ++ (if (matched.nonEmpty) nonKeys else Nil))
+  }
+
+  /** Execute `sql` for every row of `df`, batched per partition. Placeholders
+    * bind df's columns in order; pass `paramColumns` when the statement
+    * references columns in a different order or more than once (MERGE).
+    */
   def write(df: DataFrame, jdbcUrl: String, props: java.util.Properties, sql: String,
-      batchSize: Int = 1000): Unit = {
+      batchSize: Int = 1000, paramColumns: Seq[String] = Nil): Unit = {
     val columns = df.columns
+    val paramIdx = (if (paramColumns.isEmpty) columns.toSeq else paramColumns)
+      .map(c => columns.indexOf(c))
+    require(paramIdx.forall(_ >= 0), s"paramColumns must be df columns")
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
@@ -44,7 +109,9 @@ object JdbcUpsertSink {
           val st = conn.prepareStatement(sql)
           var n  = 0
           rows.foreach { r =>
-            columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+            paramIdx.zipWithIndex.foreach { case (ci, pi) =>
+              st.setObject(pi + 1, r.get(ci))
+            }
             st.addBatch()
             n += 1
             if (n % batchSize == 0) st.executeBatch()
@@ -55,4 +122,13 @@ object JdbcUpsertSink {
       }
     }
   }
+
+  /** Convenience: run a generated [[Statement]] against `df`. */
+  def write(df: DataFrame, jdbcUrl: String, props: java.util.Properties,
+      st: Statement, batchSize: Int): Unit =
+    write(df, jdbcUrl, props, st.sql, batchSize, st.paramColumns)
+
+  def write(df: DataFrame, jdbcUrl: String, props: java.util.Properties,
+      st: Statement): Unit =
+    write(df, jdbcUrl, props, st.sql, 1000, st.paramColumns)
 }
