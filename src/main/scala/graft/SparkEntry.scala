@@ -1403,7 +1403,8 @@ object SparkEntry {
         |scored AS (
         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |         ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+        |           ORDER BY ROUND(CAST(list_cosine_similarity(q.embedding, e.embedding)
+        |                     AS DOUBLE), 6) DESC,
         |                    e.vec_id ASC) AS rank
         |  FROM q CROSS JOIN (SELECT vec_id, embedding FROM embeddings) e
         |  WHERE e.vec_id <> q.vec_id)

@@ -56,7 +56,10 @@ object Similarity {
       HyperplaneLsh(GraftSqlBridge.expression(vec), randomPlanes(dim, bits, seed), dim))
 
   /** Exact top-k neighbors per query: broadcast queries × corpus scan +
-    * per-query rank. `queries` must be small (it is broadcast).
+    * per-query rank. `queries` must be small (it is broadcast). Ranking
+    * orders by cosine ROUNDED to 6 decimals (ties broken by neighbor id) so
+    * ranks are stable against last-ulp float-accumulation differences across
+    * engines and replays.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
@@ -66,7 +69,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosineSim(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -128,7 +131,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosineSim(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
     candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -156,7 +159,7 @@ object Similarity {
       .withColumn("cosine", VectorFunctions.cosineSim(col("__qv"), col("__cv")))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
     candidates
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

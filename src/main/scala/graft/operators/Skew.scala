@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt: murmur3 over EVERY column of `df`. A hot
+    * key whose rows share one value (a constant or null-heavy metric — the
+    * canonical skew case) still fans out as long as anything else in the row
+    * varies; only fully-identical duplicate rows share a salt bucket.
+    * Row-content hashing keeps replays stable under repartitioning, which
+    * partition-id or rand() salts do not.
+    */
+  private[graft] def rowSalt(df: DataFrame, buckets: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(buckets))
+
   /** Two-phase salted sum/count/min/max/avg of `valueCol` by `keys`.
-    * Deterministic salt (murmur3 of the value) so replays are stable; sums
-    * accumulate in decimal so the merge order can't perturb doubles.
+    * Deterministic salt (murmur3 of the whole row) so replays are stable;
+    * sums accumulate in decimal so the merge order can't perturb doubles.
     * Output columns: keys, `sum_val`, `n`, `min_val`, `max_val`, `avg_val`.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
@@ -29,7 +39,7 @@ object Skew {
     val keyCols = keys.map(col)
     val v = col(valueCol)
     val partial = df
-      .withColumn("__salt", pmod(hash(v), lit(buckets)))
+      .withColumn("__salt", rowSalt(df, buckets))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(
         sum(v.cast("decimal(18,6)")).alias("__psum"),

@@ -45,17 +45,12 @@ object Compaction {
       if (sortCols.nonEmpty) df.repartitionByRange(nOut, sortCols.map(col): _*)
       else df.repartition(nOut)
 
-    val staging = new Path(dirPath.getParent, s".compact-${java.util.UUID.randomUUID}")
-    shaped.write.mode("overwrite").parquet(staging.toString)
-
-    val backup = new Path(dirPath.getParent, s".precompact-${java.util.UUID.randomUUID}")
-    if (!fs.rename(dirPath, backup))
-      throw new java.io.IOException(s"compaction: cannot move $dirPath aside")
-    if (!fs.rename(staging, dirPath)) {
-      fs.rename(backup, dirPath) // roll back
-      throw new java.io.IOException(s"compaction: cannot publish $staging")
+    // LakeSink's stage-and-swap: staging is cleaned up on ANY failure (no
+    // orphaned .compact-* dirs from repeated failing runs), the live dir is
+    // moved aside—not deleted—before publish, and restored if publish fails.
+    LakeSink.stageAndSwap(fs, dirPath) { staging =>
+      shaped.write.mode("overwrite").parquet(staging.toString)
     }
-    fs.delete(backup, true)
 
     CompactionResult(before.size, parquetFiles(spark, dirPath).size, bytes, rows)
   }

@@ -179,26 +179,38 @@ object EventsStreaming {
         Iterator.single(UserSession(userId, new java.sql.Timestamp(s.start),
           new java.sql.Timestamp(s.end), s.n, s.sum))
       } else {
-        var closed = List.empty[UserSession]
-        var cur = state.getOption
-        events.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
-            case Some(s) =>
-              closed ::= UserSession(userId, new java.sql.Timestamp(s.start),
-                new java.sql.Timestamp(s.end), s.n, s.sum)
-              cur = Some(SessionState(t, t, 1L, e.value))
-            case None =>
-              cur = Some(SessionState(t, t, 1L, e.value))
-          }
+        // Interval sweep over (open state session + batch events) sorted by
+        // start time: clusters within `gapMs` merge (a cross-batch late event
+        // inside the watermark can EXTEND the open session backwards —
+        // session_start = min); clusters separated by more than the gap stay
+        // distinct, so a late event hours before the open session forms and
+        // closes its own earlier session instead of being silently absorbed.
+        // Only the latest cluster stays open in state. Limitation (inherent
+        // to single-session state): a closed earlier cluster is emitted now;
+        // an even-later batch targeting that same window would start a fresh
+        // session rather than reopen it.
+        val items = (state.getOption.toSeq ++
+          events.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+          .sortBy(s => (s.start, s.end))
+        val clusters = items.foldLeft(List.empty[SessionState]) {
+          case (h :: tail, iv) if iv.start - h.end <= gapMs =>
+            SessionState(h.start, math.max(h.end, iv.end), h.n + iv.n, h.sum + iv.sum) :: tail
+          case (acc, iv) => iv :: acc
+        } // head = latest cluster
+        val open = clusters.head
+        // A cluster built entirely from late events can already be expired
+        // relative to the watermark — setTimeoutTimestamp would reject a
+        // past timestamp, so close it now instead of keeping it open.
+        val expired = open.end + gapMs <= state.getCurrentWatermarkMs()
+        if (expired) state.remove()
+        else {
+          state.update(open)
+          state.setTimeoutTimestamp(open.end + gapMs)
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
-        closed.reverseIterator
+        val toClose = if (expired) clusters else clusters.tail
+        toClose.reverseIterator.map(s =>
+          UserSession(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end), s.n, s.sum))
       }
     }
 

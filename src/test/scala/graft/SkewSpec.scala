@@ -32,4 +32,24 @@ class SkewSpec extends SparkTestBase {
     val hot = out.find(_.getString(0) == "hot").get
     hot.getAs[Long]("n") shouldBe 99000L
   }
+
+  test("constant-value hot key still fans out over salt buckets") {
+    // The canonical skew shape: one hot key whose METRIC is a constant.
+    // A value-hash salt would put all 50k rows in one bucket; the row-hash
+    // salt spreads them because the id column varies.
+    val skewed = spark.range(50000).select(
+      lit("hot").alias("k"), lit(0.0).alias("v"), $"id")
+    val spread = skewed
+      .select(Skew.rowSalt(skewed, 32).alias("salt"))
+      .agg(countDistinct($"salt").alias("d"), max($"salt").alias("mx"),
+        min($"salt").alias("mn"))
+      .head()
+    spread.getAs[Long]("d").toInt should be >= 24 // ~all 32 buckets in use
+    spread.getAs[Int]("mn") should be >= 0
+    spread.getAs[Int]("mx") should be <= 31
+    // and the aggregate is still exact
+    val out = Skew.saltedAgg(skewed, Seq("k"), "v", buckets = 32).head()
+    out.getAs[Long]("n") shouldBe 50000L
+    out.getAs[Double]("sum_val") shouldBe 0.0
+  }
 }

@@ -154,4 +154,42 @@ class StreamingSpec extends SparkTestBase {
       out should contain ((2L, 1L, 4.0))
     } finally q.stop()
   }
+
+  test("sessionize handles cross-batch late events inside the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+
+    val sessions = EventsStreaming.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream
+      .format("memory").queryName("t_late_sessions").outputMode("append").start()
+    try {
+      // batch 1 opens a session at 10:00 (watermark = 10:05 − 1h, so
+      // anything after 09:05 is in-watermark)
+      input.addData(
+        Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        Event(2L, ts("2024-01-01 10:05:00"), 1L, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2 (watermark now 09:05): a late event 20 min BEFORE the open
+      // session start must extend the session backwards (within gap), and
+      // one at 09:06 — in-watermark but > gap before both the session and
+      // the other late event — must close as its own separate earlier
+      // session, not be absorbed.
+      input.addData(
+        Event(3L, ts("2024-01-01 09:40:00"), 1L, "click", 4.0),
+        Event(4L, ts("2024-01-01 09:06:00"), 1L, "click", 8.0))
+      q.processAllAvailable()
+      // push the watermark forward so the open session times out.
+      input.addData(Event(99L, ts("2024-01-02 12:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+
+      val out = spark.table("t_late_sessions").filter($"user_id" === 1L)
+        .select($"session_start".cast("string"), $"session_end".cast("string"),
+          $"n_events", $"sum_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      out shouldBe Set(
+        ("2024-01-01 09:06:00", "2024-01-01 09:06:00", 1L, 8.0),  // separate earlier
+        ("2024-01-01 09:40:00", "2024-01-01 10:05:00", 3L, 7.0))  // extended backwards
+    } finally q.stop()
+  }
 }
