@@ -85,6 +85,24 @@ object SparkEntry {
           upper(col("c_mktsegment")).alias("segment"))
         .orderBy("c_custkey")),
 
+    // ---- EP3 flat-table shape: the v1 pipeline's 6-col projection with
+    // BIGINT market_cap + injected wall-clock stamp, exercised through
+    // FlatPipeline.transform itself on a bronze-shaped testdata frame.
+    "q_flat_table" -> ((s, dir) => {
+      val bronzeish = t(s, dir, "part").select(
+        concat(lit("part-"), col("p_partkey")).alias("id"),
+        lower(col("p_brand")).alias("symbol"),
+        col("p_name").alias("name"),
+        col("p_retailprice").alias("current_price"),
+        floor(col("p_retailprice") * 1000).cast("long").alias("market_cap"),
+        (col("p_size") / 10.0).alias("price_change_percentage_24h"))
+      graft.pipeline.FlatPipeline
+        .transform(bronzeish, java.sql.Timestamp.valueOf("2026-01-13 08:00:00"))
+        .withColumn("last_updated",
+          date_format(col("last_updated"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("id")
+    }),
+
     // ---- P7: filter predicates (quality-gate shapes) -------------------
     "q_filter_predicates" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -866,6 +884,15 @@ object SparkEntry {
       """SELECT c_custkey, 'cryptocurrency' AS category,
         |       c_acctbal + 100.0 AS bal_adj, UPPER(c_mktsegment) AS segment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_flat_table" ->
+      """SELECT 'part-' || CAST(p_partkey AS VARCHAR) AS id,
+        |       LOWER(p_brand) AS symbol, p_name AS name,
+        |       p_retailprice AS current_price,
+        |       CAST(FLOOR(p_retailprice * 1000) AS BIGINT) AS market_cap,
+        |       p_size / 10.0 AS price_change_percentage_24h,
+        |       '2026-01-13 08:00:00' AS last_updated
+        |FROM part ORDER BY id""".stripMargin,
 
     "q_filter_predicates" ->
       """SELECT l_returnflag AS flag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
