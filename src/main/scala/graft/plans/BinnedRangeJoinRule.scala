@@ -24,10 +24,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * null key and never matches; a null bound makes `sequence` null and the
   * Generate emits nothing — both match the predicate's behavior).
   *
-  * Off by default; enabled by setting the bin width:
-  * `SET spark.graft.rangejoin.binwidth=<numeric>`. Pick it near the typical
-  * interval width. Joins that already have an equi-predicate are left alone
-  * (they hash-join fine without help).
+  * Bin width comes from `SET spark.graft.rangejoin.binwidth=<numeric>`
+  * (pick it near the typical interval width), or — when the conf is unset
+  * and CBO column statistics exist on the interval bounds (ANALYZE TABLE …
+  * FOR COLUMNS, `spark.sql.cbo.enabled=true`) — it is DERIVED as
+  * `(max(hi) − min(lo)) / rowCount`: the average domain share per interval,
+  * i.e. ~rowCount bins over the span, which keeps both the per-interval
+  * explode factor and the per-bin population near 1 for
+  * partition-the-domain interval sets. Joins that already have an
+  * equi-predicate are left alone (they hash-join fine without help), and
+  * with neither conf nor stats the join is untouched.
   */
 case class BinnedRangeJoinRule() extends Rule[LogicalPlan] {
 
@@ -97,40 +103,70 @@ case class BinnedRangeJoinRule() extends Rule[LogicalPlan] {
   private def binOf(e: Expression, width: Double): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(width))), LongType)
 
+  private def statNum(v: Any): Option[Double] = v match {
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case n: java.lang.Number                   => Some(n.doubleValue())
+    case _                                     => None
+  }
+
+  /** Conf width when set; otherwise derived from the interval side's CBO
+    * column stats: span(min(lo)..max(hi)) / rowCount. None = don't rewrite.
+    */
+  private def widthFor(confWidth: String, intervals: LogicalPlan,
+      lo: Expression, hi: Expression): Option[Double] = {
+    if (confWidth.nonEmpty) {
+      val w = confWidth.toDouble
+      require(w > 0, s"$confKey must be positive, got $w")
+      return Some(w)
+    }
+    (lo.references.toSeq, hi.references.toSeq) match {
+      case (Seq(la), Seq(ha)) =>
+        val st = intervals.stats
+        for {
+          n      <- st.rowCount if n > 0
+          loStat <- st.attributeStats.get(la)
+          hiStat <- st.attributeStats.get(ha)
+          lmin   <- loStat.min.flatMap(statNum)
+          hmax   <- hiStat.max.flatMap(statNum)
+          if hmax > lmin
+        } yield (hmax - lmin) / n.toDouble
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(confKey, "")
-    if (width.isEmpty) return plan
-    val w = width.toDouble
-    require(w > 0, s"$confKey must be positive, got $w")
+    val confWidth = conf.getConfString(confKey, "")
 
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if left.resolved && right.resolved =>
         val conjuncts = splitConjuncts(cond)
         if (hasCrossEquality(conjuncts, left, right)) j
-        else findRange(conjuncts, left, right) match {
-          case None => j
-          case Some(RangeMatch(p, lo, hi, pointOnLeft)) =>
-            val (points, intervals) = if (pointOnLeft) (left, right) else (right, left)
+        else (for {
+          RangeMatch(p, lo, hi, pointOnLeft) <- findRange(conjuncts, left, right)
+          intervals0 = if (pointOnLeft) right else left
+          w <- widthFor(confWidth, intervals0, lo, hi)
+        } yield {
+          val (points, intervals) = if (pointOnLeft) (left, right) else (right, left)
 
-            val pBinAlias = Alias(binOf(p, w), "__graft_bin")()
-            val pointsP   = Project(points.output :+ pBinAlias, points)
+          val pBinAlias = Alias(binOf(p, w), "__graft_bin")()
+          val pointsP   = Project(points.output :+ pBinAlias, points)
 
-            // Sequence is timezone-aware (for date/timestamp ranges) and is
-            // unresolved until a timeZoneId is attached, even for longs.
-            val seq = Sequence(binOf(lo, w), binOf(hi, w), None,
-              Some(conf.sessionLocalTimeZone))
-            val ivBinAttr = AttributeReference("__graft_bin_iv", LongType, nullable = false)()
-            val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
-              qualifier = None, generatorOutput = Seq(ivBinAttr), child = intervals)
+          // Sequence is timezone-aware (for date/timestamp ranges) and is
+          // unresolved until a timeZoneId is attached, even for longs.
+          val seq = Sequence(binOf(lo, w), binOf(hi, w), None,
+            Some(conf.sessionLocalTimeZone))
+          val ivBinAttr = AttributeReference("__graft_bin_iv", LongType, nullable = false)()
+          val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+            qualifier = None, generatorOutput = Seq(ivBinAttr), child = intervals)
 
-            val binEq = EqualTo(pBinAlias.toAttribute, ivBinAttr)
-            val (newLeft, newRight) =
-              if (pointOnLeft) (pointsP, gen) else (gen, pointsP)
-            val rewritten = Join(newLeft, newRight, Inner,
-              Some(And(binEq, cond)), hint)
-            Project(j.output, rewritten)
-        }
+          val binEq = EqualTo(pBinAlias.toAttribute, ivBinAttr)
+          val (newLeft, newRight) =
+            if (pointOnLeft) (pointsP, gen) else (gen, pointsP)
+          val rewritten = Join(newLeft, newRight, Inner,
+            Some(And(binEq, cond)), hint)
+          Project(j.output, rewritten)
+        }).getOrElse(j)
     }
   }
 }

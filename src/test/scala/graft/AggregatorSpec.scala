@@ -53,4 +53,48 @@ class AggregatorSpec extends SparkTestBase {
     val est = df.agg(hll(col("k"))).as[Long].head()
     est.toDouble shouldBe 100.0 +- 2.0
   }
+
+  // ---- kernel-level laws (no Spark jobs): drive reduce/merge/finish -----
+
+  private def sketchOf(hll: Aggregators.HyperLogLog, keys: Seq[String]): Array[Byte] =
+    keys.foldLeft(hll.zero)((b, k) => hll.reduce(b, k))
+
+  test("HLL error stays within 3 sigma of 1.04/sqrt(m) across the full range") {
+    val hll = new Aggregators.HyperLogLog(12)
+    val bound = 3.0 * 1.04 / math.sqrt(4096.0) // ≈ 4.9%
+    // spans the old linear-counting regime, the old bias-corrected gap
+    // (n ≈ 2.5m..5m), and deep raw-estimator territory
+    Seq(10, 100, 1000, 4000, 10000, 16000, 50000, 200000).foreach { n =>
+      val est = hll.finish(sketchOf(hll, (0 until n).map(i => s"e$i")))
+      withClue(s"n=$n est=$est: ") {
+        math.abs(est - n).toDouble / n should be < math.max(bound, 2.0 / n)
+      }
+    }
+  }
+
+  test("property: HLL merge is commutative, associative, and has zero as identity") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val hll = new Aggregators.HyperLogLog(12)
+    // structural comparison on canonical register content — estimates alone
+    // could mask register-level divergence
+    def regs(buf: Array[Byte]): Seq[Byte] = hll.registers(buf)
+    val keysGen = Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 999).map(i => s"k$i")))
+    val prop = Prop.forAll(keysGen, keysGen, keysGen) { (ka, kb, kc) =>
+      def s(keys: Seq[String]) = sketchOf(hll, keys)
+      val ab_c = hll.merge(hll.merge(s(ka), s(kb)), s(kc))
+      val a_bc = hll.merge(s(ka), hll.merge(s(kb), s(kc)))
+      val ba   = hll.merge(s(kb), s(ka))
+      val ab   = hll.merge(s(ka), s(kb))
+      val aId  = hll.merge(s(ka), hll.zero)
+      val union = sketchOf(hll, ka ++ kb ++ kc)
+      regs(ab_c) == regs(a_bc) &&
+        regs(ab) == regs(ba) &&
+        regs(aId) == regs(s(ka)) &&
+        // merge of partials is EXACTLY the sketch of the concatenated stream
+        regs(ab_c) == regs(union)
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+      .passed shouldBe true
+  }
 }

@@ -65,4 +65,41 @@ class ExtensionsSpec extends SparkTestBase {
       rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
     } finally extSpark.conf.unset("spark.graft.rangejoin.binwidth")
   }
+
+  test("BinnedRangeJoinRule derives bin width from CBO column stats when conf unset") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    extSpark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .write.mode("overwrite").saveAsTable("cust_stats_t")
+    extSpark.read.parquet(s"$sfDir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_acctbal"))
+      .write.mode("overwrite").saveAsTable("supp_stats_t")
+    try {
+      extSpark.sql(
+        "ANALYZE TABLE supp_stats_t COMPUTE STATISTICS FOR COLUMNS s_acctbal")
+      val sql =
+        """SELECT c_custkey, s_suppkey FROM cust_stats_t JOIN supp_stats_t
+          |  ON c_acctbal >= s_acctbal - 50 AND c_acctbal <= s_acctbal + 50""".stripMargin
+
+      // CBO off: no column stats reach the rule → untouched nested loop.
+      extSpark.conf.set("spark.sql.cbo.enabled", "false")
+      val naive = extSpark.sql(sql)
+      naive.queryExecution.executedPlan.toString() should include("BroadcastNestedLoop")
+      val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      // CBO on, conf still unset: width derived from the analyzed stats.
+      extSpark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val rewritten = extSpark.sql(sql)
+        val plan = rewritten.queryExecution.executedPlan.toString()
+        plan should not include "BroadcastNestedLoop"
+        plan should include("HashJoin")
+        rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+      } finally extSpark.conf.set("spark.sql.cbo.enabled", "false")
+    } finally {
+      extSpark.sql("DROP TABLE IF EXISTS cust_stats_t")
+      extSpark.sql("DROP TABLE IF EXISTS supp_stats_t")
+    }
+  }
 }
