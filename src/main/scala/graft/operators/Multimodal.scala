@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * through the engine as opaque `binary` columns with typed metadata structs;
   * decode / feature-extract run as partition-batched transforms.
   *
-  * Image decode is REAL for formats the JDK reads (PNG/JPEG/GIF/BMP via
-  * `javax.imageio`, in-memory). Audio/video decode — no codecs ship in this
-  * container — is a clearly-marked deterministic STUB; the Spark-side
-  * plumbing (schema, partition batching, typed signatures, binary hygiene)
-  * is real and tested, and swapping the stub for a JNI/codec call changes
-  * nothing structural.
+  * Decode is REAL wherever the JDK (or a pure header parse) suffices:
+  * images via `javax.imageio` (PNG/JPEG/GIF/BMP), audio via
+  * `javax.sound.sampled` (WAV/AIFF/AU), and MP4/MOV container metadata via
+  * an ISO-BMFF box parse (duration + track dimensions, no codec needed).
+  * Pixel/sample decode for codec formats — none ship in this container —
+  * remains a clearly-marked deterministic STUB; the Spark-side plumbing
+  * (schema, partition batching, typed signatures, binary hygiene) is real
+  * and tested, and swapping a JNI/codec call in changes nothing structural.
   *
   * Scale posture: decode is a narrow `mapPartitions` (no shuffle); payload
   * bytes never pass through a wide transform; repartitioning for decoder
@@ -83,11 +85,72 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
-  /** Decode kernel: REAL for images (javax.imageio: PNG/JPEG/GIF/BMP) and
-    * audio (javax.sound.sampled: WAV/AIFF/AU) the JDK can read;
-    * deterministic STUB for video and unrecognized bytes (no video codecs
-    * ship in this container — swapping a real one in changes nothing
-    * structural).
+  /** ISO-BMFF (MP4/MOV) metadata parse — a REAL header decode with no codec
+    * dependency: walk the top-level box list to `moov`, read `mvhd` for
+    * (timescale, duration) → duration_ms, and the first `trak/tkhd` with
+    * nonzero dimensions for width/height (stored as 16.16 fixed point).
+    * Returns None when the bytes aren't a parseable ISO-BMFF stream.
+    * Box layout per ISO/IEC 14496-12 (public spec): 4-byte big-endian size +
+    * 4-byte type; size 1 = 64-bit largesize follows; size 0 = to end.
+    */
+  private[graft] def mp4Decode(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload) // big-endian
+      def u32(at: Int): Long = bb.getInt(at) & 0xffffffffL
+      def u16(at: Int): Int = bb.getShort(at) & 0xffff
+      // (type, contentStart, contentEnd) for each box in [start, end)
+      def boxes(start: Int, end: Int): Iterator[(String, Int, Int)] =
+        new Iterator[(String, Int, Int)] {
+          private var off = start
+          def hasNext: Boolean = off + 8 <= end
+          def next(): (String, Int, Int) = {
+            var size = u32(off)
+            val typ = new String(payload, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+            var hdr = 8L
+            if (size == 1) { size = bb.getLong(off + 8); hdr = 16 }
+            else if (size == 0) size = end - off
+            if (size < hdr || off + size > end) { off = end; ("", end, end) }
+            else {
+              val res = (typ, off + hdr.toInt, off + size.toInt)
+              off += size.toInt
+              res
+            }
+          }
+        }
+      def find(start: Int, end: Int, typ: String): Option[(Int, Int)] =
+        boxes(start, end).collectFirst { case (`typ`, s, e) => (s, e) }
+      for {
+        (moovS, moovE) <- find(0, payload.length, "moov")
+        (mvhdS, _)     <- find(moovS, moovE, "mvhd")
+      } yield {
+        val v = payload(mvhdS) & 0xff
+        val (timescale, duration) =
+          if (v == 1) (u32(mvhdS + 20), bb.getLong(mvhdS + 24))
+          else (u32(mvhdS + 12), u32(mvhdS + 16))
+        val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+        // first video track's tkhd with nonzero 16.16 fixed-point dims
+        val dims = boxes(moovS, moovE).collect { case ("trak", s, e) => (s, e) }
+          .flatMap { case (s, e) => find(s, e, "tkhd") }
+          .map { case (s, _) =>
+            val tv = payload(s) & 0xff
+            val base = if (tv == 1) s + 4 + 32 else s + 4 + 20
+            // base points past creation/mod/trackID/reserved/duration;
+            // then reserved(8) layer(2) alt(2) volume(2) reserved(2) matrix(36)
+            val wAt = base + 8 + 2 + 2 + 2 + 2 + 36
+            (u16(wAt), u16(wAt + 4)) // integer part of 16.16
+          }
+          .collectFirst { case (w, h) if w > 0 && h > 0 => (w, h) }
+          .getOrElse((0, 0))
+        (dims._1, dims._2, durMs)
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode kernel: REAL for images (javax.imageio: PNG/JPEG/GIF/BMP),
+    * audio (javax.sound.sampled: WAV/AIFF/AU), and MP4/MOV container
+    * metadata (ISO-BMFF box parse — duration and track dimensions without
+    * any codec); deterministic STUB for other video bytes and unrecognized
+    * payloads (no codecs ship in this container — swapping a real one in
+    * changes nothing structural).
     */
   private[operators] def stubDecode(kind: String, payload: Array[Byte]): (Int, Int, Int, Long) = {
     if (payload == null || payload.isEmpty) (0, 0, 0, 0L)
@@ -104,7 +167,14 @@ object Multimodal {
             case Some((c, d)) => (0, 0, c, d)
             case None         => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L)
           }
-        case "video" => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, (h % 600000L) + 1L)
+        case "video" =>
+          mp4Decode(payload) match {
+            case Some((w, ht, d)) if d > 0 =>
+              (if (w > 0) w else ((h % 1920) + 1).toInt,
+                if (ht > 0) ht else ((h / 7 % 1080) + 1).toInt, 3, d)
+            case _ =>
+              (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, (h % 600000L) + 1L)
+          }
         case _       => (0, 0, 0, 0L)
       }
     }

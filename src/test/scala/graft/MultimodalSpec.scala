@@ -42,6 +42,49 @@ class MultimodalSpec extends SparkTestBase {
     video.foreach { d => d.width should be > 0; d.duration_ms should be > 0L }
   }
 
+  test("MP4 box parse reads real duration and track dimensions") {
+    // Minimal ISO-BMFF stream assembled per ISO/IEC 14496-12: ftyp, then
+    // moov{mvhd(timescale 1000, duration 5000), trak{tkhd(640x360 16.16)}}.
+    def be32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def box(typ: String, content: Array[Byte]): Array[Byte] =
+      be32(8 + content.length) ++ typ.getBytes("ISO-8859-1") ++ content
+    val mvhd = box("mvhd",
+      be32(0) ++                       // version 0 + flags
+        be32(0) ++ be32(0) ++          // creation, modification
+        be32(1000) ++ be32(5000) ++    // timescale, duration → 5000 ms
+        Array.fill[Byte](80)(0))       // rate..next_track_id padding
+    val tkhd = box("tkhd",
+      be32(0) ++                                  // version 0 + flags
+        be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(5000) ++
+        Array.fill[Byte](8 + 2 + 2 + 2 + 2 + 36)(0) ++
+        be32(640 << 16) ++ be32(360 << 16))       // width, height (16.16)
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+
+    Multimodal.mp4Decode(mp4) shouldBe Some((640, 360, 5000L))
+
+    // end to end through the typed decode path
+    val ds = spark.createDataset(Seq(MediaRow(7L, "video", "v.mp4", mp4)))
+    val d = Multimodal.decode(ds).collect().head
+    d.duration_ms shouldBe 5000L
+    d.width shouldBe 640
+    d.height shouldBe 360
+
+    // 64-bit version-1 mvhd parses too
+    val mvhd1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++
+        Array.fill[Byte](16)(0) ++     // 64-bit creation + modification
+        be32(600) ++                   // timescale
+        java.nio.ByteBuffer.allocate(8).putLong(1200L).array() ++ // duration
+        Array.fill[Byte](80)(0))
+    val mp4v1 = box("moov", mvhd1)
+    Multimodal.mp4Decode(mp4v1).map(_._3) shouldBe Some(2000L) // 1200/600 s
+
+    // non-BMFF bytes fall back to None (stub path)
+    Multimodal.mp4Decode("not a video".getBytes) shouldBe None
+  }
+
   test("decode survives null payloads") {
     val ds = spark.createDataset(Seq(MediaRow(1L, "image", "u", null)))
     val d = Multimodal.decode(ds).collect().head
