@@ -35,15 +35,17 @@ object Dedup {
   /** Exact content dedup with a DETERMINISTIC survivor: the minimum id per
     * fingerprint. `dropDuplicates` keeps whichever row the shuffle delivers
     * first — fine for cardinality, wrong for reproducible corpus curation.
+    * Planned as `min_by(struct(row), id)` — a partial+final hash aggregate
+    * with map-side combine, not a sort window: the shuffle carries one
+    * surviving row per (partition, fingerprint) and nothing ever sorts.
     */
   def exactByContentKeepMin(df: DataFrame, idCol: String,
       textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp")).orderBy(col(idCol).asc)
+    val cols = df.columns.toSeq
     df.withColumn("__fp", md5(lower(trim(col(textCol)))))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__fp", "__rn")
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).alias("__row"))
+      .select(cols.map(c => col(s"__row.$c").alias(c)): _*)
   }
 
   /** MinHash signature column: for each of `numHashes` hash functions, the

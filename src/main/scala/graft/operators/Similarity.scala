@@ -76,36 +76,87 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"))
   }
 
-  /** Train an IVF coarse quantizer: k-means over the corpus vectors (MLlib,
-    * deterministic under `seed`), centers L2-normalized and flattened
-    * row-major (numCells × dim) for the codegen'd cell-probe kernel.
+  /** Train an IVF coarse quantizer: Lloyd's k-means on a bounded,
+    * seed-deterministic SAMPLE of the corpus, run on the driver. A coarse
+    * quantizer needs only a statistical sketch of the vector distribution —
+    * `maxTrainRows` (default 64k) rows bound the collect at a few MB
+    * regardless of corpus size, which is the standard IVF construction
+    * (train on sample, assign distributed). Driver Lloyd's on ≤64k×dim
+    * floats costs milliseconds and zero Spark jobs beyond the one sample
+    * scan — replacing a per-iteration MLlib job round. Centers are
+    * L2-normalized and flattened row-major (numCells × dim) for the
+    * codegen'd cell-probe kernel.
     */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, dim: Int,
-      numCells: Int, seed: Long = 42L): Array[Float] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    // Cache across the iterations' rescans; random init, not k-means|| —
-    // the parallel init runs ~5 extra job rounds for a coarse quantizer
-    // whose cells only need to be roughly balanced.
-    // Coalesce(1): the quantizer trains on a sample-scale set (thousands of
-    // centroid-estimation rows, not the corpus at large) — one task per
-    // k-means iteration instead of one per shuffle partition cuts pure
-    // scheduling overhead; at real scale pass a .sample of the corpus in.
-    val train = corpus.select(array_to_vector(col(vecCol)).alias("features"))
-      .coalesce(1).cache()
-    val model =
-      try new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
-        .setInitMode("random").fit(train)
-      finally train.unpersist()
-    val flat = new Array[Float](numCells * dim)
-    model.clusterCenters.zipWithIndex.foreach { case (center, c) =>
-      val arr  = center.toArray
-      val norm = math.sqrt(arr.map(x => x * x).sum) max 1e-12
-      var i = 0
-      while (i < dim && i < arr.length) {
-        flat(c * dim + i) = (arr(i) / norm).toFloat; i += 1
+      numCells: Int, seed: Long = 42L, maxTrainRows: Int = 1 << 16): Array[Float] = {
+    val n = corpus.count()
+    val sampled =
+      if (n <= maxTrainRows) corpus.select(col(vecCol))
+      else corpus.select(col(vecCol))
+        .sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    val rows: Array[Array[Float]] = sampled
+      .collect().map(_.getSeq[Float](0).toArray).filter(_.length >= dim)
+    require(rows.nonEmpty, "IVF training needs at least one vector")
+
+    val k = math.min(numCells, rows.length)
+    val rnd = new java.util.Random(seed)
+    // init: k distinct sample points (seeded shuffle)
+    val centers = rnd.ints(0, rows.length).distinct().limit(k).toArray
+      .map(i => rows(i).clone())
+    val assign = new Array[Int](rows.length)
+    var iter = 0
+    var moved = true
+    while (iter < 10 && moved) {
+      moved = false
+      // assignment step
+      var r = 0
+      while (r < rows.length) {
+        val v = rows(r)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          val ctr = centers(c)
+          while (i < dim) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(r) != best) { assign(r) = best; moved = true }
+        r += 1
       }
+      // update step
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Int](k)
+      r = 0
+      while (r < rows.length) {
+        val s = sums(assign(r)); val v = rows(r)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        cnts(assign(r)) += 1
+        r += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnts(c) > 0) {
+          var i = 0
+          while (i < dim) { centers(c)(i) = (sums(c)(i) / cnts(c)).toFloat; i += 1 }
+        } // empty cell keeps its previous center
+        c += 1
+      }
+      iter += 1
     }
+
+    val flat = new Array[Float](numCells * dim)
+    var c = 0
+    while (c < k) {
+      val arr  = centers(c)
+      val norm = math.max(math.sqrt(arr.map(x => x.toDouble * x).sum), 1e-12)
+      var i = 0
+      while (i < dim) { flat(c * dim + i) = (arr(i) / norm).toFloat; i += 1 }
+      c += 1
+    }
+    // numCells > distinct points: leftover cells stay zero vectors — they
+    // attract nothing (cosine 0 after normalization) and probe last.
     flat
   }
 

@@ -82,7 +82,11 @@ object CorpusPipeline {
       val curated = exact.join(kill, Seq("doc_id"), "left_anti")
       val nFinal  = curated.count()
 
-      (curated.localCheckpoint(), FunnelReport(input, nQuality, nLang, nExact, nFinal))
+      // Lazy checkpoint: report-only consumers (the funnel query, monitors)
+      // never pay to materialize the curated frame; the lineage cut happens
+      // on a consumer's first action.
+      (curated.localCheckpoint(eager = false),
+        FunnelReport(input, nQuality, nLang, nExact, nFinal))
     } finally {
       annotated.unpersist(); exact.unpersist()
     }
