@@ -64,7 +64,10 @@ final class CoinMarketsScan(schema: StructType, opts: Map[String, String])
   private def fetcher: CoinMarketsFetcher =
     (opts.get("path"), opts.get("url")) match {
       case (Some(p), _) => new FixtureCoinMarketsFetcher(p)
-      case (_, Some(u)) => new HttpCoinMarketsFetcher(u)
+      case (_, Some(u)) => new HttpCoinMarketsFetcher(u,
+        timeoutSeconds = opts.getOrElse("timeoutSeconds", "10").toLong,
+        retries = opts.getOrElse("retries", "1").toInt,
+        retryDelayMs = opts.getOrElse("retryDelayMs", "300000").toLong)
       case _ => throw new IllegalArgumentException(
         "coin-markets source needs option 'path' (fixture file) or 'url'")
     }

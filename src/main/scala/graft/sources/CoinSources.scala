@@ -63,23 +63,49 @@ trait CoinMarketsFetcher {
   }
 }
 
-/** Live HTTP fetcher (never used in tests; the build environment has no
-  * egress). Semantics mirror the reference: GET with timeout, fail on
-  * non-2xx status.
+/** Non-2xx response — the engine's `raise_for_status` twin. */
+final case class HttpStatusException(status: Int, url: String)
+    extends RuntimeException(s"HTTP $status from $url")
+
+/** Live HTTP fetcher. Semantics mirror the reference's extract contract
+  * (`coin_data_pipeline_optimized.py:158-183` + DAG `default_args`):
+  * GET with a 10 s timeout, raise-for-status on non-2xx, and `retries`
+  * re-attempts after `retryDelayMs` on timeout/connect/5xx-class failures
+  * (the reference retries via Airflow task retries). 4xx responses do NOT
+  * retry — a malformed request won't improve on resend. Tests exercise all
+  * of this against an in-process localhost server; no egress involved.
   */
 final class HttpCoinMarketsFetcher(
     url: String =
       "https://api.coingecko.com/api/v3/coins/markets?vs_currency=usd&order=market_cap_desc",
-    timeoutSeconds: Long = 10L
+    timeoutSeconds: Long = 10L,
+    retries: Int = 1,
+    retryDelayMs: Long = 300000L
 ) extends CoinMarketsFetcher {
-  override def fetchJson(): String = {
+
+  private def attempt(): String = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(java.time.Duration.ofSeconds(timeoutSeconds)).GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    require(resp.statusCode() / 100 == 2, s"HTTP ${resp.statusCode()} from $url")
+    if (resp.statusCode() / 100 != 2) throw HttpStatusException(resp.statusCode(), url)
     resp.body()
+  }
+
+  override def fetchJson(): String = {
+    var attemptsLeft = math.max(0, retries)
+    while (true) {
+      try return attempt()
+      catch {
+        case e: HttpStatusException if e.status < 500 => throw e
+        case e @ (_: java.io.IOException | _: HttpStatusException) =>
+          if (attemptsLeft == 0) throw e
+          attemptsLeft -= 1
+          if (retryDelayMs > 0) Thread.sleep(retryDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 
