@@ -766,6 +766,52 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")),
 
+    // Gopher-style repetition quality signals (duplicated lines / 2-grams).
+    "q_text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"))
+        .select(col("doc_id"), col("dup_line_frac"), col("dup_2gram_frac"))
+        .orderBy("doc_id")),
+
+    // PII pass: plant a deterministic email/IP/phone per doc, count and
+    // redact — regexes restricted to Java-and-RE2-common syntax so the
+    // DuckDB twin runs the same pattern text.
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com from 10.0.0."),
+          pmod(col("doc_id"), lit(256)), lit(" call +1 (555) 010-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      graft.operators.Redaction.redact(
+          graft.operators.Redaction.detect(planted))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").alias("n_emails"),
+          col("n_ipv4").cast("long").alias("n_ipv4"),
+          col("n_phones").cast("long").alias("n_phones"),
+          md5(col("text_redacted")).alias("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: docs with doc_id < 20 form the eval set;
+    // every doc whose text exactly matches a benchmark text must be flagged
+    // by the shingle-overlap detector (n_exact_matches is fully
+    // oracle-derivable; the flag completeness is the boolean).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs  = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") < 20)
+      val flagged = graft.operators.Decontaminate
+        .overlap(docs, bench, "doc_id", "text", n = 3, minOverlapFrac = 0.9)
+        .filter(col("contaminated")).select(col("doc_id"))
+      val exact = docs
+        .join(broadcast(bench.select(col("text")).distinct()), Seq("text"), "left_semi")
+        .select(col("doc_id"))
+      broadcast(bench.agg(count(lit(1)).alias("n_benchmark")))
+        .crossJoin(exact.agg(countDistinct(col("doc_id")).alias("n_exact_matches")))
+        .crossJoin(exact.join(flagged, Seq("doc_id"), "left_semi")
+          .agg(countDistinct(col("doc_id")).alias("__nf")))
+        .select(col("n_benchmark"), col("n_exact_matches"),
+          (col("__nf") === col("n_exact_matches")).alias("all_exact_matches_flagged"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       val withTokens = t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long")
@@ -1051,6 +1097,54 @@ object SparkEntry {
     "q_udaf_sum" ->
       """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_text_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+        |    string_split_regex(lower(trim(text)), '[\s\x0b]+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lines,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    END AS g2
+        |  FROM base
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(lines) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+        |  END AS dup_line_frac,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+        |  END AS dup_2gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    ' call +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ().-]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |          '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+        |        '\+?[0-9][0-9 ().-]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM documents WHERE doc_id < 20) AS n_benchmark,
+        |  (SELECT COUNT(DISTINCT doc_id) FROM documents
+        |   WHERE text IN (SELECT text FROM documents WHERE doc_id < 20)) AS n_exact_matches,
+        |  CAST(1 AS BOOLEAN) AS all_exact_matches_flagged""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH tok AS (

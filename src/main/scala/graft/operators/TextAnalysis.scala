@@ -151,6 +151,34 @@ object TextAnalysis {
     docs.stat.sampleBy(sourceCol, rates, seed)
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 — the
+    * MassiveText quality heuristics; public paper): per-document fractions
+    * of duplicated lines and duplicated word n-grams. High values mark
+    * boilerplate/spam for corpus filtering. Narrow per-row expressions —
+    * codegen'd array ops, no shuffle, no UDFs.
+    *
+    * Adds `dup_line_frac` (1 − distinct/total over newline-split lines) and
+    * `dup_2gram_frac` (same over adjacent word pairs); 0.0 for empty docs.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def dupFrac(arr: Column): Column =
+      TextFunctions.bindOnce(arr) { a =>
+        when(size(a) <= 0, 0.0)
+          .otherwise(round((size(a) - size(array_distinct(a))).cast("double") /
+            size(a).cast("double"), 6))
+      }
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val toks  = TextFunctions.tokens(col(textCol))
+    val grams2 = TextFunctions.bindOnce(toks) { t =>
+      when(size(t) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    }
+    docs
+      .withColumn("dup_line_frac", dupFrac(lines))
+      .withColumn("dup_2gram_frac", dupFrac(grams2))
+  }
+
   /** Corpus term frequencies: explode tokens → count. Partial (map-side)
     * aggregation makes the shuffle carry one row per distinct term per
     * partition, not one per token occurrence.

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Decontaminate, Redaction}
+import org.apache.spark.sql.functions._
+
+class RedactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("detect counts emails, IPv4s, and phone-like runs") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, server 192.168.0.1, call +44 20 7946 0958"),
+      (2L, "no pii here at all"),
+      (3L, "10.0.0.1 and 10.0.0.2")
+    ).toDF("doc_id", "text")
+    val m = Redaction.detect(df)
+      .select($"doc_id", $"n_emails", $"n_ipv4", $"n_phones")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    // n_phones = 2: detection counts are independent per pattern, and a
+    // long dotted quad is also a phone-like digit run — redaction order
+    // (email → IP → phone) is what resolves the precedence, not detect().
+    m(1L) shouldBe ((2, 1, 2))
+    m(2L) shouldBe ((0, 0, 0))
+    m(3L) shouldBe ((0, 2, 0))
+  }
+
+  test("redact replaces every occurrence and leaves clean text untouched") {
+    val df = Seq(
+      (1L, "write a@b.co or c@d.io from 10.1.2.3"),
+      (2L, "clean text stays")
+    ).toDF("doc_id", "text")
+    val out = Redaction.redact(df).select($"doc_id", $"text_redacted")
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "write [EMAIL] or [EMAIL] from [IP]"
+    out(2L) shouldBe "clean text stays"
+  }
+
+  test("decontamination flags exact and near matches, clean() drops them") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),          // exact
+      (2L, "the quick brown fox jumps over the lazy dog today"),    // near (superset)
+      (3L, "completely unrelated text about spark and parquet files")
+    ).toDF("doc_id", "text")
+
+    val ov = Decontaminate.overlap(docs, bench, "doc_id", minOverlapFrac = 0.5)
+      .select($"doc_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    ov(1L) shouldBe true
+    ov(2L) shouldBe true   // 7 of 8 shingles shared ≥ 0.5
+    ov(3L) shouldBe false
+
+    val cleaned = Decontaminate.clean(docs, bench, "doc_id", minOverlapFrac = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    cleaned shouldBe Array(3L)
+
+    // a strict threshold keeps the near-match
+    val strict = Decontaminate.overlap(docs, bench, "doc_id", minOverlapFrac = 0.999)
+      .select($"doc_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    strict(1L) shouldBe true
+    strict(2L) shouldBe false
+  }
+
+  test("repetition signals measure duplicated lines and 2-grams") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),                 // 3 identical 2-grams
+      (2L, "all words differ here now"),           // no repetition
+      (3L, "line one\nline two\nline one\n\n")     // 1 duplicate line of 3
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionSignals(docs)
+      .select($"doc_id", $"dup_line_frac", $"dup_2gram_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out(1L)._2 shouldBe 2.0 / 3.0 +- 1e-6    // "spam spam" x3 → 2 dups of 3
+    out(2L) shouldBe ((0.0, 0.0))
+    out(3L)._1 shouldBe 1.0 / 3.0 +- 1e-6
+  }
+}
