@@ -298,6 +298,27 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"))
         .orderBy("flag")),
 
+    // Mergeable quantile sketch (DDSketch): the exact percentile rides
+    // along oracle-checked, and the sketch contributes its relative-error
+    // contract (α=1%, bound 2%) as a boolean per quantile.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val qs = Seq(0.25, 0.5, 0.9, 0.99)
+      val sk = udaf(new Aggregators.DdSketchQuantiles(0.01, qs))
+      t(s, dir, "lineitem")
+        .agg(sk(col("l_extendedprice")).alias("est"),
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D, 0.99D))")
+            .alias("exact"))
+        .select(explode(arrays_zip(
+          array(qs.map(lit): _*).alias("qq"),
+          col("est").alias("est"),
+          col("exact").alias("exact"))).alias("z"))
+        .select(col("z.qq").alias("qq"),
+          round(col("z.exact"), 6).alias("exact_val"),
+          (abs(col("z.est") - col("z.exact")) <= abs(col("z.exact")) * 0.02)
+            .alias("within_bound"))
+        .orderBy("qq")
+    }),
+
     // ---- skew-handling: two-phase salted aggregation -------------------
     "q_skew_salted_agg" -> ((s, dir) =>
       Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", buckets = 16)
@@ -1085,6 +1106,15 @@ object SparkEntry {
         |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """SELECT CAST(0.25 AS DOUBLE) AS qq,
+        |       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS exact_val,
+        |       CAST(1 AS BOOLEAN) AS within_bound FROM lineitem
+        |UNION ALL SELECT 0.5, ROUND(quantile_cont(l_extendedprice, 0.5), 6), TRUE FROM lineitem
+        |UNION ALL SELECT 0.9, ROUND(quantile_cont(l_extendedprice, 0.9), 6), TRUE FROM lineitem
+        |UNION ALL SELECT 0.99, ROUND(quantile_cont(l_extendedprice, 0.99), 6), TRUE FROM lineitem
+        |ORDER BY qq""".stripMargin,
 
     "q_skew_salted_agg" ->
       """SELECT l_returnflag,

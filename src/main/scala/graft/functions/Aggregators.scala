@@ -191,6 +191,76 @@ object Aggregators {
       densify(buf.clone).drop(1).toSeq
   }
 
+  /** DDSketch buffer: log-γ bucket → count, split by sign, zeros separate.
+    * Bucket-wise sums make merge EXACTLY commutative/associative — unlike
+    * t-digest, the sketch is independent of encounter order, so Spark's
+    * nondeterministic partial-merge order can never perturb results.
+    */
+  final case class DdBuffer(pos: Map[Int, Long], neg: Map[Int, Long], zeros: Long)
+
+  /** Mergeable quantile sketch — DDSketch (Masson, Rim & Lee, VLDB 2019;
+    * public paper): values land in geometric buckets `ceil(log_γ x)` with
+    * γ = (1+α)/(1−α), which guarantees RELATIVE error ≤ α on every
+    * reported quantile value at any cardinality. The buffer is one count
+    * per occupied bucket (a few hundred ints across 15 orders of
+    * magnitude at α=0.01) — the mergeable shape that lets percentiles
+    * aggregate across partitions/days/tables at 100 TB, where exact
+    * `percentile` must ship every value.
+    *
+    * `finish` returns the estimates for `quantiles` (nearest-rank over the
+    * bucket histogram; each bucket reports its α-midpoint 2γ^i/(γ+1)).
+    */
+  final class DdSketchQuantiles(alpha: Double, quantiles: Seq[Double])
+      extends Aggregator[Double, DdBuffer, Seq[Double]] with Serializable {
+    require(alpha > 0 && alpha < 1, "alpha in (0,1)")
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      "quantiles in [0,1]")
+    private val gamma    = (1 + alpha) / (1 - alpha)
+    private val logGamma = math.log(gamma)
+
+    private def bucket(x: Double): Int = math.ceil(math.log(x) / logGamma).toInt
+    private def bucketValue(i: Int): Double = 2.0 * math.pow(gamma, i) / (gamma + 1)
+
+    override def zero: DdBuffer = DdBuffer(Map.empty, Map.empty, 0L)
+
+    override def reduce(b: DdBuffer, x: Double): DdBuffer = {
+      if (x.isNaN) b
+      else if (x > 0) { val i = bucket(x)
+        b.copy(pos = b.pos.updated(i, b.pos.getOrElse(i, 0L) + 1L)) }
+      else if (x < 0) { val i = bucket(-x)
+        b.copy(neg = b.neg.updated(i, b.neg.getOrElse(i, 0L) + 1L)) }
+      else b.copy(zeros = b.zeros + 1L)
+    }
+
+    override def merge(a: DdBuffer, b: DdBuffer): DdBuffer = {
+      def add(x: Map[Int, Long], y: Map[Int, Long]): Map[Int, Long] =
+        y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+      DdBuffer(add(a.pos, b.pos), add(a.neg, b.neg), a.zeros + b.zeros)
+    }
+
+    override def finish(b: DdBuffer): Seq[Double] = {
+      val n = b.pos.values.sum + b.neg.values.sum + b.zeros
+      if (n == 0) return quantiles.map(_ => Double.NaN)
+      // ascending value order: negatives (bucket desc → value −est), zeros,
+      // positives (bucket asc)
+      val ordered: Seq[(Double, Long)] =
+        b.neg.toSeq.sortBy(-_._1).map { case (i, c) => (-bucketValue(i), c) } ++
+          (if (b.zeros > 0) Seq((0.0, b.zeros)) else Nil) ++
+          b.pos.toSeq.sortBy(_._1).map { case (i, c) => (bucketValue(i), c) }
+      quantiles.map { q =>
+        val rank = math.max(0L, math.ceil(q * n).toLong - 1L) // 0-based nearest rank
+        var cum = 0L
+        ordered.collectFirst {
+          case (v, c) if { cum += c; cum > rank } => v
+        }.getOrElse(ordered.last._1)
+      }
+    }
+
+    override def bufferEncoder: Encoder[DdBuffer] = Encoders.product[DdBuffer]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** (min, max, count) in one pass — the V4 sanity-gate triple as a single
     * custom aggregate buffer.
     */

@@ -72,6 +72,48 @@ class AggregatorSpec extends SparkTestBase {
     }
   }
 
+  test("DDSketch quantiles stay within the relative-error contract") {
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99)
+    val sk = new Aggregators.DdSketchQuantiles(0.01, qs)
+    // deterministic lognormal-ish + uniform + negative mixtures
+    val data = (1 to 20000).map(i => math.exp((i % 97) / 10.0)) ++
+      (1 to 5000).map(i => i.toDouble) ++
+      (1 to 3000).map(i => -i / 7.0)
+    val buf = data.foldLeft(sk.zero)(sk.reduce)
+    val est = sk.finish(buf)
+    val sorted = data.sorted
+    qs.zip(est).foreach { case (q, e) =>
+      val exact = sorted(math.max(0, math.ceil(q * sorted.size).toInt - 1))
+      withClue(s"q=$q est=$e exact=$exact: ") {
+        math.abs(e - exact) should be <= math.abs(exact) * 0.011 + 1e-9
+      }
+    }
+    // zeros and empty input
+    sk.finish(sk.reduce(sk.zero, 0.0)) shouldBe Seq(0.0, 0.0, 0.0, 0.0, 0.0)
+    sk.finish(sk.zero).forall(_.isNaN) shouldBe true
+  }
+
+  test("property: DDSketch merge is exactly commutative and associative") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sk = new Aggregators.DdSketchQuantiles(0.02, Seq(0.5))
+    val listGen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v) / 100)))
+    val prop = Prop.forAll(listGen, listGen, listGen) { (xa, xb, xc) =>
+      def s(xs: Seq[Double]) = xs.foldLeft(sk.zero)(sk.reduce)
+      val ab_c  = sk.merge(sk.merge(s(xa), s(xb)), s(xc))
+      val a_bc  = sk.merge(s(xa), sk.merge(s(xb), s(xc)))
+      val ab    = sk.merge(s(xa), s(xb))
+      val ba    = sk.merge(s(xb), s(xa))
+      val union = s(xa ++ xb ++ xc)
+      // STRUCTURAL equality — DDSketch buckets are order-insensitive, so
+      // the laws hold exactly, not just within tolerance
+      ab_c == a_bc && ab == ba && ab_c == union &&
+        sk.merge(s(xa), sk.zero) == s(xa)
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+      .passed shouldBe true
+  }
+
   test("property: HLL merge is commutative, associative, and has zero as identity") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val hll = new Aggregators.HyperLogLog(12)
