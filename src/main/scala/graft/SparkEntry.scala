@@ -319,6 +319,33 @@ object SparkEntry {
         .orderBy("qq")
     }),
 
+    // Count-Min frequency sketch: exact per-key counts are oracle-checked;
+    // the sketch contributes its two contracts — never undercounts
+    // (deterministic) and overcounts ≤ (e/width)·N — as booleans.
+    "q_countmin" -> ((s, dir) => {
+      val keys = (1L to 5L).map(_.toString)
+      val cms  = udaf(new Aggregators.CountMinFreq(4, 8192, keys))
+      val exacts = keys.map(k =>
+        sum(when(col("l_partkey").cast("string") === k, 1L).otherwise(0L))
+          .alias(s"x$k"))
+      val aggCols = Seq(
+        cms(col("l_partkey").cast("string")).alias("est"),
+        count(lit(1)).alias("n")) ++ exacts
+      t(s, dir, "lineitem")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(explode(arrays_zip(
+          array(keys.map(lit): _*).alias("key"),
+          col("est").alias("est"),
+          array(keys.map(k => col(s"x$k")): _*).alias("exact"))).alias("z"),
+          col("n"))
+        .select(col("z.key").alias("key"), col("z.exact").alias("n_exact"),
+          (col("z.est") >= col("z.exact")).alias("never_undercounts"),
+          (col("z.est") <= col("z.exact") +
+            ceil(lit(math.E / 8192) * col("n"))).alias("within_eps"))
+        .filter(col("n_exact") > 0)
+        .orderBy("key")
+    }),
+
     // ---- skew-handling: two-phase salted aggregation -------------------
     "q_skew_salted_agg" -> ((s, dir) =>
       Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", buckets = 16)
@@ -1106,6 +1133,13 @@ object SparkEntry {
         |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_countmin" ->
+      """SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS n_exact,
+        |       CAST(1 AS BOOLEAN) AS never_undercounts,
+        |       CAST(1 AS BOOLEAN) AS within_eps
+        |FROM lineitem WHERE l_partkey IN (1, 2, 3, 4, 5)
+        |GROUP BY 1 ORDER BY key""".stripMargin,
 
     "q_quantile_sketch" ->
       """SELECT CAST(0.25 AS DOUBLE) AS qq,

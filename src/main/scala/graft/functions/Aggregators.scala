@@ -261,6 +261,57 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005; public paper) for
+    * frequency estimation over a key stream: `depth` hash rows × `width`
+    * counters; estimate = min over rows. Guarantees: the estimate NEVER
+    * undercounts (deterministically — every occurrence increments every
+    * row), and overcounts by ≤ (e/width)·N with probability 1−(1/e)^depth.
+    * Merges are elementwise sums — exactly commutative/associative, the
+    * mergeable shape for per-partition/day/table frequency aggregation at
+    * scale. `finish` returns the estimates for `queryKeys`.
+    */
+  final class CountMinFreq(depth: Int, width: Int, queryKeys: Seq[String])
+      extends Aggregator[String, Array[Long], Seq[Long]] with Serializable {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    require(queryKeys.nonEmpty, "queryKeys must be non-empty")
+
+    private def idx(v: String, row: Int): Int = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 1000 + row)
+      row * width + math.floorMod(h, width)
+    }
+
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    override def reduce(buf: Array[Long], v: String): Array[Long] = {
+      if (v != null) {
+        var d = 0
+        while (d < depth) { buf(idx(v, d)) += 1L; d += 1 }
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] =
+      queryKeys.map { k =>
+        var best = Long.MaxValue
+        var d = 0
+        while (d < depth) { best = math.min(best, buf(idx(k, d))); d += 1 }
+        best
+      }
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** (min, max, count) in one pass — the V4 sanity-gate triple as a single
     * custom aggregate buffer.
     */

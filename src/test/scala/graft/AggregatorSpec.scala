@@ -114,6 +114,31 @@ class AggregatorSpec extends SparkTestBase {
       .passed shouldBe true
   }
 
+  test("Count-Min never undercounts and merge equals the union sketch") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val keysUniverse = (0 until 50).map(i => s"key$i")
+    val sk = new Aggregators.CountMinFreq(4, 256, keysUniverse)
+    val listGen = Gen.chooseNum(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 49).map(i => s"key$i")))
+    val prop = Prop.forAll(listGen, listGen) { (xa, xb) =>
+      def s(xs: Seq[String]) = xs.foldLeft(sk.zero)(sk.reduce)
+      val merged = sk.finish(sk.merge(s(xa), s(xb)))
+      val union  = sk.finish(s(xa ++ xb))
+      val truth  = (xa ++ xb).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n      = (xa.size + xb.size).toLong
+      merged == union &&
+        keysUniverse.zip(merged).forall { case (k, est) =>
+          val t = truth.getOrElse(k, 0L)
+          // >= is the DETERMINISTIC guarantee; the eps bound is
+          // probabilistic (prob 1-(1/e)^depth per key), so the property
+          // uses 3x headroom to stay deterministic across random streams
+          est >= t && est <= t + 3L * math.ceil(math.E / 256 * n).toLong + 1
+        }
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+      .passed shouldBe true
+  }
+
   test("property: HLL merge is commutative, associative, and has zero as identity") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val hll = new Aggregators.HyperLogLog(12)
