@@ -155,6 +155,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming corpus curation filters and dedups across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox and the lazy dog it is a fine day for it " * 3
+    val other = "a different but equally fine document with the usual words in it " * 3
+    val input = MemoryStream[(Long, String)]
+
+    val curated = graft.streaming.CorpusStreaming
+      .curateStream(input.toDF().toDF("doc_id", "text"), minQuality = 0.3)
+    val q = curated.writeStream
+      .format("memory").queryName("t_corpus_stream").outputMode("append").start()
+    try {
+      // batch 1: two copies of `good` (in-batch dup, min id wins) + junk
+      input.addData((5L, good), (2L, good), (9L, "!!!! ???? ####"))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup of `good` + a genuinely new doc
+      input.addData((1L, good), (7L, other))
+      q.processAllAvailable()
+
+      val out = spark.table("t_corpus_stream")
+        .select($"doc_id").as[Long].collect().sorted
+      // 2 survived batch 1 (min id of the dup pair), 7 joined in batch 2;
+      // doc 1 is a cross-batch duplicate and doc 9 fails quality
+      out shouldBe Array(2L, 7L)
+      spark.table("t_corpus_stream")
+        .select($"lang_pred").distinct().as[String].collect().toSet shouldBe Set("en")
+    } finally q.stop()
+  }
+
   test("sessionize handles cross-batch late events inside the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
