@@ -191,12 +191,16 @@ object Aggregators {
       densify(buf.clone).drop(1).toSeq
   }
 
-  /** DDSketch buffer: log-γ bucket → count, split by sign, zeros separate.
-    * Bucket-wise sums make merge EXACTLY commutative/associative — unlike
-    * t-digest, the sketch is independent of encounter order, so Spark's
-    * nondeterministic partial-merge order can never perturb results.
+  /** DDSketch buffer: contiguous log-γ bucket counts (index `minIdx + i`),
+    * split by sign, zeros separate. Dense arrays keep the per-row reduce an
+    * in-place increment (an immutable-map buffer costs an allocation per
+    * input row — ~6× slower on a 6M-row column); bucket-wise sums make
+    * merge EXACTLY commutative/associative — unlike t-digest, the sketch is
+    * independent of encounter order, so Spark's nondeterministic
+    * partial-merge order can never perturb results.
     */
-  final case class DdBuffer(pos: Map[Int, Long], neg: Map[Int, Long], zeros: Long)
+  final case class DdBuffer(minIdx: Int, counts: Array[Long],
+      negMinIdx: Int, negCounts: Array[Long], zeros: Long)
 
   /** Mergeable quantile sketch — DDSketch (Masson, Rim & Lee, VLDB 2019;
     * public paper): values land in geometric buckets `ceil(log_γ x)` with
@@ -221,32 +225,73 @@ object Aggregators {
     private def bucket(x: Double): Int = math.ceil(math.log(x) / logGamma).toInt
     private def bucketValue(i: Int): Double = 2.0 * math.pow(gamma, i) / (gamma + 1)
 
-    override def zero: DdBuffer = DdBuffer(Map.empty, Map.empty, 0L)
+    override def zero: DdBuffer = DdBuffer(0, Array.empty, 0, Array.empty, 0L)
+
+    /** Increment bucket `i` in a (minIdx, counts) range, growing with slack
+      * only when `i` falls outside; in-range hits mutate in place.
+      * Returns the (possibly reallocated) range.
+      */
+    private def bump(minIdx: Int, counts: Array[Long], i: Int,
+        by: Long): (Int, Array[Long]) = {
+      if (counts.isEmpty) {
+        val a = new Array[Long](1); a(0) = by; (i, a)
+      } else if (i >= minIdx && i < minIdx + counts.length) {
+        counts(i - minIdx) += by; (minIdx, counts)
+      } else {
+        val newMin = math.min(minIdx, i - 8)
+        val newMax = math.max(minIdx + counts.length - 1, i + 8)
+        val a = new Array[Long](newMax - newMin + 1)
+        System.arraycopy(counts, 0, a, minIdx - newMin, counts.length)
+        a(i - newMin) += by
+        (newMin, a)
+      }
+    }
 
     override def reduce(b: DdBuffer, x: Double): DdBuffer = {
       if (x.isNaN) b
-      else if (x > 0) { val i = bucket(x)
-        b.copy(pos = b.pos.updated(i, b.pos.getOrElse(i, 0L) + 1L)) }
-      else if (x < 0) { val i = bucket(-x)
-        b.copy(neg = b.neg.updated(i, b.neg.getOrElse(i, 0L) + 1L)) }
-      else b.copy(zeros = b.zeros + 1L)
+      else if (x > 0) {
+        val (m, c) = bump(b.minIdx, b.counts, bucket(x), 1L)
+        if ((c eq b.counts) && m == b.minIdx) b
+        else b.copy(minIdx = m, counts = c)
+      } else if (x < 0) {
+        val (m, c) = bump(b.negMinIdx, b.negCounts, bucket(-x), 1L)
+        if ((c eq b.negCounts) && m == b.negMinIdx) b
+        else b.copy(negMinIdx = m, negCounts = c)
+      } else b.copy(zeros = b.zeros + 1L)
     }
 
     override def merge(a: DdBuffer, b: DdBuffer): DdBuffer = {
-      def add(x: Map[Int, Long], y: Map[Int, Long]): Map[Int, Long] =
-        y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
-      DdBuffer(add(a.pos, b.pos), add(a.neg, b.neg), a.zeros + b.zeros)
+      var (pm, pc) = (a.minIdx, a.counts)
+      var i = 0
+      while (i < b.counts.length) {
+        if (b.counts(i) != 0) {
+          val r = bump(pm, pc, b.minIdx + i, b.counts(i)); pm = r._1; pc = r._2
+        }
+        i += 1
+      }
+      var (nm, nc) = (a.negMinIdx, a.negCounts)
+      i = 0
+      while (i < b.negCounts.length) {
+        if (b.negCounts(i) != 0) {
+          val r = bump(nm, nc, b.negMinIdx + i, b.negCounts(i)); nm = r._1; nc = r._2
+        }
+        i += 1
+      }
+      DdBuffer(pm, pc, nm, nc, a.zeros + b.zeros)
     }
 
     override def finish(b: DdBuffer): Seq[Double] = {
-      val n = b.pos.values.sum + b.neg.values.sum + b.zeros
+      val n = b.counts.sum + b.negCounts.sum + b.zeros
       if (n == 0) return quantiles.map(_ => Double.NaN)
       // ascending value order: negatives (bucket desc → value −est), zeros,
       // positives (bucket asc)
       val ordered: Seq[(Double, Long)] =
-        b.neg.toSeq.sortBy(-_._1).map { case (i, c) => (-bucketValue(i), c) } ++
+        b.negCounts.indices.reverse
+          .collect { case i if b.negCounts(i) != 0 =>
+            (-bucketValue(b.negMinIdx + i), b.negCounts(i)) } ++
           (if (b.zeros > 0) Seq((0.0, b.zeros)) else Nil) ++
-          b.pos.toSeq.sortBy(_._1).map { case (i, c) => (bucketValue(i), c) }
+          b.counts.indices.collect { case i if b.counts(i) != 0 =>
+            (bucketValue(b.minIdx + i), b.counts(i)) }
       quantiles.map { q =>
         val rank = math.max(0L, math.ceil(q * n).toLong - 1L) // 0-based nearest rank
         var cum = 0L
@@ -259,6 +304,17 @@ object Aggregators {
     override def bufferEncoder: Encoder[DdBuffer] = Encoders.product[DdBuffer]
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+
+    /** Canonical (bucket → count) view — array layout (offsets, slack) is
+      * merge-order-dependent; the logical bucket counts are not. Test hook
+      * for the merge-law properties.
+      */
+    private[graft] def canonical(b: DdBuffer): (Map[Int, Long], Map[Int, Long], Long) = (
+      b.counts.indices.collect {
+        case i if b.counts(i) != 0 => (b.minIdx + i) -> b.counts(i) }.toMap,
+      b.negCounts.indices.collect {
+        case i if b.negCounts(i) != 0 => (b.negMinIdx + i) -> b.negCounts(i) }.toMap,
+      b.zeros)
   }
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005; public paper) for
