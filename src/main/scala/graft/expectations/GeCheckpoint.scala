@@ -51,17 +51,32 @@ object GeCheckpoint {
     val parsed = exps.elements().asScala.map { e =>
       val kind   = e.get("expectation_type").asText
       val kwargs = e.get("kwargs")
-      val column = kwargs.get("column").asText
+      // Missing or null kwargs must fail LOUDLY: Jackson's NullNode.asDouble
+      // is 0.0, so a one-sided between (max_value: null) would silently
+      // become a 0.0 bound — a wrong gate, worse than no gate.
+      def str(key: String): String = {
+        val node = kwargs.get(key)
+        require(node != null && node.isTextual,
+          s"expectation '$kind' in suite '$name' needs string kwarg '$key'")
+        node.asText
+      }
+      def num(key: String): Double = {
+        val node = kwargs.get(key)
+        require(node != null && node.isNumber,
+          s"expectation '$kind' in suite '$name' needs numeric kwarg '$key' " +
+            s"(one-sided bounds are not supported — use greater_than)")
+        node.asDouble
+      }
+      val column = str("column")
       kind match {
         case "expect_column_to_exist"              => ColumnExists(column)
         case "expect_column_values_to_not_be_null" => NotNull(column)
         case "expect_column_values_to_be_of_type" =>
-          OfType(column, typeFor(kwargs.get("type_").asText))
+          OfType(column, typeFor(str("type_")))
         case "expect_column_values_to_be_greater_than" =>
-          GreaterThan(column, kwargs.get("value").asDouble)
+          GreaterThan(column, num("value"))
         case "expect_column_values_to_be_between" =>
-          Between(column, kwargs.get("min_value").asDouble,
-            kwargs.get("max_value").asDouble)
+          Between(column, num("min_value"), num("max_value"))
         case other =>
           throw new IllegalArgumentException(
             s"unsupported expectation_type '$other' in suite '$name'")

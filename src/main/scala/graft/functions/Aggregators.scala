@@ -222,7 +222,20 @@ object Aggregators {
     private val gamma    = (1 + alpha) / (1 - alpha)
     private val logGamma = math.log(gamma)
 
-    private def bucket(x: Double): Int = math.ceil(math.log(x) / logGamma).toInt
+    /** Bucket index, CLAMPED to ±4096: one stray denormal (say 1e-300)
+      * would otherwise force a contiguous range of tens of thousands of
+      * buckets into every buffer and merge. ±4096 at α=1% still spans
+      * ~1e-36..1e36 with full relative-error guarantees; magnitudes outside
+      * collapse into the edge bucket (the DDSketch paper's bounded-store
+      * collapse, applied per value so merge laws stay exact).
+      */
+    private val maxAbsIdx = 4096
+    private def bucket(x: Double): Int = {
+      val i = math.ceil(math.log(x) / logGamma)
+      if (i > maxAbsIdx) maxAbsIdx
+      else if (i < -maxAbsIdx) -maxAbsIdx
+      else i.toInt
+    }
     private def bucketValue(i: Int): Double = 2.0 * math.pow(gamma, i) / (gamma + 1)
 
     override def zero: DdBuffer = DdBuffer(0, Array.empty, 0, Array.empty, 0L)
@@ -331,8 +344,9 @@ object Aggregators {
     require(depth > 0 && width > 0, "depth and width must be positive")
     require(queryKeys.nonEmpty, "queryKeys must be non-empty")
 
-    private def idx(v: String, row: Int): Int = {
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    // UTF8String conversion hoisted out of the per-row depth loop: one
+    // encode per input row, `depth` hashes of the same bytes.
+    private def idx(u: org.apache.spark.unsafe.types.UTF8String, row: Int): Int = {
       val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
         .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 1000 + row)
       row * width + math.floorMod(h, width)
@@ -342,8 +356,9 @@ object Aggregators {
 
     override def reduce(buf: Array[Long], v: String): Array[Long] = {
       if (v != null) {
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(v)
         var d = 0
-        while (d < depth) { buf(idx(v, d)) += 1L; d += 1 }
+        while (d < depth) { buf(idx(u, d)) += 1L; d += 1 }
       }
       buf
     }
@@ -356,9 +371,10 @@ object Aggregators {
 
     override def finish(buf: Array[Long]): Seq[Long] =
       queryKeys.map { k =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(k)
         var best = Long.MaxValue
         var d = 0
-        while (d < depth) { best = math.min(best, buf(idx(k, d))); d += 1 }
+        while (d < depth) { best = math.min(best, buf(idx(u, d))); d += 1 }
         best
       }
 

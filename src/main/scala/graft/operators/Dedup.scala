@@ -61,8 +61,10 @@ object Dedup {
     * agreeing on any full band meet in a bucket; bucket equi-join yields
     * candidates; exact shingle-set Jaccard filters to `minJaccard`.
     *
-    * Returns `(id_a, id_b, jaccard)` with `id_a < id_b`. The join key is
-    * `(band, band_hash)` so the shuffle is uniform; no cartesian anywhere.
+    * Returns `(id_a, id_b, jaccard, capped)` with `id_a < id_b` (`capped` =
+    * the pair came only from an oversized bucket's star topology — see
+    * [[bucketStats]]). The join key is `(band, band_hash)` so the shuffle
+    * is uniform; no cartesian anywhere.
     */
   /** Hashed shingle set: distinct murmur3 of each word-`n` shingle. Jaccard
     * over the int sets equals Jaccard over the string sets up to hash
@@ -86,9 +88,10 @@ object Dedup {
     * (identical docs all verify against the representative, and connected
     * components restores the full cluster); what it gives up is DIRECT pair
     * coverage between near-but-not-identical members of an oversized
-    * bucket. Not silent: capped pairs are emitted with `capped = true`
-    * (callers who need the audit keep the column; the dedup operators drop
-    * it after `bucketStats` logging is possible via [[bucketStats]]).
+    * bucket. Not silent: every candidate carries `capped` (true = produced
+    * by an oversized bucket's star topology), the pair operators keep the
+    * column in their outputs, and [[bucketStats]] reports the flagged
+    * buckets themselves.
     */
   private def cappedCandidatePairs(bucketed: DataFrame, keyCols: Seq[String],
       maxBucketSize: Int): DataFrame = {
@@ -143,7 +146,8 @@ object Dedup {
     candidates
       .join(withSh.select(col("__id").alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
       .join(withSh.select(col("__id").alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).alias("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).alias("jaccard"),
+        col("capped"))
       .filter(col("jaccard") >= minJaccard)
 
   /** (id, band, bucket) rows for the banded-LSH join. Banded rows carry ONLY
@@ -177,7 +181,7 @@ object Dedup {
       hashedShingles(col(textCol), shingleSize).alias("__sh"))
     val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
     val candidates = cappedCandidatePairs(banded, Seq("__band", "__bucket"),
-      maxBucketSize).drop("capped")
+      maxBucketSize)
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
@@ -202,12 +206,15 @@ object Dedup {
     *   the iterative distributed loop. Near-dup pair graphs are usually tiny
     *   relative to the corpus (they scale with the duplicate fraction, not
     *   the corpus), and a bounded collect beats 3–5 whole shuffle rounds of
-    *   scheduling for them. The default (~4M edges ≈ 64 MB of id pairs) is
-    *   safe for any driver; set 0 to force the distributed path.
+    *   scheduling for them. The default 1M edges collects ~30-60 MB of
+    *   boxed rows transiently — modest for a driver; raise it only with
+    *   driver memory to match, or set 0 to force the distributed path.
+    *   The fast path requires integral id columns; other id types always
+    *   take the distributed loop.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None,
-      smallGraphThreshold: Long = 1L << 22): DataFrame = {
+      smallGraphThreshold: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
@@ -215,7 +222,14 @@ object Dedup {
     val undirected = cut(pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
-    if (undirected.count() <= smallGraphThreshold)
+    val integralIds = undirected.schema.fields.forall { f =>
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (integralIds && undirected.count() <= smallGraphThreshold)
       return smallGraphComponents(undirected)
     // Edges are re-joined every round on dst: pre-hash-partition on dst and
     // persist, so each round reuses the cached layout instead of re-shuffling
@@ -283,7 +297,9 @@ object Dedup {
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.select(col("src"), col("dst")).collect().foreach { row =>
+    // ids verified integral by the caller; normalize int/short ids to long
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
@@ -292,7 +308,11 @@ object Dedup {
     }
     val spark = edges.sparkSession
     import spark.implicits._
+    val idType = edges.schema.fields.head.dataType
     parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "component")
+      // keep the caller's id type — both paths must agree on output schema
+      .select(col("id").cast(idType).alias("id"),
+        col("component").cast(idType).alias("component"))
   }
 
   /** SimHash near-dup clustering: 64-bit simhash per doc; docs sharing the
@@ -314,7 +334,6 @@ object Dedup {
     val blocked = withSh.select(col("__id"),
       array_min(col("__sh")).alias("__minsh"))
     val candidates = cappedCandidatePairs(blocked, Seq("__minsh"), maxBucketSize)
-      .drop("capped")
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
@@ -329,12 +348,12 @@ object Dedup {
     val bucketed = vecs.select(col("__id"),
       Similarity.hyperplaneBucket(col("__v"), dim, planeBits, seed).alias("__bucket"))
     val candidates = cappedCandidatePairs(bucketed, Seq("__bucket"), maxBucketSize)
-      .drop("capped")
     candidates
       .join(vecs.select(col("__id").alias("id_a"), col("__v").alias("v_a")), Seq("id_a"))
       .join(vecs.select(col("__id").alias("id_b"), col("__v").alias("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosineSim(col("v_a"), col("v_b")).alias("cosine"))
+        VectorFunctions.cosineSim(col("v_a"), col("v_b")).alias("cosine"),
+        col("capped"))
       .filter(col("cosine") >= minCosine)
   }
 }

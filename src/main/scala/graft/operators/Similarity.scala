@@ -89,13 +89,20 @@ object Similarity {
     */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, dim: Int,
       numCells: Int, seed: Long = 42L, maxTrainRows: Int = 1 << 16): Array[Float] = {
+    // count() is near-free on columnar sources (footer row counts); it only
+    // sizes the sample fraction.
     val n = corpus.count()
     val sampled =
       if (n <= maxTrainRows) corpus.select(col(vecCol))
       else corpus.select(col(vecCol))
         .sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
+    // accept float and double element types (array<float> AND array<double>)
     val rows: Array[Array[Float]] = sampled
-      .collect().map(_.getSeq[Float](0).toArray).filter(_.length >= dim)
+      .collect().map(_.getSeq[Any](0).map {
+        case f: Float  => f
+        case d: Double => d.toFloat
+        case x: Number => x.floatValue()
+      }.toArray).filter(_.length >= dim)
     require(rows.nonEmpty, "IVF training needs at least one vector")
 
     val k = math.min(numCells, rows.length)

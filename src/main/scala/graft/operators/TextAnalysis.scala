@@ -102,6 +102,13 @@ object TextAnalysis {
       budget: Long, numShards: Int = 64, shard: Option[Column] = None): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(numShards > 0, "numShards must be positive")
+    // The output columns are part of the contract: refuse to silently
+    // clobber caller data, and remind multi-shard consumers that `bin_id`
+    // alone is NOT a pack identity.
+    require(!docs.columns.contains("shard") && !docs.columns.contains("bin_id"),
+      "packSequences emits 'shard' and 'bin_id' — rename the input's columns; " +
+        "note the pack identity is the PAIR (shard, bin_id), bin_id restarts " +
+        "at 0 in every shard")
     val shardCol =
       if (numShards == 1) lit(0L)
       else shard.getOrElse(pmod(hash(col(orderCol)), lit(numShards))).cast("long")

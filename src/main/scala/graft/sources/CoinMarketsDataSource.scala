@@ -64,10 +64,14 @@ final class CoinMarketsScan(schema: StructType, opts: Map[String, String])
   private def fetcher: CoinMarketsFetcher =
     (opts.get("path"), opts.get("url")) match {
       case (Some(p), _) => new FixtureCoinMarketsFetcher(p)
+      // retryDelayMs defaults SHORT here: a Spark scan blocking minutes
+      // between attempts holds the slot hostage — the reference's 5-minute
+      // retry spacing is an ORCHESTRATOR (Airflow) concern, and belongs to
+      // whatever reruns the job, not inside the read path.
       case (_, Some(u)) => new HttpCoinMarketsFetcher(u,
         timeoutSeconds = opts.getOrElse("timeoutSeconds", "10").toLong,
         retries = opts.getOrElse("retries", "1").toInt,
-        retryDelayMs = opts.getOrElse("retryDelayMs", "300000").toLong)
+        retryDelayMs = opts.getOrElse("retryDelayMs", "1000").toLong)
       case _ => throw new IllegalArgumentException(
         "coin-markets source needs option 'path' (fixture file) or 'url'")
     }

@@ -71,7 +71,10 @@ final case class HttpStatusException(status: Int, url: String)
   * (`coin_data_pipeline_optimized.py:158-183` + DAG `default_args`):
   * GET with a 10 s timeout, raise-for-status on non-2xx, and `retries`
   * re-attempts after `retryDelayMs` on timeout/connect/5xx-class failures
-  * (the reference retries via Airflow task retries). 4xx responses do NOT
+  * (the reference retries via Airflow task retries — its 5-MINUTE retry
+  * spacing is an orchestrator concern; an in-process fetch sleeping minutes
+  * would hold its slot hostage, so the in-path default is 1 s and long
+  * spacing belongs to whatever reruns the job). 4xx responses do NOT
   * retry — a malformed request won't improve on resend. Tests exercise all
   * of this against an in-process localhost server; no egress involved.
   */
@@ -80,7 +83,7 @@ final class HttpCoinMarketsFetcher(
       "https://api.coingecko.com/api/v3/coins/markets?vs_currency=usd&order=market_cap_desc",
     timeoutSeconds: Long = 10L,
     retries: Int = 1,
-    retryDelayMs: Long = 300000L
+    retryDelayMs: Long = 1000L
 ) extends CoinMarketsFetcher {
 
   private def attempt(): String = {

@@ -190,6 +190,10 @@ class DedupSpec extends SparkTestBase {
     // star cap: k−1 pairs for the hot cluster (+1 for the tail pair), never
     // the ~50M all-pairs rows of an uncapped 10k bucket
     n shouldBe 10000L
+    // the cap is audited, not silent: star pairs carry capped=true, the
+    // small-bucket tail pair capped=false
+    pairs.filter($"capped").count() shouldBe 9999L
+    pairs.filter(!$"capped").count() shouldBe 1L
     // connectivity is preserved: connected components still collapses the
     // whole hot cluster to one representative
     val comps = Dedup.connectedComponents(pairs.select($"id_a", $"id_b"))

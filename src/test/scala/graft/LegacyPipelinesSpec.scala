@@ -92,6 +92,17 @@ class LegacyPipelinesSpec extends SparkTestBase {
       """{"expectation_suite_name": "x", "expectations": [
         |  {"expectation_type": "expect_table_row_count_to_equal",
         |   "kwargs": {"column": "c", "value": 1}}]}""".stripMargin)
+
+    // null / missing numeric kwargs must fail loudly, not become bound 0.0
+    // (Jackson NullNode.asDouble is 0.0 — a silently wrong gate)
+    an[IllegalArgumentException] should be thrownBy GeCheckpoint.parse(
+      """{"expectation_suite_name": "x", "expectations": [
+        |  {"expectation_type": "expect_column_values_to_be_between",
+        |   "kwargs": {"column": "p", "min_value": 0, "max_value": null}}]}""".stripMargin)
+    an[IllegalArgumentException] should be thrownBy GeCheckpoint.parse(
+      """{"expectation_suite_name": "x", "expectations": [
+        |  {"expectation_type": "expect_column_values_to_be_greater_than",
+        |   "kwargs": {"column": "p"}}]}""".stripMargin)
   }
 
   test("greater_than and between kwargs parse and evaluate") {
