@@ -51,6 +51,8 @@ object GeCheckpoint {
     val parsed = exps.elements().asScala.map { e =>
       val kind   = e.get("expectation_type").asText
       val kwargs = e.get("kwargs")
+      require(kwargs != null && kwargs.isObject,
+        s"expectation '$kind' in suite '$name' has no kwargs object")
       // Missing or null kwargs must fail LOUDLY: Jackson's NullNode.asDouble
       // is 0.0, so a one-sided between (max_value: null) would silently
       // become a 0.0 bound — a wrong gate, worse than no gate.
@@ -67,16 +69,17 @@ object GeCheckpoint {
             s"(one-sided bounds are not supported — use greater_than)")
         node.asDouble
       }
-      val column = str("column")
+      // dispatch on kind BEFORE touching kwargs: a column-less table-level
+      // expectation must report 'unsupported type', not 'missing column'
       kind match {
-        case "expect_column_to_exist"              => ColumnExists(column)
-        case "expect_column_values_to_not_be_null" => NotNull(column)
+        case "expect_column_to_exist"              => ColumnExists(str("column"))
+        case "expect_column_values_to_not_be_null" => NotNull(str("column"))
         case "expect_column_values_to_be_of_type" =>
-          OfType(column, typeFor(str("type_")))
+          OfType(str("column"), typeFor(str("type_")))
         case "expect_column_values_to_be_greater_than" =>
-          GreaterThan(column, num("value"))
+          GreaterThan(str("column"), num("value"))
         case "expect_column_values_to_be_between" =>
-          Between(column, num("min_value"), num("max_value"))
+          Between(str("column"), num("min_value"), num("max_value"))
         case other =>
           throw new IllegalArgumentException(
             s"unsupported expectation_type '$other' in suite '$name'")

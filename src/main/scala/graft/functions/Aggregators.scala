@@ -222,14 +222,19 @@ object Aggregators {
     private val gamma    = (1 + alpha) / (1 - alpha)
     private val logGamma = math.log(gamma)
 
-    /** Bucket index, CLAMPED to ±4096: one stray denormal (say 1e-300)
-      * would otherwise force a contiguous range of tens of thousands of
-      * buckets into every buffer and merge. ±4096 at α=1% still spans
-      * ~1e-36..1e36 with full relative-error guarantees; magnitudes outside
-      * collapse into the edge bucket (the DDSketch paper's bounded-store
-      * collapse, applied per value so merge laws stay exact).
+    /** Bucket index, CLAMPED to the |value| range [1e-38, 1e38] (float's
+      * territory, far beyond practical metrics): one stray denormal (say
+      * 1e-300) would otherwise force a contiguous range of tens of
+      * thousands of buckets into every buffer and merge. The clamp index
+      * DERIVES from α — a fixed index bound would silently shrink the
+      * representable range as α tightens — so the relative-error guarantee
+      * holds across the whole documented value range at every α;
+      * magnitudes outside collapse into the edge bucket (the DDSketch
+      * paper's bounded-store collapse, applied per value so merge laws
+      * stay exact).
       */
-    private val maxAbsIdx = 4096
+    private val maxAbsIdx: Int =
+      math.ceil(math.log(1e38) / logGamma).toInt
     private def bucket(x: Double): Int = {
       val i = math.ceil(math.log(x) / logGamma)
       if (i > maxAbsIdx) maxAbsIdx

@@ -222,12 +222,17 @@ object Dedup {
     val undirected = cut(pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct())
-    val integralIds = undirected.schema.fields.forall { f =>
+    val integralIds = {
       import org.apache.spark.sql.types._
-      f.dataType match {
+      val types = undirected.schema.fields.map(_.dataType)
+      // SAME integral type on both sides: the fast path casts its output
+      // back to that type, and a mixed int/long frame would otherwise
+      // truncate 64-bit ids on the narrow side. Mixed or non-integral id
+      // frames take the type-generic distributed loop.
+      types.distinct.length == 1 && (types.head match {
         case LongType | IntegerType | ShortType | ByteType => true
         case _ => false
-      }
+      })
     }
     if (integralIds && undirected.count() <= smallGraphThreshold)
       return smallGraphComponents(undirected)
@@ -339,7 +344,9 @@ object Dedup {
 
   /** Embedding near-dup pairs: LSH-bucket on random-hyperplane sign bits,
     * verify cosine inside buckets. Deterministic planes from `seed`.
-    * Returns `(id_a, id_b, cosine)` with cosine ≥ `minCosine`.
+    * Returns `(id_a, id_b, cosine, capped)` with cosine ≥ `minCosine`
+    * (`capped` = pair produced only by an oversized bucket's star
+    * topology — see [[bucketStats]]).
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, planeBits: Int = 16, minCosine: Double = 0.95,

@@ -96,14 +96,19 @@ object Similarity {
       if (n <= maxTrainRows) corpus.select(col(vecCol))
       else corpus.select(col(vecCol))
         .sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-    // accept float and double element types (array<float> AND array<double>)
+    // accept float and double element types (array<float> AND array<double>);
+    // null vectors, null elements, and NaN-bearing vectors are dropped from
+    // the TRAINING sample (a centroid poisoned by NaN degrades every cell)
     val rows: Array[Array[Float]] = sampled
-      .collect().map(_.getSeq[Any](0).map {
+      .collect().flatMap(r => Option(if (r.isNullAt(0)) null else r.getSeq[Any](0)))
+      .map(_.map {
         case f: Float  => f
         case d: Double => d.toFloat
         case x: Number => x.floatValue()
-      }.toArray).filter(_.length >= dim)
-    require(rows.nonEmpty, "IVF training needs at least one vector")
+        case null      => Float.NaN
+      }.toArray)
+      .filter(v => v.length >= dim && !v.exists(_.isNaN))
+    require(rows.nonEmpty, "IVF training needs at least one usable vector")
 
     val k = math.min(numCells, rows.length)
     val rnd = new java.util.Random(seed)

@@ -104,11 +104,16 @@ object TextAnalysis {
     require(numShards > 0, "numShards must be positive")
     // The output columns are part of the contract: refuse to silently
     // clobber caller data, and remind multi-shard consumers that `bin_id`
-    // alone is NOT a pack identity.
-    require(!docs.columns.contains("shard") && !docs.columns.contains("bin_id"),
-      "packSequences emits 'shard' and 'bin_id' — rename the input's columns; " +
-        "note the pack identity is the PAIR (shard, bin_id), bin_id restarts " +
-        "at 0 in every shard")
+    // alone is NOT a pack identity. An input 'shard' column is fine when
+    // the caller explicitly supplies the shard expression (typically
+    // shard = Some(col("shard")) — they own that column).
+    require(!docs.columns.contains("bin_id"),
+      "packSequences emits 'bin_id' — rename the input's column; note the " +
+        "pack identity is the PAIR (shard, bin_id), bin_id restarts at 0 " +
+        "in every shard")
+    require(shard.isDefined || !docs.columns.contains("shard"),
+      "packSequences emits 'shard' — rename the input's column, or pass it " +
+        "explicitly via the shard parameter")
     val shardCol =
       if (numShards == 1) lit(0L)
       else shard.getOrElse(pmod(hash(col(orderCol)), lit(numShards))).cast("long")

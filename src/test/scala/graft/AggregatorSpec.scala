@@ -91,6 +91,17 @@ class AggregatorSpec extends SparkTestBase {
     // zeros and empty input
     sk.finish(sk.reduce(sk.zero, 0.0)) shouldBe Seq(0.0, 0.0, 0.0, 0.0, 0.0)
     sk.finish(sk.zero).forall(_.isNaN) shouldBe true
+
+    // the guarantee must hold at TIGHT alpha too: the bucket clamp derives
+    // from alpha, so large magnitudes can't collapse into an edge bucket
+    val tight = new Aggregators.DdSketchQuantiles(0.001, Seq(0.5))
+    val big = (1 to 101).map(_ => 50000.0)
+    val e50k = tight.finish(big.foldLeft(tight.zero)(tight.reduce)).head
+    math.abs(e50k - 50000.0) should be <= 50000.0 * 0.0011
+    // and a stray denormal only costs its clamped edge bucket, not accuracy
+    val withDenormal = tight.finish(
+      (big :+ 1e-300).foldLeft(tight.zero)(tight.reduce)).head
+    math.abs(withDenormal - 50000.0) should be <= 50000.0 * 0.0011
   }
 
   test("property: DDSketch merge is exactly commutative and associative") {

@@ -120,6 +120,19 @@ class DedupSpec extends SparkTestBase {
       11L -> 10L, 30L -> 10L)
   }
 
+  test("mixed-width id columns skip the union-find fast path, labels stay exact") {
+    import spark.implicits._
+    // id_a int, id_b long with a value beyond int range: the narrow-cast
+    // fast path would truncate it — must route to the distributed loop
+    val pairs = Seq((1, 5000000000L), (2, 3L)).toDF("id_a", "id_b")
+      .select($"id_a".cast("int").alias("id_a"), $"id_b".alias("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong)).toMap
+    comps(5000000000L) shouldBe 1L
+    comps(1L) shouldBe 1L
+    comps(3L) shouldBe 2L
+  }
+
   test("property: component labels are the true minimum over a random graph") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._

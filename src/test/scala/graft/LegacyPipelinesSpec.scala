@@ -103,6 +103,20 @@ class LegacyPipelinesSpec extends SparkTestBase {
       """{"expectation_suite_name": "x", "expectations": [
         |  {"expectation_type": "expect_column_values_to_be_greater_than",
         |   "kwargs": {"column": "p"}}]}""".stripMargin)
+
+    // a kwargs-less entry fails with context, not a bare NPE
+    val noKwargs = the[IllegalArgumentException] thrownBy GeCheckpoint.parse(
+      """{"expectation_suite_name": "x", "expectations": [
+        |  {"expectation_type": "expect_column_to_exist"}]}""".stripMargin)
+    noKwargs.getMessage should include("kwargs")
+
+    // a table-level (column-less) GE type reports UNSUPPORTED TYPE, not a
+    // misleading missing-column complaint
+    val tableLevel = the[IllegalArgumentException] thrownBy GeCheckpoint.parse(
+      """{"expectation_suite_name": "x", "expectations": [
+        |  {"expectation_type": "expect_table_row_count_to_equal",
+        |   "kwargs": {"value": 100}}]}""".stripMargin)
+    tableLevel.getMessage should include("unsupported expectation_type")
   }
 
   test("greater_than and between kwargs parse and evaluate") {

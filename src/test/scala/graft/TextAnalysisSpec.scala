@@ -134,6 +134,22 @@ class TextAnalysisSpec extends SparkTestBase {
     plan should not include "SinglePartition"
   }
 
+  test("packSequences guards its output columns but accepts an explicit shard column") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L, 0L), (2L, 20L, 1L)).toDF("doc_id", "n_tokens", "shard")
+    // explicit shard param referencing the caller's own column: allowed
+    val out = graft.operators.TextAnalysis.packSequences(docs, "doc_id", "n_tokens",
+      1000L, numShards = 2, shard = Some(col("shard")))
+    out.select($"shard").distinct().as[Long].collect().sorted shouldBe Array(0L, 1L)
+    // without the param, a pre-existing 'shard' column must not be clobbered
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.TextAnalysis.packSequences(docs, "doc_id", "n_tokens", 1000L)
+    // 'bin_id' is always reserved
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.TextAnalysis.packSequences(
+        docs.withColumnRenamed("shard", "bin_id"), "doc_id", "n_tokens", 1000L)
+  }
+
   test("source mixing hits target ratios without upsampling, deterministically") {
     import spark.implicits._
     val docs = spark.range(30000).select(
