@@ -80,7 +80,10 @@ object CorpusPipeline {
       val kill  = comps.filter(col("id") =!= col("component"))
         .select(col("id").alias("doc_id"))
       val curated = exact.join(kill, Seq("doc_id"), "left_anti")
-      val nFinal  = curated.count()
+      // kill ids are a subset of exact's (pairs were built FROM exact), so
+      // the funnel count is exact arithmetic over the tiny kill list — no
+      // full anti-join action just for the report.
+      val nFinal  = nExact - kill.count()
 
       // Lazy checkpoint: report-only consumers (the funnel query, monitors)
       // never pay to materialize the curated frame; the lineage cut happens
