@@ -842,6 +842,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Markup/URL cleaning with planted HTML wrapping — tags stripped,
+    // entities decoded, URLs counted and removed, whitespace collapsed.
+    "q_html_clean" -> ((s, dir) =>
+      graft.operators.TextCleaning.clean(
+          t(s, dir, "documents").withColumn("text",
+            concat(lit("<p class=\"x\">"), col("text"),
+              lit("</p> &amp; see https://example.com/doc/"), col("doc_id"))))
+        .select(col("doc_id"), col("n_urls").cast("long").alias("n_urls"),
+          md5(col("text_clean")).alias("clean_md5"))
+        .orderBy("doc_id")),
+
     // Benchmark decontamination: docs with doc_id < 20 form the eval set;
     // every doc whose text exactly matches a benchmark text must be flagged
     // by the shingle-overlap detector (n_exact_matches is fully
@@ -1204,6 +1215,25 @@ object SparkEntry {
         |          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |          '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
         |        '\+?[0-9][0-9 ().-]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q_html_clean" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    '<p class="x">' || text || '</p> &amp; see https://example.com/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t<>"'']+')) AS BIGINT) AS n_urls,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      'https?://[^ \t<>"'']+', ' ', 'g'),
+        |    '[ \t]+', ' ', 'g'))) AS clean_md5
         |FROM planted ORDER BY doc_id""".stripMargin,
 
     "q_decontaminate" ->

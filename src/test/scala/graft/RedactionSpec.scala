@@ -59,6 +59,23 @@ class RedactionSpec extends SparkTestBase {
     strict(2L) shouldBe false
   }
 
+  test("html cleaning strips tags, decodes entities, drops urls, collapses spaces") {
+    import graft.operators.TextCleaning
+    val df = Seq(
+      (1L, "<div><b>Tom &amp; Jerry</b> say &quot;hi&quot;</div>"),
+      (2L, "read https://a.io/x and http://b.co/y?z=1 now"),
+      (3L, "plain text stays exactly as is"),
+      (4L, "double  escape &amp;lt; stays literal")
+    ).toDF("doc_id", "text")
+    val out = TextCleaning.clean(df)
+      .select($"doc_id", $"n_urls", $"text_clean")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    out(1L) shouldBe ((0, "Tom & Jerry say \"hi\""))
+    out(2L) shouldBe ((2, "read and now"))
+    out(3L) shouldBe ((0, "plain text stays exactly as is"))
+    out(4L) shouldBe ((0, "double escape &lt; stays literal"))
+  }
+
   test("repetition signals measure duplicated lines and 2-grams") {
     val docs = Seq(
       (1L, "spam spam spam spam"),                 // 3 identical 2-grams
