@@ -349,6 +349,13 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // One-pass column profiler over string/integral columns (min/max
+    // string rendering of those types is engine-portable).
+    "q_profile" -> ((s, dir) =>
+      graft.operators.Profiler.profile(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")),
+
     // ---- skew-handling: two-phase salted aggregation -------------------
     "q_skew_salted_agg" -> ((s, dir) =>
       Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", buckets = 16)
@@ -1147,6 +1154,21 @@ object SparkEntry {
         |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,
+        |       COUNT(*) - COUNT(o_custkey) AS n_null,
+        |       COUNT(DISTINCT o_custkey) AS n_distinct,
+        |       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+        |       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+        |FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |       COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+        |FROM orders
+        |UNION ALL SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |       COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
 
     "q_countmin" ->
       """SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS n_exact,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiler — the table-health summary every warehouse job
+  * wants next to its loads: per column, row count, null count, exact
+  * distinct count, and min/max rendered as strings. ALL columns profile in
+  * ONE aggregation over one scan (never a job per column); the wide
+  * aggregate row is reshaped to one output row per column with a narrow
+  * explode. countDistinct over several columns plans as Expand + one
+  * partial+final aggregate — shuffle bytes scale with distinct values, not
+  * input rows.
+  */
+object Profiler {
+
+  /** Profile `cols` (default: every column) of `df`. Output: one row per
+    * column — (`col_name`, `n_rows`, `n_null`, `n_distinct`, `min_val`,
+    * `max_val`).
+    */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val target = if (cols.isEmpty) df.columns.toSeq else cols
+    require(target.nonEmpty, "nothing to profile")
+    require(target.forall(df.columns.contains),
+      s"unknown columns: ${target.filterNot(df.columns.contains).mkString(", ")}")
+    val aggExprs = target.flatMap { c =>
+      Seq(
+        count(col(c)).alias(s"__${c}__present"),
+        countDistinct(col(c)).alias(s"__${c}__distinct"),
+        min(col(c)).cast("string").alias(s"__${c}__min"),
+        max(col(c)).cast("string").alias(s"__${c}__max"))
+    } :+ count(lit(1)).alias("__n")
+    val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
+    val perCol = target.map { c =>
+      struct(
+        lit(c).alias("col_name"),
+        col("__n").alias("n_rows"),
+        (col("__n") - col(s"__${c}__present")).alias("n_null"),
+        col(s"__${c}__distinct").alias("n_distinct"),
+        col(s"__${c}__min").alias("min_val"),
+        col(s"__${c}__max").alias("max_val"))
+    }
+    wide.select(explode(array(perCol: _*)).alias("p")).select(col("p.*"))
+  }
+}

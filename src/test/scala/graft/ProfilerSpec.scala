@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Profiler
+import org.apache.spark.sql.functions._
+
+class ProfilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profiles nulls, distincts, and min/max per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("b")), (Some(2L), None),
+      (Some(2L), Some("a")), (None, Some("a"))
+    ).toDF("k", "s")
+    val out = Profiler.profile(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    out("k") shouldBe ((4L, 1L, 2L, "1", "2"))
+    out("s") shouldBe ((4L, 1L, 2L, "a", "b"))
+
+    // ONE scan feeds the whole profile, however many columns
+    val fromParquet = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val plan = Profiler.profile(fromParquet,
+      Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+      .queryExecution.executedPlan.toString
+    "Scan parquet".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("unknown columns are rejected by name") {
+    val df = Seq((1L, "x")).toDF("k", "s")
+    val e = the[IllegalArgumentException] thrownBy Profiler.profile(df, Seq("k", "nope"))
+    e.getMessage should include("nope")
+  }
+}
