@@ -849,6 +849,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val/test split: the partition CONTRACT is
+    // checkable — splits are disjoint-and-complete (counts sum to the
+    // oracle-known total) and proportions land within hash-noise tolerance.
+    "q_train_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val split = graft.operators.Splits.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      split.groupBy(col("split")).agg(count(lit(1)).alias("__n"))
+        .withColumn("__total", sum(col("__n")).over())
+        .crossJoin(broadcast(docs.agg(count(lit(1)).alias("__input"))))
+        .select(col("split"),
+          (col("__total") === col("__input")).alias("complete"),
+          (abs(col("__n") / col("__total") -
+            when(col("split") === "train", 0.8).otherwise(0.1)) < 0.05)
+            .alias("ratio_ok"))
+        .orderBy("split")
+    }),
+
     // Markup/URL cleaning with planted HTML wrapping — tags stripped,
     // entities decoded, URLs counted and removed, whitespace collapsed.
     "q_html_clean" -> ((s, dir) =>
@@ -1238,6 +1256,12 @@ object SparkEntry {
         |          '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
         |        '\+?[0-9][0-9 ().-]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT s.split, CAST(1 AS BOOLEAN) AS complete,
+        |       CAST(1 AS BOOLEAN) AS ratio_ok
+        |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
+        |ORDER BY s.split""".stripMargin,
 
     "q_html_clean" ->
       """WITH planted AS (

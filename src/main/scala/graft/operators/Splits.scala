@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic train/validation/test assignment — the split step of every
+  * training-data pipeline, done CONTENT-STABLY: a document's split comes
+  * from `murmur3(id, seed)` mod a fixed granularity, so the assignment
+  * survives repartitioning, replays, and incremental reruns (a row-number
+  * or rand() split does not), and documents added later never move
+  * existing rows between splits.
+  *
+  * Narrow per-row expression, no shuffle; the chained when/otherwise over
+  * cumulative weight boundaries stays in whole-stage codegen.
+  */
+object Splits {
+
+  val granularity = 10000
+
+  /** Adds a `split` column. `weights` are normalized; ordering decides which
+    * split absorbs the rounding remainder (the last one).
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: Int = 42): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    require(weights.map(_._1).distinct.length == weights.length, "duplicate split names")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(hash(col(idCol), lit(seed)), lit(granularity))
+    // cumulative upper boundaries in bucket units; last split takes the rest
+    val bounds = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * granularity))
+    val assigned = weights.init.zip(bounds.init).reverse
+      .foldLeft(lit(weights.last._1): Column) { case (acc, ((name, _), hi)) =>
+        when(bucket < hi, name).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+}
