@@ -849,6 +849,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Trained BPE tokenizer: merges aren't SQL-expressible, but the
+    // RECONSTRUCTION contract is — concatenated subwords must restore the
+    // document's non-whitespace characters exactly (n_chars_nospace is
+    // fully oracle-derived), and subwords can never outnumber characters
+    // or undercut words.
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val merges = graft.operators.BpeTokenizer.train(docs, "text", numMerges = 200)
+      graft.operators.BpeTokenizer.encode(docs, "text", merges)
+        .select(col("doc_id"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+            .alias("n_chars_nospace"),
+          aggregate(col("bpe_tokens"), lit(0L), (acc, t) => acc + length(t))
+            .alias("__sum_len"),
+          concat_ws("", col("bpe_tokens")).alias("__joined"),
+          regexp_replace(col("text"), "\\s+", "").alias("__squashed"),
+          col("n_subwords"),
+          size(split(trim(col("text")), "\\s+")).cast("long").alias("__n_words"))
+        .select(col("doc_id"), col("n_chars_nospace"),
+          (col("__joined") === col("__squashed")).alias("roundtrip_ok"),
+          (col("__sum_len") === col("n_chars_nospace")).alias("lengths_match"),
+          (col("n_subwords") <= col("n_chars_nospace") &&
+            col("n_subwords") >= col("__n_words")).alias("count_bounded"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test split: the partition CONTRACT is
     // checkable — splits are disjoint-and-complete (counts sum to the
     // oracle-known total) and proportions land within hash-noise tolerance.
@@ -1256,6 +1282,15 @@ object SparkEntry {
         |          '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
         |        '\+?[0-9][0-9 ().-]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
         |FROM planted ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_tokenize" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH(regexp_replace(text, '[\s\x0b]+', '', 'g')) AS BIGINT)
+        |    AS n_chars_nospace,
+        |  CAST(1 AS BOOLEAN) AS roundtrip_ok,
+        |  CAST(1 AS BOOLEAN) AS lengths_match,
+        |  CAST(1 AS BOOLEAN) AS count_bounded
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_train_split" ->
       """SELECT s.split, CAST(1 AS BOOLEAN) AS complete,

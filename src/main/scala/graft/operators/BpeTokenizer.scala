@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+
+/** A real byte-pair-encoding tokenizer (Sennrich et al. 2016 — the public
+  * subword recipe every LLM tokenizer descends from): merges are TRAINED
+  * from corpus word frequencies and applied as greedy lowest-rank adjacent
+  * merges within whitespace-delimited words.
+  *
+  * Scale split: training runs on the driver over a bounded word-frequency
+  * sample (the frequency table of a few hundred thousand distinct words is
+  * KBs–MBs — collecting it is the standard construction; merges are pure
+  * data). Encoding is a narrow `mapPartitions` with the merge table in the
+  * task closure and a per-partition WORD memo — corpora repeat words, so
+  * amortized encode cost per token is a hash lookup, not a merge loop.
+  * Determinism: ties in training break lexicographically, so the same
+  * sample always yields the same merge table.
+  */
+object BpeTokenizer {
+
+  type Merges = Map[(String, String), Int] // pair -> rank (lower = earlier)
+
+  /** Train `numMerges` merges from a word-frequency table. */
+  def trainFromFrequencies(wordFreq: Map[String, Long], numMerges: Int): Merges = {
+    require(numMerges > 0, "numMerges must be positive")
+    var words: Map[Vector[String], Long] =
+      wordFreq.map { case (w, n) => w.map(_.toString).toVector -> n }
+    val merges = Vector.newBuilder[(String, String)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      // most frequent pair; lexicographic tie-break for determinism
+      val best = pairCounts.toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }
+        .headOption.filter(_._2 >= 2)
+      best match {
+        case None => done = true
+        case Some((pair, _)) =>
+          merges += pair
+          words = words.map { case (syms, n) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                out += syms(i) + syms(i + 1); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> n
+          }
+          rank += 1
+      }
+    }
+    merges.result().zipWithIndex.toMap
+  }
+
+  /** Train from a corpus column: word frequencies aggregate DISTRIBUTED
+    * (one shuffle of distinct words), then the top `maxVocabWords` most
+    * frequent words — the statistical mass that determines merges — collect
+    * to the driver for the merge loop.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocabWords: Int = 1 << 17): Merges = {
+    val freqs = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).alias("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).alias("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(maxVocabWords)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trainFromFrequencies(freqs, numMerges)
+  }
+
+  /** Greedy encode of one word: repeatedly apply the lowest-rank adjacent
+    * merge until none applies. Concatenating the result always restores the
+    * word exactly (merges only ever join adjacent symbols).
+    */
+  def encodeWord(word: String, merges: Merges): Seq[String] = {
+    var syms: Vector[String] = word.map(_.toString).toVector
+    var continue = syms.length >= 2
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = merges.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) continue = false
+      else {
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              merges.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == bestRank) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        continue = syms.length >= 2
+      }
+    }
+    syms
+  }
+
+  /** Adds `bpe_tokens` (flat subword array) and `n_subwords` per document.
+    * Narrow mapPartitions; a per-partition word memo amortizes repeated
+    * words to a map hit.
+    */
+  def encode(docs: DataFrame, textCol: String, merges: Merges): DataFrame = {
+    val outSchema = docs.schema
+      .add("bpe_tokens", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+      .add("n_subwords", org.apache.spark.sql.types.LongType)
+    val encoder = Encoders.row(outSchema)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    docs.mapPartitions { rows =>
+      val memo = scala.collection.mutable.HashMap[String, Seq[String]]()
+      rows.map { row =>
+        val text = row.getString(textIdx)
+        val tokens: Seq[String] =
+          if (text == null) Seq.empty
+          else text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+            .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, merges)))
+        Row.fromSeq(row.toSeq :+ tokens :+ tokens.length.toLong)
+      }
+    }(encoder)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.BpeTokenizer
+import org.apache.spark.sql.functions._
+
+class BpeTokenizerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("training learns the most frequent pairs first, deterministically") {
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = BpeTokenizer.trainFromFrequencies(freq, numMerges = 4)
+    merges should not be empty
+    // 'es'(9) and 'st'(9) dominate ('es' wins the tie lexicographically),
+    // then 'est' as a unit (9), then 'lo' (7)
+    val byRank = merges.toSeq.sortBy(_._2).map(_._1)
+    byRank.head shouldBe (("e", "s"))
+    byRank(1) shouldBe (("es", "t"))
+    // identical input yields identical merges
+    BpeTokenizer.trainFromFrequencies(freq, 4) shouldBe merges
+  }
+
+  test("encode applies merges greedily by rank and always reconstructs") {
+    val merges = Map(("e", "s") -> 0, ("es", "t") -> 1, ("l", "o") -> 2)
+    BpeTokenizer.encodeWord("newest", merges) shouldBe Seq("n", "e", "w", "est")
+    BpeTokenizer.encodeWord("lowest", merges) shouldBe Seq("lo", "w", "est")
+    BpeTokenizer.encodeWord("xyz", merges) shouldBe Seq("x", "y", "z")
+    BpeTokenizer.encodeWord("a", merges) shouldBe Seq("a")
+    // reconstruction invariant on arbitrary words
+    Seq("estestest", "ssss", "toes").foreach { w =>
+      BpeTokenizer.encodeWord(w, merges).mkString("") shouldBe w
+    }
+  }
+
+  test("corpus-trained encode compresses and reconstructs the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val merges = BpeTokenizer.train(docs, "text", numMerges = 100)
+    // training stops early when no pair repeats — on the tiny sf0.001
+    // corpus that lands under the cap; it must still learn a useful table
+    merges.size should (be > 50 and be <= 100)
+
+    val out = BpeTokenizer.encode(docs, "text", merges)
+      .select($"doc_id", $"text", $"bpe_tokens", $"n_subwords")
+    val rows = out.collect()
+    rows.length.toLong shouldBe docs.count()
+    rows.foreach { r =>
+      val squashed = r.getString(1).replaceAll("\\s+", "")
+      val joined = r.getSeq[String](2).mkString("")
+      joined shouldBe squashed
+      // merges learned on this corpus must compress: fewer subwords than chars
+      if (squashed.length > 10)
+        r.getLong(3) should be < squashed.length.toLong
+    }
+  }
+}
