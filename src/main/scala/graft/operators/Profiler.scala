@@ -23,22 +23,27 @@ object Profiler {
     require(target.nonEmpty, "nothing to profile")
     require(target.forall(df.columns.contains),
       s"unknown columns: ${target.filterNot(df.columns.contains).mkString(", ")}")
-    val aggExprs = target.flatMap { c =>
+    require(target.distinct.length == target.length, "duplicate columns to profile")
+    // internal aliases are INDEX-derived and input references backtick-
+    // quoted: a column name containing '.' (legal) would otherwise parse as
+    // a struct-field path
+    def ref(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggExprs = target.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).alias(s"__${c}__present"),
-        countDistinct(col(c)).alias(s"__${c}__distinct"),
-        min(col(c)).cast("string").alias(s"__${c}__min"),
-        max(col(c)).cast("string").alias(s"__${c}__max"))
+        count(ref(c)).alias(s"__c${i}_present"),
+        countDistinct(ref(c)).alias(s"__c${i}_distinct"),
+        min(ref(c)).cast("string").alias(s"__c${i}_min"),
+        max(ref(c)).cast("string").alias(s"__c${i}_max"))
     } :+ count(lit(1)).alias("__n")
     val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
-    val perCol = target.map { c =>
+    val perCol = target.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).alias("col_name"),
         col("__n").alias("n_rows"),
-        (col("__n") - col(s"__${c}__present")).alias("n_null"),
-        col(s"__${c}__distinct").alias("n_distinct"),
-        col(s"__${c}__min").alias("min_val"),
-        col(s"__${c}__max").alias("max_val"))
+        (col("__n") - col(s"__c${i}_present")).alias("n_null"),
+        col(s"__c${i}_distinct").alias("n_distinct"),
+        col(s"__c${i}_min").alias("min_val"),
+        col(s"__c${i}_max").alias("max_val"))
     }
     wide.select(explode(array(perCol: _*)).alias("p")).select(col("p.*"))
   }

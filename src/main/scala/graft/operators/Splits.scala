@@ -30,6 +30,12 @@ object Splits {
     // cumulative upper boundaries in bucket units; last split takes the rest
     val bounds = weights.map(_._2 / total).scanLeft(0.0)(_ + _).tail
       .map(f => math.round(f * granularity))
+    // every split must own at least one bucket: a weight under half a
+    // bucket (< 1/(2*granularity) of the total) would round to an empty,
+    // silently unreachable split
+    require(bounds.zip(0L +: bounds.init).forall { case (hi, lo) => hi > lo },
+      s"every split needs weight >= 1/$granularity of the total; " +
+        s"got bucket bounds ${bounds.mkString(", ")}")
     val assigned = weights.init.zip(bounds.init).reverse
       .foldLeft(lit(weights.last._1): Column) { case (acc, ((name, _), hi)) =>
         when(bucket < hi, name).otherwise(acc)

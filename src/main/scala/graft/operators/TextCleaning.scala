@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
 object TextCleaning {
 
   val tagPattern: String = "<[^>]*>"
-  val urlPattern: String = "https?://[^ \t<>\"']+"
+  // negated class must exclude ALL whitespace — an end-of-line URL would
+  // otherwise swallow the newline and the next line's first word
+  val urlPattern: String = "https?://[^\\s<>\"']+"
 
   /** Basic named-entity unescape (the handful that dominate scraped text).
     * `&amp;` goes LAST so `&amp;lt;` decodes to the literal `&lt;`, not `<`.

@@ -25,9 +25,12 @@ class BpeTokenizerSpec extends SparkTestBase {
     BpeTokenizer.encodeWord("lowest", merges) shouldBe Seq("lo", "w", "est")
     BpeTokenizer.encodeWord("xyz", merges) shouldBe Seq("x", "y", "z")
     BpeTokenizer.encodeWord("a", merges) shouldBe Seq("a")
-    // reconstruction invariant on arbitrary words
-    Seq("estestest", "ssss", "toes").foreach { w =>
-      BpeTokenizer.encodeWord(w, merges).mkString("") shouldBe w
+    // reconstruction invariant on arbitrary words — including non-BMP
+    // characters (surrogate pairs must stay paired in one symbol)
+    Seq("estestest", "ssss", "toes", "caf\u00e9", "a\ud83d\ude00b").foreach { w =>
+      val toks = BpeTokenizer.encodeWord(w, merges)
+      toks.mkString("") shouldBe w
+      toks.foreach(t => Character.isLowSurrogate(t.charAt(0)) shouldBe false)
     }
   }
 

@@ -30,5 +30,14 @@ class ProfilerSpec extends SparkTestBase {
     val df = Seq((1L, "x")).toDF("k", "s")
     val e = the[IllegalArgumentException] thrownBy Profiler.profile(df, Seq("k", "nope"))
     e.getMessage should include("nope")
+    an[IllegalArgumentException] should be thrownBy Profiler.profile(df, Seq("k", "k"))
+  }
+
+  test("column names containing dots profile correctly") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a.b", "c")
+    val out = Profiler.profile(df)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    out("a.b") shouldBe 2L
+    out("c") shouldBe 2L
   }
 }

@@ -74,6 +74,12 @@ class RedactionSpec extends SparkTestBase {
     out(2L) shouldBe ((2, "read and now"))
     out(3L) shouldBe ((0, "plain text stays exactly as is"))
     out(4L) shouldBe ((0, "double escape &lt; stays literal"))
+
+    // an end-of-line URL must not swallow the newline and the next word
+    val multiline = TextCleaning.clean(
+      Seq((9L, "see https://a.io\nnext steps")).toDF("doc_id", "text"))
+      .select($"text_clean").as[String].head()
+    multiline should include("next steps")
   }
 
   test("repetition signals measure duplicated lines and 2-grams") {

@@ -40,5 +40,8 @@ class SplitsSpec extends SparkTestBase {
       Splits.assignSplit(docs, "doc_id", Seq("a" -> 1.0, "a" -> 1.0))
     an[IllegalArgumentException] should be thrownBy
       Splits.assignSplit(docs, "doc_id", Seq("a" -> 0.0))
+    // a weight too small to own a bucket must be rejected, not silently empty
+    an[IllegalArgumentException] should be thrownBy
+      Splits.assignSplit(docs, "doc_id", Seq("a" -> 0.99999, "b" -> 0.00001))
   }
 }
