@@ -356,6 +356,33 @@ object SparkEntry {
           Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // Bucketed co-located join: customer and orders are lazily written ONCE
+    // per sf-dir as bucketed+sorted tables on c_custkey/o_custkey; every
+    // subsequent run joins them with ZERO shuffle exchanges on the join key
+    // (the layout trade every repeated 100 TB fact join makes). The result
+    // is oracle-checked against the raw tables — identical data, different
+    // physical layout.
+    "q_join_bucketed" -> ((s, dir) => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val custT = s"cust_bkt_$tag"
+      val ordT  = s"ord_bkt_$tag"
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      if (!s.catalog.tableExists(custT))
+        graft.sinks.Bucketing.writeBucketed(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          custT, s"$wh/$custT", numBuckets = 8, keys = Seq("c_custkey"))
+      if (!s.catalog.tableExists(ordT))
+        graft.sinks.Bucketing.writeBucketed(
+          t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+          ordT, s"$wh/$ordT", numBuckets = 8, keys = Seq("o_custkey"))
+      s.table(custT)
+        .join(s.table(ordT), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).alias("n_orders"),
+          dsum(col("o_totalprice")).alias("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- skew-handling: two-phase salted aggregation -------------------
     "q_skew_salted_agg" -> ((s, dir) =>
       Skew.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", buckets = 16)
@@ -1202,6 +1229,12 @@ object SparkEntry {
         |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
+
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
 
     "q_profile" ->
       """SELECT 'o_custkey' AS col_name, COUNT(*) AS n_rows,

@@ -39,4 +39,19 @@ class BucketingSpec extends SparkTestBase {
       direct.except(joined).count() shouldBe 0
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("the registered q_join_bucketed joins its bucketed twins shuffle-free") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_join_bucketed")(spark, "/root/testdata/sf0.001")
+      df.count() should be > 0L // materialize (first run also writes tables)
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      val joinInputs = plan.substring(plan.indexOf("SortMergeJoin"))
+      joinInputs should not include "Exchange"
+      // and re-running reuses the tables instead of rewriting
+      SparkEntry.queries("q_join_bucketed")(spark, "/root/testdata/sf0.001")
+        .count() should be > 0L
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
