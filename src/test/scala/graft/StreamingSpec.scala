@@ -184,6 +184,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("corpus curation runs on the RocksDB state store (bounded-memory dedup state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val good = "the quick brown fox and the lazy dog it is a fine day for it " * 3
+    val input = MemoryStream[(Long, String)]
+    val curated = graft.streaming.CorpusStreaming
+      .curateStream(input.toDF().toDF("doc_id", "text"), minQuality = 0.3)
+    // The RocksDB provider spills state off-heap to local disk — the
+    // 100 TB-ingest configuration for global fingerprint dedup, where the
+    // default in-memory HDFS-backed store would OOM on corpus-scale state.
+    val ckpt = java.nio.file.Files.createTempDirectory("rocksdb-ckpt").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q =
+      try curated.writeStream
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName("t_rocks_stream").outputMode("append").start()
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try {
+      input.addData((4L, good), (8L, good))
+      q.processAllAvailable()
+      input.addData((2L, good)) // cross-batch dup against RocksDB state
+      q.processAllAvailable()
+      spark.table("t_rocks_stream").select($"doc_id").as[Long].collect().toSeq shouldBe Seq(4L)
+      // RocksDB really backed the state operator (its metrics are present)
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      metrics.keySet.toArray.map(_.toString).count(_.contains("rocksdb")) should be > 0
+    } finally q.stop()
+  }
+
   test("sessionize handles cross-batch late events inside the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
