@@ -363,23 +363,37 @@ object SparkEntry {
     // is oracle-checked against the raw tables — identical data, different
     // physical layout.
     "q_join_bucketed" -> ((s, dir) => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
-      val custT = s"cust_bkt_$tag"
-      val ordT  = s"ord_bkt_$tag"
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      // Table identity is keyed by the SOURCE DATA signature (path + file
+      // lengths, md5'd — full-width, unlike String.hashCode), so
+      // regenerated testdata gets fresh bucketed twins instead of silently
+      // joining stale files, and distinct sf-dirs can never collide.
+      val sig = java.security.MessageDigest.getInstance("MD5").digest(
+        (dir + ":" + new java.io.File(s"$dir/customer.parquet").length() +
+          ":" + new java.io.File(s"$dir/orders.parquet").length())
+          .getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val custT = s"cust_bkt_$sig"
+      val ordT  = s"ord_bkt_$sig"
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val hconf = s.sparkContext.hadoopConfiguration
       // The in-memory catalog forgets tables across sessions but the
-      // bucketed FILES persist: re-register existing files with bucketed
-      // DDL instead of rewriting them — a new session pays metadata
-      // registration, not the clustered write.
+      // bucketed FILES persist: re-register COMMITTED files (_SUCCESS
+      // marker — a dir orphaned by a killed write is rewritten, not
+      // trusted) with bucketed DDL instead of rewriting them — a new
+      // session pays metadata registration, not the clustered write.
       def ensure(table: String, ddlCols: String, bucketKey: String,
           write: => Unit): Unit =
         if (!s.catalog.tableExists(table)) {
-          val path = s"$wh/$table"
-          if (new java.io.File(path).exists())
+          val path = new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(wh), table)
+          val fs = path.getFileSystem(hconf)
+          if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
             s.sql(s"CREATE TABLE $table ($ddlCols) USING parquet " +
               s"CLUSTERED BY ($bucketKey) SORTED BY ($bucketKey) INTO 8 BUCKETS " +
               s"LOCATION '$path'")
-          else write
+          else {
+            if (fs.exists(path)) fs.delete(path, true) // orphaned partial write
+            write
+          }
         }
       ensure(custT, "c_custkey BIGINT, c_mktsegment STRING", "c_custkey",
         graft.sinks.Bucketing.writeBucketed(

@@ -43,15 +43,29 @@ class BucketingSpec extends SparkTestBase {
   test("the registered q_join_bucketed joins its bucketed twins shuffle-free") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = SparkEntry.queries("q_join_bucketed")(spark, "/root/testdata/sf0.001")
-      df.count() should be > 0L // materialize (first run also writes tables)
-      val plan = df.queryExecution.executedPlan.toString
-      plan should include("SortMergeJoin")
-      val joinInputs = plan.substring(plan.indexOf("SortMergeJoin"))
-      joinInputs should not include "Exchange"
-      // and re-running reuses the tables instead of rewriting
-      SparkEntry.queries("q_join_bucketed")(spark, "/root/testdata/sf0.001")
-        .count() should be > 0L
+      // after execution the adaptive plan prints final AND initial plans —
+      // assert on the final section only
+      def joinSubtree(p: org.apache.spark.sql.DataFrame): String = {
+        val full  = p.queryExecution.executedPlan.toString
+        val scope = full.split("== Initial Plan ==").head
+        scope should include("SortMergeJoin")
+        scope.substring(scope.indexOf("SortMergeJoin"))
+      }
+      val df = SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+      val expected = df.collect().toSeq // materialize (first run writes tables)
+      expected should not be empty
+      joinSubtree(df) should not include "Exchange"
+
+      // Force the CROSS-SESSION branch deterministically: drop the catalog
+      // entries (external tables — files survive) and re-invoke; the query
+      // must RE-REGISTER the committed files via bucketed DDL and still
+      // produce identical rows with the shuffle-free plan.
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(n => n.startsWith("cust_bkt_") || n.startsWith("ord_bkt_"))
+        .foreach(n => spark.sql(s"DROP TABLE $n"))
+      val again = SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+      again.collect().toSeq shouldBe expected
+      joinSubtree(again) should not include "Exchange"
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
