@@ -37,6 +37,11 @@ object CoinPipeline {
     *                   maintained with upsert semantics; stands in for the
     *                   Postgres gold table in this zero-egress build)
     * @param scheduled  whether this is a scheduled run (enables the SLA gate)
+    * @param checkpointPath optional FILE-CONFIGURED expectations checkpoint
+    *                   (Great Expectations suite JSON, parsed by
+    *                   [[graft.expectations.GeCheckpoint]]) enforced on
+    *                   silver IN ADDITION to the built-in fluent suite —
+    *                   quality rules ops can change without a deploy
     */
   def run(
       spark: SparkSession,
@@ -45,7 +50,8 @@ object CoinPipeline {
       lakeRoot: String,
       serveRoot: String,
       scheduled: Boolean = false,
-      now: java.time.Instant = java.time.Instant.now
+      now: java.time.Instant = java.time.Instant.now,
+      checkpointPath: Option[String] = None
   ): RunResult = {
     val bronzePath = s"$bronzeRoot/coins/dt=$ds"
 
@@ -56,6 +62,8 @@ object CoinPipeline {
     // Silver transform (P1-P3) + contract (V1) + expectations (V2).
     val silver = CoinOps.enforcedSilver(CoinOps.bronzeToSilver(bronze))
     Suites.fluentSilverSuite.enforce(silver)
+    checkpointPath.foreach(p =>
+      graft.expectations.GeCheckpoint.load(spark, p).enforce(silver))
 
     val silverRows = LakeSink.publishPartition(spark, silver, lakeRoot, "silver/coins", ds,
       CoinSchemas.silverSchemaVersion, bronzePath)

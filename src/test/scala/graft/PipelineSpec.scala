@@ -41,6 +41,21 @@ class PipelineSpec extends SparkTestBase {
     sidecar.get should include(""""schema_version": "v1"""")
   }
 
+  test("optional file-configured checkpoint gates silver in the flagship run") {
+    val lake = tmpDir(); val serve = tmpDir()
+    // a silver-compatible suite passes the run end to end
+    val ok = CoinPipeline.run(spark, dt, bronzeRoot, lake, serve,
+      checkpointPath = Some(fixture("checkpoints/silver_checkpoint.json")))
+    ok.silverRows shouldBe 100
+    // the day-10 COIN checkpoint expects market_cap int — silver carries
+    // double, so the file-configured gate must block the publish
+    val lake2 = tmpDir(); val serve2 = tmpDir()
+    an[graft.expectations.SuiteFailure] should be thrownBy
+      CoinPipeline.run(spark, dt, bronzeRoot, lake2, serve2,
+        checkpointPath = Some(fixture("checkpoints/coin_checkpoint.json")))
+    new java.io.File(s"$lake2/silver/coins/dt=$dt").exists() shouldBe false
+  }
+
   test("re-running the same day is idempotent (upsert, not append)") {
     val lake  = tmpDir(); val serve = tmpDir()
     val r1 = CoinPipeline.run(spark, dt, bronzeRoot, lake, serve)
