@@ -356,6 +356,25 @@ object SparkEntry {
           Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("col_name")),
 
+    // Grouped DDSketch: one mergeable sketch buffer per group, partial-
+    // merged map-side — the shape that computes percentiles per key across
+    // a 100 TB table in one pass.
+    "q_quantile_by_group" -> ((s, dir) => {
+      val sk = udaf(new Aggregators.DdSketchQuantiles(0.01, Seq(0.5, 0.95)))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").alias("flag"))
+        .agg(sk(col("l_quantity").cast("double")).alias("est"),
+          expr("percentile(l_quantity, array(0.5D, 0.95D))").alias("exact"))
+        .select(col("flag"),
+          round(element_at(col("exact"), 1), 6).alias("p50"),
+          round(element_at(col("exact"), 2), 6).alias("p95"),
+          (abs(element_at(col("est"), 1) - element_at(col("exact"), 1)) <=
+            abs(element_at(col("exact"), 1)) * 0.02 &&
+            abs(element_at(col("est"), 2) - element_at(col("exact"), 2)) <=
+              abs(element_at(col("exact"), 2)) * 0.02).alias("within_bound"))
+        .orderBy("flag")
+    }),
+
     // Bucketed co-located join: customer and orders are lazily written ONCE
     // per sf-dir as bucketed+sorted tables on c_custkey/o_custkey; every
     // subsequent run joins them with ZERO shuffle exchanges on the join key
@@ -1285,6 +1304,13 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS within_eps
         |FROM lineitem WHERE l_partkey IN (1, 2, 3, 4, 5)
         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    "q_quantile_by_group" ->
+      """SELECT l_returnflag AS flag,
+        |       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |       CAST(1 AS BOOLEAN) AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin,
 
     "q_quantile_sketch" ->
       """SELECT CAST(0.25 AS DOUBLE) AS qq,
