@@ -31,9 +31,14 @@ object Decontaminate {
       .select(explode(TextFunctions.hashedShingles(
         TextFunctions.tokens(col(textCol)), n)).alias("__bsh"))
       .distinct()
+    // explode_outer + coalesce: a doc with null text (null shingles) or an
+    // empty shingle set still emits its per-doc stats row (n_shingles = 0,
+    // contaminated = false) — an inner explode would drop it from the
+    // output entirely while clean() silently retained it.
     val exploded = docSh
-      .select(col(idCol), size(col("__sh")).alias("n_shingles"),
-        explode(col("__sh")).alias("__s"))
+      .select(col(idCol),
+        when(col("__sh").isNull, lit(0)).otherwise(size(col("__sh"))).alias("n_shingles"),
+        explode_outer(col("__sh")).alias("__s"))
     exploded
       .join(broadcast(benchSh), exploded("__s") === benchSh("__bsh"), "left")
       .groupBy(col(idCol), col("n_shingles"))

@@ -18,28 +18,55 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt: murmur3 over EVERY column of `df`. A hot
-    * key whose rows share one value (a constant or null-heavy metric — the
-    * canonical skew case) still fans out as long as anything else in the row
-    * varies; only fully-identical duplicate rows share a salt bucket.
-    * Row-content hashing keeps replays stable under repartitioning, which
-    * partition-id or rand() salts do not.
+  /** True when Spark's `hash()` accepts the type — MapType is unhashable
+    * (non-deterministic iteration order), including nested inside arrays
+    * and structs.
     */
-  private[graft] def rowSalt(df: DataFrame, buckets: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(buckets))
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType      => false
+      case ArrayType(e, _) => hashable(e)
+      case StructType(fs)  => fs.forall(f => hashable(f.dataType))
+      case _               => true
+    }
+  }
+
+  /** Deterministic per-row salt: murmur3 over `saltCols` when given, else
+    * over every HASHABLE column of `df` (MapType — unhashable in Spark's
+    * `hash()` — is skipped, so frames carrying map payloads still salt). A
+    * hot key whose rows share one value (a constant or null-heavy metric —
+    * the canonical skew case) still fans out as long as anything else in
+    * the row varies; only fully-identical duplicate rows share a salt
+    * bucket. Row-content hashing keeps replays stable under
+    * repartitioning, which partition-id or rand() salts do not. Pass
+    * `saltCols` to bound the per-row hash cost when the frame carries wide
+    * payload columns (large text/binary) that shouldn't be hashed just to
+    * derive a salt.
+    */
+  private[graft] def rowSalt(df: DataFrame, buckets: Int,
+      saltCols: Seq[String] = Nil): Column = {
+    val cols =
+      if (saltCols.nonEmpty) saltCols
+      else df.schema.fields.toSeq.filter(f => hashable(f.dataType)).map(_.name)
+    if (cols.isEmpty) lit(0) // all-map row: no fan-out, but still correct
+    else pmod(hash(cols.map(col): _*), lit(buckets))
+  }
 
   /** Two-phase salted sum/count/min/max/avg of `valueCol` by `keys`.
-    * Deterministic salt (murmur3 of the whole row) so replays are stable;
-    * sums accumulate in decimal so the merge order can't perturb doubles.
+    * Deterministic salt (murmur3 of the row's hashable columns, or of
+    * `saltCols` when the caller designates discriminators — cheaper on wide
+    * payloads) so replays are stable; sums accumulate in decimal so the
+    * merge order can't perturb doubles.
     * Output columns: keys, `sum_val`, `n`, `min_val`, `max_val`, `avg_val`.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
-      buckets: Int = 16): DataFrame = {
+      buckets: Int = 16, saltCols: Seq[String] = Nil): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val keyCols = keys.map(col)
     val v = col(valueCol)
     val partial = df
-      .withColumn("__salt", rowSalt(df, buckets))
+      .withColumn("__salt", rowSalt(df, buckets, saltCols))
       .groupBy(keyCols :+ col("__salt"): _*)
       .agg(
         sum(v.cast("decimal(18,6)")).alias("__psum"),

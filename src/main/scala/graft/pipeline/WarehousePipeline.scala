@@ -78,10 +78,20 @@ object WarehousePipeline {
           .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])))
       .option("header", value = true)
       .csv(s"$datasetsDir/coin_raw")
-    val transformed = transform(raw)
-    LakeSink.writeCsv(spark, transformed
+    val transformedOut = transform(raw)
+    LakeSink.writeCsv(spark, transformedOut
       .withColumn("timestamp", date_format(col("timestamp"),
         "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")), s"$datasetsDir/coin_transformed")
+
+    // Validate + load consume the handoff FILE, not the in-memory frame —
+    // the reference's validate/load stages re-read the transformed CSV, so
+    // round-trip corruption (timestamp formatting, null encoding) must be
+    // caught here, not silently bypassed.
+    val transformed = spark.read
+      .schema(transformedOut.schema)
+      .option("header", value = true)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .csv(s"$datasetsDir/coin_transformed")
 
     // Validate: file-configured checkpoint, throw on failure (reference
     // raises ValueError when result.success is false).

@@ -31,13 +31,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * `(max(hi) − min(lo)) / rowCount`: the average domain share per interval,
   * i.e. ~rowCount bins over the span, which keeps both the per-interval
   * explode factor and the per-bin population near 1 for
-  * partition-the-domain interval sets. Joins that already have an
-  * equi-predicate are left alone (they hash-join fine without help), and
-  * with neither conf nor stats the join is untouched.
+  * partition-the-domain interval sets. Because a SINGLE outlier interval
+  * spanning the whole domain would then explode into ~rowCount sequence
+  * elements in Generate, the derived bin count is clamped at
+  * `SET spark.graft.rangejoin.maxbins=<n>` (default 4096): the effective
+  * width is `span / min(rowCount, maxbins)`, so no interval can generate
+  * more than maxbins+1 rows regardless of table size. (An explicit conf
+  * width is taken as-is — the user chose it knowing their intervals.)
+  * Joins that already have an equi-predicate are left alone (they
+  * hash-join fine without help), and with neither conf nor stats the join
+  * is untouched.
   */
 case class BinnedRangeJoinRule() extends Rule[LogicalPlan] {
 
-  private val confKey = "spark.graft.rangejoin.binwidth"
+  private val confKey    = "spark.graft.rangejoin.binwidth"
+  private val maxBinsKey = "spark.graft.rangejoin.maxbins"
 
   private case class RangeMatch(point: Expression, lo: Expression, hi: Expression,
       pointOnLeft: Boolean)
@@ -110,7 +118,10 @@ case class BinnedRangeJoinRule() extends Rule[LogicalPlan] {
   }
 
   /** Conf width when set; otherwise derived from the interval side's CBO
-    * column stats: span(min(lo)..max(hi)) / rowCount. None = don't rewrite.
+    * column stats: span(min(lo)..max(hi)) / min(rowCount, maxbins). The
+    * min() clamp bounds the worst case — one interval covering the full
+    * span explodes into at most maxbins+1 Generate rows, never ~rowCount.
+    * None = don't rewrite.
     */
   private def widthFor(confWidth: String, intervals: LogicalPlan,
       lo: Expression, hi: Expression): Option[Double] = {
@@ -119,6 +130,8 @@ case class BinnedRangeJoinRule() extends Rule[LogicalPlan] {
       require(w > 0, s"$confKey must be positive, got $w")
       return Some(w)
     }
+    val maxBins = conf.getConfString(maxBinsKey, "4096").toLong
+    require(maxBins > 0, s"$maxBinsKey must be positive, got $maxBins")
     (lo.references.toSeq, hi.references.toSeq) match {
       case (Seq(la), Seq(ha)) =>
         val st = intervals.stats
@@ -129,7 +142,7 @@ case class BinnedRangeJoinRule() extends Rule[LogicalPlan] {
           lmin   <- loStat.min.flatMap(statNum)
           hmax   <- hiStat.max.flatMap(statNum)
           if hmax > lmin
-        } yield (hmax - lmin) / n.toDouble
+        } yield (hmax - lmin) / math.min(n.toDouble, maxBins.toDouble)
       case _ => None
     }
   }

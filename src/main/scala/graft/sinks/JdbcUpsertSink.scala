@@ -57,11 +57,17 @@ object JdbcUpsertSink {
     }
   }
 
+  private val VarcharWidth = """(?i)(?:VARCHAR|CHAR)\s*\(\s*(\d+)\s*\)""".r
+
   /** A generated statement plus the DataFrame-column order its `?`
     * placeholders bind in (a column may repeat — MERGE references the key
-    * in the ON clause and again in the INSERT values).
+    * in the ON clause and again in the INSERT values). `varcharWidths`
+    * carries each string column's declared width so [[write]] can fail
+    * loudly on an over-long value instead of letting the CAST silently
+    * truncate it.
     */
-  final case class Statement(sql: String, paramColumns: Seq[String])
+  final case class Statement(sql: String, paramColumns: Seq[String],
+      varcharWidths: Map[String, Int] = Map.empty)
 
   /** ANSI `MERGE INTO` upsert for engines whose MERGE source must be a base
     * table (Derby, DB2): the one-row dummy table `SYSIBM.SYSDUMMY1` drives
@@ -70,13 +76,29 @@ object JdbcUpsertSink {
     * (`updateOnMatch = true`) or no matched-clause at all (insert-ignore).
     * Parameters inside MERGE are untyped in strict engines, hence the casts
     * from the DataFrame schema.
+    *
+    * String columns default to `VARCHAR(4000)`; when the target column is
+    * wider (or narrower), pass its real SQL type in `typeOverrides`
+    * (e.g. `Map("body" -> "VARCHAR(32000)")`) — the CAST would otherwise
+    * silently truncate longer values. [[write]] additionally checks every
+    * bound string against the declared width and fails loudly on overflow.
     */
   def mergeSql(table: String, schema: org.apache.spark.sql.types.StructType,
-      keys: Seq[String], updateOnMatch: Boolean): Statement = {
+      keys: Seq[String], updateOnMatch: Boolean,
+      typeOverrides: Map[String, String] = Map.empty): Statement = {
     val columns = schema.fields.map(_.name).toSeq
     require(keys.nonEmpty && keys.forall(columns.contains), s"keys $keys must be columns")
-    def cast(c: String): String =
-      s"CAST(? AS ${sqlType(schema(c).dataType)})"
+    require(typeOverrides.keySet.subsetOf(columns.toSet),
+      s"typeOverrides ${typeOverrides.keySet} must be columns")
+    def typeOf(c: String): String =
+      typeOverrides.getOrElse(c, sqlType(schema(c).dataType))
+    def cast(c: String): String = s"CAST(? AS ${typeOf(c)})"
+    val widths = columns.flatMap { c =>
+      typeOf(c) match {
+        case VarcharWidth(w) => Some(c -> w.toInt)
+        case _               => None
+      }
+    }.toMap
     val on  = keys.map(k => s"t.$k = ${cast(k)}").mkString(" AND ")
     val ins = columns.map(cast).mkString(", ")
     val nonKeys = columns.filterNot(keys.contains)
@@ -88,19 +110,26 @@ object JdbcUpsertSink {
       s"MERGE INTO $table t USING SYSIBM.SYSDUMMY1 d " +
         s"ON $on WHEN NOT MATCHED THEN INSERT (${columns.mkString(", ")}) VALUES ($ins)" +
         matched,
-      keys ++ columns ++ (if (matched.nonEmpty) nonKeys else Nil))
+      keys ++ columns ++ (if (matched.nonEmpty) nonKeys else Nil),
+      widths)
   }
 
   /** Execute `sql` for every row of `df`, batched per partition. Placeholders
     * bind df's columns in order; pass `paramColumns` when the statement
     * references columns in a different order or more than once (MERGE).
+    * `varcharWidths` (column → declared width) makes an over-long string
+    * fail loudly before binding — the engine-side CAST would truncate it
+    * silently otherwise.
     */
   def write(df: DataFrame, jdbcUrl: String, props: java.util.Properties, sql: String,
-      batchSize: Int = 1000, paramColumns: Seq[String] = Nil): Unit = {
+      batchSize: Int = 1000, paramColumns: Seq[String] = Nil,
+      varcharWidths: Map[String, Int] = Map.empty): Unit = {
     val columns = df.columns
-    val paramIdx = (if (paramColumns.isEmpty) columns.toSeq else paramColumns)
-      .map(c => columns.indexOf(c))
+    val paramCols = if (paramColumns.isEmpty) columns.toSeq else paramColumns
+    val paramIdx  = paramCols.map(c => columns.indexOf(c))
     require(paramIdx.forall(_ >= 0), s"paramColumns must be df columns")
+    val widths = paramCols.map(c => varcharWidths.getOrElse(c, -1)).toArray
+    val names  = paramCols.toArray
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
@@ -110,7 +139,14 @@ object JdbcUpsertSink {
           var n  = 0
           rows.foreach { r =>
             paramIdx.zipWithIndex.foreach { case (ci, pi) =>
-              st.setObject(pi + 1, r.get(ci))
+              r.get(ci) match {
+                case s: String if widths(pi) > 0 && s.length > widths(pi) =>
+                  throw new IllegalArgumentException(
+                    s"value for column ${names(pi)} is ${s.length} chars but the " +
+                      s"statement declares VARCHAR(${widths(pi)}) — the cast would " +
+                      "silently truncate; widen via mergeSql typeOverrides")
+                case v => st.setObject(pi + 1, v)
+              }
             }
             st.addBatch()
             n += 1
@@ -126,9 +162,9 @@ object JdbcUpsertSink {
   /** Convenience: run a generated [[Statement]] against `df`. */
   def write(df: DataFrame, jdbcUrl: String, props: java.util.Properties,
       st: Statement, batchSize: Int): Unit =
-    write(df, jdbcUrl, props, st.sql, batchSize, st.paramColumns)
+    write(df, jdbcUrl, props, st.sql, batchSize, st.paramColumns, st.varcharWidths)
 
   def write(df: DataFrame, jdbcUrl: String, props: java.util.Properties,
       st: Statement): Unit =
-    write(df, jdbcUrl, props, st.sql, 1000, st.paramColumns)
+    write(df, jdbcUrl, props, st.sql, 1000, st.paramColumns, st.varcharWidths)
 }

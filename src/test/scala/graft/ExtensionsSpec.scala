@@ -102,4 +102,46 @@ class ExtensionsSpec extends SparkTestBase {
       extSpark.sql("DROP TABLE IF EXISTS supp_stats_t")
     }
   }
+
+  test("stats-derived width clamps the per-interval bin count at maxbins") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = "/root/testdata/sf0.001"
+    extSpark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .write.mode("overwrite").saveAsTable("cust_clamp_t")
+    // Interval table with one OUTLIER row spanning the whole acctbal domain:
+    // with width = span/rowCount that row alone would explode into ~rowCount
+    // Generate rows; the maxbins clamp keeps it at ≤ maxbins+1.
+    extSpark.read.parquet(s"$sfDir/supplier.parquet")
+      .selectExpr("s_suppkey",
+        "CASE WHEN s_suppkey = 1 THEN -99999.0 ELSE s_acctbal END AS lo_b",
+        "CASE WHEN s_suppkey = 1 THEN  99999.0 ELSE s_acctbal END AS hi_b")
+      .write.mode("overwrite").saveAsTable("supp_clamp_t")
+    try {
+      extSpark.sql(
+        "ANALYZE TABLE supp_clamp_t COMPUTE STATISTICS FOR COLUMNS lo_b, hi_b")
+      val sql =
+        """SELECT c_custkey, s_suppkey FROM cust_clamp_t JOIN supp_clamp_t
+          |  ON c_acctbal >= lo_b - 50 AND c_acctbal <= hi_b + 50""".stripMargin
+      extSpark.conf.set("spark.sql.cbo.enabled", "false")
+      val expected = extSpark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      extSpark.conf.set("spark.sql.cbo.enabled", "true")
+      extSpark.conf.set("spark.graft.rangejoin.maxbins", "8")
+      try {
+        val rewritten = extSpark.sql(sql)
+        val plan = rewritten.queryExecution.executedPlan.toString()
+        plan should not include "BroadcastNestedLoop"
+        plan should include("HashJoin")
+        rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+      } finally {
+        extSpark.conf.unset("spark.graft.rangejoin.maxbins")
+        extSpark.conf.set("spark.sql.cbo.enabled", "false")
+      }
+    } finally {
+      extSpark.sql("DROP TABLE IF EXISTS cust_clamp_t")
+      extSpark.sql("DROP TABLE IF EXISTS supp_clamp_t")
+    }
+  }
 }

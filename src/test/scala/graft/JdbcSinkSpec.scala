@@ -156,4 +156,35 @@ class JdbcSinkSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       JdbcUpsertSink.mergeSql("t", schema, Seq("nope"), updateOnMatch = false)
   }
+
+  test("long strings: loud failure at the default width, typeOverrides widen") {
+    withTable(
+      "CREATE TABLE docs_t (k VARCHAR(64) NOT NULL PRIMARY KEY, body VARCHAR(8000))",
+      "docs_t") {
+      val long = "x" * 5000 // over the default CAST width of 4000
+      val df = Seq(("a", long)).toDF("k", "body")
+
+      // default mapping: fails loudly instead of silently truncating
+      val st = JdbcUpsertSink.mergeSql("docs_t", df.schema, Seq("k"),
+        updateOnMatch = false)
+      st.varcharWidths shouldBe Map("k" -> 4000, "body" -> 4000)
+      val e = intercept[Throwable](JdbcUpsertSink.write(df, url, props, st))
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ") should
+        include("truncate")
+
+      // per-column override: declared width matches the target column
+      val wide = JdbcUpsertSink.mergeSql("docs_t", df.schema, Seq("k"),
+        updateOnMatch = false, typeOverrides = Map("body" -> "VARCHAR(8000)"))
+      wide.sql should include ("CAST(? AS VARCHAR(8000))")
+      wide.varcharWidths("body") shouldBe 8000
+      JdbcUpsertSink.write(df, url, props, wide)
+      count("docs_t") shouldBe 1L
+
+      // overrides must name real columns
+      an[IllegalArgumentException] should be thrownBy
+        JdbcUpsertSink.mergeSql("docs_t", df.schema, Seq("k"),
+          updateOnMatch = false, typeOverrides = Map("nope" -> "VARCHAR(10)"))
+    }
+  }
 }

@@ -59,6 +59,30 @@ class RedactionSpec extends SparkTestBase {
     strict(2L) shouldBe false
   }
 
+  test("decontamination keeps the per-doc row for null and too-short texts") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, null.asInstanceOf[String]),   // null text → null shingles
+      (3L, "tiny")                       // < n tokens → one all-tokens shingle
+    ).toDF("doc_id", "text")
+
+    val ov = Decontaminate.overlap(docs, bench, "doc_id", minOverlapFrac = 0.5)
+      .select($"doc_id", $"n_shingles", $"n_matched", $"contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // every input doc appears exactly once — no rows vanish on explode
+    ov.keySet shouldBe Set(1L, 2L, 3L)
+    ov(2L) shouldBe ((0, 0L, false))
+    ov(3L) shouldBe ((1, 0L, false))
+    ov(1L)._3 shouldBe true
+
+    // and clean() retains the null/short docs while dropping the match
+    val cleaned = Decontaminate.clean(docs, bench, "doc_id", minOverlapFrac = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    cleaned shouldBe Array(2L, 3L)
+  }
+
   test("html cleaning strips tags, decodes entities, drops urls, collapses spaces") {
     import graft.operators.TextCleaning
     val df = Seq(

@@ -52,4 +52,33 @@ class SkewSpec extends SparkTestBase {
     out.getAs[Long]("n") shouldBe 50000L
     out.getAs[Double]("sum_val") shouldBe 0.0
   }
+
+  test("frames with MapType payload columns still salt (maps skipped, not fatal)") {
+    // hash() rejects MapType at analysis — the salt must skip it instead of
+    // failing the whole aggregation.
+    val withMap = spark.range(10000).select(
+      lit("hot").alias("k"), ($"id" % 5).cast("double").alias("v"),
+      map(lit("a"), $"id").alias("payload"), $"id")
+    val out = Skew.saltedAgg(withMap, Seq("k"), "v", buckets = 16).head()
+    out.getAs[Long]("n") shouldBe 10000L
+    out.getAs[Double]("sum_val") shouldBe (0 until 10000).map(_ % 5).sum.toDouble
+    // the varying id column (hashable) still fans the hot key out
+    val spread = withMap.select(Skew.rowSalt(withMap, 16).alias("s"))
+      .agg(countDistinct($"s")).head().getLong(0)
+    spread.toInt should be >= 12
+  }
+
+  test("caller-designated saltCols bound the hash to a column subset") {
+    val wide = spark.range(20000).select(
+      lit("hot").alias("k"), lit(1.0).alias("v"), $"id",
+      concat(lit("x" * 100), $"id".cast("string")).alias("wide_payload"))
+    // salt only on id: deterministic, no wide-payload hashing
+    val out = Skew.saltedAgg(wide, Seq("k"), "v", buckets = 16, saltCols = Seq("id"))
+      .head()
+    out.getAs[Long]("n") shouldBe 20000L
+    out.getAs[Double]("sum_val") shouldBe 20000.0
+    val spread = wide.select(Skew.rowSalt(wide, 16, Seq("id")).alias("s"))
+      .agg(countDistinct($"s")).head().getLong(0)
+    spread shouldBe 16L
+  }
 }
