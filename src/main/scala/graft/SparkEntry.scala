@@ -33,6 +33,16 @@ object SparkEntry {
     * with integral division (`div`, not `/` — ns epoch values exceed the
     * 53-bit double mantissa). DuckDB truncates ns→µs the same way.
     */
+  /** Deterministic URL planting for the web-curation queries: the synthetic
+    * texts carry no URLs, so each doc gets one appended by `doc_id mod 3`
+    * (mirrored literally in the DuckDB oracles).
+    */
+  private def plantUrls(docs: DataFrame): DataFrame =
+    docs.withColumn("text2", concat(col("text"), lit(" see https://"),
+      element_at(array(lit("alpha.com"), lit("sub.evil.com"), lit("evil.com")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+      lit("/page")))
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -962,8 +972,9 @@ object SparkEntry {
       // completeness is checked by the oracle ROW COUNT (exactly the three
       // split names present, each nonempty) — a sum-vs-recount comparison
       // of the same lineage would be tautological.
-      split.groupBy(col("split")).agg(count(lit(1)).alias("__n"))
-        .withColumn("__total", sum(col("__n")).over())
+      val counts = split.groupBy(col("split")).agg(count(lit(1)).alias("__n"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("__n")).alias("__total"))))
         .select(col("split"),
           (abs(col("__n") / col("__total") -
             when(col("split") === "train", 0.8).otherwise(0.1)) < 0.05)
@@ -1029,7 +1040,7 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).alias("__n"))
       val target = typedLit(weights)
       mixed.join(avail, Seq("source"))
-        .withColumn("__total", sum(col("__n")).over())
+        .crossJoin(broadcast(mixed.agg(sum(col("__n")).alias("__total"))))
         .select(col("source"),
           (col("__n") <= col("n_avail")).alias("no_upsample"),
           (abs(col("__n") / col("__total") - element_at(target, col("source")))
@@ -1073,6 +1084,60 @@ object SparkEntry {
         .toDF("input", "after_quality", "after_language", "after_exact",
           "neardup_monotone")
     }),
+
+    // ---- incremental dedup: new batch vs historical fingerprint index --
+    // md5 is bit-identical across engines, so the whole accept/reject
+    // decision is hash-checkable, not just row counts.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs  = t(s, dir, "documents")
+      val index = docs.filter(pmod(col("doc_id"), lit(10)) < 3)
+        .select(md5(lower(trim(col("text")))).alias("fp")).distinct()
+      graft.operators.Dedup.incremental(docs, index, "doc_id")
+        .accepted.select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // ---- deterministic global shuffle (training-epoch order) -----------
+    // The full 500-row permutation is hash-compared position by position:
+    // md5-keyed total order is engine-independent.
+    "q_global_shuffle" -> ((s, dir) =>
+      graft.operators.Splits.deterministicShuffle(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 42)
+        .select(col("pos"), col("doc_id")).orderBy("pos")),
+
+    // ---- per-language quantile quality filter --------------------------
+    // exact=true pairs Spark's percentile (linear interpolation) with
+    // DuckDB quantile_cont; the operator's default is the approx sketch.
+    "q_quality_filter" -> ((s, dir) =>
+      graft.operators.TextAnalysis.quantileQualityFilter(
+          t(s, dir, "documents"), "lang", "n_chars", p = 0.25, exact = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).alias("n_kept"), min(col("n_chars")).alias("min_chars"))
+        .orderBy("lang")),
+
+    // ---- URL domain extraction + per-domain stats ----------------------
+    // URLs planted deterministically (the synthetic texts carry none); the
+    // capture pattern is Java∩RE2 so DuckDB runs the same pattern text.
+    "q_url_domains" -> ((s, dir) =>
+      graft.operators.WebCuration.domainStats(
+          plantUrls(t(s, dir, "documents")), "doc_id", "text2")
+        .orderBy("domain")),
+
+    // ---- blocklist curation: evil.com blocks its subdomains too --------
+    "q_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.WebCuration.blocklistFilter(
+          plantUrls(t(s, dir, "documents")),
+          Seq("evil.com").toDF("domain"), "doc_id", "text2")
+        .agg(count(lit(1)).alias("n_kept"), min(col("doc_id")).alias("min_id"))
+    }),
+
+    // ---- corpus-frequent n-gram boilerplate detection ------------------
+    "q_boilerplate" -> ((s, dir) =>
+      graft.operators.PassageDedup.boilerplateStats(
+          t(s, dir, "documents"), "doc_id", "text", n = 3, minDf = 4, maxFrac = 0.2)
+        .select(col("doc_id"), col("n_grams"), col("n_frequent"),
+          round(col("frequent_frac"), 6).alias("frequent_frac"), col("boilerplate"))
+        .orderBy("doc_id")),
 
     // ================= north-star: multimodal ===========================
     "q_multimodal_meta" -> ((s, dir) =>
@@ -1837,6 +1902,77 @@ object SparkEntry {
         |FROM documents d
         |CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS frame_idx) f
         |WHERE d.doc_id < 100
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 < 3),
+        |keepmin AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
+        |SELECT k.doc_id FROM keepmin k
+        |WHERE k.fp NOT IN (SELECT fp FROM idx)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_global_shuffle" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)))
+        |         AS BIGINT) - 1 AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH thr AS (SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS t
+        |             FROM documents GROUP BY lang)
+        |SELECT d.lang, COUNT(*) AS n_kept, CAST(MIN(d.n_chars) AS BIGINT) AS min_chars
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE CAST(d.n_chars AS DOUBLE) >= thr.t
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q_url_domains" ->
+      """WITH d AS (SELECT doc_id, text || ' see https://' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'alpha.com' WHEN 1 THEN 'sub.evil.com'
+        |         ELSE 'evil.com' END || '/page' AS t2 FROM documents),
+        |doms AS (SELECT doc_id,
+        |    lower(UNNEST(regexp_extract_all(t2, 'https?://([^\s<>"''/]+)', 1))) AS domain
+        |  FROM d)
+        |SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       COUNT(*) AS n_urls
+        |FROM doms GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_domain_blocklist" ->
+      """WITH d AS (SELECT doc_id, text || ' see https://' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'alpha.com' WHEN 1 THEN 'sub.evil.com'
+        |         ELSE 'evil.com' END || '/page' AS t2 FROM documents),
+        |doms AS (SELECT doc_id,
+        |    lower(UNNEST(regexp_extract_all(t2, 'https?://([^\s<>"''/]+)', 1))) AS domain
+        |  FROM d),
+        |blocked AS (SELECT DISTINCT doc_id FROM doms
+        |            WHERE domain = 'evil.com' OR domain LIKE '%.evil.com')
+        |SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_id
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM blocked)""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+'),
+        |                             t -> LENGTH(t) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+        |    ELSE [] END) AS gs
+        |  FROM toks),
+        |exploded AS (SELECT doc_id, UNNEST(gs) AS g FROM grams),
+        |dfreq AS (SELECT g, COUNT(*) AS df FROM exploded GROUP BY g),
+        |per_doc AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_grams,
+        |         SUM(CASE WHEN d.df >= 4 THEN 1 ELSE 0 END) AS n_frequent
+        |  FROM exploded e JOIN dfreq d USING (g) GROUP BY e.doc_id)
+        |SELECT g2.doc_id,
+        |       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+        |       CAST(COALESCE(p.n_frequent, 0) AS BIGINT) AS n_frequent,
+        |       ROUND(COALESCE(p.n_frequent / CAST(p.n_grams AS DOUBLE), 0.0), 6)
+        |         AS frequent_frac,
+        |       COALESCE(p.n_grams, 0) > 0
+        |         AND COALESCE(p.n_frequent / CAST(p.n_grams AS DOUBLE), 0.0) >= 0.2
+        |         AS boilerplate
+        |FROM grams g2 LEFT JOIN per_doc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -320,6 +320,43 @@ object Dedup {
         col("component").cast(idType).alias("component"))
   }
 
+  /** Result of an [[incremental]] run: the batch rows that survived (new
+    * content), and the updated fingerprint index to persist for the next
+    * batch.
+    */
+  final case class IncrementalResult(accepted: DataFrame, updatedIndex: DataFrame)
+
+  /** Incremental dedup: curate a NEW batch against the fingerprint index of
+    * everything already accepted — the shape of a continuously-ingesting
+    * corpus (each crawl/delivery dedups against all prior deliveries
+    * without rescanning them).
+    *
+    * The index is one `fp` column (md5 of normalized content): 16 bytes per
+    * historical doc, so a 10-billion-doc history is a ~300 GB table — a
+    * cheap anti-join side at 100 TB corpus scale, and the only thing the
+    * nightly job re-reads. Within-batch duplicates collapse first
+    * (deterministic min-id survivor), then the anti-join drops content seen
+    * in any earlier batch. Persist `updatedIndex` (bucketed by `fp` to make
+    * the next run's anti-join co-located) and feed it to the next call.
+    */
+  def incremental(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String = "text"): IncrementalResult = {
+    require(index.columns.sameElements(Array("fp")),
+      s"index must have exactly one column 'fp', got ${index.columns.mkString(",")}")
+    val cols = batch.columns.toSeq
+    val withFp = batch
+      .withColumn("__fp", md5(lower(trim(col(textCol)))))
+      .groupBy(col("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).alias("__row"))
+      .select(col("__fp") +: cols.map(c => col(s"__row.$c").alias(c)): _*)
+    val accepted = withFp
+      .join(index, withFp("__fp") === index("fp"), "left_anti")
+    val updatedIndex = index
+      .unionByName(accepted.select(col("__fp").alias("fp")))
+      .distinct()
+    IncrementalResult(accepted.drop("__fp"), updatedIndex)
+  }
+
   /** SimHash near-dup clustering: 64-bit simhash per doc; docs sharing the
     * hash (Hamming 0) group directly. For Hamming ≤ k matching, block on
     * rotated prefix bands of the hash (same bucket-join shape as MinHash).

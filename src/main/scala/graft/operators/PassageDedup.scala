@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-frequent passage (boilerplate) detection — the cross-document
+  * repeated-text signal behind substring-level dedup of training corpora
+  * (repeated boilerplate — headers, license blurbs, navigation text —
+  * appears verbatim across many documents and is worth dropping or
+  * down-weighting even when whole documents are not duplicates; cf. Lee et
+  * al. 2021, "Deduplicating Training Data Makes Language Models Better",
+  * arXiv:2107.06499, which dedups at the substring level for this reason).
+  *
+  * Construction: distinct word-`n`-grams per document → corpus document
+  * frequency per gram → each document scored by the fraction of its grams
+  * that are corpus-frequent (df ≥ `minDf`). At scale the explode carries
+  * 8-byte xxhash64 gram hashes, never gram text; the DF count and the
+  * per-doc re-join are both partial+final hash aggregates keyed on the
+  * gram hash (uniform — no hot key can exceed the corpus doc count).
+  */
+object PassageDedup {
+
+  /** Distinct word-`n`-gram strings of `text` (empty array when the doc has
+    * fewer than `n` tokens — unlike shingle fingerprinting, a short doc has
+    * NO repeated-passage evidence, so it scores 0 rather than contributing
+    * a degenerate whole-doc gram).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Per-document boilerplate stats: (`idCol`, `n_grams`, `n_frequent`,
+    * `frequent_frac`, `boilerplate`). A gram is frequent when it appears in
+    * at least `minDf` distinct documents; a document is flagged when at
+    * least `maxFrac` of its distinct grams are frequent. Documents with
+    * null/short text keep their row (n_grams = 0, not flagged).
+    */
+  def boilerplateStats(docs: DataFrame, idCol: String, textCol: String = "text",
+      n: Int = 3, minDf: Long = 5, maxFrac: Double = 0.5): DataFrame = {
+    require(minDf > 1, "minDf must exceed 1 — every gram has df >= 1")
+    require(maxFrac > 0 && maxFrac <= 1, "maxFrac in (0,1]")
+    // (doc, gram-hash) pairs: the shuffle payload is 8-byte hashes
+    val exploded = docs
+      .select(col(idCol), explode_outer(ngrams(col(textCol), n)).alias("__g"))
+      .select(col(idCol), xxhash64(col("__g")).alias("__gh"),
+        col("__g").isNotNull.alias("__real"))
+    // document frequency per gram (distinct docs — grams are per-doc distinct
+    // already, so a plain count is the doc count)
+    val df = exploded.filter(col("__real"))
+      .groupBy(col("__gh")).agg(count(lit(1)).alias("__df"))
+    val frequent = df.filter(col("__df") >= minDf).select(col("__gh"))
+    exploded
+      .join(frequent.withColumn("__freq", lit(true)), Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__real"), 1L).otherwise(0L)).alias("n_grams"),
+        sum(when(col("__freq").isNotNull && col("__real"), 1L).otherwise(0L))
+          .alias("n_frequent"))
+      .withColumn("frequent_frac",
+        when(col("n_grams") > 0, col("n_frequent").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)))
+      .withColumn("boilerplate",
+        col("n_grams") > 0 && col("frequent_frac") >= maxFrac)
+  }
+
+  /** The corpus with boilerplate-dominated documents removed. */
+  def dropBoilerplate(docs: DataFrame, idCol: String, textCol: String = "text",
+      n: Int = 3, minDf: Long = 5, maxFrac: Double = 0.5): DataFrame = {
+    val kill = boilerplateStats(docs, idCol, textCol, n, minDf, maxFrac)
+      .filter(col("boilerplate")).select(col(idCol))
+    docs.join(kill, Seq(idCol), "left_anti")
+  }
+}

@@ -42,4 +42,36 @@ object Splits {
       }
     df.withColumn("split", assigned)
   }
+
+  /** Deterministic global shuffle — the "shuffle your training data" step,
+    * done as a PSEUDO-RANDOM PERMUTATION rather than `orderBy(rand())`
+    * (non-reproducible) or `repartition` (only partition-local disorder):
+    * rows are totally ordered by `md5(seed ‖ ":" ‖ id)`, a content-stable
+    * key, so the same (corpus, seed) always yields the same order and a
+    * different seed yields an uncorrelated one.
+    *
+    * Adds a `pos` column (0-based position in the shuffled order). Spark
+    * executes the total order as a range-partitioned sort — sampled range
+    * boundaries, all partitions sort in parallel — and the position is
+    * assigned by `zipWithIndex`'s two-pass scheme (per-partition counts →
+    * driver prefix-sum of #partitions longs → per-partition offset add).
+    * No global window, no single-task stage anywhere; this is the one
+    * genuinely per-partition-imperative step, hence the one RDD hop. Ties
+    * are impossible (distinct ids ⇒ distinct digests modulo a 2⁻⁶⁴
+    * collision), so the permutation is total and reproducible.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    val sorted = df.withColumn("__shuffle_key", key).orderBy(col("__shuffle_key"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField("pos", LongType, nullable = false))
+    val keyIdx = sorted.schema.fieldIndex("__shuffle_key")
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      val vals = r.toSeq.zipWithIndex.collect { case (v, j) if j != keyIdx => v }
+      Row.fromSeq(vals :+ i)
+    }
+    df.sparkSession.createDataFrame(indexed, outSchema)
+  }
 }

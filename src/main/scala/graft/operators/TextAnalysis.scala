@@ -46,6 +46,30 @@ object TextAnalysis {
       .withColumn("fingerprint_roll", TextFunctions.rollingHash(text))
   }
 
+  /** Quality pruning by stratum — keep each stratum's rows at or above its
+    * own `p`-quantile of `scoreCol` (per-language thresholds are the
+    * standard recipe: a global cutoff would gut low-resource languages
+    * whose score distributions sit lower).
+    *
+    * The thresholds frame is one row per stratum → broadcast join; the
+    * corpus scan stays narrow. `exact = false` (default) estimates the
+    * quantile with `approx_percentile` (t-digest-style mergeable sketch,
+    * the only sane choice at 100 TB); `exact = true` uses exact
+    * `percentile` (linear interpolation — pairs with DuckDB
+    * `quantile_cont`) for oracle-checked runs at test scale.
+    */
+  def quantileQualityFilter(docs: DataFrame, strataCol: String, scoreCol: String,
+      p: Double = 0.25, exact: Boolean = false): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0,1)")
+    val q =
+      if (exact) percentile(col(scoreCol), lit(p))
+      else percentile_approx(col(scoreCol), lit(p), lit(10000))
+    val thresholds = docs.groupBy(col(strataCol)).agg(q.alias("__thr"))
+    docs.join(broadcast(thresholds), Seq(strataCol))
+      .filter(col(scoreCol).cast("double") >= col("__thr").cast("double"))
+      .drop("__thr")
+  }
+
   /** Heuristic language ID: score each candidate language by the share of
     * tokens (or characters, for zh) matching its function-word profile and
     * take the argmax; `und` when nothing matches. Pure built-ins → codegen.

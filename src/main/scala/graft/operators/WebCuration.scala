@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level corpus curation — the provenance dimension of web-scale
+  * training data: which hosts a document cites, per-domain corpus
+  * statistics (crawl-quality dashboards, licensing audits), and
+  * blocklist-based document removal (spam/adult/low-quality domain lists à
+  * la URL-filtered web corpora).
+  *
+  * Patterns stay in the Java∩RE2 syntax subset (same discipline as
+  * [[TextCleaning]] / [[Redaction]]) so the identical pattern text runs in
+  * SQL engines for validation. Domain extraction is a narrow codegen'd
+  * `regexp_extract_all`; the only shuffles are the per-domain aggregation
+  * (map-side partial) and the broadcast blocklist join — nothing wide at
+  * 100 TB.
+  */
+object WebCuration {
+
+  /** Capture group 1 = the host part of an http(s) URL: everything after
+    * `://` up to the first `/`, whitespace, quote, or angle bracket.
+    */
+  val domainPattern: String = "https?://([^\\s<>\"'/]+)"
+
+  /** All (lowercased) domains mentioned in `text`, in order of appearance. */
+  def extractDomains(text: Column): Column =
+    transform(regexp_extract_all(text, lit(domainPattern), lit(1)), d => lower(d))
+
+  /** Per-domain corpus stats: one row per domain with `n_docs` (documents
+    * mentioning it) and `n_urls` (total mentions). One explode + one
+    * partial+final hash aggregate keyed on domain.
+    */
+  def domainStats(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(extractDomains(col(textCol))).alias("domain"))
+      .groupBy(col("domain"))
+      .agg(countDistinct(col(idCol)).alias("n_docs"), count(lit(1)).alias("n_urls"))
+
+  /** Matches `domain` against a blocklist entry exactly or as a parent
+    * domain (`evil.com` blocks `sub.evil.com` but not `notevil.com`).
+    */
+  private def blockedBy(domain: Column, blocked: Column): Column =
+    domain === blocked || domain.endsWith(concat(lit("."), blocked))
+
+  /** Drop every document that mentions a blocked domain (or a subdomain of
+    * one). `blocklist` is a one-column (`domain`) frame — domain lists are
+    * small next to a corpus, so it broadcasts and the match is a
+    * broadcast theta join on the doc's distinct domains, then a left-anti
+    * join back on the id.
+    */
+  def blocklistFilter(docs: DataFrame, blocklist: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    require(blocklist.columns.sameElements(Array("domain")),
+      s"blocklist must have exactly one column 'domain', got ${blocklist.columns.mkString(",")}")
+    val docDomains = docs.select(col(idCol),
+      explode(array_distinct(extractDomains(col(textCol)))).alias("__d"))
+    val hit = docDomains
+      .join(broadcast(blocklist.select(lower(col("domain")).alias("__b"))),
+        blockedBy(col("__d"), col("__b")))
+      .select(col(idCol)).distinct()
+    docs.join(hit, Seq(idCol), "left_anti")
+  }
+}

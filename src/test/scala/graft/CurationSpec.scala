@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{PassageDedup, TextAnalysis, WebCuration}
+import org.apache.spark.sql.functions._
+
+/** Web-curation (domain extraction/blocklist), corpus-frequent n-gram
+  * boilerplate detection, and quantile quality filtering.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("extractDomains captures hosts, lowercased, in order") {
+    val out = Seq(
+      (1L, "see https://A.Example.com/x and http://b.io, plus https://c.net\"quoted\""),
+      (2L, "no urls"),
+      (3L, "ftp://skipped.com and https://kept.org/path?q=1")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", WebCuration.extractDomains($"text").alias("d"))
+      .as[(Long, Seq[String])].collect().toMap
+    out(1L) shouldBe Seq("a.example.com", "b.io,", "c.net")
+    out(2L) shouldBe Seq.empty
+    out(3L) shouldBe Seq("kept.org")
+  }
+
+  test("domainStats counts docs and mentions per domain") {
+    val docs = Seq(
+      (1L, "https://a.com/x https://a.com/y https://b.org/z"),
+      (2L, "https://a.com/q"),
+      (3L, "nothing")
+    ).toDF("doc_id", "text")
+    val stats = WebCuration.domainStats(docs, "doc_id")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    stats("a.com") shouldBe ((2L, 3L))
+    stats("b.org") shouldBe ((1L, 1L))
+    stats.keySet shouldBe Set("a.com", "b.org")
+  }
+
+  test("blocklistFilter drops exact and subdomain matches, keeps the rest") {
+    val docs = Seq(
+      (1L, "cites https://evil.com/spam"),
+      (2L, "cites https://sub.evil.com/worse"),
+      (3L, "cites https://notevil.com/fine"),
+      (4L, "cites https://good.org/ok"),
+      (5L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val kept = WebCuration.blocklistFilter(docs, Seq("evil.com").toDF("domain"), "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    kept shouldBe Array(3L, 4L, 5L)
+    an[IllegalArgumentException] should be thrownBy
+      WebCuration.blocklistFilter(docs, docs, "doc_id")
+  }
+
+  test("boilerplate stats flag docs dominated by corpus-frequent n-grams") {
+    val boiler = "all rights reserved contact us for details"
+    val docs = (1L to 6L).map(i => (i, s"$boiler unique$i tail$i"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq(
+        (10L, "a genuinely original text with no shared phrasing at all whatsoever"),
+        (11L, null.asInstanceOf[String]),
+        (12L, "too short")).toDF("doc_id", "text"))
+    val stats = PassageDedup.boilerplateStats(docs, "doc_id", n = 3, minDf = 5,
+      maxFrac = 0.5)
+      .select($"doc_id", $"n_grams", $"n_frequent", $"boilerplate")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // every input doc keeps a row, including null/short texts
+    stats.keySet shouldBe (1L to 6L).toSet ++ Set(10L, 11L, 12L)
+    // the boilerplate prefix contributes 5 shared 3-grams present in 6 docs
+    (1L to 6L).foreach { i => stats(i)._3 shouldBe true }
+    stats(10L) shouldBe ((9L, 0L, false))
+    stats(11L) shouldBe ((0L, 0L, false))
+    stats(12L) shouldBe ((0L, 0L, false))
+
+    val cleaned = PassageDedup.dropBoilerplate(docs, "doc_id", n = 3, minDf = 5,
+      maxFrac = 0.5).select($"doc_id").as[Long].collect().sorted
+    cleaned shouldBe Array(10L, 11L, 12L)
+  }
+
+  test("quantile quality filter keeps per-stratum top mass; approx tracks exact") {
+    // two strata with disjoint score ranges: a global threshold would wipe
+    // out stratum "low" entirely; the per-stratum filter keeps 75% of each
+    val docs = spark.range(1000).select(
+      when($"id" % 2 === 0, "high").otherwise("low").alias("lang"),
+      ($"id" % 2 * 1000 + $"id" % 100).cast("double").alias("score"),
+      $"id")
+    val kept = TextAnalysis.quantileQualityFilter(docs, "lang", "score",
+      p = 0.25, exact = true)
+    val counts = kept.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    counts("high").toDouble shouldBe 375.0 +- 10
+    counts("low").toDouble shouldBe 375.0 +- 10
+
+    val approx = TextAnalysis.quantileQualityFilter(docs, "lang", "score", p = 0.25)
+    val ac = approx.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    ac("high").toDouble shouldBe counts("high").toDouble +- 15
+    ac("low").toDouble shouldBe counts("low").toDouble +- 15
+
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.quantileQualityFilter(docs, "lang", "score", p = 0.0)
+  }
+}

@@ -240,4 +240,32 @@ class DedupSpec extends SparkTestBase {
     SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
       .passed shouldBe true
   }
+
+  test("incremental dedup: batches accept only unseen content, index grows, rerun is a no-op") {
+    val empty = docs.filter(lit(false)).select(md5($"text").alias("fp"))
+    val batch1 = docs.filter($"doc_id" < 50)
+    val r1 = Dedup.incremental(batch1, empty, "doc_id")
+    r1.accepted.count() shouldBe
+      batch1.select(lower(trim($"text"))).distinct().count()
+    r1.updatedIndex.count() shouldBe r1.accepted.count()
+
+    // batch 2 = 30 docs already delivered + 20 genuinely new → only the new
+    // 20 survive, and within-batch duplicates collapse to the min id first
+    val renumbered = docs.filter($"doc_id" >= 50 && $"doc_id" < 70)
+    val batch2 = batch1.filter($"doc_id" < 30)
+      .unionByName(renumbered)
+      .unionByName(renumbered.withColumn("doc_id", $"doc_id" + 5000L)) // in-batch dups
+    val r2 = Dedup.incremental(batch2, r1.updatedIndex, "doc_id")
+    val acceptedIds = r2.accepted.select($"doc_id").as[Long].collect().sorted
+    acceptedIds shouldBe (50L until 70L).toArray // min-id survivors, no 5000s
+    r2.updatedIndex.count() shouldBe r1.updatedIndex.count() + 20
+
+    // idempotent: re-delivering batch 2 against the updated index accepts 0
+    val r3 = Dedup.incremental(batch2, r2.updatedIndex, "doc_id")
+    r3.accepted.count() shouldBe 0L
+    r3.updatedIndex.count() shouldBe r2.updatedIndex.count()
+
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.incremental(batch1, batch1, "doc_id") // wrong index schema
+  }
 }

@@ -44,4 +44,28 @@ class SplitsSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Splits.assignSplit(docs, "doc_id", Seq("a" -> 0.99999, "b" -> 0.00001))
   }
+
+  test("deterministic shuffle is a reproducible permutation, seeds decorrelate") {
+    val docs = spark.range(5000).select($"id".alias("doc_id"))
+    val s1 = Splits.deterministicShuffle(docs, "doc_id", seed = 42)
+    s1.columns shouldBe Array("doc_id", "pos")
+
+    // permutation: positions are exactly 0..n-1, ids all present once
+    val rows = s1.select($"pos", $"doc_id").as[(Long, Long)].collect()
+    rows.map(_._1).sorted shouldBe (0L until 5000L).toArray
+    rows.map(_._2).sorted shouldBe (0L until 5000L).toArray
+
+    // reproducible: same seed → identical order, even across repartitioning
+    val s1b = Splits.deterministicShuffle(docs.repartition(13), "doc_id", seed = 42)
+      .select($"pos", $"doc_id").as[(Long, Long)].collect().toMap
+    rows.toMap shouldBe s1b
+
+    // genuinely shuffled and seed-sensitive: a different seed moves most rows
+    val s2 = Splits.deterministicShuffle(docs, "doc_id", seed = 7)
+      .select($"pos", $"doc_id").as[(Long, Long)].collect().toMap
+    val movedVsIdentity = rows.count { case (pos, id) => pos != id }
+    val movedVsSeed2    = rows.count { case (pos, id) => s2.get(pos).exists(_ != id) }
+    movedVsIdentity should be > 4900
+    movedVsSeed2 should be > 4900
+  }
 }
