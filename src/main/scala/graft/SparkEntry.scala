@@ -1950,8 +1950,7 @@ object SparkEntry {
 
     "q_boilerplate" ->
       """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+'),
-        |                             t -> LENGTH(t) > 0) AS t
+        |  SELECT doc_id, string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+') AS t
         |  FROM documents),
         |grams AS (
         |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3

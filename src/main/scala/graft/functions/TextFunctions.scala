@@ -108,6 +108,40 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Distinct xxhash64(seed=42) hashes of the word-`n` shingles — the
+    * 64-bit sibling of [[hashedShingles]] for corpus-scale gram statistics,
+    * where the 32-bit space would collide from ~77k distinct grams
+    * (birthday bound) and a 100 TB corpus carries billions. Unlike the
+    * 32-bit variant, a document with fewer than `n` tokens yields an EMPTY
+    * array rather than a whole-doc shingle: repeated-passage evidence
+    * requires a full n-gram.
+    */
+  def hashedShingles64(toks: ArrayData, n: Int): ArrayData = {
+    val m    = toks.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    if (m >= n) {
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i + n <= m) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) {
+          parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+          j += 1
+        }
+        val s = UTF8String.concatWs(sep, parts: _*)
+        seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it  = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** All `numHashes` MinHash minima of an int-array in one pass; seeded
     * murmur3 per element matches Spark's `hash(int, seed)`. An empty input
     * yields a signature of Int.MaxValue sentinels.
@@ -156,6 +190,20 @@ case class HashedShingles(child: Expression, n: Int)
     TextKernels.hashedShingles(in.asInstanceOf[ArrayData], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.hashedShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `hashed_shingles64(tokens, n)` — distinct xxhash64 hashes of word-n-gram
+  * shingles in one codegen'd pass (see [[TextKernels.hashedShingles64]]).
+  * Empty output for documents shorter than `n` tokens.
+  */
+case class HashedShingles64(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.hashedShingles64(in.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.hashedShingles64($c, $n)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -254,6 +302,12 @@ object TextFunctions {
   /** Distinct murmur3 hashes of word-`n` shingles of a token-array column. */
   def hashedShingles(toks: Column, n: Int): Column =
     GraftSqlBridge.column(HashedShingles(GraftSqlBridge.expression(toks), n))
+
+  /** Distinct xxhash64 hashes of word-`n` shingles; empty for docs shorter
+    * than `n` tokens (corpus-gram statistics need full n-grams).
+    */
+  def hashedShingles64(toks: Column, n: Int): Column =
+    GraftSqlBridge.column(HashedShingles64(GraftSqlBridge.expression(toks), n))
 
   /** MinHash signature (array of `numHashes` ints) of a hashed-shingle
     * int-array column — single-pass kernel, codegen-friendly.

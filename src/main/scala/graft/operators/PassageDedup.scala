@@ -23,10 +23,11 @@ object PassageDedup {
   /** Distinct word-`n`-gram strings of `text` (empty array when the doc has
     * fewer than `n` tokens — unlike shingle fingerprinting, a short doc has
     * NO repeated-passage evidence, so it scores 0 rather than contributing
-    * a degenerate whole-doc gram).
+    * a degenerate whole-doc gram). Reference semantics for the hashed
+    * kernel below; the operator itself never materializes gram strings.
     */
   def ngrams(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val toks = split(lower(trim(text)), "\\s+")
     val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", slice(toks, i, lit(n))))
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
@@ -42,11 +43,15 @@ object PassageDedup {
       n: Int = 3, minDf: Long = 5, maxFrac: Double = 0.5): DataFrame = {
     require(minDf > 1, "minDf must exceed 1 — every gram has df >= 1")
     require(maxFrac > 0 && maxFrac <= 1, "maxFrac in (0,1]")
-    // (doc, gram-hash) pairs: the shuffle payload is 8-byte hashes
+    // (doc, gram-hash) pairs via the single-pass codegen'd kernel — gram
+    // strings are never materialized and the shuffle payload is 8-byte
+    // hashes (value-equivalent to exploding [[ngrams]] and hashing, minus
+    // a 2⁻⁶⁴-per-pair collision)
     val exploded = docs
-      .select(col(idCol), explode_outer(ngrams(col(textCol), n)).alias("__g"))
-      .select(col(idCol), xxhash64(col("__g")).alias("__gh"),
-        col("__g").isNotNull.alias("__real"))
+      .select(col(idCol), explode_outer(
+        graft.functions.TextFunctions.hashedShingles64(
+          graft.functions.TextFunctions.tokens(col(textCol)), n)).alias("__gh"))
+      .select(col(idCol), col("__gh"), col("__gh").isNotNull.alias("__real"))
     // document frequency per gram (distinct docs — grams are per-doc distinct
     // already, so a plain count is the doc count)
     val df = exploded.filter(col("__real"))
