@@ -25,8 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Per-session table catalog: `spark.read.parquet` re-reads footers to
+    * infer the schema on EVERY call, so the registry's ~400 table reads per
+    * bench pay that repeatedly. DataFrames are immutable logical plans —
+    * caching one per (session, path) is what a metastore-backed catalog
+    * does, and later reads plan instantly.
+    */
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableCache.computeIfAbsent((s, s"$dir/$name.parquet"),
+      key => key._1.read.parquet(key._2))
 
   /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects; read nanos as long (legacy conf) and rebuild a µs timestamp
