@@ -510,6 +510,22 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)),
 
+    "q_tpch_q10" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-10-01") &&
+              col("o_orderdate") < lit("1997-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .alias("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
     "q_tpch_q5" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
@@ -1093,6 +1109,26 @@ object SparkEntry {
           r.afterNearDup <= r.afterExactDedup && r.afterNearDup > 0))
         .toDF("input", "after_quality", "after_language", "after_exact",
           "neardup_monotone")
+    }),
+
+    // ---- temperature-scaled source mixing (w ∝ n^alpha) ----------------
+    // Contract: per-source kept counts within tolerance of the
+    // temperature-derived targets, never upsampled.
+    "q_mix_temperature" -> ((s, dir) => {
+      val docs  = t(s, dir, "documents")
+      val alpha = 0.5
+      val avail = docs.groupBy(col("source")).agg(count(lit(1)).alias("n_avail"))
+        .withColumn("__w", pow(col("n_avail").cast("double"), alpha))
+      val mixed = TextAnalysis.mixSourcesTemperature(docs, "source", alpha)
+        .groupBy(col("source")).agg(count(lit(1)).alias("__n"))
+      mixed.join(avail, Seq("source"))
+        .crossJoin(broadcast(avail.agg(sum(col("__w")).alias("__wsum"))))
+        .crossJoin(broadcast(mixed.agg(sum(col("__n")).alias("__total"))))
+        .select(col("source"),
+          (col("__n") <= col("n_avail")).alias("no_upsample"),
+          (abs(col("__n") / col("__total") - col("__w") / col("__wsum")) < 0.12)
+            .alias("ratio_ok"))
+        .orderBy("source")
     }),
 
     // ---- incremental dedup: new batch vs historical fingerprint index --
@@ -1913,6 +1949,24 @@ object SparkEntry {
         |CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS frame_idx) f
         |WHERE d.doc_id < 100
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_mix_temperature" ->
+      """SELECT source, CAST(1 AS BOOLEAN) AS no_upsample,
+        |       CAST(1 AS BOOLEAN) AS ratio_ok
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |            AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),

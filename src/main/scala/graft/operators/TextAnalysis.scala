@@ -187,6 +187,25 @@ object TextAnalysis {
     docs.stat.sampleBy(sourceCol, rates, seed)
   }
 
+  /** Temperature-scaled mixture weights from the corpus's OWN source sizes:
+    * `w_s ∝ n_s^alpha` — the standard multilingual/source-balancing recipe
+    * (alpha = 1 reproduces natural proportions, alpha → 0 approaches
+    * uniform; e.g. the α=0.3 exponent-smoothed sampling of multilingual
+    * pretraining). One count pass (the same bounded driver map
+    * [[mixSources]] already does), then the derived weights drive the same
+    * no-upsample resampler.
+    */
+  def mixSourcesTemperature(docs: DataFrame, sourceCol: String,
+      alpha: Double, seed: Long = 42L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0,1]")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).alias("n"))
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no non-null sources present")
+    val weights = counts.view.mapValues(n => math.pow(n.toDouble, alpha)).toMap
+    mixSources(docs, sourceCol, weights, seed)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 — the
     * MassiveText quality heuristics; public paper): per-document fractions
     * of duplicated lines and duplicated word n-grams. High values mark

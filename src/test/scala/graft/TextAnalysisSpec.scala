@@ -177,4 +177,26 @@ class TextAnalysisSpec extends SparkTestBase {
       Map("web" -> 1.0))
     dropped.select($"source").distinct().as[String].collect().toSeq shouldBe Seq("web")
   }
+
+  test("temperature mixing rebalances toward uniform as alpha shrinks") {
+    // 16k web vs 1k code: natural ratio 16:1; alpha=0.5 targets sqrt
+    // ratio 4:1; the no-upsample constraint binds on the small source
+    val docs = spark.range(17000).select(
+      when($"id" < 16000, "web").otherwise("code").alias("source"), $"id")
+    val mixed = graft.operators.TextAnalysis
+      .mixSourcesTemperature(docs, "source", alpha = 0.5)
+    val counts = mixed.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    // weights: sqrt(16000)=126.5, sqrt(1000)=31.6 → web target ≈ 0.8
+    counts("web").toDouble / total shouldBe 0.8 +- 0.05
+    counts("code").toDouble / total shouldBe 0.2 +- 0.05
+    counts("code") should be <= 1000L
+    // alpha = 1 reproduces (a sample of) natural proportions
+    val natural = graft.operators.TextAnalysis
+      .mixSourcesTemperature(docs, "source", alpha = 1.0)
+    val nc = natural.groupBy($"source").count().as[(String, Long)].collect().toMap
+    nc("web").toDouble / nc.values.sum shouldBe (16.0 / 17) +- 0.05
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.TextAnalysis.mixSourcesTemperature(docs, "source", 0.0)
+  }
 }
