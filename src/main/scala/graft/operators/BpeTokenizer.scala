@@ -50,24 +50,51 @@ object BpeTokenizer {
     out.result()
   }
 
-  /** Train `numMerges` merges from a word-frequency table. */
+  /** Train `numMerges` merges from a word-frequency table.
+    *
+    * INCREMENTAL pair maintenance (the construction in Sennrich's public
+    * reference implementation): pair counts and a pair→words index are
+    * built once; each merge round touches only the words that contain the
+    * chosen pair, subtracting their old adjacencies and adding the new
+    * ones. Per round the cost is the affected words' symbols plus one scan
+    * of the pair table for the max — not a full recount of every word —
+    * so training stays near-linear as numMerges grows into the thousands
+    * on a large vocabulary. Merge choice (count desc, then lexicographic)
+    * is unchanged, so the trained table is identical to the recount
+    * implementation's.
+    */
   def trainFromFrequencies(wordFreq: Map[String, Long], numMerges: Int): Merges = {
     require(numMerges > 0, "numMerges must be positive")
-    var words: Map[Vector[String], Long] =
-      wordFreq.map { case (w, n) => symbols(w) -> n }
+    import scala.collection.mutable
+    // dedup identical symbol sequences (distinct words always are)
+    val entries = wordFreq.toArray.map { case (w, n) => (symbols(w), n) }
+    val syms    = entries.map(_._1)
+    val freq    = entries.map(_._2)
+    val pairCounts  = mutable.Map[(String, String), Long]()
+    val pairToWords = mutable.Map[(String, String), mutable.BitSet]()
+    def addWord(idx: Int, s: Vector[String], n: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+        pairToWords.getOrElseUpdate(p, mutable.BitSet.empty) += idx
+        i += 1
+      }
+    }
+    def dropWord(s: Vector[String], n: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val left = pairCounts(p) - n
+        if (left == 0L) pairCounts.remove(p) else pairCounts(p) = left
+        i += 1
+      }
+    }
+    syms.indices.foreach(i => addWord(i, syms(i), freq(i)))
     val merges = Vector.newBuilder[(String, String)]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
-      words.foreach { case (syms, n) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
-          i += 1
-        }
-      }
       // most frequent pair in ONE pass; lexicographic tie-break for
       // determinism (no full sort of the pair table)
       var best: ((String, String), Long) = (("", ""), -1L)
@@ -81,15 +108,22 @@ object BpeTokenizer {
       else {
         val pair = best._1
         merges += pair
-        // rebuild only the words that actually contain the pair
-        words = words.map { case (syms, n) =>
+        // the index may hold stale members (word rewritten since) — the
+        // contains-check filters them; entries are delta-updated in place
+        pairToWords.remove(pair).foreach(_.foreach { idx =>
+          val s = syms(idx)
           var hit = false
           var i = 0
-          while (!hit && i < syms.length - 1) {
-            hit = syms(i) == pair._1 && syms(i + 1) == pair._2; i += 1
+          while (!hit && i < s.length - 1) {
+            hit = s(i) == pair._1 && s(i + 1) == pair._2; i += 1
           }
-          (if (hit) mergeSweep(syms, pair) else syms) -> n
-        }
+          if (hit) {
+            dropWord(s, freq(idx))
+            val merged = mergeSweep(s, pair)
+            syms(idx) = merged
+            addWord(idx, merged, freq(idx))
+          }
+        })
         rank += 1
       }
     }

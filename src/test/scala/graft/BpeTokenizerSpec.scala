@@ -19,6 +19,52 @@ class BpeTokenizerSpec extends SparkTestBase {
     BpeTokenizer.trainFromFrequencies(freq, 4) shouldBe merges
   }
 
+  test("incremental pair maintenance equals a full-recount reference") {
+    // naive reference: recount every pair from scratch each round (the
+    // O(merges × corpus) construction the incremental index replaces)
+    def sweep(s: Vector[String], p: (String, String)): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i < s.length - 1 && s(i) == p._1 && s(i + 1) == p._2) {
+          out += s(i) + s(i + 1); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    def reference(freq: Map[String, Long], numMerges: Int): Map[(String, String), Int] = {
+      var words = freq.map { case (w, n) => w.map(_.toString).toVector -> n }
+      val merges = Vector.newBuilder[(String, String)]
+      var done = false
+      var rank = 0
+      while (rank < numMerges && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (s, n) =>
+          s.indices.dropRight(1).foreach { i =>
+            counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + n
+          }
+        }
+        val best = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+        best match {
+          case Some((p, n)) if n >= 2 =>
+            merges += p
+            words = words.map { case (s, m) => sweep(s, p) -> m }
+            rank += 1
+          case _ => done = true
+        }
+      }
+      merges.result().zipWithIndex.toMap
+    }
+
+    val rnd = new scala.util.Random(7)
+    val freq = (1 to 400).map { _ =>
+      val w = (1 to 3 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      w -> (1L + rnd.nextInt(50))
+    }.toMap
+    BpeTokenizer.trainFromFrequencies(freq, numMerges = 120) shouldBe
+      reference(freq, 120)
+  }
+
   test("encode applies merges greedily by rank and always reconstructs") {
     val merges = Map(("e", "s") -> 0, ("es", "t") -> 1, ("l", "o") -> 2)
     BpeTokenizer.encodeWord("newest", merges) shouldBe Seq("n", "e", "w", "est")
