@@ -1111,6 +1111,42 @@ object SparkEntry {
           "neardup_monotone")
     }),
 
+    // ---- training-epoch export (shuffle → pack → sized ordered files) --
+    // Contract row: exported row count (oracle-derived) + read-back
+    // invariants (ids preserved, bin sums within budget+straddler, bins
+    // contiguous per shard, shard blocks in epoch order).
+    "q_epoch_export" -> ((s, dir) => {
+      import s.implicits._
+      val docs   = t(s, dir, "documents")
+      val out    = System.getProperty("java.io.tmpdir") + "/graft_epoch_export"
+      val budget = 5000L
+      val rep = graft.sinks.EpochWriter.writeEpoch(docs, "doc_id", "n_chars",
+        out, budget, numShards = 8)
+      val back = s.read.parquet(out).withColumn("shard", col("shard").cast("long"))
+      val idsOk = back.agg(countDistinct(col("doc_id"))).head().getLong(0) == rep.rows
+      // one scan → per-bin stats; every remaining invariant derives from
+      // this (tiny: one row per bin) without touching the files again
+      val binStats = back.groupBy(col("shard"), col("bin_id"))
+        .agg(sum(col("n_chars")).alias("__sum"), max(col("n_chars")).alias("__max"),
+          min(col("pos")).alias("__mnp"), max(col("pos")).alias("__mxp"))
+        .localCheckpoint()
+      val budgetOk = binStats
+        .agg(coalesce(min(col("__sum") <= lit(budget) + col("__max")), lit(false)))
+        .head().getBoolean(0)
+      val contiguous = binStats.groupBy(col("shard"))
+        .agg((countDistinct(col("bin_id")) === max(col("bin_id")) + 1).alias("c"))
+        .agg(coalesce(min(col("c")), lit(false))).head().getBoolean(0)
+      val ranges = binStats.groupBy(col("shard"))
+        .agg(min(col("__mnp")).alias("mn"), max(col("__mxp")).alias("mx"))
+        .orderBy(col("shard")).collect() // bounded by numShards
+      val ordered = ranges.sliding(2).forall {
+        case Array(a, b) => a.getLong(2) < b.getLong(1)
+        case _           => true
+      }
+      Seq((rep.rows, idsOk, budgetOk, contiguous, ordered))
+        .toDF("n_rows", "ids_ok", "budget_ok", "bins_contiguous", "shards_ordered")
+    }),
+
     // ---- temperature-scaled source mixing (w ∝ n^alpha) ----------------
     // Contract: per-source kept counts within tolerance of the
     // temperature-derived targets, never upsampled.
@@ -1949,6 +1985,13 @@ object SparkEntry {
         |CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS frame_idx) f
         |WHERE d.doc_id < 100
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_epoch_export" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(1 AS BOOLEAN) AS ids_ok, CAST(1 AS BOOLEAN) AS budget_ok,
+        |       CAST(1 AS BOOLEAN) AS bins_contiguous,
+        |       CAST(1 AS BOOLEAN) AS shards_ordered
+        |FROM documents""".stripMargin,
 
     "q_mix_temperature" ->
       """SELECT source, CAST(1 AS BOOLEAN) AS no_upsample,
