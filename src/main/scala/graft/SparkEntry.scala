@@ -1111,6 +1111,29 @@ object SparkEntry {
           "neardup_monotone")
     }),
 
+    // ---- per-label embedding centroids (mean pooling UDAF) -------------
+    // Hash-checked values are the ORDER-FREE exact decimal sums; the
+    // operator's double centroid is checked against them as a boolean (a
+    // raw float mean's last ulp depends on merge order — not hashable).
+    "q_embedding_centroids" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "label", "embedding", dim = 64)
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "c")))
+      val exact = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v").cast("double").cast("decimal(25,7)")).alias("__s"),
+          count(lit(1)).alias("n"))
+      exact.join(cents, Seq("label", "pos"))
+        .select(col("label"), col("pos").cast("long").alias("pos"),
+          col("__s").cast("double").alias("sum_v"), col("n"),
+          // tolerance floor: the decimal(25,7) per-value rounding alone
+          // shifts the derived mean by up to 5e-8
+          (abs(col("c") - col("__s").cast("double") / col("n")) < 1e-6)
+            .alias("centroid_ok"))
+        .orderBy("label", "pos")
+    }),
+
     // ---- training-epoch export (shuffle → pack → sized ordered files) --
     // Contract row: exported row count (oracle-derived) + read-back
     // invariants (ids preserved, bin sums within budget+straddler, bins
@@ -1173,7 +1196,8 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, dir) => {
       val docs  = t(s, dir, "documents")
       val index = docs.filter(pmod(col("doc_id"), lit(10)) < 3)
-        .select(md5(lower(trim(col("text")))).alias("fp")).distinct()
+        .select(md5(coalesce(lower(trim(col("text"))), lit(""))).alias("fp"))
+        .distinct()
       graft.operators.Dedup.incremental(docs, index, "doc_id")
         .accepted.select(col("doc_id")).orderBy("doc_id")
     }),
@@ -1986,6 +2010,16 @@ object SparkEntry {
         |WHERE d.doc_id < 100
         |ORDER BY media_id, frame_idx""".stripMargin,
 
+    "q_embedding_centroids" ->
+      """WITH flat AS (
+        |  SELECT label, UNNEST(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings)
+        |SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+        |       CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,7))) AS DOUBLE) AS sum_v,
+        |       COUNT(*) AS n, CAST(1 AS BOOLEAN) AS centroid_ok
+        |FROM flat GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
     "q_epoch_export" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       CAST(1 AS BOOLEAN) AS ids_ok, CAST(1 AS BOOLEAN) AS budget_ok,
@@ -2012,7 +2046,8 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
 
     "q_dedup_incremental" ->
-      """WITH fp AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+      """WITH fp AS (SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS fp
+        |            FROM documents),
         |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 < 3),
         |keepmin AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
         |SELECT k.doc_id FROM keepmin k

@@ -389,6 +389,40 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Element-wise mean of a fixed-`dim` float-vector column — mean pooling
+    * / label centroids, the embedding-space aggregation behind clustering
+    * and centroid-based dedup. Shuffles ONE (sums, count) buffer per
+    * (partition, key) with map-side combine, never the vectors; at 100 TB
+    * the exchange carries `dim` doubles per key per partition. Null or
+    * wrong-length vectors are skipped (counted out, loudly disallowed only
+    * at construction — a silent partial mean would be worse than none).
+    */
+  final class VectorMean(dim: Int)
+      extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]]
+      with Serializable {
+    require(dim > 0, "dim must be positive")
+    override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) =
+      if (v == null || v.length != dim) b
+      else {
+        var i = 0
+        while (i < dim) { b._1(i) += v(i); i += 1 }
+        (b._1, b._2 + 1)
+      }
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+    override def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0L) Seq.empty
+      else r._1.map(_ / r._2).toSeq
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** (min, max, count) in one pass — the V4 sanity-gate triple as a single
     * custom aggregate buffer.
     */

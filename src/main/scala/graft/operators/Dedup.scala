@@ -338,6 +338,11 @@ object Dedup {
     * (deterministic min-id survivor), then the anti-join drops content seen
     * in any earlier batch. Persist `updatedIndex` (bucketed by `fp` to make
     * the next run's anti-join co-located) and feed it to the next call.
+    *
+    * Null content fingerprints as the empty string (documented conflation):
+    * a NULL fp would never equal itself in the anti-join, so a null-text
+    * doc would be re-accepted on every rerun — silently breaking
+    * idempotency.
     */
   def incremental(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String = "text"): IncrementalResult = {
@@ -345,7 +350,7 @@ object Dedup {
       s"index must have exactly one column 'fp', got ${index.columns.mkString(",")}")
     val cols = batch.columns.toSeq
     val withFp = batch
-      .withColumn("__fp", md5(lower(trim(col(textCol)))))
+      .withColumn("__fp", md5(coalesce(lower(trim(col(textCol))), lit(""))))
       .groupBy(col("__fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).alias("__row"))
       .select(col("__fp") +: cols.map(c => col(s"__row.$c").alias(c)): _*)

@@ -228,4 +228,20 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cosine"), 6).alias("cosine"))
   }
+
+  /** Per-label mean vectors (centroids) — mean pooling over an embedding
+    * column, the aggregation behind centroid-based clustering/dedup and
+    * class prototypes. Runs as the [[graft.functions.Aggregators.VectorMean]]
+    * typed UDAF: map-side combined, the shuffle carries one `dim`-double
+    * buffer per (partition, label) — never the vectors. Output:
+    * (`labelCol`, `centroid` array<double>, `n`). Null/wrong-length
+    * vectors are skipped (excluded from `n`).
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val vm = udaf(new graft.functions.Aggregators.VectorMean(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    df.groupBy(col(labelCol))
+      .agg(vm(col(vecCol)).alias("centroid"), count(col(vecCol)).alias("n"))
+  }
 }

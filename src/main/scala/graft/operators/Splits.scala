@@ -59,6 +59,10 @@ object Splits {
     * genuinely per-partition-imperative step, hence the one RDD hop. Ties
     * are impossible (distinct ids ⇒ distinct digests modulo a 2⁻⁶⁴
     * collision), so the permutation is total and reproducible.
+    *
+    * `idCol` must be non-null and distinct: null ids all hash to the same
+    * key (concat_ws skips nulls) and duplicate ids share one, making their
+    * relative order engine-dependent.
     */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Int = 42): DataFrame = {
     import org.apache.spark.sql.Row

@@ -57,6 +57,9 @@ object TextAnalysis {
     * the only sane choice at 100 TB); `exact = true` uses exact
     * `percentile` (linear interpolation — pairs with DuckDB
     * `quantile_cont`) for oracle-checked runs at test scale.
+    *
+    * Rows with a null score (or a null stratum) are dropped — a null never
+    * satisfies `score >= threshold`, and a null stratum has no quantile.
     */
   def quantileQualityFilter(docs: DataFrame, strataCol: String, scoreCol: String,
       p: Double = 0.25, exact: Boolean = false): DataFrame = {

@@ -265,6 +265,14 @@ class DedupSpec extends SparkTestBase {
     r3.accepted.count() shouldBe 0L
     r3.updatedIndex.count() shouldBe r2.updatedIndex.count()
 
+    // null-text docs fingerprint as empty content — accepted once, then
+    // recognized on rerun (a NULL fp would be re-accepted forever)
+    val nulls = Seq((9001L, null.asInstanceOf[String]), (9002L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rn = Dedup.incremental(nulls, r3.updatedIndex, "doc_id")
+    rn.accepted.select($"doc_id").as[Long].collect() shouldBe Array(9001L)
+    Dedup.incremental(nulls, rn.updatedIndex, "doc_id").accepted.count() shouldBe 0L
+
     an[IllegalArgumentException] should be thrownBy
       Dedup.incremental(batch1, batch1, "doc_id") // wrong index schema
   }

@@ -114,4 +114,29 @@ class SimilaritySpec extends SparkTestBase {
     val b2 = emb.select(Similarity.hyperplaneBucket($"embedding", 64, 12, 42L)).collect()
     b1 shouldBe b2
   }
+
+  test("label centroids equal a driver-side exact mean; bad vectors skipped") {
+    val rows = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)),
+      (1, Seq(10.0f, 20.0f)),
+      (1, null.asInstanceOf[Seq[Float]]), // skipped, not averaged as zeros
+      (2, Seq(1.0f))                      // wrong length: skipped → empty
+    ).toDF("label", "vec")
+    val out = Similarity.labelCentroids(rows, "label", "vec", dim = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    out(0)._1 shouldBe Seq(2.0, 3.0)
+    out(1)._1 shouldBe Seq(10.0, 20.0)
+    out(2)._1 shouldBe Seq.empty
+    out(0)._2 shouldBe 2L
+
+    // corpus-scale agreement with an independent per-dimension average
+    val labeled = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.labelCentroids(labeled, "label", "embedding", dim = 64)
+      .select($"label", posexplode($"centroid").as(Seq("pos", "c")))
+    val ref = labeled.select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos").agg(avg($"v".cast("double")).alias("r"))
+    cents.join(ref, Seq("label", "pos"))
+      .filter(abs($"c" - $"r") > 1e-9).count() shouldBe 0L
+  }
 }
