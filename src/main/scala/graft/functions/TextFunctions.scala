@@ -142,6 +142,30 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** For each of `sets`, the count of tokens present in it — ONE pass over
+    * the token array with hash-set membership, replacing the interpreted
+    * `size(filter(toks, t => array_contains(profile, t)))` per set (an
+    * interpreted lambda × tokens × sets × set-size string compares).
+    */
+  def tokenSetCounts(toks: ArrayData,
+      sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val out = new Array[Int](sets.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(t)) out(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** All `numHashes` MinHash minima of an int-array in one pass; seeded
     * murmur3 per element matches Spark's `hash(int, seed)`. An empty input
     * yields a signature of Int.MaxValue sentinels.
@@ -190,6 +214,30 @@ case class HashedShingles(child: Expression, n: Int)
     TextKernels.hashedShingles(in.asInstanceOf[ArrayData], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.hashedShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `token_set_counts(tokens)` — per-set membership counts in one codegen'd
+  * pass (see [[TextKernels.tokenSetCounts]]). The sets are baked into the
+  * expression instance and shipped as a task-closure reference object.
+  */
+case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with Serializable {
+  @transient private lazy val utf8Sets: Array[java.util.HashSet[UTF8String]] =
+    sets.map { words =>
+      val s = new java.util.HashSet[UTF8String](words.length * 2)
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.tokenSetCounts(in.asInstanceOf[ArrayData], utf8Sets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("tokenSets", utf8Sets,
+      "java.util.HashSet[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.tokenSetCounts($c, $setsRef)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -267,15 +315,20 @@ object TextFunctions {
           i => concat_ws(" ", slice(t, i + 1, lit(n)))))
     }
 
+  /** Per-set token membership counts (array<int>, one entry per set) in a
+    * single codegen'd pass.
+    */
+  def tokenSetCounts(toks: Column, sets: Seq[Seq[String]]): Column =
+    GraftSqlBridge.column(TokenSetCounts(GraftSqlBridge.expression(toks), sets))
+
   /** Share of tokens that appear in `stopwords`. */
-  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
-    val stop = array(stopwords.map(lit): _*)
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column =
     bindOnce(toks) { t =>
       when(size(t) === 0, lit(0.0))
-        .otherwise(size(filter(t, x => array_contains(stop, x))).cast("double") /
-          size(t).cast("double"))
+        .otherwise(
+          element_at(tokenSetCounts(t, Seq(stopwords)), 1).cast("double") /
+            size(t).cast("double"))
     }
-  }
 
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =

@@ -80,25 +80,33 @@ object TextAnalysis {
   def langIdCol(textCol: Column,
       profiles: Map[String, Seq[String]] = languageProfiles): Column = {
     val langs = profiles.toSeq.sortBy(_._1)
-    // Let-bind the token array and the score vector: without the binds, each
-    // `when(score === best)` arm re-expands every score subtree and each
-    // score re-expands the tokenizing regex split — a combinatorial blowup
-    // in interpreted (higher-order-function) evaluation.
+    // Non-zh profile matching is ONE codegen'd token_set_counts pass (a
+    // per-language interpreted filter/array_contains would cost
+    // tokens × languages × profile-size string compares per row); the
+    // token array and score vector are let-bound so interpreted arms never
+    // re-expand the tokenizer or the counts.
+    val wordLangs = langs.filter(_._1 != "zh")
     TextFunctions.bindOnce(TextFunctions.tokens(textCol)) { toks =>
-      val scores: Seq[Column] = langs.map { case (lang, words) =>
-        val profile = array(words.map(lit): _*)
-        if (lang == "zh")
-          // zh has no whitespace tokens: count profile characters present.
-          size(filter(profile, w => textCol.contains(w))).cast("double")
-        else
-          when(size(toks) === 0, 0.0)
-            .otherwise(size(filter(toks, t => array_contains(profile, t))).cast("double") /
-              size(toks).cast("double"))
-      }
-      TextFunctions.bindOnce(array(scores: _*)) { sa =>
-        val best = array_max(sa)
-        langs.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, _), i)) =>
-          when(element_at(sa, i + 1) === best && best > 0.0, lit(lang)).otherwise(acc)
+      TextFunctions.bindOnce(
+        TextFunctions.tokenSetCounts(toks, wordLangs.map(_._2))) { counts =>
+        var wordIdx = 0
+        val scores: Seq[Column] = langs.map { case (lang, words) =>
+          if (lang == "zh")
+            // zh has no whitespace tokens: count profile characters present.
+            size(filter(array(words.map(lit): _*), w => textCol.contains(w)))
+              .cast("double")
+          else {
+            wordIdx += 1
+            when(size(toks) === 0, 0.0)
+              .otherwise(element_at(counts, wordIdx).cast("double") /
+                size(toks).cast("double"))
+          }
+        }
+        TextFunctions.bindOnce(array(scores: _*)) { sa =>
+          val best = array_max(sa)
+          langs.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, _), i)) =>
+            when(element_at(sa, i + 1) === best && best > 0.0, lit(lang)).otherwise(acc)
+          }
         }
       }
     }
