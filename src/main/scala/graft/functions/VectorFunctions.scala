@@ -91,6 +91,64 @@ object VectorKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Product-quantization encode: for each of `m` subspaces of width `dsub`,
+    * the index (one byte) of the L2-nearest codebook centroid of the
+    * subvector. `codebooks` is flattened as (subspace, code, component) →
+    * `codebooks((j*ksub + c)*dsub + i)`. A `dim`-float vector compresses to
+    * `m` bytes — at 100 TB the ANN scoring join then shuffles codes, not
+    * vectors (32× smaller at dim=64/m=8).
+    */
+  def pqEncode(v: ArrayData, codebooks: Array[Float], m: Int, dsub: Int,
+      ksub: Int): Array[Byte] = {
+    val out = new Array[Byte](m)
+    val n = v.numElements()
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        var d = 0.0
+        val off = (j * ksub + c) * dsub
+        var i = 0
+        while (i < dsub) {
+          val idx = j * dsub + i
+          val x = (if (idx < n) v.getFloat(idx).toDouble else 0.0) - codebooks(off + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance (ADC) dot product: the full-precision query against
+    * a PQ-coded corpus vector — Σ_j q_subj · codebook[j][code_j]. On
+    * L2-normalized inputs this approximates cosine to within the
+    * quantization distortion.
+    */
+  def adcDot(codes: Array[Byte], q: ArrayData, codebooks: Array[Float], m: Int,
+      dsub: Int, ksub: Int): Double = {
+    val n = q.numElements()
+    var s = 0.0
+    var j = 0
+    while (j < m && j < codes.length) {
+      val off = (j * ksub + (codes(j) & 0xff)) * dsub
+      var i = 0
+      while (i < dsub) {
+        val idx = j * dsub + i
+        if (idx < n) s += q.getFloat(idx).toDouble * codebooks(off + i)
+        i += 1
+      }
+      j += 1
+    }
+    s
+  }
+
   /** Indexes of the `nprobe` best-scoring cells for `v` against a flattened
     * row-major (numCells × dim) matrix of L2-NORMALIZED centroids, by dot
     * product (= cosine ranking, since the query norm is constant across
@@ -176,6 +234,43 @@ case class NearestCells(child: Expression, centroids: Array[Float], dim: Int, np
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `pq_encode(vec)` — product-quantization codes (binary, `m` bytes) for a
+  * float vector against a broadcast (codegen reference) flattened codebook
+  * matrix. The 100 TB lever: downstream ANN scoring shuffles these codes,
+  * never the vectors.
+  */
+case class PqEncode(child: Expression, codebooks: Array[Float], m: Int, dsub: Int, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(in: Any): Any =
+    VectorKernels.pqEncode(in.asInstanceOf[ArrayData], codebooks, m, dsub, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.pqEncode($c, $ref, $m, $dsub, $ksub)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `adc_dot(codes, query)` — asymmetric-distance dot product of a PQ-coded
+  * corpus vector against a full-precision query vector.
+  */
+case class AdcDot(left: Expression, right: Expression, codebooks: Array[Float],
+    m: Int, dsub: Int, ksub: Int)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    VectorKernels.adcDot(codes.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData],
+      codebooks, m, dsub, ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[]")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.functions.VectorKernels.adcDot($c, $q, $ref, $m, $dsub, $ksub);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level API + optional SQL registration. */
 object VectorFunctions {
 
@@ -194,6 +289,18 @@ object VectorFunctions {
   def nearestCells(vec: Column, centroids: Array[Float], dim: Int, nprobe: Int): Column =
     GraftSqlBridge.column(
       NearestCells(GraftSqlBridge.expression(vec), centroids, dim, nprobe))
+
+  /** PQ codes (binary, `m` bytes) for a float-vector column. */
+  def pqEncode(vec: Column, codebooks: Array[Float], m: Int, dsub: Int, ksub: Int): Column =
+    GraftSqlBridge.column(
+      PqEncode(GraftSqlBridge.expression(vec), codebooks, m, dsub, ksub))
+
+  /** ADC dot product of a PQ-codes column against a float-vector column. */
+  def adcDot(codes: Column, q: Column, codebooks: Array[Float], m: Int, dsub: Int,
+      ksub: Int): Column =
+    GraftSqlBridge.column(
+      AdcDot(GraftSqlBridge.expression(codes), GraftSqlBridge.expression(q),
+        codebooks, m, dsub, ksub))
 
   /** Register `cosine_similarity` / `dot_product` for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {
