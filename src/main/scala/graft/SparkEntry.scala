@@ -29,14 +29,32 @@ object SparkEntry {
     * infer the schema on EVERY call, so the registry's ~400 table reads per
     * bench pay that repeatedly. DataFrames are immutable logical plans —
     * caching one per (session, path) is what a metastore-backed catalog
-    * does, and later reads plan instantly.
+    * does, and later reads plan instantly. Entries owned by a STOPPED
+    * session are purged on every lookup, so the map cannot retain dead
+    * sessions (and their plans) for the JVM lifetime; a path rewritten
+    * in-process under a live session needs [[invalidateTables]].
     */
   private val tableCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  /** Evict cached plans: all entries under `pathPrefix` (stale-schema
+    * escape hatch after rewriting a table in place), plus always any entry
+    * whose session has been stopped.
+    */
+  def invalidateTables(pathPrefix: String = null): Unit = {
+    val it = tableCache.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1.sparkContext.isStopped ||
+          (pathPrefix != null && k._2.startsWith(pathPrefix))) it.remove()
+    }
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    invalidateTables()
     tableCache.computeIfAbsent((s, s"$dir/$name.parquet"),
       key => key._1.read.parquet(key._2))
+  }
 
   /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects; read nanos as long (legacy conf) and rebuild a µs timestamp
@@ -2072,18 +2090,20 @@ object SparkEntry {
         |    CASE doc_id % 3 WHEN 0 THEN 'alpha.com' WHEN 1 THEN 'sub.evil.com'
         |         ELSE 'evil.com' END || '/page' AS t2 FROM documents),
         |doms AS (SELECT doc_id,
-        |    lower(UNNEST(regexp_extract_all(t2, 'https?://([^\s<>"''/]+)', 1))) AS domain
+        |    regexp_replace(lower(UNNEST(regexp_extract_all(t2, 'https?://([^\s<>"''/]+)', 1))),
+        |                   '[.,;:!?)\]]+$', '') AS domain
         |  FROM d)
         |SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       COUNT(*) AS n_urls
-        |FROM doms GROUP BY domain ORDER BY domain""".stripMargin,
+        |FROM doms WHERE domain <> '' GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q_domain_blocklist" ->
       """WITH d AS (SELECT doc_id, text || ' see https://' ||
         |    CASE doc_id % 3 WHEN 0 THEN 'alpha.com' WHEN 1 THEN 'sub.evil.com'
         |         ELSE 'evil.com' END || '/page' AS t2 FROM documents),
         |doms AS (SELECT doc_id,
-        |    lower(UNNEST(regexp_extract_all(t2, 'https?://([^\s<>"''/]+)', 1))) AS domain
+        |    regexp_replace(lower(UNNEST(regexp_extract_all(t2, 'https?://([^\s<>"''/]+)', 1))),
+        |                   '[.,;:!?)\]]+$', '') AS domain
         |  FROM d),
         |blocked AS (SELECT DISTINCT doc_id FROM doms
         |            WHERE domain = 'evil.com' OR domain LIKE '%.evil.com')

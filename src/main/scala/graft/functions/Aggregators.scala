@@ -398,7 +398,7 @@ object Aggregators {
     * at construction — a silent partial mean would be worse than none).
     */
   final class VectorMean(dim: Int)
-      extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]]
+      extends Aggregator[Seq[Float], (Array[Double], Long), (Seq[Double], Long)]
       with Serializable {
     require(dim > 0, "dim must be positive")
     override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
@@ -414,13 +414,16 @@ object Aggregators {
       while (i < dim) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)
     }
-    override def finish(r: (Array[Double], Long)): Seq[Double] =
-      if (r._2 == 0L) Seq.empty
-      else r._1.map(_ / r._2).toSeq
+    // Output carries the POOLED count straight from the buffer — the only
+    // count consistent with the mean (an outer count(vecCol) would include
+    // wrong-length vectors the reduce step skipped).
+    override def finish(r: (Array[Double], Long)): (Seq[Double], Long) =
+      if (r._2 == 0L) (Seq.empty, 0L)
+      else (r._1.map(_ / r._2).toSeq, r._2)
     override def bufferEncoder: Encoder[(Array[Double], Long)] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
-    override def outputEncoder: Encoder[Seq[Double]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    override def outputEncoder: Encoder[(Seq[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
   }
 
   /** (min, max, count) in one pass — the V4 sanity-gate triple as a single

@@ -234,14 +234,18 @@ object Similarity {
     * class prototypes. Runs as the [[graft.functions.Aggregators.VectorMean]]
     * typed UDAF: map-side combined, the shuffle carries one `dim`-double
     * buffer per (partition, label) — never the vectors. Output:
-    * (`labelCol`, `centroid` array<double>, `n`). Null/wrong-length
-    * vectors are skipped (excluded from `n`).
+    * (`labelCol`, `centroid` array<double>, `n`). `n` is the POOLED count
+    * emitted from the aggregation buffer itself, so null AND wrong-length
+    * vectors are excluded from both the centroid and `n` — `centroid * n`
+    * always reconstructs the pooled sum.
     */
   def labelCentroids(df: DataFrame, labelCol: String, vecCol: String,
       dim: Int): DataFrame = {
     val vm = udaf(new graft.functions.Aggregators.VectorMean(dim),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     df.groupBy(col(labelCol))
-      .agg(vm(col(vecCol)).alias("centroid"), count(col(vecCol)).alias("n"))
+      .agg(vm(col(vecCol)).alias("__cm"))
+      .select(col(labelCol), col("__cm._1").alias("centroid"),
+        col("__cm._2").alias("n"))
   }
 }

@@ -23,9 +23,23 @@ object WebCuration {
     */
   val domainPattern: String = "https?://([^\\s<>\"'/]+)"
 
-  /** All (lowercased) domains mentioned in `text`, in order of appearance. */
+  /** Prose punctuation that ends up glued to a bare URL ("see evil.com,"
+    * or "(https://evil.com)") — stripped from the captured host so a
+    * blocklisted domain can't slip past [[blocklistFilter]] behind a comma
+    * and [[domainStats]] doesn't fragment one host into several keys.
+    * Anchored suffix class in the Java∩RE2 subset (no lookaround).
+    */
+  val trailingPunctPattern: String = "[.,;:!?)\\]]+$"
+
+  /** All (lowercased, punctuation-stripped) domains mentioned in `text`,
+    * in order of appearance. A URL that is *all* punctuation after the
+    * scheme strips to the empty string and is dropped.
+    */
   def extractDomains(text: Column): Column =
-    transform(regexp_extract_all(text, lit(domainPattern), lit(1)), d => lower(d))
+    filter(
+      transform(regexp_extract_all(text, lit(domainPattern), lit(1)),
+        d => regexp_replace(lower(d), lit(trailingPunctPattern), lit(""))),
+      d => d =!= "")
 
   /** Per-domain corpus stats: one row per domain with `n_docs` (documents
     * mentioning it) and `n_urls` (total mentions). One explode + one

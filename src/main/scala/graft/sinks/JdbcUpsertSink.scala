@@ -140,9 +140,15 @@ object JdbcUpsertSink {
           rows.foreach { r =>
             paramIdx.zipWithIndex.foreach { case (ci, pi) =>
               r.get(ci) match {
-                case s: String if widths(pi) > 0 && s.length > widths(pi) =>
+                // Counts Unicode CODE POINTS (not UTF-16 units, which
+                // undercount supplementary chars on character-semantics
+                // engines). Approximate for byte-width engines (UTF-8
+                // multi-byte columns) — widen typeOverrides accordingly.
+                case s: String if widths(pi) > 0 &&
+                    s.codePointCount(0, s.length) > widths(pi) =>
                   throw new IllegalArgumentException(
-                    s"value for column ${names(pi)} is ${s.length} chars but the " +
+                    s"value for column ${names(pi)} is " +
+                      s"${s.codePointCount(0, s.length)} code points but the " +
                       s"statement declares VARCHAR(${widths(pi)}) — the cast would " +
                       "silently truncate; widen via mergeSql typeOverrides")
                 case v => st.setObject(pi + 1, v)

@@ -9,17 +9,30 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
-  test("extractDomains captures hosts, lowercased, in order") {
+  test("extractDomains captures hosts, lowercased, punctuation-stripped, in order") {
     val out = Seq(
       (1L, "see https://A.Example.com/x and http://b.io, plus https://c.net\"quoted\""),
       (2L, "no urls"),
-      (3L, "ftp://skipped.com and https://kept.org/path?q=1")
+      (3L, "ftp://skipped.com and https://kept.org/path?q=1"),
+      (4L, "(https://paren.com) then https://dotted.net. then https://?!")
     ).toDF("doc_id", "text")
       .select($"doc_id", WebCuration.extractDomains($"text").alias("d"))
       .as[(Long, Seq[String])].collect().toMap
-    out(1L) shouldBe Seq("a.example.com", "b.io,", "c.net")
+    out(1L) shouldBe Seq("a.example.com", "b.io", "c.net")
     out(2L) shouldBe Seq.empty
     out(3L) shouldBe Seq("kept.org")
+    // trailing ')' and '.' stripped; the all-punctuation URL drops entirely
+    out(4L) shouldBe Seq("paren.com", "dotted.net")
+  }
+
+  test("blocklistFilter catches a blocked domain hidden behind trailing punctuation") {
+    val docs = Seq(
+      (1L, "as seen on https://evil.com, a bad site"),
+      (2L, "fine text https://good.org.")
+    ).toDF("doc_id", "text")
+    val kept = WebCuration.blocklistFilter(docs, Seq("evil.com").toDF("domain"), "doc_id")
+      .select($"doc_id").as[Long].collect()
+    kept shouldBe Array(2L)
   }
 
   test("domainStats counts docs and mentions per domain") {

@@ -129,6 +129,10 @@ class SimilaritySpec extends SparkTestBase {
     out(1)._1 shouldBe Seq(10.0, 20.0)
     out(2)._1 shouldBe Seq.empty
     out(0)._2 shouldBe 2L
+    // n comes from the pooled buffer: null AND wrong-length rows excluded,
+    // so centroid * n reconstructs the pooled sum (label 2 pooled nothing)
+    out(1)._2 shouldBe 1L
+    out(2)._2 shouldBe 0L
 
     // corpus-scale agreement with an independent per-dimension average
     val labeled = spark.read.parquet(s"$sfDir/embeddings.parquet")
