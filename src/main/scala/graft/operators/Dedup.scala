@@ -98,9 +98,18 @@ object Dedup {
     require(maxBucketSize > 1, "maxBucketSize must exceed 1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
+    // Eager lineage cut: `sized` feeds THREE consumers (both sides of the
+    // small-bucket self-join + the star branch). Without the cut each
+    // consumer re-derives the bucket table from scratch — for MinHash that
+    // is the full shingle→signature computation, the most expensive map in
+    // the whole dedup path, executed 3× (measured: both the no-cut and the
+    // lazy-cut variants are ~10-40% slower end-to-end). The materialized
+    // frame is (keys, id, n, rep) — a few dozen bytes per banded row,
+    // block-store resident, freed by the ContextCleaner when GC'd.
     val sized = bucketed
       .withColumn("__n", count(lit(1)).over(w))
       .withColumn("__rep", min(col("__id")).over(w))
+      .localCheckpoint()
     val small = sized.filter(col("__n") <= maxBucketSize)
       .select(keyCols.map(col) :+ col("__id"): _*)
     val smallPairs = small.alias("a").join(small.alias("b"), keyCols)
@@ -125,7 +134,7 @@ object Dedup {
   def bucketStats(df: DataFrame, idCol: String, textCol: String = "text",
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
       maxBucketSize: Int = defaultMaxBucketSize): DataFrame =
-    bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
+    bandedBuckets(shingleProjection(df, idCol, textCol, shingleSize), numHashes, bands)
       .groupBy(col("__band"), col("__bucket"))
       .agg(count(lit(1)).alias("bucket_size"))
       .withColumn("over_cap", col("bucket_size") > maxBucketSize)
@@ -150,17 +159,28 @@ object Dedup {
         col("capped"))
       .filter(col("jaccard") >= minJaccard)
 
-  /** (id, band, bucket) rows for the banded-LSH join. Banded rows carry ONLY
-    * (id, band, bucket): at scale the LSH shuffle is `bands` 12-byte rows per
-    * doc, not `bands` copies of the shingle set.
+  /** Hashed-shingle projection `(__id, __sh)` — the one expensive text pass
+    * behind MinHash dedup. Callers composing several shingle consumers (LSH
+    * banding + Jaccard verify, or a multi-stage curation funnel) should
+    * compute this ONCE, `persist` it, and feed it to
+    * [[minhashLshPairsFromShingles]]: re-deriving it per consumer multiplies
+    * the dominant tokenize+hash cost at corpus scale.
     */
-  private def bandedBuckets(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+  def shingleProjection(df: DataFrame, idCol: String, textCol: String = "text",
+      shingleSize: Int = 3): DataFrame =
+    df.select(col(idCol).alias("__id"),
+      hashedShingles(col(textCol), shingleSize).alias("__sh"))
+
+  /** (id, band, bucket) rows for the banded-LSH join, derived from a shingle
+    * projection. Banded rows carry ONLY (id, band, bucket): at scale the LSH
+    * shuffle is `bands` 12-byte rows per doc, not `bands` copies of the
+    * shingle set.
+    */
+  private def bandedBuckets(withSh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    df.select(col(idCol).alias("__id"),
-        TextFunctions.minhashSig(hashedShingles(col(textCol), shingleSize), numHashes)
-          .alias("__sig"))
+    withSh.select(col("__id"),
+        TextFunctions.minhashSig(col("__sh"), numHashes).alias("__sig"))
       .select(
         col("__id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -176,12 +196,25 @@ object Dedup {
       shingleSize: Int = 3,
       minJaccard: Double = 0.8,
       maxBucketSize: Int = defaultMaxBucketSize
+  ): DataFrame =
+    minhashLshPairsFromShingles(
+      shingleProjection(df, idCol, textCol, shingleSize),
+      numHashes, bands, minJaccard, maxBucketSize)
+
+  /** [[minhashLshPairs]] over a precomputed [[shingleProjection]]
+    * (`__id`, `__sh`). The projection is consumed by BOTH the band-bucket
+    * derivation and the Jaccard verify joins — persist it at the call site
+    * so the corpus is shingled exactly once per curation run.
+    */
+  def minhashLshPairsFromShingles(
+      withSh: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.8,
+      maxBucketSize: Int = defaultMaxBucketSize
   ): DataFrame = {
-    val withSh = df.select(col(idCol).alias("__id"),
-      hashedShingles(col(textCol), shingleSize).alias("__sh"))
-    val banded = bandedBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
-    val candidates = cappedCandidatePairs(banded, Seq("__band", "__bucket"),
-      maxBucketSize)
+    val candidates = cappedCandidatePairs(bandedBuckets(withSh, numHashes, bands),
+      Seq("__band", "__bucket"), maxBucketSize)
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
@@ -219,12 +252,12 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val undirected = cut(pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
+    val undirectedPlan = pairs.select(col("id_a").alias("src"), col("id_b").alias("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .distinct()
     val integralIds = {
       import org.apache.spark.sql.types._
-      val types = undirected.schema.fields.map(_.dataType)
+      val types = undirectedPlan.schema.fields.map(_.dataType)
       // SAME integral type on both sides: the fast path casts its output
       // back to that type, and a mixed int/long frame would otherwise
       // truncate 64-bit ids on the narrow side. Mixed or non-integral id
@@ -234,8 +267,18 @@ object Dedup {
         case _ => false
       })
     }
-    if (integralIds && undirected.count() <= smallGraphThreshold)
-      return smallGraphComponents(undirected)
+    // Small-graph fast path in ONE job: collect up to threshold+1 edges via
+    // limit (not count-then-collect — that was three job rounds including a
+    // checkpoint materialization). If the limit row arrives, the graph is
+    // big: fall through to the distributed loop, whose one recomputation of
+    // the edge plan is noise next to its O(log diameter) shuffle rounds.
+    if (integralIds && smallGraphThreshold > 0) {
+      val cap = math.min(smallGraphThreshold, (Int.MaxValue - 1).toLong).toInt
+      val sample = undirectedPlan.limit(cap + 1).collect()
+      if (sample.length <= cap)
+        return smallGraphComponents(sample, undirectedPlan.schema.fields.head.dataType, spark)
+    }
+    val undirected = cut(undirectedPlan)
     // Edges are re-joined every round on dst: pre-hash-partition on dst and
     // persist, so each round reuses the cached layout instead of re-shuffling
     // the edge table (the per-round exchange is then labels-only).
@@ -291,9 +334,12 @@ object Dedup {
   /** Driver union-find for pair graphs under `smallGraphThreshold`: union by
     * MIN root with path compression, so each tree's root is the component's
     * minimum id — identical labels to the distributed min-propagation loop.
-    * The collect is bounded by the caller's threshold (≈64 MB at default).
+    * Operates on the already-collected edge rows (bounded by the caller's
+    * threshold, ≈64 MB at default).
     */
-  private def smallGraphComponents(edges: DataFrame): DataFrame = {
+  private def smallGraphComponents(edges: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
@@ -303,17 +349,15 @@ object Dedup {
       r
     }
     // ids verified integral by the caller; normalize int/short ids to long
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .collect().foreach { row =>
-      val (a, b) = (row.getLong(0), row.getLong(1))
+    edges.foreach { row =>
+      val a = row.get(0).asInstanceOf[Number].longValue
+      val b = row.get(1).asInstanceOf[Number].longValue
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
     }
-    val spark = edges.sparkSession
     import spark.implicits._
-    val idType = edges.schema.fields.head.dataType
     parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "component")
       // keep the caller's id type — both paths must agree on output schema
       .select(col("id").cast(idType).alias("id"),

@@ -57,25 +57,40 @@ object CorpusPipeline {
     val lOk = qOk && col("lang_pred").isin(allowedLangs: _*)
     val langed = annotated.filter(lOk)
     // Deterministic survivor (min doc_id per fingerprint) so curation is
-    // reproducible run to run.
-    val exact = Dedup.exactByContentKeepMin(langed, "doc_id", textCol).persist()
+    // reproducible run to run. NOT persisted: its only eager consumer is the
+    // shingle projection below (which IS cached and serves every near-dup
+    // read); the returned curated frame recomputes it lazily on first use.
+    val exact = Dedup.exactByContentKeepMin(langed, "doc_id", textCol)
+    // ONE shingle pass over the exact-dedup survivors, shared by the LSH
+    // band derivation AND the Jaccard verify joins (the near-dup stage's
+    // dominant cost used to be re-shingling this frame from raw text per
+    // consumer). Cached as (doc_id, int-set) — far smaller than the text.
+    val shingled = Dedup.shingleProjection(exact, "doc_id", textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stats = annotated.agg(
-        count(lit(1)).alias("input"),
-        coalesce(sum(when(qOk, 1L)), lit(0L)).alias("q"),
-        coalesce(sum(when(lOk, 1L)), lit(0L)).alias("l"),
-        countDistinct(when(lOk, md5(lower(trim(col(textCol)))))).alias("e")).head()
-      val input    = stats.getLong(0)
-      val nQuality = stats.getLong(1)
-      val nLang    = stats.getLong(2)
-      val nExact   = stats.getLong(3)
+      // The stage-count aggregation and the near-dup pair/component path are
+      // independent until the report is assembled — run them as CONCURRENT
+      // Spark actions (block-level cache locks dedupe the shared `annotated`
+      // materialization, so no partition computes twice). On a cluster the
+      // two small job DAGs overlap instead of serializing their stage
+      // latencies; locally this roughly halves the funnel's wall time.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val statsF = Future {
+        annotated.agg(
+          count(lit(1)).alias("input"),
+          coalesce(sum(when(qOk, 1L)), lit(0L)).alias("q"),
+          coalesce(sum(when(lOk, 1L)), lit(0L)).alias("l"),
+          countDistinct(when(lOk, md5(lower(trim(col(textCol)))))).alias("e")).head()
+      }
 
       // Near-dup kill-list via CONNECTED COMPONENTS over the pair graph:
       // each transitive cluster keeps its minimum id (pairwise removal would
       // keep both ends of an A~B~C chain). No broadcast hint — the kill-list
       // scales with the corpus's duplicate fraction, so AQE decides.
-      val pairs = Dedup.minhashLshPairs(exact, "doc_id", textCol,
-        shingleSize = shingleSize, minJaccard = minJaccard)
+      val pairs = Dedup.minhashLshPairsFromShingles(shingled,
+        minJaccard = minJaccard)
       val comps = Dedup.connectedComponents(pairs)
       val kill  = comps.filter(col("id") =!= col("component"))
         .select(col("id").alias("doc_id"))
@@ -83,7 +98,13 @@ object CorpusPipeline {
       // kill ids are a subset of exact's (pairs were built FROM exact), so
       // the funnel count is exact arithmetic over the tiny kill list — no
       // full anti-join action just for the report.
-      val nFinal  = nExact - kill.count()
+      val nKill    = kill.count()
+      val stats    = Await.result(statsF, Duration.Inf)
+      val input    = stats.getLong(0)
+      val nQuality = stats.getLong(1)
+      val nLang    = stats.getLong(2)
+      val nExact   = stats.getLong(3)
+      val nFinal   = nExact - nKill
 
       // Lazy checkpoint: report-only consumers (the funnel query, monitors)
       // never pay to materialize the curated frame; the lineage cut happens
@@ -91,7 +112,7 @@ object CorpusPipeline {
       (curated.localCheckpoint(eager = false),
         FunnelReport(input, nQuality, nLang, nExact, nFinal))
     } finally {
-      annotated.unpersist(); exact.unpersist()
+      annotated.unpersist(); shingled.unpersist()
     }
   }
 }
