@@ -921,6 +921,27 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVF-PQ: same planted-copy recall contract as q_ann_ivf, but candidates
+    // are ranked by the asymmetric-distance dot over 8-byte PQ codes before
+    // the exact rescore — a planted identical vector must survive the ADC
+    // shortlist and land at rank 1 after rescoring (cosine 1 beats the ≈0
+    // isotropic background).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb     = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val planted = queries.withColumn("vec_id", col("vec_id") + 1000000L)
+      val corpus  = emb.unionByName(planted)
+      // train-once path: both models built up front, reused by the query
+      val cents = Similarity.trainIvfCentroids(corpus, "embedding", dim = 64, numCells = 16)
+      val books = Similarity.trainPqCodebooks(corpus, "embedding", dim = 64, m = 8, ksub = 16)
+      Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+          k = 5, dim = 64, numCells = 16, nprobe = 4, m = 8, ksub = 16,
+          centroids = Some(cents), codebooks = Some(books))
+        .filter(col("neighbor_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("rank").cast("long").alias("planted_rank"))
+        .orderBy("query_id")
+    }),
+
     // ================= north-star: text analysis ========================
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1929,6 +1950,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q_ann_ivf" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q_ann_ivfpq" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 

@@ -100,8 +100,12 @@ object VectorKernels {
     */
   def pqEncode(v: ArrayData, codebooks: Array[Float], m: Int, dsub: Int,
       ksub: Int): Array[Byte] = {
+    // LOUD dimension contract: a malformed embedding must not quietly encode
+    // as if zero-padded — that would poison the ANN index silently.
+    if (v.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector has ${v.numElements()} elements, codebook expects ${m * dsub}")
     val out = new Array[Byte](m)
-    val n = v.numElements()
     var j = 0
     while (j < m) {
       var best = 0
@@ -112,8 +116,7 @@ object VectorKernels {
         val off = (j * ksub + c) * dsub
         var i = 0
         while (i < dsub) {
-          val idx = j * dsub + i
-          val x = (if (idx < n) v.getFloat(idx).toDouble else 0.0) - codebooks(off + i)
+          val x = v.getFloat(j * dsub + i).toDouble - codebooks(off + i)
           d += x * x
           i += 1
         }
@@ -133,15 +136,21 @@ object VectorKernels {
     */
   def adcDot(codes: Array[Byte], q: ArrayData, codebooks: Array[Float], m: Int,
       dsub: Int, ksub: Int): Double = {
-    val n = q.numElements()
+    // Same loud contract as pqEncode: a short query or truncated code row
+    // silently yields a partial sum — reject instead.
+    if (q.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"adc_dot: query has ${q.numElements()} elements, codebook expects ${m * dsub}")
+    if (codes.length != m)
+      throw new IllegalArgumentException(
+        s"adc_dot: code row has ${codes.length} bytes, expected $m")
     var s = 0.0
     var j = 0
-    while (j < m && j < codes.length) {
+    while (j < m) {
       val off = (j * ksub + (codes(j) & 0xff)) * dsub
       var i = 0
       while (i < dsub) {
-        val idx = j * dsub + i
-        if (idx < n) s += q.getFloat(idx).toDouble * codebooks(off + i)
+        s += q.getFloat(j * dsub + i).toDouble * codebooks(off + i)
         i += 1
       }
       j += 1

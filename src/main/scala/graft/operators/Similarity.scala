@@ -89,17 +89,37 @@ object Similarity {
     */
   def trainIvfCentroids(corpus: DataFrame, vecCol: String, dim: Int,
       numCells: Int, seed: Long = 42L, maxTrainRows: Int = 1 << 16): Array[Float] = {
-    // count() is near-free on columnar sources (footer row counts); it only
-    // sizes the sample fraction.
+    val rows = sampleVectors(corpus, vecCol, dim, seed, maxTrainRows)
+    require(rows.nonEmpty, "IVF training needs at least one usable vector")
+    val centers = lloyd(rows, math.min(numCells, rows.length), dim, seed)
+    val flat = new Array[Float](numCells * dim)
+    var c = 0
+    while (c < centers.length) {
+      val arr  = centers(c)
+      val norm = math.max(math.sqrt(arr.map(x => x.toDouble * x).sum), 1e-12)
+      var i = 0
+      while (i < dim) { flat(c * dim + i) = (arr(i) / norm).toFloat; i += 1 }
+      c += 1
+    }
+    // numCells > distinct points: leftover cells stay zero vectors — they
+    // attract nothing (cosine 0 after normalization) and probe last.
+    flat
+  }
+
+  /** Bounded, seed-deterministic driver sample of a vector column. Accepts
+    * float and double element types (array<float> AND array<double>); null
+    * vectors, null elements, and NaN-bearing vectors are dropped (a centroid
+    * poisoned by NaN degrades every cell). The `count()` that sizes the
+    * sample fraction is near-free on columnar sources (footer row counts).
+    */
+  private def sampleVectors(corpus: DataFrame, vecCol: String, dim: Int,
+      seed: Long, maxTrainRows: Int): Array[Array[Float]] = {
     val n = corpus.count()
     val sampled =
       if (n <= maxTrainRows) corpus.select(col(vecCol))
       else corpus.select(col(vecCol))
         .sample(withReplacement = false, maxTrainRows.toDouble / n, seed)
-    // accept float and double element types (array<float> AND array<double>);
-    // null vectors, null elements, and NaN-bearing vectors are dropped from
-    // the TRAINING sample (a centroid poisoned by NaN degrades every cell)
-    val rows: Array[Array[Float]] = sampled
+    sampled
       .collect().flatMap(r => Option(if (r.isNullAt(0)) null else r.getSeq[Any](0)))
       .map(_.map {
         case f: Float  => f
@@ -108,11 +128,16 @@ object Similarity {
         case null      => Float.NaN
       }.toArray)
       .filter(v => v.length >= dim && !v.exists(_.isNaN))
-    require(rows.nonEmpty, "IVF training needs at least one usable vector")
+  }
 
-    val k = math.min(numCells, rows.length)
+  /** Driver-side Lloyd's k-means (≤10 iterations, seeded init from distinct
+    * sample points). On a ≤64k-row sample this costs milliseconds and zero
+    * Spark jobs — replacing a per-iteration MLlib job round. Returns the
+    * raw (un-normalized) centers; empty cells keep their previous center.
+    */
+  private def lloyd(rows: Array[Array[Float]], k: Int, dim: Int,
+      seed: Long): Array[Array[Float]] = {
     val rnd = new java.util.Random(seed)
-    // init: k distinct sample points (seeded shuffle)
     val centers = rnd.ints(0, rows.length).distinct().limit(k).toArray
       .map(i => rows(i).clone())
     val assign = new Array[Int](rows.length)
@@ -157,19 +182,42 @@ object Similarity {
       }
       iter += 1
     }
+    centers
+  }
 
-    val flat = new Array[Float](numCells * dim)
-    var c = 0
-    while (c < k) {
-      val arr  = centers(c)
-      val norm = math.max(math.sqrt(arr.map(x => x.toDouble * x).sum), 1e-12)
-      var i = 0
-      while (i < dim) { flat(c * dim + i) = (arr(i) / norm).toFloat; i += 1 }
-      c += 1
+  /** Train product-quantization codebooks: per-subspace Lloyd's k-means over
+    * the L2-NORMALIZED sample (codes are computed over normalized vectors so
+    * the ADC dot approximates cosine). Returns the flattened
+    * (subspace, code, component) layout [[graft.functions.VectorKernels.pqEncode]]
+    * expects: `codebooks((j*ksub + c)*dsub + i)`, length `m*ksub*dsub`.
+    * Same train-on-sample construction as [[trainIvfCentroids]] (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", 2011).
+    */
+  def trainPqCodebooks(corpus: DataFrame, vecCol: String, dim: Int, m: Int,
+      ksub: Int = 16, seed: Long = 42L, maxTrainRows: Int = 1 << 16): Array[Float] = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ksub > 0 && ksub <= 256, s"ksub=$ksub must fit one byte")
+    val dsub = dim / m
+    val rows = sampleVectors(corpus, vecCol, dim, seed, maxTrainRows)
+    require(rows.nonEmpty, "PQ training needs at least one usable vector")
+    val normed = rows.map { v =>
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (norm > 0) v.map(x => (x / norm).toFloat) else v
     }
-    // numCells > distinct points: leftover cells stay zero vectors — they
-    // attract nothing (cosine 0 after normalization) and probe last.
-    flat
+    val out = new Array[Float](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      val sub = normed.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val centers = lloyd(sub, math.min(ksub, sub.length), dsub, seed + j)
+      var c = 0
+      while (c < centers.length) {
+        System.arraycopy(centers(c), 0, out, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      // leftover codes (ksub > distinct sample points) stay zero subvectors
+      j += 1
+    }
+    out
   }
 
   /** IVF approximate top-k — the classic inverted-file ANN layout: corpus
@@ -177,18 +225,26 @@ object Similarity {
     * `nprobe` closest cells and exact-ranks only those candidates. At scale
     * the corpus assignment is a narrow map (centroids ride along as a
     * broadcast reference object) and the probe join is a uniform hash
-    * shuffle on the cell id — no cartesian. Train once, reuse across query
-    * batches.
+    * shuffle on the cell id — no cartesian.
+    *
+    * Train ONCE, reuse across query batches: pass
+    * `centroids = Some(trainIvfCentroids(...))` and no training scan runs —
+    * the call plans the assignment/probe join directly from the prebuilt
+    * array. With `None` (convenience path) the coarse quantizer is trained
+    * inline, which adds a corpus `count()` + bounded sample collect per
+    * call — fine interactively, wasteful inside a per-batch loop.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, numCells: Int = 64, nprobe: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val centroids = trainIvfCentroids(corpus, vecCol, dim, numCells, seed)
+      seed: Long = 42L, centroids: Option[Array[Float]] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainIvfCentroids(corpus, vecCol, dim, numCells, seed))
+    require(cents.length % dim == 0,
+      s"centroid array length ${cents.length} is not a multiple of dim=$dim")
     val c = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"),
-      element_at(VectorFunctions.nearestCells(col(vecCol), centroids, dim, 1), 1)
+      element_at(VectorFunctions.nearestCells(col(vecCol), cents, dim, 1), 1)
         .alias("__cell"))
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
-        explode(VectorFunctions.nearestCells(col(vecCol), centroids, dim, nprobe))
+        explode(VectorFunctions.nearestCells(col(vecCol), cents, dim, nprobe))
           .alias("__cell"))
     val candidates = c.join(broadcast(q), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -196,6 +252,71 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
     candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).alias("cosine"))
+  }
+
+  /** IVF-PQ approximate top-k — the standard large-scale ANN construction
+    * (Jégou et al. 2011): the IVF coarse quantizer routes each corpus row to
+    * a cell, an `m`-byte product-quantization code stands in for the vector,
+    * candidates inside probed cells are ranked by the asymmetric-distance
+    * (ADC) dot product against the full-precision query, and only the top
+    * `rescoreFactor × k` shortlist per query is exactly rescored by cosine.
+    *
+    * 100 TB posture: the probe join shuffles `m`-byte code rows, never
+    * vectors (32× smaller at dim=64/m=8); the exact rescore is a second
+    * equi-join of the (tiny, broadcastable) shortlist against the corpus by
+    * id, so full vectors are read only for shortlisted candidates. Both
+    * models (centroids, codebooks) are broadcast codegen references —
+    * train once via [[trainIvfCentroids]] / [[trainPqCodebooks]] and reuse
+    * across batches; the `None` convenience path trains inline.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, numCells: Int = 64, nprobe: Int = 8, m: Int = 8,
+      ksub: Int = 16, rescoreFactor: Int = 4, seed: Long = 42L,
+      centroids: Option[Array[Float]] = None,
+      codebooks: Option[Array[Float]] = None): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub  = dim / m
+    val cents = centroids.getOrElse(trainIvfCentroids(corpus, vecCol, dim, numCells, seed))
+    val books = codebooks.getOrElse(trainPqCodebooks(corpus, vecCol, dim, m, ksub, seed))
+    require(books.length == m * ksub * dsub,
+      s"codebook length ${books.length} != m*ksub*dsub = ${m * ksub * dsub}")
+    // Codes are computed over L2-normalized vectors so ADC dot ≈ cosine.
+    val c = corpus.select(col(idCol).alias("neighbor_id"),
+      element_at(VectorFunctions.nearestCells(col(vecCol), cents, dim, 1), 1)
+        .alias("__cell"),
+      VectorFunctions.pqEncode(VectorFunctions.l2Normalize(col(vecCol)),
+        books, m, dsub, ksub).alias("__codes"))
+    val q = queries.select(col(idCol).alias("query_id"),
+        VectorFunctions.l2Normalize(col(vecCol)).alias("__qn"),
+        explode(VectorFunctions.nearestCells(col(vecCol), cents, dim, nprobe))
+          .alias("__cell"))
+    val shortlist = {
+      val adc = c.join(broadcast(q), Seq("__cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("__adc", VectorFunctions.adcDot(col("__codes"), col("__qn"),
+          books, m, dsub, ksub))
+      val wAdc = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("__adc"), 6).desc, col("neighbor_id").asc)
+      adc.withColumn("__r", row_number().over(wAdc))
+        .filter(col("__r") <= k.toLong * rescoreFactor)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    // Exact rescore: re-attach full-precision vectors for shortlisted ids
+    // only. Queries are re-read (small); the corpus join fetches candidate
+    // vectors by id.
+    val rescored = shortlist
+      .join(corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).alias("query_id"),
+        col(vecCol).alias("__qv"))), Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+    rescored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -115,6 +115,110 @@ class SimilaritySpec extends SparkTestBase {
     b1 shouldBe b2
   }
 
+  test("PQ encode/ADC round-trip matches a driver-side reference") {
+    val dim = 8; val m = 4; val dsub = dim / m; val ksub = 4
+    val rnd = new java.util.Random(3L)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = spark.createDataset(vecs).toDF("vec_id", "vec")
+    val books = Similarity.trainPqCodebooks(df, "vec", dim, m, ksub, seed = 5L)
+    books.length shouldBe m * ksub * dsub
+
+    def norm(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // driver reference: nearest codebook entry per subspace on the
+    // normalized vector, then the ADC sum via explicit lookups
+    def refEncode(v: Array[Float]): Array[Byte] = {
+      val nv = norm(v)
+      (0 until m).map { j =>
+        (0 until ksub).minBy { c =>
+          (0 until dsub).map { i =>
+            val d = nv(j * dsub + i).toDouble - books((j * ksub + c) * dsub + i)
+            d * d
+          }.sum
+        }.toByte
+      }.toArray
+    }
+    def refAdc(codes: Array[Byte], q: Array[Float]): Double = {
+      val nq = norm(q)
+      (0 until m).map { j =>
+        (0 until dsub).map { i =>
+          nq(j * dsub + i).toDouble * books((j * ksub + (codes(j) & 0xff)) * dsub + i)
+        }.sum
+      }.sum
+    }
+
+    val q = vecs.head._2
+    val got = df
+      .withColumn("codes", VectorFunctions.pqEncode(
+        VectorFunctions.l2Normalize($"vec"), books, m, dsub, ksub))
+      .withColumn("adc", VectorFunctions.adcDot($"codes",
+        VectorFunctions.l2Normalize(typedLit(q.toSeq)), books, m, dsub, ksub))
+      .select($"vec_id", $"codes", $"adc")
+      .as[(Long, Array[Byte], Double)].collect().sortBy(_._1)
+    got.zip(vecs).foreach { case ((_, codes, adc), (_, v)) =>
+      codes shouldBe refEncode(v)
+      adc shouldBe refAdc(codes, q) +- 1e-6
+    }
+    // an exact-duplicate query's ADC against its own codes beats unrelated
+    // vectors' ADC (the shortlist property ivfPqTopK relies on)
+    val self = got.head._3
+    got.tail.map(_._3).max should be < self
+  }
+
+  test("PQ kernels reject dimension mismatches loudly") {
+    val dim = 8; val m = 4; val dsub = 2; val ksub = 4
+    val books = new Array[Float](m * ksub * dsub)
+    val bad = Seq((1L, Seq.fill(5)(1.0f))).toDF("vec_id", "vec") // 5 != 8
+    val e = intercept[Exception] {
+      bad.select(VectorFunctions.pqEncode($"vec", books, m, dsub, ksub)).collect()
+    }
+    e.getMessage should include("pq_encode")
+    val shortQ = Seq((1L, Array.fill[Byte](m)(0), Seq.fill(5)(1.0f)))
+      .toDF("vec_id", "codes", "q")
+    val e2 = intercept[Exception] {
+      shortQ.select(VectorFunctions.adcDot($"codes", $"q", books, m, dsub, ksub)).collect()
+    }
+    e2.getMessage should include("adc_dot")
+  }
+
+  test("IVF-PQ recovers planted near-duplicate queries via the ADC shortlist") {
+    val rnd  = new java.util.Random(13L)
+    val base = emb.filter($"vec_id" < 30).as[(Long, Array[Float])].collect()
+    val perturbed = base.map { case (id, v) =>
+      (id + 100000L, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val queries = spark.createDataset(perturbed.toSeq).toDF("vec_id", "embedding")
+    val res = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 1, dim = 64, numCells = 16, nprobe = 4, m = 8, ksub = 16)
+    val hits = res.filter($"neighbor_id" === $"query_id" - 100000L).count()
+    hits.toDouble / base.length should be >= 0.9
+  }
+
+  test("prebuilt centroids/codebooks skip the training scans (train once, reuse)") {
+    val scans = spark.sparkContext.longAccumulator("corpus-row-scans")
+    val bump  = udf { (_: Long) => scans.add(1L); true }
+    val spied = emb.filter(bump($"vec_id"))
+    val n     = emb.count()
+
+    val cents = Similarity.trainIvfCentroids(spied, "embedding", dim = 64, numCells = 8)
+    val trainScans = scans.value.longValue() // count + sample collect ≈ 2n
+    trainScans should be >= n
+
+    val queries = emb.filter($"vec_id" < 5).withColumn("vec_id", $"vec_id" + 500L)
+    Similarity.ivfTopK(spied, queries, "vec_id", "embedding", k = 3, dim = 64,
+      nprobe = 4, centroids = Some(cents)).count()
+    val batch1 = scans.value.longValue() - trainScans
+    Similarity.ivfTopK(spied, queries, "vec_id", "embedding", k = 3, dim = 64,
+      nprobe = 4, centroids = Some(cents)).count()
+    val batch2 = scans.value.longValue() - trainScans - batch1
+    // each prebuilt batch reads the corpus for cell assignment only — an
+    // inline retrain would add the count()+sample scans (≈2n) on top
+    batch1 should be < 2L * n
+    batch2 should be < 2L * n
+  }
+
   test("label centroids equal a driver-side exact mean; bad vectors skipped") {
     val rows = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)),
