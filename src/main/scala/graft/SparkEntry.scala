@@ -817,6 +817,59 @@ object SparkEntry {
             .alias("bad_values"))
     }),
 
+    // ---- V6: freshness gate (gold partition present on the lake) -------
+    // Plants a real partition via the atomic LakeSink publish, then probes
+    // the gate against the planted path, a missing sibling, and the sidecar
+    // — reference `check_for_key` semantics as oracle-checkable booleans.
+    "q_freshness_gate" -> ((s, dir) => {
+      import s.implicits._
+      val root = System.getProperty("java.io.tmpdir") + "/graft_freshness_gate"
+      val dt   = "2024-01-15"
+      val gold = t(s, dir, "region").limit(3)
+      graft.sinks.LakeSink.publishPartition(s, gold, root, "gold_daily", dt,
+        schemaVersion = "v1", sourcePath = "verify")
+      def fresh(p: String): Boolean =
+        try { graft.ops.CoinOps.assertFreshness(s, p); true }
+        catch { case _: graft.ops.QualityGateFailure => false }
+      Seq((
+        fresh(s"$root/gold_daily/dt=$dt"),
+        !fresh(s"$root/gold_daily/dt=2099-01-01"),
+        graft.sinks.LakeSink.readSidecar(s, s"$root/gold_daily/dt=$dt").isDefined
+      )).toDF("fresh_present_ok", "missing_detected", "sidecar_present")
+    }),
+
+    // ---- V7: SLA gate (scheduled runs must land before the deadline) ----
+    // sla_ok is computed by Spark timestamp arithmetic over literal run
+    // times (manual runs skip the gate); gate_agrees asserts the CoinOps
+    // gate throws exactly when sla_ok is false.
+    "q_sla_gate" -> ((s, dir) => {
+      import s.implicits._
+      val ds       = java.time.LocalDate.of(2024, 1, 15)
+      val deadline = "2024-01-16 09:00:00"
+      val runs = Seq(
+        ("2024-01-16 06:30:00", true),
+        ("2024-01-16 08:59:59", true),
+        ("2024-01-16 09:00:01", true),
+        ("2024-01-16 11:00:00", false)
+      ).toDF("finished_at", "scheduled")
+      val gateAgrees = runs.collect().forall { r =>
+        val now = java.time.LocalDateTime
+          .parse(r.getString(0).replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        val passed =
+          try { graft.ops.CoinOps.assertSla(ds, now, r.getBoolean(1)); true }
+          catch { case _: graft.ops.QualityGateFailure => false }
+        passed == (!r.getBoolean(1) || !now.isAfter(java.time.Instant.parse(
+          deadline.replace(' ', 'T') + "Z")))
+      }
+      runs.select(col("finished_at"), col("scheduled"),
+          (!col("scheduled") ||
+            to_timestamp(col("finished_at")) <= to_timestamp(lit(deadline)))
+            .alias("sla_ok"),
+          lit(gateAgrees).alias("gate_agrees"))
+        .orderBy("finished_at")
+    }),
+
     // ================= north-star: dedup ===============================
     "q_dedup_exact" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1911,6 +1964,23 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN value IS NULL OR value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_values
         |FROM events
         |WHERE date_trunc('day', ts) = (SELECT MAX(date_trunc('day', ts)) FROM events)""".stripMargin,
+
+    "q_freshness_gate" ->
+      """SELECT CAST(1 AS BOOLEAN) AS fresh_present_ok,
+        |       CAST(1 AS BOOLEAN) AS missing_detected,
+        |       CAST(1 AS BOOLEAN) AS sidecar_present""".stripMargin,
+
+    "q_sla_gate" ->
+      """SELECT finished_at, scheduled,
+        |       (NOT scheduled OR
+        |        strptime(finished_at, '%Y-%m-%d %H:%M:%S') <=
+        |        TIMESTAMP '2024-01-16 09:00:00') AS sla_ok,
+        |       CAST(1 AS BOOLEAN) AS gate_agrees
+        |FROM (VALUES ('2024-01-16 06:30:00', TRUE),
+        |             ('2024-01-16 08:59:59', TRUE),
+        |             ('2024-01-16 09:00:01', TRUE),
+        |             ('2024-01-16 11:00:00', FALSE)) AS t(finished_at, scheduled)
+        |ORDER BY finished_at""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT source, COUNT(DISTINCT text) AS n_unique, COUNT(*) AS n_docs
