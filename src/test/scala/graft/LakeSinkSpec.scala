@@ -29,6 +29,82 @@ class LakeSinkSpec extends SparkTestBase {
       .filter(_.startsWith(".staging")) shouldBe empty
   }
 
+  // ---- fault injection: the tmp→swap→sidecar protocol exists to survive
+  // a crash at any point; these three cases kill the publish at each
+  // boundary and prove (a) no data-loss window and (b) a re-run converges.
+
+  private def publishedKeys(root: String): Set[Long] =
+    spark.read.parquet(s"$root/silver/t/dt=2026-01-01")
+      .select($"k").as[Long].collect().toSet
+
+  test("crash DURING staging write: old partition intact, staging cleaned, re-run converges") {
+    val root = Files.createTempDirectory("graft-fault1").toString
+    LakeSink.publishPartition(spark, Seq((1L, "old")).toDF("k", "v"), root,
+      "silver/t", "2026-01-01", "v1", "s")
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalDir = new org.apache.hadoop.fs.Path(s"$root/silver/t/dt=2026-01-01")
+    intercept[RuntimeException] {
+      LakeSink.stageAndSwap(fs, finalDir) { staging =>
+        // partial write lands, then the process "dies"
+        Seq((99L, "partial")).toDF("k", "v").write.parquet(staging.toString + "/part")
+        throw new RuntimeException("injected: died mid-write")
+      }
+    }
+    // old fileset untouched, no staging junk accumulates across failed runs
+    publishedKeys(root) shouldBe Set(1L)
+    new java.io.File(s"$root/silver/t").listFiles().map(_.getName)
+      .filter(_.startsWith(".staging")) shouldBe empty
+
+    // re-run converges to the new fileset + sidecar
+    LakeSink.publishPartition(spark, Seq((2L, "new")).toDF("k", "v"), root,
+      "silver/t", "2026-01-01", "v1", "s")
+    publishedKeys(root) shouldBe Set(2L)
+    LakeSink.readSidecar(spark, finalDir.toString).get should include(""""row_count": 1""")
+  }
+
+  test("crash BETWEEN the two swap renames: old fileset recoverable, re-run converges") {
+    val root = Files.createTempDirectory("graft-fault2").toString
+    LakeSink.publishPartition(spark, Seq((1L, "old")).toDF("k", "v"), root,
+      "silver/t", "2026-01-01", "v1", "s")
+
+    // Reconstruct the exact post-crash state of swapIn dying after the
+    // rename-aside but before the staging rename: finalDir is gone, the old
+    // fileset lives under .backup-*, and an orphaned staging dir remains.
+    val parent  = new java.io.File(s"$root/silver/t")
+    val finalF  = new java.io.File(parent, "dt=2026-01-01")
+    val backupF = new java.io.File(parent, ".backup-dt=2026-01-01-deadbeef")
+    finalF.renameTo(backupF) shouldBe true
+    val orphan = new java.io.File(parent, ".staging-deadbeef")
+    Seq((50L, "orphan")).toDF("k", "v").write.parquet(orphan.toString)
+
+    // no data-loss window: the old fileset is still recoverable from backup
+    spark.read.parquet(backupF.toString).count() shouldBe 1
+
+    // re-run publishes the new fileset cleanly over the crashed state
+    LakeSink.publishPartition(spark, Seq((2L, "new")).toDF("k", "v"), root,
+      "silver/t", "2026-01-01", "v1", "s")
+    publishedKeys(root) shouldBe Set(2L)
+    LakeSink.readSidecar(spark, finalF.toString) should not be empty
+  }
+
+  test("crash AFTER swap, BEFORE sidecar: data live without sidecar, re-run restores both") {
+    val root = Files.createTempDirectory("graft-fault3").toString
+    LakeSink.publishPartition(spark, Seq((1L, "v1row")).toDF("k", "v"), root,
+      "silver/t", "2026-01-01", "v1", "s")
+    // simulate dying before writeSidecar: data present, sidecar missing
+    new java.io.File(s"$root/silver/t/dt=2026-01-01/.metadata.json").delete() shouldBe true
+    LakeSink.readSidecar(spark, s"$root/silver/t/dt=2026-01-01") shouldBe None
+    publishedKeys(root) shouldBe Set(1L) // readers never saw a partial state
+
+    LakeSink.publishPartition(spark, Seq((1L, "v1row")).toDF("k", "v"), root,
+      "silver/t", "2026-01-01", "v1", "s")
+    publishedKeys(root) shouldBe Set(1L)
+    LakeSink.readSidecar(spark, s"$root/silver/t/dt=2026-01-01")
+      .get should include(""""row_count": 1""")
+  }
+
   test("CSV write round-trips with header and matches the raw reader") {
     val dir = Files.createTempDirectory("graft-csv").toString + "/raw"
     val df = Seq(("bitcoin", 91343.0), ("ethereum", 3116.61)).toDF("id", "current_price")
