@@ -99,7 +99,7 @@ object CoinPipeline {
     * sources; here `incoming` is key-unique by construction — it comes out
     * of a groupBy on the key — so the cheap join form is exact.)
     */
-  private def upsertServe(spark: SparkSession, incoming: DataFrame, serveRoot: String): DataFrame = {
+  private[graft] def upsertServe(spark: SparkSession, incoming: DataFrame, serveRoot: String): DataFrame = {
     val path = s"$serveRoot/gold_coin_daily_metrics"
     val finalP = new org.apache.hadoop.fs.Path(path)
     val fs = finalP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,6 +116,7 @@ object CoinPipeline {
     LakeSink.stageAndSwap(fs, finalP) { staging =>
       merged.write.mode("overwrite").parquet(staging.toString)
     }
+    spark.catalog.refreshByPath(path) // rename-swap bypasses Spark's cache invalidation
     spark.read.parquet(path)
   }
 }

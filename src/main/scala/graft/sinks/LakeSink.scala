@@ -55,6 +55,10 @@ object LakeSink {
     val meta = PartitionMeta(dataset, schemaVersion, dt, rowCount, sourcePath,
       java.time.Instant.now.toString)
     writeSidecar(fs, finalDir, meta)
+    // The swap is a rename, not a Spark write to finalDir — the session's
+    // file-listing cache still holds any previously-listed part files for
+    // the path and a re-publish would leave readers hitting FILE_NOT_EXIST.
+    spark.catalog.refreshByPath(finalDir.toString)
     rowCount
   }
 
@@ -68,6 +72,7 @@ object LakeSink {
     stageAndSwap(fs, finalDir) { staging =>
       df.write.mode("overwrite").option("header", value = true).csv(staging.toString)
     }
+    spark.catalog.refreshByPath(dir) // rename-swap bypasses Spark's cache invalidation
   }
 
   /** Publish `staging` at `finalDir` without a data-loss window: the live
