@@ -1238,26 +1238,30 @@ object SparkEntry {
       val rep = graft.sinks.EpochWriter.writeEpoch(docs, "doc_id", "n_chars",
         out, budget, numShards = 8)
       val back = s.read.parquet(out).withColumn("shard", col("shard").cast("long"))
-      val idsOk = back.agg(countDistinct(col("doc_id"))).head().getLong(0) == rep.rows
-      // one scan → per-bin stats; every remaining invariant derives from
-      // this (tiny: one row per bin) without touching the files again
-      val binStats = back.groupBy(col("shard"), col("bin_id"))
+      // Read-back invariants in TWO jobs (was ~6 sequential actions): one
+      // layered aggregation scan derives per-bin stats → per-shard booleans
+      // → a bounded numShards-row collect; one global distinct-count checks
+      // id preservation. Every layer above the first is tiny (rows-per-bin,
+      // then rows-per-shard), so the scan cost is a single pass regardless
+      // of corpus size.
+      val perShard = back
+        .groupBy(col("shard"), col("bin_id"))
         .agg(sum(col("n_chars")).alias("__sum"), max(col("n_chars")).alias("__max"),
           min(col("pos")).alias("__mnp"), max(col("pos")).alias("__mxp"))
-        .localCheckpoint()
-      val budgetOk = binStats
-        .agg(coalesce(min(col("__sum") <= lit(budget) + col("__max")), lit(false)))
-        .head().getBoolean(0)
-      val contiguous = binStats.groupBy(col("shard"))
-        .agg((countDistinct(col("bin_id")) === max(col("bin_id")) + 1).alias("c"))
-        .agg(coalesce(min(col("c")), lit(false))).head().getBoolean(0)
-      val ranges = binStats.groupBy(col("shard"))
-        .agg(min(col("__mnp")).alias("mn"), max(col("__mxp")).alias("mx"))
+        .groupBy(col("shard"))
+        .agg(
+          coalesce(min(col("__sum") <= lit(budget) + col("__max")), lit(false))
+            .alias("budget_s"),
+          (countDistinct(col("bin_id")) === max(col("bin_id")) + 1).alias("contig_s"),
+          min(col("__mnp")).alias("mn"), max(col("__mxp")).alias("mx"))
         .orderBy(col("shard")).collect() // bounded by numShards
-      val ordered = ranges.sliding(2).forall {
-        case Array(a, b) => a.getLong(2) < b.getLong(1)
+      val budgetOk   = perShard.nonEmpty && perShard.forall(_.getBoolean(1))
+      val contiguous = perShard.nonEmpty && perShard.forall(_.getBoolean(2))
+      val ordered = perShard.sliding(2).forall {
+        case Array(a, b) => a.getLong(4) < b.getLong(3) // prev max pos < next min pos
         case _           => true
       }
+      val idsOk = back.agg(countDistinct(col("doc_id"))).head().getLong(0) == rep.rows
       Seq((rep.rows, idsOk, budgetOk, contiguous, ordered))
         .toDF("n_rows", "ids_ok", "budget_ok", "bins_contiguous", "shards_ordered")
     }),
