@@ -2,7 +2,7 @@ package graft
 
 import graft.expectations.{Between, GreaterThan, NotNull, Suite}
 import graft.functions.{Aggregators, TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{Dedup, RangeJoin, Similarity, Skew, SubstringDedup, TextAnalysis}
 import graft.sinks.Merge
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
@@ -922,6 +922,28 @@ object SparkEntry {
         .crossJoin(broadcast(planted.agg(count(lit(1)).alias("n_planted"))))
         .select(col("n_planted"), col("n_found"),
           (col("n_found") === col("n_planted")).alias("recall_ok"))
+    }),
+
+    // Exact-substring dedup (ExactSubstr, Lee et al. 2021): plant one
+    // distinctive 16-token passage into docs 0-4; dedup must keep exactly
+    // the surviving occurrence (min (doc, pos) → doc 0) and sweep the
+    // passage out of docs 1-4, regardless of any natural duplicate grams
+    // elsewhere in the corpus.
+    "q_substring_dedup" -> ((s, dir) => {
+      val passage = (0 until 16).map(i => s"zqdup$i").mkString(" ")
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") < 5, concat(col("text"), lit(" " + passage)))
+          .otherwise(col("text")).alias("text"))
+      SubstringDedup.removeDuplicateSpans(planted, "doc_id", "text", gramLen = 8)
+        .agg(
+          count(lit(1)).alias("n_docs"),
+          coalesce(sum(when(col("doc_id") < 5, 1L)), lit(0L)).alias("n_planted"),
+          coalesce(min(when(col("doc_id") === 0,
+            col("text_deduped").contains(passage))), lit(false))
+            .alias("survivor_intact"),
+          coalesce(min(when(col("doc_id").between(1, 4),
+            !col("text_deduped").contains("zqdup"))), lit(false))
+            .alias("nonsurvivors_cleaned"))
     }),
 
     "q_dedup_embedding" -> ((s, dir) => {
@@ -2017,6 +2039,13 @@ object SparkEntry {
     "q_dedup_simhash" ->
       """SELECT COUNT(DISTINCT text) AS n_texts,
         |       CAST(1 AS BOOLEAN) AS simhash_deterministic
+        |FROM documents""".stripMargin,
+
+    "q_substring_dedup" ->
+      """SELECT COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN doc_id < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted,
+        |       CAST(1 AS BOOLEAN) AS survivor_intact,
+        |       CAST(1 AS BOOLEAN) AS nonsurvivors_cleaned
         |FROM documents""".stripMargin,
 
     "q_ann_lsh" ->

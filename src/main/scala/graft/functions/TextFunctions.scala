@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftSqlBridge
@@ -142,6 +142,60 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** POSITIONAL xxhash64 gram hashes: one hash per start position, in token
+    * order, duplicates kept — the per-occurrence view that exact-substring
+    * dedup needs (the distinct-set variant [[hashedShingles64]] cannot say
+    * WHERE a duplicated gram sits). Docs shorter than `n` yield an empty
+    * array.
+    */
+  def positionalShingles64(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    val count = if (m >= n) m - n + 1 else 0
+    val out = new Array[Long](count)
+    if (count > 0) {
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i < count) {
+        val parts = new Array[UTF8String](n)
+        var j = 0
+        while (j < n) {
+          parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+          j += 1
+        }
+        val s = UTF8String.concatWs(sep, parts: _*)
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Rebuild a token stream with every token covered by a duplicated-gram
+    * start removed: `starts` is a SORTED array of gram start positions, each
+    * covering `[s, s+n)`. One merged interval sweep — O(tokens + starts),
+    * independent of how much the spans overlap (a duplicated passage of
+    * length P contributes P−n+1 overlapping starts).
+    */
+  def dropCoveredTokens(toks: ArrayData, starts: ArrayData, n: Int): UTF8String = {
+    val m = toks.numElements()
+    val k = starts.numElements()
+    val kept = new scala.collection.mutable.ArrayBuffer[UTF8String](m)
+    var s = 0
+    var coveredUntil = -1 // exclusive
+    var i = 0
+    while (i < m) {
+      while (s < k && starts.getInt(s) <= i) {
+        val end = starts.getInt(s) + n
+        if (end > coveredUntil) coveredUntil = end
+        s += 1
+      }
+      if (i >= coveredUntil && !toks.isNullAt(i)) kept += toks.getUTF8String(i)
+      i += 1
+    }
+    UTF8String.concatWs(UTF8String.fromString(" "), kept.toSeq: _*)
+  }
+
   /** For each of `sets`, the count of tokens present in it — ONE pass over
     * the token array with hash-set membership, replacing the interpreted
     * `size(filter(toks, t => array_contains(profile, t)))` per set (an
@@ -253,6 +307,36 @@ case class HashedShingles64(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.hashedShingles64($c, $n)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `positional_shingles64(tokens)` — per-start-position xxhash64 gram hashes
+  * (order kept, duplicates kept) for exact-substring dedup.
+  */
+case class PositionalShingles64(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.positionalShingles64(in.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.positionalShingles64($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `drop_covered_tokens(tokens, starts)` — token stream minus every token
+  * covered by `[s, s+n)` for the sorted duplicated-gram starts `s`, joined
+  * by single spaces. Codegen'd interval sweep.
+  */
+case class DropCoveredTokens(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(toks: Any, starts: Any): Any =
+    TextKernels.dropCoveredTokens(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = graft.functions.TextKernels.dropCoveredTokens($t, $s, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `minhash_sig(hashed_shingles, k)` — all `k` MinHash minima in ONE pass
@@ -371,6 +455,15 @@ object TextFunctions {
 
   def rollingHash(text: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(text)))
+
+  /** Per-occurrence xxhash64 gram hashes (one per start position, in order). */
+  def positionalShingles64(toks: Column, n: Int): Column =
+    GraftSqlBridge.column(PositionalShingles64(GraftSqlBridge.expression(toks), n))
+
+  /** Token stream minus spans `[s, s+n)` for sorted starts `s`. */
+  def dropCoveredTokens(toks: Column, starts: Column, n: Int): Column =
+    GraftSqlBridge.column(DropCoveredTokens(
+      GraftSqlBridge.expression(toks), GraftSqlBridge.expression(starts), n))
 
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -276,4 +276,66 @@ class DedupSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       Dedup.incremental(batch1, batch1, "doc_id") // wrong index schema
   }
+
+  // ---- exact-substring dedup (ExactSubstr; Lee et al. 2021) ------------
+
+  test("substring dedup removes non-surviving copies of a shared passage, keeps the survivor") {
+    val passage = (0 until 12).map(i => s"zqdup$i").mkString(" ")
+    val rows = Seq(
+      (0L, s"alpha beta gamma delta $passage epsilon zeta"),
+      (1L, s"one two three four five six $passage"),
+      (2L, s"$passage seven eight nine ten eleven twelve"),
+      (3L, "entirely unrelated clean document with plenty of distinct words here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SubstringDedup
+      .removeDuplicateSpans(rows, "doc_id", "text", gramLen = 6)
+      .orderBy("doc_id")
+      .select($"doc_id", $"text_deduped", $"n_tokens", $"n_removed_tokens")
+      .as[(Long, String, Int, Int)].collect()
+
+    // survivor = min (doc, pos): doc 0 keeps the passage verbatim
+    out(0)._2 should include(passage)
+    out(0)._4 shouldBe 0
+    // every other copy is swept out completely (overlapping spans merged)
+    out(1)._2 should not include "zqdup"
+    out(2)._2 should not include "zqdup"
+    out(1)._4 shouldBe 12
+    out(2)._4 shouldBe 12
+    // surrounding unique text survives the sweep
+    out(1)._2 shouldBe "one two three four five six"
+    out(2)._2 shouldBe "seven eight nine ten eleven twelve"
+    // untouched clean document passes through byte-identical (normalized)
+    out(3)._2 shouldBe rows.filter($"doc_id" === 3L).head().getString(1)
+    out(3)._4 shouldBe 0
+  }
+
+  test("substring dedup removes a within-document repeat, keeping the first occurrence") {
+    val span = (0 until 8).map(i => s"rep$i").mkString(" ")
+    val rows = Seq((7L, s"intro words before $span middle filler text $span tail end")).toDF("doc_id", "text")
+    val out = graft.operators.SubstringDedup
+      .removeDuplicateSpans(rows, "doc_id", "text", gramLen = 8)
+      .select($"text_deduped").as[String].head()
+    out shouldBe s"intro words before $span middle filler text tail end"
+  }
+
+  test("substring dedup leaves short docs and unique corpora untouched") {
+    val rows = Seq(
+      (0L, "short doc"),
+      (1L, "another tiny one"),
+      (2L, "completely unique longer document with many distinct tokens in it")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SubstringDedup
+      .removeDuplicateSpans(rows, "doc_id", "text", gramLen = 6)
+    out.agg(sum($"n_removed_tokens")).head().getLong(0) shouldBe 0L
+    out.count() shouldBe 3L
+  }
+
+  test("substring dedup plan: occurrence shuffle only, no cartesian") {
+    val out = graft.operators.SubstringDedup
+      .removeDuplicateSpans(docs, "doc_id", "text", gramLen = 8)
+    val plan = out.queryExecution.executedPlan.toString()
+    plan.toLowerCase should not include "cartesian"
+    plan.toLowerCase should not include "broadcastnestedloop"
+    plan should include("positionalshingles64")
+  }
 }
