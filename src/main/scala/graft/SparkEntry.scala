@@ -1037,6 +1037,13 @@ object SparkEntry {
             Seq("the", "a")), 6).alias("stop_ratio"))
         .orderBy("doc_id")),
 
+    // CCNet-style LM quality signal: per-doc bigram perplexity, self-trained
+    // on the corpus with add-one smoothing — fully oracle-replicated in SQL.
+    "q_perplexity" -> ((s, dir) =>
+      TextAnalysis.bigramPerplexity(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), round(col("ppl"), 6).alias("ppl"))
+        .orderBy("doc_id")),
+
     "q_text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).alias("fp_md5"))
@@ -2040,6 +2047,25 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT text) AS n_texts,
         |       CAST(1 AS BOOLEAN) AS simhash_deterministic
         |FROM documents""".stripMargin,
+
+    "q_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[\s\x0b]+') AS t
+        |  FROM documents
+        |), bi AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS tok
+        |  FROM toks WHERE len(t) >= 2
+        |), cb AS (
+        |  SELECT prev, tok, COUNT(*) AS c_bt FROM bi GROUP BY 1, 2
+        |), cp AS (
+        |  SELECT prev, SUM(c_bt) AS c_p FROM cb GROUP BY 1
+        |), v AS (
+        |  SELECT COUNT(DISTINCT tok) AS vc FROM (SELECT unnest(t) AS tok FROM toks)
+        |)
+        |SELECT bi.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(EXP(AVG(-LN((cb.c_bt + 1.0) / (cp.c_p + v.vc)))), 6) AS ppl
+        |FROM bi JOIN cb USING (prev, tok) JOIN cp USING (prev) CROSS JOIN v
+        |GROUP BY bi.doc_id ORDER BY bi.doc_id""".stripMargin,
 
     "q_substring_dedup" ->
       """SELECT COUNT(*) AS n_docs,

@@ -266,4 +266,57 @@ object TextAnalysis {
       .filter(length(col("term")) > 0)
       .groupBy("term")
       .agg(count(lit(1)).alias("doc_freq"))
+
+  /** Per-document bigram-LM perplexity — the language-model quality signal
+    * behind CCNet-style corpus filtering (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", 2020): train a
+    * token-bigram model with add-one smoothing on `lmCorpus` (defaults to
+    * `docs` itself), then score each document as
+    * `exp(avg(-ln p(tok | prev)))` with
+    * `p(tok|prev) = (c(prev,tok)+1) / (c(prev·)+V)`.
+    *
+    * Scale shape: the bigram expansion shuffles one row per token position,
+    * but the LM aggregation is a partial+final hash agg, so the model table
+    * is one row per DISTINCT bigram (vocabulary-sized, not corpus-sized);
+    * prev-counts derive from the bigram counts without a second corpus pass;
+    * the vocabulary size rides along as a broadcast one-row frame. Scoring
+    * is a hash join of doc bigrams against the model — no driver loops, no
+    * collects. Documents with fewer than two tokens have no bigrams and are
+    * absent from the output.
+    *
+    * Returns (`idCol`, `n_bigrams`, `ppl`), lower ppl = more LM-like text.
+    */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String = "text",
+      lmCorpus: Option[DataFrame] = None): DataFrame = {
+    def bigramsOf(df: DataFrame, cols: Column*): DataFrame = {
+      // tokens must be a PROJECTED column before the transform lambda: an
+      // inlined split() subtree inside the (interpreted) lambda would be
+      // re-evaluated per element — an O(tokens²) regex split per document
+      val t = col("__t")
+      df.withColumn("__t", TextFunctions.tokens(col(textCol)))
+        .select(cols :+ explode(when(size(t) < 2,
+            array().cast("array<struct<prev:string,tok:string>>"))
+          .otherwise(transform(sequence(lit(0), size(t) - 2),
+            i => struct(element_at(t, i + 1).alias("prev"),
+              element_at(t, i + 2).alias("tok"))))).alias("__b"): _*)
+        .select(cols :+ col("__b.prev") :+ col("__b.tok"): _*)
+    }
+    val lmDocs = lmCorpus.getOrElse(docs)
+    val bigramCounts = bigramsOf(lmDocs)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).alias("__cbt"))
+    val prevCounts = bigramCounts
+      .groupBy(col("prev")).agg(sum(col("__cbt")).alias("__cp"))
+    val vocab = lmDocs
+      .select(explode(TextFunctions.tokens(col(textCol))).alias("__tok"))
+      .agg(countDistinct(col("__tok")).alias("__v"))
+    bigramsOf(docs, col(idCol))
+      .join(bigramCounts, Seq("prev", "tok"), "left")
+      .join(prevCounts, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        (-log((coalesce(col("__cbt"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__cp"), lit(0L)) + col("__v")).cast("double"))).alias("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_bigrams"), exp(avg(col("__nll"))).alias("ppl"))
+  }
 }

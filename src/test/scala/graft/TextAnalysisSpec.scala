@@ -199,4 +199,41 @@ class TextAnalysisSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       graft.operators.TextAnalysis.mixSourcesTemperature(docs, "source", 0.0)
   }
+
+  test("bigram perplexity matches a driver-side reference; held-out and short docs handled") {
+    val rows = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"),
+      (2L, "zebra quantum flux anomaly"),
+      (3L, "single")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPerplexity(rows, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // no-bigram doc absent; identical docs score identically; rare bigrams
+    // (count 1 vs 2 for the repeated text) perplex more
+    out.keySet shouldBe Set(0L, 1L, 2L)
+    out(0L) shouldBe out(1L)
+    out(2L)._2 should be > out(0L)._2
+
+    // driver reference for doc 0 with add-one smoothing over the full corpus
+    val docs = Seq("the cat sat on the mat", "the cat sat on the mat",
+      "zebra quantum flux anomaly", "single").map(_.split("\\s+").toSeq)
+    val bigrams = docs.flatMap(t => t.zip(t.drop(1)))
+    val cbt = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val cp  = bigrams.groupBy(_._1).view.mapValues(_.size).toMap
+    val v   = docs.flatten.distinct.size
+    val d0  = docs.head.zip(docs.head.drop(1))
+    val ref = math.exp(d0.map(b =>
+      -math.log((cbt(b) + 1.0) / (cp(b._1) + v))).sum / d0.size)
+    out(0L)._1 shouldBe d0.size.toLong
+    out(0L)._2 shouldBe ref +- 1e-9
+
+    // held-out scoring against a separate LM corpus: unseen bigrams get the
+    // smoothed floor instead of exploding or dropping out
+    val lm = Seq((100L, "totally different training text corpus")).toDF("doc_id", "text")
+    val held = TextAnalysis.bigramPerplexity(rows, "doc_id", lmCorpus = Some(lm))
+    held.count() shouldBe 3L
+    held.filter($"ppl".isNull || $"ppl" <= 0.0).count() shouldBe 0L
+  }
 }
