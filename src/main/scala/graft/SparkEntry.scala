@@ -960,6 +960,23 @@ object SparkEntry {
           (col("n_found") === col("n_planted")).alias("recall_ok"))
     }),
 
+    // SemDeDup contract: an identical planted copy lands in the same k-means
+    // cluster as its source (nearest-centroid assignment is deterministic),
+    // so the within-cluster cosine pass must recover every planted pair.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb     = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val pairs = Dedup.semanticNearDupPairs(emb.unionByName(planted), "vec_id",
+        "embedding", dim = 64, numClusters = 16, minCosine = 0.999)
+      pairs
+        .filter(col("id_a") < 20 && col("id_b") === col("id_a") + 1000000L)
+        .agg(countDistinct(col("id_a")).alias("n_found"))
+        .crossJoin(broadcast(planted.agg(count(lit(1)).alias("n_planted"))))
+        .select(col("n_planted"), col("n_found"),
+          (col("n_found") === col("n_planted")).alias("recall_ok"))
+    }),
+
     // ================= north-star: similarity search ====================
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2038,6 +2055,12 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 50""".stripMargin,
 
     "q_dedup_embedding" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found,
+        |       CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 20""".stripMargin,
+
+    "q_dedup_semantic" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
         |       CAST(COUNT(*) AS BIGINT) AS n_found,
         |       CAST(1 AS BOOLEAN) AS recall_ok

@@ -428,6 +428,20 @@ object Dedup {
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
+  /** Cosine verification of candidate id-pairs: re-attach vectors by id and
+    * keep pairs at or above `minCosine` — shared by the hyperplane-bucket
+    * and k-means-cluster near-dup paths.
+    */
+  private def verifyCosine(candidates: DataFrame, vecs: DataFrame,
+      minCosine: Double): DataFrame =
+    candidates
+      .join(vecs.select(col("__id").alias("id_a"), col("__v").alias("v_a")), Seq("id_a"))
+      .join(vecs.select(col("__id").alias("id_b"), col("__v").alias("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSim(col("v_a"), col("v_b")).alias("cosine"),
+        col("capped"))
+      .filter(col("cosine") >= minCosine)
+
   /** Embedding near-dup pairs: LSH-bucket on random-hyperplane sign bits,
     * verify cosine inside buckets. Deterministic planes from `seed`.
     * Returns `(id_a, id_b, cosine, capped)` with cosine ≥ `minCosine`
@@ -441,12 +455,32 @@ object Dedup {
     val bucketed = vecs.select(col("__id"),
       Similarity.hyperplaneBucket(col("__v"), dim, planeBits, seed).alias("__bucket"))
     val candidates = cappedCandidatePairs(bucketed, Seq("__bucket"), maxBucketSize)
-    candidates
-      .join(vecs.select(col("__id").alias("id_a"), col("__v").alias("v_a")), Seq("id_a"))
-      .join(vecs.select(col("__id").alias("id_b"), col("__v").alias("v_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosineSim(col("v_a"), col("v_b")).alias("cosine"),
-        col("capped"))
-      .filter(col("cosine") >= minCosine)
+    verifyCosine(candidates, vecs, minCosine)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication", 2023):
+    * cluster the embedding space with a k-means coarse quantizer, then
+    * compare cosines ONLY within each cluster — the candidate scope that
+    * makes semantic dedup tractable at corpus scale. Identical construction
+    * discipline as the other near-dup paths: cluster assignment is a narrow
+    * codegen map (centroids broadcast as a reference object), candidates
+    * come from the hot-bucket-capped equi-self-join on the cell id, and
+    * exact cosine verifies inside cells. Pass prebuilt `centroids` (from
+    * [[Similarity.trainIvfCentroids]]) to skip the training sample scan.
+    * Returns `(id_a, id_b, cosine, capped)` with cosine ≥ `minCosine`.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, numClusters: Int = 256, minCosine: Double = 0.95,
+      seed: Long = 42L, maxBucketSize: Int = defaultMaxBucketSize,
+      centroids: Option[Array[Float]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      Similarity.trainIvfCentroids(df, vecCol, dim, numClusters, seed))
+    val vecs = df.select(col(idCol).alias("__id"), col(vecCol).alias("__v"))
+    val clustered = vecs.select(col("__id"),
+      element_at(VectorFunctions.nearestCells(col("__v"), cents, dim, 1), 1)
+        .alias("__cell"))
+    val candidates = cappedCandidatePairs(clustered, Seq("__cell"), maxBucketSize)
+    verifyCosine(candidates, vecs, minCosine)
   }
 }

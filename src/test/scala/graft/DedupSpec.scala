@@ -338,4 +338,26 @@ class DedupSpec extends SparkTestBase {
     plan.toLowerCase should not include "broadcastnestedloop"
     plan should include("positionalshingles64")
   }
+
+  test("semantic near-dup (SemDeDup): planted copies recovered within their k-means cluster") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id" < 15).withColumn("vec_id", $"vec_id" + 1000000L)
+    val pairs = Dedup.semanticNearDupPairs(emb.unionByName(planted), "vec_id",
+      "embedding", dim = 64, numClusters = 8, minCosine = 0.999)
+    pairs.filter($"id_b" === $"id_a" + 1000000L).count() shouldBe 15L
+    // isotropic fixture background: no false positives at cosine 0.999
+    pairs.filter($"id_b" =!= $"id_a" + 1000000L).count() shouldBe 0L
+    // plan discipline: candidates from the cell equi-join, never a cartesian
+    // (the nearestcells assignment itself runs before the candidate lineage
+    // cut, so assert it on the un-cut pair plan of a tiny prebuilt model)
+    val plan = pairs.queryExecution.executedPlan.toString()
+    plan.toLowerCase should not include "cartesian"
+    plan.toLowerCase should not include "broadcastnestedloop"
+    val cents = graft.operators.Similarity
+      .trainIvfCentroids(emb, "embedding", dim = 64, numCells = 8)
+    val assigned = emb.select(
+      element_at(graft.functions.VectorFunctions.nearestCells($"embedding", cents, 64, 1), 1))
+    assigned.queryExecution.executedPlan.toString() should include("nearestcells")
+  }
 }
