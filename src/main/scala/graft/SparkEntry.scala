@@ -1370,6 +1370,24 @@ object SparkEntry {
           plantUrls(t(s, dir, "documents")), "doc_id", "text2")
         .orderBy("domain")),
 
+    // ---- URL canonicalization: variants of one page collapse to one key.
+    // Five deterministic per-doc variants (case, default port, fragment,
+    // tracking params, trailing slash); the oracle replays the identical
+    // Java∩RE2 regex chain, so the canonical STRINGS are value-checked.
+    "q_url_canonical" -> ((s, dir) => {
+      val m = col("doc_id") % 5
+      val raw = t(s, dir, "documents").select(
+        when(m === 0, lit("https://Example.com:443/a/?utm_source=x&id=7#frag"))
+          .when(m === 1, lit("https://example.com/a?id=7"))
+          .when(m === 2, lit("http://example.com:80/a/"))
+          .when(m === 3, lit("http://example.com/a"))
+          .otherwise(lit("https://example.com/a?utm_a=1&utm_b=2&id=7"))
+          .alias("url"))
+      raw.select(graft.operators.WebCuration.canonicalizeUrl(col("url")).alias("curl"))
+        .groupBy(col("curl")).agg(count(lit(1)).alias("n"))
+        .orderBy("curl")
+    }),
+
     // ---- blocklist curation: evil.com blocks its subdomains too --------
     "q_domain_blocklist" -> ((s, dir) => {
       import s.implicits._
@@ -2273,6 +2291,28 @@ object SparkEntry {
         |SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |       COUNT(*) AS n_urls
         |FROM doms WHERE domain <> '' GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT CASE doc_id % 5
+        |    WHEN 0 THEN 'https://Example.com:443/a/?utm_source=x&id=7#frag'
+        |    WHEN 1 THEN 'https://example.com/a?id=7'
+        |    WHEN 2 THEN 'http://example.com:80/a/'
+        |    WHEN 3 THEN 'http://example.com/a'
+        |    ELSE 'https://example.com/a?utm_a=1&utm_b=2&id=7' END AS url
+        |  FROM documents),
+        |c1 AS (SELECT regexp_replace(url, '#.*', '') AS u FROM raw),
+        |c2 AS (SELECT lower(regexp_extract(u, '^(https?://[^/?#]+)', 1)) ||
+        |              regexp_replace(u, '^https?://[^/?#]+', '') AS u FROM c1),
+        |c3 AS (SELECT regexp_replace(regexp_replace(u,
+        |         '^(http://[^:/?#]+):80($|[/?].*)', '\1\2'),
+        |         '^(https://[^:/?#]+):443($|[/?].*)', '\1\2') AS u FROM c2),
+        |c4 AS (SELECT regexp_replace(regexp_replace(u,
+        |         '(utm_[a-z0-9_]*|gclid|fbclid)=[^&#]*&', '', 'g'),
+        |         '[?&](utm_[a-z0-9_]*|gclid|fbclid)=[^&#]*$', '') AS u FROM c3),
+        |c5 AS (SELECT regexp_replace(regexp_replace(u, '\?&', '?'), '[?&]+$', '') AS u FROM c4),
+        |c6 AS (SELECT regexp_replace(u, '/+$', '') AS curl FROM c5)
+        |SELECT curl, COUNT(*) AS n FROM c6 GROUP BY curl ORDER BY curl""".stripMargin,
 
     "q_domain_blocklist" ->
       """WITH d AS (SELECT doc_id, text || ' see https://' ||

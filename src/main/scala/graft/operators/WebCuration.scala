@@ -41,6 +41,44 @@ object WebCuration {
         d => regexp_replace(lower(d), lit(trailingPunctPattern), lit(""))),
       d => d =!= "")
 
+  /** Whole-URL twin of [[domainPattern]]: the full http(s) URL token. */
+  val urlPattern: String = "https?://[^\\s<>\"']+"
+
+  /** All URLs mentioned in `text` (trailing prose punctuation stripped). */
+  def extractUrls(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(text, lit(urlPattern), lit(0)),
+        u => regexp_replace(u, lit(trailingPunctPattern), lit(""))),
+      u => u =!= "")
+
+  /** URL canonicalization for web-corpus dedup by provenance: the same page
+    * fetched as `https://Example.com:443/a/?utm_source=x#frag` and
+    * `https://example.com/a/` must collapse to one key before URL-level
+    * dedup or per-page statistics. Steps (each a Java∩RE2 regex, so the
+    * identical chain replays in SQL engines for validation):
+    *  1. drop the fragment;
+    *  2. lowercase scheme+host (path/query case preserved — paths are
+    *     case-sensitive);
+    *  3. drop default ports (`:80` for http, `:443` for https);
+    *  4. strip tracking parameters (`utm_*`, `gclid`, `fbclid`);
+    *  5. strip dangling `?`/`&` and trailing slashes.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^(https?://[^/?#]+)", 1)),
+      regexp_replace(noFrag, "^https?://[^/?#]+", ""))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^:/?#]+):80($|[/?].*)", "$1$2"),
+      "^(https://[^:/?#]+):443($|[/?].*)", "$1$2")
+    val noTrack = regexp_replace(
+      regexp_replace(noPort, "(utm_[a-z0-9_]*|gclid|fbclid)=[^&#]*&", ""),
+      "[?&](utm_[a-z0-9_]*|gclid|fbclid)=[^&#]*$", "")
+    val cleaned = regexp_replace(
+      regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
+    regexp_replace(cleaned, "/+$", "")
+  }
+
   /** Per-domain corpus stats: one row per domain with `n_docs` (documents
     * mentioning it) and `n_urls` (total mentions). One explode + one
     * partial+final hash aggregate keyed on domain.

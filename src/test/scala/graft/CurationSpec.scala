@@ -111,4 +111,34 @@ class CurationSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       TextAnalysis.quantileQualityFilter(docs, "lang", "score", p = 0.0)
   }
+
+  test("URL canonicalization collapses tracking/port/fragment/case variants, preserves real distinctions") {
+    import graft.operators.WebCuration
+    val urls = Seq(
+      "https://Example.com:443/a/?utm_source=x&id=7#frag",
+      "https://example.com/a?id=7",
+      "http://example.com:80/a/",
+      "http://example.com/a",
+      "https://example.com/a?utm_a=1&utm_b=2&id=7",
+      "https://example.com/CaseSensitive/Path",
+      "https://example.com/?utm_only=1",
+      "https://example.com:8080/a"
+    ).toDF("url")
+    val out = urls.select(WebCuration.canonicalizeUrl($"url")).as[String].collect()
+    out(0) shouldBe "https://example.com/a/?id=7"
+    out(1) shouldBe "https://example.com/a?id=7"
+    out(2) shouldBe "http://example.com/a"
+    out(3) shouldBe "http://example.com/a"
+    out(4) shouldBe "https://example.com/a?id=7"
+    // path case and non-default ports are REAL distinctions — preserved
+    out(5) shouldBe "https://example.com/CaseSensitive/Path"
+    out(6) shouldBe "https://example.com"
+    out(7) shouldBe "https://example.com:8080/a"
+
+    // extraction from prose + canonicalization compose
+    val text = Seq((1L, "see https://A.com/x/, and http://b.com:80/y#z.")).toDF("doc_id", "text")
+    text.select(explode(WebCuration.extractUrls($"text")).alias("u"))
+      .select(WebCuration.canonicalizeUrl($"u")).as[String].collect().toSeq shouldBe
+      Seq("https://a.com/x", "http://b.com/y")
+  }
 }
