@@ -1054,6 +1054,27 @@ object SparkEntry {
             Seq("the", "a")), 6).alias("stop_ratio"))
         .orderBy("doc_id")),
 
+    // Compressibility quality signal (deflate ratio): engine-specific bytes
+    // aren't SQL-expressible, so the oracle checks the CONTRACT — ratios
+    // positive for every doc, and a planted spam doc (one token repeated)
+    // compresses far below a planted diverse doc.
+    "q_compression_signal" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, Seq.fill(200)("spam").mkString(" ")),
+        (9000002L, (0 until 200).map(i => s"w${i}x${i * 7 % 13}").mkString(" "))
+      ).toDF("doc_id", "text")
+      val rated = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"), TextFunctions.deflateRatio(col("text")).alias("r"))
+      rated.agg(
+        count(lit(1)).alias("n_docs"),
+        coalesce(min(col("r") > 0.0), lit(false)).alias("ratios_positive"),
+        (coalesce(min(when(col("doc_id") === 9000001L, col("r"))), lit(1.0)) <
+          coalesce(min(when(col("doc_id") === 9000002L, col("r"))), lit(0.0)))
+          .alias("repetitive_compresses_more"))
+    }),
+
     // CCNet-style LM quality signal: per-doc bigram perplexity, self-trained
     // on the corpus with add-one smoothing — fully oracle-replicated in SQL.
     "q_perplexity" -> ((s, dir) =>
@@ -2087,6 +2108,12 @@ object SparkEntry {
     "q_dedup_simhash" ->
       """SELECT COUNT(DISTINCT text) AS n_texts,
         |       CAST(1 AS BOOLEAN) AS simhash_deterministic
+        |FROM documents""".stripMargin,
+
+    "q_compression_signal" ->
+      """SELECT COUNT(*) + 2 AS n_docs,
+        |       CAST(1 AS BOOLEAN) AS ratios_positive,
+        |       CAST(1 AS BOOLEAN) AS repetitive_compresses_more
         |FROM documents""".stripMargin,
 
     "q_perplexity" ->

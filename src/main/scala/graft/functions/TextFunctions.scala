@@ -196,6 +196,27 @@ object TextKernels {
     UTF8String.concatWs(UTF8String.fromString(" "), kept.toSeq: _*)
   }
 
+  /** Deflate compression ratio (compressed bytes / raw bytes) — the
+    * compressibility quality signal used by web-corpus filters (highly
+    * repetitive spam compresses far below natural prose; near-random noise
+    * doesn't compress at all). Raw DEFLATE stream (nowrap), default level;
+    * empty text rates a neutral 1.0.
+    */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
   /** For each of `sets`, the count of tokens present in it — ONE pass over
     * the token array with hash-set membership, replacing the interpreted
     * `size(filter(toks, t => array_contains(profile, t)))` per set (an
@@ -356,6 +377,17 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `deflate_ratio(text)` — compressed/raw byte ratio (DEFLATE, nowrap). */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(in: Any): Any =
+    TextKernels.deflateRatio(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.deflateRatio($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `rolling_hash(text)` — 64-bit polynomial fingerprint of a string column. */
 case class RollingHash(child: Expression)
     extends UnaryExpression with Serializable {
@@ -455,6 +487,10 @@ object TextFunctions {
 
   def rollingHash(text: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(text)))
+
+  /** Compressibility quality signal: deflate(text).bytes / text.bytes. */
+  def deflateRatio(text: Column): Column =
+    GraftSqlBridge.column(DeflateRatio(GraftSqlBridge.expression(text)))
 
   /** Per-occurrence xxhash64 gram hashes (one per start position, in order). */
   def positionalShingles64(toks: Column, n: Int): Column =

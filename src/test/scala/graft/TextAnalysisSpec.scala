@@ -236,4 +236,24 @@ class TextAnalysisSpec extends SparkTestBase {
     held.count() shouldBe 3L
     held.filter($"ppl".isNull || $"ppl" <= 0.0).count() shouldBe 0L
   }
+
+  test("deflate compression ratio orders repetitive < prose < noise, deterministic") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (0L, Seq.fill(300)("spam").mkString(" ")),
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running through the quiet field"),
+      (2L, (0 until 300).map(i => ((i * 2654435761L) % 0xFFFFFF).toHexString).mkString(" ")),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val r = rows.select($"doc_id", TextFunctions.deflateRatio($"text").alias("r"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r(0L) should be < 0.1          // repeated token collapses
+    r(0L) should be < r(1L)        // spam < natural prose
+    r(0L) should be < r(2L)        // spam < high-entropy noise
+    r(2L) should be > 0.4
+    r(3L) shouldBe 1.0             // empty text: neutral
+    // deterministic across invocations
+    val again = rows.select(TextFunctions.deflateRatio($"text")).collect()
+    rows.select(TextFunctions.deflateRatio($"text")).collect() shouldBe again
+  }
 }
