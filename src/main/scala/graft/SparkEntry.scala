@@ -1054,6 +1054,39 @@ object SparkEntry {
             Seq("the", "a")), 6).alias("stop_ratio"))
         .orderBy("doc_id")),
 
+    // Model-based quality filter (GPT-3-recipe logistic regression over the
+    // engine's own signals): train on weak labels (natural docs = 1, their
+    // spam-mutated twins = 0), score a held-out split; the model must
+    // separate held-out spam from held-out clean text. L-BFGS on fixed data
+    // is deterministic, so the booleans are stable run to run.
+    "q_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def spamTwin(df: org.apache.spark.sql.DataFrame) = df.select(
+        (col("doc_id") + 1000000L).alias("doc_id"),
+        concat_ws(" ", array_repeat(element_at(split(col("text"), "\\s+"), 1), 60))
+          .alias("text"))
+      val trainClean = docs.filter(col("doc_id") % 2 === 0)
+      val heldClean  = docs.filter(col("doc_id") % 2 === 1)
+      val labeled = trainClean.withColumn("label", lit(1.0))
+        .unionByName(spamTwin(trainClean).withColumn("label", lit(0.0)))
+      // 8 L-BFGS iterations separate the (linearly separable) weak labels by
+      // a wide margin; each extra iteration is another full Spark job round
+      val model  = graft.operators.QualityClassifier.train(labeled, "text", "label",
+        maxIter = 8)
+      val scored = graft.operators.QualityClassifier.score(model,
+        heldClean.unionByName(spamTwin(heldClean)), "text")
+      scored.agg(
+        count(lit(1)).alias("n_scored"),
+        coalesce(avg(when(col("doc_id") < 1000000L, col("quality_prob"))), lit(0.0))
+          .alias("__pc"),
+        coalesce(avg(when(col("doc_id") >= 1000000L, col("quality_prob"))), lit(1.0))
+          .alias("__ps"))
+        .select(col("n_scored"),
+          (col("__pc") > 0.7).alias("clean_scores_high"),
+          (col("__ps") < 0.3).alias("spam_scores_low"),
+          (col("__pc") > col("__ps")).alias("separates"))
+    }),
+
     // Compressibility quality signal (deflate ratio): engine-specific bytes
     // aren't SQL-expressible, so the oracle checks the CONTRACT — ratios
     // positive for every doc, and a planted spam doc (one token repeated)
@@ -2109,6 +2142,13 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT text) AS n_texts,
         |       CAST(1 AS BOOLEAN) AS simhash_deterministic
         |FROM documents""".stripMargin,
+
+    "q_quality_classifier" ->
+      """SELECT COUNT(*) * 2 AS n_scored,
+        |       CAST(1 AS BOOLEAN) AS clean_scores_high,
+        |       CAST(1 AS BOOLEAN) AS spam_scores_low,
+        |       CAST(1 AS BOOLEAN) AS separates
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     "q_compression_signal" ->
       """SELECT COUNT(*) + 2 AS n_docs,

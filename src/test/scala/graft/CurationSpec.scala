@@ -141,4 +141,34 @@ class CurationSpec extends SparkTestBase {
       .select(WebCuration.canonicalizeUrl($"u")).as[String].collect().toSeq shouldBe
       Seq("https://a.com/x", "http://b.com/y")
   }
+
+  test("LR quality classifier separates held-out spam from clean text, deterministically") {
+    import graft.operators.QualityClassifier
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def spam(df: org.apache.spark.sql.DataFrame) = df.select(
+      ($"doc_id" + 1000000L).alias("doc_id"),
+      concat_ws(" ", array_repeat(element_at(split($"text", "\\s+"), 1), 60))
+        .alias("text"))
+    val trainC = docs.filter($"doc_id" % 2 === 0)
+    val heldC  = docs.filter($"doc_id" % 2 === 1)
+    val labeled = trainC.withColumn("label", lit(1.0))
+      .unionByName(spam(trainC).withColumn("label", lit(0.0)))
+    val model = QualityClassifier.train(labeled, "text", "label")
+    val scored = QualityClassifier.score(model, heldC.unionByName(spam(heldC)), "text")
+      .select($"doc_id", $"quality_prob").cache()
+    try {
+      // every held-out clean doc outscores every held-out spam twin
+      val minClean = scored.filter($"doc_id" < 1000000L).agg(min($"quality_prob"))
+        .head().getDouble(0)
+      val maxSpam = scored.filter($"doc_id" >= 1000000L).agg(max($"quality_prob"))
+        .head().getDouble(0)
+      minClean should be > maxSpam
+      // deterministic: retraining on the same data gives the same coefficients
+      val model2 = QualityClassifier.train(labeled, "text", "label")
+      model2.coefficients.toArray shouldBe model.coefficients.toArray
+      // scores live in [0, 1]
+      scored.filter($"quality_prob" < 0.0 || $"quality_prob" > 1.0).count() shouldBe 0L
+    } finally scored.unpersist()
+  }
 }
