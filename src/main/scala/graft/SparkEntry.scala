@@ -1054,6 +1054,13 @@ object SparkEntry {
             Seq("the", "a")), 6).alias("stop_ratio"))
         .orderBy("doc_id")),
 
+    // Overlapping token-window chunking (embedding/RAG splitter): every
+    // chunk value-checked — the oracle replays the same strided slicing.
+    "q_chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id",
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_id")),
+
     // Model-based quality filter (GPT-3-recipe logistic regression over the
     // engine's own signals): train on weak labels (natural docs = 1, their
     // spam-mutated twins = 0), score a held-out split; the model must
@@ -2142,6 +2149,18 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT text) AS n_texts,
         |       CAST(1 AS BOOLEAN) AS simhash_deterministic
         |FROM documents""".stripMargin,
+
+    "q_chunk_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '[\s\x0b]+') AS t
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
+        |)
+        |SELECT doc_id, CAST(s / 48 AS BIGINT) AS chunk_id,
+        |       array_to_string(t[s+1 : least(s+64, len(t))], ' ') AS chunk_text,
+        |       CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_quality_classifier" ->
       """SELECT COUNT(*) * 2 AS n_scored,

@@ -267,6 +267,36 @@ object TextAnalysis {
       .groupBy("term")
       .agg(count(lit(1)).alias("doc_freq"))
 
+  /** Overlapping token-window chunking — the document-splitting step in
+    * front of embedding / retrieval / long-context training pipelines:
+    * every document becomes strided windows of `chunkTokens` tokens, each
+    * window sharing its first `overlapTokens` tokens with the previous
+    * window's tail (so no boundary context is lost).
+    *
+    * Pure narrow operators: one tokenize, one `posexplode` over the strided
+    * start sequence, one slice+join per chunk — no shuffle at all; at scale
+    * this is a flat-map over the corpus scan. Output
+    * (`idCol`, `chunk_id`, `chunk_text`, `n_tokens`), chunk_id 0-based and
+    * contiguous per document; the final chunk may be shorter.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String = "text",
+      chunkTokens: Int = 512, overlapTokens: Int = 64): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlapTokens must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .withColumn("__t", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol), col("__t"),
+        posexplode(sequence(lit(0), size(col("__t")) - 1, lit(stride)))
+          .as(Seq("chunk_id", "__start")))
+      .select(col(idCol), col("chunk_id").cast("long").alias("chunk_id"),
+        concat_ws(" ", slice(col("__t"), col("__start") + 1, lit(chunkTokens)))
+          .alias("chunk_text"),
+        least(lit(chunkTokens), size(col("__t")) - col("__start"))
+          .cast("long").alias("n_tokens"))
+  }
+
   /** Per-document bigram-LM perplexity — the language-model quality signal
     * behind CCNet-style corpus filtering (Wenzek et al., "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data", 2020): train a

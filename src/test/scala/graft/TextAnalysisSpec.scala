@@ -256,4 +256,28 @@ class TextAnalysisSpec extends SparkTestBase {
     val again = rows.select(TextFunctions.deflateRatio($"text")).collect()
     rows.select(TextFunctions.deflateRatio($"text")).collect() shouldBe again
   }
+
+  test("document chunking: overlap, coverage, tail chunk, short docs") {
+    val words = (0 until 25).map(i => s"w$i")
+    val rows = Seq((1L, words.mkString(" ")), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(rows, "doc_id", chunkTokens = 10, overlapTokens = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+
+    val d1 = out.filter(_._1 == 1L)
+    // stride 7 over 25 tokens -> starts 0,7,14,21 -> 4 chunks
+    d1.map(_._2).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    d1(0)._3 shouldBe words.slice(0, 10).mkString(" ")
+    d1(1)._3 shouldBe words.slice(7, 17).mkString(" ")
+    // consecutive chunks share exactly the 3-token overlap
+    d1(0)._3.split(" ").takeRight(3) shouldBe d1(1)._3.split(" ").take(3)
+    // tail chunk is short, length reported correctly
+    d1(3)._3 shouldBe words.slice(21, 25).mkString(" ")
+    d1(3)._4 shouldBe 4L
+    // every token position is covered by at least one chunk
+    d1.flatMap(c => c._3.split(" ")).distinct.sorted shouldBe words.sorted
+    // a doc shorter than one chunk yields exactly one full-doc chunk
+    val d2 = out.filter(_._1 == 2L)
+    d2.map(c => (c._2, c._3, c._4)).toSeq shouldBe Seq((0L, "tiny doc", 2L))
+  }
 }
