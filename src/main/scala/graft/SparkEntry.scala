@@ -1207,6 +1207,21 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Content-stable per-stratum subsampling: every kept/dropped row is
+    // value-checked — the oracle replays the hex-threshold predicate.
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.operators.Splits.sampleStratified(t(s, dir, "documents"),
+          "lang", "doc_id", Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25),
+          default = 0.1)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")),
+
+    // Deterministic at-most-n-per-group cap (domain balancing): the md5
+    // rank order is content-stable, so the survivor set is exact.
+    "q_sample_per_group" -> ((s, dir) =>
+      graft.operators.Splits.samplePerGroup(t(s, dir, "documents"),
+          "source", "doc_id", 7)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")),
+
     // Markup/URL cleaning with planted HTML wrapping — tags stripped,
     // entities decoded, URLs counted and removed, whitespace collapsed.
     "q_html_clean" -> ((s, dir) =>
@@ -1779,6 +1794,24 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    // Replays sampleStratified's hex-threshold predicate verbatim: bounds
+    // are round(f * 65536) as 5 lowercase hex digits (en 0.5 -> 08000,
+    // de 1.0 -> 10000, fr 0.25 -> 04000, default 0.1 -> 0199a).
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE '0' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '08000' WHEN 'de' THEN '10000'
+        |            WHEN 'fr' THEN '04000' ELSE '0199a' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_per_group" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents) WHERE rk <= 7
+        |ORDER BY doc_id""".stripMargin,
 
     "q_html_clean" ->
       """WITH planted AS (

@@ -78,4 +78,61 @@ object Splits {
     }
     df.sparkSession.createDataFrame(indexed, outSchema)
   }
+
+  /** Deterministic per-stratum subsampling — the "downweight this source /
+    * language / quality band" step of corpus mixing, done content-stably:
+    * a row survives iff the first 4 hex digits of `md5(seed ‖ ":" ‖ id)`
+    * fall below the stratum's fraction of the 16-bit key space. Same
+    * (corpus, fractions, seed) ⇒ same sample; rows added later never flip
+    * existing keep/drop decisions (a `rand()` or `sampleBy` draw does
+    * not survive replays).
+    *
+    * The per-stratum threshold is resolved at PLAN time into a chained
+    * `when` over 4-char lowercase-hex literals, so the whole operator is
+    * one narrow codegen'd filter — no join, no shuffle, no driver state;
+    * it runs at scan speed on 100 TB. Hex-string comparison is used
+    * instead of a numeric cast because equal-length lowercase hex orders
+    * lexicographically exactly like the number it spells, and both Spark
+    * and DuckDB print md5 the same way — the oracle replays the predicate
+    * verbatim. Fractions are quantized to 1/65536 (worst-case bias
+    * 0.0015%); a fraction ≥ 1 keeps the whole stratum, and a stratum
+    * absent from `fractions` keeps `default`.
+    */
+  def sampleStratified(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double = 0.0,
+      seed: Int = 42): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1) && default >= 0 && default <= 1,
+      "fractions must be in [0, 1]")
+    def hexBound(f: Double): String = f"${math.round(f * 65536).min(65536)}%05x"
+    val key = substring(md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))), 1, 4)
+    // '0' + 4-hex-digit key compares against the 5-digit bound, so f = 1.0
+    // ("10000") keeps everything without a special case
+    val bound = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(hexBound(default)): Column) { case (acc, (name, f)) =>
+        when(col(strataCol) === name, lit(hexBound(f))).otherwise(acc)
+      }
+    df.filter(concat(lit("0"), key) < bound)
+  }
+
+  /** Deterministic fixed-size sample per group — "keep at most n documents
+    * per domain/source/cluster", the cap step of domain-balanced corpus
+    * curation. Within each group, rows are ranked by `md5(seed ‖ ":" ‖ id)`
+    * (a content-stable pseudo-random order, so the survivors are an
+    * unbiased draw yet identical across replays) and the first `n` kept.
+    *
+    * Executes as one hash-shuffle on the group key + per-group sort — the
+    * same cost as any group-by at 100 TB. Groups are typically domains, so
+    * skew is bounded by the corpus' domain distribution; a pathological
+    * giant group costs one wide sort task but cannot break the semantics.
+    */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String, n: Int,
+      seed: Int = 42): DataFrame = {
+    require(n > 0, "n must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    df.withColumn("__rk",
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(key)))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
 }

@@ -68,4 +68,51 @@ class SplitsSpec extends SparkTestBase {
     movedVsIdentity should be > 4900
     movedVsSeed2 should be > 4900
   }
+
+  test("stratified sampling hits the per-stratum rates, content-stably") {
+    val docs = spark.range(40000)
+      .select($"id".alias("doc_id"),
+        concat(lit("s"), pmod($"id", lit(4))).alias("src"))
+    val out = Splits.sampleStratified(docs, "src", "doc_id",
+      Map("s0" -> 0.5, "s1" -> 1.0, "s2" -> 0.0), default = 0.1)
+    val counts = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+    counts("s0").toDouble / 10000 shouldBe 0.5 +- 0.03
+    counts("s1") shouldBe 10000L            // f = 1.0 keeps everything
+    counts.get("s2") shouldBe None          // f = 0.0 drops everything
+    counts("s3").toDouble / 10000 shouldBe 0.1 +- 0.03
+
+    // content-stable: growing the corpus never flips an existing decision
+    val small = Splits.sampleStratified(docs.filter($"doc_id" < 20000),
+        "src", "doc_id", Map("s0" -> 0.5, "s1" -> 1.0, "s2" -> 0.0), default = 0.1)
+      .select($"doc_id").as[Long].collect().toSet
+    val grownKept = out.filter($"doc_id" < 20000)
+      .select($"doc_id").as[Long].collect().toSet
+    grownKept shouldBe small
+
+    an[IllegalArgumentException] should be thrownBy
+      Splits.sampleStratified(docs, "src", "doc_id", Map("s0" -> 1.5))
+  }
+
+  test("per-group sampling keeps exactly min(n, group size), reproducibly") {
+    val docs = spark.range(1000)
+      .select($"id".alias("doc_id"),
+        concat(lit("g"), pmod($"id", lit(7))).alias("grp"))
+    val out = Splits.samplePerGroup(docs, "grp", "doc_id", 20)
+    out.columns shouldBe Array("doc_id", "grp") // helper column dropped
+    val counts = out.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    counts.values.foreach(_ shouldBe 20L)
+
+    // a group smaller than n survives whole
+    val tiny = Splits.samplePerGroup(docs.filter($"doc_id" < 10), "grp", "doc_id", 20)
+    tiny.count() shouldBe 10L
+
+    // reproducible across repartitioning; seed changes the draw
+    val a = out.select($"doc_id").as[Long].collect().toSet
+    val b = Splits.samplePerGroup(docs.repartition(13), "grp", "doc_id", 20)
+      .select($"doc_id").as[Long].collect().toSet
+    b shouldBe a
+    val c = Splits.samplePerGroup(docs, "grp", "doc_id", 20, seed = 7)
+      .select($"doc_id").as[Long].collect().toSet
+    c should not be a
+  }
 }
