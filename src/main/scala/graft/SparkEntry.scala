@@ -1420,6 +1420,19 @@ object SparkEntry {
         .accepted.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // Bloom-prefiltered incremental dedup: same exact semantics as
+    // q_dedup_incremental (the oracle is the plain anti-join), but novel
+    // rows skip the index shuffle — the filter only routes, never decides.
+    "q_dedup_incremental_bloom" -> ((s, dir) => {
+      val docs  = t(s, dir, "documents")
+      val index = docs.filter(pmod(col("doc_id"), lit(10)) < 5)
+        .select(md5(coalesce(lower(trim(col("text"))), lit(""))).alias("fp"))
+        .distinct()
+      graft.operators.Dedup.incrementalBloom(docs, index, "doc_id",
+          expectedItems = 1L << 16)
+        .accepted.select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- deterministic global shuffle (training-epoch order) -----------
     // The full 500-row permutation is hash-compared position by position:
     // md5-keyed total order is engine-independent.
@@ -2381,6 +2394,17 @@ object SparkEntry {
       """WITH fp AS (SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS fp
         |            FROM documents),
         |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 < 3),
+        |keepmin AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
+        |SELECT k.doc_id FROM keepmin k
+        |WHERE k.fp NOT IN (SELECT fp FROM idx)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The Bloom prefilter is routing-only: the oracle is the identical
+    // exact anti-join, just over the % 10 < 5 planted index.
+    "q_dedup_incremental_bloom" ->
+      """WITH fp AS (SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS fp
+        |            FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 < 5),
         |keepmin AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
         |SELECT k.doc_id FROM keepmin k
         |WHERE k.fp NOT IN (SELECT fp FROM idx)

@@ -277,6 +277,31 @@ class DedupSpec extends SparkTestBase {
       Dedup.incremental(batch1, batch1, "doc_id") // wrong index schema
   }
 
+  test("bloom-prefiltered incremental dedup is exactly the plain path") {
+    val index = docs.filter($"doc_id" % 3 === 0)
+      .select(md5(coalesce(lower(trim($"text")), lit(""))).alias("fp"))
+      .distinct()
+    val plain = Dedup.incremental(docs, index, "doc_id")
+    // deliberately undersized filter: fpp degrades, results must not
+    val bloom = Dedup.incrementalBloom(docs, index, "doc_id",
+      expectedItems = 64, fpp = 0.2)
+    bloom.accepted.select($"doc_id").as[Long].collect().sorted shouldBe
+      plain.accepted.select($"doc_id").as[Long].collect().sorted
+    bloom.updatedIndex.count() shouldBe plain.updatedIndex.count()
+
+    // empty index: the filter build yields no bloom; everything is new
+    val empty = docs.filter(lit(false)).select(md5($"text").alias("fp"))
+    Dedup.incrementalBloom(docs, empty, "doc_id").accepted.count() shouldBe
+      Dedup.incremental(docs, empty, "doc_id").accepted.count()
+
+    // idempotency carries over: replaying the batch accepts nothing
+    Dedup.incrementalBloom(docs, bloom.updatedIndex, "doc_id")
+      .accepted.count() shouldBe 0L
+
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.incrementalBloom(docs, index, "doc_id", fpp = 1.5)
+  }
+
   // ---- exact-substring dedup (ExactSubstr; Lee et al. 2021) ------------
 
   test("substring dedup removes non-surviving copies of a shared passage, keeps the survivor") {
