@@ -1207,6 +1207,16 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Two-pass exact heavy hitters: MG sketch nominates (merge-order-
+    // dependent), exact recount decides — so the output is oracle-exact.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).alias("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.operators.HeavyHitters.heavyHitters(toks, "tok", phi = 0.003)
+        .orderBy("tok")
+    }),
+
     // Content-stable per-stratum subsampling: every kept/dropped row is
     // value-checked — the oracle replays the hex-threshold predicate.
     "q_sample_stratified" -> ((s, dir) =>
@@ -1807,6 +1817,16 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '[\s\x0b]+')) AS tok
+        |  FROM documents),
+        |nz AS (SELECT tok FROM toks WHERE length(tok) > 0),
+        |tot AS (SELECT count(*) AS n FROM nz)
+        |SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |FROM nz, tot GROUP BY tok, n HAVING count(*) > 0.003 * n
+        |ORDER BY tok""".stripMargin,
 
     // Replays sampleStratified's hex-threshold predicate verbatim: bounds
     // are round(f * 65536) as 5 lowercase hex digits (en 0.5 -> 08000,

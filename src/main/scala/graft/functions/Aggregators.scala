@@ -426,6 +426,73 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
   }
 
+  /** Misra–Gries frequent-items summary over a string key — the candidate
+    * pass of two-pass exact heavy hitters (see
+    * `graft.operators.HeavyHitters`). Keeps at most `k` counters; classic
+    * stream update (hit → +1; room → insert; full → decrement ALL, drop
+    * zeros, amortized O(1)/item) and the mergeable-summaries combine
+    * (Agarwal et al., PODS '12): sum counters, then subtract the (k+1)-th
+    * largest value and drop non-positives.
+    *
+    * Guarantee carried across arbitrary merge trees: every item with true
+    * frequency > n/(k+1) survives in the summary, and each kept estimate
+    * undercounts by ≤ n/(k+1). The summary CONTENT is merge-order-dependent
+    * (only the guarantee is deterministic) — hence the exact second pass in
+    * the operator; never ship raw MG estimates to an oracle-checked
+    * surface. Shuffles ≤ k (string, long) entries per partition with
+    * map-side combine; nulls are skipped.
+    */
+  final class MisraGries(k: Int)
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+        Map[String, Long]] with Serializable {
+    require(k > 0, "k must be positive")
+    type Buf = scala.collection.mutable.HashMap[String, Long]
+
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
+
+    override def reduce(b: Buf, v: String): Buf = {
+      if (v != null) {
+        b.get(v) match {
+          case Some(c) => b.update(v, c + 1L)
+          case None if b.size < k => b.update(v, 1L)
+          case None =>
+            // decrement-all: pairs the unseen item against one occurrence
+            // of every tracked item (the streaming "cancel k+1 distinct
+            // items" step); zeros vacate their counter. Snapshot-then-
+            // rebuild — updating values during HashMap iteration is unsafe
+            // (put() grows the table near the load threshold even for
+            // existing keys, silently truncating a live iterator).
+            decrementAll(b, 1L)
+        }
+      }
+      b
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      b.foreach { case (key, c) => a.update(key, a.getOrElse(key, 0L) + c) }
+      if (a.size > k) {
+        val d = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        decrementAll(a, d)
+      }
+      a
+    }
+
+    /** Subtract `d` from every counter, dropping non-positives — via an
+      * entry snapshot, never by mutating under a live iterator (see
+      * [[reduce]]).
+      */
+    private def decrementAll(b: Buf, d: Long): Unit = {
+      val entries = b.toArray
+      b.clear()
+      entries.foreach { case (key, c) => if (c - d > 0L) b.update(key, c - d) }
+    }
+
+    override def finish(b: Buf): Map[String, Long] = b.toMap
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** (min, max, count) in one pass — the V4 sanity-gate triple as a single
     * custom aggregate buffer.
     */

@@ -176,4 +176,62 @@ class AggregatorSpec extends SparkTestBase {
     SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
       .passed shouldBe true
   }
+
+  test("property: Misra-Gries keeps every phi-heavy item across merge trees, bounded undercount") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 9
+    val mg = new Aggregators.MisraGries(k)
+    // skewed streams so heavy items actually exist
+    val itemGen = Gen.frequency(
+      (8, Gen.const("hot0")), (5, Gen.const("hot1")),
+      (3, Gen.chooseNum(0, 4).map(i => s"warm$i")),
+      (4, Gen.chooseNum(0, 200).map(i => s"cold$i")))
+    val listGen = Gen.chooseNum(0, 400).flatMap(n => Gen.listOfN(n, itemGen))
+    val prop = Prop.forAll(listGen, listGen, listGen) { (xa, xb, xc) =>
+      def s(xs: Seq[String]) = xs.foldLeft(mg.zero)(mg.reduce)
+      // two different merge trees over three partition sketches
+      val t1 = mg.finish(mg.merge(mg.merge(s(xa), s(xb)), s(xc)))
+      val t2 = mg.finish(mg.merge(s(xa), mg.merge(s(xc), s(xb))))
+      val truth = (xa ++ xb ++ xc).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = (xa.size + xb.size + xc.size).toLong
+      val bound = n / (k + 1)
+      Seq(t1, t2).forall { summary =>
+        summary.size <= k &&
+          // every item above the n/(k+1) threshold must be present
+          truth.forall { case (key, c) => c <= bound || summary.contains(key) } &&
+          // estimates never overcount and undercount by at most the bound
+          summary.forall { case (key, est) =>
+            val t = truth.getOrElse(key, 0L)
+            est <= t && est >= t - bound
+          }
+      }
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+      .passed shouldBe true
+  }
+
+  test("two-pass heavy hitters match the exact group-by, independent of partitioning") {
+    val words = (0 until 3000).map { i =>
+      if (i % 5 == 0) "alpha" else if (i % 7 == 0) "beta" else s"rare${i % 997}"
+    }
+    val df = words.toDF("tok")
+    val phi = 0.05
+    val expected = df.groupBy($"tok").agg(count(lit(1)).alias("cnt"))
+      .filter($"cnt" > phi * 3000)
+      .as[(String, Long)].collect().sortBy(_._1)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = graft.operators.HeavyHitters
+        .heavyHitters(df.repartition(parts), "tok", phi)
+        .as[(String, Long)].collect().sortBy(_._1)
+      got shouldBe expected
+    }
+    // degenerate inputs: all-null keys and an empty frame yield empty results
+    val nulls = Seq[Option[String]](None, None).toDF("tok")
+    graft.operators.HeavyHitters.heavyHitters(nulls, "tok", 0.5).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.HeavyHitters.heavyHitters(df, "tok", 1.5)
+    // an explicit k too narrow for phi must be rejected, not silently lossy
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.HeavyHitters.heavyHitters(df, "tok", 0.05, k = 10)
+  }
 }
