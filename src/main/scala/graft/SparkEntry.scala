@@ -1207,6 +1207,19 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Corpus-wide line dedup with planted repeated lines (shared header +
+    // a 7-way footer): every rebuilt document is hash-value-checked.
+    "q_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat_ws("\n",
+          lit("shared header nav"),
+          col("text"),
+          concat(lit("footer block "), pmod(col("doc_id"), lit(7)).cast("string"))))
+      graft.operators.PassageDedup.lineDedup(planted, "doc_id")
+        .select(col("doc_id"), md5(col("text")).alias("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Two-pass exact heavy hitters: MG sketch nominates (merge-order-
     // dependent), exact recount decides — so the output is oracle-exact.
     "q_heavy_hitters" -> ((s, dir) => {
@@ -1817,6 +1830,25 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'shared header nav' || chr(10) || text || chr(10) ||
+        |    'footer block ' || CAST(doc_id % 7 AS VARCHAR) AS text
+        |  FROM documents),
+        |split AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted),
+        |idx AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS pos1, l FROM split),
+        |ln AS (SELECT doc_id, pos1 - 1 AS pos, l[pos1] AS line FROM idx),
+        |keyed AS (SELECT doc_id, pos, line,
+        |    CASE WHEN length(trim(line)) > 0 THEN md5(trim(line)) END AS key FROM ln),
+        |ranked AS (SELECT doc_id, pos, line, key,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rk FROM keyed),
+        |rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |  FROM ranked WHERE key IS NULL OR rk = 1 GROUP BY doc_id)
+        |SELECT p.doc_id, md5(COALESCE(r.text, '')) AS text_md5
+        |FROM planted p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "q_heavy_hitters" ->
       """WITH toks AS (

@@ -78,4 +78,52 @@ object PassageDedup {
       .filter(col("boilerplate")).select(col(idCol))
     docs.join(kill, Seq(idCol), "left_anti")
   }
+
+  /** Corpus-wide exact LINE dedup — the RefinedWeb / MassiveText recipe
+    * (Penedo et al. 2023 §3.3; Rae et al. 2021): a line that repeats across
+    * documents (headers, nav bars, cookie banners, signatures) is kept only
+    * at its FIRST occurrence in (`idCol`, line-position) order and removed
+    * everywhere else; each document's remaining lines are re-joined in
+    * their original order. Complements [[boilerplateStats]]: that flags
+    * whole gram-dominated documents, this surgically removes the repeated
+    * lines themselves.
+    *
+    * Matching is on the md5 of the TRIMMED line; lines whose trimmed form
+    * is empty are structural whitespace, not content — they never match
+    * each other and always survive. A null-text document passes through
+    * unchanged.
+    *
+    * Shape at scale: the winner-election aggregate shuffles one
+    * (16-byte digest, id, pos) triple per line with map-side combine; the
+    * verdict join is an equi-join on the digest (uniform — no hot key);
+    * the rebuild is one hash aggregate on `idCol` whose `sort_array` sorts
+    * only within a document. No window over the whole corpus, no cartesian.
+    * Returns (`idCol`, `textCol`) with `textCol` rewritten.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    val nullDocs = docs.filter(col(textCol).isNull).select(col(idCol), col(textCol))
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .withColumn("__key",
+        when(length(trim(col("__line"))) > 0, md5(trim(col("__line")))))
+    val winners = lines.filter(col("__key").isNotNull)
+      .groupBy(col("__key"))
+      .agg(min(struct(col(idCol).alias("id"), col("__pos").alias("pos"))).alias("__first"))
+    val kept = lines
+      .join(winners, Seq("__key"), "left")
+      .filter(col("__key").isNull ||
+        (col("__first.id") === col(idCol) && col("__first.pos") === col("__pos")))
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(
+          sort_array(collect_list(struct(col("__pos"), col("__line")))),
+          e => e.getField("__line"))).alias(textCol))
+    // a document whose every line was a later duplicate keeps its row with
+    // empty text — silently dropping it would corrupt downstream id joins
+    docs.filter(col(textCol).isNotNull).select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).alias(textCol))
+      .unionByName(nullDocs)
+  }
 }

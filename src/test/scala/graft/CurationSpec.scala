@@ -171,4 +171,32 @@ class CurationSpec extends SparkTestBase {
       scored.filter($"quality_prob" < 0.0 || $"quality_prob" > 1.0).count() shouldBe 0L
     } finally scored.unpersist()
   }
+
+  test("line dedup keeps only the first occurrence of each repeated line") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\n\nshared tail"),
+      (2L, "cookie banner\nunique beta\nshared tail"),   // banner differs by case -> kept
+      (3L, "COOKIE BANNER\nshared tail"),                // both lines seen -> empty
+      (4L, null.asInstanceOf[String]),                   // null passes through
+      (5L, "  COOKIE BANNER  \nunique gamma")            // trimmed match -> banner dropped
+    ).toDF("doc_id", "text")
+    val out = PassageDedup.lineDedup(docs, "doc_id")
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "COOKIE BANNER\nunique alpha\n\nshared tail"
+    out(2L) shouldBe "cookie banner\nunique beta"
+    out(3L) shouldBe ""                        // row survives, text emptied
+    out(4L) shouldBe null
+    out(5L) shouldBe "unique gamma"
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L)
+
+    // structural blank lines never dedup against each other
+    val blanks = Seq((1L, "a\n\nb"), (2L, "c\n\nd")).toDF("doc_id", "text")
+    PassageDedup.lineDedup(blanks, "doc_id").as[(Long, String)].collect()
+      .toMap apply 2L shouldBe "c\n\nd"
+
+    // idempotent: a second pass changes nothing
+    val once = PassageDedup.lineDedup(docs, "doc_id")
+    val twice = PassageDedup.lineDedup(once, "doc_id")
+    twice.as[(Long, String)].collect().toMap shouldBe out
+  }
 }
