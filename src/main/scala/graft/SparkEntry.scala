@@ -1207,6 +1207,18 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // DSIR importance log-weights toward a planted target domain
+    // (doc_id % 10 < 3): every document's weight is value-checked — the
+    // md5-hex bucketing makes the whole construction SQL-replayable.
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.dsirLogWeights(
+          docs, docs.filter(pmod(col("doc_id"), lit(10)) < 3), "doc_id")
+        .select(col("doc_id"), col("n_grams"),
+          round(col("dsir_logweight"), 6).alias("dsir_logweight"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-wide line dedup with planted repeated lines (shared header +
     // a 7-way footer): every rebuilt document is hash-value-checked.
     "q_line_dedup" -> ((s, dir) => {
@@ -1830,6 +1842,40 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS g
+        |  FROM toks WHERE len(t) >= 2),
+        |bucketed AS (SELECT doc_id, substr(md5(g), 1, 2) AS b FROM grams),
+        |allb AS (SELECT printf('%02x', CAST(i AS INT)) AS b FROM range(256) r(i)),
+        |tcnt AS (SELECT b, count(*) AS c FROM bucketed WHERE doc_id % 10 < 3 GROUP BY b),
+        |rcnt AS (SELECT b, count(*) AS c FROM bucketed GROUP BY b),
+        |tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tcnt) AS tn,
+        |               (SELECT COALESCE(SUM(c), 0) FROM rcnt) AS rn),
+        |lam AS (
+        |  SELECT allb.b,
+        |    ln((COALESCE(tcnt.c, 0) + 1.0) / (tot.tn + 256)) -
+        |    ln((COALESCE(rcnt.c, 0) + 1.0) / (tot.rn + 256)) AS lam
+        |  FROM allb LEFT JOIN tcnt USING (b) LEFT JOIN rcnt USING (b), tot),
+        |scored AS (
+        |  SELECT bucketed.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    round(SUM(lam.lam), 6) AS dsir_logweight
+        |  FROM bucketed JOIN lam USING (b) GROUP BY bucketed.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_grams, 0) AS n_grams,
+        |  COALESCE(s.dsir_logweight, 0.0) AS dsir_logweight
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_line_dedup" ->
       """WITH planted AS (

@@ -349,4 +349,66 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).alias("n_bigrams"), exp(avg(col("__nll"))).alias("ppl"))
   }
+
+  /** DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * rank raw-corpus documents by how target-like their hashed n-gram
+    * profile is. Features are word uni+bigrams hashed into 256 buckets
+    * (first two hex digits of md5 — replayable by any engine that prints
+    * standard md5, which is what makes the whole weight oracle-checkable);
+    * bucket distributions of the target and raw corpora get add-one
+    * smoothing, and each document scores
+    * `Σ_grams ln(p_target[b(g)] / p_raw[b(g)])` — the importance
+    * log-likelihood ratio under bucketed unigram models. Resample with
+    * weights ∝ exp(score) (or just top-k by score) to shift the corpus
+    * toward the target domain.
+    *
+    * Scale shape: two stats passes are hash aggregates that PHYSICALLY
+    * reduce to 256 rows each (map-side partials; the collect is 256
+    * doubles), the per-bucket log-ratios ship to executors as a 256-slot
+    * array literal indexed by `conv(hex, 16, 10)` — no join — and the
+    * scoring pass is explode → per-doc sum, one map-side-combined shuffle
+    * of (id, double) pairs. Nothing driver-side scales with the corpus.
+    *
+    * Returns (`idCol`, `n_grams`, `dsir_logweight`); higher = more
+    * target-like. Documents with no tokens keep their row with weight 0.
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val buckets = 256
+    def grams(df: DataFrame, cols: Column*): DataFrame = {
+      val t = col("__t")
+      df.withColumn("__t",
+          filter(TextFunctions.tokens(col(textCol)), x => length(x) > 0))
+        .select(cols :+ explode(concat(t,
+          when(size(t) < 2, array().cast("array<string>"))
+            .otherwise(zip_with(
+              slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+              (a, b) => concat(a, lit(" "), b))))).alias("__g"): _*)
+    }
+    val bucketOf: Column => Column = g => substring(md5(g), 1, 2)
+    def bucketCounts(df: DataFrame): Map[Int, Long] = grams(df)
+      .groupBy(bucketOf(col("__g")).alias("__b"))
+      .agg(count(lit(1)).alias("__c"))
+      .collect()
+      .map(r => Integer.parseInt(r.getString(0), 16) -> r.getLong(1)).toMap
+    val (tc, rc) = (bucketCounts(target), bucketCounts(raw))
+    val (tn, rn) = (tc.values.sum.toDouble, rc.values.sum.toDouble)
+    val lam = Array.tabulate(buckets) { b =>
+      math.log((tc.getOrElse(b, 0L) + 1.0) / (tn + buckets)) -
+        math.log((rc.getOrElse(b, 0L) + 1.0) / (rn + buckets))
+    }
+    val lamArr = array(lam.map(lit): _*)
+    val scored = grams(raw, col(idCol))
+      .select(col(idCol),
+        element_at(lamArr, conv(bucketOf(col("__g")), 16, 10).cast("int") + 1)
+          .alias("__lam"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_grams"), sum(col("__lam")).alias("dsir_logweight"))
+    raw.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).alias("n_grams"),
+        coalesce(col("dsir_logweight"), lit(0.0)).alias("dsir_logweight"))
+  }
 }

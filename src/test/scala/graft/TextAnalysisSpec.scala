@@ -280,4 +280,34 @@ class TextAnalysisSpec extends SparkTestBase {
     val d2 = out.filter(_._1 == 2L)
     d2.map(c => (c._2, c._3, c._4)).toSeq shouldBe Seq((0L, "tiny doc", 2L))
   }
+
+  test("DSIR log-weights rank target-like documents above off-domain ones") {
+    val targetish = "spark sql engine shuffles partition columns"
+    val noise = "zx qv wk jn plo mrt uuv"
+    val raw = Seq(
+      (1L, targetish), (2L, targetish + " and more spark sql"),
+      (3L, noise), (4L, noise + " zx qv"),
+      (5L, ""), // no tokens: row kept with weight 0
+      (6L, "spark sql " + noise) // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, targetish), (101L, "spark sql engine partition"))
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.dsirLogWeights(raw, target, "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+    w.keySet shouldBe Set(1L, 2L, 3L, 4L, 5L, 6L)
+    w(5L) shouldBe ((0L, 0.0))
+    // per-gram average: target-like docs strictly above noise docs, mixed between
+    def avg(id: Long) = w(id)._2 / w(id)._1
+    avg(1L) should be > avg(6L)
+    avg(6L) should be > avg(3L)
+    avg(2L) should be > avg(4L)
+    // n_grams = unigrams + bigrams
+    w(1L)._1 shouldBe (6L + 5L)
+
+    // weights are deterministic and partitioning-independent
+    val again = TextAnalysis.dsirLogWeights(raw.repartition(7), target, "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    again.keys.foreach(k => again(k)._2 shouldBe w(k)._2 +- 1e-9)
+  }
 }
