@@ -1207,6 +1207,36 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Unicode-script composition with planted Han/accented-Latin/Cyrillic
+    // content: every fraction is value-checked (code-point counts both
+    // sides; Java \p{IsX} pairs with RE2 \p{X}).
+    "q_script_signals" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("lang") === "zh", lit(" 中文测试样例"))
+            .when(col("lang") === "fr", lit(" café déjà vu"))
+            .when(col("lang") === "de", lit(" größe straße"))
+            .otherwise(lit(" plain tail")),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit(" русский текст"))
+            .otherwise(lit(""))))
+      graft.operators.TextAnalysis.scriptSignals(planted, "doc_id")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("latin_frac"), 6).alias("latin_frac"),
+          round(col("han_frac"), 6).alias("han_frac"),
+          round(col("cyrillic_frac"), 6).alias("cyrillic_frac"),
+          round(col("digit_frac"), 6).alias("digit_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // BM25 lexical retrieval against a fixed query-term bag: every score
+    // is value-checked (Lucene idf variant, k1=1.2, b=0.75).
+    "q_bm25" -> ((s, dir) =>
+      graft.operators.TextAnalysis.bm25Scores(t(s, dir, "documents"),
+          "doc_id", Seq("shuffle", "hash", "partition"))
+        .select(col("doc_id"), col("n_hits"),
+          round(col("bm25"), 6).alias("bm25"))
+        .orderBy("doc_id")),
+
     // DSIR importance log-weights toward a planted target domain
     // (doc_id % 10 < 3): every document's weight is value-checked — the
     // md5-hex bucketing makes the whole construction SQL-replayable.
@@ -1842,6 +1872,49 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_script_signals" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE lang WHEN 'zh' THEN ' 中文测试样例'
+        |              WHEN 'fr' THEN ' café déjà vu'
+        |              WHEN 'de' THEN ' größe straße'
+        |              ELSE ' plain tail' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' русский текст' ELSE '' END AS text
+        |  FROM documents),
+        |nw AS (SELECT doc_id, regexp_replace(text, '\s', '', 'g') AS s FROM planted),
+        |c AS (SELECT doc_id,
+        |    CAST(length(s) AS BIGINT) AS n_chars,
+        |    length(regexp_replace(s, '[^\p{Latin}]', '', 'g')) AS latin,
+        |    length(regexp_replace(s, '[^\p{Han}]', '', 'g')) AS han,
+        |    length(regexp_replace(s, '[^\p{Cyrillic}]', '', 'g')) AS cyr,
+        |    length(regexp_replace(s, '[^0-9]', '', 'g')) AS dig
+        |  FROM nw)
+        |SELECT doc_id, n_chars,
+        |  round(CASE WHEN n_chars > 0 THEN latin / CAST(n_chars AS DOUBLE) ELSE 0 END, 6) AS latin_frac,
+        |  round(CASE WHEN n_chars > 0 THEN han / CAST(n_chars AS DOUBLE) ELSE 0 END, 6) AS han_frac,
+        |  round(CASE WHEN n_chars > 0 THEN cyr / CAST(n_chars AS DOUBLE) ELSE 0 END, 6) AS cyrillic_frac,
+        |  round(CASE WHEN n_chars > 0 THEN dig / CAST(n_chars AS DOUBLE) ELSE 0 END, 6) AS digit_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |len AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM len),
+        |hits AS (SELECT doc_id, g AS tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+        |  WHERE g IN ('shuffle', 'hash', 'partition') GROUP BY doc_id, g),
+        |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok)
+        |SELECT h.doc_id, CAST(SUM(h.tf) AS BIGINT) AS n_hits,
+        |  round(SUM(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * (h.tf * 2.2) /
+        |    (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))), 6) AS bm25
+        |FROM hits h JOIN dfq d USING (tok) JOIN len l USING (doc_id), corpus c
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH toks AS (

@@ -411,4 +411,76 @@ object TextAnalysis {
         coalesce(col("n_grams"), lit(0L)).alias("n_grams"),
         coalesce(col("dsir_logweight"), lit(0.0)).alias("dsir_logweight"))
   }
+
+  /** BM25 relevance of every document to a fixed bag of query terms — the
+    * lexical-retrieval half of a RAG / hard-negative-mining pipeline
+    * (Robertson & Zaragoza 2009; idf is the Lucene variant
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`, always positive).
+    *
+    * Scale shape: the only exploded rows are matches of the ≤|q| query
+    * terms (a codegen'd `isin` right after the explode, so the shuffle
+    * carries query-term hits, not the corpus vocabulary); document lengths
+    * come from `size(tokens)` without any explode; N and avgdl reduce to
+    * one row; per-term df and idf ride a broadcast join keyed by the ≤|q|
+    * terms. One (doc, term) hash agg + one per-doc sum.
+    *
+    * Returns (`idCol`, `n_hits`, `bm25`) for documents containing at least
+    * one query term; `n_hits` = total query-term occurrences.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, queryTerms: Seq[String],
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
+      "queryTerms must be distinct (case-insensitive)")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, b in [0,1]; got $k1 / $b")
+    val terms = queryTerms.map(_.toLowerCase)
+    val withLen = docs.select(col(idCol),
+      size(filter(TextFunctions.tokens(col(textCol)), x => length(x) > 0))
+        .cast("long").alias("__dl"))
+    val corpus = withLen.agg(
+      count(lit(1)).alias("__n"), avg(col("__dl")).alias("__avgdl"))
+    val hits = docs
+      .select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).alias("__tok"))
+      .filter(col("__tok").isInCollection(terms))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).alias("__tf"))
+    val dfPerTerm = hits.groupBy(col("__tok"))
+      .agg(countDistinct(col(idCol)).alias("__df"))
+    hits
+      .join(broadcast(dfPerTerm), Seq("__tok"))
+      .join(withLen, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .select(col(idCol), col("__tf"),
+        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+          .alias("__s"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).alias("n_hits"), sum(col("__s")).alias("bm25"))
+  }
+
+  /** Unicode-script composition signals — the script-level complement to
+    * n-gram language ID: fractions of a document's non-whitespace
+    * characters in the Latin, Han, and Cyrillic scripts plus ASCII digits.
+    * Catches what token models miss: mixed-script spam, mojibake,
+    * wrong-script content inside a claimed language, and digit-dominated
+    * pages. Pure narrow per-row regex counting (codegen'd, no shuffle, no
+    * UDF); character counts are code points on both Spark and the SQL
+    * oracle, so every fraction is value-checkable.
+    *
+    * Returns (`idCol`, `n_chars` non-whitespace, `latin_frac`, `han_frac`,
+    * `cyrillic_frac`, `digit_frac`); fractions are 0 for empty/null text.
+    */
+  def scriptSignals(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+    val nws = regexp_replace(coalesce(col(textCol), lit("")), "\\s", "")
+    def cnt(cls: String) = length(regexp_replace(nws, s"[^$cls]", "")).cast("long")
+    val n = length(nws).cast("long")
+    def frac(c: Column) = when(n > 0, c.cast("double") / n).otherwise(lit(0.0))
+    docs.select(col(idCol), n.alias("n_chars"),
+      frac(cnt("\\p{IsLatin}")).alias("latin_frac"),
+      frac(cnt("\\p{IsHan}")).alias("han_frac"),
+      frac(cnt("\\p{IsCyrillic}")).alias("cyrillic_frac"),
+      frac(cnt("0-9")).alias("digit_frac"))
+  }
 }

@@ -310,4 +310,52 @@ class TextAnalysisSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
     again.keys.foreach(k => again(k)._2 shouldBe w(k)._2 +- 1e-9)
   }
+
+  test("BM25 matches the hand-computed formula and ranks sensibly") {
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple"), (3L, "cherry plum"),
+      (4L, "banana " + (0 until 50).map(_ => "filler").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(docs, "doc_id", Seq("apple", "banana"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+
+    // driver-side reference: N=4, dl = 3,1,2,51, avgdl = 57/4
+    val (n, avgdl, k1, b) = (4.0, 57.0 / 4, 1.2, 0.75)
+    def idf(df: Long) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Long, df: Long, dl: Long) =
+      idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    out(1L)._2 shouldBe (s(2, 2, 3) + s(1, 2, 3)) +- 1e-9 // apple tf=2, banana tf=1
+    out(2L)._2 shouldBe s(1, 2, 1) +- 1e-9
+    out(4L)._2 shouldBe s(1, 2, 51) +- 1e-9
+    out.contains(3L) shouldBe false // no query term -> absent
+    out(1L)._1 shouldBe 3L          // n_hits counts occurrences
+
+    // short match beats long padded match (length normalization works)
+    out(2L)._2 should be > out(4L)._2
+
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.bm25Scores(docs, "doc_id", Seq("Apple", "apple"))
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.bm25Scores(docs, "doc_id", Nil)
+  }
+
+  test("script signals count code points per Unicode script") {
+    val rows = Seq(
+      (1L, "abc 中文 123 где"),
+      (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "naïve café")   // accented chars are Latin script
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptSignals(rows, "doc_id")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val r1 = out(1L)
+    r1._2 shouldBe 11L
+    r1._3 shouldBe 3.0 / 11 +- 1e-12  // latin
+    r1._4 shouldBe 2.0 / 11 +- 1e-12  // han
+    r1._5 shouldBe 3.0 / 11 +- 1e-12  // cyrillic
+    r1._6 shouldBe 3.0 / 11 +- 1e-12  // digits
+    out(2L) shouldBe ((2L, 0L, 0.0, 0.0, 0.0, 0.0))
+    out(3L) shouldBe ((3L, 0L, 0.0, 0.0, 0.0, 0.0))
+    out(4L)._3 shouldBe 1.0 +- 1e-12  // all Latin incl. ï and é
+  }
 }
