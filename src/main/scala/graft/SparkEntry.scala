@@ -1207,6 +1207,24 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Winnowing (MOSS) fingerprints: the whole selected-set per document
+    // is value-checked via a sorted-set digest (md5-hex hashes replay in
+    // any engine; window-min over equal-length hex = integer min).
+    "q_winnow_fingerprints" -> ((s, dir) =>
+      graft.operators.Winnowing.fingerprints(t(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), size(col("fps")).cast("long").alias("n_fps"),
+          md5(concat_ws(",", col("fps"))).alias("fp_set_md5"))
+        .orderBy("doc_id")),
+
+    // Per-source percent-rank calibration of a raw quality score: tie
+    // ranks are deterministic, so every calibrated value is value-checked.
+    "q_score_calibration" -> ((s, dir) =>
+      graft.operators.TextAnalysis.calibrateByStratum(
+          t(s, dir, "documents"), "source", "n_chars")
+        .select(col("doc_id"), col("source"),
+          round(col("calibrated"), 6).alias("calibrated"))
+        .orderBy("doc_id")),
+
     // Unicode-script composition with planted Han/accented-Latin/Cyrillic
     // content: every fraction is value-checked (code-point counts both
     // sides; Java \p{IsX} pairs with RE2 \p{X}).
@@ -1872,6 +1890,38 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_winnow_fingerprints" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(len(t) - 4),
+        |             i -> array_to_string(list_slice(t, i + 1, i + 5), ' '))
+        |      ELSE [] END AS grams
+        |  FROM toks),
+        |h AS (SELECT doc_id,
+        |    list_transform(grams, x -> substr(md5(x), 1, 16)) AS hs FROM g),
+        |wsel AS (SELECT doc_id,
+        |    CASE WHEN len(hs) >= 4
+        |      THEN list_transform(range(len(hs) - 3),
+        |             i -> list_min(list_slice(hs, i + 1, i + 4)))
+        |      WHEN len(hs) > 0 THEN [list_min(hs)]
+        |      ELSE [] END AS wins
+        |  FROM h),
+        |fp AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fps FROM wsel)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+        |  md5(array_to_string(fps, ',')) AS fp_set_md5
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q_score_calibration" ->
+      """SELECT doc_id, source,
+        |  round(percent_rank() OVER (
+        |    PARTITION BY source ORDER BY n_chars ASC NULLS FIRST), 6) AS calibrated
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_script_signals" ->
       """WITH planted AS (

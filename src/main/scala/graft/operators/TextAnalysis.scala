@@ -460,6 +460,28 @@ object TextAnalysis {
       .agg(sum(col("__tf")).alias("n_hits"), sum(col("__s")).alias("bm25"))
   }
 
+  /** Per-stratum rank calibration of a quality score — maps each
+    * document's raw score to its percent-rank WITHIN its source/language
+    * stratum, so one global threshold means "top X% of every stratum"
+    * rather than "top X% of whichever stratum happens to score high" (raw
+    * quality signals are not comparable across domains: 'books' text
+    * always out-scores 'web' text on stopword ratios, so a global cut
+    * silently deletes whole sources).
+    *
+    * Executes as one hash-shuffle on the stratum key + per-stratum sort —
+    * the window never spans strata, so there is no global sort; skew is
+    * bounded by the largest stratum. Ties share a rank (SQL
+    * `percent_rank` semantics), making the output engine-replayable.
+    * Adds `calibrated` in [0, 1]; null scores sort first (lowest ranks),
+    * matching SQL NULLS FIRST ascending defaults on both sides.
+    */
+  def calibrateByStratum(docs: DataFrame, strataCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.withColumn("calibrated",
+      percent_rank().over(
+        Window.partitionBy(col(strataCol)).orderBy(col(scoreCol))))
+  }
+
   /** Unicode-script composition signals — the script-level complement to
     * n-gram language ID: fractions of a document's non-whitespace
     * characters in the Latin, Han, and Cyrillic scripts plus ASCII digits.

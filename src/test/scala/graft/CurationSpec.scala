@@ -172,6 +172,22 @@ class CurationSpec extends SparkTestBase {
     } finally scored.unpersist()
   }
 
+  test("per-stratum calibration maps scores to percent ranks within each stratum") {
+    val docs = Seq(
+      ("web", 1L, 10.0), ("web", 2L, 20.0), ("web", 3L, 20.0), ("web", 4L, 40.0),
+      ("books", 5L, 1000.0), ("books", 6L, 2000.0)
+    ).toDF("source", "doc_id", "score")
+    val out = TextAnalysis.calibrateByStratum(docs, "source", "score")
+      .select($"doc_id", $"calibrated").as[(Long, Double)].collect().toMap
+    out(1L) shouldBe 0.0
+    out(2L) shouldBe out(3L)            // ties share a rank
+    out(2L) shouldBe 1.0 / 3 +- 1e-12   // (rank-1)/(n-1) = 1/3
+    out(4L) shouldBe 1.0
+    // a books doc with a huge RAW score calibrates like any stratum min
+    out(5L) shouldBe 0.0
+    out(6L) shouldBe 1.0
+  }
+
   test("line dedup keeps only the first occurrence of each repeated line") {
     val docs = Seq(
       (1L, "COOKIE BANNER\nunique alpha\n\nshared tail"),

@@ -302,6 +302,38 @@ class DedupSpec extends SparkTestBase {
       Dedup.incrementalBloom(docs, index, "doc_id", fpp = 1.5)
   }
 
+  test("winnowing fingerprints honor the shared-run guarantee and short-doc edges") {
+    import graft.operators.Winnowing
+    // k=5, w=4: any shared run of >= w+k-1 = 8 tokens must share a fingerprint
+    val run = (0 until 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $run zeta eta theta iota"),
+      (2L, s"$run completely different trailing words here now okay fine"),
+      (3L, "unrelated text with its own vocabulary entirely distinct words galore today"),
+      (4L, "tiny doc"),                                  // < k tokens: no grams
+      (5L, "exactly five tokens right here")             // k tokens, < w grams: 1 fp
+    ).toDF("doc_id", "text")
+
+    val fps = Winnowing.fingerprints(docs, "doc_id")
+      .as[(Long, Seq[String])].collect().toMap
+    fps(4L) shouldBe Seq.empty
+    fps(5L).size shouldBe 1
+    // density: never more fingerprints than windows, sorted + distinct
+    fps(1L).size should be <= 15 - 5 + 1 - 4 + 1
+    fps(1L) shouldBe fps(1L).distinct.sorted
+
+    val pairs = Winnowing.candidatePairs(docs, "doc_id", minShared = 1)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2)).toSet
+    pairs should contain((1L, 2L))   // winnowing guarantee
+    pairs should not contain ((1L, 3L))
+    pairs should not contain ((2L, 3L))
+
+    // fingerprints are content-stable: repartitioning changes nothing
+    val again = Winnowing.fingerprints(docs.repartition(5), "doc_id")
+      .as[(Long, Seq[String])].collect().toMap
+    again shouldBe fps
+  }
+
   // ---- exact-substring dedup (ExactSubstr; Lee et al. 2021) ------------
 
   test("substring dedup removes non-surviving copies of a shared passage, keeps the survivor") {
