@@ -1207,6 +1207,33 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Cross-corpus overlap estimate from HLL sketch algebra (no join):
+    // contract row = exact overlap + estimate-within-bound boolean.
+    "q_sketch_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        md5(coalesce(lower(trim(col("text"))), lit(""))).alias("fp"))
+      val a = docs.filter(pmod(col("doc_id"), lit(10)) < 6)
+      val b = docs.filter(pmod(col("doc_id"), lit(10)) >= 2)
+      val est = graft.operators.Dedup.sketchOverlap(a, b, "fp")
+      val exact = a.select(col("fp")).intersect(b.select(col("fp")))
+        .agg(count(lit(1)).alias("n_exact_overlap"))
+      est.crossJoin(exact).select(col("n_exact_overlap"),
+        (abs(col("est_overlap") - col("n_exact_overlap")) /
+          greatest(col("n_exact_overlap"), lit(1L)) < 0.25).alias("within_bound"))
+    }),
+
+    // Greedy token-budget selection (best-scoring docs until the budget
+    // fills): rank and running token total are value-checked row by row.
+    "q_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("n_tokens",
+        size(filter(split(lower(trim(col("text"))), "\\s+"), x => length(x) > 0))
+          .cast("long"))
+      graft.operators.Splits.selectByTokenBudget(
+          docs, "doc_id", "n_tokens", "n_chars", budget = 15000L)
+        .select(col("doc_id"), col("rank"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing (MOSS) fingerprints: the whole selected-set per document
     // is value-checked via a sorted-set digest (md5-hex hashes replay in
     // any engine; window-min over equal-length hex = integer min).
@@ -1890,6 +1917,30 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_sketch_overlap" ->
+      """WITH fp AS (SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS fp
+        |            FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact_overlap,
+        |       CAST(1 AS BOOLEAN) AS within_bound
+        |FROM (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 < 6
+        |      INTERSECT
+        |      SELECT DISTINCT fp FROM fp WHERE doc_id % 10 >= 2)""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank,
+        |    SUM(n_tokens) OVER (ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, CAST(cum AS BIGINT) AS cum_tokens
+        |FROM ranked WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
 
     "q_winnow_fingerprints" ->
       """WITH toks AS (

@@ -400,6 +400,40 @@ object Dedup {
     IncrementalResult(accepted.drop("__fp"), updatedIndex)
   }
 
+  /** Cross-corpus overlap ESTIMATE from HLL sketch algebra — "how much of
+    * crawl B is already in corpus A" answered WITHOUT the join: by
+    * inclusion–exclusion, |A∩B| ≈ est(A) + est(B) − est(A∪B), and all
+    * three estimates come from ONE shared scan of the tagged union (the
+    * conditional-input trick: each row updates its source's sketch and the
+    * union sketch). At 100 TB this is the triage step before committing to
+    * a full incremental-dedup run: three HLL buffers (4 KB each at p=12)
+    * cross the final merge, nothing else.
+    *
+    * Standard-error intuition: each estimate carries ~1.04/√2ᵖ relative
+    * error on ITS cardinality, so the overlap's absolute error is a few
+    * multiples of 1 % of |A∪B| — meaningful when the overlap is a
+    * substantial fraction of the union, useless for needle-sized overlaps
+    * (use [[incrementalBloom]] + a count for those).
+    *
+    * Returns one row: (`est_a`, `est_b`, `est_union`, `est_overlap`),
+    * overlap clamped at 0.
+    */
+  def sketchOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+      p: Int = 12): DataFrame = {
+    val hll = udaf(new graft.functions.Aggregators.HyperLogLog(p))
+    val tagged = a.select(col(keyCol).cast("string").alias("__k"), lit("a").alias("__src"))
+      .unionByName(
+        b.select(col(keyCol).cast("string").alias("__k"), lit("b").alias("__src")))
+    tagged
+      .agg(
+        hll(when(col("__src") === "a", col("__k"))).alias("est_a"),
+        hll(when(col("__src") === "b", col("__k"))).alias("est_b"),
+        hll(col("__k")).alias("est_union"))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .alias("est_overlap"))
+  }
+
   private def requireIndexSchema(index: DataFrame): Unit =
     require(index.columns.sameElements(Array("fp")),
       s"index must have exactly one column 'fp', got ${index.columns.mkString(",")}")

@@ -114,6 +114,63 @@ object Splits {
     df.filter(concat(lit("0"), key) < bound)
   }
 
+  /** Greedy corpus selection under a global TOKEN budget — "fill 10 B
+    * training tokens with the best-scoring documents": rows are taken in
+    * (`scoreCol` desc, `idCol` asc) order while the running token total
+    * (including the current row) stays within `budget`. The id tiebreak
+    * makes the selection total and replayable.
+    *
+    * The running total is NOT a global window (which would serialize into
+    * one task): Spark executes the order as a range-partitioned sort, a
+    * first pass reduces each partition to one token subtotal, the driver
+    * prefix-sums #partitions longs, and a second pass filters each
+    * partition against its start offset — the same two-pass zipWithIndex
+    * scheme as [[deterministicShuffle]], all partitions in parallel. Rows
+    * with null score/tokens are excluded up front (a null would poison the
+    * running sum); negative token counts are rejected loudly.
+    *
+    * Returns the selected rows with their 0-based `rank` and cumulative
+    * `cum_tokens` (≤ `budget`).
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val clean = df.filter(col(scoreCol).isNotNull && col(tokenCol).isNotNull)
+    val sorted = clean.orderBy(col(scoreCol).desc, col(idCol).asc)
+    val tokIdx = sorted.schema.fieldIndex(tokenCol)
+    val rdd = sorted.rdd
+    // one stats job: (token subtotal, row count) per partition
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; var c = 0L
+      it.foreach { r =>
+        val t = r.get(tokIdx).asInstanceOf[Number].longValue
+        require(t >= 0, s"negative token count $t (partition $pid)")
+        s += t; c += 1L
+      }
+      Iterator.single((pid, s, c))
+    }.collect().sortBy(_._1)
+    val tokenOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
+    val rankOffsets = stats.map(_._3).scanLeft(0L)(_ + _)
+    val outSchema = StructType(sorted.schema.fields ++
+      Seq(StructField("rank", LongType, nullable = false),
+        StructField("cum_tokens", LongType, nullable = false)))
+    val selected = rdd.mapPartitionsWithIndex { (pid, it) =>
+      // partitions fully inside the budget stream through; ones fully past
+      // it emit nothing after the first row; the boundary partition stops
+      // at the first overflow (cum is monotone within the sorted run)
+      var cum = tokenOffsets(pid)
+      var rank = rankOffsets(pid) - 1L
+      it.map { r =>
+        val t = r.get(tokIdx).asInstanceOf[Number].longValue
+        cum += t; rank += 1L
+        (cum <= budget, Row.fromSeq(r.toSeq :+ rank :+ cum))
+      }.takeWhile(_._1).map(_._2)
+    }
+    df.sparkSession.createDataFrame(selected, outSchema)
+  }
+
   /** Deterministic fixed-size sample per group — "keep at most n documents
     * per domain/source/cluster", the cap step of domain-balanced corpus
     * curation. Within each group, rows are ranked by `md5(seed ‖ ":" ‖ id)`

@@ -302,6 +302,25 @@ class DedupSpec extends SparkTestBase {
       Dedup.incrementalBloom(docs, index, "doc_id", fpp = 1.5)
   }
 
+  test("HLL sketch overlap estimates cross-corpus intersection without a join") {
+    // |A| = 30k, |B| = 25k, true overlap 15k
+    val a = spark.range(0, 30000).select(concat(lit("k"), $"id").alias("k"))
+    val b = spark.range(15000, 40000).select(concat(lit("k"), $"id").alias("k"))
+    val r = Dedup.sketchOverlap(a, b, "k").head()
+    val (ea, eb, eu, eo) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    ea.toDouble shouldBe 30000.0 +- 30000 * 0.05
+    eb.toDouble shouldBe 25000.0 +- 25000 * 0.05
+    eu.toDouble shouldBe 40000.0 +- 40000 * 0.05
+    // overlap error compounds across three estimates: allow ~3x the union's
+    // relative-error budget on the ABSOLUTE scale of the union
+    math.abs(eo - 15000.0) should be < 3 * 0.016 * 40000
+
+    // disjoint corpora: the clamped estimate stays near zero
+    val c = spark.range(100000, 130000).select(concat(lit("k"), $"id").alias("k"))
+    val r2 = Dedup.sketchOverlap(a, c, "k").head()
+    r2.getLong(3).toDouble should be < 3 * 0.016 * 60000
+  }
+
   test("winnowing fingerprints honor the shared-run guarantee and short-doc edges") {
     import graft.operators.Winnowing
     // k=5, w=4: any shared run of >= w+k-1 = 8 tokens must share a fingerprint

@@ -93,6 +93,40 @@ class SplitsSpec extends SparkTestBase {
       Splits.sampleStratified(docs, "src", "doc_id", Map("s0" -> 1.5))
   }
 
+  test("token-budget selection is greedy by score, exact at the boundary, partition-independent") {
+    // scores 0..999, tokens 10 each -> budget 105 tokens selects exactly the
+    // top 10 scorers (100 tokens); an 11th would overflow
+    val docs = spark.range(1000).select(
+      $"id".alias("doc_id"), $"id".alias("score"), lit(10L).alias("toks"))
+    val out = Splits.selectByTokenBudget(docs, "doc_id", "toks", "score", 105L)
+      .select($"doc_id", $"rank", $"cum_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    out.map(_._1).toSeq shouldBe (990L to 999L).reverse
+    out.map(_._2).toSeq shouldBe (0L to 9L)
+    out.map(_._3).toSeq shouldBe (10L to 100L by 10)
+
+    // identical under different input partitioning
+    val again = Splits.selectByTokenBudget(docs.repartition(13), "doc_id",
+      "toks", "score", 105L)
+      .select($"doc_id", $"rank", $"cum_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    again shouldBe out
+
+    // score ties broken by ascending id; zero budget selects nothing;
+    // null scores/tokens are excluded rather than poisoning the sum
+    val ties = Seq((3L, Some(1.0), 5L), (1L, Some(1.0), 5L), (2L, Some(1.0), 5L),
+      (4L, None: Option[Double], 5L))
+      .toDF("doc_id", "score", "toks")
+    Splits.selectByTokenBudget(ties, "doc_id", "toks", "score", 10L)
+      .select($"doc_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    Splits.selectByTokenBudget(docs, "doc_id", "toks", "score", 0L)
+      .count() shouldBe 0L
+    an[org.apache.spark.SparkException] should be thrownBy
+      Splits.selectByTokenBudget(
+        docs.withColumn("toks", lit(-1L)), "doc_id", "toks", "score", 10L)
+        .count()
+  }
+
   test("per-group sampling keeps exactly min(n, group size), reproducibly") {
     val docs = spark.range(1000)
       .select($"id".alias("doc_id"),
