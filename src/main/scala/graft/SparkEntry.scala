@@ -1207,6 +1207,24 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // C4-style token-blocklist screening ("spark" is planted-frequent in
+    // the synthetic vocab, so both block branches fire): value-checked.
+    "q_badwords_filter" -> ((s, dir) =>
+      graft.operators.TextAnalysis.blocklistTokenStats(t(s, dir, "documents"),
+          "doc_id", Seq("spark", "casino", "lotto"), minHits = 3L, maxFrac = 0.02)
+        .select(col("doc_id"), col("n_tokens"), col("n_flagged"),
+          round(col("flagged_frac"), 6).alias("flagged_frac"), col("blocked"))
+        .orderBy("doc_id")),
+
+    // Per-source winsorization at exact [P10, P90] (percentile pairs with
+    // DuckDB quantile_cont): every clamped value checked.
+    "q_winsorize" -> ((s, dir) =>
+      graft.operators.Profiler.winsorizeByGroup(
+          t(s, dir, "documents"), "source", "n_chars", 0.1, 0.9)
+        .select(col("doc_id"), col("source"),
+          round(col("n_chars_w"), 6).alias("n_chars_w"))
+        .orderBy("doc_id")),
+
     // Cross-corpus overlap estimate from HLL sketch algebra (no join):
     // contract row = exact overlap + estimate-within-bound boolean.
     "q_sketch_overlap" -> ((s, dir) => {
@@ -1917,6 +1935,32 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_badwords_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(t, x -> x IN ('spark', 'casino', 'lotto'))) AS BIGINT)
+        |      AS n_flagged
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, n_flagged,
+        |  round(CASE WHEN n_tokens > 0
+        |    THEN n_flagged / CAST(n_tokens AS DOUBLE) ELSE 0 END, 6) AS flagged_frac,
+        |  (n_flagged >= 3 OR
+        |   (CASE WHEN n_tokens > 0
+        |     THEN n_flagged / CAST(n_tokens AS DOUBLE) ELSE 0 END) > 0.02) AS blocked
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT source,
+        |    quantile_cont(n_chars, 0.1) AS lo, quantile_cont(n_chars, 0.9) AS hi
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source,
+        |  round(GREATEST(LEAST(CAST(d.n_chars AS DOUBLE), b.hi), b.lo), 6) AS n_chars_w
+        |FROM documents d JOIN b USING (source) ORDER BY d.doc_id""".stripMargin,
 
     "q_sketch_overlap" ->
       """WITH fp AS (SELECT doc_id, md5(lower(trim(COALESCE(text, '')))) AS fp

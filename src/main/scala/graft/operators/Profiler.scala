@@ -47,4 +47,34 @@ object Profiler {
     }
     wide.select(explode(array(perCol: _*)).alias("p")).select(col("p.*"))
   }
+
+  /** Per-group winsorization — clamp a numeric column to its group's
+    * [`lo`, `hi`] exact quantiles (linear interpolation, the SQL
+    * `percentile_cont` everyone replays), the standard outlier treatment
+    * before scale-sensitive downstream math (mean pooling, z-scores,
+    * regression features). Group-wise rather than global because heavy
+    * tails differ by source/domain — a global clamp flattens whole strata.
+    *
+    * One partial+final aggregate reduces each group to its two bounds
+    * (`percentile` is an exact sort-based aggregate per group — fine for
+    * group counts in the thousands; switch to `approx_percentile` when a
+    * single group's values exceed executor memory); the bounds join back
+    * broadcast (one row per group) and the clamp itself is a narrow
+    * codegen'd `greatest(least(...))`. Adds `<valueCol>_w`; null values
+    * stay null.
+    */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got $lo/$hi")
+    val bounds = df.groupBy(col(groupCol)).agg(
+      percentile(col(valueCol), lit(lo)).alias("__lo"),
+      percentile(col(valueCol), lit(hi)).alias("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      // the null guard is load-bearing: Spark's least/greatest SKIP nulls,
+      // so an unguarded clamp would rewrite a null value to the hi bound
+      .withColumn(s"${valueCol}_w",
+        when(col(valueCol).isNotNull,
+          greatest(least(col(valueCol).cast("double"), col("__hi")), col("__lo"))))
+      .drop("__lo", "__hi")
+  }
 }

@@ -460,6 +460,42 @@ object TextAnalysis {
       .agg(sum(col("__tf")).alias("n_hits"), sum(col("__s")).alias("bm25"))
   }
 
+  /** Token-blocklist screening — the C4 "bad words" filter (Raffel et al.
+    * 2020 removed any page containing a blocklisted word; most modern
+    * recipes soften that to a fraction threshold, so both knobs are
+    * exposed). Matching is exact lowercase TOKEN equality — substring
+    * matching is deliberately avoided (the classic "Scunthorpe" false
+    * positive), and the blocklist compiles into one codegen'd `isin`
+    * filter: narrow per-row work, no shuffle, no join, blocklist size
+    * bounded by the literal list.
+    *
+    * Returns (`idCol`, `n_tokens`, `n_flagged`, `flagged_frac`, `blocked`)
+    * where `blocked` = `n_flagged` ≥ `minHits` OR `flagged_frac` >
+    * `maxFrac`. Null/empty text yields zeros and never blocks.
+    */
+  def blocklistTokenStats(docs: DataFrame, idCol: String, blocklist: Seq[String],
+      textCol: String = "text", minHits: Long = 1L,
+      maxFrac: Double = 1.0): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    require(minHits >= 1, "minHits must be >= 1")
+    val words = blocklist.map(_.toLowerCase).distinct
+    val t = col("__t")
+    docs
+      // null text coalesces to "" BEFORE tokenizing: size(null array) is
+      // null and would poison every downstream count
+      .withColumn("__t",
+        filter(TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+          x => length(x) > 0))
+      .select(col(idCol),
+        size(t).cast("long").alias("n_tokens"),
+        size(filter(t, x => x.isInCollection(words))).cast("long").alias("n_flagged"))
+      .withColumn("flagged_frac",
+        when(col("n_tokens") > 0,
+          col("n_flagged").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("blocked",
+        col("n_flagged") >= minHits || col("flagged_frac") > maxFrac)
+  }
+
   /** Per-stratum rank calibration of a quality score — maps each
     * document's raw score to its percent-rank WITHIN its source/language
     * stratum, so one global threshold means "top X% of every stratum"

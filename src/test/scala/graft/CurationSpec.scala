@@ -172,6 +172,46 @@ class CurationSpec extends SparkTestBase {
     } finally scored.unpersist()
   }
 
+  test("blocklist screening matches whole tokens only and honors both thresholds") {
+    val docs = Seq(
+      (1L, "visit the casino tonight"),             // 1 hit of 4 -> frac 0.25
+      (2L, "scunthorpe residents are fine"),        // substring must NOT match
+      (3L, "spam spam spam and more spam"),         // 4 hits -> minHits branch
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistTokenStats(docs, "doc_id",
+        Seq("casino", "spam", "Thorpe"), minHits = 3L, maxFrac = 0.2)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 4L, 1L, 0.25, true))     // frac branch
+    out(2L) shouldBe ((2L, 4L, 0L, 0.0, false))     // no Scunthorpe false positive
+    out(3L) shouldBe ((3L, 6L, 4L, 4.0 / 6, true))  // minHits branch
+    out(4L)._5 shouldBe false
+    out(5L) shouldBe ((5L, 0L, 0L, 0.0, false))
+    an[IllegalArgumentException] should be thrownBy
+      TextAnalysis.blocklistTokenStats(docs, "doc_id", Nil)
+  }
+
+  test("group winsorization clamps to exact group quantiles, nulls stay null") {
+    import graft.operators.Profiler
+    val df = (1 to 100).map(i => ("g1", i.toLong, i.toDouble))
+      .toDF("grp", "id", "v")
+      .unionByName(Seq(("g2", 200L, Some(1e9)), ("g2", 201L, Some(0.0)),
+        ("g2", 202L, None: Option[Double]), ("g2", 203L, Some(500.0)))
+        .toDF("grp", "id", "v"))
+    val out = Profiler.winsorizeByGroup(df, "grp", "v", 0.05, 0.95)
+      .select($"id", $"v_w").as[(Long, Option[Double])].collect().toMap
+    // g1: P5 of 1..100 (linear interp) = 5.95, P95 = 95.05
+    out(1L).get shouldBe 5.95 +- 1e-9
+    out(100L).get shouldBe 95.05 +- 1e-9
+    out(50L).get shouldBe 50.0 +- 1e-9          // interior values untouched
+    // g2 has its own bounds: the 1e9 outlier clamps near the group's P95
+    out(200L).get should be < 1e9
+    out(202L) shouldBe None                      // null stays null
+    an[IllegalArgumentException] should be thrownBy
+      Profiler.winsorizeByGroup(df, "grp", "v", 0.9, 0.1)
+  }
+
   test("per-stratum calibration maps scores to percent ranks within each stratum") {
     val docs = Seq(
       ("web", 1L, 10.0), ("web", 2L, 20.0), ("web", 3L, 20.0), ("web", 4L, 40.0),
