@@ -1207,6 +1207,21 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // CDC-style snapshot diff with planted adds/removes/rewrites: every
+    // change verdict and both content hashes are value-checked.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents")
+      val neu = old
+        .filter(pmod(col("doc_id"), lit(13)) =!= 0) // removed
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" [edited]"))).otherwise(col("text"))) // changed
+        .unionByName(old.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)) // added
+      graft.operators.Diff.snapshotDiff(old, neu, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style token-blocklist screening ("spark" is planted-frequent in
     // the synthetic vocab, so both block branches fire): value-checked.
     "q_badwords_filter" -> ((s, dir) =>
@@ -1935,6 +1950,33 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH oldt AS (SELECT doc_id,
+        |    md5(concat_ws('|', COALESCE(lang, '␀'),
+        |      COALESCE(CAST(n_chars AS VARCHAR), '␀'),
+        |      COALESCE(source, '␀'), COALESCE(text, '␀'))) AS h
+        |  FROM documents),
+        |newbase AS (
+        |  SELECT doc_id, lang, n_chars, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lang, n_chars, source, text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |newt AS (SELECT doc_id,
+        |    md5(concat_ws('|', COALESCE(lang, '␀'),
+        |      COALESCE(CAST(n_chars AS VARCHAR), '␀'),
+        |      COALESCE(source, '␀'), COALESCE(text, '␀'))) AS h
+        |  FROM newbase),
+        |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS change,
+        |    o.h AS old_hash, n.h AS new_hash
+        |  FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, change, old_hash, new_hash FROM d
+        |WHERE change <> 'unchanged' ORDER BY doc_id""".stripMargin,
 
     "q_badwords_filter" ->
       """WITH toks AS (
