@@ -79,4 +79,53 @@ object CorpusStreaming {
         if (dedupTtlMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout())(update)
   }
+
+  final case class HotToken(shard: Int, token: String, est: Long)
+
+  /** Streaming heavy hitters over the token stream — "which tokens are
+    * trending across this corpus as it arrives", with STATE BOUNDED BY
+    * CONSTRUCTION: tokens hash into `shards` groups, and each group keeps
+    * a Misra–Gries summary of at most `k / shards` counters in its
+    * `GroupState` (reusing the batch aggregator's reduce step). A token's
+    * whole stream lands in one shard, so the per-shard MG guarantee holds
+    * over the FULL stream history: any token with lifetime frequency
+    * > n_shard/(k_shard+1) is present in its shard's summary, and
+    * estimates undercount by at most that bound. Exactly-k total counters
+    * of state regardless of how long the stream runs — the streaming
+    * analogue of [[graft.operators.HeavyHitters]]'s nominate pass (run an
+    * exact batch recount over the nominated set when exactness matters).
+    *
+    * After each micro-batch, every UPDATED shard re-emits its current
+    * summary as (`shard`, `token`, `est`) rows — downstream consumers keep
+    * the latest batch per shard.
+    */
+  def streamingHeavyHitters(docs: DataFrame, textCol: String = "text",
+      k: Int = 256, shards: Int = 16): Dataset[HotToken] = {
+    require(shards > 0 && k >= shards,
+      s"need shards > 0 and k >= shards, got k=$k shards=$shards")
+    val kShard = k / shards
+    implicit val outEnc = Encoders.product[HotToken]
+    implicit val keyEnc = Encoders.scalaInt
+    implicit val stateEnc = Encoders.kryo[Map[String, Long]]
+    val toks = docs
+      .select(explode(filter(TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        x => length(x) > 0)).alias("__tok"))
+      .select(pmod(xxhash64(col("__tok")), lit(shards)).cast("int").alias("__shard"),
+        col("__tok"))
+      .as[(Int, String)](Encoders.tuple(Encoders.scalaInt, Encoders.STRING))
+    val mg = new graft.functions.Aggregators.MisraGries(kShard)
+    def update(shard: Int, rows: Iterator[(Int, String)],
+        state: GroupState[Map[String, Long]]): Iterator[HotToken] = {
+      val buf = scala.collection.mutable.HashMap.empty[String, Long]
+      state.getOption.foreach(_.foreach { case (t, c) => buf.update(t, c) })
+      rows.foreach(r => mg.reduce(buf, r._2))
+      val summary = buf.toMap
+      state.update(summary)
+      summary.iterator.map { case (t, c) => HotToken(shard, t, c) }
+    }
+    toks
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
 }

@@ -251,4 +251,38 @@ class StreamingSpec extends SparkTestBase {
         ("2024-01-01 09:40:00", "2024-01-01 10:05:00", 3L, 7.0))  // extended backwards
     } finally q.stop()
   }
+
+  test("streaming heavy hitters track hot tokens across batches with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val hot = graft.streaming.CorpusStreaming
+      .streamingHeavyHitters(input.toDF().toDF("doc_id", "text"), k = 64, shards = 4)
+    val q = hot.writeStream
+      .format("memory").queryName("t_hot_stream").outputMode("append").start()
+    try {
+      // batch 1: 'trending' 30x, each rare token once
+      input.addData(
+        (1L, (0 until 30).map(_ => "trending").mkString(" ")),
+        (2L, (0 until 20).map(i => s"rareA$i").mkString(" ")))
+      q.processAllAvailable()
+      // batch 2: 20 more 'trending' among fresh rare tokens — the summary
+      // must carry the count ACROSS batches, not restart
+      input.addData(
+        (3L, (0 until 20).map(_ => "trending").mkString(" ")),
+        (4L, (0 until 20).map(i => s"rareB$i").mkString(" ")))
+      q.processAllAvailable()
+
+      val rows = spark.table("t_hot_stream")
+        .as[(Int, String, Long)].collect()
+      // lifetime estimate for the hot token: last emission is cumulative;
+      // its shard saw <= 90 tokens, so MG undercount <= 90/(16+1)
+      val est = rows.filter(_._2 == "trending").map(_._3).max
+      est should be <= 50L
+      est should be >= 50L - 90L / 17L
+      // state is bounded: each of the 2 emissions per shard carries at most
+      // k/shards = 16 summary rows
+      rows.groupBy(_._1).foreach { case (_, g) => g.length should be <= 32 }
+    } finally q.stop()
+  }
 }
