@@ -1646,6 +1646,21 @@ object SparkEntry {
           sha2(col("payload"), 256).alias("sha"))
         .orderBy("doc_id")),
 
+    // Image-level near-dup via perceptual dHash (REAL ImageIO decode of
+    // deterministic synthetic PNGs): the planted twin pairs — and nothing
+    // else — must come back; the oracle is the literal planted-pair list.
+    "q_image_neardup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val rows = (0L until 20L).map(i =>
+        Multimodal.MediaRow(i, "image", s"img/$i", Multimodal.syntheticPng(i))) ++
+        (0L until 10L).map(i =>
+          Multimodal.MediaRow(1000L + i, "image", s"img/twin$i",
+            Multimodal.syntheticPng(i, flipped = true)))
+      implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+      Multimodal.nearDupImagePairs(s.createDataset(rows), maxHamming = 7)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
     "q_multimodal_frames" -> ((s, dir) =>
       graft.operators.Multimodal.sampleFrames(
           t(s, dir, "documents")
@@ -2703,6 +2718,13 @@ object SparkEntry {
       """SELECT doc_id, CAST(OCTET_LENGTH(encode(text)) AS BIGINT) AS byte_len,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_image_neardup" ->
+      """SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b
+        |FROM (VALUES (0, 1000), (1, 1001), (2, 1002), (3, 1003), (4, 1004),
+        |             (5, 1005), (6, 1006), (7, 1007), (8, 1008), (9, 1009))
+        |  t(a, b)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT d.doc_id AS media_id, d.source AS uri,

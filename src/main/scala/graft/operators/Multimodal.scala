@@ -242,4 +242,112 @@ object Multimodal {
   def withBinaryMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame =
     df.withColumn("byte_len", length(col(payloadCol)).cast("long"))
       .withColumn("sha256", sha2(col(payloadCol), 256))
+
+  /** Deterministic synthetic PNG (seeded grayscale noise) — contract/test
+    * fixture: `flipped` inverts one corner pixel, a perturbation a
+    * perceptual hash must shrug off while distinct seeds land far apart.
+    */
+  private[graft] def syntheticPng(seed: Long, flipped: Boolean = false): Array[Byte] = {
+    val rnd = new java.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val v = rnd.nextInt(256)
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    if (flipped) img.setRGB(0, 0, ~img.getRGB(0, 0) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash) of an image payload — the standard
+    * perceptual fingerprint for image-level near-dup detection: decode
+    * (REAL, via the JDK's ImageIO), area-average down to 9×8 grayscale,
+    * emit one bit per horizontal luminance gradient. Byte-identical
+    * re-encodes, metadata edits, and small pixel perturbations keep the
+    * hash within a few bits; unrelated images land ~32 bits apart.
+    * None for undecodable payloads.
+    */
+  private[graft] def dHash64(payload: Array[Byte]): Option[Long] =
+    try {
+      imageIoInMemory
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val scaled = new java.awt.image.BufferedImage(
+          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+        } finally g.dispose()
+        val gray = Array.tabulate(8, 9) { (y, x) =>
+          val rgb = scaled.getRGB(x, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        var bits = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(y)(x + 1) > gray(y)(x)) bits |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** (`media_id`, `dhash`) per image row; undecodable payloads yield a null
+    * hash. Partition-batched flatMap, no shuffle.
+    */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val h = if (r.payload == null) None else dHash64(r.payload)
+      (r.media_id, h)
+    }).toDF("media_id", "dhash")
+  }
+
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`
+    * (`maxHamming` < 8): the 64-bit dHash splits into 8 byte bands, and by
+    * pigeonhole any pair within distance 7 agrees EXACTLY on at least one
+    * band — so candidates come from an equi-join on (band index, band
+    * value), never an all-pairs scan, and the exact Hamming check
+    * (`bit_count(a xor b)`, codegen'd) runs only inside buckets. The same
+    * band-then-verify shape as MinHash LSH, at image granularity.
+    *
+    * Returns (`id_a` < `id_b`, `hamming`).
+    */
+  def nearDupImagePairs(media: Dataset[MediaRow], maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"8 byte-bands guarantee recall only for maxHamming < 8, got $maxHamming")
+    val hashes = imageHashes(media).filter(col("dhash").isNotNull)
+    val bands = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).alias("band"),
+          shiftright(col("dhash"), 8 * i).bitwiseAND(lit(0xffL)).alias("v"))): _*))
+        .alias("b"))
+      .select(col("media_id"), col("dhash"), col("b.band"), col("b.v"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").alias("id_a"), col("b.media_id").alias("id_b"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long")
+          .alias("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

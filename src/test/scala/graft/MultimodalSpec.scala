@@ -173,4 +173,31 @@ class MultimodalSpec extends SparkTestBase {
     out.filter($"byte_len" <= 0).count() shouldBe 0
     out.select("sha256").as[String].collect().foreach(_.length shouldBe 64)
   }
+
+  test("dHash: perturbation-stable, seed-divergent, null on undecodable bytes") {
+    val a = Multimodal.dHash64(Multimodal.syntheticPng(7L)).get
+    val aTwin = Multimodal.dHash64(Multimodal.syntheticPng(7L, flipped = true)).get
+    val b = Multimodal.dHash64(Multimodal.syntheticPng(8L)).get
+    java.lang.Long.bitCount(a ^ aTwin) should be <= 3  // one flipped pixel
+    java.lang.Long.bitCount(a ^ b) should be > 15      // unrelated noise
+    Multimodal.dHash64("not an image".getBytes) shouldBe None
+    // deterministic across calls (same bytes -> same hash)
+    Multimodal.dHash64(Multimodal.syntheticPng(7L)).get shouldBe a
+  }
+
+  test("image near-dup pairs: banded join finds twins, skips unrelated, dedups bands") {
+    val rows = Seq(
+      MediaRow(1L, "image", "u1", Multimodal.syntheticPng(1L)),
+      MediaRow(2L, "image", "u2", Multimodal.syntheticPng(1L, flipped = true)),
+      MediaRow(3L, "image", "u3", Multimodal.syntheticPng(99L)),
+      MediaRow(4L, "image", "u4", Multimodal.syntheticPng(1L)),      // exact dup of 1
+      MediaRow(5L, "image", "u5", "garbage".getBytes)                // undecodable
+    )
+    val pairs = Multimodal.nearDupImagePairs(spark.createDataset(rows), maxHamming = 7)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    pairs.keySet shouldBe Set((1L, 2L), (1L, 4L), (2L, 4L))
+    pairs((1L, 4L)) shouldBe 0L   // exact dup: identical hash, one row despite 8 bands
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.nearDupImagePairs(spark.createDataset(rows), maxHamming = 8)
+  }
 }
