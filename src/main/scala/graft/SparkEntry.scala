@@ -766,6 +766,41 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n_events"), dsum(col("value")).alias("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // Per-user inter-arrival quantiles (micros both sides; tie-safe: the
+    // gap MULTISET is invariant under tied-timestamp orderings).
+    "q_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).alias("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        // quantiles reported in SECONDS at 4 decimals: micros-scale values
+        // (~1e11) leave a 1-ulp double disagreement ABOVE round-6
+        // resolution; seconds-scale puts the ulp ~7 orders below it
+        .agg(count(lit(1)).alias("n_gaps"),
+          round(percentile(col("gap"), lit(0.5)) / 1e6, 4).alias("p50_s"),
+          round(percentile(col("gap"), lit(0.95)) / 1e6, 4).alias("p95_s"))
+        .orderBy("user_id")
+    }),
+
+    // Hour-over-hour retention: users active in hour h who return in h+1.
+    "q_retention" -> ((s, dir) => {
+      val uh = events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).alias("h"))
+        .distinct()
+      uh.alias("a")
+        .join(uh.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.h") === col("a.h") + expr("interval 1 hour"), "left")
+        .groupBy(date_format(col("a.h"), "yyyy-MM-dd HH:mm:ss").alias("hour"))
+        .agg(count(lit(1)).alias("n_active"),
+          sum(when(col("b.user_id").isNotNull, 1L).otherwise(0L)).alias("n_retained"))
+        .orderBy("hour")
+    }),
+
     // ---- V1: schema-contract violation counting ------------------------
     "q_contract_check" -> ((s, dir) =>
       t(s, dir, "documents").agg(
@@ -2475,6 +2510,27 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(quantile_cont(gap, 0.5) / 1e6, 4) AS p50_s,
+        |  round(quantile_cont(gap, 0.95) / 1e6, 4) AS p95_s
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH uh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events)
+        |SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained
+        |FROM uh a LEFT JOIN uh b
+        |  ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+        |GROUP BY a.h ORDER BY hour""".stripMargin,
 
     "q_contract_check" ->
       """SELECT CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_doc_id,
