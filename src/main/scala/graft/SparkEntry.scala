@@ -1242,6 +1242,23 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Fuzzy (MinHash cross-set) decontamination: benchmark items are
+    // paraphrase-planted (2 appended tokens) copies of corpus docs; every
+    // planted item must match its source (recall contract).
+    "q_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(29)) === 0)
+        .select(col("doc_id").alias("bench_id"),
+          concat(col("text"), lit(" xq zv")).alias("text"))
+      graft.operators.Decontaminate.fuzzyOverlap(docs, bench, "doc_id",
+          minJaccard = 0.7)
+        .filter(col("doc_id") === col("bench_id"))
+        .agg(countDistinct(col("bench_id")).alias("n_found"))
+        .crossJoin(broadcast(bench.agg(count(lit(1)).alias("n_planted"))))
+        .select(col("n_planted"), col("n_found"),
+          (col("n_found") === col("n_planted")).alias("recall_ok"))
+    }),
+
     // CDC-style snapshot diff with planted adds/removes/rewrites: every
     // change verdict and both content hashes are value-checked.
     "q_snapshot_diff" -> ((s, dir) => {
@@ -2000,6 +2017,12 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_decontaminate_fuzzy" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(COUNT(*) AS BIGINT) AS n_found,
+        |       CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM documents WHERE doc_id % 29 = 0""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH oldt AS (SELECT doc_id,

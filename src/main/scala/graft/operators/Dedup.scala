@@ -176,7 +176,7 @@ object Dedup {
     * shuffle is `bands` 12-byte rows per doc, not `bands` copies of the
     * shingle set.
     */
-  private def bandedBuckets(withSh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private[operators] def bandedBuckets(withSh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     withSh.select(col("__id"),

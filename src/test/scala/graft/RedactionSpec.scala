@@ -59,6 +59,30 @@ class RedactionSpec extends SparkTestBase {
     strict(2L) shouldBe false
   }
 
+  test("fuzzy decontamination matches paraphrased leakage across sets only") {
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),                                               // leaked verbatim
+      (2L, base + " with a small appended tail"),               // paraphrased leak
+      (3L, (100 until 130).map(i => s"tok$i").mkString(" ")),   // unrelated
+      (4L, base)                                                // corpus-internal dup of 1
+    ).toDF("doc_id", "text")
+    val bench = Seq((900L, base)).toDF("bench_id", "text")
+
+    val hits = Decontaminate.fuzzyOverlap(docs, bench, "doc_id", minJaccard = 0.7)
+      .as[(Long, Long, Double)].collect()
+    hits.map(h => (h._1, h._2)).toSet shouldBe Set((1L, 900L), (2L, 900L), (4L, 900L))
+    hits.find(_._1 == 1L).get._3 shouldBe 1.0 +- 1e-12  // exact leak: J = 1
+    // NO corpus-internal pair (1,4) is ever produced — cross-set only
+
+    val cleaned = Decontaminate.cleanFuzzy(docs, bench, "doc_id", minJaccard = 0.7)
+      .select($"doc_id").as[Long].collect().sorted
+    cleaned shouldBe Array(3L)
+
+    an[IllegalArgumentException] should be thrownBy
+      Decontaminate.fuzzyOverlap(docs, bench, "doc_id", minJaccard = 1.5)
+  }
+
   test("decontamination keeps the per-doc row for null and too-short texts") {
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
     val docs = Seq(
