@@ -1242,6 +1242,16 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // One-pass corpus datasheet (with planted duplicates so dup_rate is
+    // non-trivial): every headline number value-checked.
+    "q_corpus_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+      graft.operators.Profiler.corpusCard(planted)
+    }),
+
     // Fuzzy (MinHash cross-set) decontamination: benchmark items are
     // paraphrase-planted (2 appended tokens) copies of corpus docs; every
     // planted item must match its source (recall contract).
@@ -2017,6 +2027,28 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_corpus_card" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text, lang, source FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |p AS (SELECT text, lang, source,
+        |    CAST(len(list_filter(
+        |      string_split_regex(lower(trim(COALESCE(text, ''))), '[\s\x0b]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS nt,
+        |    md5(lower(trim(COALESCE(text, '')))) AS fp
+        |  FROM planted)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        |  round(AVG(nt), 6) AS avg_tokens,
+        |  round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(1.0 - count(DISTINCT fp) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM p""".stripMargin,
 
     "q_decontaminate_fuzzy" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,

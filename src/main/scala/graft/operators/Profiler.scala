@@ -48,6 +48,39 @@ object Profiler {
     wide.select(explode(array(perCol: _*)).alias("p")).select(col("p.*"))
   }
 
+  /** One-row corpus datasheet — the headline numbers a corpus release's
+    * data card states (size, tokenization, language/source spread, exact
+    * duplication): ONE aggregation pass over one scan (the multi-distinct
+    * plans as a single Expand + partial/final agg, the token counts ride
+    * the same projection, and the exact-dup rate reuses the md5 content
+    * fingerprint every dedup path here uses). No joins, no second scan,
+    * no driver loops — at 100 TB this is the cheapest complete summary
+    * the engine can produce.
+    *
+    * Returns one row: `n_docs`, `n_null_text`, `n_tokens`, `avg_tokens`,
+    * `p50_tokens`, `n_langs`, `n_sources`, `dup_rate` (fraction of rows
+    * whose normalized content repeats an earlier row).
+    */
+  def corpusCard(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
+    val toks = size(filter(
+      split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+      t => length(t) > 0)).cast("long")
+    docs
+      .select(col(textCol), col(langCol), col(sourceCol), toks.alias("__nt"),
+        md5(coalesce(lower(trim(col(textCol))), lit(""))).alias("__fp"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        sum(when(col(textCol).isNull, 1L).otherwise(0L)).alias("n_null_text"),
+        sum(col("__nt")).alias("n_tokens"),
+        round(avg(col("__nt")), 6).alias("avg_tokens"),
+        round(percentile(col("__nt"), lit(0.5)), 6).alias("p50_tokens"),
+        countDistinct(col(langCol)).alias("n_langs"),
+        countDistinct(col(sourceCol)).alias("n_sources"),
+        round(lit(1.0) - countDistinct(col("__fp")).cast("double") / count(lit(1)), 6)
+          .alias("dup_rate"))
+  }
+
   /** Per-group winsorization — clamp a numeric column to its group's
     * [`lo`, `hi`] exact quantiles (linear interpolation, the SQL
     * `percentile_cont` everyone replays), the standard outlier treatment

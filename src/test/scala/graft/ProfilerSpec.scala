@@ -40,4 +40,24 @@ class ProfilerSpec extends SparkTestBase {
     out("a.b") shouldBe 2L
     out("c") shouldBe 2L
   }
+
+  test("corpus card reports size, tokens, spread, and exact-dup rate in one row") {
+    import spark.implicits._
+    val docs = Seq(
+      ("one two three", "en", "web"),
+      ("one two three", "en", "books"),      // exact dup (different source)
+      ("  ONE TWO THREE  ", "en", "web"),    // normalized dup
+      ("four five", "de", "web"),
+      (null.asInstanceOf[String], "de", "web")
+    ).toDF("text", "lang", "source")
+    val r = Profiler.corpusCard(docs).head()
+    r.getAs[Long]("n_docs") shouldBe 5L
+    r.getAs[Long]("n_null_text") shouldBe 1L
+    r.getAs[Long]("n_tokens") shouldBe 3L + 3L + 3L + 2L + 0L
+    r.getAs[Long]("n_langs") shouldBe 2L
+    r.getAs[Long]("n_sources") shouldBe 2L
+    // 5 rows, 3 distinct fingerprints ("one two three", "four five", "")
+    r.getAs[Double]("dup_rate") shouldBe 1.0 - 3.0 / 5 +- 1e-9
+    r.getAs[Double]("p50_tokens") shouldBe 3.0 +- 1e-9
+  }
 }
