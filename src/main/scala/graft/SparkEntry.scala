@@ -1625,6 +1625,30 @@ object SparkEntry {
         .accepted.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup vs a persisted signature index: paraphrased
+    // twins of indexed content (2 appended tokens) must all be rejected
+    // without any historical text being rescanned.
+    "q_dedup_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val emptyIdx = docs.limit(0).select(col("doc_id").alias("id"),
+        array().cast("array<int>").alias("sig"))
+      val indexed = docs.filter(pmod(col("doc_id"), lit(10)) < 3)
+      val index = graft.operators.Dedup
+        .incrementalNearDup(indexed, emptyIdx, "doc_id").updatedIndex
+      val twins = indexed.select((col("doc_id") + 2000000L).alias("doc_id"),
+        concat(col("text"), lit(" xq zv")).alias("text"))
+      val novel = docs.filter(pmod(col("doc_id"), lit(10)) >= 3)
+      val r = graft.operators.Dedup
+        .incrementalNearDup(novel.unionByName(twins), index, "doc_id")
+      val acceptedTwins = r.accepted.filter(col("doc_id") >= 2000000L)
+        .agg(count(lit(1)).alias("__n_acc"))
+      twins.agg(count(lit(1)).alias("n_twins"))
+        .crossJoin(broadcast(acceptedTwins))
+        .select(col("n_twins"),
+          (col("n_twins") - col("__n_acc")).alias("n_twins_rejected"),
+          (col("__n_acc") === 0L).alias("recall_ok"))
+    }),
+
     // Bloom-prefiltered incremental dedup: same exact semantics as
     // q_dedup_incremental (the oracle is the plain anti-join), but novel
     // rows skip the index shuffle — the filter only routes, never decides.
@@ -2889,6 +2913,12 @@ object SparkEntry {
         |SELECT k.doc_id FROM keepmin k
         |WHERE k.fp NOT IN (SELECT fp FROM idx)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+        |       CAST(COUNT(*) AS BIGINT) AS n_twins_rejected,
+        |       CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM documents WHERE doc_id % 10 < 3""".stripMargin,
 
     // The Bloom prefilter is routing-only: the oracle is the identical
     // exact anti-join, just over the % 10 < 5 planted index.

@@ -218,6 +218,85 @@ object Dedup {
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
+  /** Result of an [[incrementalNearDup]] run: accepted batch rows and the
+    * signature index to persist for the next batch.
+    */
+  final case class IncrementalNearDupResult(accepted: DataFrame, updatedIndex: DataFrame)
+
+  /** Incremental NEAR-dup dedup — the [[incremental]] shape for
+    * paraphrase-level duplicates: curate a new batch against a persisted
+    * MinHash SIGNATURE index of everything already accepted, without
+    * rescanning (or even storing) historical text. The index holds
+    * (`id`, `sig`) — `numHashes` ints per doc (256 B at 64 hashes; a
+    * 10 B-doc history is ~2.5 TB, object-store cheap) — and signatures are
+    * enough for both candidate banding AND similarity estimation, so
+    * historical shingle sets are never needed again.
+    *
+    * Construction: batch docs shingle+sign once; batch bands equi-join the
+    * index's bands (uniform hash buckets — same shuffle shape as every LSH
+    * path here); candidate similarity is the SIGNATURE-AGREEMENT estimate
+    * (fraction of equal positions — the unbiased MinHash Jaccard
+    * estimator, ±1/√numHashes), so the verdict costs one zip_with over two
+    * int arrays instead of a text re-shingle. A batch doc is rejected when
+    * any index doc estimates ≥ `minEstJaccard`; within the batch itself,
+    * any doc with a SMALLER near-dup batch-mate is dropped (greedy
+    * pairwise rule — deterministic, chain-safe for the mass-duplicate
+    * case; it can keep one more survivor than component-min labeling on
+    * sparse chains, documented tradeoff for not running components per
+    * delivery).
+    *
+    * Threshold semantics are ESTIMATE-based: with 64 hashes the estimator's
+    * σ ≈ 0.05 near J = 0.6 — set `minEstJaccard` with that slack in mind
+    * (or raise `numHashes`, linearly shrinking both index bytes/doc σ²).
+    * Null/short texts share the degenerate all-MaxValue signature and
+    * near-dup each other — same conflation as [[incremental]]'s empty-fp.
+    */
+  def incrementalNearDup(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String = "text", numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, minEstJaccard: Double = 0.6): IncrementalNearDupResult = {
+    require(index.columns.sameElements(Array("id", "sig")),
+      s"index must have columns (id, sig), got ${index.columns.mkString(",")}")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(minEstJaccard > 0 && minEstJaccard <= 1, "minEstJaccard in (0,1]")
+    val rows = numHashes / bands
+    def bandsOf(df: DataFrame, idc: String, sigc: String, outId: String): DataFrame =
+      df.select(col(idc).alias(outId),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col(sigc), b * rows + 1, lit(rows)))))
+          .as(Seq("__band", "__bucket")))
+    def estAgree(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+    val batchSig = batch
+      .select(col(idCol).alias("id"),
+        TextFunctions.minhashSig(
+          TextFunctions.hashedShingles(
+            TextFunctions.tokens(col(textCol)), shingleSize), numHashes).alias("sig"))
+    val vsIndex = bandsOf(batchSig, "id", "sig", "__bid")
+      .join(bandsOf(index, "id", "sig", "__iid"), Seq("__band", "__bucket"))
+      .select(col("__bid"), col("__iid")).distinct()
+      .join(batchSig.select(col("id").alias("__bid"), col("sig").alias("__bsig")), Seq("__bid"))
+      .join(index.select(col("id").alias("__iid"), col("sig").alias("__isig")), Seq("__iid"))
+      .filter(estAgree(col("__bsig"), col("__isig")) >= minEstJaccard)
+      .select(col("__bid").alias("id")).distinct()
+    val bBands = bandsOf(batchSig, "id", "sig", "__id")
+    val withinBatch = bBands.select(col("__id").alias("__a"), col("__band"), col("__bucket"))
+      .join(bBands.select(col("__id").alias("__b"), col("__band"), col("__bucket")),
+        Seq("__band", "__bucket"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b")).distinct()
+      .join(batchSig.select(col("id").alias("__a"), col("sig").alias("__asig")), Seq("__a"))
+      .join(batchSig.select(col("id").alias("__b"), col("sig").alias("__bsig")), Seq("__b"))
+      .filter(estAgree(col("__asig"), col("__bsig")) >= minEstJaccard)
+      .select(col("__b").alias("id")).distinct() // drop the larger id of each pair
+    val dropIds = vsIndex.unionByName(withinBatch).distinct()
+    val accepted = batch.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+    val updatedIndex = index.unionByName(
+      batchSig.join(dropIds, Seq("id"), "left_anti"))
+    IncrementalNearDupResult(accepted, updatedIndex)
+  }
+
   /** Connected components over a near-dup pair graph (`id_a`, `id_b`) by
     * iterative min-label propagation: every node converges to the smallest
     * id reachable from it. O(diameter) rounds — near-dup clusters are

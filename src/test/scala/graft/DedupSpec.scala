@@ -302,6 +302,34 @@ class DedupSpec extends SparkTestBase {
       Dedup.incrementalBloom(docs, index, "doc_id", fpp = 1.5)
   }
 
+  test("incremental near-dup: paraphrased twins rejected against the signature index") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val other = (200 until 240).map(i => s"w$i").mkString(" ")
+    val emptyIdx = Seq.empty[(Long, Seq[Int])].toDF("id", "sig")
+
+    // bootstrap: two distinct docs + an in-batch near-dup of the first
+    val b1 = Seq((10L, base), (20L, other), (30L, base + " tiny tail")).toDF("doc_id", "text")
+    val r1 = Dedup.incrementalNearDup(b1, emptyIdx, "doc_id")
+    r1.accepted.select($"doc_id").as[Long].collect().sorted shouldBe Array(10L, 20L)
+    r1.updatedIndex.count() shouldBe 2L // index carries only survivors
+
+    // next delivery: paraphrased twin of indexed content rejected, novel kept
+    val b2 = Seq(
+      (40L, base + " appended bits"),                     // near-dup of indexed 10
+      (50L, (500 until 540).map(i => s"w$i").mkString(" ")) // genuinely new
+    ).toDF("doc_id", "text")
+    val r2 = Dedup.incrementalNearDup(b2, r1.updatedIndex, "doc_id")
+    r2.accepted.select($"doc_id").as[Long].collect() shouldBe Array(50L)
+    r2.updatedIndex.count() shouldBe 3L
+
+    // idempotent: replaying delivery 2 accepts nothing
+    Dedup.incrementalNearDup(b2, r2.updatedIndex, "doc_id")
+      .accepted.count() shouldBe 0L
+
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.incrementalNearDup(b1, b1, "doc_id") // wrong index schema
+  }
+
   test("HLL sketch overlap estimates cross-corpus intersection without a join") {
     // |A| = 30k, |B| = 25k, true overlap 15k
     val a = spark.range(0, 30000).select(concat(lit("k"), $"id").alias("k"))
