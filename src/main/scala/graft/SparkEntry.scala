@@ -1402,6 +1402,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Paragraph-granularity dedup (same machinery, blank-line segments):
+    // rebuilt documents value-checked via hash.
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat_ws("\n\n",
+          lit("shared intro paragraph"),
+          col("text"),
+          concat(lit("outro block "), pmod(col("doc_id"), lit(5)).cast("string"))))
+      graft.operators.PassageDedup.paragraphDedup(planted, "doc_id")
+        .select(col("doc_id"), md5(col("text")).alias("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Two-pass exact heavy hitters: MG sketch nominates (merge-order-
     // dependent), exact recount decides — so the output is oracle-exact.
     "q_heavy_hitters" -> ((s, dir) => {
@@ -2265,6 +2278,27 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN scored s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_paragraph_dedup" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'shared intro paragraph' || chr(10) || chr(10) || text ||
+        |    chr(10) || chr(10) || 'outro block ' || CAST(doc_id % 5 AS VARCHAR) AS text
+        |  FROM documents),
+        |split AS (SELECT doc_id,
+        |    string_split_regex(text, '\n{2,}') AS l FROM planted),
+        |idx AS (SELECT doc_id, unnest(generate_series(1, len(l))) AS pos1, l FROM split),
+        |ln AS (SELECT doc_id, pos1 - 1 AS pos, l[pos1] AS line FROM idx),
+        |keyed AS (SELECT doc_id, pos, line,
+        |    CASE WHEN length(trim(line)) > 0 THEN md5(trim(line)) END AS key FROM ln),
+        |ranked AS (SELECT doc_id, pos, line, key,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rk FROM keyed),
+        |rebuilt AS (SELECT doc_id,
+        |    string_agg(line, chr(10) || chr(10) ORDER BY pos) AS text
+        |  FROM ranked WHERE key IS NULL OR rk = 1 GROUP BY doc_id)
+        |SELECT p.doc_id, md5(COALESCE(r.text, '')) AS text_md5
+        |FROM planted p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "q_line_dedup" ->
       """WITH planted AS (

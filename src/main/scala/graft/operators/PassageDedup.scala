@@ -100,10 +100,22 @@ object PassageDedup {
     * only within a document. No window over the whole corpus, no cartesian.
     * Returns (`idCol`, `textCol`) with `textCol` rewritten.
     */
-  def lineDedup(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame = {
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame =
+    segmentDedup(docs, idCol, textCol, splitPattern = "\n", joinSep = "\n")
+
+  /** [[lineDedup]] at PARAGRAPH granularity (RefinedWeb also dedups whole
+    * paragraphs): segments split on blank-line runs and rejoin with a
+    * normalized `\n\n` — so variable blank spacing canonicalizes, a
+    * documented rewrite rather than a silent one.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String = "text"): DataFrame =
+    segmentDedup(docs, idCol, textCol, splitPattern = "\n{2,}", joinSep = "\n\n")
+
+  private def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      splitPattern: String, joinSep: String): DataFrame = {
     val nullDocs = docs.filter(col(textCol).isNull).select(col(idCol), col(textCol))
     val lines = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .select(col(idCol), posexplode(split(col(textCol), splitPattern)).as(Seq("__pos", "__line")))
       .withColumn("__key",
         when(length(trim(col("__line"))) > 0, md5(trim(col("__line")))))
     val winners = lines.filter(col("__key").isNotNull)
@@ -115,7 +127,7 @@ object PassageDedup {
         (col("__first.id") === col(idCol) && col("__first.pos") === col("__pos")))
     val rebuilt = kept
       .groupBy(col(idCol))
-      .agg(concat_ws("\n",
+      .agg(concat_ws(joinSep,
         transform(
           sort_array(collect_list(struct(col("__pos"), col("__line")))),
           e => e.getField("__line"))).alias(textCol))

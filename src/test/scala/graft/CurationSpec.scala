@@ -255,4 +255,15 @@ class CurationSpec extends SparkTestBase {
     val twice = PassageDedup.lineDedup(once, "doc_id")
     twice.as[(Long, String)].collect().toMap shouldBe out
   }
+
+  test("paragraph dedup works at blank-line granularity and normalizes spacing") {
+    val docs = Seq(
+      (1L, "INTRO PARA\n\nbody one\nstays multiline\n\n\nOUTRO"),  // 3-\n run normalizes
+      (2L, "intro para unique\n\nINTRO PARA\n\nOUTRO")
+    ).toDF("doc_id", "text")
+    val out = PassageDedup.paragraphDedup(docs, "doc_id")
+      .as[(Long, String)].collect().toMap
+    out(1L) shouldBe "INTRO PARA\n\nbody one\nstays multiline\n\nOUTRO"
+    out(2L) shouldBe "intro para unique"  // both repeated paras removed
+  }
 }

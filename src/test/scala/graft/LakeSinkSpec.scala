@@ -127,4 +127,32 @@ class LakeSinkSpec extends SparkTestBase {
     all.count() shouldBe 2
     all.columns should contain("dt")
   }
+
+  test("jsonl corpus: compressed shards round-trip under an enforced schema") {
+    import graft.sinks.CorpusJsonl
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/corpus"
+    val docs = Seq(
+      (1L, Some("hello world"), Some("en")),
+      (2L, None: Option[String], Some("de")),   // null text must survive
+      (3L, Some("第三 doc"), None: Option[String])
+    ).toDF("doc_id", "text", "lang")
+    CorpusJsonl.write(docs, dir, shards = 2)
+
+    // exactly 2 compressed shard files
+    val files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-")).map(_.getName)
+    files.length shouldBe 2
+    all(files) should endWith(".json.gz")
+
+    val back = CorpusJsonl.read(spark, dir, docs.schema)
+    back.as[(Long, Option[String], Option[String])].collect().sortBy(_._1) shouldBe
+      docs.as[(Long, Option[String], Option[String])].collect().sortBy(_._1)
+
+    // FAILFAST: a corrupt line is a loud error, not silent nulls
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/../bad.json"),
+      "{not valid json\n".getBytes)
+    an[Exception] should be thrownBy
+      CorpusJsonl.read(spark, s"$dir/../bad.json", docs.schema).collect()
+  }
 }
