@@ -1745,6 +1745,14 @@ object SparkEntry {
           sha2(col("payload"), 256).alias("sha"))
         .orderBy("doc_id")),
 
+    // Per-label embedding dispersion via the O(n·d) sum-vector identity
+    // (no pairwise join): every mean cosine value-checked.
+    "q_embedding_spread" -> ((s, dir) =>
+      graft.operators.Similarity.labelCosineSpread(t(s, dir, "embeddings"))
+        .select(col("label"), col("n"),
+          round(col("mean_cos"), 6).alias("mean_cos"))
+        .orderBy("label")),
+
     // Image-level near-dup via perceptual dHash (REAL ImageIO decode of
     // deterministic synthetic PNGs): the planted twin pairs — and nothing
     // else — must come back; the oracle is the literal planted-pair list.
@@ -2887,6 +2895,24 @@ object SparkEntry {
       """SELECT doc_id, CAST(OCTET_LENGTH(encode(text)) AS BIGINT) AS byte_len,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embedding_spread" ->
+      """WITH valid AS (
+        |  SELECT label, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0),
+        |u AS (SELECT label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE) * y)))) AS uv
+        |  FROM valid),
+        |flat AS (SELECT label, UNNEST(uv) AS val,
+        |    generate_subscripts(uv, 1) AS pos FROM u),
+        |s AS (SELECT label, pos, SUM(val) AS sv FROM flat GROUP BY label, pos),
+        |agg AS (SELECT label, SUM(sv * sv) AS s2 FROM s GROUP BY label),
+        |n AS (SELECT label, count(*) AS n FROM valid GROUP BY label)
+        |SELECT n.label, CAST(n.n AS BIGINT) AS n,
+        |  round((agg.s2 - n.n) / (n.n * (n.n - 1.0)), 6) AS mean_cos
+        |FROM n JOIN agg USING (label) WHERE n.n >= 2 ORDER BY n.label""".stripMargin,
 
     "q_image_neardup" ->
       """SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b

@@ -369,4 +369,45 @@ object Similarity {
       .select(col(labelCol), col("__cm._1").alias("centroid"),
         col("__cm._2").alias("n"))
   }
+
+  /** Per-label embedding DISPERSION — mean pairwise cosine similarity
+    * within each label, the compactness monitor behind clustering QA,
+    * label-noise detection, and SemDeDup threshold tuning — computed in
+    * O(n·d) by the sum-vector identity instead of the O(n²·d) pairwise
+    * join the naive formulation implies:
+    *
+    *   Σ_{i≠j} cos(vᵢ,vⱼ) = ‖Σᵢ uᵢ‖² − n       (uᵢ = vᵢ/‖vᵢ‖, ‖uᵢ‖ = 1)
+    *
+    * so mean_cos = (‖Σu‖² − n) / (n(n−1)). The plan is one narrow
+    * normalize, one (label, pos) hash aggregate whose shuffle carries
+    * `dim` doubles per label per partition (map-side combined), and a
+    * `dim`-row reduce per label. NO pairwise anything — at 100 TB this is
+    * the difference between a broadcast-sized stats job and an impossible
+    * self-join. Null and zero-norm vectors are excluded from `n`; labels
+    * with fewer than 2 valid vectors are omitted (no pairs to average).
+    *
+    * Returns (`labelCol`, `n`, `mean_cos`) with mean_cos in [−1, 1].
+    */
+  def labelCosineSpread(embs: DataFrame, labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val norm2 = aggregate(transform(v, x => x.cast("double") * x),
+      lit(0.0), (a, x) => a + x)
+    val valid = embs.filter(v.isNotNull)
+      .withColumn("__n2", norm2).filter(col("__n2") > 0)
+    val withU = valid.withColumn("__u",
+      transform(v, x => x.cast("double") / sqrt(col("__n2"))))
+    val sums = withU
+      .select(col(labelCol), posexplode(col("__u")).as(Seq("__pos", "__val")))
+      .groupBy(col(labelCol), col("__pos"))
+      .agg(sum(col("__val")).alias("__s"))
+    val s2 = sums.groupBy(col(labelCol))
+      .agg(sum(col("__s") * col("__s")).alias("__s2"))
+    valid.groupBy(col(labelCol)).agg(count(lit(1)).alias("n"))
+      .join(s2, Seq(labelCol))
+      .filter(col("n") >= 2)
+      .select(col(labelCol), col("n"),
+        ((col("__s2") - col("n")) / (col("n") * (col("n") - lit(1))))
+          .alias("mean_cos"))
+  }
 }

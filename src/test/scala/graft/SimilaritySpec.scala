@@ -247,4 +247,33 @@ class SimilaritySpec extends SparkTestBase {
     cents.join(ref, Seq("label", "pos"))
       .filter(abs($"c" - $"r") > 1e-9).count() shouldBe 0L
   }
+
+  test("label cosine spread equals the brute-force pairwise mean, no pairwise join") {
+    val rnd = new scala.util.Random(11)
+    def vec(base: Array[Float], noise: Float) =
+      base.map(x => x + noise * rnd.nextFloat()).toSeq
+    val tightBase = Array.fill(8)(rnd.nextFloat())
+    val rows =
+      (0 until 10).map(i => (1, vec(tightBase, 0.05f))) ++        // tight cluster
+      (0 until 10).map(i => (2, Array.fill(8)(rnd.nextFloat() - 0.5f).toSeq)) ++ // spread
+      Seq((3, Seq.fill(8)(0f)),                                   // zero vector: excluded
+          (1, null.asInstanceOf[Seq[Float]]))                     // null: excluded
+    val df = rows.toDF("label", "embedding")
+    val out = Similarity.labelCosineSpread(df)
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    out.keySet shouldBe Set(1, 2)   // label 3 has < 2 valid vectors
+    out(1)._1 shouldBe 10L          // null row excluded from n
+    // brute-force reference for label 1
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val tight = rows.collect { case (1, v) if v != null => v }
+    val pairs = for (i <- tight.indices; j <- tight.indices if i != j) yield cos(tight(i), tight(j))
+    out(1)._2 shouldBe (pairs.sum / pairs.size) +- 1e-9
+    // a tight cluster is more compact than random noise
+    out(1)._2 should be > out(2)._2
+  }
 }
