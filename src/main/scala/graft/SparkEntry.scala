@@ -766,6 +766,35 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n_events"), dsum(col("value")).alias("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // Rolling 3-hour distinct users from MERGED hourly HLL sketches — the
+    // events are scanned ONCE (hourly sketch pass); every window estimate
+    // comes from merging persisted buffers. Contract: exact rolling count
+    // (value-checked) + estimate-within-bound boolean.
+    "q_rolling_distinct" -> ((s, dir) => {
+      val sk = udaf(new Aggregators.HyperLogLogSketch(12))
+      val un = udaf(new Aggregators.HllUnion(12))
+      val ev = events(s, dir)
+        .select(date_trunc("hour", col("ts")).alias("h"),
+          col("user_id").cast("string").alias("u"))
+      val hourly = ev.groupBy(col("h")).agg(sk(col("u")).alias("sketch"))
+      val est = hourly
+        .select(col("h"), explode(sequence(lit(0), lit(2))).alias("k"), col("sketch"))
+        .select((col("h") + expr("make_interval(0, 0, 0, 0, k)")).alias("th"),
+          col("sketch"))
+        .groupBy(col("th")).agg(un(col("sketch")).alias("__est"))
+      val exact = ev.distinct()
+        .select(col("h"), explode(sequence(lit(0), lit(2))).alias("k"), col("u"))
+        .select((col("h") + expr("make_interval(0, 0, 0, 0, k)")).alias("th"), col("u"))
+        .groupBy(col("th")).agg(countDistinct(col("u")).alias("n_exact"))
+      hourly.select(col("h").alias("th")) // only hours that exist in the data
+        .join(est, Seq("th")).join(exact, Seq("th"))
+        .select(date_format(col("th"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+          col("n_exact"),
+          (abs(col("__est") - col("n_exact")) / col("n_exact") < 0.05)
+            .alias("within_bound"))
+        .orderBy("hour")
+    }),
+
     // Per-user inter-arrival quantiles (micros both sides; tie-safe: the
     // gap MULTISET is invariant under tied-timestamp orderings).
     "q_interarrival" -> ((s, dir) => {
@@ -2631,6 +2660,15 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id AS u FROM events),
+        |hours AS (SELECT DISTINCT h FROM e)
+        |SELECT strftime(hours.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(count(DISTINCT e.u) AS BIGINT) AS n_exact,
+        |  CAST(1 AS BOOLEAN) AS within_bound
+        |FROM hours JOIN e ON e.h BETWEEN hours.h - INTERVAL 2 HOUR AND hours.h
+        |GROUP BY hours.h ORDER BY hour""".stripMargin,
 
     "q_interarrival" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -426,6 +426,40 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
   }
 
+  /** [[HyperLogLog]] that FINISHES TO THE SKETCH (serialized buffer)
+    * instead of the estimate — the building block of sketch-per-window
+    * rollups: aggregate once per hour/day/partition, persist the few-KB
+    * buffers, and answer any window union later by merging sketches,
+    * never rescanning rows.
+    */
+  final class HyperLogLogSketch(p: Int = 12)
+      extends Aggregator[String, Array[Byte], Array[Byte]] with Serializable {
+    private val h = new HyperLogLog(p)
+    override def zero: Array[Byte] = h.zero
+    override def reduce(buf: Array[Byte], v: String): Array[Byte] = h.reduce(buf, v)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = h.merge(a, b)
+    override def finish(b: Array[Byte]): Array[Byte] = b
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Union of persisted [[HyperLogLogSketch]] buffers → estimate. The input
+    * rows ARE sketches (same `p`); a null input is the empty sketch. This
+    * is what makes HLL "mergeable" operationally: rolling windows, cross-
+    * partition totals, and backfills all reduce to merging stored buffers.
+    */
+  final class HllUnion(p: Int = 12)
+      extends Aggregator[Array[Byte], Array[Byte], Long] with Serializable {
+    private val h = new HyperLogLog(p)
+    override def zero: Array[Byte] = h.zero
+    override def reduce(buf: Array[Byte], sk: Array[Byte]): Array[Byte] =
+      if (sk == null) buf else h.merge(buf, sk)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = h.merge(a, b)
+    override def finish(b: Array[Byte]): Long = h.finish(b)
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Misra–Gries frequent-items summary over a string key — the candidate
     * pass of two-pass exact heavy hitters (see
     * `graft.operators.HeavyHitters`). Keeps at most `k` counters; classic

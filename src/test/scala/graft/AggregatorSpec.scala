@@ -177,6 +177,25 @@ class AggregatorSpec extends SparkTestBase {
       .passed shouldBe true
   }
 
+  test("persisted-sketch union equals one-shot sketching (mergeable windows)") {
+    val sk = new Aggregators.HyperLogLogSketch(12)
+    val un = new Aggregators.HllUnion(12)
+    val ref = new Aggregators.HyperLogLog(12)
+    val windows = Seq(
+      (0 until 4000).map(i => s"u$i"),
+      (2000 until 7000).map(i => s"u$i"),
+      (6000 until 8000).map(i => s"u$i"))
+    // sketch each window independently (as an hourly job would persist)
+    val sketches = windows.map(w => w.foldLeft(sk.zero)(sk.reduce))
+    val unioned = un.finish(sketches.foldLeft(un.zero)(un.reduce))
+    val oneShot = ref.finish(windows.flatten.foldLeft(ref.zero)(ref.reduce))
+    unioned shouldBe oneShot // merging buffers IS sketching the union
+    // and the estimate is near the true 8000
+    math.abs(unioned - 8000.0) / 8000 should be < 0.05
+    // null sketches are the empty window
+    un.finish(un.reduce(un.zero, null)) shouldBe 0L
+  }
+
   test("property: Misra-Gries keeps every phi-heavy item across merge trees, bounded undercount") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val k = 9
