@@ -514,6 +514,53 @@ object SparkEntry {
             .alias("within_bound"))
     }),
 
+    // TPC-H Q1: the canonical scan-heavy aggregate (pricing summary).
+    "q_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).alias("sum_qty"),
+          dsum(col("l_extendedprice")).alias("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).alias("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).alias("sum_charge"),
+          round(davg(col("l_quantity")), 6).alias("avg_qty"),
+          round(davg(col("l_extendedprice")), 6).alias("avg_price"),
+          round(davg(col("l_discount")), 6).alias("avg_disc"),
+          count(lit(1)).alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q6: the pushdown showcase (tight filter, one sum, no join).
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).alias("revenue"))),
+
+    // Sequenced conversion funnel view -> click -> purchase (each step
+    // strictly AFTER the previous step's first occurrence, per user);
+    // integer-micros comparisons on both sides.
+    "q_event_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).alias("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).alias("vt"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("us") > col("vt"))
+        .groupBy(col("user_id")).agg(min(col("us")).alias("ct"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("us") > col("ct"))
+        .groupBy(col("user_id")).agg(count(lit(1)).alias("__one"))
+      v.agg(count(lit(1)).alias("n_view"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).alias("n_view_click"))))
+        .crossJoin(broadcast(p.agg(count(lit(1)).alias("n_full_funnel"))))
+        .select(col("n_view"), col("n_view_click"), col("n_full_funnel"),
+          round(col("n_full_funnel").cast("double") / col("n_view"), 6)
+            .alias("conversion"))
+    }),
+
     // ---- multi-join analytics (TPC-H Q3/Q5 shapes) ---------------------
     "q_tpch_q3" -> ((s, dir) =>
       t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -2500,6 +2547,47 @@ object SparkEntry {
       """SELECT COUNT(DISTINCT CAST(l_orderkey AS VARCHAR)) AS n_exact,
         |       CAST(1 AS BOOLEAN) AS within_bound
         |FROM lineitem""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_price,
+        |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS vt FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.us) AS ct FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.us > v.vt GROUP BY e.user_id),
+        |p AS (SELECT e.user_id FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.us > c.ct GROUP BY e.user_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_full_funnel,
+        |  round((SELECT count(*) FROM p) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6)
+        |    AS conversion""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
