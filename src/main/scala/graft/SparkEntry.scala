@@ -842,6 +842,51 @@ object SparkEntry {
         .orderBy("hour")
     }),
 
+    // Rolling 3-hour value quantiles from MERGED hourly DDSketch buffers
+    // (quantile counterpart of q_rolling_distinct): exact window
+    // percentiles value-checked; sketch estimates bounded by ~alpha.
+    "q_rolling_quantiles" -> ((s, dir) => {
+      val sk = udaf(new Aggregators.DdSketchBuffer(0.01))
+      val un = org.apache.spark.sql.functions.udaf(
+        new Aggregators.DdUnion(0.01, Seq(0.5, 0.95)),
+        org.apache.spark.sql.Encoders.product[Aggregators.DdBuffer])
+      val ev = events(s, dir)
+        .select(date_trunc("hour", col("ts")).alias("h"), col("value"))
+      val hourly = ev.groupBy(col("h")).agg(sk(col("value")).alias("sketch"))
+      val est = hourly
+        .select(col("h"), explode(sequence(lit(0), lit(2))).alias("k"), col("sketch"))
+        .select((col("h") + expr("make_interval(0, 0, 0, 0, k)")).alias("th"),
+          col("sketch"))
+        // the product input encoder flattens DdBuffer to its five fields
+        .groupBy(col("th")).agg(un(col("sketch.minIdx"), col("sketch.counts"),
+          col("sketch.negMinIdx"), col("sketch.negCounts"), col("sketch.zeros"))
+          .alias("__q"))
+      // the exact arm uses DISCRETE (nearest-rank) quantiles — the value
+      // DDSketch's alpha-guarantee is stated against; interpolated
+      // percentiles diverge arbitrarily from ANY data value on small
+      // heavy-tailed windows. collect_list here is per-window and
+      // verification-only (the sketches are the product).
+      val exact = ev
+        .select(col("h"), explode(sequence(lit(0), lit(2))).alias("k"), col("value"))
+        .select((col("h") + expr("make_interval(0, 0, 0, 0, k)")).alias("th"), col("value"))
+        .groupBy(col("th")).agg(
+          sort_array(collect_list(col("value"))).alias("__sorted"),
+          count(lit(1)).alias("__n"))
+        .select(col("th"),
+          round(element_at(col("__sorted"),
+            ceil(lit(0.5) * col("__n")).cast("int")), 6).alias("p50_exact"),
+          round(element_at(col("__sorted"),
+            ceil(lit(0.95) * col("__n")).cast("int")), 6).alias("p95_exact"))
+      hourly.select(col("h").alias("th"))
+        .join(est, Seq("th")).join(exact, Seq("th"))
+        .select(date_format(col("th"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+          col("p50_exact"), col("p95_exact"),
+          (abs(element_at(col("__q"), 1) / col("p50_exact") - 1) < 0.011 &&
+            abs(element_at(col("__q"), 2) / col("p95_exact") - 1) < 0.011)
+            .alias("within_bound"))
+        .orderBy("hour")
+    }),
+
     // Per-user inter-arrival quantiles (micros both sides; tie-safe: the
     // gap MULTISET is invariant under tied-timestamp orderings).
     "q_interarrival" -> ((s, dir) => {
@@ -2748,6 +2793,18 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_rolling_quantiles" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, value FROM events),
+        |hours AS (SELECT DISTINCT h FROM e),
+        |w AS (SELECT hours.h, list_sort(list(e.value)) AS l, count(*) AS n
+        |  FROM hours JOIN e ON e.h BETWEEN hours.h - INTERVAL 2 HOUR AND hours.h
+        |  GROUP BY hours.h)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  round(l[CAST(ceil(0.5 * n) AS INT)], 6) AS p50_exact,
+        |  round(l[CAST(ceil(0.95 * n) AS INT)], 6) AS p95_exact,
+        |  CAST(1 AS BOOLEAN) AS within_bound
+        |FROM w ORDER BY hour""".stripMargin,
 
     "q_rolling_distinct" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id AS u FROM events),

@@ -426,6 +426,40 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Double], Long)]()
   }
 
+  /** [[DdSketchQuantiles]] that FINISHES TO THE SKETCH (the `DdBuffer`
+    * struct) — persist per-window quantile sketches and answer any window
+    * union later by merging buffers (see [[DdUnion]]), the quantile
+    * counterpart of [[HyperLogLogSketch]].
+    */
+  final class DdSketchBuffer(alpha: Double)
+      extends Aggregator[Double, DdBuffer, DdBuffer] with Serializable {
+    private val s = new DdSketchQuantiles(alpha, Seq(0.5))
+    override def zero: DdBuffer = s.zero
+    override def reduce(b: DdBuffer, x: Double): DdBuffer = s.reduce(b, x)
+    override def merge(a: DdBuffer, b: DdBuffer): DdBuffer = s.merge(a, b)
+    override def finish(b: DdBuffer): DdBuffer = b
+    override def bufferEncoder: Encoder[DdBuffer] = Encoders.product[DdBuffer]
+    override def outputEncoder: Encoder[DdBuffer] = Encoders.product[DdBuffer]
+  }
+
+  /** Union of persisted [[DdSketchBuffer]] sketches (same α) → quantile
+    * estimates. Exact merge laws mean a union of hourly sketches IS the
+    * sketch of the union stream — the α relative-error guarantee carries
+    * to every merged window.
+    */
+  final class DdUnion(alpha: Double, quantiles: Seq[Double])
+      extends Aggregator[DdBuffer, DdBuffer, Seq[Double]] with Serializable {
+    private val s = new DdSketchQuantiles(alpha, quantiles)
+    override def zero: DdBuffer = s.zero
+    override def reduce(b: DdBuffer, in: DdBuffer): DdBuffer =
+      if (in == null) b else s.merge(b, in)
+    override def merge(a: DdBuffer, b: DdBuffer): DdBuffer = s.merge(a, b)
+    override def finish(b: DdBuffer): Seq[Double] = s.finish(b)
+    override def bufferEncoder: Encoder[DdBuffer] = Encoders.product[DdBuffer]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** [[HyperLogLog]] that FINISHES TO THE SKETCH (serialized buffer)
     * instead of the estimate — the building block of sketch-per-window
     * rollups: aggregate once per hour/day/partition, persist the few-KB

@@ -196,6 +196,25 @@ class AggregatorSpec extends SparkTestBase {
     un.finish(un.reduce(un.zero, null)) shouldBe 0L
   }
 
+  test("persisted DDSketch union equals one-shot sketching, alpha bound holds") {
+    val alpha = 0.01
+    val sk = new Aggregators.DdSketchBuffer(alpha)
+    val un = new Aggregators.DdUnion(alpha, Seq(0.5, 0.95))
+    val ref = new Aggregators.DdSketchQuantiles(alpha, Seq(0.5, 0.95))
+    val rnd = new scala.util.Random(3)
+    val windows = Seq.fill(3)(Seq.fill(500)(math.exp(rnd.nextGaussian()) * 10))
+    val sketches = windows.map(w => w.foldLeft(sk.zero)(sk.reduce))
+    val unioned = un.finish(sketches.foldLeft(un.zero)(un.reduce))
+    val oneShot = ref.finish(windows.flatten.foldLeft(ref.zero)(ref.reduce))
+    unioned shouldBe oneShot // merging buffers IS sketching the union
+    // alpha relative-error bound against the discrete quantiles
+    val sorted = windows.flatten.sorted
+    def disc(q: Double) = sorted(math.ceil(q * sorted.size).toInt - 1)
+    math.abs(unioned(0) / disc(0.5) - 1) should be < alpha + 1e-9
+    math.abs(unioned(1) / disc(0.95) - 1) should be < alpha + 1e-9
+    un.finish(un.reduce(un.zero, null)) shouldBe Seq(0.0, 0.0)
+  }
+
   test("property: Misra-Gries keeps every phi-heavy item across merge trees, bounded undercount") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val k = 9
