@@ -717,19 +717,30 @@ object SparkEntry {
     }),
 
     "q_join_asof" -> ((s, dir) => {
-      val ev        = events(s, dir)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").alias("purchase_id"), col("user_id"), col("ts").alias("p_ts"))
-      val clicks    = ev.filter(col("event_type") === "click")
-        .select(col("event_id").alias("click_id"), col("user_id"), col("ts").alias("c_ts"))
+      // As-of join WITHOUT a join: union clicks+purchases into one event
+      // stream and carry the running last click per user. The former
+      // purchases⋈clicks-on-user_id plan materialized O(P_u·C_u) pairs per
+      // user before its rn=1 filter — quadratic on power users. This plan
+      // is one window sort per user partition: clicks order before
+      // purchases at equal ts (so c_ts <= p_ts includes equality) and
+      // ascending event_id makes `last` resolve ties to the max click_id,
+      // matching the old (c_ts DESC, click_id DESC) tie-break exactly.
+      val ev = events(s, dir)
+      val stream = ev.filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", lit(1)).otherwise(lit(0)).alias("kind"),
+          col("event_id"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("purchase_id"))
-        .orderBy(col("c_ts").desc, col("click_id").desc)
-      purchases.join(clicks, Seq("user_id"))
-        .filter(col("c_ts") <= col("p_ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("purchase_id"), col("click_id"))
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("kind").asc, col("event_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      stream
+        .withColumn("last_click",
+          last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("last_click").isNotNull)
+        .select(col("event_id").alias("purchase_id"),
+          col("last_click").alias("click_id"))
         .orderBy("purchase_id")
     }),
 
@@ -1866,6 +1877,25 @@ object SparkEntry {
           sha2(col("payload"), 256).alias("sha"))
         .orderBy("doc_id")),
 
+    // Audio metadata via the REAL WAV/RIFF header parse: planted PCM-16
+    // fixtures with a known (rate, channels, frames) grid must round-trip
+    // exactly; the oracle is the same arithmetic in SQL.
+    "q_audio_meta" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val rows = (0L until 50L).map { i =>
+        val rate   = Seq(8000, 16000, 44100)((i % 3).toInt)
+        val ch     = 1 + (i % 2).toInt
+        val frames = 800 * (i.toInt + 1)
+        Multimodal.MediaRow(i, "audio", s"audio/$i",
+          Multimodal.syntheticWav(i, rate, ch, frames))
+      }
+      implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+      Multimodal.decode(s.createDataset(rows))
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("duration_ms"), col("byte_len"))
+        .orderBy("media_id")
+    }),
+
     // Per-label embedding dispersion via the O(n·d) sum-vector identity
     // (no pairwise join): every mean cosine value-checked.
     "q_embedding_spread" -> ((s, dir) =>
@@ -2289,7 +2319,8 @@ object SparkEntry {
         |  SELECT doc_id, n_chars,
         |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
         |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
         |ranked AS (
         |  SELECT doc_id,
         |    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rank,
@@ -2341,7 +2372,7 @@ object SparkEntry {
         |              ELSE ' plain tail' END ||
         |    CASE WHEN doc_id % 11 = 0 THEN ' русский текст' ELSE '' END AS text
         |  FROM documents),
-        |nw AS (SELECT doc_id, regexp_replace(text, '\s', '', 'g') AS s FROM planted),
+        |nw AS (SELECT doc_id, regexp_replace(text, '[\s\x0b]', '', 'g') AS s FROM planted),
         |c AS (SELECT doc_id,
         |    CAST(length(s) AS BIGINT) AS n_chars,
         |    length(regexp_replace(s, '[^\p{Latin}]', '', 'g')) AS latin,
@@ -3078,6 +3109,18 @@ object SparkEntry {
       """SELECT doc_id, CAST(OCTET_LENGTH(encode(text)) AS BIGINT) AS byte_len,
         |       sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_audio_meta" ->
+      """WITH g AS (SELECT UNNEST(generate_series(0, 49)) AS i),
+        |p AS (SELECT i,
+        |    CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+        |    1 + i % 2 AS ch, 800 * (i + 1) AS frames FROM g)
+        |SELECT i AS media_id,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(ch AS INTEGER) AS channels,
+        |  CAST((frames * 1000) // rate AS BIGINT) AS duration_ms,
+        |  CAST(44 + frames * ch * 2 AS BIGINT) AS byte_len
+        |FROM p ORDER BY media_id""".stripMargin,
 
     "q_embedding_spread" ->
       """WITH valid AS (

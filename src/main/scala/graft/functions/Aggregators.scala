@@ -454,7 +454,13 @@ object Aggregators {
     override def reduce(b: DdBuffer, in: DdBuffer): DdBuffer =
       if (in == null) b else s.merge(b, in)
     override def merge(a: DdBuffer, b: DdBuffer): DdBuffer = s.merge(a, b)
-    override def finish(b: DdBuffer): Seq[Double] = s.finish(b)
+    // An all-empty union (a window with no sketches) finishes to 0.0 per
+    // quantile — the same empty→0 convention as [[HllUnion]] — rather than
+    // the NaN a raw DdSketchQuantiles.finish would emit on an empty buffer.
+    override def finish(b: DdBuffer): Seq[Double] =
+      if (b.counts.forall(_ == 0L) && b.negCounts.forall(_ == 0L) && b.zeros == 0L)
+        quantiles.map(_ => 0.0)
+      else s.finish(b)
     override def bufferEncoder: Encoder[DdBuffer] = Encoders.product[DdBuffer]
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()

@@ -96,31 +96,32 @@ object Dedup {
   private def cappedCandidatePairs(bucketed: DataFrame, keyCols: Seq[String],
       maxBucketSize: Int): DataFrame = {
     require(maxBucketSize > 1, "maxBucketSize must exceed 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*)
-    // Eager lineage cut: `sized` feeds THREE consumers (both sides of the
-    // small-bucket self-join + the star branch). Without the cut each
-    // consumer re-derives the bucket table from scratch — for MinHash that
-    // is the full shingle→signature computation, the most expensive map in
-    // the whole dedup path, executed 3× (measured: both the no-cut and the
-    // lazy-cut variants are ~10-40% slower end-to-end). The materialized
-    // frame is (keys, id, n, rep) — a few dozen bytes per banded row,
-    // block-store resident, freed by the ContextCleaner when GC'd.
-    val sized = bucketed
-      .withColumn("__n", count(lit(1)).over(w))
-      .withColumn("__rep", min(col("__id")).over(w))
-      .localCheckpoint()
-    val small = sized.filter(col("__n") <= maxBucketSize)
-      .select(keyCols.map(col) :+ col("__id"): _*)
-    val smallPairs = small.alias("a").join(small.alias("b"), keyCols)
-      .select(col("a.__id").alias("id_a"), col("b.__id").alias("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("capped", lit(false))
-    val starPairs = sized
-      .filter(col("__n") > maxBucketSize && col("__id") =!= col("__rep"))
-      .select(col("__rep").alias("id_a"), col("__id").alias("id_b"))
-      .withColumn("capped", lit(true))
-    smallPairs.unionByName(starPairs)
+    // ONE consumer of the (expensive) bucketed table: groupBy the bucket key,
+    // collect the member ids, and expand pairs from the array in-task. The
+    // former window+self-join formulation fed the bucket table to three
+    // consumers and needed an eager localCheckpoint to avoid recomputing the
+    // shingle→signature map 3× — a blocking materialization whose cold cost
+    // dominated the bench. Here the signature compute feeds exactly one
+    // shuffle (this groupBy) and nothing is checkpointed. Memory is no worse
+    // than the window variant: a hot bucket's rows already co-resided in one
+    // window partition; now they co-reside in one aggregation buffer, and
+    // star capping keeps the EMITTED pairs linear in bucket size.
+    val grouped = bucketed.groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(col("__id"))).alias("__ids"))
+    val ids = col("__ids")
+    val n = size(ids)
+    val pairs = when(n <= maxBucketSize,
+        // all ordered pairs (id_a < id_b) of the sorted array
+        flatten(transform(ids, (x, i) =>
+          transform(slice(ids, i + lit(2), n),
+            y => struct(x.alias("id_a"), y.alias("id_b"), lit(false).alias("capped"))))))
+      .otherwise(
+        // star topology: every member pairs with the bucket min
+        transform(slice(ids, lit(2), n),
+          y => struct(element_at(ids, 1).alias("id_a"), y.alias("id_b"),
+            lit(true).alias("capped"))))
+    grouped.select(explode(pairs).alias("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.capped"))
       .groupBy(col("id_a"), col("id_b"))
       // a pair met in any uncapped bucket counts as uncapped
       .agg(min(col("capped")).alias("capped"))

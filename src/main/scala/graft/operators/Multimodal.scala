@@ -40,7 +40,8 @@ object Multimodal {
       width: Int,            // STUB-derived for image/video; 0 for audio
       height: Int,
       channels: Int,
-      duration_ms: Long      // STUB-derived for audio/video; 0 for image
+      duration_ms: Long,     // STUB-derived for audio/video; 0 for image
+      sample_rate: Int       // REAL for parseable audio (WAV/AIFF/AU); 0 otherwise
   )
 
   val mediaSchema: StructType = StructType(Seq(
@@ -68,9 +69,10 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** Audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU):
-    * (channels, duration_ms) when the header parses, None otherwise.
+    * (sample_rate, channels, duration_ms) when the header parses, None
+    * otherwise.
     */
-  private[operators] def audioDecode(payload: Array[Byte]): Option[(Int, Long)] =
+  private[operators] def audioDecode(payload: Array[Byte]): Option[(Int, Int, Long)] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -80,9 +82,46 @@ object Multimodal {
         // AudioSystem.NOT_SPECIFIED frame length → fall back to the stub so
         // audio rows keep the duration_ms > 0 invariant.
         if (frames <= 0 || fmt.getFrameRate <= 0) None
-        else Some((math.max(1, fmt.getChannels),
+        else Some((math.max(0, math.round(fmt.getSampleRate)),
+          math.max(1, fmt.getChannels),
           math.max(1L, math.round(frames * 1000.0 / fmt.getFrameRate))))
       } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** WAV/RIFF header parse — a REAL audio metadata decode with no decoder
+    * dependency, same rigor as [[mp4Decode]]: walk the word-aligned RIFF
+    * chunk list, read `fmt ` for (channels, sample_rate, block_align) and
+    * `data` for the payload length → duration_ms = frames·1000/rate. Layout
+    * per the public RIFF/WAVE spec (little-endian u16/u32 fields). Returns
+    * None when the bytes aren't a parseable RIFF-WAVE stream.
+    */
+  private[graft] def wavDecode(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      def tag(at: Int): String =
+        new String(payload, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var off = 12
+        var rate = 0; var ch = 0; var blockAlign = 0; var dataLen = -1L
+        while (off + 8 <= payload.length) {
+          val id = tag(off)
+          val sz = bb.getInt(off + 4) & 0xffffffffL
+          if (id == "fmt " && off + 24 <= payload.length) {
+            ch = bb.getShort(off + 10) & 0xffff
+            rate = bb.getInt(off + 12)
+            blockAlign = bb.getShort(off + 20) & 0xffff
+          } else if (id == "data") {
+            // tolerate a truncated final chunk: duration from bytes present
+            dataLen = math.max(0L, math.min(sz, payload.length - off - 8L))
+          }
+          off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        }
+        if (rate > 0 && ch > 0 && blockAlign > 0 && dataLen >= 0)
+          Some((rate, ch, dataLen / blockAlign * 1000L / rate))
+        else None
+      }
     } catch { case _: Exception => None }
 
   /** ISO-BMFF (MP4/MOV) metadata parse — a REAL header decode with no codec
@@ -152,30 +191,33 @@ object Multimodal {
     * payloads (no codecs ship in this container — swapping a real one in
     * changes nothing structural).
     */
-  private[operators] def stubDecode(kind: String, payload: Array[Byte]): (Int, Int, Int, Long) = {
-    if (payload == null || payload.isEmpty) (0, 0, 0, 0L)
+  private[operators] def stubDecode(kind: String, payload: Array[Byte]): (Int, Int, Int, Long, Int) = {
+    if (payload == null || payload.isEmpty) (0, 0, 0, 0L, 0)
     else {
       lazy val h = payload.foldLeft(17L)((acc, b) => acc * 31L + (b & 0xffL)).abs
       kind match {
         case "image" =>
           imageIoDecode(payload) match {
-            case Some((w, ht, c)) => (w, ht, c, 0L)
-            case None => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, 0L)
+            case Some((w, ht, c)) => (w, ht, c, 0L, 0)
+            case None => (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, 0L, 0)
           }
         case "audio" =>
-          audioDecode(payload) match {
-            case Some((c, d)) => (0, 0, c, d)
-            case None         => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L)
+          // WAV/RIFF header parse first (pure bytes, exposes sample rate),
+          // then javax.sound for AIFF/AU, then the labeled stub fallback
+          // (sample_rate 0 = honestly unknown).
+          wavDecode(payload).orElse(audioDecode(payload)) match {
+            case Some((r, c, d)) => (0, 0, c, d, r)
+            case None            => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L, 0)
           }
         case "video" =>
           mp4Decode(payload) match {
             case Some((w, ht, d)) if d > 0 =>
               (if (w > 0) w else ((h % 1920) + 1).toInt,
-                if (ht > 0) ht else ((h / 7 % 1080) + 1).toInt, 3, d)
+                if (ht > 0) ht else ((h / 7 % 1080) + 1).toInt, 3, d, 0)
             case _ =>
-              (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, (h % 600000L) + 1L)
+              (((h % 1920) + 1).toInt, ((h / 7 % 1080) + 1).toInt, 3, (h % 600000L) + 1L, 0)
           }
-        case _       => (0, 0, 0, 0L)
+        case _       => (0, 0, 0, 0L, 0)
       }
     }
   }
@@ -191,8 +233,8 @@ object Multimodal {
         val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
         digest.reset()
         val sha = digest.digest(bytes).map("%02x".format(_)).mkString
-        val (w, h, c, d) = stubDecode(r.kind, bytes)
-        DecodedMedia(r.media_id, r.kind, r.uri, bytes.length.toLong, sha, w, h, c, d)
+        val (w, h, c, d, rate) = stubDecode(r.kind, bytes)
+        DecodedMedia(r.media_id, r.kind, r.uri, bytes.length.toLong, sha, w, h, c, d, rate)
       }
     }
   }
@@ -265,6 +307,31 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Deterministic synthetic PCM-16 WAV (seeded noise samples) — contract/
+    * test fixture for the RIFF parse: header fields are exact, so
+    * [[wavDecode]] must round-trip (sampleRate, channels,
+    * frames·1000/sampleRate) precisely.
+    */
+  private[graft] def syntheticWav(seed: Long, sampleRate: Int, channels: Int,
+      frames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && frames >= 0)
+    val rnd = new java.util.Random(seed)
+    val blockAlign = channels * 2
+    val dataLen = frames * blockAlign
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)).putInt(36 + dataLen).put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)).putInt(16)
+      .putShort(1).putShort(channels.toShort)                 // PCM, channels
+      .putInt(sampleRate).putInt(sampleRate * blockAlign)     // rate, byte rate
+      .putShort(blockAlign.toShort).putShort(16)              // align, bits
+    bb.put("data".getBytes(ascii)).putInt(dataLen)
+    var i = 0
+    while (i < frames * channels) { bb.putShort((rnd.nextInt(65536) - 32768).toShort); i += 1 }
+    bb.array()
   }
 
   /** 64-bit difference hash (dHash) of an image payload — the standard

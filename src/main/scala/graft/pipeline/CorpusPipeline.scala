@@ -68,23 +68,6 @@ object CorpusPipeline {
     val shingled = Dedup.shingleProjection(exact, "doc_id", textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // The stage-count aggregation and the near-dup pair/component path are
-      // independent until the report is assembled — run them as CONCURRENT
-      // Spark actions (block-level cache locks dedupe the shared `annotated`
-      // materialization, so no partition computes twice). On a cluster the
-      // two small job DAGs overlap instead of serializing their stage
-      // latencies; locally this roughly halves the funnel's wall time.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val statsF = Future {
-        annotated.agg(
-          count(lit(1)).alias("input"),
-          coalesce(sum(when(qOk, 1L)), lit(0L)).alias("q"),
-          coalesce(sum(when(lOk, 1L)), lit(0L)).alias("l"),
-          countDistinct(when(lOk, md5(lower(trim(col(textCol)))))).alias("e")).head()
-      }
-
       // Near-dup kill-list via CONNECTED COMPONENTS over the pair graph:
       // each transitive cluster keeps its minimum id (pairwise removal would
       // keep both ends of an A~B~C chain). No broadcast hint — the kill-list
@@ -97,13 +80,26 @@ object CorpusPipeline {
       val curated = exact.join(kill, Seq("doc_id"), "left_anti")
       // kill ids are a subset of exact's (pairs were built FROM exact), so
       // the funnel count is exact arithmetic over the tiny kill list — no
-      // full anti-join action just for the report.
-      val nKill    = kill.count()
-      val stats    = Await.result(statsF, Duration.Inf)
+      // full anti-join action just for the report. The stage-count agg and
+      // the kill count are folded into ONE action (a crossJoin of two
+      // single-row aggregates, planned as a broadcast of one row): Spark
+      // submits the two independent stage DAGs of the single job
+      // concurrently, so their latencies overlap like the former
+      // driver-side Future pair did — but with no thread-pool contention
+      // when the box is loaded (two racing actions degraded ~3× under
+      // load; one job's stage scheduling does not).
+      val stats = annotated.agg(
+          count(lit(1)).alias("input"),
+          coalesce(sum(when(qOk, 1L)), lit(0L)).alias("q"),
+          coalesce(sum(when(lOk, 1L)), lit(0L)).alias("l"),
+          countDistinct(when(lOk, md5(lower(trim(col(textCol)))))).alias("e"))
+        .crossJoin(kill.agg(count(lit(1)).alias("nkill")))
+        .head()
       val input    = stats.getLong(0)
       val nQuality = stats.getLong(1)
       val nLang    = stats.getLong(2)
       val nExact   = stats.getLong(3)
+      val nKill    = stats.getLong(4)
       val nFinal   = nExact - nKill
 
       // Lazy checkpoint: report-only consumers (the funnel query, monitors)

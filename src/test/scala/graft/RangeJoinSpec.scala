@@ -38,6 +38,33 @@ class RangeJoinSpec extends SparkTestBase {
     plan should include("HashJoin")
   }
 
+  test("as-of via union-stream last-value window equals the join formulation, plans join-free") {
+    // q_join_asof's production plan (union stream + running last click) must
+    // match the semantically-obvious-but-quadratic purchases⋈clicks plan:
+    // latest click per user with c_ts <= p_ts, ties to the max click_id.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").alias("purchase_id"), col("user_id"), col("ts").alias("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").alias("click_id"), col("user_id"), col("ts").alias("c_ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("purchase_id")).orderBy(col("c_ts").desc, col("click_id").desc)
+    val joined = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("purchase_id"), col("click_id"))
+
+    val prod = SparkEntry.queries("q_join_asof")(spark, sfDir)
+
+    prod.count() shouldBe joined.count()
+    prod.except(joined).count() shouldBe 0
+    joined.except(prod).count() shouldBe 0
+    val plan = prod.queryExecution.executedPlan.toString()
+    plan should not include "Join" // one window sort, zero pair fan-out
+  }
+
   test("interval spanning many bins still matches every contained point") {
     import spark.implicits._
     val points = Seq(1.0, 5.0, 99.0, 250.0, 999.0).toDF("p").withColumn("pid", col("p"))
