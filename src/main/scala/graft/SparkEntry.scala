@@ -1389,7 +1389,12 @@ object SparkEntry {
     // planted item must match its source (recall contract).
     "q_decontaminate_fuzzy" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val bench = docs.filter(pmod(col("doc_id"), lit(29)) === 0)
+      // Plant only on docs ≥ 9 tokens so the perturbed copy's true Jaccard
+      // (n−2)/n stays ≥ the 0.7 threshold with margin — the recall contract
+      // survives a fixture regeneration with short docs.
+      val bench = docs.filter(pmod(col("doc_id"), lit(29)) === 0 &&
+          col("text").isNotNull &&
+          size(split(trim(lower(col("text"))), "\\s+")) >= 9)
         .select(col("doc_id").alias("bench_id"),
           concat(col("text"), lit(" xq zv")).alias("text"))
       graft.operators.Decontaminate.fuzzyOverlap(docs, bench, "doc_id",
@@ -1675,6 +1680,44 @@ object SparkEntry {
           "neardup_monotone")
     }),
 
+    // Composed curation → paragraph segment-dedup → JSONL export → schema'd
+    // read-back. SQL-checkable stages hash-check exactly; the non-SQL legs
+    // (MinHash kill, RefinedWeb paragraph rewrite, JSONL round trip) export
+    // verified invariant bits: exported rows == funnel's afterNearDup, ids
+    // survive the round trip exactly, and the rewrite never grows a text.
+    "q_corpus_export" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val out  = System.getProperty("java.io.tmpdir") + "/graft_corpus_export"
+      val (curated, r) = graft.pipeline.CorpusPipeline.curate(docs,
+        minQuality = 0.0, allowedLangs = Seq("en", "es", "fr", "de", "zh", "und"),
+        segmentDedup = true, jsonlPath = Some(out), jsonlShards = 4)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val back = graft.sinks.CorpusJsonl.read(s, out, schema)
+      // one combined invariant pass: ids round-trip + rewrite-never-grows
+      val inv = back.select(col("doc_id"), col("text"), lit(true).alias("in_back"))
+        .join(docs.select(col("doc_id"), col("text").alias("orig")), Seq("doc_id"), "full_outer")
+        .join(curated.select(col("doc_id"), lit(true).alias("in_curated")),
+          Seq("doc_id"), "left")
+        .agg(
+          coalesce(sum(when(col("in_back"), 1L)), lit(0L)).alias("n_back"),
+          coalesce(sum(when(col("in_back") && col("in_curated").isNull, 1L)),
+            lit(0L)).alias("n_orphan"),
+          coalesce(sum(when(col("in_back") &&
+            length(col("text")) > length(col("orig")), 1L)), lit(0L)).alias("n_grown"))
+        .head()
+      Seq((r.input, r.afterExactDedup,
+          inv.getLong(0) == r.afterNearDup, // every survivor exported, no extras
+          inv.getLong(1) == 0L,             // every exported id is a curated id
+          inv.getLong(2) == 0L))            // paragraph rewrite never grew a doc
+        .toDF("input", "after_exact", "export_count_ok", "ids_roundtrip_ok",
+          "rewrite_monotone")
+    }),
+
     // ---- per-label embedding centroids (mean pooling UDAF) -------------
     // Hash-checked values are the ORDER-FREE exact decimal sums; the
     // operator's double centroid is checked against them as a boolean (a
@@ -1777,7 +1820,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val emptyIdx = docs.limit(0).select(col("doc_id").alias("id"),
         array().cast("array<int>").alias("sig"))
-      val indexed = docs.filter(pmod(col("doc_id"), lit(10)) < 3)
+      // Plant twins only on docs ≥ 12 tokens: a twin's true Jaccard is then
+      // ≥ (n−2)/n ≈ 0.83, far above the 0.6 estimate threshold even with
+      // the 64-hash estimator's σ ≈ 0.06 — the contract can't flake if the
+      // synthetic corpus is regenerated with short docs.
+      val indexed = docs.filter(pmod(col("doc_id"), lit(10)) < 3 &&
+        col("text").isNotNull &&
+        size(split(trim(lower(col("text"))), "\\s+")) >= 12)
       val index = graft.operators.Dedup
         .incrementalNearDup(indexed, emptyIdx, "doc_id").updatedIndex
       val twins = indexed.select((col("doc_id") + 2000000L).alias("doc_id"),
@@ -2250,7 +2299,9 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
         |       CAST(COUNT(*) AS BIGINT) AS n_found,
         |       CAST(1 AS BOOLEAN) AS recall_ok
-        |FROM documents WHERE doc_id % 29 = 0""".stripMargin,
+        |FROM documents WHERE doc_id % 29 = 0 AND text IS NOT NULL
+        |  AND len(list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |        x -> length(x) > 0)) >= 9""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH oldt AS (SELECT doc_id,
@@ -3037,6 +3088,14 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS neardup_monotone
         |FROM documents""".stripMargin,
 
+    "q_corpus_export" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS input,
+        |       CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS after_exact,
+        |       CAST(1 AS BOOLEAN) AS export_count_ok,
+        |       CAST(1 AS BOOLEAN) AS ids_roundtrip_ok,
+        |       CAST(1 AS BOOLEAN) AS rewrite_monotone
+        |FROM documents""".stripMargin,
+
     "q_text_langid" ->
       """WITH toks AS (
         |  SELECT lang, text, string_split_regex(lower(trim(text)), '[\s\x0b]+') AS t
@@ -3204,7 +3263,9 @@ object SparkEntry {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
         |       CAST(COUNT(*) AS BIGINT) AS n_twins_rejected,
         |       CAST(1 AS BOOLEAN) AS recall_ok
-        |FROM documents WHERE doc_id % 10 < 3""".stripMargin,
+        |FROM documents WHERE doc_id % 10 < 3 AND text IS NOT NULL
+        |  AND len(list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |        x -> length(x) > 0)) >= 12""".stripMargin,
 
     // The Bloom prefilter is routing-only: the oracle is the identical
     // exact anti-join, just over the % 10 < 5 planted index.

@@ -252,19 +252,28 @@ object Dedup {
     * Null/short texts share the degenerate all-MaxValue signature and
     * near-dup each other — same conflation as [[incremental]]'s empty-fp.
     */
+  /** (outId, __band, __bucket) rows of a signature frame — the LSH probe
+    * table derived from (id, sig): one 4-byte bucket hash per band, per doc.
+    */
+  private def sigBands(df: DataFrame, idc: String, sigc: String, outId: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idc).alias(outId),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col(sigc), b * rows + 1, lit(rows)))))
+        .as(Seq("__band", "__bucket")))
+  }
+
   def incrementalNearDup(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String = "text", numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3, minEstJaccard: Double = 0.6): IncrementalNearDupResult = {
+      shingleSize: Int = 3, minEstJaccard: Double = 0.6,
+      indexBands: Option[DataFrame] = None): IncrementalNearDupResult = {
     require(index.columns.sameElements(Array("id", "sig")),
       s"index must have columns (id, sig), got ${index.columns.mkString(",")}")
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(minEstJaccard > 0 && minEstJaccard <= 1, "minEstJaccard in (0,1]")
-    val rows = numHashes / bands
     def bandsOf(df: DataFrame, idc: String, sigc: String, outId: String): DataFrame =
-      df.select(col(idc).alias(outId),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col(sigc), b * rows + 1, lit(rows)))))
-          .as(Seq("__band", "__bucket")))
+      sigBands(df, idc, sigc, outId, numHashes, bands)
     def estAgree(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / numHashes
@@ -274,8 +283,15 @@ object Dedup {
         TextFunctions.minhashSig(
           TextFunctions.hashedShingles(
             TextFunctions.tokens(col(textCol)), shingleSize), numHashes).alias("sig"))
+    // Probe side of the history join: a compacted on-disk banded table when
+    // the caller persisted one ([[persistNearDupIndex]]) — O(history) IO of
+    // 12-byte rows — else derived from (id, sig), O(history) band-hash
+    // compute per delivery.
+    val historyBands = indexBands
+      .map(_.select(col("id").alias("__iid"), col("__band"), col("__bucket")))
+      .getOrElse(bandsOf(index, "id", "sig", "__iid"))
     val vsIndex = bandsOf(batchSig, "id", "sig", "__bid")
-      .join(bandsOf(index, "id", "sig", "__iid"), Seq("__band", "__bucket"))
+      .join(historyBands, Seq("__band", "__bucket"))
       .select(col("__bid"), col("__iid")).distinct()
       .join(batchSig.select(col("id").alias("__bid"), col("sig").alias("__bsig")), Seq("__bid"))
       .join(index.select(col("id").alias("__iid"), col("sig").alias("__isig")), Seq("__iid"))
@@ -297,6 +313,52 @@ object Dedup {
       batchSig.join(dropIds, Seq("id"), "left_anti"))
     IncrementalNearDupResult(accepted, updatedIndex)
   }
+
+  /** Persisted signature index read back from [[persistNearDupIndex]]:
+    * `sigs` = (id, sig) for similarity estimation, `bands` = (id, __band,
+    * __bucket) for the LSH probe join.
+    */
+  final case class NearDupIndex(sigs: DataFrame, bands: DataFrame)
+
+  /** Compact-and-persist an [[incrementalNearDup]] signature index. The
+    * returned `updatedIndex` frame is a UNION over its input lineage — fold
+    * it to disk between deliveries or a year of daily batches accumulates a
+    * 365-deep union plan that re-derives every historical band hash per
+    * run. The layout bounds both:
+    *
+    *  - `path/sigs`: (id, sig), DEDUPED ON id at write — replaying a failed
+    *    delivery is idempotent; the index never accumulates duplicate rows
+    *    that would fan out the band join.
+    *  - `path/bands`: (id, __band, __bucket) derived ONCE at write from the
+    *    just-written sigs (never from the pre-dedup input, so the two files
+    *    cannot disagree). Next delivery's probe join reads these 12-byte
+    *    rows instead of re-hashing `bands` slices of every historical
+    *    signature.
+    *
+    * Write to a fresh (dated) path per compaction and flip a pointer/
+    * symlink at the caller's publish layer — parquet directories cannot be
+    * read and overwritten in place.
+    */
+  def persistNearDupIndex(index: DataFrame, path: String,
+      numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(index.columns.sameElements(Array("id", "sig")),
+      s"index must have columns (id, sig), got ${index.columns.mkString(",")}")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    index.dropDuplicates("id").write.mode("overwrite").parquet(s"$path/sigs")
+    val sigs = index.sparkSession.read.parquet(s"$path/sigs")
+    sigBands(sigs, "id", "sig", "id", numHashes, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+  }
+
+  /** Read a [[persistNearDupIndex]] layout; feed `.sigs` as the `index` and
+    * `.bands` as `indexBands` to [[incrementalNearDup]].
+    */
+  def readNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): NearDupIndex =
+    NearDupIndex(
+      spark.read.parquet(s"$path/sigs").select(col("id"), col("sig")),
+      spark.read.parquet(s"$path/bands")
+        .select(col("id"), col("__band"), col("__bucket")))
 
   /** Connected components over a near-dup pair graph (`id_a`, `id_b`) by
     * iterative min-label propagation: every node converges to the smallest
@@ -573,12 +635,32 @@ object Dedup {
 
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    val buildAgg = new BloomFilterAggregate(
-      GraftSqlBridge.expression(xxhash64(col("fp"))),
-      Literal(expectedItems), Literal(numBits))
-    val serialized = index
-      .select(GraftSqlBridge.column(buildAgg.toAggregateExpression()).alias("bf"))
-      .head.getAs[Array[Byte]](0)
+    // BloomFilterAggregate silently clamps its arguments to the runtime-
+    // filter SQLConf ceilings (maxNumItems default 4M, maxNumBits default
+    // 64M bits = 8 MB) — sized for AQE's injected filters, not for an
+    // explicit 10⁹-item index build. Without raising them a large
+    // `expectedItems` quietly degrades fpp far below the requested value
+    // (correctness unaffected — the filter only routes — but the perf
+    // contract breaks). Raise both for the build, restore after.
+    val spark = index.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey  = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.getOption(itemsKey)
+    val prevBits  = spark.conf.getOption(bitsKey)
+    val serialized = try {
+      spark.conf.set(itemsKey, math.max(expectedItems, 4194304L))
+      spark.conf.set(bitsKey, math.max(numBits, 67108864L))
+      val buildAgg = new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col("fp"))),
+        Literal(expectedItems), Literal(numBits))
+      index
+        .select(GraftSqlBridge.column(buildAgg.toAggregateExpression()).alias("bf"))
+        .head.getAs[Array[Byte]](0)
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore(itemsKey, prevItems); restore(bitsKey, prevBits)
+    }
 
     val accepted =
       if (serialized == null) withFp // empty index: everything is new

@@ -336,7 +336,10 @@ object Multimodal {
 
   /** 64-bit difference hash (dHash) of an image payload — the standard
     * perceptual fingerprint for image-level near-dup detection: decode
-    * (REAL, via the JDK's ImageIO), area-average down to 9×8 grayscale,
+    * (REAL, via the JDK's ImageIO), TRUE area-average down to a 9×8
+    * grayscale grid (each cell is the mean luminance of its source pixel
+    * block — computed directly, not via Graphics2D interpolation, so the
+    * hash is independent of any JDK's scaler and maximally noise-robust),
     * emit one bit per horizontal luminance gradient. Byte-identical
     * re-encodes, metadata edits, and small pixel perturbations keep the
     * hash within a few bits; unrelated images land ~32 bits apart.
@@ -346,20 +349,26 @@ object Multimodal {
     try {
       imageIoInMemory
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
+      if (img == null || img.getWidth < 1 || img.getHeight < 1) None
       else {
-        val scaled = new java.awt.image.BufferedImage(
-          9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = scaled.createGraphics()
-        try {
-          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, 9, 8, null)
-        } finally g.dispose()
-        val gray = Array.tabulate(8, 9) { (y, x) =>
-          val rgb = scaled.getRGB(x, y)
-          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
+        val (w, h) = (img.getWidth, img.getHeight)
+        // mean luminance over each cell's pixel block [x0,x1)×[y0,y1)
+        val gray = Array.tabulate(8, 9) { (cy, cx) =>
+          val x0 = cx * w / 9; val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / 9))
+          val y0 = cy * h / 8; val y1 = math.min(h, math.max(y0 + 1, (cy + 1) * h / 8))
+          var sum = 0L; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          (sum / n).toInt
         }
         var bits = 0L
         var y = 0

@@ -41,7 +41,10 @@ object CorpusPipeline {
       minQuality: Double = 0.3,
       allowedLangs: Seq[String] = Seq("en"),
       shingleSize: Int = 3,
-      minJaccard: Double = 0.9
+      minJaccard: Double = 0.9,
+      segmentDedup: Boolean = false,
+      jsonlPath: Option[String] = None,
+      jsonlShards: Int = 0
   ): (DataFrame, FunnelReport) = {
     // One annotated pass over the corpus (quality + language are the two
     // expensive per-row expressions), persisted once with disk spill; every
@@ -102,10 +105,28 @@ object CorpusPipeline {
       val nKill    = stats.getLong(4)
       val nFinal   = nExact - nKill
 
+      // Optional PARAGRAPH-granularity segment dedup (RefinedWeb-style):
+      // cross-corpus repeated paragraphs survive only at their first
+      // occurrence, documents are rewritten in place. Count-neutral by
+      // construction (segmentDedup empties docs, never drops them), so the
+      // funnel report above stays exact.
+      val finalFrame =
+        if (!segmentDedup) curated
+        else {
+          val rewritten = graft.operators.PassageDedup.paragraphDedup(
+            curated.select(col("doc_id"), col(textCol)), "doc_id", textCol)
+          curated.drop(textCol).join(rewritten, Seq("doc_id"))
+        }
+
+      // Optional JSONL interchange export — the training-corpus handoff leg.
+      // Runs inside the cached scope so the export job reuses `annotated`/
+      // `shingled` instead of recomputing the funnel.
+      jsonlPath.foreach(p => graft.sinks.CorpusJsonl.write(finalFrame, p, jsonlShards))
+
       // Lazy checkpoint: report-only consumers (the funnel query, monitors)
       // never pay to materialize the curated frame; the lineage cut happens
       // on a consumer's first action.
-      (curated.localCheckpoint(eager = false),
+      (finalFrame.localCheckpoint(eager = false),
         FunnelReport(input, nQuality, nLang, nExact, nFinal))
     } finally {
       annotated.unpersist(); shingled.unpersist()

@@ -330,6 +330,48 @@ class DedupSpec extends SparkTestBase {
       Dedup.incrementalNearDup(b1, b1, "doc_id") // wrong index schema
   }
 
+  test("persisted near-dup index: N sequential deliveries re-read a bounded, compacted index") {
+    val root = java.nio.file.Files.createTempDirectory("neardup_idx").toString
+    val base  = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val mk    = (ids: Seq[Long], texts: Seq[String]) => ids.zip(texts).toDF("doc_id", "text")
+
+    // delivery 1 bootstraps; each later delivery reads ONLY the persisted
+    // layout (sigs + precomputed bands) — never the in-memory union lineage
+    var accepted = Seq.empty[Long]
+    val deliveries = Seq(
+      mk(Seq(10L, 20L), Seq(base, (100 until 160).map(i => s"w$i").mkString(" "))),
+      mk(Seq(30L, 40L), Seq(base + " tail", (200 until 260).map(i => s"v$i").mkString(" "))),
+      mk(Seq(50L, 60L), Seq(base + " tail2", (300 until 360).map(i => s"u$i").mkString(" "))),
+      mk(Seq(70L), Seq(base + " tail3")))
+    deliveries.zipWithIndex.foreach { case (b, i) =>
+      val idx = if (i == 0)
+        Dedup.NearDupIndex(Seq.empty[(Long, Seq[Int])].toDF("id", "sig"), null)
+      else Dedup.readNearDupIndex(spark, s"$root/v${i - 1}")
+      val r = Dedup.incrementalNearDup(b, idx.sigs, "doc_id",
+        indexBands = Option(idx.bands))
+      accepted ++= r.accepted.select($"doc_id").as[Long].collect()
+      Dedup.persistNearDupIndex(r.updatedIndex, s"$root/v$i")
+    }
+    // near-dups of the delivery-1 doc rejected in every later delivery
+    accepted.sorted shouldBe Seq(10L, 20L, 40L, 60L)
+    // the persisted index is bounded: exactly one row per accepted doc, and
+    // the banded layout is exactly bands rows per doc
+    val last = Dedup.readNearDupIndex(spark, s"$root/v${deliveries.size - 1}")
+    last.sigs.count() shouldBe 4L
+    last.bands.count() shouldBe 4L * 16
+    // dedup-on-write: replaying a compaction with duplicated input rows
+    // (a re-run delivery) still lands one row per id
+    Dedup.persistNearDupIndex(last.sigs.unionByName(last.sigs), s"$root/replay")
+    Dedup.readNearDupIndex(spark, s"$root/replay").sigs.count() shouldBe 4L
+    // the persisted-bands probe path equals the derived-bands path
+    val probe = mk(Seq(80L, 90L), Seq(base + " tail4", "novel words only here"))
+    val viaDisk = Dedup.incrementalNearDup(probe, last.sigs, "doc_id",
+        indexBands = Some(last.bands)).accepted.select($"doc_id").as[Long].collect().sorted
+    val viaDerive = Dedup.incrementalNearDup(probe, last.sigs, "doc_id")
+      .accepted.select($"doc_id").as[Long].collect().sorted
+    viaDisk shouldBe viaDerive
+  }
+
   test("HLL sketch overlap estimates cross-corpus intersection without a join") {
     // |A| = 30k, |B| = 25k, true overlap 15k
     val a = spark.range(0, 30000).select(concat(lit("k"), $"id").alias("k"))
