@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity proof: materialize a 10× blow-up of the sf0.1 tables
+  * (= sf1: ~6M-row lineitem, 50k docs, 1.2M events) and time the heaviest
+  * registry queries at both scales. The claim every "100 TB posture" note
+  * in this repo rests on is that the plans are linear in input size — this
+  * main MEASURES it: a query whose warm time grows ≫10× on 10× data has a
+  * superlinear term (pair fan-out, driver loop, broadcast overflow) that
+  * sf0.1 hides.
+  *
+  * The blow-up keeps query semantics honest rather than photocopying rows:
+  *  - fact keys (orderkey/custkey/suppkey/doc_id/vec_id/event_id/user_id)
+  *    shift by a 10M stride per copy, so joins fan out 10× without key
+  *    collisions; dimension tables (nation/region/part) stay fixed, like a
+  *    real TPC-H scale-up.
+  *  - document TEXT is re-tokenized per copy (every token gets a per-copy
+  *    suffix), so copies are textually DISTINCT: near-dup structure scales
+  *    10× instead of every doc gaining 9 exact twins (which would blow the
+  *    LSH bucket distribution and measure a different workload).
+  *  - events keep their timestamp distribution; 10× users at the same
+  *    per-user activity — the as-of/sessionize partition count grows, the
+  *    per-partition work does not.
+  *
+  * Emits one JSON line {"sf01":{q:{cold,warm}},"sf1":{...},"ratio":{...}}
+  * and exits nonzero if any warm ratio exceeds `maxRatio` (default 15).
+  */
+object ScaleProof {
+
+  private val stride = 10_000_000L
+
+  /** The heaviest registry queries (r6 bench ranking) — the scale gate. */
+  private val heavy = Seq(
+    "q_dedup_minhash", "q_corpus_funnel", "q_quality_classifier",
+    "q_embedding_spread", "q_join_asof", "q_tpch_q1", "q_tpch_q3",
+    "q_tpch_q5", "q_tpch_q6", "q_tpch_q10")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scaleproof_out.json")
+    val copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES").map(_.toInt).getOrElse(10)
+    val maxRatio = sys.env.get("SPARK_GRAFT_SCALE_MAX_RATIO").map(_.toDouble).getOrElse(15.0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    generate(spark, srcDir, sf1Dir, copies)
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def run(dir: String): Map[String, (Double, Double)] =
+      heavy.map { q =>
+        val cold = time(q, dir)
+        val warm = (1 to 2).map(_ => time(q, dir)).min
+        System.err.println(f"[scale] $q%-22s $dir%-24s cold=$cold%7.2fs warm=$warm%7.2fs")
+        q -> (cold, warm)
+      }.toMap
+
+    val small = run(srcDir)
+    val big   = run(sf1Dir)
+    val ratio = heavy.map(q => q -> big(q)._2 / math.max(1e-9, small(q)._2)).toMap
+
+    def fmtQ(m: Map[String, (Double, Double)]): String =
+      heavy.map(q => s""""$q":{"cold":${f"${m(q)._1}%.3f"},"warm":${f"${m(q)._2}%.3f"}}""")
+        .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_ratio_max","value":${f"${ratio.values.max}%.2f"},""" +
+      s""""unit":"x_warm_time_for_${copies}x_data","copies":$copies,""" +
+      s""""sf01":${fmtQ(small)},"sf1":${fmtQ(big)},""" +
+      s""""ratio":${heavy.map(q => s""""$q":${f"${ratio(q)}%.2f"}""").mkString("{", ",", "}")}}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (ratio.values.max > maxRatio) {
+      System.err.println(s"[scale] FAIL: max warm ratio ${ratio.values.max} > $maxRatio")
+      sys.exit(1)
+    }
+  }
+
+  /** Materialize the blown-up tables (skipped when the marker file says the
+    * same source+copies were already generated).
+    */
+  private def generate(spark: SparkSession, srcDir: String, outDir: String,
+      copies: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, s"_GENERATED_${copies}x")
+    if (java.nio.file.Files.exists(marker)) return
+    def read(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    // one unioned plan per table: copy k shifts its fact keys by k·stride
+    def copiesOf(name: String, shiftCols: Seq[String],
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame = {
+      val base = read(name)
+      (0 until copies).map { k =>
+        val shifted = shiftCols.foldLeft(base)((d, c) =>
+          d.withColumn(c, col(c) + lit(k * stride)))
+        perCopy(shifted, k)
+      }.reduce(_ unionByName _)
+    }
+
+    write(copiesOf("lineitem", Seq("l_orderkey", "l_suppkey")), "lineitem")
+    write(copiesOf("orders", Seq("o_orderkey", "o_custkey")), "orders")
+    write(copiesOf("customer", Seq("c_custkey")), "customer")
+    write(copiesOf("supplier", Seq("s_suppkey")), "supplier")
+    write(copiesOf("events", Seq("event_id", "user_id")), "events")
+    write(copiesOf("embeddings", Seq("vec_id")), "embeddings")
+    // per-copy token suffix ⇒ copies are textually distinct (see Scaladoc);
+    // copy 0 stays byte-identical to the source corpus
+    write(copiesOf("documents", Seq("doc_id"), (d, k) =>
+      if (k == 0) d
+      else d.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"$$1z$k"))), "documents")
+    Seq("nation", "region", "part").foreach(n => write(read(n), n)) // dims fixed
+    java.nio.file.Files.createFile(marker)
+  }
+}

@@ -118,16 +118,20 @@ object CorpusPipeline {
           curated.drop(textCol).join(rewritten, Seq("doc_id"))
         }
 
-      // Optional JSONL interchange export — the training-corpus handoff leg.
-      // Runs inside the cached scope so the export job reuses `annotated`/
-      // `shingled` instead of recomputing the funnel.
-      jsonlPath.foreach(p => graft.sinks.CorpusJsonl.write(finalFrame, p, jsonlShards))
+      // Lazy checkpoint FIRST: report-only consumers (the funnel query,
+      // monitors) never pay to materialize the curated frame; the lineage
+      // cut happens on a consumer's first action.
+      val published = finalFrame.localCheckpoint(eager = false)
 
-      // Lazy checkpoint: report-only consumers (the funnel query, monitors)
-      // never pay to materialize the curated frame; the lineage cut happens
-      // on a consumer's first action.
-      (finalFrame.localCheckpoint(eager = false),
-        FunnelReport(input, nQuality, nLang, nExact, nFinal))
+      // Optional JSONL interchange export — the training-corpus handoff
+      // leg. Exporting THROUGH the lazy checkpoint makes the export job
+      // populate the checkpoint blocks (inside the cached scope, so it
+      // also reuses `annotated`/`shingled`): a caller that exports and
+      // then keeps querying the returned frame computes the funnel once,
+      // not once per consumer.
+      jsonlPath.foreach(p => graft.sinks.CorpusJsonl.write(published, p, jsonlShards))
+
+      (published, FunnelReport(input, nQuality, nLang, nExact, nFinal))
     } finally {
       annotated.unpersist(); shingled.unpersist()
     }
