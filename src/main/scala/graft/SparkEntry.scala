@@ -909,12 +909,16 @@ object SparkEntry {
         .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
         .filter(col("gap").isNotNull)
         .groupBy(col("user_id"))
-        // quantiles reported in SECONDS at 4 decimals: micros-scale values
-        // (~1e11) leave a 1-ulp double disagreement ABOVE round-6
-        // resolution; seconds-scale puts the ulp ~7 orders below it
+        // Exact-comparable quantiles: interpolated percentiles of integer
+        // micros are exact multiples of 1/20 µs (linear interp at fraction
+        // m/20), so ×20 lands on an INTEGER up to ~1e-2 of double noise —
+        // round() there is engine-exact, never at a tie boundary, and /20.0
+        // reproduces bit-identical doubles on both engines. (Rounding the
+        // seconds value directly flipped a 4th decimal between Spark's
+        // decimal HALF_UP and DuckDB's pure-double round at sf0.1.)
         .agg(count(lit(1)).alias("n_gaps"),
-          round(percentile(col("gap"), lit(0.5)) / 1e6, 4).alias("p50_s"),
-          round(percentile(col("gap"), lit(0.95)) / 1e6, 4).alias("p95_s"))
+          (round(percentile(col("gap"), lit(0.5)) * 20) / 20.0).alias("p50_us"),
+          (round(percentile(col("gap"), lit(0.95)) * 20) / 20.0).alias("p95_us"))
         .orderBy("user_id")
     }),
 
@@ -2903,8 +2907,8 @@ object SparkEntry {
         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
         |  FROM e)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
-        |  round(quantile_cont(gap, 0.5) / 1e6, 4) AS p50_s,
-        |  round(quantile_cont(gap, 0.95) / 1e6, 4) AS p95_s
+        |  round(quantile_cont(gap, 0.5) * 20) / 20.0 AS p50_us,
+        |  round(quantile_cont(gap, 0.95) * 20) / 20.0 AS p95_us
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
