@@ -1378,6 +1378,55 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Quality-aware exact-dedup survivor: keep the best-scoring member of
+    // each content-fingerprint group (ties to lowest id). The synthetic
+    // score varies within the fixture's natural duplicate groups, so the
+    // max_by choice is non-trivial; every surviving (doc_id, score) row is
+    // value-checked against DuckDB's arg_max over the same groups.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // plant exact twins with new ids: each %10 group-of-2 has DIFFERENT
+      // scores (doc_id%97 vs (doc_id+500000)%97), so max_by must choose
+      val planted = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+      val scored = planted.withColumn("score", pmod(col("doc_id"), lit(97)))
+      graft.operators.Dedup.exactByContentKeepBest(scored, "doc_id", "score")
+        .select(col("doc_id"), col("score"))
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-safe split: planted near-identical copies (same text, new id)
+    // must land in the SAME split as their originals — the cluster-level
+    // assignment invariant; plain hash-by-id splits would scatter ~20 % of
+    // twins across the split boundary. Planted only on ≥ 12-token docs so
+    // the LSH linkage is deterministic (empty shingle sets can't pair).
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val longDocs = docs.filter(col("text").isNotNull &&
+        size(split(trim(lower(col("text"))), "\\s+")) >= 12)
+      val copies = longDocs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 700000L).alias("doc_id"), col("text"))
+      val corpus = docs.unionByName(copies)
+      val pairs = graft.operators.Dedup.minhashLshPairs(corpus, "doc_id",
+        minJaccard = 0.9)
+      val assigned = graft.operators.Splits.assignSplitLeakageSafe(
+        corpus, "doc_id", pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      val orig = assigned.filter(col("doc_id") < 700000L)
+        .withColumnRenamed("split", "s_orig")
+      val cop = assigned.filter(col("doc_id") >= 700000L)
+        .select((col("doc_id") - 700000L).alias("doc_id"),
+          col("split").alias("s_copy"))
+      orig.join(cop, Seq("doc_id"))
+        .agg(count(lit(1)).alias("n_planted"),
+          coalesce(sum(when(col("s_orig") === col("s_copy"), 1L)), lit(0L))
+            .alias("n_same_split"))
+        .crossJoin(broadcast(
+          assigned.agg((countDistinct(col("split")) === 3).alias("splits_complete"))))
+        .select(col("n_planted"), col("n_same_split"), col("splits_complete"))
+    }),
+
     // One-pass corpus datasheet (with planted duplicates so dup_rate is
     // non-trivial): every headline number value-checked.
     "q_corpus_card" -> ((s, dir) => {
@@ -2276,6 +2325,28 @@ object SparkEntry {
       """SELECT s.split, CAST(1 AS BOOLEAN) AS ratio_ok
         |FROM (VALUES ('test'), ('train'), ('val')) AS s(split)
         |ORDER BY s.split""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 10 = 0),
+        |s AS (SELECT doc_id, doc_id % 97 AS score,
+        |    md5(lower(trim(text))) AS fp FROM planted),
+        |w AS (SELECT fp, MAX(score * 10000000 - doc_id) AS ord
+        |      FROM s GROUP BY fp)
+        |SELECT s.doc_id, CAST(s.score AS BIGINT) AS score
+        |FROM s JOIN w ON s.fp IS NOT DISTINCT FROM w.fp
+        |  AND s.score * 10000000 - s.doc_id = w.ord
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_split_leakage_safe" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+        |       CAST(COUNT(*) AS BIGINT) AS n_same_split,
+        |       CAST(1 AS BOOLEAN) AS splits_complete
+        |FROM documents WHERE doc_id % 7 = 0 AND text IS NOT NULL
+        |  AND len(list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |        x -> length(x) > 0)) >= 12""".stripMargin,
 
     "q_corpus_card" ->
       """WITH planted AS (

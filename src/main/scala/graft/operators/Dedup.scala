@@ -48,6 +48,47 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").alias(c)): _*)
   }
 
+  /** [[exactByContentKeepMin]] keeping the BEST-scoring duplicate instead of
+    * the lowest id — quality-aware survivor selection (when twins differ in
+    * envelope metadata — source, crawl date, extraction quality — keep the
+    * best copy, the Gopher / FineWeb practice). Deterministic: ties on
+    * `scoreCol` break to the LOWEST id. Same shape as keep-min: one
+    * partial+final hash aggregate, one surviving row per (partition,
+    * fingerprint) across the shuffle, no sort.
+    */
+  def exactByContentKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+      textCol: String = "text"): DataFrame = {
+    val cols = df.columns.toSeq
+    df.withColumn("__fp", md5(lower(trim(col(textCol)))))
+      .groupBy(col("__fp"))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(scoreCol), negate(col(idCol)))).alias("__row"))
+      .select(cols.map(c => col(s"__row.$c").alias(c)): _*)
+  }
+
+  /** NEAR-dup removal keeping the best-scoring member of each TRANSITIVE
+    * cluster (MinHash pairs → connected components → `max_by` per
+    * component): the quality-aware counterpart of the funnel's keep-min
+    * kill list. Docs in no near-dup pair survive untouched (component =
+    * own id). Ties on `scoreCol` break to the lowest id.
+    */
+  def nearDupKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+      textCol: String = "text", numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, minJaccard: Double = 0.8,
+      maxBucketSize: Int = defaultMaxBucketSize): DataFrame = {
+    val cols = df.columns.toSeq
+    val pairs = minhashLshPairs(df, idCol, textCol, numHashes, bands,
+      shingleSize, minJaccard, maxBucketSize)
+    val comps = connectedComponents(pairs)
+      .select(col("id").alias(idCol), col("component"))
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+      .groupBy(col("__comp"))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(scoreCol), negate(col(idCol)))).alias("__row"))
+      .select(cols.map(c => col(s"__row.$c").alias(c)): _*)
+  }
+
   /** MinHash signature column: for each of `numHashes` hash functions, the
     * min over the document's word-`shingleSize` shingles of
     * `murmur3(shingle, seed=i)`. Pure built-ins → whole-stage codegen.

@@ -43,6 +43,29 @@ object Splits {
     df.withColumn("split", assigned)
   }
 
+  /** [[assignSplit]] with a NEAR-DUP LEAKAGE GUARD: documents connected by
+    * `pairs` (id_a, id_b — e.g. [[Dedup.minhashLshPairs]] output) are
+    * assigned AS A CLUSTER, so a test document's paraphrase can never sit
+    * in train (the held-out-metric leak measured by Lee et al. 2021 §5 —
+    * splitting by row hash alone puts ~dup_rate of eval items' twins in
+    * training). Each doc hashes by its connected-component representative;
+    * docs in no pair keep their own id as representative, so their
+    * assignment is IDENTICAL to plain [[assignSplit]] — adding a leak
+    * guard never reshuffles the non-duplicated corpus. Split sizes stay
+    * ~weights while clusters are small relative to the corpus (the usual
+    * case; a corpus where one cluster is 20 % of rows has a worse problem
+    * than split skew).
+    */
+  def assignSplitLeakageSafe(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: Int = 42): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").alias(idCol), col("component").alias("__rep0"))
+    val withRep = df.join(comps, Seq(idCol), "left")
+      .withColumn("__rep", coalesce(col("__rep0"), col(idCol)))
+    assignSplit(withRep, "__rep", weights, seed).drop("__rep0", "__rep")
+  }
+
   /** Deterministic global shuffle — the "shuffle your training data" step,
     * done as a PSEUDO-RANDOM PERMUTATION rather than `orderBy(rand())`
     * (non-reproducible) or `repartition` (only partition-local disorder):

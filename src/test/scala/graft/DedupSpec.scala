@@ -330,6 +330,28 @@ class DedupSpec extends SparkTestBase {
       Dedup.incrementalNearDup(b1, b1, "doc_id") // wrong index schema
   }
 
+  test("keep-best survivor selection: exact groups and transitive near-dup clusters keep the top score") {
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    // exact: one fingerprint group {1,2,3} with scores 5,9,9 → keep 2 (tie → lowest id)
+    val docs = Seq(
+      (1L, base, 5.0), (2L, base, 9.0), (3L, base, 9.0),
+      (4L, "another unique document body here today", 1.0))
+      .toDF("doc_id", "text", "score")
+    val exact = Dedup.exactByContentKeepBest(docs, "doc_id", "score")
+      .select($"doc_id").as[Long].collect().sorted
+    exact shouldBe Array(2L, 4L)
+
+    // near-dup: chain A~B~C (tails differ) with best score in the middle
+    val chain = Seq(
+      (10L, base + " t1", 0.2), (11L, base + " t1 t2", 0.9),
+      (12L, base + " t1 t2 t3", 0.5),
+      (20L, (100 until 140).map(i => s"w$i").mkString(" "), 0.1))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.nearDupKeepBest(chain, "doc_id", "score", minJaccard = 0.7)
+      .select($"doc_id").as[Long].collect().sorted
+    kept shouldBe Array(11L, 20L) // one survivor per cluster, the best one
+  }
+
   test("persisted near-dup index: N sequential deliveries re-read a bounded, compacted index") {
     val root = java.nio.file.Files.createTempDirectory("neardup_idx").toString
     val base  = (0 until 60).map(i => s"tok$i").mkString(" ")

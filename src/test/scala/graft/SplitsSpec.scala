@@ -45,6 +45,30 @@ class SplitsSpec extends SparkTestBase {
       Splits.assignSplit(docs, "doc_id", Seq("a" -> 0.99999, "b" -> 0.00001))
   }
 
+  test("leakage-safe split co-assigns every cluster, leaves singletons exactly where assignSplit puts them") {
+    val docs = spark.range(5000).select($"id".alias("doc_id"))
+    // three clusters, incl. a transitive A~B~C chain (1,2,3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (100L, 101L), (4000L, 4999L))
+      .toDF("id_a", "id_b")
+    val out = Splits.assignSplitLeakageSafe(docs, "doc_id", pairs)
+    val bySplit = out.filter($"doc_id".isin(1L, 2L, 3L, 100L, 101L, 4000L, 4999L))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    bySplit(1L) shouldBe bySplit(2L)
+    bySplit(2L) shouldBe bySplit(3L) // transitive chain shares one split
+    bySplit(100L) shouldBe bySplit(101L)
+    bySplit(4000L) shouldBe bySplit(4999L)
+    // docs in no pair: bit-identical to the plain split (the guard never
+    // reshuffles the non-duplicated corpus)
+    val clustered = Set(1L, 2L, 3L, 100L, 101L, 4000L, 4999L)
+    val plain = Splits.assignSplit(docs, "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    out.select($"doc_id", $"split").as[(Long, String)].collect()
+      .filterNot(kv => clustered(kv._1))
+      .foreach { case (id, s) => s shouldBe plain(id) }
+    // schema untouched beyond the split column
+    out.columns shouldBe Array("doc_id", "split")
+  }
+
   test("deterministic shuffle is a reproducible permutation, seeds decorrelate") {
     val docs = spark.range(5000).select($"id".alias("doc_id"))
     val s1 = Splits.deterministicShuffle(docs, "doc_id", seed = 42)
