@@ -395,12 +395,17 @@ object Similarity {
       lit(0.0), (a, x) => a + x)
     val valid = embs.filter(v.isNotNull)
       .withColumn("__n2", norm2).filter(col("__n2") > 0)
-    val withU = valid.withColumn("__u",
-      transform(v, x => x.cast("double") / sqrt(col("__n2"))))
-    val sums = withU
-      .select(col(labelCol), posexplode(col("__u")).as(Seq("__pos", "__val")))
+    // Normalize AFTER the explode, not inside a transform lambda: a
+    // `transform(v, x -> x / sqrt(__n2))` gets its __n2 projection
+    // collapsed INTO the lambda by CollapseProject, re-evaluating the
+    // whole dim-element norm fold once per ELEMENT (dim² work per row —
+    // measured as the dominant cost of this operator). Generate is a
+    // collapse barrier, so here __n2 is computed once per row and each
+    // exploded element pays one sqrt+divide.
+    val sums = valid
+      .select(col(labelCol), col("__n2"), posexplode(v).as(Seq("__pos", "__val")))
       .groupBy(col(labelCol), col("__pos"))
-      .agg(sum(col("__val")).alias("__s"))
+      .agg(sum(col("__val").cast("double") / sqrt(col("__n2"))).alias("__s"))
     val s2 = sums.groupBy(col(labelCol))
       .agg(sum(col("__s") * col("__s")).alias("__s2"))
     valid.groupBy(col(labelCol)).agg(count(lit(1)).alias("n"))
