@@ -80,6 +80,57 @@ object CorpusStreaming {
         else GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** Streaming NEAR-dup curation — [[curateStream]]'s fingerprint state
+    * catches only EXACT twins; this leg curates each micro-batch against
+    * the persisted MinHash signature index of everything accepted so far
+    * ([[graft.operators.Dedup.persistNearDupIndex]] layout) and
+    * re-publishes the compacted index at a batch-versioned path.
+    * `foreachBatch` + a lake-resident index rather than keyed state: the
+    * signature index IS the dedup state, and in the lake it survives
+    * restarts, scales to object-store size (256 B/doc), serves offline
+    * consumers, and never bloats the state store. Replays are idempotent
+    * by construction — a retried batch re-reads the newest index version
+    * STRICTLY BELOW its own batch id (never its own partial output),
+    * re-derives the same accepted set, and overwrites its own version and
+    * accepted partition.
+    *
+    * Caller starts the returned writer with a checkpointLocation (and a
+    * trigger); accepted docs land under `acceptedRoot/batch=<id>/`.
+    */
+  def nearDupIngest(docs: DataFrame, indexRoot: String, acceptedRoot: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      minEstJaccard: Double = 0.6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(indexRoot)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (!fs.exists(root)) None
+          else fs.listStatus(root).iterator.map(_.getPath.getName)
+            .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+              s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+            .filter(_ < batchId).maxOption
+        val (sigs, idxBands) = prev match {
+          case Some(v) =>
+            val idx = Dedup.readNearDupIndex(spark, s"$indexRoot/v$v")
+            (idx.sigs, Some(idx.bands))
+          case None =>
+            (batch.limit(0).select(col(idCol).alias("id"),
+              array().cast("array<int>").alias("sig")), None)
+        }
+        val r = Dedup.incrementalNearDup(batch.toDF(), sigs, idCol, textCol,
+          numHashes, bands, shingleSize, minEstJaccard, indexBands = idxBands)
+        r.accepted.write.mode("overwrite")
+          .parquet(s"$acceptedRoot/batch=$batchId")
+        Dedup.persistNearDupIndex(r.updatedIndex, s"$indexRoot/v$batchId",
+          numHashes, bands)
+    }
+  }
+
   final case class HotToken(shard: Int, token: String, est: Long)
 
   /** Streaming heavy hitters over the token stream — "which tokens are

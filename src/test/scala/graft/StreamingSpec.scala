@@ -184,6 +184,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: lake-persisted signature index dedups paraphrases across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("neardup_stream").toString
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val novel = (100 until 160).map(i => s"w$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+
+    val writer = graft.streaming.CorpusStreaming.nearDupIngest(
+      input.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/accepted")
+    val q = writer.option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      input.addData((10L, base), (20L, novel))          // batch 0: both new
+      q.processAllAvailable()
+      input.addData((30L, base + " tail"), (40L, (200 until 260).map(i => s"v$i").mkString(" ")))
+      q.processAllAvailable()                           // 30 ~ indexed 10 → reject
+      input.addData((50L, base + " tail2"))             // still a twin of 10
+      q.processAllAvailable()
+
+      val accepted = spark.read.parquet(s"$root/accepted")
+        .select($"doc_id").as[Long].collect().sorted
+      accepted shouldBe Array(10L, 20L, 40L)
+      // the published index is the compacted layout: one sig row per
+      // accepted doc at the newest version, bands precomputed
+      val idx = graft.operators.Dedup.readNearDupIndex(spark, s"$root/index/v2")
+      idx.sigs.count() shouldBe 3L
+      idx.bands.count() shouldBe 3L * 16
+    } finally q.stop()
+  }
+
   test("corpus curation runs on the RocksDB state store (bounded-memory dedup state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
