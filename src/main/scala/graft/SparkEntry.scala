@@ -1205,6 +1205,27 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Persisted-index IVF-PQ: build the index to disk (params + coded
+    // corpus — the one full-vector pass), read it back, search. Same
+    // planted-twin contract as q_ann_ivfpq: each query's shifted copy must
+    // come back at rank 1, proving the round-tripped models and coded
+    // layout reproduce the in-memory path.
+    "q_ann_ivfpq_indexed" -> ((s, dir) => {
+      val emb     = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val planted = queries.withColumn("vec_id", col("vec_id") + 1000000L)
+      val corpus  = emb.unionByName(planted)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_ivfpq_index"
+      Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", path,
+        dim = 64, numCells = 16, m = 8, ksub = 16)
+      val idx = Similarity.readIvfPqIndex(s, path)
+      Similarity.searchIvfPqIndex(idx, corpus, queries, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        .filter(col("neighbor_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("rank").cast("long").alias("planted_rank"))
+        .orderBy("query_id")
+    }),
+
     // ================= north-star: text analysis ========================
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3146,6 +3167,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q_ann_ivfpq_indexed" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 

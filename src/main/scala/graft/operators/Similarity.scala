@@ -285,17 +285,37 @@ object Similarity {
     require(books.length == m * ksub * dsub,
       s"codebook length ${books.length} != m*ksub*dsub = ${m * ksub * dsub}")
     // Codes are computed over L2-normalized vectors so ADC dot ≈ cosine.
-    val c = corpus.select(col(idCol).alias("neighbor_id"),
-      element_at(VectorFunctions.nearestCells(col(vecCol), cents, dim, 1), 1)
-        .alias("__cell"),
-      VectorFunctions.pqEncode(VectorFunctions.l2Normalize(col(vecCol)),
-        books, m, dsub, ksub).alias("__codes"))
+    val c = codedCorpus(corpus, idCol, vecCol, dim, cents, books, m, dsub, ksub)
     val q = queries.select(col(idCol).alias("query_id"),
         VectorFunctions.l2Normalize(col(vecCol)).alias("__qn"),
         explode(VectorFunctions.nearestCells(col(vecCol), cents, dim, nprobe))
           .alias("__cell"))
+    ivfPqSearch(c, q, corpus, queries, idCol, vecCol, k, rescoreFactor,
+      books, m, dsub, ksub)
+  }
+
+  /** Corpus-side IVF-PQ layout: (`neighbor_id`, `__cell`, `__codes`) — the
+    * one pass over full vectors that IVF-PQ needs; everything downstream
+    * touches codes, not vectors.
+    */
+  private def codedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, cents: Array[Float], books: Array[Float], m: Int, dsub: Int,
+      ksub: Int): DataFrame =
+    corpus.select(col(idCol).alias("neighbor_id"),
+      element_at(VectorFunctions.nearestCells(col(vecCol), cents, dim, 1), 1)
+        .alias("__cell"),
+      VectorFunctions.pqEncode(VectorFunctions.l2Normalize(col(vecCol)),
+        books, m, dsub, ksub).alias("__codes"))
+
+  /** Shared IVF-PQ search tail: ADC shortlist inside probed cells, exact
+    * cosine rescore of shortlisted ids against the full-precision corpus.
+    */
+  private def ivfPqSearch(coded: DataFrame, q: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      rescoreFactor: Int, books: Array[Float], m: Int, dsub: Int,
+      ksub: Int): DataFrame = {
     val shortlist = {
-      val adc = c.join(broadcast(q), Seq("__cell"))
+      val adc = coded.join(broadcast(q), Seq("__cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("__adc", VectorFunctions.adcDot(col("__codes"), col("__qn"),
           books, m, dsub, ksub))
@@ -321,6 +341,67 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).alias("cosine"))
+  }
+
+  /** Persisted IVF-PQ index read back from [[buildIvfPqIndex]]. */
+  final case class IvfPqIndex(dim: Int, m: Int, ksub: Int,
+      centroids: Array[Float], codebooks: Array[Float], coded: DataFrame)
+
+  /** Persist a trained IVF-PQ index: `path/params` holds the trained
+    * models (coarse centroids + PQ codebooks + shape) as one parquet row;
+    * `path/coded` holds the CODED CORPUS — (id, cell, m-byte codes) for
+    * every vector. The corpus-side encode is the only full pass over the
+    * vectors IVF-PQ ever needs, so at 100 TB it runs ONCE here, and each
+    * query batch reads 12+m-byte coded rows instead of re-encoding the
+    * corpus ([[ivfPqTopK]] re-derives the coded layout per call even with
+    * prebuilt models). The exact-rescore stage still reads full vectors,
+    * but only for the ~rescoreFactor·k shortlisted ids per query.
+    */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int, numCells: Int = 64, m: Int = 8, ksub: Int = 16,
+      seed: Long = 42L): Unit = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val cents = trainIvfCentroids(corpus, vecCol, dim, numCells, seed)
+    val books = trainPqCodebooks(corpus, vecCol, dim, m, ksub, seed)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((dim, m, ksub, cents.toSeq, books.toSeq))
+      .toDF("dim", "m", "ksub", "centroids", "codebooks")
+      .write.mode("overwrite").parquet(s"$path/params")
+    codedCorpus(corpus, idCol, vecCol, dim, cents, books, m, dsub, ksub)
+      .select(col("neighbor_id").alias("id"), col("__cell").alias("cell"),
+        col("__codes").alias("codes"))
+      .write.mode("overwrite").parquet(s"$path/coded")
+  }
+
+  def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    IvfPqIndex(p.getAs[Int]("dim"), p.getAs[Int]("m"), p.getAs[Int]("ksub"),
+      p.getAs[Seq[Float]]("centroids").toArray,
+      p.getAs[Seq[Float]]("codebooks").toArray,
+      spark.read.parquet(s"$path/coded"))
+  }
+
+  /** [[ivfPqTopK]] against a PERSISTED index: models come from
+    * `index.{centroids,codebooks}`, the corpus-side coded layout is read
+    * from disk, and only the rescore stage touches `corpus` (full vectors
+    * fetched by shortlisted id). Same output contract as [[ivfPqTopK]] —
+    * identical parameters yield identical results.
+    */
+  def searchIvfPqIndex(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 8,
+      rescoreFactor: Int = 4): DataFrame = {
+    val dsub = index.dim / index.m
+    val coded = index.coded.select(col("id").alias("neighbor_id"),
+      col("cell").alias("__cell"), col("codes").alias("__codes"))
+    val q = queries.select(col(idCol).alias("query_id"),
+      VectorFunctions.l2Normalize(col(vecCol)).alias("__qn"),
+      explode(VectorFunctions.nearestCells(col(vecCol), index.centroids,
+        index.dim, nprobe)).alias("__cell"))
+    ivfPqSearch(coded, q, corpus, queries, idCol, vecCol, k, rescoreFactor,
+      index.codebooks, index.m, dsub, index.ksub)
   }
 
   /** Approximate top-k: equi-join corpus and queries on the LSH bucket

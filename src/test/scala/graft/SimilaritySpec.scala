@@ -196,6 +196,26 @@ class SimilaritySpec extends SparkTestBase {
     hits.toDouble / base.length should be >= 0.9
   }
 
+  test("persisted IVF-PQ index round-trips: disk search equals the in-memory path row for row") {
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val queries = emb.filter($"vec_id" < 8)
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", root,
+      dim = 64, numCells = 16, m = 8, ksub = 16)
+    val idx = Similarity.readIvfPqIndex(spark, root)
+    idx.dim shouldBe 64
+    idx.centroids.length shouldBe 16 * 64
+    idx.codebooks.length shouldBe 8 * 16 * 8
+    idx.coded.count() shouldBe emb.count() // one coded row per vector
+
+    val viaDisk = Similarity.searchIvfPqIndex(idx, emb, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val direct = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, dim = 64, numCells = 16, nprobe = 4, m = 8, ksub = 16)
+    viaDisk.count() shouldBe direct.count()
+    viaDisk.except(direct).count() shouldBe 0
+    direct.except(viaDisk).count() shouldBe 0
+  }
+
   test("prebuilt centroids/codebooks skip the training scans (train once, reuse)") {
     val scans = spark.sparkContext.longAccumulator("corpus-row-scans")
     val bump  = udf { (_: Long) => scans.add(1L); true }
