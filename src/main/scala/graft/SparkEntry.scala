@@ -1226,6 +1226,32 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // WARC ingestion (ISO 28500 — the Common Crawl interchange format):
+    // deterministic synthetic archives (one plain, one .warc.gz with the
+    // same records) parse to identical response rows; URI, length, and the
+    // HTTP-stripped body md5 are all rebuilt arithmetically by the oracle.
+    "q_warc_ingest" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warc")
+      java.nio.file.Files.createDirectories(tmp)
+      java.nio.file.Files.write(tmp.resolve("sample.warc"),
+        WarcSource.syntheticWarc(40))
+      java.nio.file.Files.write(tmp.resolve("sample.warc.gz"),
+        WarcSource.syntheticWarc(40, gzip = true))
+      val recs = WarcSource.read(s, tmp.toString)
+      val pstr = col("payload").cast("string")
+      val bodyAt = instr(pstr, "\r\n\r\n")
+      recs.filter(col("warc_type") === "response")
+        .select(
+          when(col("file").endsWith(".gz"), "gz").otherwise("plain").alias("kind"),
+          col("seq").cast("long").alias("seq"),
+          col("target_uri"),
+          col("content_length"),
+          md5(pstr.substr(bodyAt + lit(4), length(pstr))).alias("body_md5"))
+        .orderBy("kind", "seq")
+    }),
+
     // ================= north-star: text analysis ========================
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3173,6 +3199,19 @@ object SparkEntry {
     "q_ann_ivfpq_indexed" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q_warc_ingest" ->
+      """WITH g AS (SELECT UNNEST(generate_series(1, 40)) AS i),
+        |b AS (SELECT i, '<html><body>doc ' || i || ' ' ||
+        |    repeat('x', CAST(i * 3 AS INTEGER)) || '</body></html>' AS body
+        |  FROM g),
+        |one AS (SELECT CAST(i AS BIGINT) AS seq,
+        |    'https://example.com/page' || i AS target_uri,
+        |    CAST(44 + length(body) AS BIGINT) AS content_length,
+        |    md5(body) AS body_md5 FROM b)
+        |SELECT k.kind, o.seq, o.target_uri, o.content_length, o.body_md5
+        |FROM one o CROSS JOIN (VALUES ('gz'), ('plain')) k(kind)
+        |ORDER BY kind, seq""".stripMargin,
 
     "q_mix_sources" ->
       """SELECT source, CAST(1 AS BOOLEAN) AS no_upsample,

@@ -1,0 +1,58 @@
+package graft
+
+import graft.sources.WarcSource
+import org.apache.spark.sql.functions._
+
+class WarcSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parses multi-record WARC: types, URIs, lengths, binary-safe payload jump") {
+    val recs = WarcSource.parse("f", WarcSource.syntheticWarc(5)).toSeq
+    recs.map(_.warc_type) shouldBe Seq("warcinfo") ++ Seq.fill(5)("response")
+    recs(1).target_uri shouldBe "https://example.com/page1"
+    recs(1).record_id shouldBe "<urn:uuid:rec-00001>"
+    recs.foreach(r => r.payload.length.toLong shouldBe r.content_length)
+    // payload jump is Content-Length-driven: a payload CONTAINING a WARC
+    // version line and bare CRLFCRLF must not desync the walk
+    val evil = "WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 26\r\n\r\n" +
+      "xx\r\n\r\nWARC/1.0 fake header" + "\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    val out = WarcSource.parse("f", evil.getBytes("US-ASCII")).toSeq
+    out.map(_.warc_type) shouldBe Seq("resource", "resource")
+    new String(out(1).payload, "US-ASCII") shouldBe "ok"
+  }
+
+  test("gzip archives inflate transparently and equal the plain parse") {
+    val plain = WarcSource.parse("f", WarcSource.syntheticWarc(7)).toSeq
+    val gz = WarcSource.parse("f", WarcSource.syntheticWarc(7, gzip = true)).toSeq
+    gz.map(r => (r.seq, r.warc_type, r.target_uri, r.content_length)) shouldBe
+      plain.map(r => (r.seq, r.warc_type, r.target_uri, r.content_length))
+    gz.zip(plain).foreach { case (a, b) => a.payload shouldBe b.payload }
+  }
+
+  test("malformed tails surface as a __parse_error marker, not a silent short read") {
+    val good = WarcSource.syntheticWarc(3)
+    val truncated = good.take(good.length - 30) // cut inside the last payload
+    val out = WarcSource.parse("f", truncated).toSeq
+    out.count(_.warc_type == "response") shouldBe 2
+    out.last.warc_type shouldBe "__parse_error"
+    // non-WARC junk is one marker record
+    WarcSource.parse("f", "not a warc at all".getBytes)
+      .toSeq.map(_.warc_type) shouldBe Seq("__parse_error")
+  }
+
+  test("distributed read over a directory, httpBody strips the HTTP envelope") {
+    val tmp = java.nio.file.Files.createTempDirectory("warc_spec")
+    java.nio.file.Files.write(tmp.resolve("a.warc"), WarcSource.syntheticWarc(4))
+    java.nio.file.Files.write(tmp.resolve("b.warc.gz"),
+      WarcSource.syntheticWarc(4, gzip = true))
+    val df = WarcSource.read(spark, tmp.toString)
+    df.count() shouldBe 10 // (1 warcinfo + 4 responses) x 2 files
+    val bodies = df.filter($"warc_type" === "response" && !$"file".endsWith(".gz"))
+      .orderBy("seq")
+      .as[WarcSource.WarcRecord].collect()
+      .map(r => new String(WarcSource.httpBody(r.payload), "US-ASCII"))
+    bodies.head shouldBe "<html><body>doc 1 xxx</body></html>"
+    bodies.foreach(b => b should startWith("<html>"))
+  }
+}
