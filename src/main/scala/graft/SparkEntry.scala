@@ -1252,6 +1252,29 @@ object SparkEntry {
         .orderBy("kind", "seq")
     }),
 
+    // Composed web ingest: WARC archive → HTTP body → HTML clean → tokens —
+    // the raw-crawl-to-corpus head of a pretraining pipeline, end to end
+    // through the engine's own kernels; every cleaned text and token count
+    // replayed arithmetically by the oracle.
+    "q_warc_corpus" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warc_corpus")
+      java.nio.file.Files.createDirectories(tmp)
+      java.nio.file.Files.write(tmp.resolve("crawl.warc.gz"),
+        WarcSource.syntheticWarc(40, gzip = true))
+      val recs = WarcSource.read(s, tmp.toString)
+      val pstr = col("payload").cast("string")
+      val body = pstr.substr(instr(pstr, "\r\n\r\n") + lit(4), length(pstr))
+      val docs = recs.filter(col("warc_type") === "response")
+        .select(col("seq").cast("long").alias("doc_id"), body.alias("text"))
+      graft.operators.TextCleaning.clean(docs)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text_clean")).cast("long").alias("n_tokens"),
+          md5(col("text_clean")).alias("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ================= north-star: text analysis ========================
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3199,6 +3222,25 @@ object SparkEntry {
     "q_ann_ivfpq_indexed" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q_warc_corpus" ->
+      """WITH g AS (SELECT UNNEST(generate_series(1, 40)) AS i),
+        |b AS (SELECT i, '<html><body>doc ' || i || ' ' ||
+        |    repeat('x', CAST(i * 3 AS INTEGER)) || '</body></html>' AS text
+        |  FROM g),
+        |c AS (SELECT i, trim(regexp_replace(
+        |    regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |        '&nbsp;', ' '), '&amp;', '&'),
+        |      'https?://[^\s\x0b<>"'']+', ' ', 'g'),
+        |    '[ \t]+', ' ', 'g')) AS cleaned FROM b)
+        |SELECT CAST(i AS BIGINT) AS doc_id,
+        |  CAST(LEN(string_split_regex(LOWER(TRIM(cleaned)), '[\s\x0b]+')) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(cleaned) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_warc_ingest" ->
       """WITH g AS (SELECT UNNEST(generate_series(1, 40)) AS i),
