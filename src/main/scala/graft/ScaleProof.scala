@@ -31,11 +31,12 @@ object ScaleProof {
 
   private val stride = 10_000_000L
 
-  /** The heaviest registry queries (r6 bench ranking) — the scale gate. */
+  /** The heaviest registry queries (bench ranking) — the scale gate. */
   private val heavy = Seq(
     "q_dedup_minhash", "q_corpus_funnel", "q_quality_classifier",
     "q_embedding_spread", "q_join_asof", "q_tpch_q1", "q_tpch_q3",
-    "q_tpch_q5", "q_tpch_q6", "q_tpch_q10")
+    "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
+    "q_corpus_export", "q_split_leakage_safe", "q_ann_ivfpq_indexed")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

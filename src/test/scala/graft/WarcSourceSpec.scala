@@ -41,6 +41,38 @@ class WarcSourceSpec extends SparkTestBase {
       .toSeq.map(_.warc_type) shouldBe Seq("__parse_error")
   }
 
+  test("property: arbitrary binary payloads (CRLFs, fake headers, high bytes) round-trip") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def build(payloads: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      payloads.zipWithIndex.foreach { case (p, i) =>
+        out.write(("WARC/1.0\r\nWARC-Type: resource\r\n" +
+          s"WARC-Record-ID: <urn:uuid:r$i>\r\n" +
+          s"Content-Length: ${p.length}\r\n\r\n").getBytes(ascii))
+        out.write(p)
+        out.write("\r\n\r\n".getBytes(ascii))
+      }
+      out.toByteArray
+    }
+    // payloads biased toward parser-confusing content: CRLFCRLF runs and
+    // embedded WARC version lines, plus arbitrary (incl. high/zero) bytes
+    val evilChunk = Gen.oneOf(
+      Gen.const("\r\n\r\n".getBytes(ascii)),
+      Gen.const("WARC/1.0\r\nContent-Length: 99\r\n\r\n".getBytes(ascii)),
+      Gen.containerOf[Array, Byte](Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))
+    val payloadGen = Gen.chooseNum(0, 4)
+      .flatMap(n => Gen.listOfN(n, evilChunk).map(_.flatten.toArray))
+    val prop = Prop.forAll(Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, payloadGen))) { ps =>
+      val recs = WarcSource.parse("f", build(ps)).toSeq
+      recs.length == ps.length &&
+        recs.forall(_.warc_type == "resource") &&
+        recs.map(_.payload.toSeq) == ps.map(_.toSeq)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    withClue(res.status.toString)(res.passed shouldBe true)
+  }
+
   test("distributed read over a directory, httpBody strips the HTTP envelope") {
     val tmp = java.nio.file.Files.createTempDirectory("warc_spec")
     java.nio.file.Files.write(tmp.resolve("a.warc"), WarcSource.syntheticWarc(4))
