@@ -401,6 +401,22 @@ object Dedup {
       spark.read.parquet(s"$path/bands")
         .select(col("id"), col("__band"), col("__bucket")))
 
+  /** Newest persisted index version under `root` STRICTLY BELOW `below`
+    * (directories named `v<digits>`) — the replay-safe lookup shared by the
+    * streaming ingest and the scheduler DAG: a retried delivery must read
+    * the index state before itself, never its own partial output.
+    */
+  def latestNearDupIndexVersion(spark: org.apache.spark.sql.SparkSession,
+      root: String, below: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+        s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+      .filter(_ < below).maxOption
+  }
+
   /** Connected components over a near-dup pair graph (`id_a`, `id_b`) by
     * iterative min-label propagation: every node converges to the smallest
     * id reachable from it. O(diameter) rounds — near-dup clusters are

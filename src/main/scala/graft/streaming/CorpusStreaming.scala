@@ -106,14 +106,7 @@ object CorpusStreaming {
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(indexRoot)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prev =
-          if (!fs.exists(root)) None
-          else fs.listStatus(root).iterator.map(_.getPath.getName)
-            .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
-              s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
-            .filter(_ < batchId).maxOption
+        val prev = Dedup.latestNearDupIndexVersion(spark, indexRoot, batchId)
         val (sigs, idxBands) = prev match {
           case Some(v) =>
             val idx = Dedup.readNearDupIndex(spark, s"$indexRoot/v$v")

@@ -1,0 +1,77 @@
+package graft
+
+import graft.orchestration.CorpusDag
+import org.apache.spark.sql.functions._
+
+class CorpusDagSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeDelivery(dir: String, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+
+  test("two daily deliveries: stages hand off through the lake, twins of day-1 docs rejected on day 2") {
+    val root = java.nio.file.Files.createTempDirectory("corpus_dag").toString
+    val base  = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 160).map(i => s"w$i").mkString(" ")
+
+    // day 1: a doc, an exact twin of it (exact stage kills), a distinct doc
+    writeDelivery(s"$root/in/d1", Seq(
+      (10L, base), (11L, base), (20L, other)))
+    val c1 = CorpusDag.StageConf("2026-08-13", s"$root/in/d1", s"$root/lake")
+    CorpusDag.stageChain.foreach(CorpusDag.runStage(spark, _, c1))
+
+    spark.read.parquet(c1.exactDir).select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(10L, 20L) // exact twin 11 collapsed to min id
+    spark.read.parquet(c1.acceptedDir).select($"doc_id").as[Long].collect().sorted shouldBe
+      Array(10L, 20L) // nothing indexed yet
+    val r1 = spark.read.parquet(c1.reportDir).head()
+    (r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) shouldBe ((3L, 3L, 2L, 2L))
+
+    // day 2: a paraphrase of day-1 doc 10 (near-dup vs the PERSISTED index)
+    // and a genuinely new doc
+    writeDelivery(s"$root/in/d2", Seq(
+      (30L, base + " appended tail"),
+      (40L, (200 until 260).map(i => s"v$i").mkString(" "))))
+    val c2 = CorpusDag.StageConf("2026-08-14", s"$root/in/d2", s"$root/lake")
+    CorpusDag.stageChain.foreach(CorpusDag.runStage(spark, _, c2))
+
+    spark.read.parquet(c2.acceptedDir).select($"doc_id").as[Long].collect() shouldBe
+      Array(40L) // cross-delivery twin rejected via the index, no day-1 rescan
+    // the published index is versioned per delivery and bounded
+    graft.operators.Dedup.readNearDupIndex(spark, s"$root/lake/neardup_index/v20260814")
+      .sigs.count() shouldBe 3L // 10, 20, 40
+
+    // retrying a mid-chain stage converges (idempotent overwrite +
+    // strictly-below index read)
+    CorpusDag.runStage(spark, "near_dedup", c2)
+    spark.read.parquet(c2.acceptedDir).select($"doc_id").as[Long].collect() shouldBe
+      Array(40L)
+    CorpusDag.runStage(spark, "funnel_report", c2)
+    val r2 = spark.read.parquet(c2.reportDir).head()
+    (r2.getLong(1), r2.getLong(4)) shouldBe ((2L, 1L))
+
+    // JSONL corpus leg round-trips with the contract schema
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    graft.sinks.CorpusJsonl.read(spark, c2.corpusDir, schema)
+      .select($"doc_id").as[Long].collect() shouldBe Array(40L)
+  }
+
+  test("unknown stage fails loudly; checked-in Airflow DAG artifact is byte-identical to the generator") {
+    an[IllegalArgumentException] should be thrownBy
+      CorpusDag.runStage(spark, "no_such_stage",
+        CorpusDag.StageConf("2026-01-01", "/tmp/x", "/tmp/y"))
+
+    val checkedIn = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("orchestration/corpus_pipeline_dag.py")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    checkedIn shouldBe CorpusDag.renderAirflowDag()
+    // the artifact wires every stage in chain order with the retry policy
+    CorpusDag.stageChain.foreach(s => checkedIn should include(s"""task_id="$s""""))
+    checkedIn should include(CorpusDag.stageChain.mkString(" >> "))
+    checkedIn should include(s""""retries": ${CorpusDag.retries},""")
+  }
+}
