@@ -712,7 +712,7 @@ object Dedup {
         Literal(expectedItems), Literal(numBits))
       index
         .select(GraftSqlBridge.column(buildAgg.toAggregateExpression()).alias("bf"))
-        .head.getAs[Array[Byte]](0)
+        .head().getAs[Array[Byte]](0)
     } finally {
       def restore(k: String, v: Option[String]): Unit =
         v.fold(spark.conf.unset(k))(spark.conf.set(k, _))

@@ -41,7 +41,7 @@ object HeavyHitters {
     val mg = udaf(new MisraGries(k0))
     val first = df
       .agg(mg(col(keyCol)).alias("__cand"), count(col(keyCol)).alias("__n"))
-      .head
+      .head()
     val n = first.getAs[Long]("__n")
     val candidates = first.getAs[Map[String, Long]]("__cand").keys.toSeq
     if (n == 0L || candidates.isEmpty)
