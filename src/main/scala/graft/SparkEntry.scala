@@ -1466,6 +1466,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking over binary payloads: exact logical-byte
+    // accounting (SQL-checkable), exact per-payload coverage, and the CDC
+    // dedup guarantee — planted identical payloads share ALL their chunks,
+    // so physical bytes save at least the planted volume.
+    "q_cdc_chunks" -> ((s, dir) => {
+      import graft.operators.{CdcChunking, Multimodal}
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L))
+      implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+      val media = planted.select(col("doc_id").alias("media_id"),
+          lit("blob").alias("kind"), col("doc_id").cast("string").alias("uri"),
+          encode(col("text"), "UTF-8").alias("payload"))
+        .as[Multimodal.MediaRow]
+      val chunks = CdcChunking.chunks(media).persist()
+      try {
+        val st = CdcChunking.dedupStats(chunks).head()
+        val (logical, physical, ratio) =
+          (st.getLong(1), st.getLong(2), st.getDouble(3))
+        val coverBad = chunks.groupBy(col("media_id"))
+          .agg(sum(col("length")).alias("b"))
+          .join(media.toDF().select(col("media_id"),
+            length(col("payload")).cast("long").alias("pb")), Seq("media_id"))
+          .filter(col("b") =!= col("pb")).count()
+        val plantedBytes = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .agg(coalesce(sum(length(encode(col("text"), "UTF-8")).cast("long")),
+            lit(0L))).head().getLong(0)
+        val nDocs = planted.count()
+        import s.implicits._
+        Seq((nDocs, logical, coverBad == 0L,
+            physical <= logical - plantedBytes, ratio > 0.0 && ratio <= 1.0))
+          .toDF("n_docs", "logical_bytes", "cover_exact", "twin_chunks_dedup",
+            "ratio_bounded")
+      } finally chunks.unpersist()
+    }),
+
     // Leakage-safe split: planted near-identical copies (same text, new id)
     // must land in the SAME split as their originals — the cluster-level
     // assignment invariant; plain hash-by-id splits would scatter ~20 % of
@@ -2409,6 +2446,19 @@ object SparkEntry {
         |FROM s JOIN w ON s.fp IS NOT DISTINCT FROM w.fp
         |  AND s.score * 10000000 - s.doc_id = w.ord
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q_cdc_chunks" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COALESCE(SUM(OCTET_LENGTH(encode(text))), 0) AS BIGINT)
+        |    AS logical_bytes,
+        |  CAST(1 AS BOOLEAN) AS cover_exact,
+        |  CAST(1 AS BOOLEAN) AS twin_chunks_dedup,
+        |  CAST(1 AS BOOLEAN) AS ratio_bounded
+        |FROM planted""".stripMargin,
 
     "q_split_leakage_safe" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
