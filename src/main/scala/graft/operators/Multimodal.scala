@@ -103,20 +103,27 @@ object Multimodal {
       else {
         val bb = java.nio.ByteBuffer.wrap(payload)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        var off = 12
+        var off = 12L
         var rate = 0; var ch = 0; var blockAlign = 0; var dataLen = -1L
-        while (off + 8 <= payload.length) {
-          val id = tag(off)
-          val sz = bb.getInt(off + 4) & 0xffffffffL
+        var ok = true
+        while (ok && off + 8 <= payload.length) {
+          val at = off.toInt
+          val id = tag(at)
+          val sz = bb.getInt(at + 4) & 0xffffffffL
           if (id == "fmt " && off + 24 <= payload.length) {
-            ch = bb.getShort(off + 10) & 0xffff
-            rate = bb.getInt(off + 12)
-            blockAlign = bb.getShort(off + 20) & 0xffff
+            ch = bb.getShort(at + 10) & 0xffff
+            rate = bb.getInt(at + 12)
+            blockAlign = bb.getShort(at + 20) & 0xffff
           } else if (id == "data") {
             // tolerate a truncated final chunk: duration from bytes present
             dataLen = math.max(0L, math.min(sz, payload.length - off - 8L))
           }
-          off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+          // Advance in Long: a u32 chunk size near 0xFFFFFFFF would make a
+          // signed-Int advance zero or negative (infinite loop on adversarial
+          // input). Word-aligned per the RIFF spec; stop at the first chunk
+          // whose declared size runs past the buffer.
+          off += 8L + sz + (sz & 1L)
+          if (sz > payload.length - 8L || off > payload.length) ok = false
         }
         if (rate > 0 && ch > 0 && blockAlign > 0 && dataLen >= 0)
           Some((rate, ch, dataLen / blockAlign * 1000L / rate))
