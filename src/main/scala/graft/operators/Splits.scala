@@ -94,10 +94,19 @@ object Splits {
     val sorted = df.withColumn("__shuffle_key", key).orderBy(col("__shuffle_key"))
     val outSchema = org.apache.spark.sql.types.StructType(
       df.schema.fields :+ org.apache.spark.sql.types.StructField("pos", LongType, nullable = false))
-    val keyIdx = sorted.schema.fieldIndex("__shuffle_key")
+    // __shuffle_key was appended by withColumn, so it is always the LAST
+    // field: dropping it is a bounded array copy, not a per-column
+    // tuple-allocating collect (this map runs once per row of the corpus —
+    // allocation here is measurable GC pressure at bench scale).
+    val width = df.schema.length
+    require(sorted.schema.fieldIndex("__shuffle_key") == width,
+      "internal: shuffle key must be the appended last column")
     val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      val vals = r.toSeq.zipWithIndex.collect { case (v, j) if j != keyIdx => v }
-      Row.fromSeq(vals :+ i)
+      val arr = new Array[Any](width + 1)
+      var j = 0
+      while (j < width) { arr(j) = r(j); j += 1 }
+      arr(width) = i
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
     }
     df.sparkSession.createDataFrame(indexed, outSchema)
   }
