@@ -73,6 +73,68 @@ class WarcSourceSpec extends SparkTestBase {
     withClue(res.status.toString)(res.passed shouldBe true)
   }
 
+  test("multi-hundred-MB gzip archive streams record-by-record (no whole-file buffer)") {
+    // 1500 records x 150 KB incompressible payload ≈ 225 MB inflated — far
+    // above any per-record allocation, written to disk STREAMING (the test
+    // heap never holds the archive either). The old binaryFile+gunzipAll
+    // path materialized all of it per task; the streaming walk holds one
+    // record at a time, so peak live payload is ~150 KB.
+    val tmp = java.nio.file.Files.createTempDirectory("warc_big")
+    val f = tmp.resolve("big.warc.gz")
+    val os = java.nio.file.Files.newOutputStream(f)
+    try WarcSource.writeSyntheticWarc(os, n = 1500, gzip = true,
+      payloadBytes = 150 * 1024)
+    finally os.close()
+    val df = WarcSource.read(spark, f.toString)
+    val stats = df.groupBy("warc_type").count().as[(String, Long)]
+      .collect().toMap
+    stats("response") shouldBe 1500L
+    stats("warcinfo") shouldBe 1L
+    stats.keySet should not contain "__parse_error"
+    // spot-check payload integrity at both ends of the archive: the
+    // xorshift filler is reproducible, so byte-level corruption or a
+    // desynced walk cannot hide behind counts
+    def expected(i: Int): Array[Byte] = {
+      val arr = new Array[Byte](150 * 1024)
+      var x = i * 2654435761L + 1
+      var j = 0
+      while (j < arr.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; arr(j) = x.toByte; j += 1
+      }
+      arr
+    }
+    val picked = df.filter($"seq".isin(1, 1500))
+      .as[WarcSource.WarcRecord].collect().sortBy(_.seq)
+    picked.map(_.seq) shouldBe Array(1, 1500)
+    WarcSource.httpBody(picked(0).payload) shouldBe expected(1)
+    WarcSource.httpBody(picked(1).payload) shouldBe expected(1500)
+  }
+
+  test("oversize records are skipped in-stream with a visible marker, walk continues") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(len: Int, tag: String): Unit = {
+      out.write(("WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"WARC-Record-ID: <urn:uuid:$tag>\r\n" +
+        s"Content-Length: $len\r\n\r\n").getBytes(ascii))
+      out.write(Array.fill[Byte](len)('z'))
+      out.write("\r\n\r\n".getBytes(ascii))
+    }
+    rec(10, "small-a"); rec(5000, "huge"); rec(7, "small-b")
+    val recs = WarcSource.parseStream("f",
+      new java.io.ByteArrayInputStream(out.toByteArray),
+      maxRecordBytes = 1000L).toSeq
+    recs.map(_.warc_type) shouldBe Seq("resource", "__oversize", "resource")
+    recs(1).content_length shouldBe 5000L
+    recs(1).payload shouldBe empty
+    recs(2).record_id shouldBe "<urn:uuid:small-b>" // walk resynced after skip
+    // oversize record truncated by EOF mid-skip → parse_error, not a hang
+    val cut = out.toByteArray.take(out.size - 2000)
+    val recs2 = WarcSource.parseStream("f",
+      new java.io.ByteArrayInputStream(cut), maxRecordBytes = 1000L).toSeq
+    recs2.map(_.warc_type) shouldBe Seq("resource", "__parse_error")
+  }
+
   test("distributed read over a directory, httpBody strips the HTTP envelope") {
     val tmp = java.nio.file.Files.createTempDirectory("warc_spec")
     java.nio.file.Files.write(tmp.resolve("a.warc"), WarcSource.syntheticWarc(4))
