@@ -37,6 +37,11 @@ object CorpusDag {
       minEstJaccard: Double = 0.6,
       jsonlShards: Int = 4
   ) {
+    // batchVersion ORDERS the replay-safe index lookup — a malformed ds
+    // that happens to parse would silently read the wrong index version,
+    // so a bad scheduler template must fail at conf construction, loudly.
+    require(ds.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"ds must be a yyyy-MM-dd date, got '$ds'")
     /** ds → monotone numeric version (2026-08-13 → 20260813): the near-dup
       * index version this delivery publishes; replays read strictly below.
       */
@@ -56,6 +61,7 @@ object CorpusDag {
     "filter_quality_language",
     "exact_dedup",
     "near_dedup",
+    "compact_index",
     "segment_dedup",
     "export_jsonl",
     "funnel_report"
@@ -106,6 +112,21 @@ object CorpusDag {
       r.accepted.write.mode("overwrite").parquet(conf.acceptedDir)
       Dedup.persistNearDupIndex(r.updatedIndex,
         s"${conf.indexRoot}/v${conf.batchVersion}")
+
+    case "compact_index" =>
+      // Bound the published index version's file count: near_dedup's write
+      // carries whatever partitioning the union lineage had, so a year of
+      // daily deliveries would otherwise grow each version's fileset with
+      // the batch partition count. Sized from actual bytes; bands are
+      // range-clustered on (__band, __bucket) so every subsequent
+      // delivery's probe join scans min/max-prunable files. Stage-and-swap
+      // publish inside [[graft.sinks.Compaction]] keeps the version readable
+      // (old or new fileset, never a mix) — probe results are byte-identical
+      // before/after, pinned by CorpusDagSpec.
+      val vdir = s"${conf.indexRoot}/v${conf.batchVersion}"
+      graft.sinks.Compaction.compact(spark, s"$vdir/sigs")
+      graft.sinks.Compaction.compact(spark, s"$vdir/bands",
+        sortCols = Seq("__band", "__bucket"))
 
     case "segment_dedup" =>
       // paragraph-granularity rewrite, envelope columns preserved

@@ -60,6 +60,59 @@ class CorpusDagSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect() shouldBe Array(40L)
   }
 
+  test("compact_index bounds the band-table fileset; probe results byte-identical before/after") {
+    val root = java.nio.file.Files.createTempDirectory("corpus_dag_compact").toString
+    def parquetFiles(dir: String): Seq[String] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSeq
+    }
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    // delivery 1: full chain (compaction included in stageChain)
+    writeDelivery(s"$root/in/d1", Seq((10L, base),
+      (20L, (100 until 160).map(i => s"w$i").mkString(" "))))
+    val c1 = CorpusDag.StageConf("2026-08-13", s"$root/in/d1", s"$root/lake")
+    CorpusDag.stageChain.foreach(CorpusDag.runStage(spark, _, c1))
+    parquetFiles(s"${c1.indexRoot}/v${c1.batchVersion}/bands").size shouldBe 1
+
+    // delivery 2 up to near_dedup: snapshot the published (uncompacted)
+    // index, then compact and require identical content in fewer files
+    writeDelivery(s"$root/in/d2", Seq(
+      (30L, (200 until 260).map(i => s"v$i").mkString(" "))))
+    val c2 = CorpusDag.StageConf("2026-08-14", s"$root/in/d2", s"$root/lake")
+    Seq("annotate", "filter_quality_language", "exact_dedup", "near_dedup")
+      .foreach(CorpusDag.runStage(spark, _, c2))
+    val vdir = s"${c2.indexRoot}/v${c2.batchVersion}"
+    def snapshot(): (Seq[(Long, Seq[Int])], Seq[(Long, Int, Int)]) = {
+      val idx = graft.operators.Dedup.readNearDupIndex(spark, vdir)
+      (idx.sigs.as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1),
+        idx.bands.as[(Long, Int, Int)].collect().toSeq.sortBy(t => (t._1, t._2)))
+    }
+    val before = snapshot()
+    val filesBefore = parquetFiles(s"$vdir/bands").size
+    CorpusDag.runStage(spark, "compact_index", c2)
+    val filesAfter = parquetFiles(s"$vdir/bands").size
+    filesAfter shouldBe 1
+    filesAfter should be <= filesBefore
+    snapshot() shouldBe before // byte-identical probe state
+
+    // delivery 3 probes THROUGH the compacted index: a twin of delivery-1
+    // content is still rejected
+    writeDelivery(s"$root/in/d3", Seq((50L, base + " tail tail")))
+    val c3 = CorpusDag.StageConf("2026-08-15", s"$root/in/d3", s"$root/lake")
+    CorpusDag.stageChain.take(4).foreach(CorpusDag.runStage(spark, _, c3))
+    spark.read.parquet(c3.acceptedDir).count() shouldBe 0L
+  }
+
+  test("StageConf rejects a ds that is not a strict yyyy-MM-dd date") {
+    an[IllegalArgumentException] should be thrownBy
+      CorpusDag.StageConf("20260813", "/tmp/x", "/tmp/y")
+    an[IllegalArgumentException] should be thrownBy
+      CorpusDag.StageConf("2026-08-13T00:00", "/tmp/x", "/tmp/y")
+    an[IllegalArgumentException] should be thrownBy
+      CorpusDag.StageConf("not-a-date", "/tmp/x", "/tmp/y")
+  }
+
   test("unknown stage fails loudly; checked-in Airflow DAG artifact is byte-identical to the generator") {
     an[IllegalArgumentException] should be thrownBy
       CorpusDag.runStage(spark, "no_such_stage",
