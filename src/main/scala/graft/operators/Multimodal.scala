@@ -191,12 +191,130 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** WebM/Matroska (EBML) metadata parse — REAL header decode at
+    * [[wavDecode]] rigor, no codec dependency: verify the EBML magic
+    * (0x1A45DFA3), walk top-level elements to `Segment` (0x18538067), read
+    * `Info` (0x1549A966) for TimestampScale (0x2AD7B1, ns/tick, default
+    * 1e6) and Duration (0x4489, float ticks) → duration_ms, and
+    * `Tracks→TrackEntry→Video` (0x1654AE6B→0xAE→0xE0) for
+    * PixelWidth/PixelHeight (0xB0/0xBA). Layout per the public EBML RFC
+    * 8794 + Matroska spec: every element is (VINT id, VINT size, body);
+    * an all-ones size VINT means "unknown" and is treated as
+    * to-end-of-parent (the streaming convention). All offset arithmetic in
+    * Long with bail-outs — adversarial sizes terminate, never spin.
+    */
+  private[graft] def webmDecode(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      // (value, bytesUsed); keepMarker = true for ids, false for sizes.
+      // unknown-size sentinel → -1
+      def vint(at: Long, keepMarker: Boolean): Option[(Long, Int)] = {
+        if (at < 0 || at >= payload.length) return None
+        val first = payload(at.toInt) & 0xff
+        if (first == 0) return None // VINT_WIDTH > 8: invalid/oversized
+        val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+        if (at + len > payload.length) return None
+        var v = if (keepMarker) first.toLong
+                else first.toLong & ((1 << (8 - len)) - 1)
+        var i = 1
+        while (i < len) { v = (v << 8) | (payload((at + i).toInt) & 0xff); i += 1 }
+        val allOnes = !keepMarker &&
+          v == (1L << (7 * len)) - 1 // size VINT of all value bits set
+        Some((if (allOnes) -1L else v, len))
+      }
+      // children of [start, end) as (id, bodyStart, bodyEnd)
+      def children(start: Long, end: Long): Iterator[(Long, Long, Long)] =
+        new Iterator[(Long, Long, Long)] {
+          private var off = start
+          private var nxt: (Long, Long, Long) = _
+          private def fetch(): Unit = {
+            nxt = null
+            if (off >= end) return
+            for {
+              (id, idLen) <- vint(off, keepMarker = true)
+              (sz, szLen) <- vint(off + idLen, keepMarker = false)
+            } {
+              val bodyStart = off + idLen + szLen
+              val bodyEnd = if (sz < 0) end else bodyStart + sz
+              if (bodyStart <= end && bodyEnd <= end && bodyEnd >= bodyStart) {
+                nxt = (id, bodyStart, bodyEnd)
+                off = bodyEnd
+              }
+            }
+            if (nxt == null) off = end // malformed child: stop the walk
+          }
+          fetch()
+          def hasNext: Boolean = nxt != null
+          def next(): (Long, Long, Long) = { val r = nxt; fetch(); r }
+        }
+      def find(start: Long, end: Long, id: Long): Option[(Long, Long)] =
+        children(start, end).collectFirst { case (`id`, s, e) => (s, e) }
+      def uint(start: Long, end: Long): Long = {
+        var v = 0L; var i = start
+        while (i < end && i - start < 8) { v = (v << 8) | (payload(i.toInt) & 0xff); i += 1 }
+        v
+      }
+      def float(start: Long, end: Long): Double = (end - start) match {
+        case 4 => java.lang.Float.intBitsToFloat(uint(start, end).toInt).toDouble
+        case 8 => java.lang.Double.longBitsToDouble(uint(start, end))
+        case _ => 0.0
+      }
+      val n = payload.length.toLong
+      for {
+        _ <- Some(()) if n >= 4 &&
+          (uint(0, 4) & 0xffffffffL) == 0x1A45DFA3L // EBML magic
+        (segS, segE) <- find(0, n, 0x18538067L)     // Segment
+        (infoS, infoE) <- find(segS, segE, 0x1549A966L) // Segment→Info
+      } yield {
+        val tsScale = find(infoS, infoE, 0x2AD7B1L)
+          .map { case (s, e) => uint(s, e) }.filter(_ > 0).getOrElse(1000000L)
+        val durTicks = find(infoS, infoE, 0x4489L)
+          .map { case (s, e) => float(s, e) }.getOrElse(0.0)
+        val durMs = math.round(durTicks * tsScale / 1e6)
+        val dims = (for {
+          (trkS, trkE) <- find(segS, segE, 0x1654AE6BL).iterator // Tracks
+          (entS, entE) <- children(trkS, trkE).collect { case (0xAEL, s, e) => (s, e) }
+          (vidS, vidE) <- find(entS, entE, 0xE0L).iterator        // Video
+        } yield (find(vidS, vidE, 0xB0L).map { case (s, e) => uint(s, e).toInt }.getOrElse(0),
+                 find(vidS, vidE, 0xBAL).map { case (s, e) => uint(s, e).toInt }.getOrElse(0)))
+          .collectFirst { case (w, h) if w > 0 && h > 0 => (w, h) }
+          .getOrElse((0, 0))
+        (dims._1, dims._2, durMs)
+      }
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic WebM — contract/test fixture for
+    * [[webmDecode]]: fixed-width EBML encodings (1-byte size VINTs, 2-byte
+    * pixel uints, 4-byte TimestampScale, 8-byte float Duration) make every
+    * fixture EXACTLY 58 bytes, so byte_len is oracle-checkable arithmetic
+    * alongside the (width, height, duration) round trip. TimestampScale is
+    * written as 1e6 ns (millisecond ticks), so duration_ms == durMs.
+    */
+  private[graft] def syntheticWebm(width: Int, height: Int, durMs: Long): Array[Byte] = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff)
+    val bb = java.nio.ByteBuffer.allocate(58) // big-endian (EBML byte order)
+    def size1(n: Int): Byte = (0x80 | n).toByte
+    bb.putInt(0x1A45DFA3).put(size1(7))                  // EBML header
+      .putShort(0x4282.toShort).put(size1(4)).put("webm".getBytes("US-ASCII"))
+    bb.putInt(0x18538067).put(size1(41))                 // Segment
+    bb.putInt(0x1549A966).put(size1(19))                 // ..Info
+      .put(Array[Byte](0x2A, 0xD7.toByte, 0xB1.toByte)).put(size1(4))
+      .putInt(1000000)                                   // ....TimestampScale
+      .putShort(0x4489.toShort).put(size1(8))
+      .putDouble(durMs.toDouble)                         // ....Duration (ticks)
+    bb.putInt(0x1654AE6B).put(size1(12))                 // ..Tracks
+      .put(0xAE.toByte).put(size1(10))                   // ....TrackEntry
+      .put(0xE0.toByte).put(size1(8))                    // ......Video
+      .put(0xB0.toByte).put(size1(2)).putShort(width.toShort)
+      .put(0xBA.toByte).put(size1(2)).putShort(height.toShort)
+    bb.array()
+  }
+
   /** Decode kernel: REAL for images (javax.imageio: PNG/JPEG/GIF/BMP),
-    * audio (javax.sound.sampled: WAV/AIFF/AU), and MP4/MOV container
-    * metadata (ISO-BMFF box parse — duration and track dimensions without
-    * any codec); deterministic STUB for other video bytes and unrecognized
-    * payloads (no codecs ship in this container — swapping a real one in
-    * changes nothing structural).
+    * audio (javax.sound.sampled: WAV/AIFF/AU), and MP4/MOV + WebM/Matroska
+    * container metadata (ISO-BMFF box parse / EBML walk — duration and
+    * track dimensions without any codec); deterministic STUB for other
+    * video bytes and unrecognized payloads (no codecs ship in this
+    * container — swapping a real one in changes nothing structural).
     */
   private[operators] def stubDecode(kind: String, payload: Array[Byte]): (Int, Int, Int, Long, Int) = {
     if (payload == null || payload.isEmpty) (0, 0, 0, 0L, 0)
@@ -217,7 +335,7 @@ object Multimodal {
             case None            => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L, 0)
           }
         case "video" =>
-          mp4Decode(payload) match {
+          mp4Decode(payload).orElse(webmDecode(payload)) match {
             case Some((w, ht, d)) if d > 0 =>
               (if (w > 0) w else ((h % 1920) + 1).toInt,
                 if (ht > 0) ht else ((h / 7 % 1080) + 1).toInt, 3, d, 0)
