@@ -221,7 +221,16 @@ object Dedup {
   private[operators] def bandedBuckets(withSh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    withSh.select(col("__id"),
+    // Null/short texts (empty shingle set) are EXCLUDED from banding: they
+    // all share the degenerate all-MaxValue signature, so at corpus scale
+    // they form one bucket holding every contentless row — whose id list
+    // must fit a single aggregation buffer in [[cappedCandidatePairs]].
+    // Excluding them changes no verified output: an empty shingle set's
+    // exact Jaccard is 0/0 = null on every verify path (self-join pairs and
+    // cross-set decontamination alike), so their candidates were always
+    // filtered out after the shuffle anyway.
+    withSh.filter(size(col("__sh")) > 0)
+      .select(col("__id"),
         TextFunctions.minhashSig(col("__sh"), numHashes).alias("__sig"))
       .select(
         col("__id"),
@@ -376,19 +385,31 @@ object Dedup {
     *    rows instead of re-hashing `bands` slices of every historical
     *    signature.
     *
-    * Write to a fresh (dated) path per compaction and flip a pointer/
-    * symlink at the caller's publish layer — parquet directories cannot be
-    * read and overwritten in place.
+    * Both tables publish via stage-and-swap ([[graft.sinks.LakeSink]]):
+    * the write job runs against a staging dir and ONE rename flips it in,
+    * so an `index` whose lineage READS this same path (compact-in-place,
+    * the updatedIndex-over-its-own-version shape) still sees the old
+    * fileset for the whole job instead of having its inputs deleted from
+    * under it — and a crashed compaction leaves the previous version
+    * intact, never a half-written directory.
     */
   def persistNearDupIndex(index: DataFrame, path: String,
       numHashes: Int = 64, bands: Int = 16): Unit = {
     require(index.columns.sameElements(Array("id", "sig")),
       s"index must have columns (id, sig), got ${index.columns.mkString(",")}")
     require(numHashes % bands == 0, "bands must divide numHashes")
-    index.dropDuplicates("id").write.mode("overwrite").parquet(s"$path/sigs")
-    val sigs = index.sparkSession.read.parquet(s"$path/sigs")
-    sigBands(sigs, "id", "sig", "id", numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
+    val spark = index.sparkSession
+    val sigsDir  = new org.apache.hadoop.fs.Path(s"$path/sigs")
+    val bandsDir = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = sigsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.LakeSink.stageAndSwap(fs, sigsDir) { staging =>
+      index.dropDuplicates("id").write.mode("overwrite").parquet(staging.toString)
+    }
+    val sigs = spark.read.parquet(sigsDir.toString)
+    graft.sinks.LakeSink.stageAndSwap(fs, bandsDir) { staging =>
+      sigBands(sigs, "id", "sig", "id", numHashes, bands)
+        .write.mode("overwrite").parquet(staging.toString)
+    }
   }
 
   /** Read a [[persistNearDupIndex]] layout; feed `.sigs` as the `index` and

@@ -394,6 +394,44 @@ class DedupSpec extends SparkTestBase {
     viaDisk shouldBe viaDerive
   }
 
+  test("compact-in-place: persisting an index whose lineage reads the same path is safe") {
+    val root = java.nio.file.Files.createTempDirectory("neardup_inplace").toString
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"a$i").mkString(" ")),
+      (2L, (50 until 90).map(i => s"b$i").mkString(" "))).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Seq[Int])].toDF("id", "sig")
+    Dedup.persistNearDupIndex(
+      Dedup.incrementalNearDup(docs, empty, "doc_id").updatedIndex, s"$root/v0")
+    val before = Dedup.readNearDupIndex(spark, s"$root/v0")
+      .sigs.as[(Long, Seq[Int])].collect().sortBy(_._1)
+    // the updatedIndex-over-its-own-version shape: the frame being persisted
+    // READS $root/v0 while the write targets $root/v0 — stage-and-swap must
+    // keep the old fileset visible to the job, then atomically replace it
+    val inPlace = Dedup.readNearDupIndex(spark, s"$root/v0").sigs
+    Dedup.persistNearDupIndex(inPlace, s"$root/v0")
+    Dedup.readNearDupIndex(spark, s"$root/v0")
+      .sigs.as[(Long, Seq[Int])].collect().sortBy(_._1) shouldBe before
+    Dedup.readNearDupIndex(spark, s"$root/v0").bands.count() shouldBe before.length * 16L
+  }
+
+  test("banding excludes contentless docs: no degenerate all-MaxValue bucket, pairs unchanged") {
+    // null/empty/short texts share the degenerate signature; they must not
+    // reach the LSH shuffle (their exact Jaccard is null — never a pair)
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"),      // a real near-dup pair
+      (3L, null.asInstanceOf[String]), (4L, ""), (5L, "one two"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", minJaccard = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((1L, 2L)) // contentless rows pair with nothing
+    // and the diagnostic bucket table carries no contentless mega-bucket:
+    // every banded bucket now holds content-bearing docs only (2 docs x 16
+    // bands at most here)
+    Dedup.bucketStats(docs, "doc_id").agg(max($"bucket_size"))
+      .head().getLong(0) should be <= 2L
+  }
+
   test("HLL sketch overlap estimates cross-corpus intersection without a join") {
     // |A| = 30k, |B| = 25k, true overlap 15k
     val a = spark.range(0, 30000).select(concat(lit("k"), $"id").alias("k"))
