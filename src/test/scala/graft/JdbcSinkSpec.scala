@@ -157,6 +157,45 @@ class JdbcSinkSpec extends SparkTestBase {
       JdbcUpsertSink.mergeSql("t", schema, Seq("nope"), updateOnMatch = false)
   }
 
+  test("Postgres dialect: generated ON CONFLICT text matches the reference statements") {
+    // The reference's two warehouse loads, verbatim
+    // (dags/coin_data_pipeline_optimized.py:665-670 fact insert-ignore,
+    // :923-933 gold upsert). execute_values' VALUES %s template expands to
+    // a row tuple per record; the JDBC equivalent is one (?, …) tuple
+    // bound per batched row — that substitution and whitespace layout are
+    // the ONLY differences allowed: after canonicalizing both, the texts
+    // must be byte-identical (column order and conflict targets included).
+    def canon(sql: String): String =
+      sql.replaceAll("\\s+", " ").stripSuffix(";").replace(" ;", "").trim
+    def pgize(referenceSql: String, arity: Int): String =
+      canon(referenceSql).replace("VALUES %s",
+        s"VALUES (${Seq.fill(arity)("?").mkString(", ")})")
+
+    val refFact =
+      """INSERT INTO coin_prices_fact
+        |(coin_id, price_usd, market_cap, timestamp)
+        |VALUES %s
+        |ON CONFLICT (coin_id, timestamp) DO NOTHING""".stripMargin
+    JdbcUpsertSink.insertIgnoreSql("coin_prices_fact",
+      Seq("coin_id", "price_usd", "market_cap", "timestamp"),
+      keys = Seq("coin_id", "timestamp")) shouldBe pgize(refFact, 4)
+
+    val refGold =
+      """INSERT INTO gold_coin_daily_metrics
+        |(dt, coin_id, avg_price_usd, min_price_usd, max_price_usd, avg_market_cap)
+        |VALUES %s
+        |ON CONFLICT (dt, coin_id)
+        |DO UPDATE SET
+        |    avg_price_usd   = EXCLUDED.avg_price_usd,
+        |    min_price_usd   = EXCLUDED.min_price_usd,
+        |    max_price_usd   = EXCLUDED.max_price_usd,
+        |    avg_market_cap  = EXCLUDED.avg_market_cap;""".stripMargin
+    canon(JdbcUpsertSink.upsertSql("gold_coin_daily_metrics",
+      Seq("dt", "coin_id", "avg_price_usd", "min_price_usd", "max_price_usd",
+        "avg_market_cap"),
+      keys = Seq("dt", "coin_id"))) shouldBe pgize(refGold, 6)
+  }
+
   test("long strings: loud failure at the default width, typeOverrides widen") {
     withTable(
       "CREATE TABLE docs_t (k VARCHAR(64) NOT NULL PRIMARY KEY, body VARCHAR(8000))",
