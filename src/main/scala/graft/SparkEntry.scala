@@ -1275,6 +1275,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bounded WARC read: record i of a handcrafted archive carries a
+    // 44-byte HTTP envelope + 100·i filler bytes (content_length =
+    // 44 + 100·i); with maxRecordBytes = 2044 every record past i = 20
+    // must surface as an __oversize marker carrying the DECLARED length
+    // with an empty payload — skipped in the stream, never allocated —
+    // while the walk continues to the end of the archive. The oracle
+    // rebuilds the whole expectation arithmetically.
+    "q_warc_bounded" -> ((s, dir) => {
+      import graft.sources.WarcSource
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val tmp = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_warc_bounded")
+      java.nio.file.Files.createDirectories(tmp)
+      val out = new java.io.ByteArrayOutputStream()
+      (1 to 30).foreach { i =>
+        val body = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + "x" * (100 * i)
+        out.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: https://example.com/page$i\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes(ascii))
+        out.write(body.getBytes(ascii))
+        out.write("\r\n\r\n".getBytes(ascii))
+      }
+      java.nio.file.Files.write(tmp.resolve("mixed.warc"), out.toByteArray)
+      WarcSource.read(s, tmp.toString, maxRecordBytes = 2044L)
+        .select(col("seq").cast("long").alias("seq"), col("warc_type"),
+          col("content_length"),
+          length(col("payload")).cast("long").alias("payload_len"))
+        .orderBy("seq")
+    }),
+
     // ================= north-star: text analysis ========================
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3337,6 +3367,16 @@ object SparkEntry {
         |    AS n_tokens,
         |  md5(cleaned) AS clean_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_warc_bounded" ->
+      """SELECT CAST(i - 1 AS BIGINT) AS seq,
+        |  CASE WHEN 44 + 100 * i <= 2044 THEN 'response'
+        |       ELSE '__oversize' END AS warc_type,
+        |  CAST(44 + 100 * i AS BIGINT) AS content_length,
+        |  CAST(CASE WHEN 44 + 100 * i <= 2044 THEN 44 + 100 * i ELSE 0 END
+        |    AS BIGINT) AS payload_len
+        |FROM (SELECT UNNEST(generate_series(1, 30)) AS i)
+        |ORDER BY seq""".stripMargin,
 
     "q_warc_ingest" ->
       """WITH g AS (SELECT UNNEST(generate_series(1, 40)) AS i),
