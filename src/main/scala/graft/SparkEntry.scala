@@ -2181,6 +2181,67 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Video container metadata via the REAL AVI RIFF header parse: planted
+    // MJPEG fixtures with a known (dims, frames, frame-interval) grid must
+    // round-trip exactly (duration_ms = frames · µs-per-frame / 1000); the
+    // oracle is the same arithmetic in SQL.
+    "q_video_meta" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val rows = (0L until 12L).map { i =>
+        Multimodal.MediaRow(i, "video", s"video/$i.avi",
+          Multimodal.syntheticAvi(
+            width = 96 + 16 * (i % 3).toInt,
+            height = 64 + 8 * (i % 2).toInt,
+            frames = 2 + (i % 4).toInt,
+            usPerFrame = 20000L * (1 + (i % 3))))
+      }
+      implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+      Multimodal.decode(s.createDataset(rows))
+        .select(col("media_id"), col("width"), col("height"), col("duration_ms"))
+        .orderBy("media_id")
+    }),
+
+    // Real video *pixel* decode: every MJPEG frame of a planted AVI grid is
+    // decoded by ImageIO inside videoFrames; even frames are solid mid-gray
+    // (dHash exactly 0) and odd frames a left-to-right luminance ramp
+    // (dHash exactly -1 — all 64 gradient bits survive JPEG quantization),
+    // so frame index, timing, dims AND the perceptual hash of decoded
+    // pixels are pure arithmetic the oracle rebuilds.
+    "q_video_frames" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val rows = (0L until 12L).map { i =>
+        Multimodal.MediaRow(i, "video", s"video/$i.avi",
+          Multimodal.syntheticAvi(width = 72, height = 64,
+            frames = 2 + (i % 4).toInt,
+            usPerFrame = 20000L * (1 + (i % 3))))
+      }
+      implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+      Multimodal.videoFrames(s.createDataset(rows))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Video-level near-dup via shared frame content (REAL MJPEG pixel
+    // decode → per-frame dHash → band equi-join, the video twin of
+    // q_image_neardup): the planted full twin (4 shared frames) and the
+    // planted partial copy (2 of 4) — and nothing else — must come back;
+    // the oracle is the literal planted-pair list.
+    "q_video_neardup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      def noiseAvi(seeds: Seq[Long]): Array[Byte] =
+        Multimodal.syntheticAviFrom(64, 64, 40000L,
+          seeds.map(Multimodal.syntheticJpegNoise))
+      val rows = (0L until 8L).map(i =>
+        Multimodal.MediaRow(i, "video", s"v/$i",
+          noiseAvi((0 until 4).map(j => 1000L * i + j)))) ++ Seq(
+        Multimodal.MediaRow(100L, "video", "twin-of-0",
+          noiseAvi(Seq(0L, 1L, 2L, 3L))),
+        Multimodal.MediaRow(101L, "video", "half-of-1",
+          noiseAvi(Seq(1000L, 1001L, 99998L, 99999L))))
+      implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+      Multimodal.nearDupVideoPairs(s.createDataset(rows), minSharedFrames = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Per-label embedding dispersion via the O(n·d) sum-vector identity
     // (no pairwise join): every mean cosine value-checked.
     "q_embedding_spread" -> ((s, dir) =>
@@ -3508,6 +3569,29 @@ object SparkEntry {
         |  CAST((frames * 1000) // rate AS BIGINT) AS duration_ms,
         |  CAST(44 + frames * ch * 2 AS BIGINT) AS byte_len
         |FROM p ORDER BY media_id""".stripMargin,
+
+    "q_video_meta" ->
+      """SELECT i AS media_id,
+        |  CAST(96 + 16 * (i % 3) AS INTEGER) AS width,
+        |  CAST(64 + 8 * (i % 2) AS INTEGER) AS height,
+        |  CAST((2 + i % 4) * 20 * (1 + i % 3) AS BIGINT) AS duration_ms
+        |FROM (SELECT UNNEST(generate_series(0, 11)) AS i)
+        |ORDER BY media_id""".stripMargin,
+
+    "q_video_frames" ->
+      """WITH m AS (SELECT UNNEST(generate_series(0, 11)) AS i),
+        |f AS (SELECT i, UNNEST(generate_series(0, 1 + i % 4)) AS j FROM m)
+        |SELECT i AS media_id, CAST(j AS BIGINT) AS frame_idx,
+        |  CAST(j * 20 * (1 + i % 3) AS BIGINT) AS frame_ms,
+        |  CAST(72 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
+        |  CAST(CASE WHEN j % 2 = 0 THEN 0 ELSE -1 END AS BIGINT) AS dhash
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_video_neardup" ->
+      """SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+        |       CAST(n AS BIGINT) AS shared_frames
+        |FROM (VALUES (0, 100, 4), (1, 101, 2)) t(a, b, n)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embedding_spread" ->
       """WITH valid AS (

@@ -10,12 +10,15 @@ import org.apache.spark.sql.types._
   *
   * Decode is REAL wherever the JDK (or a pure header parse) suffices:
   * images via `javax.imageio` (PNG/JPEG/GIF/BMP), audio via
-  * `javax.sound.sampled` (WAV/AIFF/AU), and MP4/MOV container metadata via
-  * an ISO-BMFF box parse (duration + track dimensions, no codec needed).
-  * Pixel/sample decode for codec formats — none ship in this container —
-  * remains a clearly-marked deterministic STUB; the Spark-side plumbing
-  * (schema, partition batching, typed signatures, binary hygiene) is real
-  * and tested, and swapping a JNI/codec call in changes nothing structural.
+  * `javax.sound.sampled` (WAV/AIFF/AU) plus a RIFF chunk walk, container
+  * metadata via ISO-BMFF box / EBML (WebM) / AVI RIFF parses (duration +
+  * track dimensions, no codec), and — for MJPEG AVI — real per-frame
+  * PIXEL decode ([[videoFrames]]: each `00dc` chunk is a standalone JPEG).
+  * Only non-MJPEG video bitstreams (H.26x/VP9/AV1 — no codecs ship in
+  * this container) fall back to a clearly-marked deterministic STUB; the
+  * Spark-side plumbing (schema, partition batching, typed signatures,
+  * binary hygiene) is identical on both paths, so swapping a JNI codec in
+  * changes nothing structural.
   *
   * Scale posture: decode is a narrow `mapPartitions` (no shuffle); payload
   * bytes never pass through a wide transform; repartitioning for decoder
@@ -309,11 +312,216 @@ object Multimodal {
     bb.array()
   }
 
+  /** Bounded walk over a RIFF chunk sequence in `[start, end)`: yields
+    * (fourcc, contentStart, contentEnd). All offset arithmetic is in Long —
+    * an adversarial u32 size near 0xFFFFFFFF would cycle a signed-Int
+    * advance in place (see [[wavDecode]]); here a declared size that runs
+    * past `end` terminates the walk instead. Chunks are word-aligned per
+    * the RIFF spec (odd sizes are followed by one pad byte).
+    */
+  private def riffChunks(payload: Array[Byte], start: Long, end: Long):
+      Iterator[(String, Long, Long)] =
+    new Iterator[(String, Long, Long)] {
+      private var off = start
+      private var nxt: (String, Long, Long) = _
+      private def fetch(): Unit = {
+        nxt = null
+        if (off + 8 > end) return
+        val at = off.toInt
+        val id = new String(payload, at, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val sz = ((payload(at + 4) & 0xffL)) | ((payload(at + 5) & 0xffL) << 8) |
+          ((payload(at + 6) & 0xffL) << 16) | ((payload(at + 7) & 0xffL) << 24)
+        val cs = off + 8L
+        val ce = cs + sz
+        if (ce > end) return // declared size runs past the buffer: stop
+        nxt = (id, cs, ce)
+        off = ce + (sz & 1L)
+      }
+      fetch()
+      def hasNext: Boolean = nxt != null
+      def next(): (String, Long, Long) = { val r = nxt; fetch(); r }
+    }
+
+  /** AVI container header parse — REAL video metadata with no codec: walk
+    * `RIFF('AVI ')` → `LIST('hdrl')` → `avih` (the MainAVIHeader) and read
+    * (dwWidth, dwHeight, dwMicroSecPerFrame, dwTotalFrames). Layout per the
+    * public AVI RIFF spec (little-endian u32 fields). Returns None when the
+    * bytes aren't a parseable AVI stream.
+    */
+  private[graft] def aviHeader(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      def tag(at: Long): String =
+        new String(payload, at.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") None
+      else {
+        def u32(at: Long): Long = ((payload(at.toInt) & 0xffL)) |
+          ((payload(at.toInt + 1) & 0xffL) << 8) |
+          ((payload(at.toInt + 2) & 0xffL) << 16) |
+          ((payload(at.toInt + 3) & 0xffL) << 24)
+        val riffEnd = math.min(payload.length.toLong, 8L + u32(4L))
+        var res: Option[(Int, Int, Long, Long)] = None
+        riffChunks(payload, 12L, riffEnd).foreach { case (id, cs, ce) =>
+          if (res.isEmpty && id == "LIST" && ce - cs >= 4 && tag(cs) == "hdrl")
+            riffChunks(payload, cs + 4, ce).foreach { case (cid, ccs, cce) =>
+              if (res.isEmpty && cid == "avih" && cce - ccs >= 40)
+                res = Some((u32(ccs + 32).toInt, u32(ccs + 36).toInt,
+                  u32(ccs), u32(ccs + 16)))
+            }
+        }
+        res
+      }
+    } catch { case _: Exception => None }
+
+  /** (width, height, duration_ms) from the AVI MainAVIHeader:
+    * duration = dwTotalFrames · dwMicroSecPerFrame / 1000.
+    */
+  private[graft] def aviDecode(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    aviHeader(payload).map { case (w, h, usPerFrame, frames) =>
+      (w, h, usPerFrame * frames / 1000L)
+    }
+
+  /** MJPEG frame extraction — a REAL video *codec* decode path with no
+    * external dependency: in an MJPEG AVI every `##dc`/`##db` chunk inside
+    * `LIST('movi')` is a complete standalone JPEG image, which the JDK's
+    * ImageIO decodes to pixels. Returns the raw frame payloads in stream
+    * order (empty for non-AVI bytes). Same bounded Long walk as
+    * [[aviHeader]]; frames inside `LIST('rec ')` interleave groups are
+    * walked too.
+    */
+  private[graft] def mjpegFrames(payload: Array[Byte]): Vector[Array[Byte]] =
+    try {
+      def tag(at: Long): String =
+        new String(payload, at.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") Vector.empty
+      else {
+        def u32(at: Long): Long = ((payload(at.toInt) & 0xffL)) |
+          ((payload(at.toInt + 1) & 0xffL) << 8) |
+          ((payload(at.toInt + 2) & 0xffL) << 16) |
+          ((payload(at.toInt + 3) & 0xffL) << 24)
+        val riffEnd = math.min(payload.length.toLong, 8L + u32(4L))
+        val out = Vector.newBuilder[Array[Byte]]
+        def isVideoData(id: String): Boolean =
+          id.length == 4 && id(0).isDigit && id(1).isDigit &&
+            id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+        def walk(start: Long, end: Long): Unit =
+          riffChunks(payload, start, end).foreach { case (cid, ccs, cce) =>
+            if (cid == "LIST" && cce - ccs >= 4 && tag(ccs) == "rec ")
+              walk(ccs + 4, cce)
+            else if (isVideoData(cid) && cce > ccs)
+              out += java.util.Arrays.copyOfRange(payload, ccs.toInt, cce.toInt)
+          }
+        riffChunks(payload, 12L, riffEnd).foreach { case (id, cs, ce) =>
+          if (id == "LIST" && ce - cs >= 4 && tag(cs) == "movi") walk(cs + 4, ce)
+        }
+        out.result()
+      }
+    } catch { case _: Exception => Vector.empty }
+
+  /** Deterministic synthetic JPEG frame — contract/test fixture chosen so
+    * the perceptual hash is EXACT arithmetic despite lossy encoding:
+    * `gradient = false` is a solid mid-gray (every dHash cell mean equal →
+    * no gradient bit set → dhash == 0); `gradient = true` ramps luminance
+    * left-to-right (adjacent 8-px cell means differ by ~29 luma levels,
+    * far above JPEG quantization noise → every bit set → dhash == -1).
+    */
+  private[graft] def syntheticJpeg(width: Int, height: Int, gradient: Boolean): Array[Byte] = {
+    imageIoInMemory
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = if (gradient) x * 255 / math.max(1, width - 1) else 128
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic noise JPEG (seeded grayscale, 64×64) — the
+    * lossy-format twin of [[syntheticPng]]: distinct seeds land ~32 dHash
+    * bits apart, identical seeds are byte-identical.
+    */
+  private[graft] def syntheticJpegNoise(seed: Long): Array[Byte] = {
+    imageIoInMemory
+    val rnd = new java.util.Random(seed)
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val v = rnd.nextInt(256)
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Deterministic synthetic MJPEG AVI — contract/test fixture for
+    * [[aviDecode]]/[[videoFrames]]: a full RIFF tree (`hdrl{avih,
+    * strl{strh('vids'/'MJPG'), strf(BITMAPINFOHEADER)}}` + `movi`) whose
+    * `00dc` chunks are real ImageIO-encoded JPEGs — even frame indexes
+    * solid (dhash 0), odd ones gradient (dhash -1), so per-frame hashes are
+    * oracle-checkable arithmetic.
+    */
+  private[graft] def syntheticAvi(width: Int, height: Int, frames: Int,
+      usPerFrame: Long): Array[Byte] =
+    syntheticAviFrom(width, height, usPerFrame,
+      (0 until frames).map(j => syntheticJpeg(width, height, gradient = j % 2 == 1)))
+
+  /** MJPEG AVI container around caller-supplied JPEG frame payloads —
+    * lets fixtures plant specific frame content (shared frames across
+    * videos for the near-dup contract).
+    */
+  private[graft] def syntheticAviFrom(width: Int, height: Int,
+      usPerFrame: Long, frameJpegs: Seq[Array[Byte]]): Array[Byte] = {
+    val frames = frameJpegs.length
+    require(width > 0 && height > 0 && usPerFrame > 0)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, content: Array[Byte]): Array[Byte] =
+      id.getBytes(ascii) ++ le32(content.length.toLong) ++ content ++
+        (if (content.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, content: Array[Byte]): Array[Byte] =
+      chunk("LIST", typ.getBytes(ascii) ++ content)
+    val avih = chunk("avih",
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++     // usPerFrame..flags
+        le32(frames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++ // totalFrames..bufSize
+        le32(width.toLong) ++ le32(height.toLong) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh",
+      "vids".getBytes(ascii) ++ "MJPG".getBytes(ascii) ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++             // flags, prio, lang, initial
+        le32(usPerFrame) ++ le32(1000000L) ++                   // scale, rate (fps = rate/scale)
+        le32(0) ++ le32(frames.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        Array.fill[Byte](8)(0))                                 // rcFrame
+    val strf = chunk("strf",
+      le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+        le16(1) ++ le16(24) ++ "MJPG".getBytes(ascii) ++
+        le32(width.toLong * height * 3) ++ Array.fill[Byte](16)(0))
+    val movi = list("movi", frameJpegs.toArray.flatMap(chunk("00dc", _)))
+    val body = "AVI ".getBytes(ascii) ++ list("hdrl", avih ++ list("strl", strh ++ strf)) ++ movi
+    "RIFF".getBytes(ascii) ++ le32(body.length.toLong) ++ body
+  }
+
   /** Decode kernel: REAL for images (javax.imageio: PNG/JPEG/GIF/BMP),
-    * audio (javax.sound.sampled: WAV/AIFF/AU), and MP4/MOV + WebM/Matroska
-    * container metadata (ISO-BMFF box parse / EBML walk — duration and
-    * track dimensions without any codec); deterministic STUB for other
-    * video bytes and unrecognized payloads (no codecs ship in this
+    * audio (javax.sound.sampled: WAV/AIFF/AU), and AVI + MP4/MOV +
+    * WebM/Matroska container metadata (RIFF / ISO-BMFF box / EBML walks —
+    * duration and track dimensions without any codec; MJPEG-AVI frame
+    * PIXELS decode for real via [[videoFrames]]); deterministic STUB for
+    * other video bytes and unrecognized payloads (no codecs ship in this
     * container — swapping a real one in changes nothing structural).
     */
   private[operators] def stubDecode(kind: String, payload: Array[Byte]): (Int, Int, Int, Long, Int) = {
@@ -335,7 +543,7 @@ object Multimodal {
             case None            => (0, 0, (h % 2 + 1).toInt, (h % 600000L) + 1L, 0)
           }
         case "video" =>
-          mp4Decode(payload).orElse(webmDecode(payload)) match {
+          aviDecode(payload).orElse(mp4Decode(payload)).orElse(webmDecode(payload)) match {
             case Some((w, ht, d)) if d > 0 =>
               (if (w > 0) w else ((h % 1920) + 1).toInt,
                 if (ht > 0) ht else ((h / 7 % 1080) + 1).toInt, 3, d, 0)
@@ -475,8 +683,14 @@ object Multimodal {
       imageIoInMemory
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth < 1 || img.getHeight < 1) None
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
+      else Some(dHashImage(img))
+    } catch { case _: Exception => None }
+
+  /** dHash of an already-decoded image — shared by [[dHash64]] (image
+    * payloads) and [[videoFrames]] (per-frame hashing without re-decoding).
+    */
+  private def dHashImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
         // mean luminance over each cell's pixel block [x0,x1)×[y0,y1)
         val gray = Array.tabulate(8, 9) { (cy, cx) =>
           val x0 = cx * w / 9; val x1 = math.min(w, math.max(x0 + 1, (cx + 1) * w / 9))
@@ -495,19 +709,97 @@ object Multimodal {
           }
           (sum / n).toInt
         }
-        var bits = 0L
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            if (gray(y)(x + 1) > gray(y)(x)) bits |= 1L << (y * 8 + x)
-            x += 1
-          }
-          y += 1
-        }
-        Some(bits)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(y)(x + 1) > gray(y)(x)) bits |= 1L << (y * 8 + x)
+        x += 1
       }
-    } catch { case _: Exception => None }
+      y += 1
+    }
+    bits
+  }
+
+  /** Real per-frame video decode: for each video row whose payload parses
+    * as an MJPEG AVI, decode every `everyNth`-th frame's JPEG with ImageIO
+    * and emit (media_id, frame_idx, frame_ms, width, height, dhash) — the
+    * frame-level twin of [[imageHashes]], so cross-video frame near-dup is
+    * the same band-join over the emitted hashes. `frame_ms` is exact from
+    * the container's dwMicroSecPerFrame. Partition-batched flatMap, no
+    * shuffle; non-MJPEG payloads and undecodable frames emit nothing.
+    *
+    * Scale posture: frames never leave the task — only (id, idx, dims,
+    * 8-byte hash) rows cross the pipeline, so a 100 TB video corpus ships
+    * ~24 bytes per sampled frame downstream.
+    */
+  def videoFrames(media: Dataset[MediaRow], everyNth: Int = 1): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        aviHeader(p) match {
+          case Some((_, _, usPerFrame, _)) =>
+            val frames = mjpegFrames(p)
+            Iterator.range(0, frames.length, everyNth).flatMap { idx =>
+              val img = try {
+                imageIoInMemory
+                javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(idx)))
+              } catch { case _: Exception => null }
+              if (img == null || img.getWidth < 1 || img.getHeight < 1) Iterator.empty
+              else Iterator.single((r.media_id, idx.toLong,
+                idx.toLong * usPerFrame / 1000L,
+                img.getWidth, img.getHeight, dHashImage(img)))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame_ms", "width", "height", "dhash")
+  }
+
+  /** Near-duplicate VIDEO pairs by shared frame content: hash every sampled
+    * frame ([[videoFrames]] — real MJPEG pixel decode), band the 64-bit
+    * frame dHashes exactly as [[nearDupImagePairs]] does (8 byte-bands →
+    * pigeonhole recall for Hamming ≤ 7), and count distinct matching frame
+    * pairs per video pair. Videos sharing ≥ `minSharedFrames` frames within
+    * `maxHamming` come back as (id_a < id_b, shared_frames).
+    *
+    * Scale posture: only (media_id, frame_idx, 8-byte hash) rows reach the
+    * shuffle — frame pixels stay in the decode task — and candidates come
+    * from the band equi-join, never an all-pairs comparison; re-encoded or
+    * lightly edited copies of a clip still collide because dHash absorbs
+    * codec-level perturbation.
+    */
+  def nearDupVideoPairs(media: Dataset[MediaRow], maxHamming: Int = 7,
+      minSharedFrames: Int = 1, everyNth: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"8 byte-bands guarantee recall only for maxHamming < 8, got $maxHamming")
+    require(minSharedFrames > 0, "minSharedFrames must be positive")
+    val fh = videoFrames(media, everyNth)
+      .select(col("media_id"), col("frame_idx"), col("dhash"))
+    val bands = fh.select(col("media_id"), col("frame_idx"), col("dhash"),
+      explode(array((0 until 8).map(i =>
+        struct(lit(i).alias("band"),
+          shiftright(col("dhash"), 8 * i).bitwiseAND(lit(0xffL)).alias("v"))): _*))
+        .alias("b"))
+      .select(col("media_id"), col("frame_idx"), col("dhash"),
+        col("b.band"), col("b.v"))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").alias("id_a"), col("b.media_id").alias("id_b"),
+        col("a.frame_idx").alias("fa"), col("b.frame_idx").alias("fb"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).alias("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // band multiplicity: a pair matching on k bands appears k times
+      .groupBy("id_a", "id_b")
+      .agg(count_distinct(col("fa"), col("fb")).alias("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
 
   /** (`media_id`, `dhash`) per image row; undecodable payloads yield a null
     * hash. Partition-batched flatMap, no shuffle.
