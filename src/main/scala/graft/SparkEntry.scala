@@ -1226,6 +1226,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Incremental ANN: delivery 1 builds the index (models train here and
+    // FREEZE), delivery 2 appends the planted twins plus a REDELIVERED
+    // slice of the base through appendToIvfPqIndex — encode-delta-only,
+    // dedup-on-write, stage-and-swap publish. The planted copies must come
+    // back at rank 1 through codes produced by the frozen codebooks, and
+    // the index row count must equal base + 10 exactly (the redelivered
+    // 100 rows add nothing).
+    "q_ann_ivfpq_append" -> ((s, dir) => {
+      val emb     = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val planted = queries.withColumn("vec_id", col("vec_id") + 1000000L)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_ivfpq_append"
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path,
+        dim = 64, numCells = 16, m = 8, ksub = 16)
+      Similarity.appendToIvfPqIndex(s, path,
+        planted.unionByName(emb.filter(col("vec_id") < 100)),
+        "vec_id", "embedding")
+      val idx = Similarity.readIvfPqIndex(s, path)
+      val corpus = emb.unionByName(planted)
+      Similarity.searchIvfPqIndex(idx, corpus, queries, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        .filter(col("neighbor_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("rank").cast("long").alias("planted_rank"))
+        .withColumn("index_rows", lit(idx.coded.count()))
+        .orderBy("query_id")
+    }),
+
     // WARC ingestion (ISO 28500 — the Common Crawl interchange format):
     // deterministic synthetic archives (one plain, one .warc.gz with the
     // same records) parse to identical response rows; URI, length, and the
@@ -2218,6 +2245,24 @@ object SparkEntry {
       implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
       Multimodal.videoFrames(s.createDataset(rows))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // Audio-level near-dup via a 64-bit energy-envelope fingerprint over
+    // REAL PCM decode (RIFF data chunk → mono mix → 65-window mean
+    // |amplitude| → gradient bits): amplitude-halved twins — the uniform
+    // gain change a fingerprint must shrug off — must pair with their
+    // originals, and nothing else; the oracle is the literal planted list.
+    "q_audio_neardup" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      def wav(i: Long) = Multimodal.syntheticWav(
+        i, 16000, 1 + (i % 2).toInt, 6000 + 400 * i.toInt)
+      val rows = (0L until 10L).map(i =>
+        Multimodal.MediaRow(i, "audio", s"a/$i", wav(i))) ++
+        (0L until 5L).map(i => Multimodal.MediaRow(100L + i, "audio",
+          s"a/twin$i", Multimodal.halveWavAmplitude(wav(i))))
+      implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+      Multimodal.nearDupAudioPairs(s.createDataset(rows))
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
     // Video-level near-dup via shared frame content (REAL MJPEG pixel
@@ -3410,6 +3455,11 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
+    "q_ann_ivfpq_append" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank,
+        |  CAST((SELECT COUNT(*) + 10 FROM embeddings) AS BIGINT) AS index_rows
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
     "q_warc_corpus" ->
       """WITH g AS (SELECT UNNEST(generate_series(1, 40)) AS i),
         |b AS (SELECT i, '<html><body>doc ' || i || ' ' ||
@@ -3586,6 +3636,11 @@ object SparkEntry {
         |  CAST(72 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height,
         |  CAST(CASE WHEN j % 2 = 0 THEN 0 ELSE -1 END AS BIGINT) AS dhash
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_audio_neardup" ->
+      """SELECT CAST(a AS BIGINT) AS id_a, CAST(100 + a AS BIGINT) AS id_b
+        |FROM (SELECT UNNEST(generate_series(0, 4)) AS a)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_video_neardup" ->
       """SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,

@@ -134,6 +134,96 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Mono-mixed PCM samples from a RIFF-WAVE payload (16-bit PCM only):
+    * real sample decode with no decoder dependency — locate `fmt `/`data`
+    * via the bounded RIFF walk, then average channels per frame. None when
+    * the bytes aren't parseable 16-bit PCM WAVE.
+    */
+  private[graft] def wavSamplesMono(payload: Array[Byte]): Option[Array[Int]] =
+    try {
+      def tag(at: Long): String =
+        new String(payload, at.toInt, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val riffEnd = math.min(payload.length.toLong,
+          8L + (bb.getInt(4) & 0xffffffffL))
+        var ch = 0; var bits = 0; var dataS = -1L; var dataE = -1L
+        riffChunks(payload, 12L, riffEnd).foreach { case (id, cs, ce) =>
+          if (id == "fmt " && ce - cs >= 16) {
+            ch = bb.getShort(cs.toInt + 2) & 0xffff
+            bits = bb.getShort(cs.toInt + 14) & 0xffff
+          } else if (id == "data" && dataS < 0) { dataS = cs; dataE = ce }
+        }
+        if (ch <= 0 || bits != 16 || dataS < 0) None
+        else {
+          val frames = ((dataE - dataS) / (2L * ch)).toInt
+          if (frames <= 0) None
+          else {
+            val out = new Array[Int](frames)
+            var f = 0
+            while (f < frames) {
+              var sum = 0; var c = 0
+              while (c < ch) {
+                sum += bb.getShort((dataS + 2L * (f.toLong * ch + c)).toInt)
+                c += 1
+              }
+              out(f) = sum / ch
+              f += 1
+            }
+            Some(out)
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** 64-bit audio fingerprint — the audio analog of the image dHash: decode
+    * PCM (REAL, via [[wavSamplesMono]]), take the mean |amplitude| of 65
+    * equal time windows (the energy envelope), emit one bit per adjacent
+    * window gradient. Uniform gain changes, re-encodes and small noise keep
+    * the hash within a few bits (every window scales together, so the
+    * comparisons are order-invariant); unrelated clips land ~32 bits apart.
+    * None for undecodable or <65-sample payloads.
+    */
+  private[graft] def audioHash64(payload: Array[Byte]): Option[Long] =
+    wavSamplesMono(payload).filter(_.length >= 65).map { s =>
+      val n = s.length
+      val energy = Array.tabulate(65) { w =>
+        val i0 = w * n / 65
+        val i1 = math.max(i0 + 1, (w + 1) * n / 65)
+        var sum = 0L; var i = i0
+        while (i < i1) { sum += math.abs(s(i)); i += 1 }
+        sum.toDouble / (i1 - i0)
+      }
+      var bits = 0L
+      var w = 0
+      while (w < 64) {
+        if (energy(w + 1) > energy(w)) bits |= 1L << w
+        w += 1
+      }
+      bits
+    }
+
+  /** Test/contract fixture helper: halve every PCM16 sample in place — the
+    * uniform gain change an audio fingerprint must shrug off.
+    */
+  private[graft] def halveWavAmplitude(payload: Array[Byte]): Array[Byte] = {
+    val out = payload.clone()
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val riffEnd = math.min(out.length.toLong, 8L + (bb.getInt(4) & 0xffffffffL))
+    riffChunks(out, 12L, riffEnd).foreach { case (id, cs, ce) =>
+      if (id == "data") {
+        var at = cs
+        while (at + 2 <= ce) {
+          bb.putShort(at.toInt, (bb.getShort(at.toInt) / 2).toShort)
+          at += 2
+        }
+      }
+    }
+    out
+  }
+
   /** ISO-BMFF (MP4/MOV) metadata parse — a REAL header decode with no codec
     * dependency: walk the top-level box list to `moov`, read `mvhd` for
     * (timescale, duration) → duration_ms, and the first `trak/tkhd` with
@@ -822,15 +912,24 @@ object Multimodal {
     *
     * Returns (`id_a` < `id_b`, `hamming`).
     */
-  def nearDupImagePairs(media: Dataset[MediaRow], maxHamming: Int = 7): DataFrame = {
+  def nearDupImagePairs(media: Dataset[MediaRow], maxHamming: Int = 7): DataFrame =
+    bandedHammingPairs(imageHashes(media), maxHamming)
+
+  /** Shared banded Hamming pair join over a (`media_id`, `dhash`) frame —
+    * the candidate generator behind image, audio and video-frame near-dup:
+    * split the 64-bit hash into 8 byte bands (pigeonhole: any pair within
+    * Hamming 7 agrees exactly on ≥1 band), equi-join on (band, value), and
+    * verify with codegen'd `bit_count(a xor b)` inside buckets only.
+    */
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       s"8 byte-bands guarantee recall only for maxHamming < 8, got $maxHamming")
-    val hashes = imageHashes(media).filter(col("dhash").isNotNull)
-    val bands = hashes.select(col("media_id"), col("dhash"),
-      explode(array((0 until 8).map(i =>
-        struct(lit(i).alias("band"),
-          shiftright(col("dhash"), 8 * i).bitwiseAND(lit(0xffL)).alias("v"))): _*))
-        .alias("b"))
+    val bands = hashes.filter(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"),
+        explode(array((0 until 8).map(i =>
+          struct(lit(i).alias("band"),
+            shiftright(col("dhash"), 8 * i).bitwiseAND(lit(0xffL)).alias("v"))): _*))
+          .alias("b"))
       .select(col("media_id"), col("dhash"), col("b.band"), col("b.v"))
     val a = bands.alias("a")
     val b = bands.alias("b")
@@ -843,4 +942,24 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** (`media_id`, `dhash`) per audio row via the energy-envelope fingerprint
+    * ([[audioHash64]]); undecodable payloads yield a null hash.
+    * Partition-batched map, no shuffle.
+    */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val h = if (r.payload == null) None else audioHash64(r.payload)
+      (r.media_id, h)
+    }).toDF("media_id", "dhash")
+  }
+
+  /** Near-duplicate audio pairs: the audio member of the near-dup family
+    * (images: [[nearDupImagePairs]]; video frames: [[nearDupVideoPairs]]),
+    * over the same banded Hamming join — only (id, 8-byte fingerprint) rows
+    * cross the shuffle, PCM samples stay in the decode task.
+    */
+  def nearDupAudioPairs(media: Dataset[MediaRow], maxHamming: Int = 7): DataFrame =
+    bandedHammingPairs(audioHashes(media), maxHamming)
 }

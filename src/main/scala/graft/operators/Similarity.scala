@@ -384,6 +384,37 @@ object Similarity {
       spark.read.parquet(s"$path/coded"))
   }
 
+  /** Incremental append to a persisted IVF-PQ index: encode ONLY the delta
+    * with the index's FROZEN models (train-once-encode-forever — the
+    * standard production construction: coarse centroids and PQ codebooks
+    * stay fixed across deliveries so codes remain mutually comparable) and
+    * publish `path/coded` = old ∪ newly-coded, minus ids already present
+    * (re-delivery is idempotent). Publication is stage-and-swap
+    * ([[graft.sinks.LakeSink]]), so the union job reads the OLD fileset
+    * for its whole run — appending over the index's own read path cannot
+    * delete its inputs — and a crash leaves the previous version intact.
+    *
+    * 100 TB posture: each delivery costs one encode pass over the DELTA
+    * plus an id anti-join against the 12+m-byte coded rows; historical
+    * full-precision vectors are never re-read.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = readIvfPqIndex(spark, path)
+    val dsub = idx.dim / idx.m
+    val fresh = codedCorpus(delta, idCol, vecCol, idx.dim, idx.centroids,
+        idx.codebooks, idx.m, dsub, idx.ksub)
+      .select(col("neighbor_id").alias("id"), col("__cell").alias("cell"),
+        col("__codes").alias("codes"))
+      .dropDuplicates("id")
+      .join(idx.coded.select("id"), Seq("id"), "left_anti")
+    val codedDir = new org.apache.hadoop.fs.Path(s"$path/coded")
+    val fs = codedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.LakeSink.stageAndSwap(fs, codedDir) { staging =>
+      idx.coded.unionByName(fresh).write.mode("overwrite").parquet(staging.toString)
+    }
+  }
+
   /** [[ivfPqTopK]] against a PERSISTED index: models come from
     * `index.{centroids,codebooks}`, the corpus-side coded layout is read
     * from disk, and only the rescore stage touches `corpus` (full vectors

@@ -216,6 +216,36 @@ class SimilaritySpec extends SparkTestBase {
     direct.except(viaDisk).count() shouldBe 0
   }
 
+  test("incremental IVF-PQ append: delta searchable under frozen models, redelivery idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", root,
+      dim = 64, numCells = 16, m = 8, ksub = 16)
+    val n0 = Similarity.readIvfPqIndex(spark, root).coded.count()
+    n0 shouldBe emb.count()
+
+    // delivery 2: planted twins of the queries PLUS a redelivered slice of
+    // the already-indexed base — models must NOT retrain
+    val queries = emb.filter($"vec_id" < 8)
+    val planted = queries.withColumn("vec_id", $"vec_id" + 1000L)
+    val delta = planted.unionByName(emb.limit(20))
+    Similarity.appendToIvfPqIndex(spark, root, delta, "vec_id", "embedding")
+    val idx = Similarity.readIvfPqIndex(spark, root)
+    idx.coded.count() shouldBe emb.count() + 8 // dedup-on-write: redelivery adds nothing
+
+    // the appended twins are searchable: each query finds its planted copy
+    // at rank 1 through codes produced by the FROZEN codebooks
+    val corpus = emb.unionByName(planted)
+    val hits = Similarity.searchIvfPqIndex(idx, corpus, queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      .filter($"neighbor_id" === $"query_id" + 1000L)
+    hits.count() shouldBe 8
+    hits.filter($"rank" === 1).count() shouldBe 8
+
+    // re-appending the identical delta is a no-op (idempotent deliveries)
+    Similarity.appendToIvfPqIndex(spark, root, delta, "vec_id", "embedding")
+    Similarity.readIvfPqIndex(spark, root).coded.count() shouldBe emb.count() + 8
+  }
+
   test("prebuilt centroids/codebooks skip the training scans (train once, reuse)") {
     val scans = spark.sparkContext.longAccumulator("corpus-row-scans")
     val bump  = udf { (_: Long) => scans.add(1L); true }
