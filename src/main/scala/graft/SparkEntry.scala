@@ -1332,6 +1332,47 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // ORC sink/scan round trip — the second columnar lake format beside
+    // parquet: a lineitem projection written to ORC and read back must
+    // aggregate identically to the parquet source, proving schema and
+    // values survive the format end to end (the oracle aggregates the
+    // parquet original).
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_orc_lineitem"
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).alias("n"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+          count_distinct(col("l_orderkey")).alias("n_orders"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Z-order (Morton) clustered layout: a 256×256 grid written through
+    // zorderWrite must land each row in its exact space-filling-curve tile
+    // — per-tile row counts, both min/max envelopes AND the value checksum
+    // are closed-form arithmetic the oracle rebuilds. This is the layout
+    // that lets a 100 TB lake prune multi-dimensional box queries by file
+    // min/max instead of scanning the full sort order.
+    "q_zorder_layout" -> ((s, dir) => {
+      import graft.operators.Layout
+      val grid = s.range(65536).select(
+        (col("id") % 256).alias("x"),
+        shiftright(col("id"), 8).alias("y"),
+        col("id").alias("v"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_zorder"
+      Layout.zorderWrite(grid, Seq("x", "y"), path, bits = 8, tileBits = 4)
+      s.read.parquet(path)
+        .groupBy(col("__tile").cast("long").alias("__tile"))
+        .agg(count(lit(1)).alias("n_rows"),
+          min("x").alias("min_x"), max("x").alias("max_x"),
+          min("y").alias("min_y"), max("y").alias("max_y"),
+          sum("v").alias("sum_v"))
+        .orderBy("__tile")
+    }),
+
     // ================= north-star: text analysis ========================
     "q_text_tokens" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3566,6 +3607,26 @@ object SparkEntry {
         |  WHERE e.vec_id <> q.vec_id)
         |SELECT query_id, rank, neighbor_id FROM scored
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH t AS (SELECT UNNEST(generate_series(0, 15)) AS tile),
+        |q AS (SELECT tile,
+        |    ((tile >> 2) & 1) * 2 + (tile & 1) AS xq,
+        |    ((tile >> 3) & 1) * 2 + ((tile >> 1) & 1) AS yq
+        |  FROM t)
+        |SELECT tile AS __tile, CAST(4096 AS BIGINT) AS n_rows,
+        |  CAST(64 * xq AS BIGINT) AS min_x,
+        |  CAST(64 * xq + 63 AS BIGINT) AS max_x,
+        |  CAST(64 * yq AS BIGINT) AS min_y,
+        |  CAST(64 * yq + 63 AS BIGINT) AS max_y,
+        |  CAST(16384 * (4096 * yq + 2016) + 64 * (4096 * xq + 2016) AS BIGINT) AS sum_v
+        |FROM q ORDER BY __tile""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,
