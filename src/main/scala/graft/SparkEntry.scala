@@ -1332,6 +1332,42 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    // Incremental MULTIMODAL dedup over the persisted banded-hash index —
+    // the image/audio/video twin of q_dedup_incremental_neardup: delivery
+    // 1's image hashes are indexed on disk; delivery 2's re-encoded twins
+    // must be rejected BY THE INDEX ALONE (the probe equi-joins precomputed
+    // band rows — delivery 1's payloads are never re-read), fresh items
+    // survive and append, and a redelivery probe then rejects everything.
+    "q_media_dedup_incremental" -> ((s, dir) => {
+      import graft.operators.{HashIndex, Multimodal}
+      implicit val enc = org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+      val d1 = (0L until 20L).map(i =>
+        Multimodal.MediaRow(i, "image", s"img/$i", Multimodal.syntheticPng(i)))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_media_hash_index"
+      HashIndex.persist(
+        Multimodal.imageHashes(s.createDataset(d1)).withColumnRenamed("media_id", "id"),
+        path)
+      val d2 = (0L until 10L).map(i => Multimodal.MediaRow(100L + i, "image",
+          s"img/t$i", Multimodal.syntheticPng(i, flipped = true))) ++
+        (0L until 10L).map(i => Multimodal.MediaRow(110L + i, "image",
+          s"img/f$i", Multimodal.syntheticPng(500L + i)))
+      val h2 = Multimodal.imageHashes(s.createDataset(d2)).withColumnRenamed("media_id", "id")
+      // localCheckpoint: materialize the first-pass verdict BEFORE append
+      // republishes the index — a lazy plan pins the pre-swap file listing
+      // and cannot be re-executed afterwards (see HashIndexSpec).
+      val first = HashIndex.probe(HashIndex.read(s, path), h2)
+        .select(col("id")).distinct().localCheckpoint()
+      HashIndex.append(s, path, h2.join(first, Seq("id"), "left_anti"))
+      val second = HashIndex.probe(HashIndex.read(s, path), h2).select(col("id")).distinct()
+      h2.select(col("id"))
+        .join(first.withColumn("dup_first_pass", lit(true)), Seq("id"), "left")
+        .join(second.withColumn("dup_after_append", lit(true)), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("dup_first_pass"), lit(false)).alias("dup_first_pass"),
+          coalesce(col("dup_after_append"), lit(false)).alias("dup_after_append"))
+        .orderBy("id")
+    }),
+
     // ORC sink/scan round trip — the second columnar lake format beside
     // parquet: a lineitem projection written to ORC and read back must
     // aggregate identically to the parquet source, proving schema and
@@ -3607,6 +3643,13 @@ object SparkEntry {
         |  WHERE e.vec_id <> q.vec_id)
         |SELECT query_id, rank, neighbor_id FROM scored
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_media_dedup_incremental" ->
+      """SELECT CAST(100 + i AS BIGINT) AS id,
+        |  i < 10 AS dup_first_pass,
+        |  TRUE AS dup_after_append
+        |FROM (SELECT UNNEST(generate_series(0, 19)) AS i)
+        |ORDER BY id""".stripMargin,
 
     "q_orc_roundtrip" ->
       """SELECT l_returnflag, COUNT(*) AS n,

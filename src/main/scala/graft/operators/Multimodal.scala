@@ -916,32 +916,14 @@ object Multimodal {
     bandedHammingPairs(imageHashes(media), maxHamming)
 
   /** Shared banded Hamming pair join over a (`media_id`, `dhash`) frame —
-    * the candidate generator behind image, audio and video-frame near-dup:
-    * split the 64-bit hash into 8 byte bands (pigeonhole: any pair within
-    * Hamming 7 agrees exactly on ≥1 band), equi-join on (band, value), and
-    * verify with codegen'd `bit_count(a xor b)` inside buckets only.
+    * the candidate generator behind image, audio and video-frame near-dup
+    * (pigeonhole: any pair within Hamming 7 agrees exactly on ≥1 of the 8
+    * byte bands). Delegates to the persisted-index twin
+    * ([[HashIndex.pairs]]) so batch pair mining and incremental index
+    * probes share one plan shape.
     */
-  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 8,
-      s"8 byte-bands guarantee recall only for maxHamming < 8, got $maxHamming")
-    val bands = hashes.filter(col("dhash").isNotNull)
-      .select(col("media_id"), col("dhash"),
-        explode(array((0 until 8).map(i =>
-          struct(lit(i).alias("band"),
-            shiftright(col("dhash"), 8 * i).bitwiseAND(lit(0xffL)).alias("v"))): _*))
-          .alias("b"))
-      .select(col("media_id"), col("dhash"), col("b.band"), col("b.v"))
-    val a = bands.alias("a")
-    val b = bands.alias("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").alias("id_a"), col("b.media_id").alias("id_b"),
-        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long")
-          .alias("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame =
+    HashIndex.pairs(hashes.withColumnRenamed("media_id", "id"), maxHamming)
 
   /** (`media_id`, `dhash`) per audio row via the energy-envelope fingerprint
     * ([[audioHash64]]); undecodable payloads yield a null hash.
@@ -951,6 +933,29 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(rows => rows.map { r =>
       val h = if (r.payload == null) None else audioHash64(r.payload)
+      (r.media_id, h)
+    }).toDF("media_id", "dhash")
+  }
+
+  /** One 64-bit perceptual fingerprint per media row, dispatched by
+    * modality: image → dHash, audio → energy envelope, video → dHash of
+    * the first decodable MJPEG frame (a representative-frame hash; for
+    * frame-LEVEL dedup feed [[videoFrames]] output to
+    * [[HashIndex]] directly). Null hash for undecodable payloads.
+    * Partition-batched map, no shuffle — the uniform front door the
+    * streaming media intake fingerprints every modality through.
+    */
+  def mediaHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(rows => rows.map { r =>
+      val p = if (r.payload == null) Array.emptyByteArray else r.payload
+      val h = r.kind match {
+        case "image" => dHash64(p)
+        case "audio" => audioHash64(p)
+        case "video" => mjpegFrames(p).iterator.map(dHash64)
+          .collectFirst { case Some(x) => x }
+        case _       => None
+      }
       (r.media_id, h)
     }).toDF("media_id", "dhash")
   }

@@ -316,4 +316,45 @@ class StreamingSpec extends SparkTestBase {
       rows.groupBy(_._1).foreach { case (_, g) => g.length should be <= 32 }
     } finally q.stop()
   }
+
+  test("streaming media ingest: persisted hash index rejects cross-batch twins; in-batch twin loses") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{HashIndex, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("media_ingest").toString
+    val input = MemoryStream[(Long, String, String, Array[Byte])]
+
+    val writer = graft.streaming.MediaStreaming.mediaIngest(
+      input.toDF().toDF("media_id", "kind", "uri", "payload"),
+      s"$root/index", s"$root/accepted")
+    val q = writer.option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      // batch 0: two images + one audio clip, all distinct -> all accepted
+      input.addData(
+        (1L, "image", "i/1", Multimodal.syntheticPng(1L)),
+        (2L, "image", "i/2", Multimodal.syntheticPng(2L)),
+        (3L, "audio", "a/3", Multimodal.syntheticWav(3L, 16000, 1, 6000)))
+      q.processAllAvailable()
+      // batch 1: 10 = re-encode twin of image 1 (cross-batch reject), 11 is
+      // fresh, 12 = gain-halved twin of clip 3 (cross-batch, cross-MODALITY
+      // state in one index), 20/21 are in-batch twins (21 loses to 20)
+      input.addData(
+        (10L, "image", "i/10", Multimodal.syntheticPng(1L, flipped = true)),
+        (11L, "image", "i/11", Multimodal.syntheticPng(50L)),
+        (12L, "audio", "a/12",
+          Multimodal.halveWavAmplitude(Multimodal.syntheticWav(3L, 16000, 1, 6000))),
+        (20L, "image", "i/20", Multimodal.syntheticPng(60L)),
+        (21L, "image", "i/21", Multimodal.syntheticPng(60L, flipped = true)))
+      q.processAllAvailable()
+
+      val accepted = spark.read.parquet(s"$root/accepted")
+        .select($"media_id").as[Long].collect().sorted
+      accepted shouldBe Array(1L, 2L, 3L, 11L, 20L)
+      // newest index version carries exactly the accepted fingerprints,
+      // bands precomputed for the next batch's probe
+      val idx = HashIndex.read(spark, s"$root/index/v1")
+      idx.hashes.count() shouldBe 5L
+      idx.bands.count() shouldBe 40L
+    } finally q.stop()
+  }
 }
