@@ -86,6 +86,34 @@ object LakeSink {
     * staging path, then [[swapIn]]; on ANY failure the staging dir is
     * removed so repeated failing runs can't accumulate orphaned data.
     */
+  /** Retention for batch-versioned index roots (`v<digits>` dirs, the
+    * layout both streaming ingests publish one full index copy per
+    * micro-batch into): delete all but the newest `keepLast` versions.
+    * Returns the dropped version numbers, oldest first.
+    *
+    * Safety: survivors are the newest versions, so any in-flight reader of
+    * a kept version is untouched, and the replay contract (a retried batch
+    * reads the newest version STRICTLY BELOW its own id) keeps working as
+    * long as `keepLast` exceeds the retry horizon — pick it from the
+    * stream's `maxFilesPerTrigger`/retry budget, not from disk pressure
+    * alone. Non-version entries under `root` are ignored.
+    */
+  def vacuumVersions(spark: SparkSession, root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val p  = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val versions = fs.listStatus(p).iterator.map(_.getPath.getName)
+        .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+          s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+        .toSeq.sorted
+      val dropped = versions.dropRight(keepLast)
+      dropped.foreach(v => fs.delete(new Path(p, s"v$v"), true))
+      dropped
+    }
+  }
+
   private[graft] def stageAndSwap(fs: org.apache.hadoop.fs.FileSystem,
       finalDir: Path)(write: Path => Unit): Unit = {
     val staging = new Path(finalDir.getParent, s".staging-${java.util.UUID.randomUUID}")

@@ -128,6 +128,26 @@ class LakeSinkSpec extends SparkTestBase {
     all.columns should contain("dt")
   }
 
+  test("vacuumVersions keeps the newest k versions, ignores everything else") {
+    val root = Files.createTempDirectory("vacuum").toString
+    for (v <- Seq(0L, 1L, 2L, 5L)) {
+      val d = new java.io.File(s"$root/v$v"); d.mkdirs()
+      Files.write(d.toPath.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    }
+    new java.io.File(s"$root/not-a-version").mkdirs()
+
+    LakeSink.vacuumVersions(spark, root, keepLast = 2) shouldBe Seq(0L, 1L)
+    new java.io.File(s"$root/v0").exists() shouldBe false
+    new java.io.File(s"$root/v1").exists() shouldBe false
+    new java.io.File(s"$root/v2").exists() shouldBe true
+    new java.io.File(s"$root/v5").exists() shouldBe true
+    new java.io.File(s"$root/not-a-version").exists() shouldBe true
+
+    // idempotent second pass; missing root is a no-op
+    LakeSink.vacuumVersions(spark, root, keepLast = 2) shouldBe Seq.empty
+    LakeSink.vacuumVersions(spark, s"$root/missing", keepLast = 1) shouldBe Seq.empty
+  }
+
   test("jsonl corpus: compressed shards round-trip under an enforced schema") {
     import graft.sinks.CorpusJsonl
     import spark.implicits._
