@@ -608,6 +608,122 @@ object SparkEntry {
           .alias("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)),
 
+    // TPC-H Q7 (volume shipping): bidirectional nation-pair trade volume.
+    // The pair disjunction ((A,B) OR (B,A)) rides the supplier⋈customer
+    // join as a residual filter; both nation lookups broadcast.
+    "q_tpch_q7" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").alias("s_nk"), col("n_name").alias("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").alias("c_nk"), col("n_name").alias("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").alias("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 (national market share): two-level aggregate — conditional
+    // numerator over a full-volume denominator, per order year.
+    "q_tpch_q8" -> ((s, dir) => {
+      val suppNation = t(s, dir, "nation")
+        .select(col("n_nationkey").alias("s_nk"), col("n_name").alias("supp_nation"))
+      val custGeo = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(custGeo, col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").alias("o_year"))
+        .agg((dsum(when(col("supp_nation") === "NATION_3",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .alias("mkt_share"))
+        .select(col("o_year"), round(col("mkt_share"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q13 (customer order-count distribution): LEFT outer join so
+    // zero-order customers survive into the c_count=0 bucket, then a
+    // second aggregate over the first's output — the double-group-by shape.
+    "q_tpch_q13" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).alias("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).alias("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q14 (promo revenue share): conditional-aggregate ratio over a
+    // one-month scan; the part lookup is the only join and broadcasts.
+    "q_tpch_q14" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-06-01") &&
+          col("l_shipdate") < lit("1997-07-01"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .alias("promo_revenue"))
+        .select(round(col("promo_revenue"), 6).alias("promo_revenue"))),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    // subquery (per-part 0.2·avg(quantity) threshold) re-planned as one
+    // grouped aggregate on the FILTERED side joined back — the brand filter
+    // prunes the avg scan to 66 parts before any wide read.
+    "q_tpch_q17" -> ((s, dir) => {
+      val brandParts = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"))
+      val brandLines = t(s, dir, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val perPartAvg = brandLines.groupBy(col("p_partkey"))
+        .agg(davg(col("l_quantity")).alias("__avg_qty"))
+      brandLines
+        .join(broadcast(perPartAvg), Seq("p_partkey"))
+        .filter(col("l_quantity") < lit(0.2) * col("__avg_qty"))
+        .agg(round(dsum(col("l_extendedprice")) / 7.0, 6).alias("avg_yearly"))
+    }),
+
+    // TPC-H Q18 (large-volume customers): group-by-HAVING as a semi-join
+    // feeder — the qualifying orderkeys reduce to ~hundreds, so the probe
+    // back into orders⋈customer broadcasts.
+    "q_tpch_q18" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).alias("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      t(s, dir, "orders")
+        .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").alias("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
     // ---- A6: custom typed Aggregator UDAF ------------------------------
     "q_udaf_sum" -> ((s, dir) => {
       val sumUdaf = udaf(Aggregators.SumDouble, Encoders.scalaDouble)
@@ -3192,6 +3308,82 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |  round(
+        |    CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c LEFT OUTER JOIN orders o
+        |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |  6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT round(
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 6)
+        |  AS avg_yearly
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand = 'Brand#13'
+        |  AND l.l_quantity < 0.2 * (
+        |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250.0
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
