@@ -2488,6 +2488,36 @@ object SparkEntry {
           round(col("mean_cos"), 6).alias("mean_cos"))
         .orderBy("label")),
 
+    // Distributed Lloyd's k-means (operators/Clustering.scala): 4 planted
+    // clusters — every embedding shifted by 60·g in each dim, g = vec_id
+    // mod 4 — must be recovered EXACTLY. Init row g is the vector of
+    // vec_id = g (planted group g), so with inter-cluster separation
+    // 60·√64 = 480 ≫ intra-cluster spread, iteration 1 already assigns
+    // cluster == planted group deterministically; the checkable contract
+    // is per-group purity plus monotone Lloyd's descent.
+    "q_kmeans_recover" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("__g", pmod(col("vec_id"), lit(4)))
+        .withColumn("__pv", transform(col("embedding"),
+          x => x + (col("__g") * 60.0).cast("float")))
+      val init = graft.operators.Clustering.initFromSmallestIds(
+        emb, "__pv", "vec_id", dim = 64, k = 4)
+      val m = graft.operators.Clustering.kMeansFit(
+        emb, "__pv", dim = 64, k = 4, iters = 3, init)
+      val monotone = m.inertia.sliding(2).forall {
+        case Seq(a, b) => b <= a + 1e-6
+        case _ => true
+      }
+      graft.operators.Clustering.assign(emb, "__pv", m)
+        .groupBy(pmod(col("vec_id"), lit(4)).alias("planted_group"))
+        .agg(count(lit(1)).alias("n_members"),
+          sum(when(col("cluster") === col("__g"), 1L).otherwise(0L)).alias("__rec"))
+        .select(col("planted_group"), col("n_members"),
+          (col("__rec") === col("n_members")).alias("recovered"),
+          lit(monotone).alias("inertia_monotone"))
+        .orderBy("planted_group")
+    }),
+
     // Image-level near-dup via perceptual dHash (REAL ImageIO decode of
     // deterministic synthetic PNGs): the planted twin pairs — and nothing
     // else — must come back; the oracle is the literal planted-pair list.
@@ -3943,6 +3973,13 @@ object SparkEntry {
         |       CAST(n AS BIGINT) AS shared_frames
         |FROM (VALUES (0, 100, 4), (1, 101, 2)) t(a, b, n)
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_kmeans_recover" ->
+      """SELECT CAST(vec_id % 4 AS BIGINT) AS planted_group,
+        |       COUNT(*) AS n_members,
+        |       CAST(1 AS BOOLEAN) AS recovered,
+        |       CAST(1 AS BOOLEAN) AS inertia_monotone
+        |FROM embeddings GROUP BY 1 ORDER BY planted_group""".stripMargin,
 
     "q_embedding_spread" ->
       """WITH valid AS (
