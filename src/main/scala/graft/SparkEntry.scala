@@ -2518,6 +2518,27 @@ object SparkEntry {
         .orderBy("planted_group")
     }),
 
+    // Cluster-balanced subsampling — the embedding-space counterpart of
+    // per-domain capping: k-means clusters are the balancing strata, then
+    // the deterministic md5-rank cap keeps ≤ 25 per cluster. Uses the same
+    // planted-4-cluster construction as q_kmeans_recover (cluster ==
+    // vec_id mod 4 after recovery), so DuckDB replays the cap exactly from
+    // the closed-form stratum.
+    "q_cluster_sample" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("__g", pmod(col("vec_id"), lit(4)))
+        .withColumn("__pv", transform(col("embedding"),
+          x => x + (col("__g") * 60.0).cast("float")))
+      val init = graft.operators.Clustering.initFromSmallestIds(
+        emb, "__pv", "vec_id", dim = 64, k = 4)
+      val m = graft.operators.Clustering.kMeansFit(
+        emb, "__pv", dim = 64, k = 4, iters = 2, init)
+      graft.operators.Splits.samplePerGroup(
+          graft.operators.Clustering.assign(emb, "__pv", m), "cluster", "vec_id", 25)
+        .select(col("vec_id"), col("cluster").cast("long").alias("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // Image-level near-dup via perceptual dHash (REAL ImageIO decode of
     // deterministic synthetic PNGs): the planted twin pairs — and nothing
     // else — must come back; the oracle is the literal planted-pair list.
@@ -3980,6 +4001,14 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS recovered,
         |       CAST(1 AS BOOLEAN) AS inertia_monotone
         |FROM embeddings GROUP BY 1 ORDER BY planted_group""".stripMargin,
+
+    "q_cluster_sample" ->
+      """SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS cluster FROM (
+        |  SELECT vec_id,
+        |    row_number() OVER (PARTITION BY vec_id % 4
+        |      ORDER BY md5('42:' || CAST(vec_id AS VARCHAR))) AS rk
+        |  FROM embeddings) WHERE rk <= 25
+        |ORDER BY vec_id""".stripMargin,
 
     "q_embedding_spread" ->
       """WITH valid AS (

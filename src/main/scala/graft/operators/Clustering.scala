@@ -167,6 +167,31 @@ object Clustering {
     KMeansModel(cents, k, dim, inertias.result(), sizes)
   }
 
+  /** Persist a fitted model: one single-row parquet of (k, dim, centroids,
+    * inertia, sizes) — same one-row params layout as the IVF-PQ index
+    * ([[Similarity.buildIvfPqIndex]]), so a model trains once on a sample
+    * epoch and assigns every later delivery with frozen centroids (codes
+    * stay mutually comparable across deliveries, no retrain drift).
+    */
+  def saveModel(model: KMeansModel, path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    Seq((model.k, model.dim, model.centroids.toSeq, model.inertia,
+        model.sizes.toSeq))
+      .toDF("k", "dim", "centroids", "inertia", "sizes")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): KMeansModel = {
+    val r = spark.read.parquet(path).head()
+    // getAs yields a mutable ArraySeq in 2.13 — convert before the
+    // immutable-Seq field, or the case-class assignment throws CCE
+    KMeansModel(r.getAs[scala.collection.Seq[Float]]("centroids").toArray,
+      r.getAs[Int]("k"), r.getAs[Int]("dim"),
+      r.getAs[scala.collection.Seq[Double]]("inertia").toSeq,
+      r.getAs[scala.collection.Seq[Long]]("sizes").toArray)
+  }
+
   /** Nearest-centroid assignment under a fitted model: adds `clusterCol`
     * (int; null for null/wrong-length vectors). A narrow codegen'd map —
     * composes with any downstream groupBy without an extra shuffle of its

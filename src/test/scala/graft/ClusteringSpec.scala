@@ -67,6 +67,24 @@ class ClusteringSpec extends SparkTestBase {
     out(3L) shouldBe -1
   }
 
+  test("saveModel/loadModel round-trips and frozen assignment matches") {
+    val dim = 3
+    val df = planted(30, dim, 3, spread = 50f).toDF("id", "vec")
+    val init = Clustering.initFromSmallestIds(df, "vec", "id", dim, k = 3)
+    val m = Clustering.kMeansFit(df, "vec", dim, k = 3, iters = 2, init)
+    val path = java.nio.file.Files.createTempDirectory("kmeans").toString + "/model"
+    Clustering.saveModel(m, path)
+    val back = Clustering.loadModel(spark, path)
+    back.k shouldBe m.k
+    back.dim shouldBe m.dim
+    back.centroids.toSeq shouldBe m.centroids.toSeq
+    back.inertia shouldBe m.inertia
+    back.sizes.toSeq shouldBe m.sizes.toSeq
+    val a = Clustering.assign(df, "vec", m).select("id", "cluster").collect().toSeq
+    val b = Clustering.assign(df, "vec", back).select("id", "cluster").collect().toSeq
+    a should contain theSameElementsAs b
+  }
+
   test("initFromSmallestIds takes the k smallest valid ids in order") {
     val df = Seq(
       (5L, Seq(5f, 5f)), (1L, Seq(1f, 1f)),
