@@ -1924,6 +1924,33 @@ object SparkEntry {
           round(col("bm25"), 6).alias("bm25"))
         .orderBy("doc_id")),
 
+    // Hybrid retrieval: BM25 lexical top-40 fused with exact-cosine
+    // semantic top-40 (probe = the deterministic vec_id-0 embedding) by
+    // reciprocal-rank fusion, k=60 (operators/Retrieval.scala). Both legs
+    // rank on ROUNDED scores with an id tiebreak, so ranks — and therefore
+    // the fused scores — are engine-exact; docs/embeddings share ids by
+    // construction of the testdata.
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val emb  = t(s, dir, "embeddings")
+      val lex = graft.operators.TextAnalysis.bm25Scores(docs, "doc_id",
+          Seq("shuffle", "hash", "partition"))
+        .orderBy(round(col("bm25"), 6).desc, col("doc_id").asc).limit(40)
+        // rank over the already-top-40 frame: the single-partition window
+        // sees 40 rows no matter the corpus size
+        .withColumn("rank", row_number().over(
+          Window.orderBy(round(col("bm25"), 6).desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val sem = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") === 0L), "vec_id", "embedding", 40)
+        .select(col("neighbor_id").alias("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), "doc_id", k = 60)
+        .select(col("doc_id"), round(col("rrf_score"), 6).alias("rrf"),
+          col("n_rankers"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+    }),
+
     // DSIR importance log-weights toward a planted target domain
     // (doc_id % 10 < 3): every document's weight is value-checked — the
     // md5-hex bucketing makes the whole construction SQL-replayable.
@@ -3886,6 +3913,39 @@ object SparkEntry {
         |  WHERE e.vec_id <> q.vec_id)
         |SELECT query_id, rank, neighbor_id FROM scored
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |len AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM len),
+        |hits AS (SELECT doc_id, g AS tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+        |  WHERE g IN ('shuffle', 'hash', 'partition') GROUP BY doc_id, g),
+        |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok),
+        |bm AS (SELECT h.doc_id,
+        |  round(SUM(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * (h.tf * 2.2) /
+        |    (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))), 6) AS bm25
+        |  FROM hits h JOIN dfq d USING (tok) JOIN len l USING (doc_id), corpus c
+        |  GROUP BY h.doc_id),
+        |lex AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+        |  FROM bm) WHERE rank <= 40),
+        |sem AS (SELECT doc_id, rank FROM (
+        |  SELECT e.vec_id AS doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      ROUND(CAST(list_cosine_similarity(q.embedding, e.embedding) AS DOUBLE), 6)
+        |        DESC, e.vec_id ASC) AS rank
+        |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  CROSS JOIN embeddings e WHERE e.vec_id <> 0) WHERE rank <= 40),
+        |unioned AS (SELECT doc_id, rank FROM lex
+        |            UNION ALL SELECT doc_id, rank FROM sem)
+        |SELECT doc_id, round(SUM(CAST(1 AS DOUBLE) / (60 + rank)), 6) AS rrf,
+        |       COUNT(*) AS n_rankers
+        |FROM unioned GROUP BY doc_id ORDER BY rrf DESC, doc_id ASC""".stripMargin,
 
     "q_media_dedup_incremental" ->
       """SELECT CAST(100 + i AS BIGINT) AS id,
