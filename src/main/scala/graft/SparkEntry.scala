@@ -1924,6 +1924,42 @@ object SparkEntry {
           round(col("bm25"), 6).alias("bm25"))
         .orderBy("doc_id")),
 
+    // BM25 served from the persisted inverted index (postings + termstats +
+    // doclen + stats under tmpdir): build-once / probe-many — the probe
+    // touches only the 3 queried terms' postings (term-range-clustered
+    // files, predicate pushed to the scan), never re-tokenizes the corpus.
+    // Oracle recomputes from the raw corpus; hash-match proves served ==
+    // recomputed, score for score.
+    "q_bm25_indexed" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_bm25_index"
+      graft.operators.InvertedIndex.build(t(s, dir, "documents"), "doc_id", "text", path)
+      graft.operators.InvertedIndex.bm25(s, path, Seq("shuffle", "hash", "partition"))
+        .select(col("doc_id"), col("n_hits"),
+          round(col("bm25"), 6).alias("bm25"))
+        .orderBy("doc_id")
+    }),
+
+    // PageRank over the observed click-transition graph: per-user
+    // consecutive props.k transitions (ordered by micros + event_id, the
+    // sessionize convention) form the weighted edge list; 5 damped power
+    // iterations (operators/LinkGraph.scala). The oracle unrolls the same
+    // 5 iterations as chained CTEs — identical arithmetic shape, so ranks
+    // are value-checked at 6 decimals, not just rows.
+    "q_pagerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).alias("us"),
+          get_json_object(col("props"), "$.k").cast("long").alias("k"))
+        .filter(col("k").isNotNull)
+      val edges = ev.withColumn("dst", lead(col("k"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("k").alias("src"), col("dst"))
+      graft.operators.LinkGraph.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node"), round(col("rank"), 6).alias("pagerank"))
+        .orderBy("node")
+    }),
+
     // Hybrid retrieval: BM25 lexical top-40 fused with exact-cosine
     // semantic top-40 (probe = the deterministic vec_id-0 embedding) by
     // reciprocal-rank fusion, k=60 (operators/Retrieval.scala). Both legs
@@ -3103,6 +3139,86 @@ object SparkEntry {
         |    (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))), 6) AS bm25
         |FROM hits h JOIN dfq d USING (tok) JOIN len l USING (doc_id), corpus c
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    // Identical recompute-from-corpus SQL as q_bm25: the Spark side serves
+    // from the persisted postings index, so hash equality IS the
+    // index-roundtrip proof.
+    "q_bm25_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |len AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM len),
+        |hits AS (SELECT doc_id, g AS tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+        |  WHERE g IN ('shuffle', 'hash', 'partition') GROUP BY doc_id, g),
+        |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok)
+        |SELECT h.doc_id, CAST(SUM(h.tf) AS BIGINT) AS n_hits,
+        |  round(SUM(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * (h.tf * 2.2) /
+        |    (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))), 6) AS bm25
+        |FROM hits h JOIN dfq d USING (tok) JOIN len l USING (doc_id), corpus c
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |tr AS (
+        |  SELECT k AS src,
+        |         lead(k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS dst
+        |  FROM ev),
+        |e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM tr
+        |      WHERE dst IS NOT NULL GROUP BY src, dst),
+        |outw AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+        |trans AS (SELECT e.src, e.dst, e.w / o.ow AS p
+        |          FROM e JOIN outw o ON e.src = o.src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |r0 AS (SELECT node, 1.0 / n.n AS pr FROM nodes, nn n),
+        |d1 AS (SELECT COALESCE(SUM(r.pr), 0) AS m FROM r0 r
+        |       LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+        |r1 AS (SELECT nd.node,
+        |         (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.c, 0) + d1.m / nn.n) AS pr
+        |       FROM nodes nd CROSS JOIN nn CROSS JOIN d1
+        |       LEFT JOIN (SELECT t.dst AS node, SUM(r.pr * t.p) AS c
+        |                  FROM trans t JOIN r0 r ON t.src = r.node
+        |                  GROUP BY t.dst) c ON nd.node = c.node),
+        |d2 AS (SELECT COALESCE(SUM(r.pr), 0) AS m FROM r1 r
+        |       LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+        |r2 AS (SELECT nd.node,
+        |         (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.c, 0) + d2.m / nn.n) AS pr
+        |       FROM nodes nd CROSS JOIN nn CROSS JOIN d2
+        |       LEFT JOIN (SELECT t.dst AS node, SUM(r.pr * t.p) AS c
+        |                  FROM trans t JOIN r1 r ON t.src = r.node
+        |                  GROUP BY t.dst) c ON nd.node = c.node),
+        |d3 AS (SELECT COALESCE(SUM(r.pr), 0) AS m FROM r2 r
+        |       LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+        |r3 AS (SELECT nd.node,
+        |         (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.c, 0) + d3.m / nn.n) AS pr
+        |       FROM nodes nd CROSS JOIN nn CROSS JOIN d3
+        |       LEFT JOIN (SELECT t.dst AS node, SUM(r.pr * t.p) AS c
+        |                  FROM trans t JOIN r2 r ON t.src = r.node
+        |                  GROUP BY t.dst) c ON nd.node = c.node),
+        |d4 AS (SELECT COALESCE(SUM(r.pr), 0) AS m FROM r3 r
+        |       LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+        |r4 AS (SELECT nd.node,
+        |         (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.c, 0) + d4.m / nn.n) AS pr
+        |       FROM nodes nd CROSS JOIN nn CROSS JOIN d4
+        |       LEFT JOIN (SELECT t.dst AS node, SUM(r.pr * t.p) AS c
+        |                  FROM trans t JOIN r3 r ON t.src = r.node
+        |                  GROUP BY t.dst) c ON nd.node = c.node),
+        |d5 AS (SELECT COALESCE(SUM(r.pr), 0) AS m FROM r4 r
+        |       LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+        |r5 AS (SELECT nd.node,
+        |         (1 - 0.85) / nn.n + 0.85 * (COALESCE(c.c, 0) + d5.m / nn.n) AS pr
+        |       FROM nodes nd CROSS JOIN nn CROSS JOIN d5
+        |       LEFT JOIN (SELECT t.dst AS node, SUM(r.pr * t.p) AS c
+        |                  FROM trans t JOIN r4 r ON t.src = r.node
+        |                  GROUP BY t.dst) c ON nd.node = c.node)
+        |SELECT node, round(pr, 6) AS pagerank FROM r5 ORDER BY node""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH toks AS (
