@@ -724,6 +724,274 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q2 (min-cost regional supplier). The testdata has no partsupp,
+    // so the part-supplier relation derives from OBSERVED lineitems:
+    // cost(part,supp) = Σprice/Σqty (both decimal-exact before the one
+    // division, so Spark and DuckDB agree bit-for-bit). The correlated
+    // per-part MIN is re-planned as a grouped aggregate joined back
+    // (broadcast — candidates after the size/type/region filters are tiny),
+    // the same shape as Q17's threshold.
+    "q_tpch_q2" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity")))
+          .alias("ps_cost"))
+      val eurSup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val parts = t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+        .select(col("p_partkey"), col("p_name"))
+      val cand = ps
+        .join(broadcast(eurSup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val minCost = cand.groupBy(col("p_partkey").alias("__pk"))
+        .agg(min(col("ps_cost")).alias("__min_cost"))
+      cand
+        .join(broadcast(minCost),
+          col("p_partkey") === col("__pk") && col("ps_cost") === col("__min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), round(col("ps_cost"), 6).alias("ps_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q4 (order-priority checking). No commit/receipt dates in the
+    // testdata, so "late" = any lineitem shipped >60 days after the order
+    // date; the EXISTS is a semi-join carrying the non-equi lateness
+    // predicate alongside the key, shuffle on orderkey only.
+    "q_tpch_q4" -> ((s, dir) => {
+      val ords = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-07-01") &&
+          col("o_orderdate") < lit("1997-10-01"))
+      ords.join(t(s, dir, "lineitem"),
+          ords("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q9 (product-type profit by nation and year). Supply cost has no
+    // partsupp to come from, so the cost leg is a retail-price surrogate
+    // (1% of p_retailprice per unit); the join tree is the canonical
+    // star — two broadcast dims (part-filter, supplier⋈nation) feeding the
+    // lineitem⋈orders equi-join, the only big shuffle.
+    "q_tpch_q9" -> ((s, dir) => {
+      val redParts = t(s, dir, "part").filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").alias("nation"),
+          year(col("o_orderdate")).cast("long").alias("o_year"))
+        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.01) * col("p_retailprice") * col("l_quantity")), 6)
+          .alias("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 (important part values). Scope = suppliers in ASIA (the
+    // single-nation original generalized to a region); the HAVING threshold
+    // is 2× the MEAN per-part share — the original's 0.0001/SF constant
+    // re-expressed scale-free, so the row count stays meaningful as the
+    // part domain grows (a fixed fraction empties out at 10× parts).
+    // Per-part and total are both decimal-exact row sums, so the double
+    // comparison agrees with the oracle exactly; the scalar ships as a
+    // broadcast one-row crossJoin, the repo's standard global-threshold
+    // shape.
+    "q_tpch_q11" -> ((s, dir) => {
+      val asiaSup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_regionkey") === 2)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val scoped = t(s, dir, "lineitem")
+        .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).alias("__v"))
+      val perPart = scoped.groupBy(col("l_partkey").alias("p_partkey"))
+        .agg(dsum(col("__v")).alias("__value"))
+      val total = scoped.agg(dsum(col("__v")).alias("__total"),
+        countDistinct(col("l_partkey")).alias("__np"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("__value") > lit(2.0) * col("__total") / col("__np"))
+        .select(col("p_partkey"), round(col("__value"), 6).alias("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }),
+
+    // TPC-H Q12 (shipping-delay priority split). Ship mode doesn't exist in
+    // the testdata; the original's mode buckets become line status, and
+    // "received late" becomes shipped >90 days after the order date. One
+    // equi-join + conditional counts — the CASE-sum pair stays in one
+    // grouped aggregate.
+    "q_tpch_q12" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).alias("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).alias("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // TPC-H Q15 (top supplier). The revenue "view" is a grouped aggregate
+    // over one quarter; the correlated MAX is a broadcast one-row scalar
+    // (same construction as Q11's threshold). Revenue per supplier is a
+    // decimal-exact row sum, so the double MAX-equality is bit-stable.
+    "q_tpch_q15" -> ((s, dir) => {
+      val revenue = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .alias("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).alias("__max_rev"))
+      revenue.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("__max_rev"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("total_revenue"), 6).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 (supplier count by part attributes). The part-supplier
+    // relation is the DISTINCT observed (part, supplier) pairs; the
+    // complaints NOT-IN becomes a broadcast anti-join against the
+    // low-balance suppliers (the 10 rows with s_acctbal < 500). Count
+    // distinct suppliers per (brand, type, size) — one shuffle on the
+    // group keys.
+    "q_tpch_q16" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val complaintSup = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 500.0).select(col("s_suppkey"))
+      ps
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(complaintSup), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q19 (disjunctive brand/size/quantity predicates). One broadcast
+    // part join; the three OR'd conjunction arms stay a single codegen'd
+    // filter — Catalyst extracts the common p_partkey equi-key so the OR
+    // never degrades the join itself.
+    "q_tpch_q19" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .alias("revenue"))),
+
+    // TPC-H Q20 (excess-share suppliers). availqty has no partsupp to come
+    // from, so the test is observational: a (part, supplier) pair whose
+    // all-time shipped quantity exceeds half the part's 1997 demand. Both
+    // quantity totals are decimal-exact; the supplier probe is a semi-join
+    // and the region filter broadcasts. Demand joins pair-totals on
+    // partkey — red parts only, pruned before either aggregate.
+    "q_tpch_q20" -> ((s, dir) => {
+      val redParts = t(s, dir, "part").filter(col("p_name").startsWith("red"))
+        .select(col("p_partkey"))
+      val redLines = t(s, dir, "lineitem")
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      val pairQty = redLines.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).alias("__pair_qty"))
+      val demand97 = redLines
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .groupBy(col("l_partkey").alias("__pk"))
+        .agg(dsum(col("l_quantity")).alias("__demand"))
+      val excess = pairQty
+        .join(broadcast(demand97), col("l_partkey") === col("__pk"))
+        .filter(col("__pair_qty") > lit(0.5) * col("__demand"))
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_regionkey") === 0)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting). The original's
+    // EXISTS / NOT EXISTS self-joins are re-planned as ONE per-order
+    // supplier-stats aggregate joined back: a row is blamed when its order
+    // has ≥2 distinct suppliers (EXISTS another) and exactly ONE distinct
+    // LATE supplier (NOT EXISTS another late) — set-identical to the
+    // correlated formulation, but linear in lineitems instead of two
+    // quadratic self-joins. "Late" = shipped >90 days after order date.
+    "q_tpch_q21" -> ((s, dir) => {
+      val fLines = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .alias("__late"))
+      val orderStats = fLines.groupBy(col("l_orderkey").alias("__ok"))
+        .agg(countDistinct(col("l_suppkey")).alias("__n_supp"),
+          countDistinct(when(col("__late"), col("l_suppkey"))).alias("__n_late"))
+      fLines.filter(col("__late"))
+        .join(orderStats,
+          col("l_orderkey") === col("__ok") && col("__n_supp") >= 2 &&
+            col("__n_late") === 1)
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).alias("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 (global sales opportunity). The phone country code doesn't
+    // exist; its stand-in is the hundreds digit of the zero-padded customer
+    // name — same substring-bucket shape, uniform at every sf. Rich-idle =
+    // balance above the positive-balance average (broadcast scalar) AND no
+    // order since 2000 (anti-join).
+    "q_tpch_q22" -> ((s, dir) => {
+      val coded = t(s, dir, "customer")
+        .withColumn("cntrycode", substring(col("c_name"), 16, 1))
+        .filter(col("cntrycode").isin("1", "2", "4", "6", "8"))
+      val avgBal = coded.filter(col("c_acctbal") > 0.0)
+        .agg(davg(col("c_acctbal")).alias("__avg_bal"))
+      coded.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg_bal"))
+        .join(t(s, dir, "orders").filter(col("o_orderdate") >= lit("2000-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).alias("numcust"),
+          round(dsum(col("c_acctbal")), 6).alias("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     // ---- A6: custom typed Aggregator UDAF ------------------------------
     "q_udaf_sum" -> ((s, dir) => {
       val sumUdaf = udaf(Aggregators.SumDouble, Encoders.scalaDouble)
@@ -3578,6 +3846,172 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4, 5
         |HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250.0
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_tpch_q2" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS ps_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, ps.ps_cost
+        |  FROM ps
+        |  JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |  JOIN part p ON ps.l_partkey = p.p_partkey
+        |    AND p.p_size = 15 AND p.p_type = 'STANDARD')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |       round(ps_cost, 6) AS ps_cost
+        |FROM cand c
+        |WHERE c.ps_cost = (SELECT MIN(c2.ps_cost) FROM cand c2
+        |                   WHERE c2.p_partkey = c.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q9" ->
+      """SELECT n.n_name AS nation,
+        |       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+        |       round(CAST(SUM(CAST(
+        |         l.l_extendedprice * (1 - l.l_discount) -
+        |         0.01 * p.p_retailprice * l.l_quantity
+        |       AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q_tpch_q11" ->
+      """WITH scoped AS (
+        |  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 2),
+        |tot AS (SELECT CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS t,
+        |               COUNT(DISTINCT l_partkey) AS np
+        |        FROM scoped)
+        |SELECT l_partkey AS p_partkey,
+        |       round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 6) AS value
+        |FROM scoped, tot
+        |GROUP BY l_partkey, tot.t, tot.np
+        |HAVING CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) > 2.0 * tot.t / tot.np
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 6) AS total_revenue
+        |FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                           WHERE s_acctbal < 500.0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |  AS DECIMAL(18,6))) AS DOUBLE), 6) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q20" ->
+      """WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |rl AS (SELECT l.* FROM lineitem l JOIN red ON l.l_partkey = red.p_partkey),
+        |pair AS (SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS pq
+        |  FROM rl GROUP BY 1, 2),
+        |dem AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS dq
+        |  FROM rl
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1)
+        |SELECT s_name, s_acctbal FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_regionkey = 0
+        |WHERE s.s_suppkey IN (
+        |  SELECT p.l_suppkey FROM pair p JOIN dem d ON p.l_partkey = d.l_partkey
+        |  WHERE p.pq > 0.5 * d.dq)
+        |ORDER BY s_name""".stripMargin,
+
+    "q_tpch_q21" ->
+      """WITH f AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    AND o.o_orderstatus = 'F')
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM f l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM f l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM f l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH coded AS (
+        |  SELECT c_custkey, c_acctbal, substr(c_name, 16, 1) AS cntrycode
+        |  FROM customer
+        |  WHERE substr(c_name, 16, 1) IN ('1', '2', '4', '6', '8')),
+        |avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) /
+        |         COUNT(*) AS a
+        |  FROM coded WHERE c_acctbal > 0.0)
+        |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |         AS totacctbal
+        |FROM coded, avg_bal
+        |WHERE c_acctbal > avg_bal.a
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = coded.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
