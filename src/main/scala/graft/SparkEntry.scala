@@ -2207,6 +2207,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental index maintenance: build on the even half, APPEND the odd
+    // half as a delivery (delta-only tokenize, marker-committed), then
+    // re-append the same delta (idempotent no-op — the anti-join on doclen
+    // drops every already-indexed id). The oracle recomputes from the full
+    // corpus, so hash equality proves the partial df / n / sum_dl merge is
+    // exact across deliveries — the served avgdl and idf agree bit-for-bit
+    // however the corpus arrived.
+    "q_bm25_index_append" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_bm25_index_inc"
+      val docs = t(s, dir, "documents")
+      graft.operators.InvertedIndex.build(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+      graft.operators.InvertedIndex.append(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+      graft.operators.InvertedIndex.append(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+      graft.operators.InvertedIndex.bm25(s, path, Seq("shuffle", "hash", "partition"))
+        .select(col("doc_id"), col("n_hits"),
+          round(col("bm25"), 6).alias("bm25"))
+        .orderBy("doc_id")
+    }),
+
     // PageRank over the observed click-transition graph: per-user
     // consecutive props.k transitions (ordered by micros + event_id, the
     // sessionize convention) form the weighted edge list; 5 damped power
@@ -3412,6 +3434,27 @@ object SparkEntry {
     // from the persisted postings index, so hash equality IS the
     // index-roundtrip proof.
     "q_bm25_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS t
+        |  FROM documents),
+        |len AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM len),
+        |hits AS (SELECT doc_id, g AS tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS g FROM toks)
+        |  WHERE g IN ('shuffle', 'hash', 'partition') GROUP BY doc_id, g),
+        |dfq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM hits GROUP BY tok)
+        |SELECT h.doc_id, CAST(SUM(h.tf) AS BIGINT) AS n_hits,
+        |  round(SUM(ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5)) * (h.tf * 2.2) /
+        |    (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))), 6) AS bm25
+        |FROM hits h JOIN dfq d USING (tok) JOIN len l USING (doc_id), corpus c
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    // Same recompute-from-corpus SQL again: the Spark side assembled the
+    // index across build + two appends, so hash equality proves the
+    // delivery-partial merge (df, n, sum_dl) is exact.
+    "q_bm25_index_append" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),

@@ -57,4 +57,71 @@ class InvertedIndexSpec extends SparkTestBase {
     df("shuffle") shouldBe 3L
     spark.read.parquet(s"$path/stats").collect().head.getLong(0) shouldBe 6L
   }
+
+  private val delta = Seq(
+    (6L, "shuffle partition spark"),
+    (7L, "hash hash hash shuffle")
+  ).toDF("doc_id", "text")
+
+  private def servedMap(path: String): Map[Long, (Long, Double)] =
+    InvertedIndex.bm25(spark, path, Seq("shuffle", "hash", "partition"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("append serves scores identical to a from-scratch build over the union") {
+    val inc  = java.nio.file.Files.createTempDirectory("invidx_inc").toString
+    val full = java.nio.file.Files.createTempDirectory("invidx_full").toString
+    InvertedIndex.build(docs, "doc_id", "text", inc, numPartitions = 2)
+    InvertedIndex.append(delta, "doc_id", "text", inc, numPartitions = 2)
+    InvertedIndex.build(docs.union(delta), "doc_id", "text", full, numPartitions = 2)
+    val (i, f) = (servedMap(inc), servedMap(full))
+    i.keySet shouldBe f.keySet
+    for ((id, (nh, s)) <- f) {
+      i(id)._1 shouldBe nh
+      i(id)._2 shouldBe s +- 1e-12 // avgdl/df partials merge to exact longs
+    }
+    // re-appending the SAME delta is a no-op delivery (anti-join on doclen)
+    InvertedIndex.append(delta, "doc_id", "text", inc, numPartitions = 2)
+    servedMap(inc) shouldBe i
+    spark.read.parquet(s"$inc/doclen").count() shouldBe 7L
+  }
+
+  test("unmarked (crash-orphan) delivery is invisible; retry heals in place") {
+    val path = java.nio.file.Files.createTempDirectory("invidx_crash").toString
+    InvertedIndex.build(docs, "doc_id", "text", path, numPartitions = 2)
+    val before = servedMap(path)
+    // simulate a crash AFTER the postings landed but BEFORE the marker:
+    // plant an orphan delivery=1 postings dir with a poisoned row
+    Seq(("shuffle", 99L, 1000L)).toDF("term", "doc_id", "tf")
+      .write.parquet(s"$path/postings/delivery=1")
+    servedMap(path) shouldBe before // marker filter prunes the orphan
+    // the retry reuses id 1 and REPLACES the orphan via stage-and-swap
+    InvertedIndex.append(delta, "doc_id", "text", path, numPartitions = 2)
+    val after = servedMap(path)
+    after.keySet shouldBe Set(1L, 2L, 4L, 6L, 7L)
+    after should not contain key(99L)
+  }
+
+  test("compact folds deliveries to one; served results byte-identical") {
+    val path = java.nio.file.Files.createTempDirectory("invidx_compact").toString
+    InvertedIndex.build(docs, "doc_id", "text", path, numPartitions = 2)
+    InvertedIndex.append(delta, "doc_id", "text", path, numPartitions = 2)
+    InvertedIndex.append(Seq((8L, "partition")).toDF("doc_id", "text"),
+      "doc_id", "text", path, numPartitions = 2)
+    val before = servedMap(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    InvertedIndex.deliveries(fs, path) shouldBe Seq(0, 1, 2)
+    InvertedIndex.compact(spark, path, numPartitions = 2)
+    InvertedIndex.deliveries(fs, path) shouldBe Seq(0)
+    // every table folded to a single delivery directory
+    for (t <- Seq("postings", "termstats", "doclen", "stats"))
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$t")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("delivery="))
+        .shouldBe(Seq("delivery=0"))
+    servedMap(path) shouldBe before // bit-identical: exact-long partials
+    // and the compacted index still accepts appends
+    InvertedIndex.append(Seq((9L, "hash")).toDF("doc_id", "text"),
+      "doc_id", "text", path, numPartitions = 2)
+    servedMap(path)(9L)._1 shouldBe 1L
+  }
 }
