@@ -124,6 +124,43 @@ object CorpusStreaming {
     }
   }
 
+  /** Streaming inverted-index ingest — each micro-batch lands in the
+    * lake-resident postings index ([[graft.operators.InvertedIndex]]
+    * layout) as one marker-committed delivery, so lexical retrieval serves
+    * from an index that is never more than one trigger behind the stream.
+    * Same design stance as [[nearDupIngest]]: `foreachBatch` + a
+    * lake-resident index rather than keyed state — the index IS the state,
+    * survives restarts, and serves offline consumers directly.
+    *
+    * Exactly-once effect without any extra bookkeeping: a replayed batch
+    * re-enters [[graft.operators.InvertedIndex.append]], whose doc-id
+    * anti-join drops everything the crashed attempt already published and
+    * whose marker protocol hides anything it half-wrote — the retry
+    * replaces the orphan directories in place. `compactEvery` bounds probe
+    * fan-in on a long-running stream: when the marked delivery count
+    * exceeds it, the batch folds the index back to one delivery before
+    * returning (crash-safe; see [[graft.operators.InvertedIndex.compact]]).
+    */
+  def indexIngest(docs: DataFrame, indexRoot: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      numPartitions: Int = 4, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.InvertedIndex
+    docs.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (InvertedIndex.deliveries(fs, indexRoot).isEmpty)
+          InvertedIndex.build(batch.toDF(), idCol, textCol, indexRoot, numPartitions)
+        else
+          InvertedIndex.append(batch.toDF(), idCol, textCol, indexRoot, numPartitions)
+        if (compactEvery > 0 &&
+            InvertedIndex.deliveries(fs, indexRoot).size > compactEvery)
+          InvertedIndex.compact(spark, indexRoot, numPartitions)
+    }
+  }
+
   final case class HotToken(shard: Int, token: String, est: Long)
 
   /** Streaming heavy hitters over the token stream — "which tokens are

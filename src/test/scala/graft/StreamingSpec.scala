@@ -215,6 +215,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming index ingest: micro-batches append to the postings index; served BM25 equals a batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("invidx_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val writer = graft.streaming.CorpusStreaming.indexIngest(
+      input.toDF().toDF("doc_id", "text"), s"$root/index",
+      numPartitions = 2, compactEvery = 1)
+    val q = writer.option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      input.addData((1L, "spark shuffle hash join shuffle"), (2L, "hash partition hash"))
+      q.processAllAvailable() // batch 0 bootstraps the index (build)
+      input.addData((4L, "shuffle shuffle shuffle partition"),
+        (2L, "hash partition hash")) // doc 2 re-delivered: anti-join drops it
+      q.processAllAvailable() // append, then compactEvery=1 folds to one delivery
+    } finally q.stop()
+
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.InvertedIndex.deliveries(fs, s"$root/index") shouldBe Seq(0)
+    spark.read.parquet(s"$root/index/doclen").count() shouldBe 3L // 2 never doubled
+
+    val batchPath = java.nio.file.Files.createTempDirectory("invidx_batch").toString
+    graft.operators.InvertedIndex.build(
+      Seq((1L, "spark shuffle hash join shuffle"), (2L, "hash partition hash"),
+        (4L, "shuffle shuffle shuffle partition")).toDF("doc_id", "text"),
+      "doc_id", "text", batchPath, numPartitions = 2)
+    def served(p: String) = graft.operators.InvertedIndex
+      .bm25(spark, p, Seq("shuffle", "hash", "partition"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    served(s"$root/index") shouldBe served(batchPath)
+  }
+
   test("corpus curation runs on the RocksDB state store (bounded-memory dedup state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
