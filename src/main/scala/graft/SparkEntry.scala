@@ -1028,6 +1028,31 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // The same upsert semantics at FILE level: a manifest-versioned,
+    // hash-bucketed lake table (sinks/LakeTable.scala) — init on the even
+    // half, copy-on-write MERGE of the price-bumped third-keys, keyed
+    // DELETE, then read back through the published manifest. The oracle
+    // recomputes with a full-outer coalesce + anti filter, so hash
+    // equality proves the storage layer (touched-bucket rewrite, shared
+    // cold files, manifest pin) changes nothing about the row semantics.
+    "q_lake_merge" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_merge"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      graft.sinks.LakeTable.read(s, root)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- J3: broadcast star join (dim ⋈ fact) --------------------------
     "q_join_star" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -4076,6 +4101,20 @@ object SparkEntry {
         |SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
         |       ROUND(COALESCE(i.o_totalprice, e.o_totalprice), 2) AS price
         |FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_lake_merge" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |merged AS (
+        |  SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |         COALESCE(i.o_totalprice, e.o_totalprice) AS o_totalprice
+        |  FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey)
+        |SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM merged
+        |WHERE o_orderkey % 10 <> 4
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_join_star" ->

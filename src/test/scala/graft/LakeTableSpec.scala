@@ -1,0 +1,104 @@
+package graft
+
+import graft.sinks.LakeTable
+import org.apache.hadoop.fs.Path
+
+class LakeTableSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newRoot() =
+    java.nio.file.Files.createTempDirectory("laketable").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Map[Long, (String, Double)] =
+    df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  private val base = Seq(
+    (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0),
+    (5L, "e", 5.0), (6L, "f", 6.0), (7L, "g", 7.0), (8L, "h", 8.0)
+  ).toDF("id", "name", "score")
+
+  test("init + read round-trips; merge upserts and inserts; snapshot isolation holds") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    rows(LakeTable.read(spark, root)) shouldBe rows(base)
+
+    val delta = Seq((2L, "B!", 20.0), (9L, "i", 9.0)).toDF("id", "name", "score")
+    val v = LakeTable.merge(spark, root, delta)
+    v shouldBe 1L
+    val after = rows(LakeTable.read(spark, root))
+    after(2L) shouldBe ("B!", 20.0)
+    after(9L) shouldBe ("i", 9.0)
+    after(5L) shouldBe ("e", 5.0)
+    after.size shouldBe 9
+    // time travel: version 0 still serves the pre-merge table
+    rows(LakeTable.read(spark, root, Some(0L))) shouldBe rows(base)
+  }
+
+  test("copy-on-write: untouched buckets' files are carried by PATH, not rewritten") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    val m0 = LakeTable.manifest(spark, root)
+    LakeTable.merge(spark, root, Seq((1L, "A!", 10.0)).toDF("id", "name", "score"))
+    val m1 = LakeTable.manifest(spark, root)
+    val touched = m0.files.map(_._2).toSet -- m1.files.map(_._2).toSet // none vanish
+    touched shouldBe Set.empty
+    val b1 = Seq(1L).toDF("id")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"id"),
+        org.apache.spark.sql.functions.lit(4))).head().getInt(0)
+    val (hot0, cold0) = m0.files.partition(_._2 == b1)
+    val (hot1, cold1) = m1.files.partition(_._2 == b1)
+    cold1.toSet shouldBe cold0.toSet    // identical paths: files shared, not copied
+    hot1.toSet.intersect(hot0.toSet) shouldBe Set.empty // hot bucket fully replaced
+  }
+
+  test("delete removes keyed rows via the same touched-bucket path") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    LakeTable.delete(spark, root, Seq(3L, 7L).toDF("id"))
+    val after = rows(LakeTable.read(spark, root))
+    after.keySet shouldBe Set(1L, 2L, 4L, 5L, 6L, 8L)
+  }
+
+  test("re-running the same merge converges (crash-retry safety)") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    val delta = Seq((2L, "B!", 20.0), (9L, "i", 9.0)).toDF("id", "name", "score")
+    LakeTable.merge(spark, root, delta)
+    val once = rows(LakeTable.read(spark, root))
+    LakeTable.merge(spark, root, delta) // the retry
+    rows(LakeTable.read(spark, root)) shouldBe once
+  }
+
+  test("unpublished data files are invisible; vacuum reclaims them and old versions") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    // simulate a crash AFTER data files landed, BEFORE the manifest rename:
+    // a poisoned row in an unreferenced UUID dir must never surface
+    Seq((99L, "zz", 99.0)).toDF("id", "name", "score")
+      .withColumn("__bucket", org.apache.spark.sql.functions.lit(0))
+      .write.partitionBy("__bucket")
+      .parquet(s"$root/data/dead-beef-orphan")
+    rows(LakeTable.read(spark, root)).keySet should not contain 99L
+
+    LakeTable.merge(spark, root, Seq((1L, "A!", 10.0)).toDF("id", "name", "score"))
+    LakeTable.merge(spark, root, Seq((2L, "B!", 20.0)).toDF("id", "name", "score"))
+    val latest = rows(LakeTable.read(spark, root))
+    val removed = LakeTable.vacuum(spark, root, keepLast = 1)
+    removed should not be empty
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LakeTable.versions(fs, root) shouldBe Seq(2L)
+    // the orphan dir is gone, the surviving version reads bit-identically
+    fs.exists(new Path(s"$root/data/dead-beef-orphan")) shouldBe false
+    rows(LakeTable.read(spark, root)) shouldBe latest
+  }
+
+  test("merge ties: orderCol picks the winner among same-key delta rows") {
+    val root = newRoot()
+    LakeTable.init(Seq((1L, "a", 1.0)).toDF("id", "name", "score"),
+      root, Seq("id"), numBuckets = 2)
+    val delta = Seq((1L, "late", 5.0), (1L, "early", 2.0)).toDF("id", "name", "score")
+    LakeTable.merge(spark, root, delta, orderCol = Some("score"))
+    rows(LakeTable.read(spark, root))(1L) shouldBe ("late", 5.0)
+  }
+}
