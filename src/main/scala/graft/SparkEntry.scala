@@ -1053,6 +1053,37 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Type-2 SCD history (sinks/Merge.scala scd2): each order's return-flag
+    // timeline (observations = lineitems ordered by shipdate, linenumber)
+    // becomes versioned history rows with butt-joined validity windows —
+    // change points open versions, re-observed values collapse. The oracle
+    // replays the same chain with lag/lead windows, so the value check
+    // covers the window ordering, the change-point filter, and the
+    // valid_to = next-valid_from invariant row for row.
+    "q_scd2" -> ((s, dir) => {
+      // (orderkey, shipdate, linenumber) is NOT unique in the testdata (84
+      // collisions at sf0.1, 53 with differing flags) — fold the flag into
+      // the tiebreak so the chain is a total order in both engines
+      val obs = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_returnflag").alias("flag"), col("l_shipdate").alias("ts"),
+        (col("l_linenumber") * 8 +
+          when(col("l_returnflag") === "A", 0)
+            .when(col("l_returnflag") === "N", 1).otherwise(2)).alias("tie"))
+      val emptyHist = obs.limit(0).select(col("l_orderkey"), col("flag"),
+        col("ts").alias("valid_from"), col("ts").alias("valid_to"),
+        lit(true).alias("is_current"))
+      graft.sinks.Merge.scd2(emptyHist, obs, Seq("l_orderkey"), Seq("flag"),
+          "ts", tieCol = Some("tie"))
+        .select(col("l_orderkey"), col("flag"),
+          date_format(col("valid_from"), "yyyy-MM-dd").alias("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").alias("valid_to"),
+          col("is_current"))
+        // is_current then valid_to in the sort: same-instant same-flag
+        // closed twins are identical rows, so this order is total
+        .orderBy(col("l_orderkey"), col("valid_from"), col("flag"),
+          col("is_current"), col("valid_to"))
+    }),
+
     // ---- J3: broadcast star join (dim ⋈ fact) --------------------------
     "q_join_star" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -4116,6 +4147,29 @@ object SparkEntry {
         |SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM merged
         |WHERE o_orderkey % 10 <> 4
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_scd2" ->
+      """WITH obs AS (
+        |  SELECT l_orderkey, l_returnflag AS flag, l_shipdate AS ts,
+        |         l_linenumber * 8 + CASE l_returnflag WHEN 'A' THEN 0
+        |           WHEN 'N' THEN 1 ELSE 2 END AS tie
+        |  FROM lineitem),
+        |cp AS (
+        |  SELECT l_orderkey, flag, ts, tie,
+        |         lag(flag) OVER (PARTITION BY l_orderkey
+        |                         ORDER BY ts, tie) AS prev
+        |  FROM obs QUALIFY prev IS NULL OR prev <> flag),
+        |v AS (
+        |  SELECT l_orderkey, flag, ts AS vf,
+        |         lead(ts) OVER (PARTITION BY l_orderkey
+        |                        ORDER BY ts, tie) AS vt
+        |  FROM cp)
+        |SELECT l_orderkey, flag,
+        |       strftime(vf, '%Y-%m-%d') AS valid_from,
+        |       strftime(vt, '%Y-%m-%d') AS valid_to,
+        |       vt IS NULL AS is_current
+        |FROM v
+        |ORDER BY l_orderkey, valid_from, flag, is_current, valid_to""".stripMargin,
 
     "q_join_star" ->
       """SELECT r_name, COUNT(*) AS n_orders,

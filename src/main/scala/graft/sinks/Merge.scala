@@ -54,4 +54,65 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__prio", "__rn")
   }
+
+  /** Type-2 slowly-changing-dimension apply — the warehouse HISTORY answer
+    * to the same key-conflict problem [[upsert]] solves destructively:
+    * instead of overwriting, an attribute change CLOSES the key's current
+    * row (`valid_to` = the change instant, `is_current` = false) and opens
+    * a new current one. `history` must carry `keys ++ attrs ++ (valid_from,
+    * valid_to, is_current)`; `incoming` carries `keys ++ attrs ++ tsCol`.
+    *
+    * One batch may hold MANY updates per key: rows are chained per key in
+    * `tsCol` order (ties broken by `tieCol` — pass a line/sequence number
+    * for a deterministic chain), consecutive equal-attribute observations
+    * collapse into the earlier row (a re-observed unchanged value extends
+    * the run, opening no new version), and validity windows butt-join:
+    * each version's `valid_to` is exactly the next version's `valid_from`.
+    * Observations at or before the current row's `valid_from` are LATE
+    * data and are dropped — history already supersedes them. That policy
+    * is also what makes re-applying a batch a no-op (every observation is
+    * now at-or-before the version it opened), the same safe-retry property
+    * the reference leans on.
+    *
+    * Scale shape: already-closed history passes through UNTOUCHED — the
+    * chain recompute reads only current rows + the batch, so the cost is
+    * O(live keys ∩ batch) per apply: one key-shuffle for the late-data
+    * anti-filter join and one for the window. Deterministic for a fixed
+    * batch (total order per key).
+    */
+  def scd2(history: DataFrame, incoming: DataFrame, keys: Seq[String],
+      attrs: Seq[String], tsCol: String, tieCol: Option[String] = None): DataFrame = {
+    val histCols = keys ++ attrs ++ Seq("valid_from", "valid_to", "is_current")
+    val cur = history.filter(col("is_current"))
+      .select(keys.map(col) ++ attrs.map(col) :+
+        col("valid_from").alias("__ts") :+ lit(0).alias("__src") :+
+        lit(null).cast("long").alias("__tie"): _*)
+    // late-data gate: only observations STRICTLY after the key's open
+    // version can extend its chain (re-delivered batches drop out here)
+    val inc = incoming.select(keys.map(col) ++ attrs.map(col) :+
+        col(tsCol).alias("__ts") :+ lit(1).alias("__src") :+
+        tieCol.map(col(_).cast("long")).getOrElse(lit(null).cast("long"))
+          .alias("__tie"): _*)
+      .join(cur.select(keys.map(col) :+ col("__ts").alias("__cur_from"): _*),
+        keys, "left")
+      .filter(col("__cur_from").isNull || col("__ts") > col("__cur_from"))
+      .drop("__cur_from")
+    // per-key timeline: the open row (if any) first at its own valid_from,
+    // then the surviving batch in observation order
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__src"), col("__tie"))
+    val attrTuple = struct(attrs.map(col): _*)
+    val chained = cur.unionByName(inc)
+      .withColumn("__prev", lag(attrTuple, 1).over(w))
+      // change points only: the first observation of a key, or a row whose
+      // attrs differ from its predecessor (null-safe: a null attribute is
+      // a value, not a wildcard); equal-attr re-observations collapse
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrTuple))
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(histCols.map(col): _*)
+    history.filter(!col("is_current")).select(histCols.map(col): _*)
+      .unionByName(chained)
+  }
 }

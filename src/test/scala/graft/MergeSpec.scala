@@ -58,6 +58,58 @@ class MergeSpec extends SparkTestBase {
     out.filter($"k" === 2L).count() shouldBe 1
   }
 
+  // ---- SCD2 --------------------------------------------------------------
+
+  private val histCols = Seq("k", "v", "valid_from", "valid_to", "is_current")
+
+  private def emptyHist: DataFrame =
+    Seq.empty[(Long, String, Long, Option[Long], Boolean)]
+      .toDF(histCols: _*)
+
+  private def versions(df: DataFrame): Seq[(Long, String, Long, Option[Long], Boolean)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+      .toSeq.sortBy(t => (t._1, t._3))
+
+  test("scd2: changes open versions, validity windows butt-join, no-change collapses") {
+    val batch = Seq(
+      (1L, "a", 10L), (1L, "a", 20L), (1L, "b", 30L), // a re-observed, then changes
+      (2L, "x", 15L)
+    ).toDF("k", "v", "ts")
+    val out = versions(Merge.scd2(emptyHist, batch, Seq("k"), Seq("v"), "ts"))
+    out shouldBe Seq(
+      (1L, "a", 10L, Some(30L), false), // closed exactly at the change instant
+      (1L, "b", 30L, None, true),
+      (2L, "x", 15L, None, true))
+  }
+
+  test("scd2: second batch closes current rows; closed history passes through; late data dropped") {
+    val h1 = Merge.scd2(emptyHist,
+      Seq((1L, "a", 10L), (1L, "b", 30L)).toDF("k", "v", "ts"),
+      Seq("k"), Seq("v"), "ts")
+    val h2 = Merge.scd2(h1,
+      Seq((1L, "c", 50L), (1L, "zz", 5L)).toDF("k", "v", "ts"), // 5L is late: ignored
+      Seq("k"), Seq("v"), "ts")
+    versions(h2) shouldBe Seq(
+      (1L, "a", 10L, Some(30L), false),
+      (1L, "b", 30L, Some(50L), false),
+      (1L, "c", 50L, None, true))
+    // re-applying the SAME batch is a no-op (every observation is now late)
+    versions(Merge.scd2(h2,
+      Seq((1L, "c", 50L), (1L, "zz", 5L)).toDF("k", "v", "ts"),
+      Seq("k"), Seq("v"), "ts")) shouldBe versions(h2)
+  }
+
+  test("scd2: same-ts ties break on tieCol for a deterministic chain") {
+    val batch = Seq((1L, "a", 10L, 1L), (1L, "b", 10L, 2L))
+      .toDF("k", "v", "ts", "seq")
+    val out = versions(Merge.scd2(emptyHist, batch, Seq("k"), Seq("v"), "ts",
+      tieCol = Some("seq")))
+    out shouldBe Seq(
+      (1L, "a", 10L, Some(10L), false),
+      (1L, "b", 10L, None, true))
+  }
+
   test("JDBC sink executes batched partition writes against a real database") {
     // Derby ships with Spark (metastore dependency); its SQL has no ON
     // CONFLICT, so this exercises the execution path — per-partition
