@@ -2256,7 +2256,8 @@ object SparkEntry {
     // recomputed, score for score.
     "q_bm25_indexed" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") + "/graft_bm25_index"
-      graft.operators.InvertedIndex.build(t(s, dir, "documents"), "doc_id", "text", path)
+      graft.operators.InvertedIndex.build(t(s, dir, "documents"), "doc_id", "text",
+        path, numPartitions = 8)
       graft.operators.InvertedIndex.bm25(s, path, Seq("shuffle", "hash", "partition"))
         .select(col("doc_id"), col("n_hits"),
           round(col("bm25"), 6).alias("bm25"))
@@ -2270,11 +2271,19 @@ object SparkEntry {
     // corpus, so hash equality proves the partial df / n / sum_dl merge is
     // exact across deliveries — the served avgdl and idf agree bit-for-bit
     // however the corpus arrived.
+    //
+    // Measured floor ~4 s warm at sf0.1: one build + two appends = 12
+    // staged parquet publishes + marker commits per run — the cost is
+    // job-scheduling fan (≈25 jobs), not data volume (the tokenized delta
+    // is checkpointed once per delivery). Contract query: it exists to
+    // prove the maintenance path end-to-end, and the per-delivery cost is
+    // what a real pipeline pays once per delivery, not per probe.
     "q_bm25_index_append" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") + "/graft_bm25_index_inc"
       val docs = t(s, dir, "documents")
       graft.operators.InvertedIndex.build(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+        numPartitions = 8)
       graft.operators.InvertedIndex.append(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
       graft.operators.InvertedIndex.append(
@@ -2291,6 +2300,12 @@ object SparkEntry {
     // iterations (operators/LinkGraph.scala). The oracle unrolls the same
     // 5 iterations as chained CTEs — identical arithmetic shape, so ranks
     // are value-checked at 6 decimals, not just rows.
+    //
+    // Measured floor ~3.5-4.5 s warm at sf0.1: 5 iterations × (one
+    // broadcast-join-and-sum job + one bounded dangling-mass collect +
+    // one localCheckpoint materialization) on top of the one-time edge
+    // fold — iteration-count × job-overhead, not data volume; the edge
+    // fold itself runs once (persisted).
     "q_pagerank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))

@@ -99,8 +99,12 @@ object InvertedIndex {
     * then publish the marker. `tokenized` must be (doc_id, __t).
     */
   private def writeDelivery(spark: SparkSession, path: String, k: Int,
-      tokenized: DataFrame, numPartitions: Int): Unit = {
+      tokenizedIn: DataFrame, numPartitions: Int): Unit = {
     val fs = hfs(spark, path)
+    // one tokenize pass per delivery: doclen and postings both consume the
+    // materialized frame (MEMORY_AND_DISK semantics — at corpus-scale
+    // deltas this spills rather than recomputing the tokenize twice)
+    val tokenized = tokenizedIn.localCheckpoint()
     LakeSink.stageAndSwap(fs, new Path(path, s"doclen/delivery=$k")) { st =>
       tokenized.select(col("doc_id"), size(col("__t")).cast("long").alias("dl"))
         .write.mode("overwrite").parquet(st.toString)
@@ -132,6 +136,7 @@ object InvertedIndex {
           coalesce(sum(col("dl")), lit(0L)).alias("sum_dl"))
         .write.mode("overwrite").parquet(st.toString)
     }
+    tokenized.unpersist(blocking = false)
     mark(fs, path, k) // the commit point: delivery k is now visible
   }
 

@@ -43,10 +43,15 @@ object LinkGraph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
+    // persist the folded edge list FIRST: everything below (outw, trans,
+    // nodes, dangling) derives from it, and without the barrier the
+    // caller's upstream lineage (often a wide window over raw events)
+    // would re-run once per derivation
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
       .groupBy(col(srcCol).alias("src"), col(dstCol).alias("dst"))
       .agg(count(lit(1)).cast("double").alias("w"))
+      .persist()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).alias("ow"))
     // row-normalized transition matrix, persisted once, reused every iteration
     val trans = e.join(outw, Seq("src"))
@@ -87,6 +92,7 @@ object LinkGraph {
     trans.unpersist(blocking = false)
     dangling.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     ranks
   }
 }
