@@ -1053,6 +1053,109 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Change data feed over the same init→merge→delete chain
+    // (sinks/LakeTable.scala changes): row-level insert / delete /
+    // update_preimage / update_postimage between manifest v0 and v2,
+    // computed ONLY over buckets whose file sets differ — the oracle
+    // replays the classification as a full-outer join of the two snapshot
+    // CTEs, so every image and every change label is value-checked.
+    "q_lake_cdf" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_cdf"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      graft.sinks.LakeTable.changes(s, root, 0L, 2L)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).alias("price"),
+          col("_change_type").alias("change_type"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    }),
+
+    // Incremental materialized-view maintenance
+    // (sinks/MaterializedView.scala): the gold per-priority aggregate is
+    // initialized at table v0, the base table then takes an upsert wave and
+    // a delete wave, and ONE refresh applies the change feed — count
+    // deltas and DECIMAL(38,6) sum retractions. The oracle recomputes the
+    // aggregate from the final table content from scratch, so the check
+    // proves incremental == full recompute, bit for bit.
+    "q_mv_incremental" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_mv_base"
+      val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_view"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(root, mv).foreach(p => new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(conf).delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16)
+      graft.sinks.MaterializedView.init(s, root, mv,
+        Seq("o_orderpriority"), Seq("o_totalprice"), numBuckets = 4)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      graft.sinks.MaterializedView.refresh(s, root, mv)
+      graft.sinks.MaterializedView.read(s, mv)
+        .select(col("o_orderpriority"), col("cnt"),
+          round(col("sum_o_totalprice").cast("double"), 2).alias("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Bucket-pruned point lookup (sinks/LakeTable.scala lookup): the probe
+    // keys' hash buckets are the ONLY files opened — a point query against
+    // a 100 TB table reads ≤ |probes| buckets. Value check: the lookup
+    // returns exactly the probed rows.
+    "q_lake_pointlookup" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_lookup"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 32)
+      graft.sinks.LakeTable.lookup(s, root,
+        orders.filter(col("o_orderkey") % 97 === 0).select(col("o_orderkey")))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Zone-map range scan (sinks/LakeTable.scala prunedPaths/readRange):
+    // the table is written clustered on o_orderdate (sortCols +
+    // maxRecordsPerFile roll each bucket into date-ranged files; statsCols
+    // records per-file min/max in the _stats sidecar), so the one-year 1996 range
+    // prunes most files DRIVER-side before any read. The exact predicate
+    // re-applies after the pruned scan; the oracle is the plain range
+    // filter.
+    "q_lake_zonemap" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_zonemap"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, sortCols = Seq("o_orderdate"),
+        statsCols = Seq("o_orderdate"), maxRecordsPerFile = 4096L)
+      graft.sinks.LakeTable.readRange(s, root, "o_orderdate",
+          "1996-01-01 00:00:00", "1996-12-31 23:59:59")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").alias("d"),
+          round(col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Type-2 SCD history (sinks/Merge.scala scd2): each order's return-flag
     // timeline (observations = lineitems ordered by shipdate, linenumber)
     // becomes versioned history rows with butt-joined validity windows —
@@ -4161,6 +4264,74 @@ object SparkEntry {
         |  FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey)
         |SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM merged
         |WHERE o_orderkey % 10 <> 4
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_lake_cdf" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (
+        |  SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |         COALESCE(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+        |         COALESCE(i.o_totalprice, e.o_totalprice) AS o_totalprice
+        |  FROM v0 e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey
+        |  WHERE COALESCE(e.o_orderkey, i.o_orderkey) % 10 <> 4),
+        |j AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+        |         a.o_orderkey AS ak, b.o_orderkey AS bk,
+        |         a.o_orderpriority AS a_pri, b.o_orderpriority AS b_pri,
+        |         a.o_totalprice AS a_price, b.o_totalprice AS b_price
+        |  FROM v0 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey),
+        |feed AS (
+        |  SELECT k AS o_orderkey, b_pri AS o_orderpriority,
+        |         ROUND(b_price, 2) AS price, 'insert' AS change_type
+        |  FROM j WHERE ak IS NULL
+        |  UNION ALL
+        |  SELECT k, a_pri, ROUND(a_price, 2), 'delete' FROM j WHERE bk IS NULL
+        |  UNION ALL
+        |  SELECT k, a_pri, ROUND(a_price, 2), 'update_preimage' FROM j
+        |  WHERE ak IS NOT NULL AND bk IS NOT NULL
+        |    AND (a_price IS DISTINCT FROM b_price
+        |         OR a_pri IS DISTINCT FROM b_pri)
+        |  UNION ALL
+        |  SELECT k, b_pri, ROUND(b_price, 2), 'update_postimage' FROM j
+        |  WHERE ak IS NOT NULL AND bk IS NOT NULL
+        |    AND (a_price IS DISTINCT FROM b_price
+        |         OR a_pri IS DISTINCT FROM b_pri))
+        |SELECT * FROM feed ORDER BY o_orderkey, change_type""".stripMargin,
+
+    "q_mv_incremental" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (
+        |  SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |         COALESCE(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+        |         COALESCE(i.o_totalprice, e.o_totalprice) AS o_totalprice
+        |  FROM v0 e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey
+        |  WHERE COALESCE(e.o_orderkey, i.o_orderkey) % 10 <> 4)
+        |SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+        |         AS sum_price
+        |FROM v2 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_lake_pointlookup" ->
+      """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_lake_zonemap" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |       ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_scd2" ->

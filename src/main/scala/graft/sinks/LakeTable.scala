@@ -42,8 +42,24 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object LakeTable {
 
+  /** `sortCols`/`statsCols`/`maxRecordsPerFile` are the clustered-write
+    * layout contract (empty/0 = off, the pre-existing behavior): rows are
+    * sorted by `sortCols` within each bucket and rolled into files of at
+    * most `maxRecordsPerFile` rows, and every write records per-FILE
+    * min/max for `statsCols` in a `_stats/<version>.json` sidecar — the
+    * zone maps [[prunedPaths]]/[[readRange]] prune with. All three are
+    * carried in the manifest so merges preserve the layout.
+    */
   final case class Manifest(version: Long, keys: Seq[String], numBuckets: Int,
-      schemaDdl: String, files: Seq[(String, Int)])
+      schemaDdl: String, files: Seq[(String, Int)],
+      sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L)
+
+  /** Per-file zone-map entry: row count + min/max of each stats column,
+    * string-rendered (None = the column was all-NULL in the file).
+    */
+  final case class FileStats(rows: Long, mins: Seq[Option[String]],
+      maxs: Seq[Option[String]])
 
   private def hfs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -64,6 +80,9 @@ object LakeTable {
   private def render(m: Manifest): String =
     s"""{"version":${m.version},"keys":[${m.keys.map(jq).mkString(",")}],""" +
       s""""num_buckets":${m.numBuckets},"schema_ddl":${jq(m.schemaDdl)},""" +
+      s""""sort_cols":[${m.sortCols.map(jq).mkString(",")}],""" +
+      s""""stats_cols":[${m.statsCols.map(jq).mkString(",")}],""" +
+      s""""max_records":${m.maxRecordsPerFile},""" +
       s""""files":[${m.files.map { case (p, b) =>
         s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}]}"""
 
@@ -94,12 +113,23 @@ object LakeTable {
       require(at >= 0, s"manifest: missing $name")
       s.drop(at + name.length + 3).takeWhile(c => c.isDigit || c == '-').toLong
     }
-    val keys = {
-      val at = s.indexOf("\"keys\":[")
-      val end = s.indexOf(']', at)
-      s.substring(at + 8, end).split(",").filter(_.nonEmpty)
-        .map(k => k.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+    // optional fields default (old manifests predate the layout contract)
+    def strSeq(name: String): Seq[String] = {
+      val tag = "\"" + name + "\":["
+      val at = s.indexOf(tag)
+      if (at < 0) Seq.empty
+      else {
+        val end = s.indexOf(']', at)
+        s.substring(at + tag.length, end).split(",").filter(_.nonEmpty)
+          .map(k => k.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
+      }
     }
+    def optLong(name: String, default: Long): Long = {
+      val at = s.indexOf("\"" + name + "\":")
+      if (at < 0) default
+      else s.drop(at + name.length + 3).takeWhile(c => c.isDigit || c == '-').toLong
+    }
+    val keys = strSeq("keys")
     val files = {
       val at = s.indexOf("\"files\":[")
       val body = s.substring(at + 9, s.lastIndexOf(']'))
@@ -110,7 +140,8 @@ object LakeTable {
         .toSeq
     }
     Manifest(longField("version"), keys, longField("num_buckets").toInt,
-      strField("schema_ddl"), files)
+      strField("schema_ddl"), files,
+      strSeq("sort_cols"), strSeq("stats_cols"), optLong("max_records", 0L))
   }
 
   private[graft] def versions(fs: FileSystem, root: String): Seq[Long] = {
@@ -157,13 +188,22 @@ object LakeTable {
     * manifest referencing them is published.
     */
   private def writeFiles(spark: SparkSession, root: String, rows: DataFrame,
-      keys: Seq[String], numBuckets: Int): Seq[(String, Int)] = {
+      keys: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Seq[(String, Int)] = {
     val fs = hfs(spark, root)
     val sub = s"data/${java.util.UUID.randomUUID}"
-    rows.withColumn("__bucket", bucketOf(keys, numBuckets))
+    val bucketed = rows.withColumn("__bucket", bucketOf(keys, numBuckets))
       .repartition(col("__bucket"))
-      .write.partitionBy("__bucket").mode("overwrite")
-      .parquet(new Path(root, sub).toString)
+    // prefix the bucket so the writer's partition-grouping requirement is
+    // satisfied by OUR sort (no second sort), and maxRecordsPerFile then
+    // rolls files in sortCols order — each rolled file covers a narrow
+    // sortCols range, which is what makes the zone maps selective
+    val laid = if (sortCols.isEmpty) bucketed
+      else bucketed.sortWithinPartitions((col("__bucket") +: sortCols.map(col)): _*)
+    val writer0 = laid.write.partitionBy("__bucket").mode("overwrite")
+    val writer = if (maxRecordsPerFile > 0)
+      writer0.option("maxRecordsPerFile", maxRecordsPerFile) else writer0
+    writer.parquet(new Path(root, sub).toString)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     for (d <- fs.listStatus(new Path(root, sub))
          if d.getPath.getName.startsWith("__bucket=")) {
@@ -185,18 +225,117 @@ object LakeTable {
       .parquet(paths.map(p => new Path(root, p).toString): _*)
   }
 
+  // ---- zone-map sidecar: per-file min/max for the manifest's statsCols --
+
+  private def renderStats(version: Long, cols: Seq[String],
+      entries: Seq[(String, FileStats)]): String = {
+    def opt(v: Option[String]) = v.map(jq).getOrElse("null")
+    s"""{"version":$version,"cols":[${cols.map(jq).mkString(",")}],""" +
+      s""""files":[${entries.map { case (p, st) =>
+        s"""{"path":${jq(p)},"rows":${st.rows},""" +
+          s""""min":[${st.mins.map(opt).mkString(",")}],""" +
+          s""""max":[${st.maxs.map(opt).mkString(",")}]}"""
+      }.mkString(",")}]}"""
+  }
+
+  private def parseStats(s: String): Map[String, FileStats] = {
+    // same fixed grammar as the manifest: objects rendered by renderStats
+    val entry = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"rows\":(\\d+)," +
+      "\"min\":\\[([^\\]]*)\\],\"max\":\\[([^\\]]*)\\]\\}").r
+    def vals(body: String): Seq[Option[String]] =
+      if (body.isEmpty) Seq.empty
+      else body.split(",", -1).toSeq.map {
+        case "null" => None
+        case q => Some(q.trim.stripPrefix("\"").stripSuffix("\"")
+          .replace("\\\\", "\u0000").replace("\\\"", "\"").replace("\u0000", "\\"))
+      }
+    entry.findAllMatchIn(s).map { m =>
+      val path = m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
+        .replace("\u0000", "\\")
+      path -> FileStats(m.group(2).toLong, vals(m.group(3)), vals(m.group(4)))
+    }.toMap
+  }
+
+  private[graft] def readStats(spark: SparkSession, root: String,
+      version: Long): Option[Map[String, FileStats]] = {
+    val fs = hfs(spark, root)
+    val p = new Path(root, s"_stats/$version.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(parseStats(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    }
+  }
+
+  /** Compute per-file min/max for `paths` (root-relative) — one aggregation
+    * over ONLY those files, grouped on the physical file each row came from.
+    */
+  private def computeStats(spark: SparkSession, root: String, m: Manifest,
+      paths: Seq[String]): Map[String, FileStats] = {
+    if (paths.isEmpty) return Map.empty
+    val relOf = "data/[^/]+/__bucket=\\d+/[^/]+$".r
+    val aggs = count(lit(1)).alias("__rows") +: m.statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").alias(s"__min_$c"),
+      max(col(c)).cast("string").alias(s"__max_$c")))
+    readFiles(spark, root, m, paths)
+      .groupBy(input_file_name().alias("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val rel = relOf.findFirstIn(r.getString(0)).getOrElse(
+          sys.error(s"unexpected data path ${r.getString(0)}"))
+        rel -> FileStats(r.getLong(1),
+          m.statsCols.indices.map(i => Option(r.getString(2 + 2 * i))),
+          m.statsCols.indices.map(i => Option(r.getString(3 + 2 * i))))
+      }.toMap
+  }
+
+  /** Publish the `_stats` sidecar for manifest `m`: fresh files are
+    * measured, carried files inherit the previous version's entries (files
+    * are immutable, so the zone map is too) — the sidecar write is
+    * O(delta) like the data write itself. Self-healing: a missing previous
+    * sidecar just means every file is measured this once.
+    */
+  private def publishStats(spark: SparkSession, root: String, m: Manifest,
+      prevVersion: Option[Long]): Unit = {
+    if (m.statsCols.isEmpty) return
+    val fs = hfs(spark, root)
+    val prev: Map[String, FileStats] = prevVersion
+      .flatMap(v => readStats(spark, root, v)).getOrElse(Map.empty)
+    val (carried, fresh) = m.files.map(_._1).partition(prev.contains)
+    val entries = carried.map(p => p -> prev(p)) ++
+      computeStats(spark, root, m, fresh).toSeq
+    val dir = new Path(root, "_stats")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+    val out = fs.create(staged, false)
+    try out.write(renderStats(m.version, m.statsCols, entries)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(staged, new Path(dir, s"${m.version}.json"))
+  }
+
   /** Create the table at `root` (version 0) from `df`, keyed and bucketed.
     * Keys must uniquely identify rows for merge semantics to be sane;
     * incoming duplicates are resolved by [[Merge.upsert]]'s tiebreak.
+    * `sortCols`/`statsCols`/`maxRecordsPerFile` opt into the clustered
+    * layout + zone maps (see [[Manifest]]); merges preserve them.
     */
   def init(df: DataFrame, root: String, keys: Seq[String],
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64, sortCols: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Unit = {
     require(keys.nonEmpty, "keys must be non-empty")
     val spark = df.sparkSession
     val fs = hfs(spark, root)
     require(versions(fs, root).isEmpty, s"LakeTable already exists at $root")
-    val files = writeFiles(spark, root, df, keys, numBuckets)
-    publish(fs, root, Manifest(0L, keys, numBuckets, df.schema.toDDL, files))
+    val files = writeFiles(spark, root, df, keys, numBuckets,
+      sortCols, maxRecordsPerFile)
+    val m = Manifest(0L, keys, numBuckets, df.schema.toDDL, files,
+      sortCols, statsCols, maxRecordsPerFile)
+    publishStats(spark, root, m, None)
+    publish(fs, root, m)
   }
 
   /** Read a version (default: newest) as an explicit-file-list DataFrame. */
@@ -225,19 +364,173 @@ object LakeTable {
       (cur, del) => cur.join(del.dropDuplicates(keys), keys, "left_anti"))
   }
 
+  /** Upsert + delete in ONE published version (one commit point — a
+    * crash leaves either the old table or the fully-applied one, never
+    * the half state two separate calls would expose). `baseVersion` pins
+    * the snapshot read (see [[rewriteTouched]]); a key in both inputs is
+    * deleted.
+    */
+  def applyChanges(spark: SparkSession, root: String, upserts: DataFrame,
+      deleteKeys: DataFrame, baseVersion: Option[Long] = None,
+      orderCol: Option[String] = None): Long = {
+    val keys = manifest(spark, root, baseVersion).keys
+    val touch = upserts.select(keys.map(col): _*)
+      .unionByName(deleteKeys.select(keys.map(col): _*))
+    rewriteTouched(spark, root, touch, (cur, _) =>
+      Merge.upsert(cur, upserts, keys, orderCol)
+        .join(deleteKeys.select(keys.map(col): _*).dropDuplicates(keys),
+          keys, "left_anti"),
+      baseVersion)
+  }
+
+  /** Copy-on-write over the touched bucket set. `baseVersion` pins the
+    * snapshot the rewrite READS (default: newest) — [[MaterializedView]]
+    * uses this to re-apply a crashed refresh on the exact snapshot its
+    * sync marker names, making the refresh idempotent; the PUBLISHED
+    * version is always newest+1 so a crash-orphaned version can never be
+    * overwritten.
+    */
   private def rewriteTouched(spark: SparkSession, root: String,
-      source: DataFrame, apply: (DataFrame, DataFrame) => DataFrame): Long = {
+      source: DataFrame, apply: (DataFrame, DataFrame) => DataFrame,
+      baseVersion: Option[Long] = None): Long = {
     val fs = hfs(spark, root)
-    val m = manifest(spark, root)
+    val m = manifest(spark, root, baseVersion)
+    val latest = versions(fs, root).max
     // bounded driver collect: at most numBuckets ints
     val touched = source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val (hot, cold) = m.files.partition { case (_, b) => touched(b) }
     val merged = apply(readFiles(spark, root, m, hot.map(_._1)), source)
-    val fresh = writeFiles(spark, root, merged, m.keys, m.numBuckets)
-    val next = m.copy(version = m.version + 1, files = cold ++ fresh)
+    val fresh = writeFiles(spark, root, merged, m.keys, m.numBuckets,
+      m.sortCols, m.maxRecordsPerFile)
+    val next = m.copy(version = latest + 1, files = cold ++ fresh)
+    publishStats(spark, root, next, Some(m.version))
     publish(fs, root, next)
     next.version
+  }
+
+  // ---- change data feed ------------------------------------------------
+
+  /** Buckets whose live file SETS differ between the two manifests — data
+    * files are immutable and shared across versions, so an identical file
+    * set proves bit-identical bucket content with no read at all.
+    */
+  private[graft] def changedBuckets(from: Manifest, to: Manifest): Set[Int] = {
+    def byBucket(m: Manifest): Map[Int, Set[String]] =
+      m.files.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val f = byBucket(from); val t = byBucket(to)
+    (f.keySet ++ t.keySet)
+      .filter(b => f.getOrElse(b, Set.empty) != t.getOrElse(b, Set.empty))
+  }
+
+  /** Row-level change data feed between two versions: every table column
+    * plus `_change_type` ∈ {insert, delete, update_preimage,
+    * update_postimage} (the Delta-CDF vocabulary) and the version pair.
+    * Net-effect semantics: intermediate churn between the versions that
+    * cancels out emits nothing.
+    *
+    * Scale shape: only buckets whose file sets differ are READ — the diff
+    * of a 100-row delivery against a 100 TB table costs O(touched
+    * buckets), not O(table); within them, one key-equi full-outer join of
+    * the two snapshots, classification by null-safe struct equality, all
+    * codegen. This feed is what makes downstream consumers incremental
+    * ([[MaterializedView.refresh]] is the in-repo consumer).
+    */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val mf = manifest(spark, root, Some(fromVersion))
+    val mt = manifest(spark, root, Some(toVersion))
+    require(mf.keys == mt.keys && mf.numBuckets == mt.numBuckets,
+      s"key/bucket layout changed between $fromVersion and $toVersion")
+    require(mf.schemaDdl == mt.schemaDdl,
+      s"schema changed between $fromVersion and $toVersion; changes() " +
+        "requires a stable schema")
+    val hot = changedBuckets(mf, mt)
+    val cols = StructType.fromDDL(mt.schemaDdl).fieldNames.toSeq
+    def side(m: Manifest, alias: String): DataFrame = {
+      val df = readFiles(spark, root, m, m.files.filter(f => hot(f._2)).map(_._1))
+      df.select(m.keys.map(col) :+ struct(cols.map(col): _*).alias(alias): _*)
+    }
+    val changed = col("__pre").isNotNull && col("__post").isNotNull &&
+      !(col("__pre") <=> col("__post"))
+    val entries = array(
+      when(col("__pre").isNull,
+        struct(lit("insert").alias("t"), col("__post").alias("r"))),
+      when(col("__post").isNull,
+        struct(lit("delete").alias("t"), col("__pre").alias("r"))),
+      when(changed,
+        struct(lit("update_preimage").alias("t"), col("__pre").alias("r"))),
+      when(changed,
+        struct(lit("update_postimage").alias("t"), col("__post").alias("r"))))
+    side(mf, "__pre").join(side(mt, "__post"), mt.keys, "full_outer")
+      .select(explode(filter(entries, e => e.isNotNull)).alias("__e"))
+      .select(col("__e.r.*"), col("__e.t").alias("_change_type"))
+      .withColumn("_from_version", lit(fromVersion))
+      .withColumn("_to_version", lit(toVersion))
+  }
+
+  // ---- pruned reads ----------------------------------------------------
+
+  /** Point lookup: read ONLY the buckets the probe keys hash to (a bounded
+    * driver collect of ≤ numBuckets ints), then semi-join the probes. For
+    * k probe keys against a 100 TB table this opens ≤ k buckets' files.
+    */
+  def lookup(spark: SparkSession, root: String, probes: DataFrame,
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, version)
+    val p = probes.select(m.keys.map(col): _*).dropDuplicates(m.keys)
+    val touched = p.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    readFiles(spark, root, m, m.files.filter(f => touched(f._2)).map(_._1))
+      .join(broadcast(p), m.keys, "left_semi")
+  }
+
+  /** Numeric when both parse, else lexicographic (ISO dates order
+    * correctly either way) — matches how [[computeStats]] stringifies.
+    */
+  private def statCmp(a: String, b: String): Int =
+    (a.toDoubleOption, b.toDoubleOption) match {
+      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+      case _ => a.compareTo(b)
+    }
+
+  /** The live files whose `[min,max]` zone for `colName` overlaps
+    * `[lo, hi]` — files without a stats entry (or an all-NULL zone) are
+    * conservatively kept. Driver-side pruning over the sidecar: no file
+    * is opened to decide.
+    */
+  def prunedPaths(spark: SparkSession, root: String, colName: String,
+      lo: String, hi: String, version: Option[Long] = None): Seq[String] = {
+    val m = manifest(spark, root, version)
+    val i = m.statsCols.indexOf(colName)
+    require(i >= 0, s"$colName is not a stats column (have ${m.statsCols})")
+    val stats = readStats(spark, root, m.version).getOrElse(Map.empty)
+    m.files.map(_._1).filter { p =>
+      stats.get(p) match {
+        case Some(st) => (st.mins(i), st.maxs(i)) match {
+          case (Some(mn), Some(mx)) =>
+            statCmp(mx, lo) >= 0 && statCmp(mn, hi) <= 0
+          case _ => true
+        }
+        case None => true
+      }
+    }
+  }
+
+  /** Range scan through the zone maps: read only the overlapping files,
+    * then apply the exact predicate (the zone map is a superset filter).
+    * With `sortCols` clustering on `colName`, a narrow range touches a
+    * small fraction of each bucket's rolled files.
+    */
+  def readRange(spark: SparkSession, root: String, colName: String,
+      lo: String, hi: String, version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, version)
+    val df = readFiles(spark, root, m,
+      prunedPaths(spark, root, colName, lo, hi, version))
+    val t = df.schema(colName).dataType
+    df.filter(col(colName) >= lit(lo).cast(t) && col(colName) <= lit(hi).cast(t))
   }
 
   /** Keep the newest `keepLast` manifests; delete older manifests and every
@@ -273,7 +566,10 @@ object LakeTable {
           fs.delete(sub.getPath, true)
       }
     }
-    drop.foreach(v => fs.delete(new Path(root, s"_versions/$v.json"), false))
+    drop.foreach { v =>
+      fs.delete(new Path(root, s"_versions/$v.json"), false)
+      fs.delete(new Path(root, s"_stats/$v.json"), false)
+    }
     removed.toSeq
   }
 }

@@ -1,0 +1,182 @@
+package graft
+
+import graft.sinks.{LakeTable, MaterializedView}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed, incremental materialized view, and pruned-read
+  * (bucket lookup + zone map) behavior of [[LakeTable]].
+  */
+class LakeCdfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def newRoot() =
+    java.nio.file.Files.createTempDirectory("lakecdf").toString
+
+  private val base = Seq(
+    (1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0), (4L, "d", 4.0),
+    (5L, "e", 5.0), (6L, "f", 6.0), (7L, "g", 7.0), (8L, "h", 8.0)
+  ).toDF("id", "name", "score")
+
+  private def feedSet(df: DataFrame): Set[(Long, String, Double, String)] =
+    df.select($"id", $"name", $"score", $"_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+
+  test("changes() classifies insert / delete / update pre+post; unchanged rows emit nothing") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    LakeTable.merge(spark, root,
+      Seq((2L, "B!", 20.0), (9L, "i", 9.0)).toDF("id", "name", "score")) // v1
+    LakeTable.delete(spark, root, Seq(5L).toDF("id"))                    // v2
+
+    feedSet(LakeTable.changes(spark, root, 0L, 2L)) shouldBe Set(
+      (2L, "b", 2.0, "update_preimage"), (2L, "B!", 20.0, "update_postimage"),
+      (9L, "i", 9.0, "insert"),
+      (5L, "e", 5.0, "delete"))
+
+    // single-step feeds see only that step's changes
+    feedSet(LakeTable.changes(spark, root, 1L, 2L)) shouldBe Set(
+      (5L, "e", 5.0, "delete"))
+    // degenerate: no versions apart → empty feed
+    LakeTable.changes(spark, root, 1L, 1L).count() shouldBe 0L
+  }
+
+  test("changes() nets out churn that cancels (merge then delete of the same key)") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    LakeTable.merge(spark, root, Seq((9L, "i", 9.0)).toDF("id", "name", "score"))
+    LakeTable.delete(spark, root, Seq(9L).toDF("id"))
+    feedSet(LakeTable.changes(spark, root, 0L, 2L)) shouldBe Set.empty
+  }
+
+  test("changes() reads only buckets whose file sets differ") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    LakeTable.merge(spark, root, Seq((1L, "A!", 10.0)).toDF("id", "name", "score"))
+    val mf = LakeTable.manifest(spark, root, Some(0L))
+    val mt = LakeTable.manifest(spark, root, Some(1L))
+    val b1 = base.limit(1).select(pmod(hash($"id"), lit(4))).head().getInt(0)
+    LakeTable.changedBuckets(mf, mt) shouldBe Set(b1)
+  }
+
+  test("materialized view: incremental refresh is exact vs full recompute across insert/update/delete") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    LakeTable.init(base, tRoot, Seq("id"), numBuckets = 4)
+    // groups: odd/even; sums must survive retraction exactly
+    val withGrp = (df: DataFrame) => df.withColumn("grp", ($"id" % 2).cast("string"))
+    val tRoot2 = newRoot()
+    LakeTable.init(withGrp(base), tRoot2, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tRoot2, mvRoot, Seq("grp"), Seq("score"))
+
+    LakeTable.merge(spark, tRoot2, withGrp(
+      Seq((2L, "B!", 20.0), (9L, "i", 9.0)).toDF("id", "name", "score")))
+    LakeTable.delete(spark, tRoot2, Seq(5L, 7L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot2, mvRoot)
+
+    val got = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"cnt", $"sum_score".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = LakeTable.read(spark, tRoot2)
+      .groupBy("grp").agg(count(lit(1)).alias("cnt"),
+        sum($"score".cast("decimal(38,6)")).cast("double").alias("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe want
+  }
+
+  test("materialized view: a group retracted to zero rows disappears; a refresh with no changes is a no-op") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val df = Seq((1L, "only", 1.0)).toDF("id", "name", "score")
+      .withColumn("grp", lit("solo"))
+    LakeTable.init(df, tRoot, Seq("id"), numBuckets = 2)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"))
+    LakeTable.delete(spark, tRoot, Seq(1L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    MaterializedView.read(spark, mvRoot).count() shouldBe 0L
+    val v = MaterializedView.refresh(spark, tRoot, mvRoot)
+    MaterializedView.refresh(spark, tRoot, mvRoot) shouldBe v
+  }
+
+  test("materialized view: crashed refresh (published but unmarked) is not double-applied on retry") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val df = base.withColumn("grp", ($"id" % 2).cast("string"))
+    LakeTable.init(df, tRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"))
+    LakeTable.merge(spark, tRoot, Seq((2L, "B!", 20.0)).toDF("id", "name", "score")
+      .withColumn("grp", lit("0")))
+
+    // simulate the crash: publish a refresh's view version WITHOUT its
+    // sync marker — exactly the state a crash between the two leaves
+    val sync0 = LakeTable.manifest(spark, mvRoot).version
+    val feed = LakeTable.changes(spark, tRoot, 0L, 1L)
+    val sign = when($"_change_type".isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val delta = feed.groupBy("grp").agg(sum(sign).alias("d_cnt"),
+      sum($"score".cast("decimal(38,6)") * sign).cast("decimal(38,6)")
+        .alias("d_sum_score"))
+    val cur = LakeTable.lookup(spark, mvRoot, delta.select("grp"), Some(sync0))
+    val merged = delta.join(cur, Seq("grp"), "full_outer").select($"grp",
+      (coalesce($"cnt", lit(0L)) + coalesce($"d_cnt", lit(0L))).alias("cnt"),
+      (coalesce($"sum_score", lit(0).cast("decimal(38,6)")) +
+        coalesce($"d_sum_score", lit(0).cast("decimal(38,6)")))
+        .cast("decimal(38,6)").alias("sum_score"))
+    LakeTable.applyChanges(spark, mvRoot, merged.filter($"cnt" > 0),
+      merged.filter($"cnt" <= 0).select("grp"), Some(sync0)) // no marker!
+
+    // the real refresh must land on the marked snapshot, not the orphan
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    val got = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"cnt", $"sum_score".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = LakeTable.read(spark, tRoot)
+      .groupBy("grp").agg(count(lit(1)).alias("cnt"),
+        sum($"score".cast("decimal(38,6)")).cast("double").alias("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe want
+  }
+
+  test("lookup reads only the probe keys' buckets and returns exactly their rows") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    val got = LakeTable.lookup(spark, root, Seq(2L, 5L, 99L).toDF("id"))
+      .select($"id", $"name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    got shouldBe Set((2L, "b"), (5L, "e"))
+  }
+
+  test("zone maps: clustered write prunes files for a narrow range; results match the full scan") {
+    val root = newRoot()
+    val wide = (1L to 2000L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    LakeTable.init(wide, root, Seq("id"), numBuckets = 2,
+      sortCols = Seq("score"), statsCols = Seq("score"),
+      maxRecordsPerFile = 128L)
+    val all = LakeTable.manifest(spark, root).files.map(_._1)
+    all.size should be > 8 // maxRecordsPerFile rolled multiple files/bucket
+
+    val hit = LakeTable.prunedPaths(spark, root, "score", "100.0", "150.0")
+    hit.size should be < all.size / 2 // the zone map actually prunes
+
+    val got = LakeTable.readRange(spark, root, "score", "100.0", "150.0")
+      .select($"id").as[Long].collect().toSet
+    got shouldBe (100L to 150L).toSet
+  }
+
+  test("zone maps survive a merge: carried files keep their stats, fresh files are measured") {
+    val root = newRoot()
+    val wide = (1L to 500L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
+    LakeTable.init(wide, root, Seq("id"), numBuckets = 4,
+      sortCols = Seq("score"), statsCols = Seq("score"),
+      maxRecordsPerFile = 64L)
+    LakeTable.merge(spark, root, Seq((42L, "X", 9999.0)).toDF("id", "name", "score"))
+    val m = LakeTable.manifest(spark, root)
+    val stats = LakeTable.readStats(spark, root, m.version).get
+    // every live file has a zone entry after the merge
+    m.files.map(_._1).toSet shouldBe stats.keySet
+    // and the updated row is only found in the fresh high range
+    val got = LakeTable.readRange(spark, root, "score", "9000.0", "10000.0")
+      .select($"id").as[Long].collect().toSet
+    got shouldBe Set(42L)
+    // the stale zone (42's old position) no longer returns it
+    LakeTable.readRange(spark, root, "score", "41.5", "42.5").count() shouldBe 0L
+  }
+}
