@@ -1053,6 +1053,56 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Additive schema evolution (sinks/LakeTable.scala merge + widen): the
+    // delta carries a NEW column; the published schema widens and files
+    // from before the widening are NEVER rewritten — they read back with
+    // NULL by parquet name-matching. The oracle models exactly that: only
+    // rows the evolved delta touched have the new column.
+    "q_lake_schema_evolution" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_evolve"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+      graft.sinks.LakeTable.init(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")),
+        root, Seq("o_orderkey"), numBuckets = 16)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            col("o_orderpriority")))
+      graft.sinks.LakeTable.read(s, root)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).alias("price"),
+          coalesce(col("o_orderpriority"), lit("<pre-widening>"))
+            .alias("priority"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Merge-on-read delete (sinks/LakeTable.scala deleteMor): the delete
+    // publishes O(|keys|) deletion-vector files without reading or
+    // rewriting ANY data file; the read applies the subtraction. The CoW
+    // alternative (q_lake_merge's delete leg) pays the bucket rewrite up
+    // front — this is the other side of that trade, and the oracle (a
+    // plain filter) proves the subtraction is exact.
+    "q_lake_delete_mor" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_mor"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 16)
+      graft.sinks.LakeTable.deleteMor(s, root,
+        orders.filter(col("o_orderkey") % 7 === 3).select(col("o_orderkey")))
+      graft.sinks.LakeTable.read(s, root)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Change data feed over the same init→merge→delete chain
     // (sinks/LakeTable.scala changes): row-level insert / delete /
     // update_preimage / update_postimage between manifest v0 and v2,
@@ -4264,6 +4314,25 @@ object SparkEntry {
         |  FROM existing e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey)
         |SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM merged
         |WHERE o_orderkey % 10 <> 4
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_lake_schema_evolution" ->
+      """WITH existing AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |       ROUND(COALESCE(i.o_totalprice, e.o_totalprice), 2) AS price,
+        |       COALESCE(i.o_orderpriority, '<pre-widening>') AS priority
+        |FROM existing e FULL OUTER JOIN incoming i
+        |  ON e.o_orderkey = i.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_lake_delete_mor" ->
+      """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderkey % 7 <> 3
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_lake_cdf" ->

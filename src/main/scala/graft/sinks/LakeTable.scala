@@ -50,10 +50,15 @@ object LakeTable {
     * zone maps [[prunedPaths]]/[[readRange]] prune with. All three are
     * carried in the manifest so merges preserve the layout.
     */
+  /** `dvFiles` are merge-on-read deletion vectors: key-only parquet files
+    * whose rows are SUBTRACTED from the bucket's data at read time
+    * ([[deleteMor]] writes them in O(keys) without touching data files;
+    * any copy-on-write rewrite of a bucket folds its vectors in).
+    */
   final case class Manifest(version: Long, keys: Seq[String], numBuckets: Int,
       schemaDdl: String, files: Seq[(String, Int)],
       sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L)
+      maxRecordsPerFile: Long = 0L, dvFiles: Seq[(String, Int)] = Nil)
 
   /** Per-file zone-map entry: row count + min/max of each stats column,
     * string-rendered (None = the column was all-NULL in the file).
@@ -83,6 +88,8 @@ object LakeTable {
       s""""sort_cols":[${m.sortCols.map(jq).mkString(",")}],""" +
       s""""stats_cols":[${m.statsCols.map(jq).mkString(",")}],""" +
       s""""max_records":${m.maxRecordsPerFile},""" +
+      s""""dv_files":[${m.dvFiles.map { case (p, b) =>
+        s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}],""" +
       s""""files":[${m.files.map { case (p, b) =>
         s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}]}"""
 
@@ -130,18 +137,25 @@ object LakeTable {
       else s.drop(at + name.length + 3).takeWhile(c => c.isDigit || c == '-').toLong
     }
     val keys = strSeq("keys")
-    val files = {
-      val at = s.indexOf("\"files\":[")
-      val body = s.substring(at + 9, s.lastIndexOf(']'))
-      "\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"bucket\":(\\d+)\\}".r
-        .findAllMatchIn(body)
-        .map(m => (m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
-          .replace("\u0000", "\\"), m.group(2).toInt))
-        .toSeq
+    // each file array is delimited by ITS OWN closing bracket (paths are
+    // UUID-based and never contain ']'), so multiple arrays coexist
+    def fileArray(name: String): Seq[(String, Int)] = {
+      val tag = "\"" + name + "\":["
+      val at = s.indexOf(tag)
+      if (at < 0) Seq.empty
+      else {
+        val body = s.substring(at + tag.length, s.indexOf(']', at + tag.length))
+        "\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"bucket\":(\\d+)\\}".r
+          .findAllMatchIn(body)
+          .map(m => (m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
+            .replace("\u0000", "\\"), m.group(2).toInt))
+          .toSeq
+      }
     }
     Manifest(longField("version"), keys, longField("num_buckets").toInt,
-      strField("schema_ddl"), files,
-      strSeq("sort_cols"), strSeq("stats_cols"), optLong("max_records", 0L))
+      strField("schema_ddl"), fileArray("files"),
+      strSeq("sort_cols"), strSeq("stats_cols"), optLong("max_records", 0L),
+      fileArray("dv_files"))
   }
 
   private[graft] def versions(fs: FileSystem, root: String): Seq[Long] = {
@@ -215,15 +229,34 @@ object LakeTable {
     out.toSeq
   }
 
-  private def readFiles(spark: SparkSession, root: String, m: Manifest,
-      paths: Seq[String]): DataFrame = {
-    val schema = StructType.fromDDL(m.schemaDdl)
+  private def readWith(spark: SparkSession, root: String, schema: StructType,
+      paths: Seq[String]): DataFrame =
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema)
     else spark.read.schema(schema)
       .parquet(paths.map(p => new Path(root, p).toString): _*)
-  }
+
+  private def readFiles(spark: SparkSession, root: String, m: Manifest,
+      paths: Seq[String]): DataFrame =
+    readWith(spark, root, StructType.fromDDL(m.schemaDdl), paths)
+
+  private def keySchema(m: Manifest): StructType =
+    StructType(StructType.fromDDL(m.schemaDdl).fields
+      .filter(f => m.keys.contains(f.name)))
+
+  /** The deletion-vector keys of `dvPaths` (key-only rows). */
+  private def readDv(spark: SparkSession, root: String, m: Manifest,
+      dvPaths: Seq[String]): DataFrame =
+    readWith(spark, root, keySchema(m), dvPaths)
+
+  /** `df` minus the rows whose key appears in the given deletion vectors
+    * — the merge-on-read subtraction every read path applies.
+    */
+  private def applyDv(spark: SparkSession, root: String, m: Manifest,
+      df: DataFrame, dv: Seq[(String, Int)]): DataFrame =
+    if (dv.isEmpty) df
+    else df.join(readDv(spark, root, m, dv.map(_._1)), m.keys, "left_anti")
 
   // ---- zone-map sidecar: per-file min/max for the manifest's statsCols --
 
@@ -338,22 +371,54 @@ object LakeTable {
     publish(fs, root, m)
   }
 
-  /** Read a version (default: newest) as an explicit-file-list DataFrame. */
+  /** Read a version (default: newest) as an explicit-file-list DataFrame,
+    * deletion vectors applied.
+    */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, root, version)
-    readFiles(spark, root, m, m.files.map(_._1))
+    applyDv(spark, root, m, readFiles(spark, root, m, m.files.map(_._1)),
+      m.dvFiles)
+  }
+
+  /** Add any columns of `target` missing from `cur` as typed NULLs —
+    * the read-side half of additive schema evolution (files written
+    * before the widening simply lack the column; parquet name-matching
+    * yields NULL for them, so old data never needs rewriting).
+    */
+  private def widen(cur: DataFrame, target: StructType): DataFrame = {
+    val have = cur.columns.toSet
+    target.fields.filterNot(f => have(f.name)).foldLeft(cur)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
   /** Upsert `source` (last-writer-wins on the table keys, ties broken by
     * `orderCol` then a full-row hash — see [[Merge.upsert]]). Only the
     * buckets containing source keys are read and rewritten; everything
     * else is carried into the new manifest untouched.
+    *
+    * Additive schema evolution: `source` may carry NEW columns (existing
+    * columns must keep their exact types, and every table column must be
+    * present). The published manifest's schema widens; files from before
+    * the widening are never rewritten — readers fill the missing columns
+    * with NULL by parquet name-matching.
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-      orderCol: Option[String] = None): Long =
+      orderCol: Option[String] = None): Long = {
+    val m = manifest(spark, root)
+    val curSchema = StructType.fromDDL(m.schemaDdl)
+    source.schema.fields.foreach { f =>
+      curSchema.find(_.name == f.name).foreach(c =>
+        require(c.dataType == f.dataType,
+          s"column ${f.name}: table has ${c.dataType}, source has ${f.dataType}"))
+    }
+    curSchema.fieldNames.foreach(n =>
+      require(source.columns.contains(n),
+        s"source is missing table column $n (partial-column upserts would " +
+          "silently null existing values; project the full row instead)"))
     rewriteTouched(spark, root, source,
-      (cur, src) => Merge.upsert(cur, src, manifest(spark, root).keys, orderCol))
+      (cur, src) => Merge.upsert(widen(cur, source.schema), src, m.keys, orderCol))
+  }
 
   /** Delete every row whose key appears in `keysToDelete` (extra columns
     * ignored). Same touched-bucket copy-on-write as [[merge]].
@@ -400,10 +465,59 @@ object LakeTable {
     val touched = source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val (hot, cold) = m.files.partition { case (_, b) => touched(b) }
-    val merged = apply(readFiles(spark, root, m, hot.map(_._1)), source)
+    // a rewritten bucket folds its deletion vectors in (the rows are
+    // gone from the fresh files, so the vectors retire with the rewrite)
+    val dvHot = m.dvFiles.filter { case (_, b) => touched(b) }
+    val cur = applyDv(spark, root, m,
+      readFiles(spark, root, m, hot.map(_._1)), dvHot)
+    val merged = apply(cur, source)
     val fresh = writeFiles(spark, root, merged, m.keys, m.numBuckets,
       m.sortCols, m.maxRecordsPerFile)
-    val next = m.copy(version = latest + 1, files = cold ++ fresh)
+    // schema follows the rewrite (additive widening under merge); cold
+    // files predating a widening read back with NULLs by name-matching
+    val next = m.copy(version = latest + 1, files = cold ++ fresh,
+      schemaDdl = merged.schema.toDDL,
+      dvFiles = m.dvFiles.filterNot { case (_, b) => touched(b) })
+    publishStats(spark, root, next, Some(m.version))
+    publish(fs, root, next)
+    next.version
+  }
+
+  /** Merge-on-read delete: write `keysToDelete` as bucketed deletion
+    * vectors and publish — O(|keys|) regardless of table size, no data
+    * file is read or rewritten (the copy-on-write [[delete]] pays a
+    * bucket rewrite; this defers that cost to reads until a rewrite or
+    * [[compactDeletes]] folds the vectors). Deleting an absent key is a
+    * no-op at read time.
+    */
+  def deleteMor(spark: SparkSession, root: String,
+      keysToDelete: DataFrame): Long = {
+    val fs = hfs(spark, root)
+    val m = manifest(spark, root)
+    val keys = keysToDelete.select(m.keys.map(col): _*).dropDuplicates(m.keys)
+    val fresh = writeFiles(spark, root, keys, m.keys, m.numBuckets)
+    val next = m.copy(version = m.version + 1, dvFiles = m.dvFiles ++ fresh)
+    publishStats(spark, root, next, Some(m.version))
+    publish(fs, root, next)
+    next.version
+  }
+
+  /** Fold every outstanding deletion vector into its bucket's data files
+    * (one copy-on-write pass over ONLY the dv'd buckets) — the compaction
+    * that bounds read-side anti-join work on a long merge-on-read run.
+    */
+  def compactDeletes(spark: SparkSession, root: String): Long = {
+    val fs = hfs(spark, root)
+    val m = manifest(spark, root)
+    if (m.dvFiles.isEmpty) return m.version
+    val dvB = m.dvFiles.map(_._2).toSet
+    val (hot, cold) = m.files.partition { case (_, b) => dvB(b) }
+    val cur = applyDv(spark, root, m,
+      readFiles(spark, root, m, hot.map(_._1)), m.dvFiles)
+    val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
+      m.sortCols, m.maxRecordsPerFile)
+    val next = m.copy(version = m.version + 1, files = cold ++ fresh,
+      dvFiles = Nil)
     publishStats(spark, root, next, Some(m.version))
     publish(fs, root, next)
     next.version
@@ -417,7 +531,8 @@ object LakeTable {
     */
   private[graft] def changedBuckets(from: Manifest, to: Manifest): Set[Int] = {
     def byBucket(m: Manifest): Map[Int, Set[String]] =
-      m.files.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      (m.files ++ m.dvFiles.map { case (p, b) => (p + "#dv", b) })
+        .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     val f = byBucket(from); val t = byBucket(to)
     (f.keySet ++ t.keySet)
       .filter(b => f.getOrElse(b, Set.empty) != t.getOrElse(b, Set.empty))
@@ -444,13 +559,22 @@ object LakeTable {
     val mt = manifest(spark, root, Some(toVersion))
     require(mf.keys == mt.keys && mf.numBuckets == mt.numBuckets,
       s"key/bucket layout changed between $fromVersion and $toVersion")
-    require(mf.schemaDdl == mt.schemaDdl,
-      s"schema changed between $fromVersion and $toVersion; changes() " +
-        "requires a stable schema")
+    val toSchema = StructType.fromDDL(mt.schemaDdl)
+    // additive evolution is fine (the FROM side reads widened with NULLs);
+    // anything else — dropped or retyped columns — has no sound feed
+    StructType.fromDDL(mf.schemaDdl).fields.foreach(f =>
+      require(toSchema.find(_.name == f.name).exists(_.dataType == f.dataType),
+        s"column ${f.name} dropped or retyped between $fromVersion and " +
+          s"$toVersion; changes() supports additive evolution only"))
     val hot = changedBuckets(mf, mt)
-    val cols = StructType.fromDDL(mt.schemaDdl).fieldNames.toSeq
+    val cols = toSchema.fieldNames.toSeq
     def side(m: Manifest, alias: String): DataFrame = {
-      val df = readFiles(spark, root, m, m.files.filter(f => hot(f._2)).map(_._1))
+      // both sides read with the TO schema: pre-widening files surface the
+      // new columns as NULL, exactly what their snapshot contained; each
+      // side subtracts ITS OWN deletion vectors (hot buckets only)
+      val df = applyDv(spark, root, m,
+        readFiles(spark, root, mt, m.files.filter(f => hot(f._2)).map(_._1)),
+        m.dvFiles.filter(f => hot(f._2)))
       df.select(m.keys.map(col) :+ struct(cols.map(col): _*).alias(alias): _*)
     }
     val changed = col("__pre").isNotNull && col("__post").isNotNull &&
@@ -483,7 +607,9 @@ object LakeTable {
     val p = probes.select(m.keys.map(col): _*).dropDuplicates(m.keys)
     val touched = p.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    readFiles(spark, root, m, m.files.filter(f => touched(f._2)).map(_._1))
+    applyDv(spark, root, m,
+      readFiles(spark, root, m, m.files.filter(f => touched(f._2)).map(_._1)),
+      m.dvFiles.filter(f => touched(f._2)))
       .join(broadcast(p), m.keys, "left_semi")
   }
 
@@ -527,8 +653,9 @@ object LakeTable {
   def readRange(spark: SparkSession, root: String, colName: String,
       lo: String, hi: String, version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, root, version)
-    val df = readFiles(spark, root, m,
-      prunedPaths(spark, root, colName, lo, hi, version))
+    val df = applyDv(spark, root, m,
+      readFiles(spark, root, m, prunedPaths(spark, root, colName, lo, hi, version)),
+      m.dvFiles)
     val t = df.schema(colName).dataType
     df.filter(col(colName) >= lit(lo).cast(t) && col(colName) <= lit(hi).cast(t))
   }
@@ -544,7 +671,10 @@ object LakeTable {
     val vs = versions(fs, root)
     val drop = vs.dropRight(keepLast)
     val keep = vs.takeRight(keepLast)
-    val live = keep.flatMap(v => manifest(spark, root, Some(v)).files.map(_._1)).toSet
+    val live = keep.flatMap { v =>
+      val m = manifest(spark, root, Some(v))
+      (m.files ++ m.dvFiles).map(_._1)
+    }.toSet
     val dataDir = new Path(root, "data")
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(dataDir)) {

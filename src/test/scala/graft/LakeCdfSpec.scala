@@ -161,6 +161,79 @@ class LakeCdfSpec extends SparkTestBase {
     got shouldBe (100L to 150L).toSet
   }
 
+  test("additive schema evolution: merge with a new column widens; old files read back as NULL") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    val evolved = Seq((2L, "B!", 20.0, "eu"), (9L, "i", 9.0, "us"))
+      .toDF("id", "name", "score", "region")
+    LakeTable.merge(spark, root, evolved)
+    val got = LakeTable.read(spark, root)
+      .select($"id", $"name", $"region")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    got(2L) shouldBe ("B!", Some("eu"))
+    got(9L) shouldBe ("i", Some("us"))
+    got(5L) shouldBe ("e", None) // untouched bucket, never rewritten
+    // dropped/retyped columns and partial rows are refused loudly
+    an[IllegalArgumentException] should be thrownBy
+      LakeTable.merge(spark, root, Seq((1L, "x")).toDF("id", "name"))
+    an[IllegalArgumentException] should be thrownBy
+      LakeTable.merge(spark, root,
+        Seq((1L, "x", "oops", "eu")).toDF("id", "name", "score", "region"))
+  }
+
+  test("changes() across a widening: pre-images of old rows carry NULL for the new column") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    LakeTable.merge(spark, root,
+      Seq((2L, "B!", 20.0, "eu")).toDF("id", "name", "score", "region"))
+    val feed = LakeTable.changes(spark, root, 0L, 1L)
+      .select($"id", $"name", $"region", $"_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3))).toSet
+    feed shouldBe Set(
+      (2L, "b", None, "update_preimage"),
+      (2L, "B!", Some("eu"), "update_postimage"))
+  }
+
+  test("merge-on-read delete: O(keys) publish, every read path subtracts; rewrite folds the vectors") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    val dataFilesBefore = LakeTable.manifest(spark, root).files.toSet
+    LakeTable.deleteMor(spark, root, Seq(3L, 7L).toDF("id"))
+    val m1 = LakeTable.manifest(spark, root)
+    m1.files.toSet shouldBe dataFilesBefore // no data file touched
+    m1.dvFiles should not be empty
+    LakeTable.read(spark, root).select($"id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L, 4L, 5L, 6L, 8L)
+    // lookup honors the vectors too
+    LakeTable.lookup(spark, root, Seq(3L, 4L).toDF("id"))
+      .select($"id").as[Long].collect().toSet shouldBe Set(4L)
+    // CDF sees the MoR delete as a plain delete
+    feedSet(LakeTable.changes(spark, root, 0L, 1L)) shouldBe Set(
+      (3L, "c", 3.0, "delete"), (7L, "g", 7.0, "delete"))
+    // a CoW rewrite of a dv'd bucket folds its vector in
+    val v2 = LakeTable.compactDeletes(spark, root)
+    LakeTable.manifest(spark, root, Some(v2)).dvFiles shouldBe empty
+    LakeTable.read(spark, root).select($"id").as[Long].collect().toSet shouldBe
+      Set(1L, 2L, 4L, 5L, 6L, 8L)
+    // net feed across delete+compaction is still just the deletes
+    feedSet(LakeTable.changes(spark, root, 0L, v2)) shouldBe Set(
+      (3L, "c", 3.0, "delete"), (7L, "g", 7.0, "delete"))
+  }
+
+  test("materialized view refresh consumes merge-on-read deletes") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val df = base.withColumn("grp", ($"id" % 2).cast("string"))
+    LakeTable.init(df, tRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"))
+    LakeTable.deleteMor(spark, tRoot, Seq(2L, 4L, 6L, 8L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    val got = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    got shouldBe Map("1" -> 4L) // the even group retracted to zero and vanished
+  }
+
   test("zone maps survive a merge: carried files keep their stats, fresh files are measured") {
     val root = newRoot()
     val wide = (1L to 500L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")

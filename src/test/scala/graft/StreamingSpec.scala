@@ -390,4 +390,40 @@ class StreamingSpec extends SparkTestBase {
       idx.bands.count() shouldBe 40L
     } finally q.stop()
   }
+
+  test("streaming gold ingest: lake merge + CDF-driven view refresh per batch; replayed rows don't move the view") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sinks.{LakeTable, MaterializedView}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("gold_stream").toString
+    val tableRoot = s"$root/table"; val mvRoot = s"$root/view"
+
+    LakeTable.init(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "grp", "amount")
+        .withColumn("grp", lit("x")),
+      tableRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tableRoot, mvRoot, Seq("grp"), Seq("amount"))
+
+    val input = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.LakeStreaming.goldIngest(
+        input.toDF().toDF("id", "grp", "amount"), tableRoot, mvRoot)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      // batch 0: one update (1L: 10→15) and one insert into a new group
+      input.addData((1L, "x", 15.0), (3L, "y", 7.0))
+      q.processAllAvailable()
+      def view(): Map[String, (Long, Double)] =
+        MaterializedView.read(spark, mvRoot)
+          .select($"grp", $"cnt", $"sum_amount".cast("double"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      view() shouldBe Map("x" -> (2L, 35.0), "y" -> (1L, 7.0))
+
+      // batch 1 REPLAYS batch 0's rows (at-least-once delivery): the merge
+      // rewrites buckets with identical values, the feed nets to empty,
+      // the view must not move
+      input.addData((1L, "x", 15.0), (3L, "y", 7.0))
+      q.processAllAvailable()
+      view() shouldBe Map("x" -> (2L, 35.0), "y" -> (1L, 7.0))
+    } finally q.stop()
+  }
 }
