@@ -660,6 +660,62 @@ object LakeTable {
     df.filter(col(colName) >= lit(lo).cast(t) && col(colName) <= lit(hi).cast(t))
   }
 
+  /** Roll the table back (or forward) to the CONTENT of `version` by
+    * publishing it as the newest version — data files are immutable and
+    * shared, so a restore writes one manifest and zero data; the undone
+    * versions stay readable for time travel until [[vacuum]] drops them.
+    * This is the operational answer to a bad delivery: restore, then
+    * re-run the fixed delivery against the restored head.
+    */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val fs = hfs(spark, root)
+    val target = manifest(spark, root, Some(version))
+    val latest = versions(fs, root).max
+    if (latest == version) return version
+    val next = target.copy(version = latest + 1)
+    // the restored head serves the target's zone maps verbatim
+    if (next.statsCols.nonEmpty)
+      readStats(spark, root, version).foreach { st =>
+        val dir = new Path(root, "_stats")
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+        val out = fs.create(staged, false)
+        try out.write(renderStats(next.version, next.statsCols, st.toSeq)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.rename(staged, new Path(dir, s"${next.version}.json"))
+      }
+    publish(fs, root, next)
+    next.version
+  }
+
+  /** Rewrite ONLY the buckets whose file count exceeds `maxFilesPerBucket`
+    * — the bounded maintenance pass that keeps per-bucket file counts flat
+    * on a long merge/deleteMor run (each merge adds files to its touched
+    * buckets; each deleteMor adds vectors). Untouched buckets are carried
+    * by path; dv'd buckets that get rewritten fold their vectors in.
+    */
+  def compactSmallFiles(spark: SparkSession, root: String,
+      maxFilesPerBucket: Int = 4): Long = {
+    require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1")
+    val fs = hfs(spark, root)
+    val m = manifest(spark, root)
+    val counts = (m.files ++ m.dvFiles).groupBy(_._2).view.mapValues(_.size)
+    val fat = counts.filter(_._2 > maxFilesPerBucket).keys.toSet
+    if (fat.isEmpty) return m.version
+    val (hot, cold) = m.files.partition { case (_, b) => fat(b) }
+    val dvHot = m.dvFiles.filter { case (_, b) => fat(b) }
+    val cur = applyDv(spark, root, m,
+      readFiles(spark, root, m, hot.map(_._1)), dvHot)
+    val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
+      m.sortCols, m.maxRecordsPerFile)
+    val next = m.copy(version = m.version + 1, files = cold ++ fresh,
+      dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) })
+    publishStats(spark, root, next, Some(m.version))
+    publish(fs, root, next)
+    next.version
+  }
+
   /** Keep the newest `keepLast` manifests; delete older manifests and every
     * data file no kept manifest references. UUID data dirs left empty (and
     * crash-orphaned dirs older than the oldest kept manifest's files) are

@@ -123,14 +123,21 @@ object MaterializedView {
       lit(1L)).otherwise(lit(-1L))
     val deltaAggs = sum(sign).alias("d_cnt") +: sumCols.map(c =>
       sum(col(c).cast(SumType) * sign).cast(SumType).alias(s"d_sum_$c"))
+    // materialize the grouped delta ONCE (≤ touched-groups rows): its
+    // lineage is the whole change feed (two snapshot reads + full-outer
+    // join), and three consumers follow — without the barrier each would
+    // re-run the feed
     val delta = feed.groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .localCheckpoint()
 
     // current state of ONLY the touched groups, read at the PINNED view
     // version (crash-orphan versions are invisible to the retry)
     val current = LakeTable.lookup(spark, mvRoot,
       delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
 
+    // same barrier again: applyChanges consumes this three ways (upserts,
+    // delete keys, touched-bucket set) — all on a touched-groups-sized frame
     val merged = delta.join(current, groupCols, "full_outer")
       .select(groupCols.map(col) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
@@ -138,12 +145,18 @@ object MaterializedView {
         (coalesce(col(s"sum_$c"), lit(0).cast(SumType)) +
           coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
           .cast(SumType).alias(s"sum_$c")): _*)
+      .localCheckpoint()
 
     val upserts = merged.filter(col("cnt") > 0)
     val gone = merged.filter(col("cnt") <= 0)
       .select(groupCols.map(col): _*)
-    val mvVersion = LakeTable.applyChanges(spark, mvRoot, upserts, gone,
-      Some(sync.mvVersion))
+    val mvVersion =
+      try LakeTable.applyChanges(spark, mvRoot, upserts, gone,
+        Some(sync.mvVersion))
+      finally {
+        merged.unpersist(blocking = false)
+        delta.unpersist(blocking = false)
+      }
     writeSync(spark, mvRoot, Sync(tv, mvVersion))
     mvVersion
   }

@@ -234,6 +234,60 @@ class LakeCdfSpec extends SparkTestBase {
     got shouldBe Map("1" -> 4L) // the even group retracted to zero and vanished
   }
 
+  test("restore publishes an old version's content as the new head without copying data") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    val before = LakeTable.read(spark, root).collect().toSet
+    LakeTable.merge(spark, root, Seq((2L, "BAD", -1.0)).toDF("id", "name", "score"))
+    val v2 = LakeTable.restore(spark, root, 0L)
+    v2 shouldBe 2L
+    LakeTable.read(spark, root).collect().toSet shouldBe before
+    // zero data written: the restored head references version 0's files
+    LakeTable.manifest(spark, root, Some(v2)).files.toSet shouldBe
+      LakeTable.manifest(spark, root, Some(0L)).files.toSet
+    // the table keeps working past the restore
+    LakeTable.merge(spark, root, Seq((9L, "i", 9.0)).toDF("id", "name", "score"))
+    LakeTable.read(spark, root).count() shouldBe 9L
+  }
+
+  test("materialized view follows a restore: the feed across the rollback retracts the bad delivery") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val df = base.withColumn("grp", ($"id" % 2).cast("string"))
+    LakeTable.init(df, tRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"))
+    def view(): Map[String, (Long, Double)] =
+      MaterializedView.read(spark, mvRoot)
+        .select($"grp", $"cnt", $"sum_score".cast("double"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val good = view()
+    // bad delivery lands AND is consumed by the view
+    LakeTable.merge(spark, tRoot, Seq((2L, "BAD", 999.0)).toDF("id", "name", "score")
+      .withColumn("grp", lit("0")))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    view() should not be good
+    // restore the table; the next refresh applies the INVERSE feed
+    LakeTable.restore(spark, tRoot, 0L)
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    view() shouldBe good
+  }
+
+  test("compactSmallFiles bounds per-bucket file counts; content and vectors fold unchanged") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2)
+    // pile single-row merges onto the same keys (each adds files per bucket)
+    (1 to 5).foreach(i =>
+      LakeTable.merge(spark, root, Seq((1L, s"v$i", i.toDouble)).toDF("id", "name", "score")))
+    LakeTable.deleteMor(spark, root, Seq(4L).toDF("id"))
+    val expect = LakeTable.read(spark, root).collect().toSet
+    LakeTable.compactSmallFiles(spark, root, maxFilesPerBucket = 1)
+    val m = LakeTable.manifest(spark, root)
+    m.dvFiles shouldBe empty
+    m.files.groupBy(_._2).values.map(_.size).max should be <= 1
+    LakeTable.read(spark, root).collect().toSet shouldBe expect
+    // under the bound already → no-op version
+    LakeTable.compactSmallFiles(spark, root, maxFilesPerBucket = 1) shouldBe m.version
+  }
+
   test("zone maps survive a merge: carried files keep their stats, fresh files are measured") {
     val root = newRoot()
     val wide = (1L to 500L).map(i => (i, s"n$i", i.toDouble)).toDF("id", "name", "score")
