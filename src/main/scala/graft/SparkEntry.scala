@@ -56,11 +56,6 @@ object SparkEntry {
       key => key._1.read.parquet(key._2))
   }
 
-  /** `events.parquet` carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long (legacy conf) and rebuild a µs timestamp
-    * with integral division (`div`, not `/` — ns epoch values exceed the
-    * 53-bit double mantissa). DuckDB truncates ns→µs the same way.
-    */
   /** Deterministic URL planting for the web-curation queries: the synthetic
     * texts carry no URLs, so each doc gets one appended by `doc_id mod 3`
     * (mirrored literally in the DuckDB oracles).
@@ -71,9 +66,21 @@ object SparkEntry {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
       lit("/page")))
 
+  /** The events table has shipped `ts` as TIMESTAMP(NANOS) in some testdata
+    * generations and TIMESTAMP(MICROS) in others — adapt to what the file
+    * actually carries. Nanos read as long (legacy conf) and truncate to µs
+    * with integral division (`div`, not `/` — ns epochs exceed the 53-bit
+    * double mantissa); native µs just casts to session-tz timestamp (UTC
+    * here, so instants match DuckDB's naive read bit-for-bit).
+    */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Exact, order-insensitive sum of a ≤6-decimal double column. */
@@ -732,10 +739,15 @@ object SparkEntry {
     // (broadcast — candidates after the size/type/region filters are tiny),
     // the same shape as Q17's threshold.
     "q_tpch_q2" -> ((s, dir) => {
-      val ps = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity")))
-          .alias("ps_cost"))
+      import org.apache.spark.sql.expressions.Window
+      // The part/supplier predicates filter on the GROUP KEYS of the
+      // part-supplier cost aggregate, so they push below the groupBy as
+      // broadcast semi-joins: only the qualifying slice of lineitem is
+      // shuffled (at SF100k that's the difference between shuffling the
+      // whole fact table and a few thousand rows), and each surviving
+      // group's content is untouched. The per-part min then rides a window
+      // over the already-tiny candidate frame — one pass over lineitem
+      // total, where the former agg-and-self-join shape scanned it twice.
       val eurSup = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -745,14 +757,21 @@ object SparkEntry {
       val parts = t(s, dir, "part")
         .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
         .select(col("p_partkey"), col("p_name"))
+      val ps = t(s, dir, "lineitem")
+        .join(broadcast(parts.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(broadcast(eurSup.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity")))
+          .alias("ps_cost"))
       val cand = ps
         .join(broadcast(eurSup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      val minCost = cand.groupBy(col("p_partkey").alias("__pk"))
-        .agg(min(col("ps_cost")).alias("__min_cost"))
       cand
-        .join(broadcast(minCost),
-          col("p_partkey") === col("__pk") && col("ps_cost") === col("__min_cost"))
+        .withColumn("__min_cost",
+          min(col("ps_cost")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("ps_cost") === col("__min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name"), round(col("ps_cost"), 6).alias("ps_cost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
@@ -1237,6 +1256,31 @@ object SparkEntry {
           "1996-01-01 00:00:00", "1996-12-31 23:59:59")
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").alias("d"),
+          round(col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Bloom-pruned equality scan (sinks/LakeTable.scala bloomCols/readEq):
+    // the table is keyed on o_orderkey but probed on o_custkey — a non-key,
+    // non-clustered column no zone map helps with (custkeys scatter across
+    // every file). Each rolled file carries an 8 KB-scale bloom in the
+    // `_bloom` sidecar; the probe tests blooms DRIVER-side and opens only
+    // the files that might contain the value — at 100 TB, a handful of
+    // files instead of the table. The exact predicate re-applies after the
+    // pruned read (bloom = superset filter), so the oracle is the plain
+    // equality scan.
+    "q_lake_bloom" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_bloom"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, maxRecordsPerFile = 4096L,
+        bloomCols = Seq("o_custkey"))
+      graft.sinks.LakeTable.readEq(s, root, "o_custkey", "37")
+        .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).alias("price"))
         .orderBy("o_orderkey")
     }),
@@ -2534,6 +2578,22 @@ object SparkEntry {
         .select(col("doc_id"), round(col("rrf_score"), 6).alias("rrf"),
           col("n_rankers"))
         .orderBy(col("rrf").desc, col("doc_id").asc)
+    }),
+
+    // Late-interaction (MaxSim) retrieval (operators/Retrieval.scala
+    // maxSim): query vec_id-0 split into 4 contiguous sub-vectors, each
+    // matching its best of the document's 4 sub-vectors — Σ max ⟨q_i,d_j⟩.
+    // The oracle replays the identical slice/dot/max/sum in DuckDB list
+    // comprehensions, so every top-20 score is value-checked at 6 decimals;
+    // ranks tie-break on id, the suite's determinism convention.
+    "q_maxsim" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Retrieval.maxSim(
+          emb, emb.filter(col("vec_id") === 0L), "vec_id", "embedding",
+          numSubVecs = 4)
+        .select(col("vec_id"), round(col("maxsim"), 6).alias("maxsim"))
+        .orderBy(col("maxsim").desc, col("vec_id").asc)
+        .limit(20)
     }),
 
     // DSIR importance log-weights toward a planted target domain
@@ -4449,6 +4509,11 @@ object SparkEntry {
         |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q_lake_bloom" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_custkey = 37
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_scd2" ->
       """WITH obs AS (
         |  SELECT l_orderkey, l_returnflag AS flag, l_shipdate AS ts,
@@ -5048,6 +5113,21 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS recovered,
         |       CAST(1 AS BOOLEAN) AS inertia_monotone
         |FROM embeddings GROUP BY 1 ORDER BY planted_group""".stripMargin,
+
+    "q_maxsim" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT d.vec_id,
+        |    list_sum(list_transform(range(4), i ->
+        |      list_max(list_transform(range(4), j ->
+        |        list_inner_product(
+        |          list_transform(q.qe[1+16*i : 16*(i+1)], x -> CAST(x AS DOUBLE)),
+        |          list_transform(d.embedding[1+16*j : 16*(j+1)],
+        |                         x -> CAST(x AS DOUBLE))))))) AS s
+        |  FROM embeddings d, q
+        |  WHERE d.embedding IS NOT NULL AND len(d.embedding) % 4 = 0)
+        |SELECT vec_id, round(s, 6) AS maxsim FROM scored
+        |ORDER BY maxsim DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_cluster_sample" ->
       """SELECT vec_id, CAST(vec_id % 4 AS BIGINT) AS cluster FROM (

@@ -38,4 +38,41 @@ object Retrieval {
       .agg(sum(col("__rrf")).alias("rrf_score"),
         count(lit(1)).alias("n_rankers"))
   }
+
+  /** Late-interaction (MaxSim) scoring — the ColBERT construction
+    * (Khattab & Zaharia, SIGIR 2020) over multi-vector representations:
+    * both query and document are bags of sub-vectors, and
+    * score(q, d) = Σ_i max_j ⟨q_i, d_j⟩ — each query part matches its best
+    * document part, so local structure survives pooling. Here the
+    * sub-vectors are `numSubVecs` contiguous slices of the stored single
+    * vector (the degenerate-but-real multi-vector case; a true token-level
+    * encoder would store `vecCol` as array-of-arrays and skip the slicing).
+    *
+    * Scale shape: the query's sub-vectors ride a broadcast one-row cross
+    * join (never a shuffle); per-document scoring is builtin higher-order
+    * functions — slice/transform/zip_with/aggregate, all codegen — so the
+    * scan streams at full width and the only cross-executor movement is
+    * the final top-k (TakeOrderedAndProject). Dots accumulate in DOUBLE
+    * left-to-right, the order the oracle replays.
+    */
+  def maxSim(docs: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, numSubVecs: Int = 4): DataFrame = {
+    require(numSubVecs >= 1, s"numSubVecs must be >= 1, got $numSubVecs")
+    // sub-vector length from the (fixed-dim) vector column; slice() is
+    // 1-based and dim is asserted divisible so parts tile exactly
+    def subVecs(vec: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(numSubVecs - 1)), i =>
+        transform(slice(vec, i * (size(vec) / numSubVecs) + 1,
+          (size(vec) / numSubVecs).cast("int")), x => x.cast("double")))
+    val q = query.limit(1).select(subVecs(col(vecCol)).alias("__qsubs"))
+    docs
+      .filter(col(vecCol).isNotNull &&
+        pmod(size(col(vecCol)), lit(numSubVecs)) === 0)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        aggregate(col("__qsubs"), lit(0.0), (acc, qp) =>
+          acc + array_max(transform(subVecs(col(vecCol)), dp =>
+            aggregate(zip_with(qp, dp, (x, y) => x * y), lit(0.0),
+              (a, b) => a + b)))).alias("maxsim"))
+  }
 }

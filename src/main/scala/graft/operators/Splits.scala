@@ -146,6 +146,61 @@ object Splits {
     df.filter(concat(lit("0"), key) < bound)
   }
 
+  /** Distribution-matching rejection sampler — reshape `source` so the
+    * histogram of `binCol` matches `target`'s (the classic histogram-
+    * matching construction behind "make the pretraining mix look like the
+    * target domain" resampling; DSIR's importance weights are the
+    * continuous cousin, this is the exact discrete form). Per bin b:
+    * ratio r_b = (t_b/T)/(s_b/S); acceptance a_b = r_b / max_b r_b — the
+    * scaling that makes the best-represented target bin keep everything,
+    * which yields the LARGEST subsample whose bin shares match the
+    * target's exactly in expectation.
+    *
+    * Acceptance is content-stable, not rand(): row passes iff its 8-hex
+    * md5(seed:id) prefix compares below the bin's threshold string
+    * (`floor(a_b·2³²)` as zero-padded lowercase hex; equal-length hex
+    * compares like the integer it spells, and a_b = 1 gets the sentinel
+    * "g", above every hex digit). Replays, repartitions, and incremental
+    * reruns keep the same rows.
+    *
+    * Scale shape: two bin-histogram aggregations (map-side partial, ≤
+    * |bins| rows out), one-row totals riding broadcast cross joins, and a
+    * broadcast join of the ≤|bins| threshold table back onto the source —
+    * the corpus itself is never shuffled. Ratios are computed in DOUBLE
+    * from exact counts (cast-then-multiply, no 64-bit overflow at any
+    * corpus size under 2⁵³ rows).
+    *
+    * Bins with target mass but NO source rows are unmatchable (nothing to
+    * accept) and are ignored by the max — the sampler matches the target
+    * restricted to the source's support. Null bins are dropped up front.
+    */
+  def matchDistribution(source: DataFrame, target: DataFrame, idCol: String,
+      binCol: Column, seed: Int = 42): DataFrame = {
+    val src = source.withColumn("__bin", binCol).filter(col("__bin").isNotNull)
+    val tgt = target.withColumn("__bin", binCol).filter(col("__bin").isNotNull)
+    val sHist = src.groupBy(col("__bin")).agg(count(lit(1)).alias("__s"))
+    val tHist = tgt.groupBy(col("__bin")).agg(count(lit(1)).alias("__t"))
+    val sTot = src.agg(count(lit(1)).alias("__S"))
+    val tTot = tgt.agg(count(lit(1)).alias("__T"))
+    val hist = sHist.join(tHist, Seq("__bin"), "left").na.fill(0L, Seq("__t"))
+      .crossJoin(broadcast(sTot)).crossJoin(broadcast(tTot))
+      .withColumn("__r",
+        col("__t").cast("double") * col("__S").cast("double") /
+          (col("__s").cast("double") * col("__T").cast("double")))
+    val rMax = hist.agg(max(col("__r")).alias("__rmax"))
+    val thresholds = hist.crossJoin(broadcast(rMax))
+      .withColumn("__a", col("__r") / col("__rmax"))
+      .withColumn("__th", when(col("__a") >= 1, lit("g"))
+        .otherwise(format_string("%08x",
+          floor(col("__a") * lit(4294967296.0)))))
+      .select(col("__bin"), col("__th"))
+    val key = substring(md5(concat_ws(":",
+      lit(seed.toString), col(idCol).cast("string"))), 1, 8)
+    src.join(broadcast(thresholds), Seq("__bin"))
+      .filter(key < col("__th"))
+      .drop("__th")
+  }
+
   /** Greedy corpus selection under a global TOKEN budget — "fill 10 B
     * training tokens with the best-scoring documents": rows are taken in
     * (`scoreCol` desc, `idCol` asc) order while the running token total

@@ -55,10 +55,16 @@ object LakeTable {
     * ([[deleteMor]] writes them in O(keys) without touching data files;
     * any copy-on-write rewrite of a bucket folds its vectors in).
     */
+  /** `bloomCols` opt into per-FILE bloom filters for equality probes on
+    * non-key, non-clustered columns (the Delta/Iceberg bloom-index design
+    * point): [[readEq]] tests each file's bloom driver-side and opens only
+    * the files that MIGHT contain the probe value.
+    */
   final case class Manifest(version: Long, keys: Seq[String], numBuckets: Int,
       schemaDdl: String, files: Seq[(String, Int)],
       sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
-      maxRecordsPerFile: Long = 0L, dvFiles: Seq[(String, Int)] = Nil)
+      maxRecordsPerFile: Long = 0L, dvFiles: Seq[(String, Int)] = Nil,
+      bloomCols: Seq[String] = Nil)
 
   /** Per-file zone-map entry: row count + min/max of each stats column,
     * string-rendered (None = the column was all-NULL in the file).
@@ -87,6 +93,7 @@ object LakeTable {
       s""""num_buckets":${m.numBuckets},"schema_ddl":${jq(m.schemaDdl)},""" +
       s""""sort_cols":[${m.sortCols.map(jq).mkString(",")}],""" +
       s""""stats_cols":[${m.statsCols.map(jq).mkString(",")}],""" +
+      s""""bloom_cols":[${m.bloomCols.map(jq).mkString(",")}],""" +
       s""""max_records":${m.maxRecordsPerFile},""" +
       s""""dv_files":[${m.dvFiles.map { case (p, b) =>
         s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}],""" +
@@ -155,7 +162,7 @@ object LakeTable {
     Manifest(longField("version"), keys, longField("num_buckets").toInt,
       strField("schema_ddl"), fileArray("files"),
       strSeq("sort_cols"), strSeq("stats_cols"), optLong("max_records", 0L),
-      fileArray("dv_files"))
+      fileArray("dv_files"), strSeq("bloom_cols"))
   }
 
   private[graft] def versions(fs: FileSystem, root: String): Seq[Long] = {
@@ -350,6 +357,151 @@ object LakeTable {
     fs.rename(staged, new Path(dir, s"${m.version}.json"))
   }
 
+  // ---- bloom sidecar: per-file membership filters for bloomCols --------
+
+  /** Per-file bloom sizing: expected distinct items per file follows the
+    * layout contract (`maxRecordsPerFile` when rolling is on, else a
+    * conservative 64k), bits sized for ~2% fpp — at 10k files × 60 KB the
+    * whole sidecar is still a sub-GB driver-side object, and a 2% false
+    * open rate only costs a wasted file read, never a wrong row.
+    */
+  private def bloomShape(m: Manifest): (Long, Long) = {
+    val items = if (m.maxRecordsPerFile > 0) m.maxRecordsPerFile else 65536L
+    val bits = math.ceil(
+      -items * math.log(0.02) / (math.log(2) * math.log(2))).toLong
+    (items, bits)
+  }
+
+  private def renderBlooms(version: Long, cols: Seq[String],
+      entries: Seq[(String, Seq[Option[String]])]): String =
+    s"""{"version":$version,"cols":[${cols.map(jq).mkString(",")}],""" +
+      s""""files":[${entries.map { case (p, bs) =>
+        s"""{"path":${jq(p)},"bloom":[${bs.map(_.map(jq).getOrElse("null"))
+          .mkString(",")}]}"""
+      }.mkString(",")}]}"""
+
+  private def parseBlooms(s: String): Map[String, Seq[Option[Array[Byte]]]] = {
+    val entry = "\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"bloom\":\\[([^\\]]*)\\]\\}".r
+    entry.findAllMatchIn(s).map { m =>
+      val path = m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
+        .replace("\u0000", "\\")
+      val blooms = if (m.group(2).isEmpty) Seq.empty[Option[Array[Byte]]]
+        else m.group(2).split(",", -1).toSeq.map {
+          case "null" => None
+          case q => Some(java.util.Base64.getDecoder.decode(
+            q.trim.stripPrefix("\"").stripSuffix("\"")))
+        }
+      path -> blooms
+    }.toMap
+  }
+
+  private[graft] def readBlooms(spark: SparkSession, root: String,
+      version: Long): Option[Map[String, Seq[Option[Array[Byte]]]]] = {
+    val fs = hfs(spark, root)
+    val p = new Path(root, s"_bloom/$version.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(parseBlooms(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    }
+  }
+
+  /** One aggregation over ONLY `paths`, grouped on the physical file:
+    * a Catalyst [[BloomFilterAggregate]] per bloom column over
+    * `xxhash64(col)` — codegen'd build side, same hash the probe applies
+    * driver-side. Sizes stay far under the runtime-filter SQLConf clamps.
+    */
+  private def computeBlooms(spark: SparkSession, root: String, m: Manifest,
+      paths: Seq[String]): Seq[(String, Seq[Option[String]])] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.GraftSqlBridge
+    if (paths.isEmpty) return Seq.empty
+    val (items, bits) = bloomShape(m)
+    val relOf = "data/[^/]+/__bucket=\\d+/[^/]+$".r
+    val aggs = m.bloomCols.map { c =>
+      val agg = new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col(c))),
+        Literal(items), Literal(bits))
+      GraftSqlBridge.column(agg.toAggregateExpression()).alias(s"__bf_$c")
+    }
+    readFiles(spark, root, m, paths)
+      .groupBy(input_file_name().alias("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val rel = relOf.findFirstIn(r.getString(0)).getOrElse(
+          sys.error(s"unexpected data path ${r.getString(0)}"))
+        rel -> m.bloomCols.indices.map(i =>
+          Option(r.getAs[Array[Byte]](1 + i))
+            .map(java.util.Base64.getEncoder.encodeToString))
+      }.toSeq
+  }
+
+  /** Publish the `_bloom` sidecar for manifest `m`: fresh files are
+    * measured, carried files inherit (files are immutable, so their blooms
+    * are too) — O(delta) like the stats sidecar, same self-healing.
+    */
+  private def publishBlooms(spark: SparkSession, root: String, m: Manifest,
+      prevVersion: Option[Long]): Unit = {
+    if (m.bloomCols.isEmpty) return
+    val fs = hfs(spark, root)
+    val prev: Map[String, Seq[Option[Array[Byte]]]] = prevVersion
+      .flatMap(v => readBlooms(spark, root, v)).getOrElse(Map.empty)
+    val (carried, fresh) = m.files.map(_._1).partition(prev.contains)
+    val entries = carried.map(p => p -> prev(p).map(
+        _.map(java.util.Base64.getEncoder.encodeToString))) ++
+      computeBlooms(spark, root, m, fresh)
+    val dir = new Path(root, "_bloom")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+    val out = fs.create(staged, false)
+    try out.write(renderBlooms(m.version, m.bloomCols, entries)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(staged, new Path(dir, s"${m.version}.json"))
+  }
+
+  /** The live files whose bloom MIGHT contain `value` for `colName` —
+    * files without a bloom entry are conservatively kept. Driver-side:
+    * no file is opened to decide. The probe hashes exactly as the build
+    * did (`xxhash64` of the value cast to the column's stored type).
+    */
+  def bloomPrunedPaths(spark: SparkSession, root: String, colName: String,
+      value: String, version: Option[Long] = None): Seq[String] = {
+    val m = manifest(spark, root, version)
+    val i = m.bloomCols.indexOf(colName)
+    require(i >= 0, s"$colName is not a bloom column (have ${m.bloomCols})")
+    val t = StructType.fromDDL(m.schemaDdl)(colName).dataType
+    val h = spark.range(1).select(xxhash64(lit(value).cast(t))).head().getLong(0)
+    val blooms = readBlooms(spark, root, m.version).getOrElse(Map.empty)
+    m.files.map(_._1).filter { p =>
+      blooms.get(p).flatMap(_.lift(i).flatten) match {
+        case Some(bytes) => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(h)
+        case None => true
+      }
+    }
+  }
+
+  /** Equality scan through the bloom sidecar: open only the files that
+    * might contain `value`, then apply the exact predicate (the bloom is
+    * a superset filter — a false positive costs a file read, never a
+    * wrong row). The point-lookup answer for selective non-key columns a
+    * table is NOT clustered on.
+    */
+  def readEq(spark: SparkSession, root: String, colName: String,
+      value: String, version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, version)
+    val df = applyDv(spark, root, m,
+      readFiles(spark, root, m,
+        bloomPrunedPaths(spark, root, colName, value, version)),
+      m.dvFiles)
+    df.filter(col(colName) === lit(value).cast(df.schema(colName).dataType))
+  }
+
   /** Create the table at `root` (version 0) from `df`, keyed and bucketed.
     * Keys must uniquely identify rows for merge semantics to be sane;
     * incoming duplicates are resolved by [[Merge.upsert]]'s tiebreak.
@@ -358,7 +510,8 @@ object LakeTable {
     */
   def init(df: DataFrame, root: String, keys: Seq[String],
       numBuckets: Int = 64, sortCols: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Unit = {
+      statsCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
+      bloomCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty, "keys must be non-empty")
     val spark = df.sparkSession
     val fs = hfs(spark, root)
@@ -366,8 +519,9 @@ object LakeTable {
     val files = writeFiles(spark, root, df, keys, numBuckets,
       sortCols, maxRecordsPerFile)
     val m = Manifest(0L, keys, numBuckets, df.schema.toDDL, files,
-      sortCols, statsCols, maxRecordsPerFile)
+      sortCols, statsCols, maxRecordsPerFile, Nil, bloomCols)
     publishStats(spark, root, m, None)
+    publishBlooms(spark, root, m, None)
     publish(fs, root, m)
   }
 
@@ -479,6 +633,7 @@ object LakeTable {
       schemaDdl = merged.schema.toDDL,
       dvFiles = m.dvFiles.filterNot { case (_, b) => touched(b) })
     publishStats(spark, root, next, Some(m.version))
+    publishBlooms(spark, root, next, Some(m.version))
     publish(fs, root, next)
     next.version
   }
@@ -498,6 +653,7 @@ object LakeTable {
     val fresh = writeFiles(spark, root, keys, m.keys, m.numBuckets)
     val next = m.copy(version = m.version + 1, dvFiles = m.dvFiles ++ fresh)
     publishStats(spark, root, next, Some(m.version))
+    publishBlooms(spark, root, next, Some(m.version))
     publish(fs, root, next)
     next.version
   }
@@ -519,6 +675,7 @@ object LakeTable {
     val next = m.copy(version = m.version + 1, files = cold ++ fresh,
       dvFiles = Nil)
     publishStats(spark, root, next, Some(m.version))
+    publishBlooms(spark, root, next, Some(m.version))
     publish(fs, root, next)
     next.version
   }
@@ -673,7 +830,7 @@ object LakeTable {
     val latest = versions(fs, root).max
     if (latest == version) return version
     val next = target.copy(version = latest + 1)
-    // the restored head serves the target's zone maps verbatim
+    // the restored head serves the target's zone maps + blooms verbatim
     if (next.statsCols.nonEmpty)
       readStats(spark, root, version).foreach { st =>
         val dir = new Path(root, "_stats")
@@ -681,6 +838,19 @@ object LakeTable {
         val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
         val out = fs.create(staged, false)
         try out.write(renderStats(next.version, next.statsCols, st.toSeq)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.rename(staged, new Path(dir, s"${next.version}.json"))
+      }
+    if (next.bloomCols.nonEmpty)
+      readBlooms(spark, root, version).foreach { bl =>
+        val dir = new Path(root, "_bloom")
+        if (!fs.exists(dir)) fs.mkdirs(dir)
+        val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+        val out = fs.create(staged, false)
+        try out.write(renderBlooms(next.version, next.bloomCols,
+          bl.toSeq.map { case (p, bs) => p -> bs.map(
+            _.map(java.util.Base64.getEncoder.encodeToString)) })
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         fs.rename(staged, new Path(dir, s"${next.version}.json"))
@@ -712,6 +882,7 @@ object LakeTable {
     val next = m.copy(version = m.version + 1, files = cold ++ fresh,
       dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) })
     publishStats(spark, root, next, Some(m.version))
+    publishBlooms(spark, root, next, Some(m.version))
     publish(fs, root, next)
     next.version
   }
@@ -755,6 +926,7 @@ object LakeTable {
     drop.foreach { v =>
       fs.delete(new Path(root, s"_versions/$v.json"), false)
       fs.delete(new Path(root, s"_stats/$v.json"), false)
+      fs.delete(new Path(root, s"_bloom/$v.json"), false)
     }
     removed.toSeq
   }

@@ -101,4 +101,37 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.merge(spark, root, delta, orderCol = Some("score"))
     rows(LakeTable.read(spark, root))(1L) shouldBe ("late", 5.0)
   }
+
+  test("bloom sidecar: readEq answers exactly and opens a strict subset of files") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = newRoot()
+    // 4k rows, 8 buckets × rolled files; `name` is a non-key, non-clustered
+    // high-cardinality column (500 distinct values, ~8 rows each)
+    val big = spark.range(4096).select(col("id"),
+      concat(lit("user-"), (col("id") % 500).cast("string")).alias("name"),
+      (col("id") * 1.5).alias("score"))
+    LakeTable.init(big, root, Seq("id"), numBuckets = 8,
+      maxRecordsPerFile = 256L, bloomCols = Seq("name"))
+    val m = LakeTable.manifest(spark, root)
+    val pruned = LakeTable.bloomPrunedPaths(spark, root, "name", "user-123")
+    // ~16 of 4096/256=16+ files can contain 8 rows of one value; the bloom
+    // must keep all true-positive files and skip most of the rest
+    pruned.size should be < m.files.size
+    val got = LakeTable.readEq(spark, root, "name", "user-123")
+      .select("id").collect().map(_.getLong(0)).toSet
+    got shouldBe (0L until 4096L).filter(_ % 500 == 123).toSet
+
+    // a merge re-measures ONLY the rewritten bucket's files; carried files
+    // keep their blooms, and the probe stays exact across the delivery
+    LakeTable.merge(spark, root,
+      Seq((123L, "fresh-value", 0.0)).toDF("id", "name", "score"))
+    LakeTable.readEq(spark, root, "name", "fresh-value")
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe Set(123L)
+    val after = LakeTable.readEq(spark, root, "name", "user-123")
+      .select("id").collect().map(_.getLong(0)).toSet
+    after shouldBe ((0L until 4096L).filter(_ % 500 == 123).toSet - 123L)
+
+    // a value that never existed prunes everything (no false-positive rows)
+    LakeTable.readEq(spark, root, "name", "user-99999").count() shouldBe 0L
+  }
 }

@@ -43,8 +43,14 @@ class RangeJoinSpec extends SparkTestBase {
     // match the semantically-obvious-but-quadratic purchases⋈clicks plan:
     // latest click per user with c_ts <= p_ts, ties to the max click_id.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // ts has shipped as both TIMESTAMP(NANOS) (reads as long under the
+    // legacy conf) and TIMESTAMP(MICROS) across testdata generations
+    val ev = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").alias("purchase_id"), col("user_id"), col("ts").alias("p_ts"))
     val clicks = ev.filter(col("event_type") === "click")
