@@ -2580,6 +2580,23 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id").asc)
     }),
 
+    // Distribution-matching rejection sampling (operators/Splits.scala
+    // matchDistribution): reshape the corpus so its length histogram
+    // (16 × 128-char bins) matches the short-document target slice
+    // (< 192 chars — a target that spans bin 0 fully and bin 1 partially,
+    // so the sampler exercises full, fractional, AND zero acceptance in
+    // one run). Per-bin thresholds are data-dependent — computed in-plan
+    // from exact counts — and the md5-hex acceptance is content-stable,
+    // so the accepted id set is value-checked row for row.
+    "q_match_distribution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bin = expr("least(15, length(text) div 128)")
+      graft.operators.Splits.matchDistribution(
+          docs, docs.filter(length(col("text")) < 192), "doc_id", bin)
+        .select(col("doc_id"), col("__bin").cast("long").alias("bin"))
+        .orderBy("doc_id")
+    }),
+
     // Late-interaction (MaxSim) retrieval (operators/Retrieval.scala
     // maxSim): query vec_id-0 split into 4 contiguous sub-vectors, each
     // matching its best of the document's 4 sub-vectors — Σ max ⟨q_i,d_j⟩.
@@ -5113,6 +5130,32 @@ object SparkEntry {
         |       CAST(1 AS BOOLEAN) AS recovered,
         |       CAST(1 AS BOOLEAN) AS inertia_monotone
         |FROM embeddings GROUP BY 1 ORDER BY planted_group""".stripMargin,
+
+    "q_match_distribution" ->
+      """WITH src AS (
+        |  SELECT doc_id, least(15, length(text) // 128) AS bin FROM documents
+        |  WHERE text IS NOT NULL),
+        |tgt AS (
+        |  SELECT least(15, length(text) // 128) AS bin FROM documents
+        |  WHERE text IS NOT NULL AND length(text) < 192),
+        |s AS (SELECT bin, count(*) AS sc FROM src GROUP BY bin),
+        |t AS (SELECT bin, count(*) AS tc FROM tgt GROUP BY bin),
+        |tot AS (SELECT (SELECT count(*) FROM src) AS st,
+        |               (SELECT count(*) FROM tgt) AS tt),
+        |hist AS (
+        |  SELECT s.bin,
+        |    CAST(COALESCE(t.tc, 0) AS DOUBLE) * CAST(tot.st AS DOUBLE) /
+        |      (CAST(s.sc AS DOUBLE) * CAST(tot.tt AS DOUBLE)) AS r
+        |  FROM s LEFT JOIN t USING (bin), tot),
+        |mx AS (SELECT max(r) AS rmax FROM hist),
+        |th AS (
+        |  SELECT bin, CASE WHEN r / rmax >= 1 THEN 'g'
+        |    ELSE printf('%08x', CAST(floor(r / rmax * 4294967296) AS BIGINT))
+        |  END AS th FROM hist, mx)
+        |SELECT d.doc_id, CAST(d.bin AS BIGINT) AS bin
+        |FROM src d JOIN th USING (bin)
+        |WHERE substr(md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th.th
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_maxsim" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

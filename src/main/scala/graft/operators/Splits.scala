@@ -180,13 +180,13 @@ object Splits {
     val tgt = target.withColumn("__bin", binCol).filter(col("__bin").isNotNull)
     val sHist = src.groupBy(col("__bin")).agg(count(lit(1)).alias("__s"))
     val tHist = tgt.groupBy(col("__bin")).agg(count(lit(1)).alias("__t"))
-    val sTot = src.agg(count(lit(1)).alias("__S"))
-    val tTot = tgt.agg(count(lit(1)).alias("__T"))
+    val sTot = src.agg(count(lit(1)).alias("__stot"))
+    val tTot = tgt.agg(count(lit(1)).alias("__ttot"))
     val hist = sHist.join(tHist, Seq("__bin"), "left").na.fill(0L, Seq("__t"))
       .crossJoin(broadcast(sTot)).crossJoin(broadcast(tTot))
       .withColumn("__r",
-        col("__t").cast("double") * col("__S").cast("double") /
-          (col("__s").cast("double") * col("__T").cast("double")))
+        col("__t").cast("double") * col("__stot").cast("double") /
+          (col("__s").cast("double") * col("__ttot").cast("double")))
     val rMax = hist.agg(max(col("__r")).alias("__rmax"))
     val thresholds = hist.crossJoin(broadcast(rMax))
       .withColumn("__a", col("__r") / col("__rmax"))

@@ -28,4 +28,41 @@ class RetrievalSpec extends SparkTestBase {
     out(1L) shouldBe 1.0 +- 1e-12
     out(2L) shouldBe 0.5 +- 1e-12
   }
+
+  test("maxSim: hand-computed sum-of-best-part-dots; rotation beats pooled dot") {
+    // 4-dim vectors, 2 sub-vectors of 2. Query (1,0 | 0,1).
+    // doc A = query rotated one sub-vector: (0,1 | 1,0) — a pooled
+    // single-dot sees 0, but maxsim matches q1 with A's best part:
+    //   max(<(1,0),(0,1)>, <(1,0),(1,0)>) = 1; same for q2 → score 2? no:
+    //   q1=(1,0): best of (0,1)->0, (1,0)->1 = 1; q2=(0,1): best of
+    //   (0,1)->1, (1,0)->0 = 1 → total 2.0 — local structure survives.
+    val docs = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),   // identical to query → 2.0
+      (1L, Seq(0f, 1f, 1f, 0f)),   // rotated parts → still 2.0
+      (2L, Seq(0.5f, 0f, 0f, 0.5f)), // scaled → 1.0
+      (3L, Seq(0f, 0f, 0f, 0f))    // orthogonal → 0.0
+    ).toDF("id", "vec")
+    val q = docs.filter($"id" === 0L)
+    val out = Retrieval.maxSim(docs, q, "id", "vec", numSubVecs = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out(0L) shouldBe 2.0 +- 1e-9
+    out(1L) shouldBe 2.0 +- 1e-9
+    out(2L) shouldBe 1.0 +- 1e-9
+    out(3L) shouldBe 0.0 +- 1e-9
+  }
+
+  test("maxSim drops null/indivisible vectors and reduces to full dot at m=1") {
+    val docs = Seq(
+      (0L, Seq(1f, 2f, 3f)),
+      (1L, null.asInstanceOf[Seq[Float]]),
+      (2L, Seq(1f, 2f))            // length 2 not divisible by 3 sub-vecs
+    ).toDF("id", "vec")
+    val q = docs.filter($"id" === 0L)
+    val m1 = Retrieval.maxSim(docs.filter($"id" === 0L), q, "id", "vec", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    m1(0L) shouldBe (1.0 + 4.0 + 9.0) +- 1e-9
+    val m3 = Retrieval.maxSim(docs, q, "id", "vec", 3)
+      .collect().map(_.getLong(0)).toSet
+    m3 shouldBe Set(0L)            // null and indivisible rows excluded
+  }
 }

@@ -173,4 +173,36 @@ class SplitsSpec extends SparkTestBase {
       .select($"doc_id").as[Long].collect().toSet
     c should not be a
   }
+
+  test("matchDistribution reshapes source bin shares to the target's, content-stably") {
+    // source: 30k rows in bin 0, 10k in bin 1 (75/25); target: 50/50.
+    // Bin 1 is the scarcest-relative-to-target -> keeps everything (a=1);
+    // bin 0 accepts 1/3 so accepted shares are 10k/10k = 50/50.
+    val src = spark.range(40000).select($"id".alias("doc_id"),
+      when($"id" < 30000, 0L).otherwise(1L).alias("b"))
+    val tgt = spark.range(2000).select($"id".alias("doc_id"),
+      pmod($"id", lit(2)).cast("long").alias("b"))
+    val out = Splits.matchDistribution(src, tgt, "doc_id", $"b")
+    val counts = out.groupBy($"b").count().as[(Long, Long)].collect().toMap
+    counts(1L) shouldBe 10000L                       // a = 1 keeps all
+    counts(0L).toDouble / 10000 shouldBe 1.0 +- 0.05 // a = 1/3 of 30k
+    // expectation check: accepted shares match the target's 50/50
+    val total = counts.values.sum.toDouble
+    counts(0L) / total shouldBe 0.5 +- 0.02
+
+    // content-stable: a row's accept decision never depends on partitioning
+    val again = Splits.matchDistribution(src.repartition(17), tgt, "doc_id", $"b")
+      .select($"doc_id").as[Long].collect().toSet
+    again shouldBe out.select($"doc_id").as[Long].collect().toSet
+
+    // a target bin absent from the source is ignored; a source bin absent
+    // from the target is rejected wholesale
+    val tgtOnly = spark.range(100).select($"id".alias("doc_id"), lit(9L).alias("b"))
+    val srcOnly = Splits.matchDistribution(
+      src, tgt.unionByName(tgtOnly), "doc_id", $"b")
+    srcOnly.filter($"b" === 9L).count() shouldBe 0L
+    val rejected = Splits.matchDistribution(
+      src.unionByName(tgtOnly), tgt, "doc_id", $"b")
+    rejected.filter($"b" === 9L).count() shouldBe 0L
+  }
 }
