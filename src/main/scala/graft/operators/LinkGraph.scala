@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * map-side-combinable shape that scales linearly in |E|. Dangling mass
   * (rank sitting on nodes with no out-edges) is redistributed uniformly
   * each iteration via a single-row aggregate over the STATIC dangling-node
-  * set — a bounded one-double driver collect per iteration, the same
-  * bounded-scalar pattern as Lloyd's inertia. Each iteration's ranks are
+  * set, riding the iteration's own plan as a broadcast scalar — never a
+  * blocking driver round-trip. Each iteration's ranks are
   * `localCheckpoint`ed (eager) and the previous iteration's blocks then
   * freed: persist alone would keep the LOGICAL plan nesting every prior
   * iteration — analyzer work and plan-string memory grow per iteration
@@ -74,16 +74,22 @@ object LinkGraph {
       .localCheckpoint()
     var i = 0
     while (i < iterations) {
+      // dangling mass rides the plan as a broadcast one-row aggregate —
+      // same double arithmetic as collecting it to the driver, but the
+      // iteration is ONE action (the checkpoint) instead of a blocking
+      // scalar round-trip plus the checkpoint
       val dangMass = dangling.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).alias("__dm"))
       val contrib = trans
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").alias("node"))
         .agg(sum(col("rank") * col("p")).alias("__c"))
       val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangMass))
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("__c"), lit(0.0)) + lit(dangMass / n))).alias("rank"))
+            (coalesce(col("__c"), lit(0.0)) + col("__dm") / lit(n.toDouble)))
+            .alias("rank"))
         .localCheckpoint() // eager: runs the iteration, then drop the old blocks
       ranks.unpersist(blocking = false)
       ranks = next
