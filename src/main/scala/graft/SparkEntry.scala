@@ -2432,6 +2432,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PER-GROUP token budget (operators/Splits.scala
+    // selectByTokenBudgetPerGroup): every source domain capped at 300
+    // tokens, best-scoring (longest) docs first — the domain-cap step of
+    // mixture curation. One window per group, no driver pass; the oracle
+    // replays the grouped running sum with QUALIFY, so rank, cumulative
+    // tokens, and the cut row of every group are value-checked.
+    "q_token_budget_per_group" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+        .withColumn("n_tokens",
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            x => length(x) > 0)).cast("long"))
+      graft.operators.Splits.selectByTokenBudgetPerGroup(docs, "source",
+          "doc_id", "n_tokens", "n_chars", budget = 300L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("grp_rank"), col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing (MOSS) fingerprints: the whole selected-set per document
     // is value-checked via a sorted-set digest (md5-hex hashes replay in
     // any engine; window-min over equal-length hex = integer min).
@@ -3690,6 +3709,25 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, CAST(cum AS BIGINT) AS cum_tokens
         |FROM ranked WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget_per_group" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |ranked AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS grp_rank,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT doc_id, source, n_tokens, grp_rank,
+        |       CAST(cum AS BIGINT) AS cum_tokens
+        |FROM ranked WHERE cum <= 300 ORDER BY doc_id""".stripMargin,
 
     "q_winnow_fingerprints" ->
       """WITH toks AS (

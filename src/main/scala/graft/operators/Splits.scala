@@ -258,6 +258,42 @@ object Splits {
     df.sparkSession.createDataFrame(selected, outSchema)
   }
 
+  /** PER-GROUP token budget — "cap every domain at B training tokens":
+    * within each group, rows are taken in (`scoreCol` desc, `idCol` asc)
+    * order while the running group token total (including the current row)
+    * stays within `budget`. The per-domain cap step of mixture curation —
+    * [[selectByTokenBudget]] fills one global budget; this holds every
+    * group to the same ceiling so no domain dominates the mix.
+    *
+    * One hash-shuffle on the group key + a running-sum window per group —
+    * the canonical grouped-prefix-sum shape (same cost envelope as
+    * [[samplePerGroup]]); no driver pass, because the budget is per-group
+    * and each group's cumulative sum lives inside its own window
+    * partition. Rows with null score/tokens are excluded up front;
+    * negative token counts are rejected loudly in-plan.
+    *
+    * Returns the selected rows plus their 1-based in-group `grp_rank` and
+    * running `cum_tokens` (≤ `budget`).
+    */
+  def selectByTokenBudgetPerGroup(df: DataFrame, groupCol: String,
+      idCol: String, tokenCol: String, scoreCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val guarded = when(col(tokenCol) < 0,
+        raise_error(concat(lit(s"negative token count in $tokenCol: "),
+          col(tokenCol).cast("string"))))
+      .otherwise(col(tokenCol))
+    df.filter(col(scoreCol).isNotNull && col(tokenCol).isNotNull)
+      .withColumn("cum_tokens",
+        sum(guarded).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("grp_rank", row_number().over(w).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Deterministic fixed-size sample per group — "keep at most n documents
     * per domain/source/cluster", the cap step of domain-balanced corpus
     * curation. Within each group, rows are ranked by `md5(seed ‖ ":" ‖ id)`

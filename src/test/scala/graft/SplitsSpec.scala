@@ -174,6 +174,28 @@ class SplitsSpec extends SparkTestBase {
     c should not be a
   }
 
+  test("per-group token budget caps every group independently, exact at each boundary") {
+    // two groups: g0 rows score 9..0 / 10 tokens each, budget 35 -> top 3
+    // (cum 30; a 4th would hit 40); g1 has one 36-token row that never fits
+    val g0 = spark.range(10).select($"id".alias("doc_id"), lit("g0").alias("g"),
+      (lit(9L) - $"id").alias("score"), lit(10L).alias("toks"))
+    val g1 = Seq((100L, "g1", 5L, 36L), (101L, "g1", 4L, 20L))
+      .toDF("doc_id", "g", "score", "toks")
+    val out = Splits.selectByTokenBudgetPerGroup(
+      g0.unionByName(g1), "g", "doc_id", "toks", "score", 35L)
+    val byGroup = out.select($"g", $"doc_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    byGroup("g0") shouldBe Set(0L, 1L, 2L)  // highest scores = lowest ids here
+    // g1's best row (36 tokens) overflows; cum is monotone so the NEXT row
+    // cannot fit either — the whole group is cut at its first overflow
+    byGroup.get("g1") shouldBe None
+    out.filter($"g" === "g0").agg(max($"cum_tokens")).head().getLong(0) shouldBe 30L
+
+    an[Exception] should be thrownBy Splits.selectByTokenBudgetPerGroup(
+      Seq((1L, "g", 1L, -5L)).toDF("doc_id", "g", "score", "toks"),
+      "g", "doc_id", "toks", "score", 10L).collect()
+  }
+
   test("matchDistribution reshapes source bin shares to the target's, content-stably") {
     // source: 30k rows in bin 0, 10k in bin 1 (75/25); target: 50/50.
     // Bin 1 is the scarcest-relative-to-target -> keeps everything (a=1);
