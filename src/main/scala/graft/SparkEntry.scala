@@ -2432,6 +2432,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted sampling without replacement (operators/Splits.scala
+    // sampleWeighted): Efraimidis–Spirakis A-Res keys ln(u)/w with u built
+    // EXACTLY from 13 md5 hex digits (52 bits — engine-exact double), so
+    // the drawn top-50 by n_chars weight is value-checked row for row; ln
+    // is the only cross-engine float and the rank rounds it to 6 decimals
+    // with an id tiebreak (the BM25 device).
+    "q_sample_weighted" -> ((s, dir) => {
+      graft.operators.Splits.sampleWeighted(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"), col("sel_key"))
+        .orderBy("doc_id")
+    }),
+
     // PER-GROUP token budget (operators/Splits.scala
     // selectByTokenBudgetPerGroup): every source domain capped at 300
     // tokens, best-scoring (longest) docs first — the domain-cap step of
@@ -3709,6 +3722,18 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, CAST(cum AS BIGINT) AS cum_tokens
         |FROM ranked WHERE cum <= 15000 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_weighted" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars,
+        |    round(ln(list_sum(list_transform(range(13), i ->
+        |        (instr('0123456789abcdef', h[i+1]) - 1) * power(16.0, -(i+1))))
+        |      + power(16.0, -13)) / CAST(n_chars AS DOUBLE), 6) AS sel_key
+        |  FROM (SELECT doc_id, n_chars,
+        |          substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13) AS h
+        |        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)),
+        |sel AS (SELECT * FROM keyed ORDER BY sel_key DESC, doc_id ASC LIMIT 50)
+        |SELECT doc_id, n_chars, sel_key FROM sel ORDER BY doc_id""".stripMargin,
 
     "q_token_budget_per_group" ->
       """WITH toks AS (

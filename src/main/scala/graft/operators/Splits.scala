@@ -294,6 +294,48 @@ object Splits {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Weighted sampling WITHOUT replacement, content-stably — the
+    * Efraimidis–Spirakis A-Res construction (Inf. Proc. Letters 2006):
+    * each row draws key = ln(u)/w from a uniform u and its weight w, and
+    * the k LARGEST keys are an exact weighted sample without replacement.
+    * "Sample 100k documents proportional to quality" with replay-stable
+    * results: u comes from the row's md5(seed:id), not rand(), so the
+    * draw survives repartitioning and reruns.
+    *
+    * u is built from the first 13 md5 hex digits as Σ digit_i · 16^-i —
+    * 13 × 4 = 52 bits, so u is EXACT in an IEEE double in any engine (no
+    * summation-order concern), shifted by one ulp₁₆ so ln never sees 0.
+    * The only cross-engine float is ln itself, so selection ranks on the
+    * 6-decimal ROUNDED key with an id tiebreak (the suite's determinism
+    * convention — same device as BM25).
+    *
+    * Scale shape: one narrow per-row projection (all codegen HOFs) into
+    * a global top-k — `TakeOrderedAndProject`, per-partition heaps of k,
+    * no shuffle of the corpus. Rows with null/non-positive weight are
+    * excluded up front (a zero weight divides to −∞ anyway: never drawn).
+    *
+    * Returns the selected rows with `sel_key` (the rounded ranking key).
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Int = 42): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = substring(md5(concat_ws(":",
+      lit(seed.toString), col(idCol).cast("string"))), 1, 13)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__h", h)
+      .withColumn("__u", expr(
+        """aggregate(transform(sequence(1, 13), i ->
+          |  (instr('0123456789abcdef', substr(__h, i, 1)) - 1) *
+          |    power(16.0d, -i)),
+          |cast(0.0 as double), (a, b) -> a + b)""".stripMargin) +
+        lit(math.pow(16.0, -13)))
+      .withColumn("sel_key",
+        round(log(col("__u")) / col(weightCol).cast("double"), 6))
+      .orderBy(col("sel_key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__h", "__u")
+  }
+
   /** Deterministic fixed-size sample per group — "keep at most n documents
     * per domain/source/cluster", the cap step of domain-balanced corpus
     * curation. Within each group, rows are ranked by `md5(seed ‖ ":" ‖ id)`

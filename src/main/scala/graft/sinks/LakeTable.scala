@@ -88,8 +88,16 @@ object LakeTable {
     case c => c.toString
   } + "\""
 
+  /** `ts` (publish wall-clock millis) is stamped at render time — it is
+    * commit metadata, not table state, which is why it lives outside the
+    * [[Manifest]] case class (a `copy`-derived next version must get a
+    * FRESH timestamp, not carry the old one). [[versionAsOf]] reads it
+    * back for timestamp time travel; legacy manifests without the field
+    * parse as ts = 0 (eligible at any cutoff, as the oldest).
+    */
   private def render(m: Manifest): String =
-    s"""{"version":${m.version},"keys":[${m.keys.map(jq).mkString(",")}],""" +
+    s"""{"ts":${System.currentTimeMillis},""" +
+      s""""version":${m.version},"keys":[${m.keys.map(jq).mkString(",")}],""" +
       s""""num_buckets":${m.numBuckets},"schema_ddl":${jq(m.schemaDdl)},""" +
       s""""sort_cols":[${m.sortCols.map(jq).mkString(",")}],""" +
       s""""stats_cols":[${m.statsCols.map(jq).mkString(",")}],""" +
@@ -534,6 +542,31 @@ object LakeTable {
     applyDv(spark, root, m, readFiles(spark, root, m, m.files.map(_._1)),
       m.dvFiles)
   }
+
+  /** Timestamp time travel: the newest version whose manifest was
+    * PUBLISHED at or before `asOfMillis` (manifests stamp their publish
+    * wall-clock; see [[render]]). Driver-side metadata walk — no data file
+    * is touched to resolve the version.
+    */
+  def versionAsOf(spark: SparkSession, root: String, asOfMillis: Long): Long = {
+    val fs = hfs(spark, root)
+    val tsOf = "\"ts\":(\\d+)".r
+    val eligible = versions(fs, root).filter { v =>
+      val in = fs.open(new Path(root, s"_versions/$v.json"))
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L) <= asOfMillis
+    }
+    require(eligible.nonEmpty,
+      s"no version of $root had been published at epoch-millis $asOfMillis")
+    eligible.max
+  }
+
+  /** [[read]] pinned to the snapshot live at `asOfMillis` — "the table as
+    * the 09:00 report saw it", without the caller tracking version numbers.
+    */
+  def readAsOf(spark: SparkSession, root: String, asOfMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(spark, root, asOfMillis)))
 
   /** Add any columns of `target` missing from `cur` as typed NULLs —
     * the read-side half of additive schema evolution (files written

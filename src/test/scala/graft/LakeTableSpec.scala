@@ -102,6 +102,24 @@ class LakeTableSpec extends SparkTestBase {
     rows(LakeTable.read(spark, root))(1L) shouldBe ("late", 5.0)
   }
 
+  test("timestamp time travel: readAsOf pins the snapshot live at the cutoff") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    Thread.sleep(5)
+    val afterInit = System.currentTimeMillis
+    Thread.sleep(5)
+    LakeTable.merge(spark, root, Seq((2L, "B!", 20.0)).toDF("id", "name", "score"))
+    // a cutoff between the two publishes resolves to v0 content
+    LakeTable.versionAsOf(spark, root, afterInit) shouldBe 0L
+    rows(LakeTable.readAsOf(spark, root, afterInit)) shouldBe rows(base)
+    // "now" resolves to the head
+    rows(LakeTable.readAsOf(spark, root, System.currentTimeMillis))(2L) shouldBe
+      ("B!", 20.0)
+    // before the table existed: loud failure, not an empty frame
+    an[IllegalArgumentException] should be thrownBy
+      LakeTable.versionAsOf(spark, root, 0L)
+  }
+
   test("bloom sidecar: readEq answers exactly and opens a strict subset of files") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val root = newRoot()

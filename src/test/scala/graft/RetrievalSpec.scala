@@ -43,12 +43,17 @@ class RetrievalSpec extends SparkTestBase {
       (3L, Seq(0f, 0f, 0f, 0f))    // orthogonal → 0.0
     ).toDF("id", "vec")
     val q = docs.filter($"id" === 0L)
-    val out = Retrieval.maxSim(docs, q, "id", "vec", numSubVecs = 2)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scored = Retrieval.maxSim(docs, q, "id", "vec", numSubVecs = 2)
+    val out = scored.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     out(0L) shouldBe 2.0 +- 1e-9
     out(1L) shouldBe 2.0 +- 1e-9
     out(2L) shouldBe 1.0 +- 1e-9
     out(3L) shouldBe 0.0 +- 1e-9
+    // scale shape: the corpus side streams — query parts broadcast, no
+    // corpus shuffle, no sort-merge join anywhere in the final plan
+    val plan = scored.queryExecution.executedPlan.toString()
+    plan should not include "SortMergeJoin"
+    plan should not include "hashpartitioning"
   }
 
   test("maxSim drops null/indivisible vectors and reduces to full dot at m=1") {

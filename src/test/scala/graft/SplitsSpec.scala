@@ -174,6 +174,30 @@ class SplitsSpec extends SparkTestBase {
     c should not be a
   }
 
+  test("weighted sampling without replacement favors weight, replays exactly") {
+    // 5k rows at weight 100 vs 5k at weight 1: ln(u)/w pulls heavy keys
+    // toward 0, so a top-1000 draw is almost entirely heavy rows
+    val docs = spark.range(10000).select($"id".alias("doc_id"),
+      when($"id" < 5000, 100L).otherwise(1L).alias("w"))
+    val out = Splits.sampleWeighted(docs, "doc_id", "w", k = 1000)
+    out.count() shouldBe 1000L
+    out.select($"doc_id").distinct().count() shouldBe 1000L  // no replacement
+    out.filter($"w" === 100L).count().toDouble should be > 950.0
+
+    // content-stable across partitioning; a different seed redraws
+    val a = out.select($"doc_id").as[Long].collect().toSet
+    val b = Splits.sampleWeighted(docs.repartition(13), "doc_id", "w", 1000)
+      .select($"doc_id").as[Long].collect().toSet
+    b shouldBe a
+    Splits.sampleWeighted(docs, "doc_id", "w", 1000, seed = 7)
+      .select($"doc_id").as[Long].collect().toSet should not be a
+
+    // k >= eligible rows degrades to "keep all with positive weight"
+    val tiny = docs.filter($"doc_id" < 10)
+      .withColumn("w", when($"doc_id" === 5L, lit(null)).otherwise($"w"))
+    Splits.sampleWeighted(tiny, "doc_id", "w", 1000).count() shouldBe 9L
+  }
+
   test("per-group token budget caps every group independently, exact at each boundary") {
     // two groups: g0 rows score 9..0 / 10 tokens each, budget 35 -> top 3
     // (cum 30; a 4th would hit 40); g1 has one 36-token row that never fits
@@ -216,6 +240,10 @@ class SplitsSpec extends SparkTestBase {
     val again = Splits.matchDistribution(src.repartition(17), tgt, "doc_id", $"b")
       .select($"doc_id").as[Long].collect().toSet
     again shouldBe out.select($"doc_id").as[Long].collect().toSet
+
+    // scale shape: the corpus is never shuffled — the threshold table
+    // broadcasts onto it; only the tiny histograms aggregate
+    out.queryExecution.executedPlan.toString() should not include "SortMergeJoin"
 
     // a target bin absent from the source is ignored; a source bin absent
     // from the target is rejected wholesale
