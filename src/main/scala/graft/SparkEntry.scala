@@ -1388,6 +1388,28 @@ object SparkEntry {
         .orderBy("c_custkey", "s_suppkey")
     }),
 
+    // Interval-overlap join (operators/RangeJoin.scala overlapJoin): two
+    // sparse order-key interval sets ([k, k+50] on 97-multiples vs
+    // [k, k+70] on 89-multiples) paired where they intersect — binned
+    // equi-join, one emission per pair via the first-shared-bin equality
+    // (no distinct), exact predicate inside bins. Oracle is the plain
+    // theta join, so the pair set is value-checked.
+    "q_join_overlap" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val l = orders.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").alias("l_id"),
+          col("o_orderkey").cast("double").alias("l_lo"),
+          (col("o_orderkey") + 50).cast("double").alias("l_hi"))
+      val r = orders.filter(col("o_orderkey") % 89 === 0)
+        .select(col("o_orderkey").alias("r_id"),
+          col("o_orderkey").cast("double").alias("r_lo"),
+          (col("o_orderkey") + 70).cast("double").alias("r_hi"))
+      graft.operators.RangeJoin.overlapJoin(l, r,
+          "l_lo", "l_hi", "r_lo", "r_hi", binWidth = 64.0)
+        .select(col("l_id"), col("r_id"))
+        .orderBy("l_id", "r_id")
+    }),
+
     "q_join_asof" -> ((s, dir) => {
       // As-of join WITHOUT a join: union clicks+purchases into one event
       // stream and carry the running last click per user. The former
@@ -4665,6 +4687,14 @@ object SparkEntry {
         |FROM customer c JOIN supplier s
         |  ON c.c_acctbal >= s.s_acctbal - 50 AND c.c_acctbal <= s.s_acctbal + 50
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_join_overlap" ->
+      """SELECT l.o_orderkey AS l_id, r.o_orderkey AS r_id
+        |FROM orders l JOIN orders r
+        |  ON l.o_orderkey % 97 = 0 AND r.o_orderkey % 89 = 0
+        | AND l.o_orderkey <= r.o_orderkey + 70
+        | AND r.o_orderkey <= l.o_orderkey + 50
+        |ORDER BY l_id, r_id""".stripMargin,
 
     "q_join_asof" ->
       """WITH pc AS (

@@ -81,4 +81,36 @@ class RangeJoinSpec extends SparkTestBase {
     out("wide") shouldBe 5L
     out("narrow") shouldBe 1L
   }
+
+  test("overlap join: one emission per pair across shared bins, inclusive edges, hash-planned") {
+    import spark.implicits._
+    val l = Seq((1L, 0.0, 100.0),   // spans many bins; overlaps r1, r2
+                (2L, 95.0, 96.0),   // inside r1
+                (3L, 200.0, 210.0)  // touches r3 exactly at 210
+      ).toDF("l_id", "l_lo", "l_hi")
+    val r = Seq((10L, 50.0, 150.0), // shares bins 5..10 with l1 — must emit once
+                (20L, 100.0, 100.0),// point-interval touching l1's right edge
+                (30L, 210.0, 220.0) // inclusive-edge adjacency with l3
+      ).toDF("r_id", "r_lo", "r_hi")
+    val out = RangeJoin.overlapJoin(l, r, "l_lo", "l_hi", "r_lo", "r_hi", 10.0)
+    val pairs = out.select($"l_id", $"r_id").as[(Long, Long)].collect().sorted
+    pairs shouldBe Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 30L))
+
+    // equals the naive theta join on random-ish data
+    val bigL = spark.range(200).select(($"id" * 7 % 500).cast("double").alias("l_lo"))
+      .withColumn("l_hi", $"l_lo" + 15.0).withColumn("l_id", monotonically_increasing_id())
+    val bigR = spark.range(200).select(($"id" * 13 % 500).cast("double").alias("r_lo"))
+      .withColumn("r_hi", $"r_lo" + 9.0).withColumn("r_id", monotonically_increasing_id())
+    val binned = RangeJoin.overlapJoin(bigL, bigR, "l_lo", "l_hi", "r_lo", "r_hi", 20.0)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    val naive = bigL.join(bigR,
+        $"l_lo" <= $"r_hi" && $"r_lo" <= $"l_hi")
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSet
+    binned shouldBe naive
+
+    // the join is an equi hash join on the bin id, never a nested loop
+    val plan = out.queryExecution.executedPlan.toString()
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
 }
