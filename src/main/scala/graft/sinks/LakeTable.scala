@@ -543,6 +543,23 @@ object LakeTable {
       m.dvFiles)
   }
 
+  /** COUNT(*) from metadata alone when the stats sidecar covers every live
+    * file and no deletion vectors are outstanding — the aggregate-pushdown
+    * answer a table format owes its planner: a row count over 100 TB that
+    * opens zero data files. Returns None when metadata can't answer
+    * exactly (missing sidecar entries, MoR vectors whose keys may or may
+    * not hit) — callers fall back to `read(...).count()`.
+    */
+  def fastCount(spark: SparkSession, root: String,
+      version: Option[Long] = None): Option[Long] = {
+    val m = manifest(spark, root, version)
+    if (m.dvFiles.nonEmpty || m.statsCols.isEmpty) return None
+    readStats(spark, root, m.version).flatMap { stats =>
+      val counts = m.files.map(f => stats.get(f._1).map(_.rows))
+      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    }
+  }
+
   /** Timestamp time travel: the newest version whose manifest was
     * PUBLISHED at or before `asOfMillis` (manifests stamp their publish
     * wall-clock; see [[render]]). Driver-side metadata walk — no data file

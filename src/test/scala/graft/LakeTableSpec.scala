@@ -102,6 +102,27 @@ class LakeTableSpec extends SparkTestBase {
     rows(LakeTable.read(spark, root))(1L) shouldBe ("late", 5.0)
   }
 
+  test("fastCount answers from metadata when exact, declines when it can't") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4,
+      statsCols = Seq("score"))
+    LakeTable.fastCount(spark, root) shouldBe Some(8L)
+    LakeTable.merge(spark, root,
+      Seq((9L, "i", 9.0), (2L, "B!", 20.0)).toDF("id", "name", "score"))
+    LakeTable.fastCount(spark, root) shouldBe Some(9L)     // carried + fresh
+    LakeTable.fastCount(spark, root, Some(0L)) shouldBe Some(8L) // time travel
+    // outstanding deletion vectors make metadata inexact -> decline
+    LakeTable.deleteMor(spark, root, Seq(1L).toDF("id"))
+    LakeTable.fastCount(spark, root) shouldBe None
+    // folding the vectors restores the metadata answer
+    LakeTable.compactDeletes(spark, root)
+    LakeTable.fastCount(spark, root) shouldBe Some(8L)
+    // a table with no stats sidecar never pretends
+    val bare = newRoot()
+    LakeTable.init(base, bare, Seq("id"), numBuckets = 2)
+    LakeTable.fastCount(spark, bare) shouldBe None
+  }
+
   test("timestamp time travel: readAsOf pins the snapshot live at the cutoff") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4)
