@@ -1,0 +1,199 @@
+package graft.orchestration
+
+import graft.sinks.{LakeTable, MaterializedView}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Orchestration twin of the LAKE MAINTENANCE cycle — the daily operations
+  * loop every keyed gold table runs at 100 TB: ingest the delivery's
+  * upserts, apply its tombstones, bound the file counts, advance the
+  * incremental views, enforce retention, and reconcile. Completes the DAG
+  * trilogy ([[CoinDag]] reference parity, [[CorpusDag]] corpus curation,
+  * this one storage maintenance) with the same three honesty artifacts:
+  * [[stageChain]], [[runStage]], [[renderAirflowDag]] →
+  * `orchestration/lake_maintenance_dag.py` (byte-asserted by LakeDagSpec).
+  *
+  * Idempotence discipline (retryability stage by stage):
+  *  - `ingest_upserts` / `apply_deletes`: content-idempotent — re-merging
+  *    a value-identical delta publishes a new version whose change feed
+  *    nets to EMPTY, so a retry can never double-apply downstream (the
+  *    feed is the replay ledger; see NOTES). A deleteMor retry adds one
+  *    redundant vector file; `compact_maintenance` folds it.
+  *  - `refresh_views`: crash-idempotent by construction
+  *    ([[MaterializedView.refresh]]'s pinned-snapshot sync marker).
+  *  - `compact_maintenance` / `vacuum_retention`: convergent maintenance
+  *    (second run is a no-op on an already-bounded table).
+  *  - `audit_report`: derived from durable state only.
+  */
+object LakeDag {
+
+  /** Durable layout per delivery date. The table/view parameters are part
+    * of the conf (one DAG instance maintains one gold table).
+    */
+  final case class StageConf(
+      ds: String,
+      inputRoot: String,
+      lakeRoot: String,
+      keys: Seq[String] = Seq("o_orderkey"),
+      orderCol: Option[String] = None,
+      groupCols: Seq[String] = Seq("o_orderpriority"),
+      sumCols: Seq[String] = Seq("o_totalprice"),
+      numBuckets: Int = 16,
+      maxFilesPerBucket: Int = 4,
+      keepVersions: Int = 7
+  ) {
+    require(ds.matches("\\d{4}-\\d{2}-\\d{2}"),
+      s"ds must be a yyyy-MM-dd date, got '$ds'")
+    def upsertsDir: String = s"$inputRoot/upserts/dt=$ds"
+    def deletesDir: String = s"$inputRoot/deletes/dt=$ds"
+    def tableRoot: String  = s"$lakeRoot/table"
+    def viewRoot: String   = s"$lakeRoot/view"
+    def reportDir: String  = s"$lakeRoot/report/dt=$ds"
+  }
+
+  val stageChain: Seq[String] = Seq(
+    "ingest_upserts",
+    "apply_deletes",
+    "compact_maintenance",
+    "refresh_views",
+    "vacuum_retention",
+    "audit_report"
+  )
+
+  /** Same retry policy as the coin twin (reference `:47-48`). */
+  val retries: Int           = 2
+  val retryDelayMinutes: Int = 5
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(dir))
+
+  private def tableExists(spark: SparkSession, root: String): Boolean =
+    exists(spark, s"$root/_versions")
+
+  def runStage(spark: SparkSession, stage: String, conf: StageConf): Unit = stage match {
+    case "ingest_upserts" =>
+      // first delivery creates the table; later ones merge. A delivery
+      // with no upserts file set is a valid (empty) day.
+      if (!exists(spark, conf.upsertsDir)) ()
+      else if (!tableExists(spark, conf.tableRoot))
+        LakeTable.init(spark.read.parquet(conf.upsertsDir), conf.tableRoot,
+          conf.keys, conf.numBuckets)
+      else
+        LakeTable.merge(spark, conf.tableRoot,
+          spark.read.parquet(conf.upsertsDir), conf.orderCol)
+
+    case "apply_deletes" =>
+      // O(|tombstones|) merge-on-read vectors; reads subtract immediately,
+      // compact_maintenance folds them into the data files
+      if (exists(spark, conf.deletesDir))
+        LakeTable.deleteMor(spark, conf.tableRoot,
+          spark.read.parquet(conf.deletesDir))
+
+    case "compact_maintenance" =>
+      LakeTable.compactDeletes(spark, conf.tableRoot)
+      LakeTable.compactSmallFiles(spark, conf.tableRoot,
+        conf.maxFilesPerBucket)
+
+    case "refresh_views" =>
+      if (!tableExists(spark, conf.viewRoot))
+        MaterializedView.init(spark, conf.tableRoot, conf.viewRoot,
+          conf.groupCols, conf.sumCols)
+      else
+        MaterializedView.refresh(spark, conf.tableRoot, conf.viewRoot)
+
+    case "vacuum_retention" =>
+      LakeTable.vacuum(spark, conf.tableRoot, conf.keepVersions)
+      // the view's replay horizon only needs the sync version and head;
+      // keep the same window for operator-friendly time travel
+      LakeTable.vacuum(spark, conf.viewRoot, conf.keepVersions)
+
+    case "audit_report" =>
+      // reconcile STORAGE against the SERVED view: table row count (from
+      // metadata when exact — zero files opened — else a scan) must equal
+      // the view's cnt total, or the mismatch ships in the report
+      import spark.implicits._
+      val tableRows = LakeTable.fastCount(spark, conf.tableRoot)
+        .getOrElse(LakeTable.read(spark, conf.tableRoot).count())
+      val viewRows = MaterializedView.read(spark, conf.viewRoot)
+        .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      Seq((conf.ds, tableRows, viewRows, tableRows == viewRows))
+        .toDF("ds", "table_rows", "view_rows", "consistent")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(conf.reportDir)
+
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown stage '$other'; chain = ${stageChain.mkString(", ")}")
+  }
+
+  /** Render the Airflow DAG artifact — one `SparkSubmitOperator` per
+    * stage, the coin twin's retry policy, `@daily` schedule. LakeDagSpec
+    * asserts `orchestration/lake_maintenance_dag.py` equals this output.
+    */
+  def renderAirflowDag(
+      jarPath: String = "{{ var.value.graft_jar_path }}",
+      mainClass: String = "graft.orchestration.LakeStageRunner"
+  ): String = {
+    val tasks = stageChain.map { stage =>
+      s"""$stage = SparkSubmitOperator(
+         |    task_id="$stage",
+         |    application=JAR_PATH,
+         |    java_class=MAIN_CLASS,
+         |    application_args=[
+         |        "--stage", "$stage",
+         |        "--ds", "{{ ds }}",
+         |        "--input-root", INPUT_ROOT,
+         |        "--lake-root", LAKE_ROOT,
+         |    ],
+         |    dag=dag,
+         |)
+         |""".stripMargin
+    }.mkString("\n")
+    s"""# GENERATED by graft.orchestration.LakeDag.renderAirflowDag — do not
+       |# edit by hand; regenerate via `sbt "runMain
+       |# graft.orchestration.LakeStageRunner --render-dag
+       |# orchestration/lake_maintenance_dag.py"`. LakeDagSpec asserts this
+       |# file matches the generator output.
+       |#
+       |# Scheduler twin of the keyed-lake-table maintenance cycle: ingest
+       |# the delivery's upserts and tombstones, bound file counts, advance
+       |# the incremental materialized views off the change feed, enforce
+       |# version retention, reconcile storage against the served view.
+       |from datetime import timedelta
+       |
+       |from airflow import DAG
+       |from airflow.providers.apache.spark.operators.spark_submit import (
+       |    SparkSubmitOperator,
+       |)
+       |from airflow.utils.dates import days_ago
+       |
+       |JAR_PATH = "$jarPath"
+       |MAIN_CLASS = "$mainClass"
+       |INPUT_ROOT = "{{ var.value.graft_lake_input_root }}"
+       |LAKE_ROOT = "{{ var.value.graft_lake_root }}"
+       |
+       |default_args = {
+       |    "owner": "data-platform",
+       |    "depends_on_past": False,
+       |    "retries": $retries,
+       |    "retry_delay": timedelta(minutes=$retryDelayMinutes),
+       |    "email_on_failure": False,
+       |}
+       |
+       |dag = DAG(
+       |    dag_id="graft_lake_maintenance",
+       |    description="Keyed lake table maintenance: ingest, compact, refresh views, retention, audit",
+       |    schedule_interval="@daily",
+       |    start_date=days_ago(1),
+       |    catchup=False,
+       |    default_args=default_args,
+       |    tags=["graft", "lake", "maintenance"],
+       |)
+       |
+       |$tasks
+       |${stageChain.mkString(" >> ")}
+       |""".stripMargin
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.orchestration.LakeDag
+import graft.sinks.{LakeTable, MaterializedView}
+import org.apache.spark.sql.functions._
+
+class LakeDagSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeUpserts(dir: String, rows: Seq[(Long, String, Double)]): Unit =
+    rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(dir)
+
+  private def tableRows(conf: LakeDag.StageConf): Map[Long, (String, Double)] =
+    LakeTable.read(spark, conf.tableRoot).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  private def viewRows(conf: LakeDag.StageConf): Map[String, (Long, BigDecimal)] =
+    MaterializedView.read(spark, conf.viewRoot).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), BigDecimal(r.getDecimal(2)))).toMap
+
+  private def runDay(conf: LakeDag.StageConf): Unit =
+    LakeDag.stageChain.foreach(LakeDag.runStage(spark, _, conf))
+
+  test("two daily deliveries: ingest, MoR deletes, view follows, report reconciles") {
+    val root = java.nio.file.Files.createTempDirectory("lake_dag").toString
+    val conf1 = LakeDag.StageConf("2026-08-13", s"$root/in", s"$root/lake")
+    writeUpserts(conf1.upsertsDir, Seq(
+      (1L, "HIGH", 10.0), (2L, "LOW", 20.0), (3L, "HIGH", 30.0)))
+    runDay(conf1)
+
+    tableRows(conf1).keySet shouldBe Set(1L, 2L, 3L)
+    viewRows(conf1) shouldBe Map(
+      "HIGH" -> (2L, BigDecimal("40.000000")), "LOW" -> (1L, BigDecimal("20.000000")))
+    val r1 = spark.read.parquet(conf1.reportDir).head()
+    (r1.getLong(1), r1.getLong(2), r1.getBoolean(3)) shouldBe ((3L, 3L, true))
+
+    // day 2: upsert key 2 (price moves LOW 20 -> 25), insert 4, delete 3
+    val conf2 = conf1.copy(ds = "2026-08-14")
+    writeUpserts(conf2.upsertsDir, Seq((2L, "LOW", 25.0), (4L, "LOW", 40.0)))
+    Seq(3L).toDF("o_orderkey").write.mode("overwrite").parquet(conf2.deletesDir)
+    runDay(conf2)
+
+    tableRows(conf2) shouldBe Map(
+      1L -> ("HIGH", 10.0), 2L -> ("LOW", 25.0), 4L -> ("LOW", 40.0))
+    // incremental view == full recompute after upsert + MoR delete
+    viewRows(conf2) shouldBe Map(
+      "HIGH" -> (1L, BigDecimal("10.000000")), "LOW" -> (2L, BigDecimal("65.000000")))
+    val r2 = spark.read.parquet(conf2.reportDir).head()
+    (r2.getLong(1), r2.getLong(2), r2.getBoolean(3)) shouldBe ((3L, 3L, true))
+
+    // compact_maintenance folded the day's vectors: metadata count works
+    LakeTable.fastCount(spark, conf2.tableRoot) shouldBe None // no statsCols
+    LakeTable.manifest(spark, conf2.tableRoot).dvFiles shouldBe empty
+  }
+
+  test("retrying a delivery converges: table content identical, view never double-applies") {
+    val root = java.nio.file.Files.createTempDirectory("lake_dag_retry").toString
+    val conf = LakeDag.StageConf("2026-08-13", s"$root/in", s"$root/lake")
+    writeUpserts(conf.upsertsDir, Seq((1L, "HIGH", 10.0), (2L, "LOW", 20.0)))
+    runDay(conf)
+    val t1 = tableRows(conf)
+    val v1 = viewRows(conf)
+
+    runDay(conf) // the scheduler re-runs the whole day
+    tableRows(conf) shouldBe t1
+    viewRows(conf) shouldBe v1
+    spark.read.parquet(conf.reportDir).head().getBoolean(3) shouldBe true
+  }
+
+  test("a delivery with no input files is a valid empty day") {
+    val root = java.nio.file.Files.createTempDirectory("lake_dag_empty").toString
+    val c1 = LakeDag.StageConf("2026-08-13", s"$root/in", s"$root/lake")
+    writeUpserts(c1.upsertsDir, Seq((1L, "HIGH", 10.0)))
+    runDay(c1)
+    val before = viewRows(c1)
+    runDay(c1.copy(ds = "2026-08-14")) // neither upserts nor deletes exist
+    viewRows(c1) shouldBe before
+  }
+
+  test("StageConf rejects a malformed ds; unknown stage fails loudly; DAG artifact byte-identical") {
+    an[IllegalArgumentException] should be thrownBy
+      LakeDag.StageConf("20260813", "/tmp/x", "/tmp/y")
+    an[IllegalArgumentException] should be thrownBy
+      LakeDag.runStage(spark, "no_such_stage",
+        LakeDag.StageConf("2026-01-01", "/tmp/x", "/tmp/y"))
+
+    val checkedIn = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("orchestration/lake_maintenance_dag.py")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    checkedIn shouldBe LakeDag.renderAirflowDag()
+    LakeDag.stageChain.foreach(s => checkedIn should include(s"""task_id="$s""""))
+    checkedIn should include(LakeDag.stageChain.mkString(" >> "))
+    checkedIn should include(s""""retries": ${LakeDag.retries},""")
+  }
+}
