@@ -2580,6 +2580,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact phrase search served from the POSITIONAL inverted index
+    // (operators/InvertedIndex.scala phraseCount): "table hash" as
+    // consecutive tokens — per-term position arrays, shift-and-intersect,
+    // no text re-scan. The oracle recounts sliding-window matches from the
+    // raw corpus, so every per-doc occurrence count is value-checked.
+    "q_phrase_search" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_phrase_index"
+      graft.operators.InvertedIndex.build(t(s, dir, "documents"), "doc_id",
+        "text", path, numPartitions = 8, positional = true)
+      graft.operators.InvertedIndex.phraseCount(s, path, Seq("table", "hash"))
+        .orderBy("doc_id")
+    }),
+
     // PageRank over the observed click-transition graph: per-user
     // consecutive props.k transitions (ordered by micros + event_id, the
     // sessionize convention) form the weighted edge list; 5 damped power
@@ -3892,6 +3905,19 @@ object SparkEntry {
         |    (h.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))), 6) AS bm25
         |FROM hits h JOIN dfq d USING (tok) JOIN len l USING (doc_id), corpus c
         |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, CAST(len(list_filter(range(len(w) - 1), i ->
+        |    w[i+1] = 'table' AND w[i+2] = 'hash')) AS BIGINT) AS n_occurrences
+        |  FROM t)
+        |SELECT doc_id, n_occurrences FROM c
+        |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" ->
       """WITH ev AS (

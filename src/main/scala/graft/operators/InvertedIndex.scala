@@ -99,7 +99,8 @@ object InvertedIndex {
     * then publish the marker. `tokenized` must be (doc_id, __t).
     */
   private def writeDelivery(spark: SparkSession, path: String, k: Int,
-      tokenizedIn: DataFrame, numPartitions: Int): Unit = {
+      tokenizedIn: DataFrame, numPartitions: Int,
+      positional: Boolean = false): Unit = {
     val fs = hfs(spark, path)
     // one tokenize pass per delivery: doclen and postings both consume the
     // materialized frame (MEMORY_AND_DISK semantics — at corpus-scale
@@ -110,13 +111,25 @@ object InvertedIndex {
         .write.mode("overwrite").parquet(st.toString)
     }
     LakeSink.stageAndSwap(fs, new Path(path, s"postings/delivery=$k")) { st =>
-      tokenized.select(col("doc_id"), explode(col("__t")).alias("term"))
-        .groupBy(col("term"), col("doc_id"))
-        .agg(count(lit(1)).alias("tf"))
-        // term-clustered files: range partitioner + in-file sort give every
-        // file and row group a tight [min,max] term envelope for probe-time
-        // pruning (same posture as Layout's Z-order writes, 1-D case)
-        .repartitionByRange(numPartitions, col("term"))
+      // positional postings add a sorted 0-based position array per
+      // (term, doc) — the phrase/proximity-query payload. tf stays a
+      // separate long so BM25 probes never deserialize the arrays
+      // (parquet column pruning drops `pos` unless a probe asks for it).
+      val rows =
+        if (!positional)
+          tokenized.select(col("doc_id"), explode(col("__t")).alias("term"))
+            .groupBy(col("term"), col("doc_id"))
+            .agg(count(lit(1)).alias("tf"))
+        else
+          tokenized.select(col("doc_id"),
+              posexplode(col("__t")).as(Seq("__p", "term")))
+            .groupBy(col("term"), col("doc_id"))
+            .agg(count(lit(1)).alias("tf"),
+              sort_array(collect_list(col("__p").cast("int"))).alias("pos"))
+      // term-clustered files: range partitioner + in-file sort give every
+      // file and row group a tight [min,max] term envelope for probe-time
+      // pruning (same posture as Layout's Z-order writes, 1-D case)
+      rows.repartitionByRange(numPartitions, col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite").parquet(st.toString)
     }
@@ -145,14 +158,14 @@ object InvertedIndex {
     * delivery directories are removed, then the marker set is reset).
     */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
-      numPartitions: Int = 32): Unit = {
+      numPartitions: Int = 32, positional: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val fs = hfs(spark, path)
     fs.delete(new Path(path, "_deliveries"), true) // hide any prior state
     tables.foreach(t => fs.delete(new Path(path, t), true))
     val tokenized = docs.select(col(idCol).alias("doc_id"),
       toks(col(textCol)).alias("__t"))
-    writeDelivery(spark, path, 0, tokenized, numPartitions)
+    writeDelivery(spark, path, 0, tokenized, numPartitions, positional)
   }
 
   /** Append one delivery of new documents. Docs whose ids are already
@@ -170,7 +183,11 @@ object InvertedIndex {
     val fresh = docs.select(col(idCol).alias("doc_id"),
         toks(col(textCol)).alias("__t"))
       .join(seen, Seq("doc_id"), "left_anti")
-    writeDelivery(spark, path, marked.max + 1, fresh, numPartitions)
+    // an index is positional iff its existing postings carry `pos` —
+    // appends inherit the build's choice, never fork the schema
+    val positional = spark.read.parquet(s"$path/postings")
+      .columns.contains("pos")
+    writeDelivery(spark, path, marked.max + 1, fresh, numPartitions, positional)
   }
 
   /** Fold all marked deliveries into a single `delivery=0` per table,
@@ -256,5 +273,48 @@ object InvertedIndex {
           .alias("__s"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).alias("n_hits"), sum(col("__s")).alias("bm25"))
+  }
+
+  /** Exact PHRASE occurrences per document, served from a positional index
+    * (`build(..., positional = true)`): document d matches at start p iff
+    * term_i sits at position p+i for every i. Each term's postings row
+    * carries its sorted position array; leg i shifts its positions by −i
+    * and the chained `array_intersect` leaves exactly the valid starts —
+    * per-document work is O(Σ positions), no token re-scan of any text.
+    *
+    * Scale shape: the scan reads ONLY the phrase terms' postings (term
+    * range-clustered files, predicate pushed), the n-way doc_id equi-join
+    * joins hit-lists whose size is the terms' document frequency — AQE
+    * broadcasts the rarest leg — and nothing scales with corpus size or
+    * vocabulary. Repeated terms in the phrase are handled naturally (the
+    * same postings row enters twice under different shifts). A doc is
+    * indexed by exactly one delivery ([[append]]'s anti-join), so legs
+    * never need cross-delivery position merges.
+    *
+    * Output: (`doc_id`, `n_occurrences` > 0).
+    */
+  def phraseCount(spark: SparkSession, path: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val fs = hfs(spark, path)
+    val marked = deliveries(fs, path)
+    require(marked.nonEmpty, s"phraseCount: no index at $path")
+    val terms = phrase.map(_.toLowerCase)
+    val posts = readTable(spark, path, "postings", marked)
+    require(posts.columns.contains("pos"),
+      s"index at $path is not positional — build(positional = true)")
+    val hits = posts.filter(col("term").isInCollection(terms.distinct))
+    val legs = terms.zipWithIndex.map { case (t, i) =>
+      hits.filter(col("term") === t)
+        .select(col("doc_id"),
+          (if (i == 0) col("pos")
+           else transform(col("pos"), p => p - i)).alias(s"__pos$i"))
+    }
+    legs.reduce((a, b) => a.join(b, Seq("doc_id")))
+      .select(col("doc_id"),
+        size(legs.indices.tail.foldLeft(col("__pos0"))((acc, i) =>
+          array_intersect(acc, col(s"__pos$i")))).cast("long")
+          .alias("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
   }
 }

@@ -124,4 +124,40 @@ class InvertedIndexSpec extends SparkTestBase {
       "doc_id", "text", path, numPartitions = 2)
     servedMap(path)(9L)._1 shouldBe 1L
   }
+
+  test("positional index: phrase counts exact, repeated terms, appends inherit, survives compact") {
+    val path = java.nio.file.Files.createTempDirectory("invidx_pos").toString
+    val planted = Seq(
+      (1L, "x alpha beta alpha beta y"), // "alpha beta" twice
+      (2L, "beta alpha"),                // reversed — no match
+      (3L, "alpha alpha alpha"),         // "alpha alpha" twice (overlapping)
+      (4L, "alpha beta")                 // once, at the edges
+    ).toDF("doc_id", "text")
+    InvertedIndex.build(planted, "doc_id", "text", path,
+      numPartitions = 2, positional = true)
+
+    def counts(phrase: Seq[String]): Map[Long, Long] =
+      InvertedIndex.phraseCount(spark, path, phrase)
+        .as[(Long, Long)].collect().toMap
+    counts(Seq("alpha", "beta")) shouldBe Map(1L -> 2L, 4L -> 1L)
+    counts(Seq("alpha", "alpha")) shouldBe Map(3L -> 2L)
+    counts(Seq("x", "alpha", "beta")) shouldBe Map(1L -> 1L) // trigram
+    counts(Seq("nosuch", "beta")) shouldBe Map.empty
+
+    // an appended delivery inherits positional-ness and is searchable
+    InvertedIndex.append(Seq((9L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", path, numPartitions = 2)
+    counts(Seq("alpha", "beta", "gamma")) shouldBe Map(9L -> 1L)
+    // compaction folds deliveries without losing positions
+    InvertedIndex.compact(spark, path, numPartitions = 2)
+    counts(Seq("alpha", "beta")) shouldBe Map(1L -> 2L, 4L -> 1L, 9L -> 1L)
+    // bm25 probes the same positional index unchanged (pos column pruned)
+    InvertedIndex.bm25(spark, path, Seq("alpha")).count() shouldBe 5L
+
+    // a non-positional index refuses phrase queries loudly
+    val bare = java.nio.file.Files.createTempDirectory("invidx_bare").toString
+    InvertedIndex.build(planted, "doc_id", "text", bare, numPartitions = 2)
+    an[IllegalArgumentException] should be thrownBy
+      InvertedIndex.phraseCount(spark, bare, Seq("alpha", "beta")).collect()
+  }
 }
