@@ -2486,6 +2486,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Concat-and-chunk packing (operators/TextAnalysis.scala
+    // chunkConcatenated): the GPT-style epoch layout — 4 shard token
+    // streams, documents concatenated in doc_id order and cut into 512-
+    // token sequences, split documents carrying their (piece_start,
+    // piece_len) boundary map. All integer arithmetic; the oracle replays
+    // the shard cumsum and chunk algebra exactly, so every piece row is
+    // value-checked.
+    "q_chunk_concat" -> ((s, dir) => {
+      val withTokens = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long")
+          .alias("n_tokens"))
+      graft.operators.TextAnalysis.chunkConcatenated(withTokens, "doc_id",
+          "n_tokens", seqLen = 512L, numShards = 4,
+          shard = Some(pmod(col("doc_id"), lit(4L))))
+        .select(col("shard"), col("doc_id"), col("seq_id"),
+          col("piece_start"), col("piece_len"))
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // Winnowing (MOSS) fingerprints: the whole selected-set per document
     // is value-checked via a sorted-set digest (md5-hex hashes replay in
     // any engine; window-min over equal-length hex = integer min).
@@ -3788,6 +3808,28 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens, grp_rank,
         |       CAST(cum AS BIGINT) AS cum_tokens
         |FROM ranked WHERE cum <= 300 ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_concat" ->
+      """WITH tok AS (
+        |  SELECT doc_id, doc_id % 4 AS shard,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, shard, n,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM tok WHERE n > 0),
+        |pieces AS (
+        |  SELECT doc_id, shard, n, off,
+        |    UNNEST(generate_series(off // 512, (off + n - 1) // 512)) AS seq_id
+        |  FROM pos)
+        |SELECT shard, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(off, seq_id * 512) - off AS BIGINT) AS piece_start,
+        |  CAST(LEAST(off + n, (seq_id + 1) * 512) -
+        |       GREATEST(off, seq_id * 512) AS BIGINT) AS piece_len
+        |FROM pieces ORDER BY doc_id, seq_id""".stripMargin,
 
     "q_winnow_fingerprints" ->
       """WITH toks AS (

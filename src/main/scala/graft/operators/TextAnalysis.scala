@@ -163,6 +163,62 @@ object TextAnalysis {
       .drop("__cum_before")
   }
 
+  /** Concat-and-chunk packing — the GPT-style epoch layout: documents are
+    * concatenated in a deterministic order and the token stream is cut
+    * into fixed `seqLen` training sequences, documents crossing sequence
+    * boundaries (no padding, no discarded remainders except the stream
+    * tail). This is the OTHER packing discipline next to [[packSequences]]
+    * (which bins whole documents, first-fit): chunking wastes zero tokens
+    * but splits documents; binning keeps documents intact but pads.
+    *
+    * Output: one row per (document × sequence it spans) — `shard`,
+    * `seq_id` (0-based within shard), `piece_start` (token offset within
+    * the document), `piece_len`. Invariants (spec-pinned): piece lengths
+    * per document sum to the document's tokens; per (shard, seq_id) they
+    * sum to exactly `seqLen` except each shard's final sequence; pieces
+    * are contiguous in both views.
+    *
+    * Scale shape: shards are independent token streams (the real-pipeline
+    * parallelization unit), so the running offset is a per-shard window
+    * cumsum — one hash shuffle on the shard key, sequences explode
+    * per-row with no further movement. All integer arithmetic, so the
+    * oracle replays it exactly.
+    */
+  def chunkConcatenated(docs: DataFrame, orderCol: String, tokenCol: String,
+      seqLen: Long, numShards: Int = 64, shard: Option[Column] = None): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(numShards > 0, "numShards must be positive")
+    Seq("seq_id", "piece_start", "piece_len").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"chunkConcatenated emits '$c' — rename the input's column"))
+    require(shard.isDefined || !docs.columns.contains("shard"),
+      "chunkConcatenated emits 'shard' — rename the input's column, or " +
+        "pass it explicitly via the shard parameter")
+    val shardCol =
+      if (numShards == 1) lit(0L)
+      else shard.getOrElse(pmod(hash(col(orderCol)), lit(numShards))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col(orderCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
+      .withColumn("shard", shardCol)
+      .withColumn("__tok", col(tokenCol).cast("long"))
+      .withColumn("__off", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      // integer `div`, not `/`: double division would round token offsets
+      // past 2^53 on a genuinely large stream
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__off div $seqLen"),
+        expr(s"(__off + __tok - 1) div $seqLen"))))
+      .withColumn("piece_start",
+        greatest(col("__off"), col("seq_id") * seqLen) - col("__off"))
+      .withColumn("piece_len",
+        least(col("__off") + col("__tok"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("__off"), col("seq_id") * seqLen))
+      .drop("__off", "__tok")
+  }
+
   /** Source-mixing resampler: downsample each source so the output
     * approximates the target mixture `weights` (e.g. 60% web, 30% books,
     * 10% code) without upsampling — the largest feasible corpus honoring

@@ -150,6 +150,45 @@ class TextAnalysisSpec extends SparkTestBase {
         docs.withColumnRenamed("shard", "bin_id"), "doc_id", "n_tokens", 1000L)
   }
 
+  test("concat-and-chunk: boundary map exact, full sequences everywhere but the tail") {
+    import spark.implicits._
+    // one shard, L=10. Stream: d1(4) d2(10) d3(3) d4(13) -> offsets
+    // 0,4,14,17; d2 spans seqs 0-1 (6+4), d4 spans 1-2-3 (3+10? no: off 17,
+    // end 30 -> seqs 1..2): verify piece algebra row by row
+    val docs = Seq((1L, 4L), (2L, 10L), (3L, 3L), (4L, 13L))
+      .toDF("doc_id", "n_tokens")
+    val out = graft.operators.TextAnalysis.chunkConcatenated(
+        docs, "doc_id", "n_tokens", seqLen = 10L, numShards = 1)
+      .select($"doc_id", $"seq_id", $"piece_start", $"piece_len")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    out shouldBe Seq(
+      (1L, 0L, 0L, 4L),              // [0,4)
+      (2L, 0L, 0L, 6L), (2L, 1L, 6L, 4L),   // [4,14) splits at 10
+      (3L, 1L, 0L, 3L),              // [14,17)
+      (4L, 1L, 0L, 3L), (4L, 2L, 3L, 10L))  // [17,30) splits at 20; tail short
+
+    // invariants at scale: pieces per doc sum to the doc's tokens; every
+    // (shard, seq) except each shard's last sums to exactly L
+    val big = spark.range(500).select($"id".alias("doc_id"),
+      (pmod($"id" * 7919, lit(97)) + 1).alias("n_tokens"))
+    val chunked = graft.operators.TextAnalysis.chunkConcatenated(
+      big, "doc_id", "n_tokens", seqLen = 256L, numShards = 4)
+    chunked.groupBy($"doc_id").agg(sum($"piece_len").alias("s"))
+      .join(big, Seq("doc_id"))
+      .filter($"s" =!= $"n_tokens").count() shouldBe 0L
+    val perSeq = chunked.groupBy($"shard", $"seq_id")
+      .agg(sum($"piece_len").alias("s"))
+    val lastSeq = perSeq.groupBy($"shard").agg(max($"seq_id").alias("last"))
+    perSeq.join(lastSeq, Seq("shard"))
+      .filter($"seq_id" =!= $"last" && $"s" =!= 256L).count() shouldBe 0L
+
+    // zero-token and null docs occupy no sequence
+    val withEmpty = docs.unionByName(Seq((9L, 0L)).toDF("doc_id", "n_tokens"))
+    graft.operators.TextAnalysis.chunkConcatenated(
+        withEmpty, "doc_id", "n_tokens", 10L, numShards = 1)
+      .filter($"doc_id" === 9L).count() shouldBe 0L
+  }
+
   test("source mixing hits target ratios without upsampling, deterministically") {
     import spark.implicits._
     val docs = spark.range(30000).select(
