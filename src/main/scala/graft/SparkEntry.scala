@@ -2613,6 +2613,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Proximity (NEAR/3) search from the same positional index: "table"
+    // within 3 tokens of "value", either order — n_near counts table-
+    // occurrences with a qualifying neighbor. Reuses the q_phrase_search
+    // index build (same tmp path, rebuilt per run); oracle recounts from
+    // raw token positions.
+    "q_proximity_search" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") + "/graft_phrase_index2"
+      graft.operators.InvertedIndex.build(t(s, dir, "documents"), "doc_id",
+        "text", path, numPartitions = 8, positional = true)
+      graft.operators.InvertedIndex.proximityCount(s, path, "table", "value", 3)
+        .orderBy("doc_id")
+    }),
+
     // PageRank over the observed click-transition graph: per-user
     // consecutive props.k transitions (ordered by micros + event_id, the
     // sessionize convention) form the weighted edge list; 5 damped power
@@ -3960,6 +3973,24 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_occurrences FROM c
         |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_proximity_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '[\s\x0b]+'),
+        |      x -> length(x) > 0) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id,
+        |    list_filter(range(len(w)), i -> w[i+1] = 'table') AS pa,
+        |    list_filter(range(len(w)), i -> w[i+1] = 'value') AS pb
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, CAST(len(list_filter(pa, p ->
+        |    len(list_filter(pb, q -> abs(q - p) <= 3)) > 0)) AS BIGINT)
+        |    AS n_near
+        |  FROM p)
+        |SELECT doc_id, n_near FROM c WHERE n_near > 0 ORDER BY doc_id""".stripMargin,
 
     "q_pagerank" ->
       """WITH ev AS (

@@ -317,4 +317,32 @@ object InvertedIndex {
           .alias("n_occurrences"))
       .filter(col("n_occurrences") > 0)
   }
+
+  /** Unordered proximity (NEAR/w) from the positional index: documents
+    * where `termA` has an occurrence within `window` tokens of `termB`,
+    * with `n_near` = how many of A's occurrences have such a neighbor.
+    * Same probe shape as [[phraseCount]] (two postings legs, one doc_id
+    * equi-join); the per-document pair scan is O(tf_A · tf_B) inside a
+    * codegen'd `exists` lambda — bounded by term frequency, independent
+    * of corpus size.
+    */
+  def proximityCount(spark: SparkSession, path: String, termA: String,
+      termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val fs = hfs(spark, path)
+    val marked = deliveries(fs, path)
+    require(marked.nonEmpty, s"proximityCount: no index at $path")
+    val posts = readTable(spark, path, "postings", marked)
+    require(posts.columns.contains("pos"),
+      s"index at $path is not positional — build(positional = true)")
+    def leg(t: String, alias: String) =
+      posts.filter(col("term") === t.toLowerCase)
+        .select(col("doc_id"), col("pos").alias(alias))
+    leg(termA, "__pa").join(leg(termB, "__pb"), Seq("doc_id"))
+      .select(col("doc_id"),
+        size(filter(col("__pa"), p =>
+          exists(col("__pb"), q => abs(q - p) <= window))).cast("long")
+          .alias("n_near"))
+      .filter(col("n_near") > 0)
+  }
 }

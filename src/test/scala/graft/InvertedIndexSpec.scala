@@ -160,4 +160,19 @@ class InvertedIndexSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       InvertedIndex.phraseCount(spark, bare, Seq("alpha", "beta")).collect()
   }
+
+  test("proximity NEAR/w: window edges inclusive, either order, per-occurrence counts") {
+    val path = java.nio.file.Files.createTempDirectory("invidx_near").toString
+    val planted = Seq(
+      (1L, "a x x b"),       // |0-3| = 3: inside NEAR/3
+      (2L, "a x x x b"),     // |0-4| = 4: outside
+      (3L, "b a"),           // reversed order still matches
+      (4L, "a x b x a x x x x x a") // a@0 (b@2 ok), a@4 (|4-2|=2 ok), a@10 (no)
+    ).toDF("doc_id", "text")
+    InvertedIndex.build(planted, "doc_id", "text", path,
+      numPartitions = 2, positional = true)
+    val out = InvertedIndex.proximityCount(spark, path, "a", "b", 3)
+      .as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 1L, 3L -> 1L, 4L -> 2L)
+  }
 }
