@@ -2894,6 +2894,14 @@ object SparkEntry {
     // removed the serialization core-cap; neither moved the floor, so the
     // remaining cost is the round trip itself. Inherently the suite's
     // largest composed query.
+    // Measured floor ~3.5 s warm at sf0.1 (the suite's flagship composed
+    // query, by design its biggest): full curation funnel (quality + langid
+    // + exact + near-dup + paragraph segment-dedup, one checkpointed
+    // materialization) + 16-shard gzip JSONL WRITE + gzip read-back PARSE +
+    // the (id,len)-projected invariant joins. The gzip serialize/parse legs
+    // alone are ~2 s of pure CPU at this corpus size and are the thing
+    // being contracted (a real export pays them too); the invariant pass
+    // was already dieted to id/len projections keyed on the read-back.
     "q_corpus_export" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
