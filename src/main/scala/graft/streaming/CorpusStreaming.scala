@@ -33,14 +33,9 @@ object CorpusStreaming {
     * @param dedupTtlMinutes processing-time TTL for dedup state; ≤0 keeps
     *             state forever (exact global dedup)
     */
-  def curateStream(docs: DataFrame, minQuality: Double = 0.3,
-      allowedLangs: Seq[String] = Seq("en", "und"),
-      dedupTtlMinutes: Int = 0): Dataset[CuratedDoc] = {
-    implicit val outEnc = Encoders.product[CuratedDoc]
-    implicit val keyEnc = Encoders.STRING
-    implicit val boolEnc = Encoders.scalaBoolean
-
-    val scored = docs
+  private def scoredStream(docs: DataFrame, minQuality: Double,
+      allowedLangs: Seq[String]): Dataset[(Long, String, Double, String, String)] =
+    docs
       .withColumn("quality_score",
         TextFunctions.qualityScore(col("text"), TextAnalysis.defaultStopwords))
       .withColumn("lang_pred", TextAnalysis.langIdCol(col("text")))
@@ -52,6 +47,15 @@ object CorpusStreaming {
       .as[(Long, String, Double, String, String)](
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING,
           Encoders.scalaDouble, Encoders.STRING, Encoders.STRING))
+
+  def curateStream(docs: DataFrame, minQuality: Double = 0.3,
+      allowedLangs: Seq[String] = Seq("en", "und"),
+      dedupTtlMinutes: Int = 0): Dataset[CuratedDoc] = {
+    implicit val outEnc = Encoders.product[CuratedDoc]
+    implicit val keyEnc = Encoders.STRING
+    implicit val boolEnc = Encoders.scalaBoolean
+
+    val scored = scoredStream(docs, minQuality, allowedLangs)
 
     def update(fp: String, rows: Iterator[(Long, String, Double, String, String)],
         state: GroupState[Boolean]): Iterator[CuratedDoc] = {
@@ -78,6 +82,54 @@ object CorpusStreaming {
       .flatMapGroupsWithState(OutputMode.Append(),
         if (dedupTtlMinutes > 0) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[curateStream]] on the `transformWithState` arbitrary-state API
+    * (Spark 4's successor to `flatMapGroupsWithState`): the dedup bit is a
+    * typed [[org.apache.spark.sql.streaming.ValueState]] with a NATIVE
+    * per-state TTL — the state store expires fingerprints itself, no
+    * manual timer arming, no timed-out-key callback branch in user code.
+    * Same semantics as [[curateStream]] (first batch wins; within a batch
+    * the min doc_id survives); requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`), which is the
+    * 100 TB-ingest configuration anyway — corpus-scale fingerprint state
+    * lives off-heap on local disk, TTL keeps it a sliding horizon.
+    *
+    * Time-mode note: TTL forces `TimeMode.ProcessingTime`, under which the
+    * operator schedules work continuously — right for a production
+    * always-on trigger, but an `AvailableNow` drain never terminates. With
+    * no TTL the query runs `TimeMode.None` and drains normally; pick TTL
+    * only for continuously-triggered deployments.
+    */
+  def curateStreamTws(docs: DataFrame, minQuality: Double = 0.3,
+      allowedLangs: Seq[String] = Seq("en", "und"),
+      dedupTtl: Option[java.time.Duration] = None): Dataset[CuratedDoc] = {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    implicit val outEnc = Encoders.product[CuratedDoc]
+    implicit val keyEnc = Encoders.STRING
+
+    val ttl = dedupTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    final class DedupProcessor
+        extends StatefulProcessor[String, (Long, String, Double, String, String), CuratedDoc] {
+      @transient private var seen: ValueState[Boolean] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, ttl)
+      override def handleInputRows(fp: String,
+          rows: Iterator[(Long, String, Double, String, String)],
+          timers: TimerValues): Iterator[CuratedDoc] =
+        if (seen.exists()) Iterator.empty
+        else {
+          seen.update(true)
+          val first = rows.minBy(_._1)
+          Iterator.single(CuratedDoc(first._1, first._2, first._3, first._4))
+        }
+    }
+
+    scoredStream(docs, minQuality, allowedLangs)
+      .groupByKey(_._5)
+      .transformWithState(new DedupProcessor,
+        if (dedupTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append(), outEnc)
   }
 
   /** Streaming NEAR-dup curation — [[curateStream]]'s fingerprint state
