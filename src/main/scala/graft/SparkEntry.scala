@@ -1215,6 +1215,40 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Min/max materialized-view maintenance (sinks/MaterializedView.scala
+    // minMaxCols): the NON-self-maintainable aggregates — the upsert wave
+    // raises extrema (grow-only fold), the delete wave REMOVES group
+    // extrema (o_orderkey % 10 = 4 takes whole price ranges out), forcing
+    // the retraction-group recompute path. The oracle recomputes count /
+    // sum / min / max from the final table content from scratch, so the
+    // check proves incremental == full recompute across both paths.
+    "q_mv_minmax" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_mv_mm_base"
+      val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_mm_view"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(root, mv).foreach(p => new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(conf).delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16)
+      graft.sinks.MaterializedView.init(s, root, mv,
+        Seq("o_orderpriority"), Seq("o_totalprice"), numBuckets = 4,
+        minMaxCols = Seq("o_totalprice"))
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      graft.sinks.MaterializedView.refresh(s, root, mv)
+      graft.sinks.MaterializedView.read(s, mv)
+        .select(col("o_orderpriority"), col("cnt"),
+          round(col("sum_o_totalprice").cast("double"), 2).alias("sum_price"),
+          round(col("min_o_totalprice"), 2).alias("min_price"),
+          round(col("max_o_totalprice"), 2).alias("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Bucket-pruned point lookup (sinks/LakeTable.scala lookup): the probe
     // keys' hash buckets are the ONLY files opened — a point query against
     // a 100 TB table reads ≤ |probes| buckets. Value check: the lookup
@@ -4703,6 +4737,26 @@ object SparkEntry {
         |SELECT o_orderpriority, COUNT(*) AS cnt,
         |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
         |         AS sum_price
+        |FROM v2 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_mv_minmax" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (
+        |  SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |         COALESCE(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+        |         COALESCE(i.o_totalprice, e.o_totalprice) AS o_totalprice
+        |  FROM v0 e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey
+        |  WHERE COALESCE(e.o_orderkey, i.o_orderkey) % 10 <> 4)
+        |SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+        |         AS sum_price,
+        |       ROUND(MIN(o_totalprice), 2) AS min_price,
+        |       ROUND(MAX(o_totalprice), 2) AS max_price
         |FROM v2 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_lake_pointlookup" ->

@@ -942,6 +942,28 @@ object LakeTable {
     * crash-orphaned dirs older than the oldest kept manifest's files) are
     * removed.
     */
+  /** Retention by AGE: vacuum down to the versions published within the
+    * trailing window ending now (plus the head, always) — "keep 7 days of
+    * time travel" as operators actually phrase it. Resolves the cutoff via
+    * the manifests' publish timestamps ([[versionAsOf]] machinery), then
+    * delegates to [[vacuum]]'s keep-newest-k sweep.
+    */
+  def vacuumOlderThan(spark: SparkSession, root: String,
+      maxAgeMillis: Long): Seq[String] = {
+    require(maxAgeMillis >= 0, s"maxAgeMillis must be >= 0, got $maxAgeMillis")
+    val fs = hfs(spark, root)
+    val cutoff = System.currentTimeMillis - maxAgeMillis
+    val tsOf = "\"ts\":(\\d+)".r
+    val vs = versions(fs, root)
+    val recent = vs.count { v =>
+      val in = fs.open(new Path(root, s"_versions/$v.json"))
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L) >= cutoff
+    }
+    vacuum(spark, root, math.max(1, recent))
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fs = hfs(spark, root)

@@ -20,9 +20,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * exact and associative, so the incrementally-maintained value is
   * BIT-equal to a full recompute, retractions included (floating-point
   * sums would drift under subtraction). `avg` and friends derive at read
-  * time; `min`/`max` are deliberately absent — they are not retractable
-  * without re-scanning the affected groups, which is the opposite of this
-  * class's O(delta) contract.
+  * time.
+  *
+  * `min`/`max` (opt-in via `minMaxCols`) are NOT self-maintainable under
+  * retraction — a deleted extremum's successor is unknowable from the
+  * delta — so refresh splits touched groups by the textbook rule:
+  * GROW-ONLY groups (no delete/update_preimage in the feed) fold the
+  * delta in O(delta) (`least`/`greatest` of old and incoming, and Spark's
+  * null-skipping least/greatest is exactly the right semantics here);
+  * RETRACTION groups are recomputed from the base table's new snapshot,
+  * restricted to those groups. That recompute is the inherent cost of the
+  * aggregate class — it scans the base filtered to the retraction groups
+  * (delivery-bounded only if the base is clustered by the group columns;
+  * otherwise a pruned-as-possible scan), which is why sum/count remain
+  * the default and min/max are opt-in.
   *
   * Scale shape, end to end: the CDF read is O(changed buckets) of the
   * base table ([[LakeTable.changes]]); the delta aggregation shuffles
@@ -81,24 +92,27 @@ object MaterializedView {
   }
 
   private def aggregate(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).alias("cnt") +: sumCols.map(c =>
-      sum(col(c).cast(SumType)).cast(SumType).alias(s"sum_$c"))
+      sumCols: Seq[String], minMaxCols: Seq[String] = Nil): DataFrame = {
+    val aggs = (count(lit(1)).alias("cnt") +: sumCols.map(c =>
+      sum(col(c).cast(SumType)).cast(SumType).alias(s"sum_$c"))) ++
+      minMaxCols.flatMap(c => Seq(min(col(c)).alias(s"min_$c"),
+        max(col(c)).alias(s"max_$c")))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Full-compute the view at the base table's CURRENT version and record
-    * the sync point. View schema: `groupCols`, `cnt` (long), and one
-    * `sum_<c>` DECIMAL(38,6) per sum column.
+    * the sync point. View schema: `groupCols`, `cnt` (long), one
+    * `sum_<c>` DECIMAL(38,6) per sum column, and `min_<c>`/`max_<c>` in
+    * the base column's own type per min/max column.
     */
   def init(spark: SparkSession, tableRoot: String, mvRoot: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      numBuckets: Int = 16): Unit = {
+      numBuckets: Int = 16, minMaxCols: Seq[String] = Nil): Unit = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sumCols.nonEmpty, "sumCols must be non-empty")
     val tv = LakeTable.manifest(spark, tableRoot).version
     val view = aggregate(LakeTable.read(spark, tableRoot, Some(tv)),
-      groupCols, sumCols)
+      groupCols, sumCols, minMaxCols)
     LakeTable.init(view, mvRoot, groupCols, numBuckets)
     writeSync(spark, mvRoot, Sync(tv, 0L))
   }
@@ -114,15 +128,25 @@ object MaterializedView {
 
     val mvManifest = LakeTable.manifest(spark, mvRoot, Some(sync.mvVersion))
     val groupCols = mvManifest.keys
-    val sumCols = org.apache.spark.sql.types.StructType
+    val viewFields = org.apache.spark.sql.types.StructType
       .fromDDL(mvManifest.schemaDdl).fieldNames.toSeq
+    val sumCols = viewFields
       .collect { case n if n.startsWith("sum_") => n.stripPrefix("sum_") }
+    val minMaxCols = viewFields
+      .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
 
     val feed = LakeTable.changes(spark, tableRoot, sync.tableVersion, tv)
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    val deltaAggs = sum(sign).alias("d_cnt") +: sumCols.map(c =>
-      sum(col(c).cast(SumType) * sign).cast(SumType).alias(s"d_sum_$c"))
+    val deltaAggs = (sum(sign).alias("d_cnt") +: sumCols.map(c =>
+      sum(col(c).cast(SumType) * sign).cast(SumType).alias(s"d_sum_$c"))) ++
+      // incoming extrema (insert/post rows only) + the retraction flag
+      // that routes the group to base recompute
+      minMaxCols.flatMap(c => Seq(
+        min(when(sign === 1, col(c))).alias(s"d_min_$c"),
+        max(when(sign === 1, col(c))).alias(s"d_max_$c"))) ++
+      (if (minMaxCols.isEmpty) Nil else Seq(
+        max(when(sign === -1, lit(1L)).otherwise(lit(0L))).alias("__retract")))
     // materialize the grouped delta ONCE (≤ touched-groups rows): its
     // lineage is the whole change feed (two snapshot reads + full-outer
     // join), and three consumers follow — without the barrier each would
@@ -136,15 +160,39 @@ object MaterializedView {
     val current = LakeTable.lookup(spark, mvRoot,
       delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
 
+    // authoritative extrema for groups that saw a retraction: recompute
+    // from the base's NEW snapshot restricted to those groups — the
+    // inherent non-self-maintainable cost (see class doc)
+    val recomputed =
+      if (minMaxCols.isEmpty) None
+      else {
+        val retractGroups = delta.filter(col("__retract") === 1L)
+          .select(groupCols.map(col): _*)
+        val rAggs = minMaxCols.flatMap(c => Seq(
+          min(col(c)).alias(s"r_min_$c"), max(col(c)).alias(s"r_max_$c")))
+        Some(LakeTable.read(spark, tableRoot, Some(tv))
+          .join(broadcast(retractGroups), groupCols, "left_semi")
+          .groupBy(groupCols.map(col): _*)
+          .agg(rAggs.head, rAggs.tail: _*))
+      }
+
     // same barrier again: applyChanges consumes this three ways (upserts,
     // delete keys, touched-bucket set) — all on a touched-groups-sized frame
-    val merged = delta.join(current, groupCols, "full_outer")
+    val joined0 = delta.join(current, groupCols, "full_outer")
+    val joined = recomputed.fold(joined0)(r => joined0.join(r, groupCols, "left"))
+    val merged = joined
       .select(groupCols.map(col) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .alias("cnt")) ++ sumCols.map(c =>
         (coalesce(col(s"sum_$c"), lit(0).cast(SumType)) +
           coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
-          .cast(SumType).alias(s"sum_$c")): _*)
+          .cast(SumType).alias(s"sum_$c")) ++ minMaxCols.flatMap(c => Seq(
+        // grow-only: fold the incoming extremum (least/greatest SKIP
+        // nulls — absent side passes through); retraction: authoritative
+        when(col("__retract") === 1L, col(s"r_min_$c"))
+          .otherwise(least(col(s"min_$c"), col(s"d_min_$c"))).alias(s"min_$c"),
+        when(col("__retract") === 1L, col(s"r_max_$c"))
+          .otherwise(greatest(col(s"max_$c"), col(s"d_max_$c"))).alias(s"max_$c"))): _*)
       .localCheckpoint()
 
     val upserts = merged.filter(col("cnt") > 0)

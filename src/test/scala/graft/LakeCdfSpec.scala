@@ -85,6 +85,46 @@ class LakeCdfSpec extends SparkTestBase {
     got shouldBe want
   }
 
+  test("materialized view min/max: grow-only folds the delta, retraction recomputes the group") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val withGrp = (df: DataFrame) => df.withColumn("grp", ($"id" % 2).cast("string"))
+    LakeTable.init(withGrp(base), tRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"),
+      minMaxCols = Seq("score"))
+    def view(): Map[String, (Double, Double)] =
+      MaterializedView.read(spark, mvRoot)
+        .select($"grp", $"min_score", $"max_score")
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // base: odd grp has {1,3,5,7}, even {2,4,6,8}
+    view() shouldBe Map("1" -> (1.0, 7.0), "0" -> (2.0, 8.0))
+
+    // grow-only wave: inserts only — extrema fold without touching the base
+    LakeTable.merge(spark, tRoot, withGrp(
+      Seq((11L, "k", 11.0), (10L, "j", 0.5)).toDF("id", "name", "score")))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    view() shouldBe Map("1" -> (1.0, 11.0), "0" -> (0.5, 8.0))
+
+    // retraction wave: delete BOTH of odd's extrema (1.0 and 11.0) and
+    // even's min (0.5) — the new extrema are unknowable from the delta,
+    // so the touched groups recompute from the base snapshot
+    LakeTable.delete(spark, tRoot, Seq(1L, 11L, 10L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    view() shouldBe Map("1" -> (3.0, 7.0), "0" -> (2.0, 8.0))
+
+    // mixed wave: an update MOVES a max down (retraction path) while an
+    // insert raises the other group's max (grow path) in the same refresh
+    LakeTable.merge(spark, tRoot, withGrp(
+      Seq((7L, "g!", 3.5), (12L, "l", 99.0)).toDF("id", "name", "score")))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    view() shouldBe Map("1" -> (3.0, 5.0), "0" -> (2.0, 99.0))
+
+    // the whole history's view equals a from-scratch recompute
+    val want = LakeTable.read(spark, tRoot).groupBy("grp")
+      .agg(min($"score").alias("mn"), max($"score").alias("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    view() shouldBe want
+  }
+
   test("materialized view: a group retracted to zero rows disappears; a refresh with no changes is a no-op") {
     val tRoot = newRoot(); val mvRoot = newRoot()
     val df = Seq((1L, "only", 1.0)).toDF("id", "name", "score")

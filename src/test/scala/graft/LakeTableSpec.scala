@@ -102,6 +102,24 @@ class LakeTableSpec extends SparkTestBase {
     rows(LakeTable.read(spark, root))(1L) shouldBe ("late", 5.0)
   }
 
+  test("vacuumOlderThan keeps the trailing-window versions plus the head") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2)
+    LakeTable.merge(spark, root, Seq((1L, "A!", 10.0)).toDF("id", "name", "score"))
+    Thread.sleep(25)
+    val windowStart = System.currentTimeMillis
+    LakeTable.merge(spark, root, Seq((2L, "B!", 20.0)).toDF("id", "name", "score"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window covers only v2 -> v0/v1 vacuumed, head kept
+    LakeTable.vacuumOlderThan(spark, root,
+      System.currentTimeMillis - windowStart)
+    LakeTable.versions(fs, root) shouldBe Seq(2L)
+    rows(LakeTable.read(spark, root)).keySet should contain allOf (1L, 2L)
+    // a zero window still keeps the head (never vacuums the table away)
+    LakeTable.vacuumOlderThan(spark, root, 0L)
+    LakeTable.versions(fs, root) shouldBe Seq(2L)
+  }
+
   test("fastCount answers from metadata when exact, declines when it can't") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4,
