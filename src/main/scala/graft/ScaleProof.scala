@@ -38,7 +38,8 @@ object ScaleProof {
     "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
     "q_corpus_export", "q_split_leakage_safe", "q_ann_ivfpq_indexed",
     "q_epoch_export", "q_dedup_incremental_neardup",
-    "q_lake_cdf", "q_mv_incremental", "q_pagerank", "q_bm25_index_append")
+    "q_lake_cdf", "q_mv_incremental", "q_pagerank", "q_bm25_index_append",
+    "q_mv_minmax")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
