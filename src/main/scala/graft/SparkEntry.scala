@@ -2982,6 +2982,21 @@ object SparkEntry {
           "rewrite_monotone")
     }),
 
+    // Int8 scalar quantization (operators/Similarity.scala scalarQuantize):
+    // per-dimension [min,max] trained in one posexplode pass, codes via a
+    // broadcast-literal projection — the 4× embedding storage cut. Every
+    // vector's full 64-code row is value-checked via an md5 digest + code
+    // sum against the DuckDB replay of the identical range/round math.
+    "q_embedding_sq8" -> ((s, dir) => {
+      val (encoded, _, _) = Similarity.scalarQuantize(
+        t(s, dir, "embeddings"), "vec_id")
+      encoded.select(col("vec_id"),
+          md5(concat_ws(",", transform(col("codes"), c => c.cast("string"))))
+            .alias("codes_md5"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).alias("codes_sum"))
+        .orderBy("vec_id")
+    }),
+
     // ---- per-label embedding centroids (mean pooling UDAF) -------------
     // Hash-checked values are the ORDER-FREE exact decimal sums; the
     // operator's double centroid is checked against them as a boolean (a
@@ -5439,6 +5454,28 @@ object SparkEntry {
         |      ORDER BY md5('42:' || CAST(vec_id AS VARCHAR))) AS rk
         |  FROM embeddings) WHERE rk <= 25
         |ORDER BY vec_id""".stripMargin,
+
+    "q_embedding_sq8" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |flat AS (
+        |  SELECT generate_subscripts(embedding, 1) AS pos,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+        |  FROM e),
+        |rng AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM flat GROUP BY pos),
+        |arrs AS (SELECT list(mn ORDER BY pos) AS mns,
+        |                list(mx ORDER BY pos) AS mxs FROM rng),
+        |codes AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(64), i ->
+        |      CASE WHEN a.mxs[i+1] = a.mns[i+1] THEN 0
+        |        ELSE CAST(round((CAST(e.embedding[i+1] AS DOUBLE) - a.mns[i+1])
+        |               * 255.0 / (a.mxs[i+1] - a.mns[i+1])) AS INT) END) AS c
+        |  FROM e, arrs a)
+        |SELECT vec_id, md5(array_to_string(c, ',')) AS codes_md5,
+        |       CAST(list_sum(c) AS BIGINT) AS codes_sum
+        |FROM codes ORDER BY vec_id""".stripMargin,
 
     "q_embedding_spread" ->
       """WITH valid AS (

@@ -500,6 +500,45 @@ object Similarity {
     *
     * Returns (`labelCol`, `n`, `mean_cos`) with mean_cos in [−1, 1].
     */
+  /** Int8 scalar quantization (the Faiss-SQ8 storage path): per-DIMENSION
+    * [min, max] over the corpus, each component mapped to
+    * round((x − min_d) · 255 / (max_d − min_d)) — a 4× storage cut with a
+    * per-component error bound of (max_d − min_d)/510, the simpler cousin
+    * of the PQ codes the IVF-PQ index ships. Train-once posture: the
+    * per-dimension ranges come from ONE posexplode aggregation (dim rows
+    * out) and ride every encode as two broadcast array literals, so
+    * encoding is a narrow codegen'd projection — no shuffle, no UDF.
+    *
+    * Returns (encoded, mins, maxs): encoded carries `idCol` and `codes`
+    * array<int>; a constant dimension (max = min) encodes to 0 and
+    * dequantizes exactly to that constant.
+    */
+  def scalarQuantize(embs: DataFrame, idCol: String,
+      vecCol: String = "embedding", dim: Int = 64)
+      : (DataFrame, Array[Double], Array[Double]) = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val valid = embs.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    val ranges = valid
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+      .groupBy(col("__pos"))
+      .agg(min(col("__val").cast("double")).alias("__mn"),
+        max(col("__val").cast("double")).alias("__mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val mins = Array.tabulate(dim)(i => ranges(i)._1)
+    val maxs = Array.tabulate(dim)(i => ranges(i)._2)
+    val minLit = array(mins.map(lit): _*)
+    val maxLit = array(maxs.map(lit): _*)
+    val encoded = valid.select(col(idCol),
+      zip_with(col(vecCol), sequence(lit(0), lit(dim - 1)), (x, i) => {
+        val mn = element_at(minLit, i + 1)
+        val mx = element_at(maxLit, i + 1)
+        when(mx === mn, lit(0)).otherwise(
+          round((x.cast("double") - mn) * 255.0 / (mx - mn)).cast("int"))
+      }).alias("codes"))
+    (encoded, mins, maxs)
+  }
+
   def labelCosineSpread(embs: DataFrame, labelCol: String = "label",
       vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)

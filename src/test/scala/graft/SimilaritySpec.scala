@@ -326,4 +326,35 @@ class SimilaritySpec extends SparkTestBase {
     // a tight cluster is more compact than random noise
     out(1)._2 should be > out(2)._2
   }
+
+  test("int8 scalar quantization: hand-computed codes, constant dims, error bound holds") {
+    import spark.implicits._
+    // dim 0 spans [0,10], dim 1 is CONSTANT (5), dim 2 spans [-1,1]
+    val embs = Seq(
+      (1L, Seq(0f, 5f, -1f)),
+      (2L, Seq(10f, 5f, 1f)),
+      (3L, Seq(5f, 5f, 0f)),
+      (4L, null.asInstanceOf[Seq[Float]]),
+      (5L, Seq(1f, 2f))          // wrong dim: excluded
+    ).toDF("vec_id", "embedding")
+    val (encoded, mins, maxs) = Similarity.scalarQuantize(embs, "vec_id", dim = 3)
+    mins.toSeq shouldBe Seq(0.0, 5.0, -1.0)
+    maxs.toSeq shouldBe Seq(10.0, 5.0, 1.0)
+    val codes = encoded.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes(1L) shouldBe Seq(0, 0, 0)       // mins everywhere; constant dim -> 0
+    codes(2L) shouldBe Seq(255, 0, 255)   // maxs everywhere
+    codes(3L) shouldBe Seq(128, 0, 128)   // midpoints round half-up
+    codes.keySet shouldBe Set(1L, 2L, 3L) // null and wrong-dim excluded
+
+    // dequantization error bound: |x̂ − x| ≤ (max−min)/510 per component
+    codes.foreach { case (id, cs) =>
+      val x = embs.filter($"vec_id" === id).head().getSeq[Float](1)
+      cs.indices.foreach { d =>
+        val span = maxs(d) - mins(d)
+        val xhat = if (span == 0) mins(d) else mins(d) + cs(d) * span / 255.0
+        math.abs(xhat - x(d)) should be <= (span / 510.0 + 1e-9)
+      }
+    }
+  }
 }
