@@ -38,6 +38,10 @@ object LakeDag {
       orderCol: Option[String] = None,
       groupCols: Seq[String] = Seq("o_orderpriority"),
       sumCols: Seq[String] = Seq("o_totalprice"),
+      // stats sidecar on the sum columns: after compact_maintenance folds
+      // the day's deletion vectors, audit_report's row count is answered
+      // from METADATA (fastCount) — zero data files opened
+      statsCols: Seq[String] = Seq("o_totalprice"),
       numBuckets: Int = 16,
       maxFilesPerBucket: Int = 4,
       keepVersions: Int = 7
@@ -79,7 +83,7 @@ object LakeDag {
       if (!exists(spark, conf.upsertsDir)) ()
       else if (!tableExists(spark, conf.tableRoot))
         LakeTable.init(spark.read.parquet(conf.upsertsDir), conf.tableRoot,
-          conf.keys, conf.numBuckets)
+          conf.keys, conf.numBuckets, statsCols = conf.statsCols)
       else
         LakeTable.merge(spark, conf.tableRoot,
           spark.read.parquet(conf.upsertsDir), conf.orderCol)

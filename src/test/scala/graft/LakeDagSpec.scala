@@ -49,8 +49,9 @@ class LakeDagSpec extends SparkTestBase {
     val r2 = spark.read.parquet(conf2.reportDir).head()
     (r2.getLong(1), r2.getLong(2), r2.getBoolean(3)) shouldBe ((3L, 3L, true))
 
-    // compact_maintenance folded the day's vectors: metadata count works
-    LakeTable.fastCount(spark, conf2.tableRoot) shouldBe None // no statsCols
+    // compact_maintenance folded the day's vectors, and the default conf
+    // declares statsCols — the audit's row count came from METADATA alone
+    LakeTable.fastCount(spark, conf2.tableRoot) shouldBe Some(3L)
     LakeTable.manifest(spark, conf2.tableRoot).dvFiles shouldBe empty
   }
 
