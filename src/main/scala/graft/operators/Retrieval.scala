@@ -59,12 +59,28 @@ object Retrieval {
       vecCol: String, numSubVecs: Int = 4): DataFrame = {
     require(numSubVecs >= 1, s"numSubVecs must be >= 1, got $numSubVecs")
     // sub-vector length from the (fixed-dim) vector column; slice() is
-    // 1-based and dim is asserted divisible so parts tile exactly
+    // 1-based, the start/length arithmetic is pinned to INT (Column `/`
+    // is double division — an implicit truncation would silently
+    // misalign sub-vectors for a non-divisible dim), and both sides'
+    // divisibility is ENFORCED: docs by filter, the query by a loud
+    // require rather than a silent mis-slice
+    def subLen(vec: org.apache.spark.sql.Column) =
+      (size(vec) / numSubVecs).cast("int")
     def subVecs(vec: org.apache.spark.sql.Column) =
       transform(sequence(lit(0), lit(numSubVecs - 1)), i =>
-        transform(slice(vec, i * (size(vec) / numSubVecs) + 1,
-          (size(vec) / numSubVecs).cast("int")), x => x.cast("double")))
-    val q = query.limit(1).select(subVecs(col(vecCol)).alias("__qsubs"))
+        transform(slice(vec, i * subLen(vec) + 1, subLen(vec)),
+          x => x.cast("double")))
+    // the query must be exactly ONE vector whose dim tiles into
+    // numSubVecs parts — limit(1) on a multi-row frame would score
+    // against an arbitrary row and differ run to run
+    val qRows = query.select(size(col(vecCol)).alias("__d")).limit(2).collect()
+    require(qRows.length == 1,
+      s"maxSim query must be a single row, got ${if (qRows.isEmpty) 0 else "2+"}")
+    require(!qRows.head.isNullAt(0), "maxSim query vector is NULL")
+    require(qRows.head.getInt(0) % numSubVecs == 0,
+      s"maxSim query vector dim ${qRows.head.getInt(0)} is not divisible " +
+        s"by numSubVecs=$numSubVecs")
+    val q = query.select(subVecs(col(vecCol)).alias("__qsubs"))
     docs
       .filter(col(vecCol).isNotNull &&
         pmod(size(col(vecCol)), lit(numSubVecs)) === 0)

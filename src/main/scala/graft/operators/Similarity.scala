@@ -525,6 +525,13 @@ object Similarity {
         max(col("__val").cast("double")).alias("__mx"))
       .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
+    // a bare ranges(i) miss below would surface as an opaque
+    // NoSuchElementException — name the real problem instead
+    require(ranges.size == dim,
+      s"scalarQuantize: found per-dimension ranges for ${ranges.size} of " +
+        s"$dim dimensions — no input row passed the isNotNull && " +
+        s"size == $dim filter (empty corpus, or the stored vectors have " +
+        s"a different dim)")
     val mins = Array.tabulate(dim)(i => ranges(i)._1)
     val maxs = Array.tabulate(dim)(i => ranges(i)._2)
     val minLit = array(mins.map(lit): _*)

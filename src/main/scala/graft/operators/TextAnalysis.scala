@@ -183,6 +183,13 @@ object TextAnalysis {
     * cumsum — one hash shuffle on the shard key, sequences explode
     * per-row with no further movement. All integer arithmetic, so the
     * oracle replays it exactly.
+    *
+    * Determinism contract: `orderCol` must be UNIQUE within each shard —
+    * the running offset is a cumsum in `orderCol` order, and ties would
+    * make every downstream offset depend on arbitrary row order. This is
+    * ENFORCED in-plan (a lag-equality guard riding the same sort raises
+    * a named error on the first duplicate) rather than assumed. A
+    * caller-supplied `shard` is honored regardless of `numShards`.
     */
   def chunkConcatenated(docs: DataFrame, orderCol: String, tokenCol: String,
       seqLen: Long, numShards: Int = 64, shard: Option[Column] = None): DataFrame = {
@@ -194,18 +201,31 @@ object TextAnalysis {
     require(shard.isDefined || !docs.columns.contains("shard"),
       "chunkConcatenated emits 'shard' — rename the input's column, or " +
         "pass it explicitly via the shard parameter")
-    val shardCol =
+    val shardCol = shard.getOrElse(
       if (numShards == 1) lit(0L)
-      else shard.getOrElse(pmod(hash(col(orderCol)), lit(numShards))).cast("long")
+      else pmod(hash(col(orderCol)), lit(numShards))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(col(orderCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // same partition+sort as the cumsum window → the guard costs no
+    // extra exchange; cast(null-typed raise_error → long) keeps the
+    // branch types aligned and the error in the plan
+    val wSort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(orderCol))
+    val dupGuard = when(
+      lag(col(orderCol), 1).over(wSort) === col(orderCol),
+      raise_error(concat(
+        lit(s"chunkConcatenated: duplicate $orderCol value within a " +
+          "shard breaks offset determinism: "),
+        col(orderCol).cast("string"))).cast("long"))
+      .otherwise(lit(0L))
     docs
       .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
       .withColumn("shard", shardCol)
       .withColumn("__tok", col(tokenCol).cast("long"))
-      .withColumn("__off", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("__off",
+        coalesce(sum(col("__tok")).over(w), lit(0L)) + dupGuard)
       // integer `div`, not `/`: double division would round token offsets
       // past 2^53 on a genuinely large stream
       .withColumn("seq_id", explode(sequence(

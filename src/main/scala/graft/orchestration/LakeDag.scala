@@ -88,40 +88,55 @@ object LakeDag {
         LakeTable.merge(spark, conf.tableRoot,
           spark.read.parquet(conf.upsertsDir), conf.orderCol)
 
+    // every post-ingest stage no-ops while the table doesn't exist yet:
+    // a FIRST delivery with an empty upserts dir is a valid (empty) day
+    // per the ingest contract, and it must leave the whole chain green —
+    // crashing in LakeTable.manifest's require would wedge the DAG until
+    // data arrives, with retries unable to fix anything
     case "apply_deletes" =>
       // O(|tombstones|) merge-on-read vectors; reads subtract immediately,
       // compact_maintenance folds them into the data files
-      if (exists(spark, conf.deletesDir))
+      if (exists(spark, conf.deletesDir) && tableExists(spark, conf.tableRoot))
         LakeTable.deleteMor(spark, conf.tableRoot,
           spark.read.parquet(conf.deletesDir))
 
     case "compact_maintenance" =>
-      LakeTable.compactDeletes(spark, conf.tableRoot)
-      LakeTable.compactSmallFiles(spark, conf.tableRoot,
-        conf.maxFilesPerBucket)
+      if (tableExists(spark, conf.tableRoot)) {
+        LakeTable.compactDeletes(spark, conf.tableRoot)
+        LakeTable.compactSmallFiles(spark, conf.tableRoot,
+          conf.maxFilesPerBucket)
+      }
 
     case "refresh_views" =>
-      if (!tableExists(spark, conf.viewRoot))
+      if (!tableExists(spark, conf.tableRoot)) ()
+      else if (!tableExists(spark, conf.viewRoot))
         MaterializedView.init(spark, conf.tableRoot, conf.viewRoot,
           conf.groupCols, conf.sumCols)
       else
         MaterializedView.refresh(spark, conf.tableRoot, conf.viewRoot)
 
     case "vacuum_retention" =>
-      LakeTable.vacuum(spark, conf.tableRoot, conf.keepVersions)
+      if (tableExists(spark, conf.tableRoot))
+        LakeTable.vacuum(spark, conf.tableRoot, conf.keepVersions)
       // the view's replay horizon only needs the sync version and head;
       // keep the same window for operator-friendly time travel
-      LakeTable.vacuum(spark, conf.viewRoot, conf.keepVersions)
+      if (tableExists(spark, conf.viewRoot))
+        LakeTable.vacuum(spark, conf.viewRoot, conf.keepVersions)
 
     case "audit_report" =>
       // reconcile STORAGE against the SERVED view: table row count (from
       // metadata when exact — zero files opened — else a scan) must equal
-      // the view's cnt total, or the mismatch ships in the report
+      // the view's cnt total, or the mismatch ships in the report. A
+      // not-yet-created table audits as a consistent zero-row day.
       import spark.implicits._
-      val tableRows = LakeTable.fastCount(spark, conf.tableRoot)
-        .getOrElse(LakeTable.read(spark, conf.tableRoot).count())
-      val viewRows = MaterializedView.read(spark, conf.viewRoot)
-        .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      val tableRows =
+        if (!tableExists(spark, conf.tableRoot)) 0L
+        else LakeTable.fastCount(spark, conf.tableRoot)
+          .getOrElse(LakeTable.read(spark, conf.tableRoot).count())
+      val viewRows =
+        if (!tableExists(spark, conf.viewRoot)) 0L
+        else MaterializedView.read(spark, conf.viewRoot)
+          .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
       Seq((conf.ds, tableRows, viewRows, tableRows == viewRows))
         .toDF("ds", "table_rows", "view_rows", "consistent")
         .coalesce(1)

@@ -36,9 +36,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     [[vacuum]] keeps the newest `keepLast` versions (the replay
   *     horizon) and deletes data files no kept manifest references.
   *
-  * Single-writer-at-a-time per table (the usual lake discipline; the
-  * reference's Airflow DAG serializes writers the same way). Readers are
-  * unrestricted.
+  * Concurrency: OPTIMISTIC — commit is an exclusive claim of the next
+  * manifest version ([[publish]]: hard-link create on local filesystems,
+  * no-overwrite rename elsewhere); a writer that loses the claim
+  * re-reads the head, re-merges its delta against the winner's table,
+  * and retries ([[withCommitRetries]]), so interleaved writers both land
+  * instead of silently last-writer-winning. Writers on the same table
+  * are still best SERIALIZED for throughput (each loser re-runs its
+  * write), which the orchestration twins do — the claim protects
+  * correctness when scheduling slips. Readers are unrestricted.
   */
 object LakeTable {
 
@@ -195,8 +201,28 @@ object LakeTable {
     finally in.close()
   }
 
-  /** Publish `m` as the next version. The manifest is staged as a dot-file
-    * and RENAMED in — the one atomic commit point of every write path.
+  /** A concurrent writer claimed this manifest version first. Write paths
+    * catch it, re-read the head, re-merge, and retry at the next version
+    * ([[withCommitRetries]]) — optimistic concurrency, the Delta/Iceberg
+    * commit discipline.
+    */
+  private[graft] final class CommitRaceException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Publish `m` as the next version — the one ATOMIC, EXCLUSIVE commit
+    * point of every write path. The manifest is staged as a dot-file
+    * (invisible to [[versions]]) and claimed:
+    *
+    *  - local filesystems: a HARD LINK staged → `<v>.json`. `link(2)`
+    *    fails with EEXIST if the destination exists and the destination
+    *    appears fully written (it IS the staged bytes) — whereas a POSIX
+    *    `rename(2)` silently REPLACES an existing destination, which is
+    *    exactly the last-writer-wins hazard this guards against.
+    *  - other filesystems (HDFS and friends): `rename` without overwrite,
+    *    which their contract makes atomic-and-exclusive at the namenode.
+    *
+    * The loser gets [[CommitRaceException]]; its staged file is cleaned,
+    * its data files become crash-orphans that [[vacuum]] sweeps.
     */
   private def publish(fs: FileSystem, root: String, m: Manifest): Unit = {
     val dir = new Path(root, "_versions")
@@ -206,10 +232,39 @@ object LakeTable {
     try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(dir, s"${m.version}.json")
-    if (!fs.rename(staged, dst)) {
+    def lost(): Nothing = {
       fs.delete(staged, false)
-      throw new java.io.IOException(s"manifest publish lost the race to $dst")
+      throw new CommitRaceException(
+        s"manifest version ${m.version} was claimed by a concurrent " +
+          s"writer at $root — re-read the head and retry")
     }
+    val local = "file" == Option(fs.getUri).map(_.getScheme).orNull
+    if (local) {
+      val stagedNio = java.nio.file.Paths.get(staged.toUri.getPath)
+      val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+      try java.nio.file.Files.createLink(dstNio, stagedNio)
+      catch { case _: java.nio.file.FileAlreadyExistsException => lost() }
+      fs.delete(staged, false)
+    } else {
+      if (fs.exists(dst)) lost()
+      if (!fs.rename(staged, dst)) lost()
+    }
+  }
+
+  /** Run `body` (read head → compute → [[publish]]) until its commit
+    * wins, re-reading the head each attempt — the loser of a manifest
+    * race re-merges against the winner's table so BOTH deltas land.
+    * Bounded: livelock under pathological contention surfaces as the
+    * last race error rather than spinning forever.
+    */
+  private def withCommitRetries[T](attempts: Int = 5)(body: () => T): T = {
+    var last: CommitRaceException = null
+    var i = 0
+    while (i < attempts) {
+      try return body()
+      catch { case e: CommitRaceException => last = e; i += 1 }
+    }
+    throw last
   }
 
   /** Write `rows` bucketed under a fresh UUID data dir; returns manifest
@@ -510,6 +565,79 @@ object LakeTable {
     df.filter(col(colName) === lit(value).cast(df.schema(colName).dataType))
   }
 
+  /** The live files that might contain ANY of `values` for `colName`,
+    * decided DRIVER-side from whichever sidecars the manifest declares:
+    * zone maps keep a file when some value lies inside its `[min,max]`;
+    * blooms keep a file when some value might be a member; a column in
+    * both sidecars prunes by the intersection. Returns None when neither
+    * sidecar covers the column — callers fall back to a full scan rather
+    * than a silently-unpruned one. `values` is expected bounded (callers
+    * cap it); each value is the `CAST(x AS STRING)` form, matching how
+    * [[computeStats]] stringifies and how [[publishBlooms]] hashed.
+    */
+  def eqPrunedPaths(spark: SparkSession, root: String, colName: String,
+      values: Seq[String], version: Option[Long] = None): Option[Seq[String]] = {
+    val m = manifest(spark, root, version)
+    val si = m.statsCols.indexOf(colName)
+    val bi = m.bloomCols.indexOf(colName)
+    if (si < 0 && bi < 0) return None
+    if (values.isEmpty) return Some(Nil)
+    val stats =
+      if (si < 0) Map.empty[String, FileStats]
+      else readStats(spark, root, m.version).getOrElse(Map.empty)
+    val blooms =
+      if (bi < 0) Map.empty[String, Seq[Option[Array[Byte]]]]
+      else readBlooms(spark, root, m.version).getOrElse(Map.empty)
+    // hash exactly as the bloom build did: xxhash64 of the value cast to
+    // the column's stored type — one job for the whole value set
+    val hs: Seq[Long] =
+      if (bi < 0) Nil
+      else {
+        val t = StructType.fromDDL(m.schemaDdl)(colName).dataType
+        import spark.implicits._
+        values.toDF("__v").select(xxhash64(col("__v").cast(t)))
+          .collect().map(_.getLong(0)).toSeq
+      }
+    Some(m.files.map(_._1).filter { p =>
+      val zoneKeep = si < 0 || (stats.get(p) match {
+        case Some(st) => (st.mins(si), st.maxs(si)) match {
+          case (Some(mn), Some(mx)) =>
+            values.exists(v => statCmp(v, mn) >= 0 && statCmp(v, mx) <= 0)
+          case _ => true
+        }
+        case None => true
+      })
+      def bloomKeep = bi < 0 || (blooms.get(p).flatMap(_.lift(bi).flatten) match {
+        case Some(bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+          hs.exists(bf.mightContainLong)
+        case None => true
+      })
+      zoneKeep && bloomKeep
+    })
+  }
+
+  /** Multi-value equality scan through [[eqPrunedPaths]]: open only the
+    * files that might hold one of `values`, then apply the exact
+    * disjunction (sidecars are superset filters — a false positive costs
+    * a file read, never a wrong row). Falls back to a full scan when the
+    * column has no sidecar. The retraction-recompute read for
+    * [[MaterializedView]] min/max views, and the general bounded-IN
+    * answer for selective non-key columns.
+    */
+  def readEqAny(spark: SparkSession, root: String, colName: String,
+      values: Seq[String], version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, version)
+    val paths = eqPrunedPaths(spark, root, colName, values, version)
+      .getOrElse(m.files.map(_._1))
+    val df = applyDv(spark, root, m, readFiles(spark, root, m, paths),
+      m.dvFiles)
+    val t = df.schema(colName).dataType
+    if (values.isEmpty) df.filter(lit(false))
+    else df.filter(values.map(v => col(colName) === lit(v).cast(t)).reduce(_ || _))
+  }
+
   /** Create the table at `root` (version 0) from `df`, keyed and bucketed.
     * Keys must uniquely identify rows for merge semantics to be sane;
     * incoming duplicates are resolved by [[Merge.upsert]]'s tiebreak.
@@ -528,9 +656,13 @@ object LakeTable {
       sortCols, maxRecordsPerFile)
     val m = Manifest(0L, keys, numBuckets, df.schema.toDDL, files,
       sortCols, statsCols, maxRecordsPerFile, Nil, bloomCols)
+    // manifest FIRST: winning the version claim makes the sidecars
+    // single-writer (a commit-race loser must never overwrite the
+    // winner's stats/blooms — wrong sidecars would mis-prune, and a
+    // MISSING sidecar only degrades to conservative keep-all)
+    publish(fs, root, m)
     publishStats(spark, root, m, None)
     publishBlooms(spark, root, m, None)
-    publish(fs, root, m)
   }
 
   /** Read a version (default: newest) as an explicit-file-list DataFrame,
@@ -658,10 +790,17 @@ object LakeTable {
     * sync marker names, making the refresh idempotent; the PUBLISHED
     * version is always newest+1 so a crash-orphaned version can never be
     * overwritten.
+    *
+    * Concurrency: the commit is an exclusive version claim
+    * ([[publish]]); losing the claim re-runs the WHOLE attempt against
+    * the winner's head (fresh manifest read, fresh merge, fresh data
+    * files), so two interleaved writers both land — neither delta is
+    * silently dropped. The loser's first-attempt data files become
+    * crash-orphans for [[vacuum]].
     */
   private def rewriteTouched(spark: SparkSession, root: String,
       source: DataFrame, apply: (DataFrame, DataFrame) => DataFrame,
-      baseVersion: Option[Long] = None): Long = {
+      baseVersion: Option[Long] = None): Long = withCommitRetries() { () =>
     val fs = hfs(spark, root)
     val m = manifest(spark, root, baseVersion)
     val latest = versions(fs, root).max
@@ -682,9 +821,10 @@ object LakeTable {
     val next = m.copy(version = latest + 1, files = cold ++ fresh,
       schemaDdl = merged.schema.toDDL,
       dvFiles = m.dvFiles.filterNot { case (_, b) => touched(b) })
+    // manifest first — winning the claim makes the sidecars single-writer
+    publish(fs, root, next)
     publishStats(spark, root, next, Some(m.version))
     publishBlooms(spark, root, next, Some(m.version))
-    publish(fs, root, next)
     next.version
   }
 
@@ -696,15 +836,15 @@ object LakeTable {
     * no-op at read time.
     */
   def deleteMor(spark: SparkSession, root: String,
-      keysToDelete: DataFrame): Long = {
+      keysToDelete: DataFrame): Long = withCommitRetries() { () =>
     val fs = hfs(spark, root)
     val m = manifest(spark, root)
     val keys = keysToDelete.select(m.keys.map(col): _*).dropDuplicates(m.keys)
     val fresh = writeFiles(spark, root, keys, m.keys, m.numBuckets)
     val next = m.copy(version = m.version + 1, dvFiles = m.dvFiles ++ fresh)
+    publish(fs, root, next)
     publishStats(spark, root, next, Some(m.version))
     publishBlooms(spark, root, next, Some(m.version))
-    publish(fs, root, next)
     next.version
   }
 
@@ -712,23 +852,26 @@ object LakeTable {
     * (one copy-on-write pass over ONLY the dv'd buckets) — the compaction
     * that bounds read-side anti-join work on a long merge-on-read run.
     */
-  def compactDeletes(spark: SparkSession, root: String): Long = {
-    val fs = hfs(spark, root)
-    val m = manifest(spark, root)
-    if (m.dvFiles.isEmpty) return m.version
-    val dvB = m.dvFiles.map(_._2).toSet
-    val (hot, cold) = m.files.partition { case (_, b) => dvB(b) }
-    val cur = applyDv(spark, root, m,
-      readFiles(spark, root, m, hot.map(_._1)), m.dvFiles)
-    val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
-      m.sortCols, m.maxRecordsPerFile)
-    val next = m.copy(version = m.version + 1, files = cold ++ fresh,
-      dvFiles = Nil)
-    publishStats(spark, root, next, Some(m.version))
-    publishBlooms(spark, root, next, Some(m.version))
-    publish(fs, root, next)
-    next.version
-  }
+  def compactDeletes(spark: SparkSession, root: String): Long =
+    withCommitRetries() { () =>
+      val fs = hfs(spark, root)
+      val m = manifest(spark, root)
+      if (m.dvFiles.isEmpty) m.version
+      else {
+        val dvB = m.dvFiles.map(_._2).toSet
+        val (hot, cold) = m.files.partition { case (_, b) => dvB(b) }
+        val cur = applyDv(spark, root, m,
+          readFiles(spark, root, m, hot.map(_._1)), m.dvFiles)
+        val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
+          m.sortCols, m.maxRecordsPerFile)
+        val next = m.copy(version = m.version + 1, files = cold ++ fresh,
+          dvFiles = Nil)
+        publish(fs, root, next)
+        publishStats(spark, root, next, Some(m.version))
+        publishBlooms(spark, root, next, Some(m.version))
+        next.version
+      }
+    }
 
   // ---- change data feed ------------------------------------------------
 
@@ -874,40 +1017,44 @@ object LakeTable {
     * This is the operational answer to a bad delivery: restore, then
     * re-run the fixed delivery against the restored head.
     */
-  def restore(spark: SparkSession, root: String, version: Long): Long = {
-    val fs = hfs(spark, root)
-    val target = manifest(spark, root, Some(version))
-    val latest = versions(fs, root).max
-    if (latest == version) return version
-    val next = target.copy(version = latest + 1)
-    // the restored head serves the target's zone maps + blooms verbatim
-    if (next.statsCols.nonEmpty)
-      readStats(spark, root, version).foreach { st =>
-        val dir = new Path(root, "_stats")
-        if (!fs.exists(dir)) fs.mkdirs(dir)
-        val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
-        val out = fs.create(staged, false)
-        try out.write(renderStats(next.version, next.statsCols, st.toSeq)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        fs.rename(staged, new Path(dir, s"${next.version}.json"))
+  def restore(spark: SparkSession, root: String, version: Long): Long =
+    withCommitRetries() { () =>
+      val fs = hfs(spark, root)
+      val target = manifest(spark, root, Some(version))
+      val latest = versions(fs, root).max
+      if (latest == version) version
+      else {
+        val next = target.copy(version = latest + 1)
+        // claim the version first (sidecars stay single-writer), then
+        // serve the target's zone maps + blooms verbatim under it
+        publish(fs, root, next)
+        if (next.statsCols.nonEmpty)
+          readStats(spark, root, version).foreach { st =>
+            val dir = new Path(root, "_stats")
+            if (!fs.exists(dir)) fs.mkdirs(dir)
+            val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+            val out = fs.create(staged, false)
+            try out.write(renderStats(next.version, next.statsCols, st.toSeq)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            fs.rename(staged, new Path(dir, s"${next.version}.json"))
+          }
+        if (next.bloomCols.nonEmpty)
+          readBlooms(spark, root, version).foreach { bl =>
+            val dir = new Path(root, "_bloom")
+            if (!fs.exists(dir)) fs.mkdirs(dir)
+            val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+            val out = fs.create(staged, false)
+            try out.write(renderBlooms(next.version, next.bloomCols,
+              bl.toSeq.map { case (p, bs) => p -> bs.map(
+                _.map(java.util.Base64.getEncoder.encodeToString)) })
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            fs.rename(staged, new Path(dir, s"${next.version}.json"))
+          }
+        next.version
       }
-    if (next.bloomCols.nonEmpty)
-      readBlooms(spark, root, version).foreach { bl =>
-        val dir = new Path(root, "_bloom")
-        if (!fs.exists(dir)) fs.mkdirs(dir)
-        val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
-        val out = fs.create(staged, false)
-        try out.write(renderBlooms(next.version, next.bloomCols,
-          bl.toSeq.map { case (p, bs) => p -> bs.map(
-            _.map(java.util.Base64.getEncoder.encodeToString)) })
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        fs.rename(staged, new Path(dir, s"${next.version}.json"))
-      }
-    publish(fs, root, next)
-    next.version
-  }
+    }
 
   /** Rewrite ONLY the buckets whose file count exceeds `maxFilesPerBucket`
     * — the bounded maintenance pass that keeps per-bucket file counts flat
@@ -918,23 +1065,27 @@ object LakeTable {
   def compactSmallFiles(spark: SparkSession, root: String,
       maxFilesPerBucket: Int = 4): Long = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1")
-    val fs = hfs(spark, root)
-    val m = manifest(spark, root)
-    val counts = (m.files ++ m.dvFiles).groupBy(_._2).view.mapValues(_.size)
-    val fat = counts.filter(_._2 > maxFilesPerBucket).keys.toSet
-    if (fat.isEmpty) return m.version
-    val (hot, cold) = m.files.partition { case (_, b) => fat(b) }
-    val dvHot = m.dvFiles.filter { case (_, b) => fat(b) }
-    val cur = applyDv(spark, root, m,
-      readFiles(spark, root, m, hot.map(_._1)), dvHot)
-    val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
-      m.sortCols, m.maxRecordsPerFile)
-    val next = m.copy(version = m.version + 1, files = cold ++ fresh,
-      dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) })
-    publishStats(spark, root, next, Some(m.version))
-    publishBlooms(spark, root, next, Some(m.version))
-    publish(fs, root, next)
-    next.version
+    withCommitRetries() { () =>
+      val fs = hfs(spark, root)
+      val m = manifest(spark, root)
+      val counts = (m.files ++ m.dvFiles).groupBy(_._2).view.mapValues(_.size)
+      val fat = counts.filter(_._2 > maxFilesPerBucket).keys.toSet
+      if (fat.isEmpty) m.version
+      else {
+        val (hot, cold) = m.files.partition { case (_, b) => fat(b) }
+        val dvHot = m.dvFiles.filter { case (_, b) => fat(b) }
+        val cur = applyDv(spark, root, m,
+          readFiles(spark, root, m, hot.map(_._1)), dvHot)
+        val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
+          m.sortCols, m.maxRecordsPerFile)
+        val next = m.copy(version = m.version + 1, files = cold ++ fresh,
+          dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) })
+        publish(fs, root, next)
+        publishStats(spark, root, next, Some(m.version))
+        publishBlooms(spark, root, next, Some(m.version))
+        next.version
+      }
+    }
   }
 
   /** Keep the newest `keepLast` manifests; delete older manifests and every

@@ -1,7 +1,8 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Incremental materialized-view maintenance over a [[LakeTable]] — the
@@ -24,23 +25,32 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * `min`/`max` (opt-in via `minMaxCols`) are NOT self-maintainable under
   * retraction — a deleted extremum's successor is unknowable from the
-  * delta — so refresh splits touched groups by the textbook rule:
-  * GROW-ONLY groups (no delete/update_preimage in the feed) fold the
-  * delta in O(delta) (`least`/`greatest` of old and incoming, and Spark's
-  * null-skipping least/greatest is exactly the right semantics here);
-  * RETRACTION groups are recomputed from the base table's new snapshot,
-  * restricted to those groups. That recompute is the inherent cost of the
-  * aggregate class — it scans the base filtered to the retraction groups
-  * (delivery-bounded only if the base is clustered by the group columns;
-  * otherwise a pruned-as-possible scan), which is why sum/count remain
-  * the default and min/max are opt-in.
+  * delta alone — so the view carries a k-deep EXTREMA RESERVE per group
+  * and direction (`__rlo_<c>`: the k smallest values sorted asc;
+  * `__rhi_<c>`: the k largest sorted desc; k = `reserveDepth`). The
+  * reserve is a PREFIX of the group's sorted values, which makes
+  * retraction O(delta): any deleted value small enough to matter for the
+  * minimum is necessarily IN the low reserve, so the refresh subtracts
+  * the delivery's deleted values from the reserve (multiset subtraction),
+  * merges the delivery's inserted values, and reads the new extremum off
+  * the reserve head — no base-table access. Only when a delivery wipes a
+  * group's reserve (deletes its k extrema, or more deletions reach into
+  * the reserve range than the refresh collected) does the group fall back
+  * to a recompute from the base's new snapshot — and that recompute is
+  * restricted to the exhausted groups and routed through the base's own
+  * sidecar pruning ([[LakeTable.eqPrunedPaths]]) when a group column is
+  * declared in `statsCols`/`bloomCols`, so even the fallback opens only
+  * the files that can hold those groups rather than scanning the table.
   *
   * Scale shape, end to end: the CDF read is O(changed buckets) of the
   * base table ([[LakeTable.changes]]); the delta aggregation shuffles
-  * only change rows; the view update reads only the buckets holding
-  * TOUCHED groups ([[LakeTable.lookup]] + [[LakeTable.applyChanges]]).
-  * A 100-row delivery against a 100 TB table updates the view in
-  * delivery-sized work.
+  * only change rows, and the reserve deltas ride a salted two-phase hash
+  * aggregation so a low-cardinality group column cannot skew it; the
+  * view update reads only the buckets holding TOUCHED groups
+  * ([[LakeTable.lookup]] + [[LakeTable.applyChanges]]). A 100-row
+  * delivery against a 100 TB table updates the view in delivery-sized
+  * work; a delivery that deletes a group's k smallest AND k largest
+  * values additionally pays a pruned scan of that group's files.
   *
   * Crash safety: a refresh publishes the new view version FIRST, then
   * advances the `_sync` marker (table version ↔ view version, atomic
@@ -58,6 +68,20 @@ object MaterializedView {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val SumType = "decimal(38,6)"
+
+  /** Diagnostics for the last retraction-recompute leg this JVM ran:
+    * (files opened, live files in the base manifest). None when the last
+    * refresh had no exhausted groups (the common case — no recompute job
+    * at all) or pruning wasn't possible. Test pin for the pruned-scan
+    * contract; not part of the public API.
+    */
+  private[graft] var lastRecomputeScan: Option[(Int, Int)] = None
+
+  /** Diagnostics: how many exhausted prune-values (or a 1 sentinel when
+    * unprunable) the last refresh recomputed — 0 means the reserve
+    * absorbed every retraction and NO base-table job ran. Test pin.
+    */
+  private[graft] var lastExhausted: Int = 0
 
   private def writeSync(spark: SparkSession, mvRoot: String, s: Sync): Unit = {
     val fs = hfs(spark, mvRoot)
@@ -92,124 +116,320 @@ object MaterializedView {
   }
 
   private def aggregate(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String], minMaxCols: Seq[String] = Nil): DataFrame = {
-    val aggs = (count(lit(1)).alias("cnt") +: sumCols.map(c =>
-      sum(col(c).cast(SumType)).cast(SumType).alias(s"sum_$c"))) ++
-      minMaxCols.flatMap(c => Seq(min(col(c)).alias(s"min_$c"),
-        max(col(c)).alias(s"max_$c")))
+      sumCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).alias("cnt") +: sumCols.map(c =>
+      sum(col(c).cast(SumType)).cast(SumType).alias(s"sum_$c"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `array<T>` literal `[]` — typed so `concat`/`array_sort` line up. */
+  private def emptyArr(t: DataType): Column = array().cast(ArrayType(t))
+
+  /** Multiset subtraction over bounded arrays: element `a` of `xs`
+    * survives when its occurrence rank within `xs` exceeds the number of
+    * copies of `a` in `ds` (so each deleted value cancels exactly one
+    * reserve copy — `array_except` would drop ALL copies). Quadratic in
+    * the reserve depth, which is a small constant.
+    */
+  private def msub(xs: Column, ds: Column): Column =
+    filter(xs, (a: Column, i: Column) =>
+      size(filter(slice(xs, lit(1), i + 1), (x: Column) => x === a)) >
+        size(filter(ds, (x: Column) => x === a)))
+
+  /** A bounded extremum array to aggregate per group: the `depth`
+    * smallest (`asc`) or largest values of `value`, emitted as `name`.
+    */
+  private final case class RAgg(value: Column, asc: Boolean, depth: Int,
+      name: String)
+
+  /** Per-group bounded extrema arrays + sum-style aggregates via TWO-PHASE
+    * salted aggregation: phase 1 groups by (groupCols, partition id) — so
+    * a low-cardinality group column never funnels the input into few
+    * tasks, the classic MV skew shape — collects each salt cell's values
+    * and truncates to `depth` BEFORE the second exchange; phase 2 merges
+    * the ≤ depth·partitions per-group arrays and re-truncates. The global
+    * k smallest values are always among the union of per-cell k smallest,
+    * so truncation loses nothing. `sums` re-aggregate with SUM in phase 2
+    * (sum/count deltas are associative). No window, no full-input sort:
+    * both phases are hash aggregates.
+    */
+  private def saltedReserves(df: DataFrame, groupCols: Seq[String],
+      arrays: Seq[RAgg], sums: Seq[(Column, String)]): DataFrame = {
+    def trunc(a: RAgg, c: Column): Column = {
+      val sorted = array_sort(c)
+      slice(if (a.asc) sorted else reverse(sorted), 1, a.depth)
+    }
+    val p1 = arrays.map(a =>
+      trunc(a, collect_list(a.value)).alias(s"__p_${a.name}")) ++
+      sums.map { case (e, n) => sum(e).alias(s"__p_$n") }
+    val stage1 = df.withColumn("__salt", spark_partition_id())
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(p1.head, p1.tail: _*)
+    val p2 = arrays.map(a =>
+      trunc(a, flatten(collect_list(col(s"__p_${a.name}")))).alias(a.name)) ++
+      sums.map { case (_, n) => sum(col(s"__p_$n")).alias(n) }
+    stage1.groupBy(groupCols.map(col): _*).agg(p2.head, p2.tail: _*)
+  }
+
+  /** Full-compute the aggregate AND the extrema reserves (two salted hash
+    * aggregations, no window/sort over the base — see [[saltedReserves]]).
+    */
+  private def aggregateWithReserves(df: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String], k: Int): DataFrame = {
+    val arrays = minMaxCols.flatMap(c => Seq(
+      RAgg(col(c), asc = true, k, s"__rlo_$c"),
+      RAgg(col(c), asc = false, k, s"__rhi_$c")))
+    val sums = (lit(1L), "cnt") +:
+      sumCols.map(c => (col(c).cast(SumType), s"sum_$c"))
+    saltedReserves(df, groupCols, arrays, sums)
+      .select(groupCols.map(col) ++
+        Seq(col("cnt")) ++
+        sumCols.map(c => col(s"sum_$c").cast(SumType).alias(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(
+          try_element_at(col(s"__rlo_$c"), lit(1)).alias(s"min_$c"),
+          try_element_at(col(s"__rhi_$c"), lit(1)).alias(s"max_$c"))) ++
+        minMaxCols.flatMap(c => Seq(col(s"__rlo_$c"), col(s"__rhi_$c"))): _*)
   }
 
   /** Full-compute the view at the base table's CURRENT version and record
     * the sync point. View schema: `groupCols`, `cnt` (long), one
-    * `sum_<c>` DECIMAL(38,6) per sum column, and `min_<c>`/`max_<c>` in
-    * the base column's own type per min/max column.
+    * `sum_<c>` DECIMAL(38,6) per sum column, and — per min/max column, in
+    * the base column's own type — `min_<c>`/`max_<c>` plus the internal
+    * reserve arrays `__rlo_<c>`/`__rhi_<c>` ([[read]] hides those).
     */
   def init(spark: SparkSession, tableRoot: String, mvRoot: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      numBuckets: Int = 16, minMaxCols: Seq[String] = Nil): Unit = {
+      numBuckets: Int = 16, minMaxCols: Seq[String] = Nil,
+      reserveDepth: Int = 8): Unit = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sumCols.nonEmpty, "sumCols must be non-empty")
+    require(reserveDepth >= 1, "reserveDepth must be >= 1")
     val tv = LakeTable.manifest(spark, tableRoot).version
-    val view = aggregate(LakeTable.read(spark, tableRoot, Some(tv)),
-      groupCols, sumCols, minMaxCols)
+    val base = LakeTable.read(spark, tableRoot, Some(tv))
+    val view =
+      if (minMaxCols.isEmpty) aggregate(base, groupCols, sumCols)
+      else aggregateWithReserves(base, groupCols, sumCols, minMaxCols,
+        reserveDepth)
     LakeTable.init(view, mvRoot, groupCols, numBuckets)
     writeSync(spark, mvRoot, Sync(tv, 0L))
   }
 
   /** Advance the view to the base table's current version by applying the
     * change feed since the last sync. Returns the view version serving
-    * the new state (unchanged if already current).
+    * the new state (unchanged if already current). `reserveDepth` is the
+    * refresh-local extrema-reserve depth (how many deleted values per
+    * direction the refresh collects; reserves deeper or shallower than a
+    * previous writer's are handled — the prefix invariant only ever
+    * truncates). `maxRecomputeGroups` caps the driver-side value collect
+    * that drives sidecar pruning of the exhausted-group recompute; above
+    * it the recompute falls back to a full-scan semi-join.
     */
-  def refresh(spark: SparkSession, tableRoot: String, mvRoot: String): Long = {
+  def refresh(spark: SparkSession, tableRoot: String, mvRoot: String,
+      reserveDepth: Int = 8, maxRecomputeGroups: Int = 1024): Long = {
     val sync = readSync(spark, mvRoot)
     val tv = LakeTable.manifest(spark, tableRoot).version
     if (tv == sync.tableVersion) return sync.mvVersion
 
     val mvManifest = LakeTable.manifest(spark, mvRoot, Some(sync.mvVersion))
     val groupCols = mvManifest.keys
-    val viewFields = org.apache.spark.sql.types.StructType
-      .fromDDL(mvManifest.schemaDdl).fieldNames.toSeq
+    val viewSchema = StructType.fromDDL(mvManifest.schemaDdl)
+    val viewFields = viewSchema.fieldNames.toSeq
     val sumCols = viewFields
       .collect { case n if n.startsWith("sum_") => n.stripPrefix("sum_") }
     val minMaxCols = viewFields
       .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+    val mmType: Map[String, DataType] =
+      minMaxCols.map(c => c -> viewSchema(s"min_$c").dataType).toMap
+    val k = reserveDepth
 
     val feed = LakeTable.changes(spark, tableRoot, sync.tableVersion, tv)
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    val deltaAggs = (sum(sign).alias("d_cnt") +: sumCols.map(c =>
-      sum(col(c).cast(SumType) * sign).cast(SumType).alias(s"d_sum_$c"))) ++
-      // incoming extrema (insert/post rows only) + the retraction flag
-      // that routes the group to base recompute
-      minMaxCols.flatMap(c => Seq(
-        min(when(sign === 1, col(c))).alias(s"d_min_$c"),
-        max(when(sign === 1, col(c))).alias(s"d_max_$c"))) ++
-      (if (minMaxCols.isEmpty) Nil else Seq(
-        max(when(sign === -1, lit(1L)).otherwise(lit(0L))).alias("__retract")))
-    // materialize the grouped delta ONCE (≤ touched-groups rows): its
-    // lineage is the whole change feed (two snapshot reads + full-outer
-    // join), and three consumers follow — without the barrier each would
-    // re-run the feed
-    val delta = feed.groupBy(groupCols.map(col): _*)
-      .agg(deltaAggs.head, deltaAggs.tail: _*)
-      .localCheckpoint()
+
+    // grouped delta, ≤ touched-groups rows: count/sum deltas plus the
+    // reserve deltas (k smallest/largest INSERTED values; k+1
+    // smallest/largest DELETED — the +1 detects deletes reaching past
+    // what was collected), all through the skew-proof two-phase salted
+    // aggregation. Materialized ONCE: its lineage is the whole change
+    // feed (two snapshot reads + full-outer join) and several consumers
+    // follow.
+    val delta = {
+      if (minMaxCols.isEmpty)
+        feed.groupBy(groupCols.map(col): _*)
+          .agg(sum(sign).alias("d_cnt"),
+            sumCols.map(c => sum(col(c).cast(SumType) * sign).cast(SumType)
+              .alias(s"d_sum_$c")): _*)
+      else {
+        val withSign = feed.withColumn("__sign", sign)
+        val ins = (c: String) => when(col("__sign") === 1L, col(c))
+        val del = (c: String) => when(col("__sign") === -1L, col(c))
+        val arrays = minMaxCols.flatMap(c => Seq(
+          RAgg(ins(c), asc = true, k, s"d_ins_lo_$c"),
+          RAgg(ins(c), asc = false, k, s"d_ins_hi_$c"),
+          RAgg(del(c), asc = true, k + 1, s"d_del_lo_$c"),
+          RAgg(del(c), asc = false, k + 1, s"d_del_hi_$c")))
+        val sums = (col("__sign"), "d_cnt") +: sumCols.map(c =>
+          (col(c).cast(SumType) * col("__sign"), s"d_sum_$c"))
+        saltedReserves(withSign, groupCols, arrays, sums)
+          .select(groupCols.map(col) ++
+            Seq(col("d_cnt")) ++
+            sumCols.map(c =>
+              col(s"d_sum_$c").cast(SumType).alias(s"d_sum_$c")) ++
+            arrays.map(a => col(a.name)): _*)
+      }
+    }.localCheckpoint()
 
     // current state of ONLY the touched groups, read at the PINNED view
     // version (crash-orphan versions are invisible to the retry)
     val current = LakeTable.lookup(spark, mvRoot,
       delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
 
-    // authoritative extrema for groups that saw a retraction: recompute
-    // from the base's NEW snapshot restricted to those groups — the
-    // inherent non-self-maintainable cost (see class doc)
-    val recomputed =
-      if (minMaxCols.isEmpty) None
+    val joined = delta.join(current, groupCols, "full_outer")
+    val baseCols = groupCols.map(col) ++ Seq(
+      (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+        .alias("cnt")) ++ sumCols.map(c =>
+      (coalesce(col(s"sum_$c"), lit(0).cast(SumType)) +
+        coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
+        .cast(SumType).alias(s"sum_$c"))
+
+    if (minMaxCols.isEmpty) {
+      lastRecomputeScan = None
+      lastExhausted = 0
+      val merged = joined.select(baseCols: _*).localCheckpoint()
+      return publishMerged(spark, mvRoot, merged, groupCols, sync, tv)
+    }
+
+    // reserve maintenance per group: subtract the delivery's deleted
+    // values from the reserve, merge its inserted values, flag EXHAUSTED
+    // when the subtraction can't be trusted — the reserve was wiped, or
+    // more deletes reached into the reserve's value range than the k+1
+    // the delta collected (strict comparison: an uncollected delete EQUAL
+    // to the reserve boundary could still cancel a reserve copy)
+    val mmCols = minMaxCols.flatMap { c =>
+      val t = mmType(c)
+      val rloOld = coalesce(col(s"__rlo_$c"), emptyArr(t))
+      val rhiOld = coalesce(col(s"__rhi_$c"), emptyArr(t))
+      val dInsLo = coalesce(col(s"d_ins_lo_$c"), emptyArr(t))
+      val dInsHi = coalesce(col(s"d_ins_hi_$c"), emptyArr(t))
+      val dDelLo = coalesce(col(s"d_del_lo_$c"), emptyArr(t))
+      val dDelHi = coalesce(col(s"d_del_hi_$c"), emptyArr(t))
+      val subLo = msub(rloOld, dDelLo)
+      val subHi = msub(rhiOld, dDelHi)
+      val exhLo = size(rloOld) > 0 && (
+        (size(subLo) === 0 && size(dDelLo) > 0) ||
+        (size(dDelLo) === k + 1 &&
+          try_element_at(dDelLo, lit(k + 1)) <= try_element_at(rloOld, size(rloOld))))
+      val exhHi = size(rhiOld) > 0 && (
+        (size(subHi) === 0 && size(dDelHi) > 0) ||
+        (size(dDelHi) === k + 1 &&
+          try_element_at(dDelHi, lit(k + 1)) >= try_element_at(rhiOld, size(rhiOld))))
+      val newRlo = slice(array_sort(concat(subLo, dInsLo)), 1, k)
+      val newRhi = slice(reverse(array_sort(concat(subHi, dInsHi))), 1, k)
+      Seq(
+        try_element_at(newRlo, lit(1)).alias(s"min_$c"),
+        try_element_at(newRhi, lit(1)).alias(s"max_$c"),
+        newRlo.alias(s"__rlo_$c"), newRhi.alias(s"__rhi_$c"),
+        exhLo.alias(s"__exlo_$c"), exhHi.alias(s"__exhi_$c"))
+    }
+    val merged0 = joined.select(baseCols ++ mmCols: _*).localCheckpoint()
+
+    val exhAny = minMaxCols.map(c =>
+      col(s"__exlo_$c") || col(s"__exhi_$c")).reduce(_ || _)
+    val exhausted = merged0.filter(exhAny && col("cnt") > 0)
+    // bounded driver collect: the prune-column values (stringified by
+    // Spark's own CAST so the probe matches the sidecar's
+    // stringification exactly) that drive eqPrunedPaths. Cap + null
+    // guard; either degrades to the full-scan semi-join, never to a
+    // wrong prune.
+    val baseM = LakeTable.manifest(spark, tableRoot, Some(tv))
+    val pruneCol = groupCols.find(c =>
+      baseM.statsCols.contains(c) || baseM.bloomCols.contains(c))
+    val exhVals: Array[String] = pruneCol match {
+      case Some(pc) => exhausted.select(col(pc).cast("string"))
+        .distinct().limit(maxRecomputeGroups + 1).collect()
+        .map(_.getString(0))
+      case None =>
+        if (exhausted.isEmpty) Array.empty else Array("__unprunable__")
+    }
+
+    lastExhausted = exhVals.length
+    val merged =
+      if (exhVals.isEmpty) { lastRecomputeScan = None; merged0 }
       else {
-        val retractGroups = delta.filter(col("__retract") === 1L)
-          .select(groupCols.map(col): _*)
-        val rAggs = minMaxCols.flatMap(c => Seq(
-          min(col(c)).alias(s"r_min_$c"), max(col(c)).alias(s"r_max_$c")))
-        Some(LakeTable.read(spark, tableRoot, Some(tv))
-          .join(broadcast(retractGroups), groupCols, "left_semi")
-          .groupBy(groupCols.map(col): _*)
-          .agg(rAggs.head, rAggs.tail: _*))
+        val baseNew =
+          if (exhVals.length > maxRecomputeGroups || pruneCol.isEmpty ||
+              exhVals.contains(null)) {
+            lastRecomputeScan = None
+            LakeTable.read(spark, tableRoot, Some(tv))
+          } else {
+            val pc = pruneCol.get
+            val casted = exhVals.toSeq
+            val paths = LakeTable.eqPrunedPaths(spark, tableRoot, pc,
+              casted, Some(tv))
+            lastRecomputeScan =
+              paths.map(p => (p.size, baseM.files.size))
+            LakeTable.readEqAny(spark, tableRoot, pc, casted, Some(tv))
+          }
+        val exhG = exhausted.select(groupCols.map(col): _*)
+        val restricted = baseNew.join(broadcast(exhG), groupCols, "left_semi")
+        // authoritative extrema + fresh k-deep reserves for the exhausted
+        // groups, same skew-proof salted construction as init
+        val rArrays = minMaxCols.flatMap(c => Seq(
+          RAgg(col(c), asc = true, k, s"r_rlo_$c"),
+          RAgg(col(c), asc = false, k, s"r_rhi_$c")))
+        val recomputed = saltedReserves(restricted, groupCols, rArrays, Nil)
+        // patch: exhausted directions take the authoritative values
+        // (missing recompute row = every surviving value was NULL)
+        merged0.join(recomputed, groupCols, "left")
+          .select(groupCols.map(col) ++ Seq(col("cnt")) ++
+            sumCols.map(c => col(s"sum_$c")) ++
+            minMaxCols.flatMap { c =>
+              val t = mmType(c)
+              val rlo = coalesce(col(s"r_rlo_$c"), emptyArr(t))
+              val rhi = coalesce(col(s"r_rhi_$c"), emptyArr(t))
+              Seq(
+                when(col(s"__exlo_$c"), try_element_at(rlo, lit(1)))
+                  .otherwise(col(s"min_$c")).alias(s"min_$c"),
+                when(col(s"__exhi_$c"), try_element_at(rhi, lit(1)))
+                  .otherwise(col(s"max_$c")).alias(s"max_$c"),
+                when(col(s"__exlo_$c"), rlo)
+                  .otherwise(col(s"__rlo_$c")).alias(s"__rlo_$c"),
+                when(col(s"__exhi_$c"), rhi)
+                  .otherwise(col(s"__rhi_$c")).alias(s"__rhi_$c"))
+            }: _*)
+          .localCheckpoint()
       }
 
-    // same barrier again: applyChanges consumes this three ways (upserts,
-    // delete keys, touched-bucket set) — all on a touched-groups-sized frame
-    val joined0 = delta.join(current, groupCols, "full_outer")
-    val joined = recomputed.fold(joined0)(r => joined0.join(r, groupCols, "left"))
-    val merged = joined
-      .select(groupCols.map(col) ++ Seq(
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
-          .alias("cnt")) ++ sumCols.map(c =>
-        (coalesce(col(s"sum_$c"), lit(0).cast(SumType)) +
-          coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
-          .cast(SumType).alias(s"sum_$c")) ++ minMaxCols.flatMap(c => Seq(
-        // grow-only: fold the incoming extremum (least/greatest SKIP
-        // nulls — absent side passes through); retraction: authoritative
-        when(col("__retract") === 1L, col(s"r_min_$c"))
-          .otherwise(least(col(s"min_$c"), col(s"d_min_$c"))).alias(s"min_$c"),
-        when(col("__retract") === 1L, col(s"r_max_$c"))
-          .otherwise(greatest(col(s"max_$c"), col(s"d_max_$c"))).alias(s"max_$c"))): _*)
-      .localCheckpoint()
+    val cleaned = merged.drop(minMaxCols.flatMap(c =>
+      Seq(s"__exlo_$c", s"__exhi_$c")): _*)
+    try publishMerged(spark, mvRoot, cleaned, groupCols, sync, tv)
+    finally {
+      merged0.unpersist(blocking = false)
+      delta.unpersist(blocking = false)
+    }
+  }
 
+  private def publishMerged(spark: SparkSession, mvRoot: String,
+      merged: DataFrame, groupCols: Seq[String], sync: Sync,
+      tv: Long): Long = {
     val upserts = merged.filter(col("cnt") > 0)
     val gone = merged.filter(col("cnt") <= 0)
       .select(groupCols.map(col): _*)
     val mvVersion =
       try LakeTable.applyChanges(spark, mvRoot, upserts, gone,
         Some(sync.mvVersion))
-      finally {
-        merged.unpersist(blocking = false)
-        delta.unpersist(blocking = false)
-      }
+      finally merged.unpersist(blocking = false)
     writeSync(spark, mvRoot, Sync(tv, mvVersion))
     mvVersion
   }
 
-  /** The view as served: its lake table's newest SYNCED version. */
-  def read(spark: SparkSession, mvRoot: String): DataFrame =
-    LakeTable.read(spark, mvRoot, Some(readSync(spark, mvRoot).mvVersion))
+  /** The view as served: its lake table's newest SYNCED version, internal
+    * reserve columns hidden.
+    */
+  def read(spark: SparkSession, mvRoot: String): DataFrame = {
+    val df = LakeTable.read(spark, mvRoot,
+      Some(readSync(spark, mvRoot).mvVersion))
+    df.drop(df.columns.filter(n =>
+      n.startsWith("__rlo_") || n.startsWith("__rhi_")).toSeq: _*)
+  }
 }

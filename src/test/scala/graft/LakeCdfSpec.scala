@@ -5,6 +5,28 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** One-shot cross-thread gate for the interleaved-writer test: the first
+  * task-side call announces arrival and parks until the driver side
+  * releases it; later calls (the retry's re-evaluations) pass through.
+  * Same-JVM static state — exactly what local-mode executors share.
+  */
+object WriterGate {
+  import java.util.concurrent.CountDownLatch
+  @volatile private var arrived = new CountDownLatch(1)
+  @volatile private var release = new CountDownLatch(1)
+  @volatile private var used = false
+  def reset(): Unit = { arrived = new CountDownLatch(1)
+    release = new CountDownLatch(1); used = false }
+  def awaitOnce(): Unit = synchronized { if (!used) { used = true
+    arrived.countDown()
+    require(release.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "WriterGate: release never arrived") } }
+  def awaitArrival(): Unit =
+    require(arrived.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "WriterGate: writer A never reached its source evaluation")
+  def open(): Unit = release.countDown()
+}
+
 /** Change-data-feed, incremental materialized view, and pruned-read
   * (bucket lookup + zone map) behavior of [[LakeTable]].
   */
@@ -345,5 +367,126 @@ class LakeCdfSpec extends SparkTestBase {
     got shouldBe Set(42L)
     // the stale zone (42's old position) no longer returns it
     LakeTable.readRange(spark, root, "score", "41.5", "42.5").count() shouldBe 0L
+  }
+
+  test("optimistic concurrency: two interleaved writers both land, the loser retries") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    // writer A reads the head (v0), then its source evaluation PARKS on
+    // the gate — the textbook lost-update window. Writer B commits v1
+    // while A is parked; A's publish then loses the v1 claim and must
+    // retry against B's table. Before r9, POSIX rename silently replaced
+    // B's manifest and B's delta vanished.
+    WriterGate.reset()
+    val aSource = Seq((100L, "a-delta", 100.0)).toDF("id", "name", "score")
+      .as[(Long, String, Double)]
+      .map { r => WriterGate.awaitOnce(); r }
+      .toDF("id", "name", "score")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(LakeTable.merge(spark, root, aSource))
+    WriterGate.awaitArrival()
+    val vB = LakeTable.merge(spark, root,
+      Seq((200L, "b-delta", 200.0)).toDF("id", "name", "score"))
+    WriterGate.open()
+    val vA = Await.result(a, scala.concurrent.duration.Duration("120s"))
+    vB shouldBe 1L
+    vA shouldBe 2L // the loser retried and landed AFTER the winner
+    val names = LakeTable.read(spark, root)
+      .filter($"id" >= 100L).select($"name").as[String].collect().toSet
+    names shouldBe Set("a-delta", "b-delta") // neither delta was dropped
+    // every intermediate version stays readable (nothing was overwritten)
+    LakeTable.read(spark, root, Some(1L)).filter($"id" === 100L)
+      .count() shouldBe 0L
+    LakeTable.read(spark, root, Some(1L)).filter($"id" === 200L)
+      .count() shouldBe 1L
+  }
+
+  test("min/max reserve absorbs in-reserve retractions: no base recompute job, values exact") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val withGrp = (df: DataFrame) => df.withColumn("grp", ($"id" % 2).cast("string"))
+    LakeTable.init(withGrp(base), tRoot, Seq("id"), numBuckets = 4)
+    // reserveDepth 8 > group size: every retraction is inside the reserve
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"),
+      minMaxCols = Seq("score"), reserveDepth = 8)
+    // delete odd grp's min AND max in one wave — classic forced-recompute
+    // shape, but the reserve knows the successors
+    LakeTable.delete(spark, tRoot, Seq(1L, 7L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 8)
+    MaterializedView.lastExhausted shouldBe 0
+    MaterializedView.lastRecomputeScan shouldBe None
+    val got = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"min_score", $"max_score")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got shouldBe Map("1" -> (3.0, 5.0), "0" -> (2.0, 8.0))
+  }
+
+  test("min/max reserve exhaustion recomputes through sidecar-pruned files only") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    // 40 rows, 4 groups, base CLUSTERED on the group column with zone
+    // maps declared on it — the layout a min/max view should ask of its
+    // base (class doc): the exhausted-group recompute can then prune
+    val rows = (1L to 40L).map(i => (i, (i % 4).toString, i.toDouble))
+      .toDF("id", "grp", "score")
+    LakeTable.init(rows, tRoot, Seq("id"), numBuckets = 4,
+      sortCols = Seq("grp"), statsCols = Seq("grp"), maxRecordsPerFile = 4L)
+    // depth 1: deleting a single group minimum wipes its low reserve
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"),
+      minMaxCols = Seq("score"), reserveDepth = 1)
+    LakeTable.delete(spark, tRoot, Seq(1L).toDF("id")) // grp "1" min (1.0)
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 1)
+
+    MaterializedView.lastExhausted shouldBe 1
+    // the recompute leg opened strictly fewer files than the manifest
+    // holds (file-count pin): zone maps on grp exclude files whose grp
+    // range can't contain "1"
+    val (opened, total) = MaterializedView.lastRecomputeScan.get
+    opened should be < total
+    opened should be > 0
+
+    val got = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"cnt", $"min_score", $"max_score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    val want = LakeTable.read(spark, tRoot).groupBy("grp")
+      .agg(count(lit(1)).alias("cnt"), min($"score").alias("mn"),
+        max($"score").alias("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    got shouldBe want
+  }
+
+  test("min/max reserve shrinks across deliveries, then exhausts and refills") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val rows = (1L to 12L).map(i => (i, (i % 2).toString, i.toDouble))
+      .toDF("id", "grp", "score")
+    LakeTable.init(rows, tRoot, Seq("id"), numBuckets = 2)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"),
+      minMaxCols = Seq("score"), reserveDepth = 2)
+    def mins(): Map[String, Double] = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"min_score")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // delivery 1: delete grp "1"'s min (1.0) — reserve [1,3] shrinks to [3]
+    LakeTable.delete(spark, tRoot, Seq(1L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 2)
+    MaterializedView.lastExhausted shouldBe 0
+    mins()("1") shouldBe 3.0
+    // delivery 2: delete the survivor (3.0) — reserve wiped → exhausted,
+    // recompute refills from the base and lands on 5.0
+    LakeTable.delete(spark, tRoot, Seq(3L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 2)
+    MaterializedView.lastExhausted shouldBe 1
+    mins()("1") shouldBe 5.0
+    // delivery 3: after the refill, another in-reserve delete absorbs again
+    LakeTable.delete(spark, tRoot, Seq(5L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 2)
+    MaterializedView.lastExhausted shouldBe 0
+    mins()("1") shouldBe 7.0
+    // the whole history equals a from-scratch recompute
+    val want = LakeTable.read(spark, tRoot).groupBy("grp")
+      .agg(min($"score").alias("mn"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    mins() shouldBe want
   }
 }

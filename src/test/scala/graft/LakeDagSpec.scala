@@ -79,6 +79,25 @@ class LakeDagSpec extends SparkTestBase {
     viewRows(c1) shouldBe before
   }
 
+  test("bootstrap empty day: the FIRST run with no input leaves the whole chain green") {
+    // before r9 the table was never created and every post-ingest stage
+    // crashed in LakeTable.manifest's require — retries couldn't fix it,
+    // so the documented empty-day contract failed exactly on day one
+    val root = java.nio.file.Files.createTempDirectory("lake_dag_boot").toString
+    val c0 = LakeDag.StageConf("2026-08-13", s"$root/in", s"$root/lake")
+    runDay(c0) // no upserts dir at all: nothing exists yet
+    // the audit still ships, reporting a consistent zero-row day
+    val report = spark.read.parquet(c0.reportDir)
+      .select("table_rows", "view_rows", "consistent").head()
+    (report.getLong(0), report.getLong(1), report.getBoolean(2)) shouldBe
+      (0L, 0L, true)
+    // and the day data finally arrives, the same chain bootstraps normally
+    val c1 = c0.copy(ds = "2026-08-14")
+    writeUpserts(c1.upsertsDir, Seq((1L, "HIGH", 10.0)))
+    runDay(c1)
+    viewRows(c1) should not be empty
+  }
+
   test("StageConf rejects a malformed ds; unknown stage fails loudly; DAG artifact byte-identical") {
     an[IllegalArgumentException] should be thrownBy
       LakeDag.StageConf("20260813", "/tmp/x", "/tmp/y")
