@@ -19,8 +19,33 @@ import org.apache.spark.sql.SparkSession
   *
   * `SPARK_GRAFT_BENCH_FILTER` (comma-separated name substrings) restricts
   * the set for local iteration; the driver runs unfiltered.
+  *
+  * TIERS: the JSON reports two per-tier rollups beside the grand totals.
+  * `lifecycle` queries build or publish PERSISTED multi-delivery state per
+  * run — lake-table init+merge+delete chains, on-disk index build/append
+  * lifecycles, file exports with read-back contracts — so their cost is
+  * dominated by a documented fixed floor of sequential publish jobs (each
+  * carries that floor note at its definition), not per-row compute.
+  * `parity` is everything else: the pure query/compute surface whose
+  * per-query time is comparable to the early-round recordings (those
+  * rounds had no lifecycle contracts). One 2× bar over the blended
+  * average stopped meaning anything once 50+ lifecycle contracts joined;
+  * the tiers keep both signals honest.
   */
 object Bench {
+
+  /** Name predicate for the lifecycle tier (see class doc). */
+  private[graft] def isLifecycle(name: String): Boolean =
+    name.startsWith("q_lake_") || name.startsWith("q_mv_") ||
+    name.startsWith("q_dedup_incremental") ||
+    name == "q_media_dedup_incremental" ||
+    name == "q_ann_ivfpq_append" || name == "q_ann_ivfpq_indexed" ||
+    name == "q_bm25_index_append" || name == "q_bm25_indexed" ||
+    name == "q_phrase_search" || name == "q_proximity_search" ||
+    name == "q_corpus_export" || name == "q_epoch_export" ||
+    name == "q_insert_ignore" || name == "q_upsert_merge" ||
+    name == "q_freshness_gate" || name == "q_orc_roundtrip" ||
+    name == "q_zorder_layout"
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,9 +91,20 @@ object Bench {
     val failed = results.collect { case (k, c, w) if c < 0 || w < 0 => "\"" + k + "\"" }
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
     val warmTotal = results.map(_._3).filter(_ >= 0).sum
+    def tierJson(name: String, rs: Seq[(String, Double, Double)]): String = {
+      val cold = rs.map(_._2).filter(_ >= 0).sum
+      val warm = rs.map(_._3).filter(_ >= 0).sum
+      val n = rs.count(_._2 >= 0)
+      val per = if (n == 0) 0.0 else warm / n
+      s""""$name":{"n":$n,"cold":${f"$cold%.3f"},"warm":${f"$warm%.3f"},""" +
+        s""""warm_per_query":${f"$per%.4f"}}"""
+    }
+    val (life, parity) = results.partition(r => isLifecycle(r._1))
     val json =
       s"""{"metric":"total","value":$coldTotal,"unit":"sec","valid":${failed.isEmpty},""" +
-        s""""warm_total":$warmTotal,"warm_runs":$warmRuns,"queries":${timesJson(_._2)},""" +
+        s""""warm_total":$warmTotal,"warm_runs":$warmRuns,""" +
+        s""""tiers":{${tierJson("parity", parity)},${tierJson("lifecycle", life)}},""" +
+        s""""queries":${timesJson(_._2)},""" +
         s""""queries_warm":${timesJson(_._3)},""" +
         s""""failures":[${failed.mkString(",")}],"sf":"$sfDir"}"""
     // File first, stdout second: if log capture truncates the line, the

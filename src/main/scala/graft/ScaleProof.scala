@@ -32,7 +32,7 @@ object ScaleProof {
   private val stride = 10_000_000L
 
   /** The heaviest registry queries (bench ranking) — the scale gate. */
-  private val heavy = Seq(
+  private val heavyAll = Seq(
     "q_dedup_minhash", "q_corpus_funnel", "q_quality_classifier",
     "q_embedding_spread", "q_join_asof", "q_tpch_q1", "q_tpch_q3",
     "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
@@ -48,6 +48,14 @@ object ScaleProof {
     val copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES").map(_.toInt).getOrElse(10)
     val maxRatio = sys.env.get("SPARK_GRAFT_SCALE_MAX_RATIO").map(_.toDouble).getOrElse(15.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // comma-separated name substrings restrict the query set — for leg
+    // isolation and for the deeper-scale (30×) step on the heaviest five
+    val heavy = sys.env.get("SPARK_GRAFT_SCALE_FILTER") match {
+      case Some(subs) =>
+        val pats = subs.split(",").toSeq
+        heavyAll.filter(q => pats.exists(q.contains))
+      case None => heavyAll
+    }
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

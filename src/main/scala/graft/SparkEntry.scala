@@ -1254,10 +1254,19 @@ object SparkEntry {
     //
     // Measured floor: same lifecycle class as q_mv_incremental (whose
     // comment details the 5-publish ~25-job rebuild) plus the reserve
-    // algebra's fixed overhead (~1 s at sf0.1: the salted two-phase
-    // delta arrays, the exhaustion check, the reserve columns in the
-    // view write). A real pipeline pays only the refresh leg per
-    // delivery, and that leg is now delivery-sized even under deletes.
+    // algebra's overhead (~0.5-0.6 s at sf0.1: the salted two-phase
+    // delta arrays over the worst-case table-sized feed, the exhaustion
+    // check, the reserve columns in the view write) — so this query's
+    // warm floor sits just ABOVE q_mv_incremental's by that margin, by
+    // construction: it is the same rebuild doing strictly more. In this
+    // workload the reserve absorbs every retraction (lastExhausted = 0;
+    // verified against a DuckDB order-statistics ground truth), so the
+    // refresh runs ZERO base-table jobs. (r9 found and fixed a nested-
+    // lambda HOF mis-evaluation that made the old exhaustion predicate
+    // fire spuriously for every group — multiset subtraction is now a
+    // native lambda-free expression, functions/ArrayFunctions.scala.)
+    // A real pipeline pays only the refresh leg per delivery, and that
+    // leg is delivery-sized even under deletes.
     "q_mv_minmax" -> ((s, dir) => {
       val root = System.getProperty("java.io.tmpdir") + "/graft_mv_mm_base"
       val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_mm_view"
@@ -2972,6 +2981,12 @@ object SparkEntry {
     // alone are ~2 s of pure CPU at this corpus size and are the thing
     // being contracted (a real export pays them too); the invariant pass
     // was already dieted to id/len projections keyed on the read-back.
+    // r9 re-isolation (the r8 drift to 4.15 s): the growth was the
+    // near-dup stage re-running tokenize+shingle+minhash once per probe
+    // leg — Dedup.incrementalNearDup now lazily checkpoints the batch
+    // signatures and band rows, which pulled q_corpus_funnel 1.74→1.17 s
+    // and this query back to ~3.7 s warm in a session otherwise running
+    // ~15% slower than the r8 recording; the gzip legs dominate again.
     "q_corpus_export" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))

@@ -328,11 +328,18 @@ object Dedup {
       aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v).cast("double") / numHashes
 
+    // LAZY local checkpoint: the probe references the batch signatures in
+    // FOUR places (two band derivations, two signature-compare joins) —
+    // without the cut each leg re-runs tokenize+shingle+minhash over the
+    // whole delivery, and the legs all sit on one action so the caller
+    // can't deduplicate the work from outside. Lazy (eager=false) so no
+    // extra job runs for callers that never execute the probe.
     val batchSig = batch
       .select(col(idCol).alias("id"),
         TextFunctions.minhashSig(
           TextFunctions.hashedShingles(
             TextFunctions.tokens(col(textCol)), shingleSize), numHashes).alias("sig"))
+      .localCheckpoint(false)
     // Probe side of the history join: a compacted on-disk banded table when
     // the caller persisted one ([[persistNearDupIndex]]) — O(history) IO of
     // 12-byte rows — else derived from (id, sig), O(history) band-hash
@@ -340,14 +347,22 @@ object Dedup {
     val historyBands = indexBands
       .map(_.select(col("id").alias("__iid"), col("__band"), col("__bucket")))
       .getOrElse(bandsOf(index, "id", "sig", "__iid"))
-    val vsIndex = bandsOf(batchSig, "id", "sig", "__bid")
+    // the batch's band rows feed THREE join sides (one vs history, both
+    // sides of the in-batch self-join) and every join keys on
+    // (__band, __bucket) — so shuffle them into that partitioning ONCE
+    // and lazily checkpoint: the checkpointed frame keeps its hash
+    // partitioning, and all three join sides consume it exchange-free
+    // (the self-join runs entirely co-partitioned)
+    val bBands = bandsOf(batchSig, "id", "sig", "__id")
+      .repartition(col("__band"), col("__bucket"))
+      .localCheckpoint(false)
+    val vsIndex = bBands.withColumnRenamed("__id", "__bid")
       .join(historyBands, Seq("__band", "__bucket"))
       .select(col("__bid"), col("__iid")).distinct()
       .join(batchSig.select(col("id").alias("__bid"), col("sig").alias("__bsig")), Seq("__bid"))
       .join(index.select(col("id").alias("__iid"), col("sig").alias("__isig")), Seq("__iid"))
       .filter(estAgree(col("__bsig"), col("__isig")) >= minEstJaccard)
       .select(col("__bid").alias("id")).distinct()
-    val bBands = bandsOf(batchSig, "id", "sig", "__id")
     val withinBatch = bBands.select(col("__id").alias("__a"), col("__band"), col("__bucket"))
       .join(bBands.select(col("__id").alias("__b"), col("__band"), col("__bucket")),
         Seq("__band", "__bucket"))
@@ -436,6 +451,37 @@ object Dedup {
       .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
         s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
       .filter(_ < below).maxOption
+  }
+
+  /** Retention for batch-versioned index roots (the `root/v<id>`
+    * full-snapshot convention shared by [[persistNearDupIndex]] and
+    * [[graft.operators.HashIndex.persist]]): delete every version dir but
+    * the newest `keepLast`. Returns the dropped version ids.
+    *
+    * Each published version is a COMPLETE index snapshot, so old versions
+    * are pure replay horizon, not data — exactly [[graft.sinks.LakeTable
+    * .vacuum]]'s tradeoff. `keepLast >= 2` is enforced because every
+    * consumer (the corpus DAG's replay, a streaming ingest's crash-replay
+    * of its last micro-batch) reads the newest version STRICTLY BELOW its
+    * own id: with only the just-published version kept, a replay of that
+    * same delivery would see an empty history and re-admit cross-delivery
+    * twins.
+    */
+  def vacuumNearDupIndexVersions(spark: org.apache.spark.sql.SparkSession,
+      root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 2,
+      s"keepLast must be >= 2 (strictly-below replay safety), got $keepLast")
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val vs = fs.listStatus(p).iterator.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+        s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+      .toSeq.sorted
+    val drop = vs.dropRight(keepLast)
+    drop.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
+    drop
   }
 
   /** Connected components over a near-dup pair graph (`id_a`, `id_b`) by

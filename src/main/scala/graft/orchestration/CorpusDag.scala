@@ -35,7 +35,8 @@ object CorpusDag {
       minQuality: Double = 0.0,
       allowedLangs: Seq[String] = Seq("en", "es", "fr", "de", "zh", "und"),
       minEstJaccard: Double = 0.6,
-      jsonlShards: Int = 4
+      jsonlShards: Int = 4,
+      keepIndexVersions: Int = 7
   ) {
     // batchVersion ORDERS the replay-safe index lookup — a malformed ds
     // that happens to parse would silently read the wrong index version,
@@ -64,7 +65,8 @@ object CorpusDag {
     "compact_index",
     "segment_dedup",
     "export_jsonl",
-    "funnel_report"
+    "funnel_report",
+    "vacuum_retention"
   )
 
   /** Same retry policy as the coin twin (reference `:47-48`). */
@@ -151,6 +153,15 @@ object CorpusDag {
         .coalesce(1)
         .write.mode("overwrite").parquet(conf.reportDir)
 
+    case "vacuum_retention" =>
+      // each published index version is a FULL snapshot, so versions
+      // beyond the replay horizon are pure storage debt — without this
+      // the batch-versioned index root grows by one whole-history copy
+      // per day. keepIndexVersions >= 2 preserves the strictly-below
+      // replay contract (Dedup.vacuumNearDupIndexVersions).
+      Dedup.vacuumNearDupIndexVersions(spark, conf.indexRoot,
+        conf.keepIndexVersions)
+
     case other =>
       throw new IllegalArgumentException(
         s"unknown stage '$other'; chain = ${stageChain.mkString(", ")}")
@@ -185,7 +196,7 @@ object CorpusDag {
        |# orchestration/corpus_pipeline_dag.py"`. CorpusDagSpec asserts this
        |# file matches the generator output.
        |#
-       |# Scheduler twin of the north-star corpus curation funnel: seven
+       |# Scheduler twin of the north-star corpus curation funnel: eight
        |# idempotent per-delivery stages handing off through the lake; the
        |# cross-delivery near-dup state is the persisted signature index,
        |# versioned per delivery for replay-safe retries.

@@ -125,16 +125,17 @@ object MaterializedView {
   /** `array<T>` literal `[]` — typed so `concat`/`array_sort` line up. */
   private def emptyArr(t: DataType): Column = array().cast(ArrayType(t))
 
-  /** Multiset subtraction over bounded arrays: element `a` of `xs`
-    * survives when its occurrence rank within `xs` exceeds the number of
-    * copies of `a` in `ds` (so each deleted value cancels exactly one
-    * reserve copy — `array_except` would drop ALL copies). Quadratic in
-    * the reserve depth, which is a small constant.
+  /** Multiset subtraction over bounded arrays — each deleted value
+    * cancels exactly ONE reserve copy (`array_except` would drop all).
+    * A lambda-free native expression
+    * ([[graft.functions.MultisetSubtract]]): the HOF formulation
+    * (`filter` with nested `filter`/`slice`) mis-evaluated when the lo
+    * and hi subtractions shared the reserve-merge projection — see the
+    * expression's Scaladoc. Quadratic in the reserve depth, a small
+    * constant, on touched-groups-sized frames.
     */
   private def msub(xs: Column, ds: Column): Column =
-    filter(xs, (a: Column, i: Column) =>
-      size(filter(slice(xs, lit(1), i + 1), (x: Column) => x === a)) >
-        size(filter(ds, (x: Column) => x === a)))
+    graft.functions.ArrayFunctions.multisetSubtract(xs, ds)
 
   /** A bounded extremum array to aggregate per group: the `depth`
     * smallest (`asc`) or largest values of `value`, emitted as `name`.

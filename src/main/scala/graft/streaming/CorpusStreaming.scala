@@ -152,7 +152,7 @@ object CorpusStreaming {
   def nearDupIngest(docs: DataFrame, indexRoot: String, acceptedRoot: String,
       idCol: String = "doc_id", textCol: String = "text",
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      minEstJaccard: Double = 0.6)
+      minEstJaccard: Double = 0.6, keepIndexVersions: Int = 7)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
     docs.writeStream.outputMode("append").foreachBatch {
@@ -173,6 +173,13 @@ object CorpusStreaming {
           .parquet(s"$acceptedRoot/batch=$batchId")
         Dedup.persistNearDupIndex(r.updatedIndex, s"$indexRoot/v$batchId",
           numHashes, bands)
+        // each version is a full snapshot — without retention a long-lived
+        // stream grows the index root by one whole-history copy per
+        // trigger. keepIndexVersions >= 2 preserves the strictly-below
+        // crash-replay contract (a replayed batch still finds its
+        // predecessor version).
+        Dedup.vacuumNearDupIndexVersions(spark, indexRoot, keepIndexVersions)
+        ()
     }
   }
 

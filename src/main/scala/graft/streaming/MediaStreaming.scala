@@ -28,7 +28,7 @@ object MediaStreaming {
     * `indexRoot/v<id>/`.
     */
   def mediaIngest(media: DataFrame, indexRoot: String, acceptedRoot: String,
-      maxHamming: Int = 7)
+      maxHamming: Int = 7, keepIndexVersions: Int = 7)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     media.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
@@ -67,6 +67,10 @@ object MediaStreaming {
         HashIndex.persist(
           prevHashes.unionByName(accepted.select(col("id"), col("dhash"))),
           s"$indexRoot/v$batchId")
+        // full-snapshot versions — bound the root's growth; >= 2 kept so a
+        // crash-replayed batch still finds its strictly-below predecessor
+        Dedup.vacuumNearDupIndexVersions(spark, indexRoot, keepIndexVersions)
+        ()
     }
   }
 }

@@ -104,6 +104,48 @@ class CorpusDagSpec extends SparkTestBase {
     spark.read.parquet(c3.acceptedDir).count() shouldBe 0L
   }
 
+  test("vacuum_retention bounds index versions; replay + cross-delivery rejection survive within the horizon") {
+    val root = java.nio.file.Files.createTempDirectory("corpus_dag_vac").toString
+    def doc(tag: String) = (0 until 60).map(i => s"$tag$i").mkString(" ")
+    def conf(ds: String, in: String) =
+      CorpusDag.StageConf(ds, in, s"$root/lake", keepIndexVersions = 2)
+    def versions(): Seq[String] = {
+      val d = new java.io.File(s"$root/lake/neardup_index")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    }
+    // four daily deliveries, one novel doc each
+    val days = Seq("2026-08-13" -> 10L, "2026-08-14" -> 20L,
+      "2026-08-15" -> 30L, "2026-08-16" -> 40L)
+    val confs = days.map { case (ds, id) =>
+      val c = conf(ds, s"$root/in/$ds")
+      writeDelivery(c.inputDir, Seq((id, doc(s"d$id-"))))
+      CorpusDag.stageChain.foreach(CorpusDag.runStage(spark, _, c))
+      c
+    }
+    // the index root holds exactly the newest two versions — a year of
+    // dailies stays two snapshots, not 365
+    versions() shouldBe Seq("v20260815", "v20260816")
+
+    // a replayed day-4 near_dedup still finds its strictly-below
+    // predecessor (v20260815 kept by the >=2 contract) and converges
+    CorpusDag.runStage(spark, "near_dedup", confs(3))
+    spark.read.parquet(confs(3).acceptedDir).select($"doc_id")
+      .as[Long].collect() shouldBe Array(40L)
+
+    // day 5: every version is a CUMULATIVE snapshot, so retention loses
+    // no dedup memory — twins of day-4 AND of vacuumed-away day-1 are
+    // both rejected by the surviving index; only the novel doc lands
+    val c5 = conf("2026-08-17", s"$root/in/d5")
+    writeDelivery(c5.inputDir, Seq(
+      (50L, doc("d40-") + " tail"), (60L, doc("d10-") + " tail"),
+      (70L, doc("fresh-"))))
+    CorpusDag.stageChain.foreach(CorpusDag.runStage(spark, _, c5))
+    spark.read.parquet(c5.acceptedDir).select($"doc_id")
+      .as[Long].collect().sorted shouldBe Array(70L)
+    versions() shouldBe Seq("v20260816", "v20260817")
+  }
+
   test("StageConf rejects a ds that is not a strict yyyy-MM-dd date") {
     an[IllegalArgumentException] should be thrownBy
       CorpusDag.StageConf("20260813", "/tmp/x", "/tmp/y")

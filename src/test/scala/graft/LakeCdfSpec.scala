@@ -402,6 +402,38 @@ class LakeCdfSpec extends SparkTestBase {
       .count() shouldBe 1L
   }
 
+  test("multisetSubtract cancels one copy per deleted value, any element type, in one wide projection") {
+    import graft.functions.ArrayFunctions.multisetSubtract
+    val df = Seq((Seq(1.0, 2.0, 2.0, 3.0), Seq(2.0, 5.0)))
+      .toDF("xs", "ds")
+    df.select(multisetSubtract($"xs", $"ds").alias("r"))
+      .as[Seq[Double]].head() shouldBe Seq(1.0, 2.0, 3.0)
+    // strings too (ordering-based equivalence, not numeric-only)
+    Seq((Seq("a", "b", "b"), Seq("b", "b", "b")))
+      .toDF("xs", "ds")
+      .select(multisetSubtract($"xs", $"ds").alias("r"))
+      .as[Seq[String]].head() shouldBe Seq("a")
+    // regression: TWO independent subtractions + downstream merges in ONE
+    // projection — the lambda-HOF formulation this replaced mis-evaluated
+    // exactly here (one subtraction came back wrong when the expressions
+    // shared a projection), which made MV exhaustion fire spuriously
+    val wide = Seq((Seq(1.0, 2.0, 3.0), Seq(2.0), Seq(9.0, 8.0, 7.0), Seq(7.0)))
+      .toDF("lo", "dlo", "hi", "dhi")
+      .select(
+        org.apache.spark.sql.functions.size(
+          multisetSubtract($"lo", $"dlo")).alias("slo"),
+        org.apache.spark.sql.functions.size(
+          multisetSubtract($"hi", $"dhi")).alias("shi"),
+        slice(array_sort(concat(multisetSubtract($"lo", $"dlo"), array(lit(0.5)))),
+          1, 3).alias("mlo"),
+        slice(reverse(array_sort(concat(multisetSubtract($"hi", $"dhi"),
+          array(lit(10.0))))), 1, 3).alias("mhi"))
+      .head()
+    (wide.getInt(0), wide.getInt(1)) shouldBe ((2, 2))
+    wide.getSeq[Double](2) shouldBe Seq(0.5, 1.0, 3.0)
+    wide.getSeq[Double](3) shouldBe Seq(10.0, 9.0, 8.0)
+  }
+
   test("min/max reserve absorbs in-reserve retractions: no base recompute job, values exact") {
     val tRoot = newRoot(); val mvRoot = newRoot()
     val withGrp = (df: DataFrame) => df.withColumn("grp", ($"id" % 2).cast("string"))

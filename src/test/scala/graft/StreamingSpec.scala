@@ -194,8 +194,13 @@ class StreamingSpec extends SparkTestBase {
 
     val writer = graft.streaming.CorpusStreaming.nearDupIngest(
       input.toDF().toDF("doc_id", "text"),
-      s"$root/index", s"$root/accepted")
+      s"$root/index", s"$root/accepted", keepIndexVersions = 2)
     val q = writer.option("checkpointLocation", s"$root/ckpt").start()
+    def versions(): Seq[String] = {
+      val d = new java.io.File(s"$root/index")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.isDirectory).map(_.getName).toSeq.sorted
+    }
     try {
       input.addData((10L, base), (20L, novel))          // batch 0: both new
       q.processAllAvailable()
@@ -207,6 +212,11 @@ class StreamingSpec extends SparkTestBase {
       val accepted = spark.read.parquet(s"$root/accepted")
         .select($"doc_id").as[Long].collect().sorted
       accepted shouldBe Array(10L, 20L, 40L)
+      // retention bounds the batch-versioned root: only the newest two
+      // full snapshots survive a long-lived stream (batch 0's dropped),
+      // and the kept snapshots are cumulative — batch 2 still rejected
+      // the twin of batch-0 content above
+      versions() shouldBe Seq("v1", "v2")
       // the published index is the compacted layout: one sig row per
       // accepted doc at the newest version, bands precomputed
       val idx = graft.operators.Dedup.readNearDupIndex(spark, s"$root/index/v2")
@@ -409,7 +419,7 @@ class StreamingSpec extends SparkTestBase {
 
     val writer = graft.streaming.MediaStreaming.mediaIngest(
       input.toDF().toDF("media_id", "kind", "uri", "payload"),
-      s"$root/index", s"$root/accepted")
+      s"$root/index", s"$root/accepted", keepIndexVersions = 2)
     val q = writer.option("checkpointLocation", s"$root/ckpt").start()
     try {
       // batch 0: two images + one audio clip, all distinct -> all accepted
@@ -438,6 +448,18 @@ class StreamingSpec extends SparkTestBase {
       val idx = HashIndex.read(spark, s"$root/index/v1")
       idx.hashes.count() shouldBe 5L
       idx.bands.count() shouldBe 40L
+      // batch 2: retention (keep 2) drops v0 while a twin of BATCH-0
+      // content is still rejected — the kept snapshot is cumulative
+      input.addData(
+        (30L, "image", "i/30", Multimodal.syntheticPng(2L, flipped = true)),
+        (31L, "image", "i/31", Multimodal.syntheticPng(70L)))
+      q.processAllAvailable()
+      spark.read.parquet(s"$root/accepted")
+        .select($"media_id").as[Long].collect().sorted shouldBe
+        Array(1L, 2L, 3L, 11L, 20L, 31L)
+      val dirs = Option(new java.io.File(s"$root/index").listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSeq.sorted
+      dirs shouldBe Seq("v1", "v2")
     } finally q.stop()
   }
 
