@@ -1364,6 +1364,30 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Multi-value pruned equality scan (sinks/LakeTable.scala readEqAny):
+    // the r9 bounded-IN answer — the union of files that might hold ANY of
+    // the probe values, decided driver-side from BOTH sidecars (zone maps
+    // on the clustered o_orderdate, blooms on o_custkey would be the
+    // point-probe twin), exact disjunction re-applied after the pruned
+    // read. This is the retraction-recompute read path of the min/max
+    // materialized view, surfaced as its own oracle-checked contract.
+    "q_lake_eq_any" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_eqany"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, sortCols = Seq("o_orderpriority"),
+        statsCols = Seq("o_orderpriority"), maxRecordsPerFile = 4096L)
+      graft.sinks.LakeTable.readEqAny(s, root, "o_orderpriority",
+          Seq("1-URGENT", "5-LOW"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Type-2 SCD history (sinks/Merge.scala scd2): each order's return-flag
     // timeline (observations = lineitems ordered by shipdate, linenumber)
     // becomes versioned history rows with butt-joined validity windows —
@@ -4841,6 +4865,11 @@ object SparkEntry {
     "q_lake_bloom" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_custkey = 37
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_lake_eq_any" ->
+      """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_scd2" ->

@@ -362,7 +362,7 @@ object Dedup {
       .join(batchSig.select(col("id").alias("__bid"), col("sig").alias("__bsig")), Seq("__bid"))
       .join(index.select(col("id").alias("__iid"), col("sig").alias("__isig")), Seq("__iid"))
       .filter(estAgree(col("__bsig"), col("__isig")) >= minEstJaccard)
-      .select(col("__bid").alias("id")).distinct()
+      .select(col("__bid").alias("id"))
     val withinBatch = bBands.select(col("__id").alias("__a"), col("__band"), col("__bucket"))
       .join(bBands.select(col("__id").alias("__b"), col("__band"), col("__bucket")),
         Seq("__band", "__bucket"))
@@ -371,7 +371,10 @@ object Dedup {
       .join(batchSig.select(col("id").alias("__a"), col("sig").alias("__asig")), Seq("__a"))
       .join(batchSig.select(col("id").alias("__b"), col("sig").alias("__bsig")), Seq("__b"))
       .filter(estAgree(col("__asig"), col("__bsig")) >= minEstJaccard)
-      .select(col("__b").alias("id")).distinct() // drop the larger id of each pair
+      .select(col("__b").alias("id")) // drop the larger id of each pair
+    // ONE distinct over the union — per-leg distincts here were redundant
+    // shuffles (the candidate-pair distincts above, which bound the
+    // estAgree fan-in, stay)
     val dropIds = vsIndex.unionByName(withinBatch).distinct()
     val accepted = batch.join(dropIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
     val updatedIndex = index.unionByName(

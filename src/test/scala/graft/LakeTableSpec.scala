@@ -191,4 +191,33 @@ class LakeTableSpec extends SparkTestBase {
     // a value that never existed prunes everything (no false-positive rows)
     LakeTable.readEq(spark, root, "name", "user-99999").count() shouldBe 0L
   }
+
+  test("readEqAny: multi-value scan through the sidecar union; None when uncovered") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = newRoot()
+    val big = spark.range(4096).select(col("id"),
+      concat(lit("user-"), (col("id") % 500).cast("string")).alias("name"),
+      (col("id") * 1.5).alias("score"))
+    LakeTable.init(big, root, Seq("id"), numBuckets = 8,
+      maxRecordsPerFile = 256L, bloomCols = Seq("name"))
+    val m = LakeTable.manifest(spark, root)
+    val vals = Seq("user-123", "user-7", "user-99999")
+    // pruned union keeps every true-positive file, skips most others
+    val pruned = LakeTable.eqPrunedPaths(spark, root, "name", vals).get
+    pruned.size should be < m.files.size
+    vals.take(2).foreach { v =>
+      LakeTable.bloomPrunedPaths(spark, root, "name", v)
+        .foreach(p => pruned should contain(p))
+    }
+    val got = LakeTable.readEqAny(spark, root, "name", vals)
+      .select("id").collect().map(_.getLong(0)).toSet
+    got shouldBe (0L until 4096L)
+      .filter(i => i % 500 == 123 || i % 500 == 7).toSet
+    // empty probe set: zero files, zero rows
+    LakeTable.eqPrunedPaths(spark, root, "name", Nil).get shouldBe empty
+    LakeTable.readEqAny(spark, root, "name", Nil).count() shouldBe 0L
+    // a column with no sidecar coverage answers None — callers must fall
+    // back EXPLICITLY to a full scan, never get a silently-unpruned one
+    LakeTable.eqPrunedPaths(spark, root, "score", Seq("1.5")) shouldBe None
+  }
 }

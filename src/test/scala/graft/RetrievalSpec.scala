@@ -70,4 +70,26 @@ class RetrievalSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     m3 shouldBe Set(0L)            // null and indivisible rows excluded
   }
+
+  test("maxSim validates the query: single row, non-null, dim divisible — loudly") {
+    val docs = Seq((0L, Seq(1f, 0f, 0f, 1f)), (1L, Seq(0f, 1f, 1f, 0f)))
+      .toDF("id", "vec")
+    // multi-row query used to silently score an arbitrary row via limit(1)
+    val multi = intercept[IllegalArgumentException] {
+      Retrieval.maxSim(docs, docs, "id", "vec", numSubVecs = 2)
+    }
+    multi.getMessage should include("single row")
+    // a query dim not divisible by numSubVecs used to silently mis-slice
+    val indiv = intercept[IllegalArgumentException] {
+      Retrieval.maxSim(docs, Seq((9L, Seq(1f, 2f, 3f))).toDF("id", "vec"),
+        "id", "vec", numSubVecs = 2)
+    }
+    indiv.getMessage should include("not divisible")
+    val nul = intercept[IllegalArgumentException] {
+      Retrieval.maxSim(docs,
+        Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec"),
+        "id", "vec", numSubVecs = 2)
+    }
+    nul.getMessage should include("NULL")
+  }
 }

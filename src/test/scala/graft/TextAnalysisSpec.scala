@@ -187,6 +187,24 @@ class TextAnalysisSpec extends SparkTestBase {
     graft.operators.TextAnalysis.chunkConcatenated(
         withEmpty, "doc_id", "n_tokens", 10L, numShards = 1)
       .filter($"doc_id" === 9L).count() shouldBe 0L
+
+    // a caller-supplied shard is honored even at numShards = 1 (it used
+    // to be silently ignored): odd/even shards each restart offsets at 0
+    val sharded = graft.operators.TextAnalysis.chunkConcatenated(
+        docs, "doc_id", "n_tokens", 10L, numShards = 1,
+        shard = Some(pmod($"doc_id", lit(2))))
+      .select($"shard").distinct().as[Long].collect().sorted
+    sharded shouldBe Seq(0L, 1L)
+
+    // duplicate orderCol within a shard breaks offset determinism — the
+    // in-plan guard raises a NAMED error instead of silently picking an
+    // arbitrary cumsum order
+    val dup = Seq((1L, 4L), (1L, 5L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      graft.operators.TextAnalysis.chunkConcatenated(
+        dup, "doc_id", "n_tokens", 10L, numShards = 1).collect()
+    }
+    e.getMessage should include("duplicate doc_id")
   }
 
   test("source mixing hits target ratios without upsampling, deterministically") {
