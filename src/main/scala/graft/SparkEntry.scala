@@ -1041,6 +1041,25 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // Bounded top-k per group (functions/Aggregators.scala TopKByScore):
+    // top-3 orders by price per priority through a k-bounded HASH
+    // aggregate — partial buffers combine map-side and only k·partitions
+    // tiny rows cross the shuffle, vs the window formulation's full sort
+    // of every row by group. Deterministic (score DESC, id ASC); the
+    // oracle replays it as the row_number window it replaces.
+    "q_topk_per_group" -> ((s, dir) => {
+      val topk = udaf(new Aggregators.TopKByScore(3),
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").alias("priority"))
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).alias("tk"))
+        .select(col("priority"), posexplode(col("tk")).as(Seq("rk0", "p")))
+        .select(col("priority"), (col("rk0") + 1).cast("long").alias("rnk"),
+          round(col("p._1"), 2).alias("price"),
+          col("p._2").alias("o_orderkey"))
+        .orderBy("priority", "rnk")
+    }),
+
     // ---- J1: left-anti (insert-ignore shape) ---------------------------
     "q_join_anti" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -2971,6 +2990,22 @@ object SparkEntry {
     // oracle-checkable. The MinHash near-dup stage contributes its monotone
     // contract (0 < after_neardup ≤ after_exact) as a boolean; its recall
     // is oracle-checked separately by q_dedup_minhash.
+    // Per-document curation provenance (pipeline/CorpusPipeline.scala
+    // provenance): every input doc labeled with the FIRST stage that
+    // dropped it plus the responsible twin. Exact-provenance mode
+    // (minQuality=0, full allow-list, nearDup=false) so every label and
+    // twin id is SQL-decidable: exact_dup iff the doc is not its
+    // fingerprint group's min id, twin = that min. The near-dup and
+    // quality/language labels (kernel expressions, not SQL-replayable)
+    // are pinned by CorpusPipelineSpec instead.
+    "q_curation_provenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.pipeline.CorpusPipeline.provenance(docs, minQuality = 0.0,
+          allowedLangs = Seq("en", "es", "fr", "de", "zh", "und"),
+          nearDup = false)
+        .orderBy("doc_id")
+    }),
+
     "q_corpus_funnel" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val (_, r) = graft.pipeline.CorpusPipeline.curate(docs, minQuality = 0.0,
@@ -3720,6 +3755,16 @@ object SparkEntry {
         |       MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_val
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT priority, rnk, price, o_orderkey FROM (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rnk,
+        |         ROUND(o_totalprice, 2) AS price, o_orderkey
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY priority, rnk""".stripMargin,
 
     "q_udaf_sum" ->
       """SELECT l_returnflag AS flag, SUM(l_quantity) AS sum_qty
@@ -5280,6 +5325,19 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT md5(lower(trim(text)))) AS BIGINT) AS after_exact,
         |       CAST(1 AS BOOLEAN) AS neardup_monotone
         |FROM documents""".stripMargin,
+
+    "q_curation_provenance" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+        |           AS winner
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CASE WHEN doc_id <> winner THEN 'exact_dup'
+        |            ELSE 'survived' END AS stage,
+        |       CASE WHEN doc_id <> winner THEN winner
+        |            ELSE NULL END AS twin_id
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q_corpus_export" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS input,

@@ -567,6 +567,57 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
 
+  /** Bounded top-k (score, id) pairs per group — the scale-correct
+    * top-k-per-group shape: a hash aggregate whose buffer holds AT MOST k
+    * entries, so partial aggregation combines map-side and only
+    * k·partitions tiny rows cross the shuffle. The window-function
+    * formulation (`row_number() over (partition by g order by s desc)
+    * <= k`) shuffles and SORTS every input row by group; this never
+    * sorts more than 2k elements at a time and moves no raw rows at all.
+    *
+    * Deterministic: ordered by (score DESC, id ASC) — ties break to the
+    * smallest id, and the k-th place is unambiguous. `finish` emits the
+    * pairs in rank order; explode + posexplode downstream for rank
+    * numbers. Buffer arrays stay primitive-encoded (product of two
+    * arrays), no kryo.
+    */
+  final case class TopKBuf(scores: Array[Double], ids: Array[Long])
+  final class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+    override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty)
+    // keep (s1, i1) ranked above (s2, i2)?
+    private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+    /** Merge two rank-ordered bounded buffers (classic merge step). */
+    private def merged(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      val n = math.min(k, a.scores.length + b.scores.length)
+      val s = new Array[Double](n); val id = new Array[Long](n)
+      var ai = 0; var bi = 0; var o = 0
+      while (o < n) {
+        val takeA = bi >= b.scores.length || (ai < a.scores.length &&
+          beats(a.scores(ai), a.ids(ai), b.scores(bi), b.ids(bi)))
+        if (takeA) { s(o) = a.scores(ai); id(o) = a.ids(ai); ai += 1 }
+        else { s(o) = b.scores(bi); id(o) = b.ids(bi); bi += 1 }
+        o += 1
+      }
+      TopKBuf(s, id)
+    }
+    override def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = {
+      val n = b.scores.length
+      // fast path: buffer full and the row is below the floor — the
+      // overwhelmingly common case on a big group, zero allocation
+      if (n >= k && !beats(a._1, a._2, b.scores(n - 1), b.ids(n - 1))) b
+      else merged(b, TopKBuf(Array(a._1), Array(a._2)))
+    }
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = merged(a, b)
+    override def finish(b: TopKBuf): Seq[(Double, Long)] =
+      b.scores.indices.map(i => (b.scores(i), b.ids(i)))
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
   /** (min, max, count) in one pass — the V4 sanity-gate triple as a single
     * custom aggregate buffer.
     */

@@ -137,8 +137,16 @@ object LakeDag {
         if (!tableExists(spark, conf.viewRoot)) 0L
         else MaterializedView.read(spark, conf.viewRoot)
           .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
-      Seq((conf.ds, tableRows, viewRows, tableRows == viewRows))
-        .toDF("ds", "table_rows", "view_rows", "consistent")
+      // integrity: every manifest-referenced file present (fsck MISSING =
+      // reads broken; orphans/sidecar gaps are warnings and don't fail
+      // the audit). A not-yet-created table is trivially intact.
+      val integrityOk =
+        if (!tableExists(spark, conf.tableRoot)) true
+        else LakeTable.fsck(spark, conf.tableRoot).ok &&
+          (!tableExists(spark, conf.viewRoot) ||
+            LakeTable.fsck(spark, conf.viewRoot).ok)
+      Seq((conf.ds, tableRows, viewRows, tableRows == viewRows, integrityOk))
+        .toDF("ds", "table_rows", "view_rows", "consistent", "integrity_ok")
         .coalesce(1)
         .write.mode("overwrite").parquet(conf.reportDir)
 

@@ -136,4 +136,76 @@ object CorpusPipeline {
       annotated.unpersist(); shingled.unpersist()
     }
   }
+
+  /** Per-document curation PROVENANCE — the audit answer to "why is doc X
+    * not in the corpus": one row per input doc labeled with the FIRST
+    * stage that dropped it, plus the responsible twin where one exists.
+    *
+    * `stage` ∈ `quality` | `language` | `exact_dup` | `near_dup` |
+    * `survived`; `twin_id` is the exact-dup WINNER (min doc_id of the
+    * fingerprint group) or the near-dup cluster representative (the
+    * component's min id), NULL for the other stages. Stage semantics
+    * mirror [[curate]] exactly — same expressions, same deterministic
+    * survivor rules — so `filter(stage = 'survived')` equals the curated
+    * id set.
+    *
+    * Scale shape: quality/language are per-row expressions; the exact
+    * stage is one fingerprint aggregation (winner = min id) joined back
+    * by fingerprint (16-byte keys, never text); the optional near-dup
+    * stage reuses the same shingle projection + LSH pair graph + connected
+    * components as [[curate]]. Provenance costs one extra fingerprint
+    * join over running the funnel itself.
+    */
+  def provenance(
+      docs: DataFrame,
+      textCol: String = "text",
+      minQuality: Double = 0.3,
+      allowedLangs: Seq[String] = Seq("en"),
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.9,
+      nearDup: Boolean = true
+  ): DataFrame = {
+    val annotated = docs
+      .withColumn("quality_score",
+        TextFunctions.qualityScore(col(textCol), TextAnalysis.defaultStopwords))
+      .withColumn("lang_pred", TextAnalysis.langIdCol(col(textCol)))
+      .withColumn("__fp", md5(lower(trim(col(textCol)))))
+    val qOk = col("quality_score") >= minQuality
+    val lOk = col("lang_pred").isin(allowedLangs: _*)
+    // exact-dup winners among the docs that reach the exact stage
+    val winners = annotated.filter(qOk && lOk)
+      .groupBy(col("__fp"))
+      .agg(min(col("doc_id")).alias("__winner"))
+    val labeled0 = annotated
+      .join(winners, Seq("__fp"), "left")
+      .select(col("doc_id"), col("quality_score"), col("lang_pred"),
+        col(textCol), qOk.alias("__q"), lOk.alias("__l"),
+        col("__winner"))
+    val kill =
+      if (!nearDup) labeled0.limit(0)
+        .select(col("doc_id"), col("doc_id").alias("__rep"))
+      else {
+        val exact = labeled0
+          .filter(col("__q") && col("__l") && col("doc_id") === col("__winner"))
+          .select(col("doc_id"), col(textCol))
+        val shingled = Dedup.shingleProjection(exact, "doc_id", textCol,
+          shingleSize)
+        val pairs = Dedup.minhashLshPairsFromShingles(shingled,
+          minJaccard = minJaccard)
+        Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("component"))
+          .select(col("id").alias("doc_id"), col("component").alias("__rep"))
+      }
+    val passedGates = col("__q") && col("__l")
+    labeled0.join(kill, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("__q"), lit("quality"))
+          .when(!col("__l"), lit("language"))
+          .when(col("doc_id") =!= col("__winner"), lit("exact_dup"))
+          .when(col("__rep").isNotNull, lit("near_dup"))
+          .otherwise(lit("survived")).alias("stage"),
+        when(passedGates && col("doc_id") =!= col("__winner"), col("__winner"))
+          .when(passedGates, col("__rep"))
+          .otherwise(lit(null).cast("long")).alias("twin_id"))
+  }
 }

@@ -1153,4 +1153,69 @@ object LakeTable {
     }
     removed.toSeq
   }
+
+  /** [[fsck]] result. `ok` = no referenced file is missing (the one
+    * condition that breaks reads). Orphans and sidecar gaps are WARNINGS:
+    * orphans are crash/race debris [[vacuum]] reclaims, and a missing
+    * sidecar entry only degrades pruning to conservative keep-all.
+    */
+  final case class FsckReport(
+      version: Long,
+      liveFiles: Int,
+      missingFiles: Seq[String],
+      orphanFiles: Seq[String],
+      statsGaps: Seq[String],
+      bloomGaps: Seq[String]) {
+    def ok: Boolean = missingFiles.isEmpty
+  }
+
+  /** Manifest ↔ filesystem integrity audit — the operational `fsck` a
+    * table format owes its operators, run driver-side against metadata
+    * and directory listings (no data file is OPENED):
+    *
+    *  - MISSING: a file some KEPT version's manifest references but the
+    *    filesystem lacks — reads of that version will fail; restore an
+    *    older version or re-run the delivery.
+    *  - ORPHAN: a parquet file on disk under `data/` that NO kept version
+    *    references — crash-before-publish or commit-race-loser debris,
+    *    invisible to every reader, reclaimed by [[vacuum]].
+    *  - STATS/BLOOM GAPS: live files of the NEWEST version without a
+    *    sidecar entry for a declared stats/bloom column — pruning and
+    *    [[fastCount]] degrade conservatively until a rewrite re-measures.
+    */
+  def fsck(spark: SparkSession, root: String): FsckReport = {
+    val fs = hfs(spark, root)
+    val vs = versions(fs, root)
+    require(vs.nonEmpty, s"no LakeTable at $root")
+    val manifests = vs.map(v => manifest(spark, root, Some(v)))
+    val referenced = manifests
+      .flatMap(m => (m.files ++ m.dvFiles).map(_._1)).toSet
+    val missing = referenced.toSeq.sorted
+      .filterNot(rel => fs.exists(new Path(root, rel)))
+    val onDisk = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dataDir = new Path(root, "data")
+    if (fs.exists(dataDir))
+      for (sub <- fs.listStatus(dataDir) if sub.isDirectory;
+           bd <- fs.listStatus(sub.getPath)
+           if bd.getPath.getName.startsWith("__bucket=");
+           f <- fs.listStatus(bd.getPath)
+           if f.getPath.getName.endsWith(".parquet"))
+        onDisk += s"data/${sub.getPath.getName}/${bd.getPath.getName}/${f.getPath.getName}"
+    val orphans = onDisk.toSeq.filterNot(referenced).sorted
+    val head = manifests.last
+    val statsGaps =
+      if (head.statsCols.isEmpty) Nil
+      else {
+        val st = readStats(spark, root, head.version).getOrElse(Map.empty)
+        head.files.map(_._1).filterNot(st.contains).sorted
+      }
+    val bloomGaps =
+      if (head.bloomCols.isEmpty) Nil
+      else {
+        val bl = readBlooms(spark, root, head.version).getOrElse(Map.empty)
+        head.files.map(_._1).filterNot(bl.contains).sorted
+      }
+    FsckReport(head.version, head.files.size + head.dvFiles.size,
+      missing, orphans, statsGaps, bloomGaps)
+  }
 }

@@ -272,4 +272,48 @@ class AggregatorSpec extends SparkTestBase {
     an[IllegalArgumentException] should be thrownBy
       graft.operators.HeavyHitters.heavyHitters(df, "tok", 0.05, k = 10)
   }
+
+  test("TopKByScore: bounded hash-agg top-k matches the window formulation, any partitioning") {
+    import org.apache.spark.sql.functions.udaf
+    import org.apache.spark.sql.Encoders
+    val df = spark.range(3000).select(
+      (col("id") % 7).cast("string").alias("g"),
+      (pmod(col("id") * 7919, lit(5000))).cast("double").alias("s"),
+      col("id"))
+    val topk = udaf(new graft.functions.Aggregators.TopKByScore(5),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    def run(parts: Int) = df.repartition(parts)
+      .groupBy($"g").agg(topk($"s", $"id").alias("tk"))
+      .select($"g", posexplode($"tk").as(Seq("rk", "p")))
+      .select($"g", $"rk", $"p._1".alias("s"), $"p._2".alias("id"))
+      .as[(String, Int, Double, Long)].collect().sortBy(t => (t._1, t._2))
+    val want = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"g").orderBy($"s".desc, $"id".asc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+        .select($"g", ($"rn" - 1).alias("rk"), $"s", $"id")
+        .as[(String, Int, Double, Long)].collect().sortBy(t => (t._1, t._2))
+    }
+    for (parts <- Seq(1, 13, 32)) run(parts) shouldBe want
+
+    // tie-break: equal scores rank by ascending id, deterministically
+    val ties = Seq(("a", 1.0, 9L), ("a", 1.0, 3L), ("a", 1.0, 7L))
+      .toDF("g", "s", "id")
+    ties.groupBy($"g").agg(topk($"s", $"id").alias("tk"))
+      .select(posexplode($"tk").as(Seq("rk", "p")))
+      .select($"p._2").as[Long].collect() shouldBe Array(3L, 7L, 9L)
+
+    // k larger than the group: everything, still rank-ordered
+    val small = Seq(("b", 2.0, 1L), ("b", 5.0, 2L)).toDF("g", "s", "id")
+    small.groupBy($"g").agg(topk($"s", $"id").alias("tk"))
+      .select(org.apache.spark.sql.functions.size($"tk")).as[Int]
+      .head() shouldBe 2
+
+    // plan shape: a hash aggregate, no Window and no per-group sort of
+    // the input rows anywhere in the physical plan
+    val plan = df.groupBy($"g").agg(topk($"s", $"id").alias("tk"))
+      .queryExecution.executedPlan.toString()
+    plan should include("Aggregate")
+    plan should not include "Window"
+  }
 }

@@ -33,6 +33,35 @@ class CorpusPipelineSpec extends SparkTestBase {
     curated.select($"doc_id").as[Long].collect().sorted shouldBe Array(1L, 6L)
   }
 
+  test("provenance labels every doc with its first killing stage and the responsible twin") {
+    val rows = Seq(
+      (1L, goodEn),                                         // survives
+      (2L, goodEn + " extra tail words here"),              // near-dup of 1
+      (3L, goodEn),                                         // exact dup of 1
+      (4L, "el la de que y en un los se por el la de que"), // language
+      (5L, "!!! ??? *** !!! ??? *** !!! ???"),              // quality
+      (6L, "a completely different and quite long document about the history " +
+           "of computing that should survive every single stage of the funnel")
+    ).toDF("doc_id", "text")
+    val prov = CorpusPipeline.provenance(rows, minQuality = 0.3,
+        allowedLangs = Seq("en"), minJaccard = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    prov(1L) shouldBe ("survived", None)
+    prov(2L) shouldBe ("near_dup", Some(1L))  // cluster representative
+    prov(3L) shouldBe ("exact_dup", Some(1L)) // fingerprint-group winner
+    prov(4L) shouldBe ("language", None)
+    prov(5L) shouldBe ("quality", None)
+    prov(6L) shouldBe ("survived", None)
+    // the survivor set IS the curated set — same expressions, same rules
+    val (curated, _) = CorpusPipeline.curate(rows, minQuality = 0.3,
+      allowedLangs = Seq("en"), minJaccard = 0.8)
+    prov.filter(_._2._1 == "survived").keySet shouldBe
+      curated.select($"doc_id").as[Long].collect().toSet
+    // one row per input doc, always
+    prov.size shouldBe 6
+  }
+
   test("curation keeps survivors' columns intact plus the scores") {
     val rows = Seq((1L, goodEn), (2L, goodEn.replace("fox", "cat"))).toDF("doc_id", "text")
     val (curated, _) = CorpusPipeline.curate(rows, minJaccard = 0.99)

@@ -86,11 +86,11 @@ class LakeDagSpec extends SparkTestBase {
     val root = java.nio.file.Files.createTempDirectory("lake_dag_boot").toString
     val c0 = LakeDag.StageConf("2026-08-13", s"$root/in", s"$root/lake")
     runDay(c0) // no upserts dir at all: nothing exists yet
-    // the audit still ships, reporting a consistent zero-row day
+    // the audit still ships, reporting a consistent, intact zero-row day
     val report = spark.read.parquet(c0.reportDir)
-      .select("table_rows", "view_rows", "consistent").head()
-    (report.getLong(0), report.getLong(1), report.getBoolean(2)) shouldBe
-      (0L, 0L, true)
+      .select("table_rows", "view_rows", "consistent", "integrity_ok").head()
+    (report.getLong(0), report.getLong(1), report.getBoolean(2),
+      report.getBoolean(3)) shouldBe (0L, 0L, true, true)
     // and the day data finally arrives, the same chain bootstraps normally
     val c1 = c0.copy(ds = "2026-08-14")
     writeUpserts(c1.upsertsDir, Seq((1L, "HIGH", 10.0)))

@@ -192,6 +192,46 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.readEq(spark, root, "name", "user-99999").count() shouldBe 0L
   }
 
+  test("fsck: clean table ok; missing referenced file flagged; orphan debris found then vacuumed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = newRoot()
+    val df = spark.range(100).select(col("id"), (col("id") * 2.0).alias("v"))
+    LakeTable.init(df, root, Seq("id"), numBuckets = 4,
+      statsCols = Seq("v"))
+    LakeTable.merge(spark, root,
+      spark.range(5).select(col("id"), lit(0.0).alias("v")))
+    val clean = LakeTable.fsck(spark, root)
+    clean.ok shouldBe true
+    clean.missingFiles shouldBe empty
+    clean.orphanFiles shouldBe empty
+    clean.statsGaps shouldBe empty
+
+    // plant crash debris: a stray parquet in a fresh UUID dir, never
+    // referenced by any manifest → ORPHAN warning, table still ok
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val strayDir = new org.apache.hadoop.fs.Path(root,
+      "data/deadbeef-stray/__bucket=0")
+    fs.mkdirs(strayDir)
+    fs.create(new org.apache.hadoop.fs.Path(strayDir, "part-junk.parquet"),
+      true).close()
+    val withOrphan = LakeTable.fsck(spark, root)
+    withOrphan.ok shouldBe true
+    withOrphan.orphanFiles should have size 1
+    withOrphan.orphanFiles.head should include("deadbeef-stray")
+    // vacuum reclaims the debris; fsck converges back to clean
+    LakeTable.vacuum(spark, root, keepLast = 10)
+    LakeTable.fsck(spark, root).orphanFiles shouldBe empty
+
+    // delete a referenced data file out from under the table → MISSING,
+    // the one condition that breaks reads, and ok flips false
+    val victim = LakeTable.manifest(spark, root).files.head._1
+    fs.delete(new org.apache.hadoop.fs.Path(root, victim), false)
+    val broken = LakeTable.fsck(spark, root)
+    broken.ok shouldBe false
+    broken.missingFiles should contain(victim)
+  }
+
   test("readEqAny: multi-value scan through the sidecar union; None when uncovered") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     val root = newRoot()
