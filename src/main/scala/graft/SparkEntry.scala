@@ -1313,6 +1313,44 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Min/max MV under FORCED reserve exhaustion: reserveDepth=1 and the
+    // delete wave takes exactly each group's minimum-price row, so every
+    // group's low reserve is wiped and the refresh MUST run the
+    // recompute leg — which routes through the base's zone-map sidecars
+    // (the base is clustered on the group column, the class-doc layout).
+    // The oracle recomputes count/sum/min/max from the surviving rows
+    // from scratch, putting the rare recompute path itself under the
+    // value gate, not just the common absorb path q_mv_minmax exercises.
+    "q_mv_minmax_exhaust" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = System.getProperty("java.io.tmpdir") + "/graft_mv_mmx_base"
+      val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_mmx_view"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(root, mv).foreach(p => new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(conf).delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .filter(col("o_orderkey") % 2 === 0)
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 16, sortCols = Seq("o_orderpriority"),
+        statsCols = Seq("o_orderpriority"), maxRecordsPerFile = 4096L)
+      graft.sinks.MaterializedView.init(s, root, mv,
+        Seq("o_orderpriority"), Seq("o_totalprice"), numBuckets = 4,
+        minMaxCols = Seq("o_totalprice"), reserveDepth = 1)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val victims = orders.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select(col("o_orderkey"))
+      graft.sinks.LakeTable.delete(s, root, victims)
+      graft.sinks.MaterializedView.refresh(s, root, mv, reserveDepth = 1)
+      graft.sinks.MaterializedView.read(s, mv)
+        .select(col("o_orderpriority"), col("cnt"),
+          round(col("sum_o_totalprice").cast("double"), 2).alias("sum_price"),
+          round(col("min_o_totalprice"), 2).alias("min_price"),
+          round(col("max_o_totalprice"), 2).alias("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Bucket-pruned point lookup (sinks/LakeTable.scala lookup): the probe
     // keys' hash buckets are the ONLY files opened — a point query against
     // a 100 TB table reads ≤ |probes| buckets. Value check: the lookup
@@ -2909,6 +2947,50 @@ object SparkEntry {
           md5(col("text_clean")).alias("clean_md5"))
         .orderBy("doc_id")),
 
+    // Homoglyph / confusable-skeleton dedup (operators/TextCleaning.scala
+    // confusableSkeleton): spoof twins planted for doc_id % 9 = 0 — text
+    // with Latin a/e/o/c swapped to Cyrillic lookalikes plus a trailing
+    // zero-width space, the classic blocklist/dedup-dodging move — are
+    // byte-distinct (exact fingerprints miss them) but skeleton-identical,
+    // so each twin resolves to its original as the deterministic winner.
+    // The oracle replays the SAME translate/strip/lower/collapse chain
+    // (the confusable map is interpolated from the one Scala constant, so
+    // the two engines cannot drift).
+    "q_homoglyph_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spoof = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 4000000L).alias("doc_id"),
+          concat(translate(col("text"), "aeoc", "аеос"),
+            lit("\u200B")).alias("text"))
+      graft.operators.TextCleaning.homoglyphDedup(
+          docs.unionByName(spoof), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Cross-source contamination matrix: exact-content overlap counts
+    // between every source pair — the per-pair answer to "how much of
+    // corpus A is already in corpus B" that drives dedup-priority and
+    // licensing decisions. Twins planted deterministically (doc_id % 11
+    // re-emitted under a shifted source), shared fingerprints counted via
+    // a distinct (source, fp) self-join — 16-byte digests cross the
+    // shuffle, never text, and the pair space is |sources|², not rows².
+    "q_source_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(concat(lit("src"),
+            ((pmod(col("doc_id"), lit(20)) + 7) % 20).cast("int")).alias("source"),
+          (col("doc_id") + 5000000L).alias("doc_id"), col("text"))
+      val fps = docs.unionByName(planted)
+        .select(col("source"), md5(lower(trim(col("text")))).alias("fp"))
+        .distinct()
+      fps.alias("a").join(fps.alias("b"), Seq("fp"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").alias("src_a"), col("b.source").alias("src_b"))
+        .agg(count(lit(1)).alias("n_shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Benchmark decontamination: docs with doc_id < 20 form the eval set;
     // every doc whose text exactly matches a benchmark text must be flagged
     // by the shingle-overlap detector (n_exact_matches is fully
@@ -4349,6 +4431,41 @@ object SparkEntry {
         |    '[ \t]+', ' ', 'g'))) AS clean_md5
         |FROM planted ORDER BY doc_id""".stripMargin,
 
+    "q_homoglyph_dedup" ->
+      s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 4000000,
+        |         translate(text, 'aeoc', 'аеос') || chr(8203)
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |sk AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(
+        |      lower(translate(
+        |        regexp_replace(text,
+        |          '${graft.operators.TextCleaning.zeroWidthPattern}', '', 'g'),
+        |        '${graft.operators.TextCleaning.confusableFrom}',
+        |        '${graft.operators.TextCleaning.confusableTo}')),
+        |      '\\s+', ' ', 'g'))) AS s
+        |  FROM all_docs),
+        |w AS (SELECT doc_id, s, min(doc_id) OVER (PARTITION BY s) AS winner
+        |      FROM sk)
+        |SELECT doc_id, winner, doc_id <> winner AS is_dup
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH all_docs AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'src' || CAST((doc_id % 20 + 7) % 20 AS INTEGER), text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |fps AS (SELECT DISTINCT source, md5(lower(trim(text))) AS fp
+        |        FROM all_docs)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_decontaminate" ->
       """SELECT
         |  (SELECT COUNT(*) FROM documents WHERE doc_id < 20) AS n_benchmark,
@@ -4893,6 +5010,23 @@ object SparkEntry {
         |       ROUND(MIN(o_totalprice), 2) AS min_price,
         |       ROUND(MAX(o_totalprice), 2) AS max_price
         |FROM v2 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_mv_minmax_exhaust" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn
+        |  FROM base),
+        |survivors AS (SELECT * FROM ranked WHERE rn <> 1)
+        |SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+        |         AS sum_price,
+        |       ROUND(MIN(o_totalprice), 2) AS min_price,
+        |       ROUND(MAX(o_totalprice), 2) AS max_price
+        |FROM survivors GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_lake_pointlookup" ->
       """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price

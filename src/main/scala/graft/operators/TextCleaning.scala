@@ -42,4 +42,57 @@ object TextCleaning {
     docs
       .withColumn("n_urls", urlCount(col(textCol)))
       .withColumn("text_clean", cleanCol(col(textCol)))
+
+  // ---- homoglyph / confusable skeleton ---------------------------------
+
+  /** Unicode confusables that spammers substitute to dodge exact dedup
+    * and blocklists: Cyrillic and Greek letters whose glyphs are
+    * (near-)identical to Basic Latin, mapped to their Latin skeleton —
+    * the high-frequency subset of Unicode TR39's confusable table, kept
+    * deliberately small and mirrored LITERALLY into the DuckDB oracle so
+    * both engines run the same `translate`. Order-aligned with
+    * [[confusableTo]].
+    */
+  val confusableFrom: String =
+    "аеорсухіѕԁһј" + "οϲ" + "АВЕКМНОРСТХ"
+  val confusableTo: String =
+    "aeopcyxisdhj" + "oc" + "ABEKMHOPCTX"
+  require(confusableFrom.length == confusableTo.length,
+    "confusable map must be 1:1")
+
+  /** Zero-width characters (ZWSP, ZWNJ, ZWJ, BOM) that make visually
+    * identical strings byte-distinct. `\x{...}` hex escapes are
+    * Java-and-RE2-common syntax, so the same pattern text runs in the
+    * DuckDB oracle.
+    */
+  val zeroWidthPattern: String =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]"
+
+  /** Confusable SKELETON of a text: zero-width characters stripped,
+    * confusables folded to Latin, lowercased, whitespace collapsed — the
+    * dedup key that catches "identical except the spammer swapped
+    * Cyrillic о for Latin o" twins that byte-exact fingerprints miss.
+    * All builtin expressions (translate + regexp_replace), codegen'd.
+    */
+  def confusableSkeleton(text: Column): Column =
+    trim(regexp_replace(
+      lower(translate(regexp_replace(text, zeroWidthPattern, ""),
+        confusableFrom, confusableTo)),
+      "\\s+", " "))
+
+  /** Skeleton-exact dedup labels: one row per doc with its skeleton
+    * fingerprint group's deterministic winner (min id) and whether the
+    * doc is a confusable-spoof duplicate (same skeleton, different raw
+    * bytes would also land here — the skeleton subsumes exact dedup).
+    */
+  def homoglyphDedup(docs: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val sk = md5(confusableSkeleton(col(textCol)))
+    val winners = docs.select(col(idCol), sk.alias("__sk"))
+      .groupBy(col("__sk")).agg(min(col(idCol)).alias("winner"))
+    docs.select(col(idCol), sk.alias("__sk"))
+      .join(winners, Seq("__sk"))
+      .select(col(idCol), col("winner"),
+        (col(idCol) =!= col("winner")).alias("is_dup"))
+  }
 }
