@@ -579,7 +579,9 @@ object Aggregators {
     * smallest id, and the k-th place is unambiguous. `finish` emits the
     * pairs in rank order; explode + posexplode downstream for rank
     * numbers. Buffer arrays stay primitive-encoded (product of two
-    * arrays), no kryo.
+    * arrays), no kryo. NULL scores: the primitive tuple encoder folds
+    * SQL NULL to 0.0 silently — filter null score rows upstream if 0.0
+    * must not compete.
     */
   final case class TopKBuf(scores: Array[Double], ids: Array[Long])
   final class TopKByScore(k: Int)

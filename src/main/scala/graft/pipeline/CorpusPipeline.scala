@@ -170,8 +170,12 @@ object CorpusPipeline {
         TextFunctions.qualityScore(col(textCol), TextAnalysis.defaultStopwords))
       .withColumn("lang_pred", TextAnalysis.langIdCol(col(textCol)))
       .withColumn("__fp", md5(lower(trim(col(textCol)))))
-    val qOk = col("quality_score") >= minQuality
-    val lOk = col("lang_pred").isin(allowedLangs: _*)
+    // NULL-text docs score NULL: coalesce the gates to false so a null
+    // row labels as its failing stage — a bare `when(!gate)` chain would
+    // let three-valued NULLs fall through every branch to 'survived',
+    // disagreeing with curate() (whose filters drop NULL as false)
+    val qOk = coalesce(col("quality_score") >= minQuality, lit(false))
+    val lOk = coalesce(col("lang_pred").isin(allowedLangs: _*), lit(false))
     // exact-dup winners among the docs that reach the exact stage
     val winners = annotated.filter(qOk && lOk)
       .groupBy(col("__fp"))

@@ -316,4 +316,48 @@ class AggregatorSpec extends SparkTestBase {
     plan should include("Aggregate")
     plan should not include "Window"
   }
+
+  test("property: TopKByScore reduce/merge equals sort-take-k for any split of the data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val agg = new graft.functions.Aggregators.TopKByScore(4)
+    val pairGen = Gen.zip(Gen.chooseNum(-100, 100).map(_.toDouble),
+      Gen.chooseNum(0L, 50L))
+    val listGen = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, pairGen))
+    def viaAgg(parts: Seq[Seq[(Double, Long)]]): Seq[(Double, Long)] =
+      agg.finish(parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge))
+    def reference(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      xs.distinct.sortBy(t => (-t._1, t._2)).take(4) // dups of a pair tie anyway
+    val prop = Prop.forAll(listGen, Gen.chooseNum(1, 5)) { (xs, nParts) =>
+      // duplicates of the SAME (score,id) pair collapse in the reference
+      // only if the aggregator keeps both — it does (multiset), so
+      // compare against the raw sorted take instead
+      val want = xs.sortBy(t => (-t._1, t._2)).take(4)
+      val parts = xs.grouped(math.max(1, xs.length / nParts + 1)).toSeq
+      val got = viaAgg(if (parts.isEmpty) Seq(Seq.empty) else parts)
+      got == want
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+      .passed shouldBe true
+  }
+
+  test("property: MultisetSubtract removes exactly one copy per deleted value") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val valGen = Gen.chooseNum(0, 8).map(_.toDouble)
+    val listGen = Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, valGen))
+    val prop = Prop.forAll(listGen, listGen) { (xs, ds) =>
+      val got = Seq((xs, ds)).toDF("xs", "ds")
+        .select(graft.functions.ArrayFunctions.multisetSubtract($"xs", $"ds"))
+        .as[Seq[Double]].head()
+      // reference: walk xs, cancel against a count map of ds
+      val counts = scala.collection.mutable.Map.empty[Double, Int]
+      ds.foreach(d => counts(d) = counts.getOrElse(d, 0) + 1)
+      val want = xs.filter { x =>
+        if (counts.getOrElse(x, 0) > 0) { counts(x) -= 1; false } else true
+      }
+      got == want
+    }
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+      .passed shouldBe true
+  }
 }

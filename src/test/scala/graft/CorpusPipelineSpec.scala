@@ -60,6 +60,19 @@ class CorpusPipelineSpec extends SparkTestBase {
       curated.select($"doc_id").as[Long].collect().toSet
     // one row per input doc, always
     prov.size shouldBe 6
+
+    // NULL-text docs must label as a KILLING stage (three-valued NULL
+    // gates must not fall through to 'survived' — curate drops them:
+    // langIdCol(NULL) is NULL, which its filter treats as false)
+    val withNull = rows.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val pn = CorpusPipeline.provenance(withNull, minQuality = 0.3,
+        allowedLangs = Seq("en"), minJaccard = 0.8)
+      .filter($"doc_id" === 9L).select($"stage").as[String].head()
+    pn shouldBe "language"
+    val (curatedN, _) = CorpusPipeline.curate(withNull, minQuality = 0.3,
+      allowedLangs = Seq("en"), minJaccard = 0.8)
+    curatedN.filter($"doc_id" === 9L).count() shouldBe 0L
   }
 
   test("curation keeps survivors' columns intact plus the scores") {
