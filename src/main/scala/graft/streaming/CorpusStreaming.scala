@@ -155,6 +155,9 @@ object CorpusStreaming {
       minEstJaccard: Double = 0.6, keepIndexVersions: Int = 7)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Dedup
+    require(keepIndexVersions >= 2,
+      s"keepIndexVersions must be >= 2 (strictly-below replay safety), " +
+        s"got $keepIndexVersions") // fail at BUILD time, not mid-stream
     docs.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession

@@ -30,6 +30,9 @@ object MediaStreaming {
   def mediaIngest(media: DataFrame, indexRoot: String, acceptedRoot: String,
       maxHamming: Int = 7, keepIndexVersions: Int = 7)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(keepIndexVersions >= 2,
+      s"keepIndexVersions must be >= 2 (strictly-below replay safety), " +
+        s"got $keepIndexVersions") // fail at BUILD time, not mid-stream
     media.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
