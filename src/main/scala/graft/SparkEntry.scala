@@ -1351,6 +1351,31 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Metadata-only COUNT(*) (sinks/LakeTable.scala fastCount): after an
+    // init and a merge (carried files keep their sidecar rows, fresh files
+    // are measured), the row count comes from the zone-map sidecar alone —
+    // ZERO data files opened, the aggregate-pushdown answer a table format
+    // owes its planner at 100 TB. The oracle recomputes the count from the
+    // logical content.
+    "q_lake_fastcount" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_fastcount"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, statsCols = Seq("o_totalprice"))
+      // delivery: fresh keys only, so the expected count is pure arithmetic
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      val n = graft.sinks.LakeTable.fastCount(s, root)
+        .getOrElse(sys.error("fastCount declined — sidecar incomplete"))
+      import s.implicits._
+      Seq(n).toDF("n_rows")
+    }),
+
     // Bucket-pruned point lookup (sinks/LakeTable.scala lookup): the probe
     // keys' hash buckets are the ONLY files opened — a point query against
     // a 100 TB table reads ≤ |probes| buckets. Value check: the lookup
@@ -5027,6 +5052,12 @@ object SparkEntry {
         |       ROUND(MAX(o_totalprice), 2) AS max_price
         |FROM survivors GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_lake_fastcount" ->
+      """SELECT CAST(COUNT(*) +
+        |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 0)
+        |  AS BIGINT) AS n_rows
+        |FROM orders""".stripMargin,
 
     "q_lake_pointlookup" ->
       """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price
