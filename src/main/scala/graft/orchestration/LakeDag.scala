@@ -118,10 +118,12 @@ object LakeDag {
     case "vacuum_retention" =>
       if (tableExists(spark, conf.tableRoot))
         LakeTable.vacuum(spark, conf.tableRoot, conf.keepVersions)
-      // the view's replay horizon only needs the sync version and head;
-      // keep the same window for operator-friendly time travel
+      // the view retires through ITS OWN vacuum: same keep-newest-k over
+      // the lake versions (widened so the sync'd version stays readable)
+      // PLUS the `_sync` marker sweep — refreshes accrete one marker per
+      // base delivery, and an unswept marker dir grows forever
       if (tableExists(spark, conf.viewRoot))
-        LakeTable.vacuum(spark, conf.viewRoot, conf.keepVersions)
+        MaterializedView.vacuum(spark, conf.viewRoot, conf.keepVersions)
 
     case "audit_report" =>
       // reconcile STORAGE against the SERVED view: table row count (from

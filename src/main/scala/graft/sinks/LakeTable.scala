@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, NumericType, StructType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Keyed lake table with copy-on-write merge — the file-level construction
@@ -218,12 +218,24 @@ object LakeTable {
     *    appears fully written (it IS the staged bytes) — whereas a POSIX
     *    `rename(2)` silently REPLACES an existing destination, which is
     *    exactly the last-writer-wins hazard this guards against.
-    *  - other filesystems (HDFS and friends): `rename` without overwrite,
-    *    which their contract makes atomic-and-exclusive at the namenode.
+    *  - filesystems with atomic-and-exclusive rename (HDFS at the
+    *    namenode, ABFS at the blob service): exists-check + `rename`.
+    *
+    * That second branch is check-then-act and leans on the scheme's
+    * rename contract, so it is ALLOWLISTED: object stores whose rename
+    * is copy+delete-with-overwrite (s3a, plain gcs) would silently
+    * degrade the exclusive claim to last-writer-wins — publish fails
+    * fast on such schemes instead of advertising a guarantee it cannot
+    * keep. Single-writer deployments on those stores can opt out via
+    * Hadoop conf `graft.lake.unsafePublish=true` (documented
+    * last-writer-wins) or front the table with an HDFS/ABFS root.
     *
     * The loser gets [[CommitRaceException]]; its staged file is cleaned,
     * its data files become crash-orphans that [[vacuum]] sweeps.
     */
+  private val exclusiveRenameSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "abfs", "abfss")
+
   private def publish(fs: FileSystem, root: String, m: Manifest): Unit = {
     val dir = new Path(root, "_versions")
     if (!fs.exists(dir)) fs.mkdirs(dir)
@@ -246,6 +258,14 @@ object LakeTable {
       catch { case _: java.nio.file.FileAlreadyExistsException => lost() }
       fs.delete(staged, false)
     } else {
+      val scheme = Option(fs.getUri).map(_.getScheme).getOrElse("unknown")
+      require(exclusiveRenameSchemes.contains(scheme) ||
+        fs.getConf.getBoolean("graft.lake.unsafePublish", false),
+        s"LakeTable publish needs atomic-and-exclusive rename, which " +
+          s"'$scheme' does not guarantee — use an allowlisted scheme " +
+          s"(${exclusiveRenameSchemes.toSeq.sorted.mkString(", ")}) or " +
+          "accept last-writer-wins explicitly with " +
+          "graft.lake.unsafePublish=true for single-writer deployments")
       if (fs.exists(dst)) lost()
       if (!fs.rename(staged, dst)) lost()
     }
@@ -588,6 +608,7 @@ object LakeTable {
     val blooms =
       if (bi < 0) Map.empty[String, Seq[Option[Array[Byte]]]]
       else readBlooms(spark, root, m.version).getOrElse(Map.empty)
+    val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
     // hash exactly as the bloom build did: xxhash64 of the value cast to
     // the column's stored type — one job for the whole value set
     val hs: Seq[Long] =
@@ -602,7 +623,8 @@ object LakeTable {
       val zoneKeep = si < 0 || (stats.get(p) match {
         case Some(st) => (st.mins(si), st.maxs(si)) match {
           case (Some(mn), Some(mx)) =>
-            values.exists(v => statCmp(v, mn) >= 0 && statCmp(v, mx) <= 0)
+            values.exists(v => statCmp(colType, v, mn) >= 0 &&
+              statCmp(colType, v, mx) <= 0)
           case _ => true
         }
         case None => true
@@ -788,22 +810,33 @@ object LakeTable {
     * snapshot the rewrite READS (default: newest) — [[MaterializedView]]
     * uses this to re-apply a crashed refresh on the exact snapshot its
     * sync marker names, making the refresh idempotent; the PUBLISHED
-    * version is always newest+1 so a crash-orphaned version can never be
+    * version is always head+1 so a crash-orphaned version can never be
     * overwritten.
     *
-    * Concurrency: the commit is an exclusive version claim
-    * ([[publish]]); losing the claim re-runs the WHOLE attempt against
-    * the winner's head (fresh manifest read, fresh merge, fresh data
-    * files), so two interleaved writers both land — neither delta is
-    * silently dropped. The loser's first-attempt data files become
-    * crash-orphans for [[vacuum]].
+    * Concurrency: ONE `_versions` listing decides both the head the
+    * attempt merges against (unpinned) and the version it claims —
+    * head+1 OF THAT LISTING — so a commit landing at any point after the
+    * listing collides at [[publish]] and surfaces as a race; it can
+    * never be silently dropped from the next manifest's file list (the
+    * Delta/Iceberg claim discipline). Unpinned writers that lose re-run
+    * the WHOLE attempt against the winner's head (fresh listing, fresh
+    * merge, fresh data files), so interleaved writers all land. PINNED
+    * writers must NOT retry here: their file list derives from the
+    * pinned base, so re-running after a loss would rebuild from a stale
+    * file set and drop the winner's delta — they throw the race to the
+    * caller, who re-bases ([[MaterializedView.refresh]] re-reads its
+    * sync marker and re-runs the whole refresh) or gives up. Either
+    * way the loser's data files become crash-orphans for [[vacuum]].
     */
   private def rewriteTouched(spark: SparkSession, root: String,
       source: DataFrame, apply: (DataFrame, DataFrame) => DataFrame,
-      baseVersion: Option[Long] = None): Long = withCommitRetries() { () =>
+      baseVersion: Option[Long] = None): Long =
+      withCommitRetries(if (baseVersion.isDefined) 1 else 5) { () =>
     val fs = hfs(spark, root)
-    val m = manifest(spark, root, baseVersion)
-    val latest = versions(fs, root).max
+    val vs = versions(fs, root)
+    require(vs.nonEmpty, s"no LakeTable at $root")
+    val latest = vs.max
+    val m = manifest(spark, root, Some(baseVersion.getOrElse(latest)))
     // bounded driver collect: at most numBuckets ints
     val touched = source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -963,14 +996,27 @@ object LakeTable {
       .join(broadcast(p), m.keys, "left_semi")
   }
 
-  /** Numeric when both parse, else lexicographic (ISO dates order
-    * correctly either way) — matches how [[computeStats]] stringifies.
+  /** Compare two sidecar-stringified stat values in the COLUMN's own
+    * ordering — the ordering [[computeStats]]' min/max were taken under.
+    * Numeric columns compare numerically (double parse is monotonic over
+    * the stringified values, so a collapse at extreme magnitudes can only
+    * weaken a strict inequality into equality — conservative keep, never
+    * a wrong prune); every other type compares as the string form, which
+    * IS the native ordering for strings and matches it for ISO-rendered
+    * dates/timestamps and booleans. Parsing "whenever both parse" was
+    * wrong for STRING columns holding digit strings: a file with values
+    * {"2","10"} records min="10"/max="2" under STRING ordering, and a
+    * numeric 10>2 read of that zone dropped files that contain the probe
+    * — wrong rows out of [[readEqAny]], not just scan width.
     */
-  private def statCmp(a: String, b: String): Int =
-    (a.toDoubleOption, b.toDoubleOption) match {
-      case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
-      case _ => a.compareTo(b)
-    }
+  private def statCmp(dt: DataType, a: String, b: String): Int = dt match {
+    case _: NumericType =>
+      (a.toDoubleOption, b.toDoubleOption) match {
+        case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+        case _ => a.compareTo(b)
+      }
+    case _ => a.compareTo(b)
+  }
 
   /** The live files whose `[min,max]` zone for `colName` overlaps
     * `[lo, hi]` — files without a stats entry (or an all-NULL zone) are
@@ -983,11 +1029,12 @@ object LakeTable {
     val i = m.statsCols.indexOf(colName)
     require(i >= 0, s"$colName is not a stats column (have ${m.statsCols})")
     val stats = readStats(spark, root, m.version).getOrElse(Map.empty)
+    val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
     m.files.map(_._1).filter { p =>
       stats.get(p) match {
         case Some(st) => (st.mins(i), st.maxs(i)) match {
           case (Some(mn), Some(mx)) =>
-            statCmp(mx, lo) >= 0 && statCmp(mn, hi) <= 0
+            statCmp(colType, mx, lo) >= 0 && statCmp(colType, mn, hi) <= 0
           case _ => true
         }
         case None => true

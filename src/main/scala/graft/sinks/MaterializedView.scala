@@ -33,7 +33,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * minimum is necessarily IN the low reserve, so the refresh subtracts
   * the delivery's deleted values from the reserve (multiset subtraction),
   * merges the delivery's inserted values, and reads the new extremum off
-  * the reserve head — no base-table access. Only when a delivery wipes a
+  * the reserve head — no base-table access.
+  *
+  * The prefix invariant constrains the INSERT merge: once deletes have
+  * shrunk a reserve below depth k, a group value just past the old
+  * reserve tail is NOT in the reserve, so an inserted value above the
+  * tail may not be the next-smallest survivor — merging it in would put
+  * a non-prefix value where a later delete could surface it as a wrong
+  * minimum. The view therefore carries an exact per-group non-null value
+  * count per min/max column (`__rn_<c>`, self-maintainable: it advances
+  * by Σ sign·IS NOT NULL). A refresh compares the post-subtraction
+  * reserve size against the group's pre-insert survivor count: equal
+  * means the reserve IS the whole group (inserts merge freely, the
+  * prefix just grows); smaller means uncovered survivors exist, and
+  * inserted values above the reserve tail are dropped — they are
+  * re-derivable from the base via the same exhaustion recompute that
+  * already covers reserve wipes. Only when a delivery wipes a
   * group's reserve (deletes its k extrema, or more deletions reach into
   * the reserve range than the refresh collected) does the group fall back
   * to a recompute from the base's new snapshot — and that recompute is
@@ -83,6 +98,16 @@ object MaterializedView {
     */
   private[graft] var lastExhausted: Int = 0
 
+  /** Record table version ↔ view version, one marker file per table
+    * version, claimed EXCLUSIVELY (hard-link create on local
+    * filesystems, no-overwrite rename elsewhere — the [[LakeTable]]
+    * publish discipline). Losing the claim is BENIGN, not an error: two
+    * refreshes that raced to the same table version applied the same
+    * change feed on the same pinned view base, so their published view
+    * versions serve identical aggregate state — the winner's marker
+    * stands and the loser's staged file is discarded, rather than a
+    * POSIX rename silently replacing the winner's marker.
+    */
   private def writeSync(spark: SparkSession, mvRoot: String, s: Sync): Unit = {
     val fs = hfs(spark, mvRoot)
     val dir = new Path(mvRoot, "_sync")
@@ -93,7 +118,16 @@ object MaterializedView {
       s"""{"table_version":${s.tableVersion},"mv_version":${s.mvVersion}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.rename(staged, new Path(dir, s"${s.tableVersion}.json"))
+    val dst = new Path(dir, s"${s.tableVersion}.json")
+    if ("file" == Option(fs.getUri).map(_.getScheme).orNull) {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(staged.toUri.getPath))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      fs.delete(staged, false)
+    } else {
+      if (fs.exists(dst) || !fs.rename(staged, dst)) fs.delete(staged, false)
+    }
   }
 
   private def readSync(spark: SparkSession, mvRoot: String): Sync = {
@@ -180,8 +214,10 @@ object MaterializedView {
     val arrays = minMaxCols.flatMap(c => Seq(
       RAgg(col(c), asc = true, k, s"__rlo_$c"),
       RAgg(col(c), asc = false, k, s"__rhi_$c")))
-    val sums = (lit(1L), "cnt") +:
-      sumCols.map(c => (col(c).cast(SumType), s"sum_$c"))
+    val sums = ((lit(1L), "cnt") +:
+      sumCols.map(c => (col(c).cast(SumType), s"sum_$c"))) ++
+      minMaxCols.map(c =>
+        (when(col(c).isNotNull, 1L).otherwise(0L), s"__rn_$c"))
     saltedReserves(df, groupCols, arrays, sums)
       .select(groupCols.map(col) ++
         Seq(col("cnt")) ++
@@ -189,14 +225,16 @@ object MaterializedView {
         minMaxCols.flatMap(c => Seq(
           try_element_at(col(s"__rlo_$c"), lit(1)).alias(s"min_$c"),
           try_element_at(col(s"__rhi_$c"), lit(1)).alias(s"max_$c"))) ++
-        minMaxCols.flatMap(c => Seq(col(s"__rlo_$c"), col(s"__rhi_$c"))): _*)
+        minMaxCols.flatMap(c => Seq(col(s"__rlo_$c"), col(s"__rhi_$c"),
+          col(s"__rn_$c"))): _*)
   }
 
   /** Full-compute the view at the base table's CURRENT version and record
     * the sync point. View schema: `groupCols`, `cnt` (long), one
     * `sum_<c>` DECIMAL(38,6) per sum column, and — per min/max column, in
     * the base column's own type — `min_<c>`/`max_<c>` plus the internal
-    * reserve arrays `__rlo_<c>`/`__rhi_<c>` ([[read]] hides those).
+    * reserve arrays `__rlo_<c>`/`__rhi_<c>` and the non-null value count
+    * `__rn_<c>` that guards the insert merge ([[read]] hides those).
     */
   def init(spark: SparkSession, tableRoot: String, mvRoot: String,
       groupCols: Seq[String], sumCols: Seq[String],
@@ -227,6 +265,24 @@ object MaterializedView {
     */
   def refresh(spark: SparkSession, tableRoot: String, mvRoot: String,
       reserveDepth: Int = 8, maxRecomputeGroups: Int = 1024): Long = {
+    // Interleaved-refresh discipline: the view write is PINNED to the
+    // sync marker's view version, and pinned LakeTable writes fail
+    // loudly on a commit race instead of retrying against a stale base
+    // (rewriteTouched doc). The loser re-BASES: re-read the sync marker
+    // — if the winner advanced it to the same table version this refresh
+    // is a no-op; if the winner only published (crashed before its
+    // marker), the pinned re-apply converges on the orphan's content.
+    var last: Throwable = null
+    for (_ <- 0 until 5) {
+      try return refreshOnce(spark, tableRoot, mvRoot, reserveDepth,
+        maxRecomputeGroups)
+      catch { case e: LakeTable.CommitRaceException => last = e }
+    }
+    throw last
+  }
+
+  private def refreshOnce(spark: SparkSession, tableRoot: String,
+      mvRoot: String, reserveDepth: Int, maxRecomputeGroups: Int): Long = {
     val sync = readSync(spark, mvRoot)
     val tv = LakeTable.manifest(spark, tableRoot).version
     if (tv == sync.tableVersion) return sync.mvVersion
@@ -269,14 +325,21 @@ object MaterializedView {
           RAgg(ins(c), asc = false, k, s"d_ins_hi_$c"),
           RAgg(del(c), asc = true, k + 1, s"d_del_lo_$c"),
           RAgg(del(c), asc = false, k + 1, s"d_del_hi_$c")))
-        val sums = (col("__sign"), "d_cnt") +: sumCols.map(c =>
-          (col(c).cast(SumType) * col("__sign"), s"d_sum_$c"))
+        val sums = ((col("__sign"), "d_cnt") +: sumCols.map(c =>
+          (col(c).cast(SumType) * col("__sign"), s"d_sum_$c"))) ++
+          minMaxCols.flatMap(c => Seq(
+            (when(col(c).isNotNull, col("__sign")).otherwise(0L),
+              s"d_rn_$c"),
+            (when(col("__sign") === -1L && col(c).isNotNull, 1L)
+              .otherwise(0L), s"d_deln_$c")))
         saltedReserves(withSign, groupCols, arrays, sums)
           .select(groupCols.map(col) ++
             Seq(col("d_cnt")) ++
             sumCols.map(c =>
               col(s"d_sum_$c").cast(SumType).alias(s"d_sum_$c")) ++
-            arrays.map(a => col(a.name)): _*)
+            arrays.map(a => col(a.name)) ++
+            minMaxCols.flatMap(c =>
+              Seq(col(s"d_rn_$c"), col(s"d_deln_$c"))): _*)
       }
     }.localCheckpoint()
 
@@ -324,12 +387,39 @@ object MaterializedView {
         (size(subHi) === 0 && size(dDelHi) > 0) ||
         (size(dDelHi) === k + 1 &&
           try_element_at(dDelHi, lit(k + 1)) >= try_element_at(rhiOld, size(rhiOld))))
-      val newRlo = slice(array_sort(concat(subLo, dInsLo)), 1, k)
-      val newRhi = slice(reverse(array_sort(concat(subHi, dInsHi))), 1, k)
+      // prefix-safe insert merge (class doc): the pre-insert survivor
+      // count preN decides coverage. Covered (post-subtraction reserve ==
+      // the whole group) → inserts merge freely; uncovered → inserts past
+      // the reserve tail are DROPPED, because a survivor the reserve does
+      // not hold may precede them (merging would break the sorted-prefix
+      // invariant and a later in-reserve delete could read a wrong
+      // extremum off the head). Dropped inserts are recoverable only
+      // through the exhaustion recompute, which is exactly where a
+      // too-shallow reserve already lands.
+      val rnOld = coalesce(col(s"__rn_$c"), lit(0L))
+      val dRn = coalesce(col(s"d_rn_$c"), lit(0L))
+      val dDelN = coalesce(col(s"d_deln_$c"), lit(0L))
+      val preN = rnOld - dDelN
+      val covLo = size(subLo).cast("long") === preN
+      val covHi = size(subHi).cast("long") === preN
+      // greatest(...,1): an EMPTY uncovered reserve only occurs on rows
+      // the exhaustion patch overwrites, but the otherwise-branch still
+      // evaluates — index 0 would throw where index 1 yields NULL
+      val insLo = when(covLo, dInsLo).otherwise(
+        graft.functions.ArrayFunctions.boundFilter(dInsLo,
+          try_element_at(subLo, greatest(size(subLo), lit(1))),
+          keepLe = true))
+      val insHi = when(covHi, dInsHi).otherwise(
+        graft.functions.ArrayFunctions.boundFilter(dInsHi,
+          try_element_at(subHi, greatest(size(subHi), lit(1))),
+          keepLe = false))
+      val newRlo = slice(array_sort(concat(subLo, insLo)), 1, k)
+      val newRhi = slice(reverse(array_sort(concat(subHi, insHi))), 1, k)
       Seq(
         try_element_at(newRlo, lit(1)).alias(s"min_$c"),
         try_element_at(newRhi, lit(1)).alias(s"max_$c"),
         newRlo.alias(s"__rlo_$c"), newRhi.alias(s"__rhi_$c"),
+        (rnOld + dRn).alias(s"__rn_$c"),
         exhLo.alias(s"__exlo_$c"), exhHi.alias(s"__exhi_$c"))
     }
     val merged0 = joined.select(baseCols ++ mmCols: _*).localCheckpoint()
@@ -378,7 +468,9 @@ object MaterializedView {
         val rArrays = minMaxCols.flatMap(c => Seq(
           RAgg(col(c), asc = true, k, s"r_rlo_$c"),
           RAgg(col(c), asc = false, k, s"r_rhi_$c")))
-        val recomputed = saltedReserves(restricted, groupCols, rArrays, Nil)
+        val rSums = minMaxCols.map(c =>
+          (when(col(c).isNotNull, 1L).otherwise(0L), s"r_rn_$c"))
+        val recomputed = saltedReserves(restricted, groupCols, rArrays, rSums)
         // patch: exhausted directions take the authoritative values
         // (missing recompute row = every surviving value was NULL)
         merged0.join(recomputed, groupCols, "left")
@@ -396,7 +488,10 @@ object MaterializedView {
                 when(col(s"__exlo_$c"), rlo)
                   .otherwise(col(s"__rlo_$c")).alias(s"__rlo_$c"),
                 when(col(s"__exhi_$c"), rhi)
-                  .otherwise(col(s"__rhi_$c")).alias(s"__rhi_$c"))
+                  .otherwise(col(s"__rhi_$c")).alias(s"__rhi_$c"),
+                when(col(s"__exlo_$c") || col(s"__exhi_$c"),
+                  coalesce(col(s"r_rn_$c"), lit(0L)))
+                  .otherwise(col(s"__rn_$c")).alias(s"__rn_$c"))
             }: _*)
           .localCheckpoint()
       }
@@ -431,6 +526,37 @@ object MaterializedView {
     val df = LakeTable.read(spark, mvRoot,
       Some(readSync(spark, mvRoot).mvVersion))
     df.drop(df.columns.filter(n =>
-      n.startsWith("__rlo_") || n.startsWith("__rhi_")).toSeq: _*)
+      n.startsWith("__rlo_") || n.startsWith("__rhi_") ||
+      n.startsWith("__rn_")).toSeq: _*)
+  }
+
+  /** Bounded retention for the view AND its `_sync` markers (every
+    * refresh accretes one marker — unswept, a long-lived view grows one
+    * JSON per base delivery forever). Keeps the newest `keepLast`
+    * markers, and vacuums the view's lake table to `keepLast` versions
+    * WIDENED so the newest marker's pinned view version always survives
+    * — [[read]] resolves through that marker, so sweeping it out from
+    * under the sync state would break the view it is meant to maintain.
+    * Returns (markers removed, data files removed).
+    */
+  def vacuum(spark: SparkSession, mvRoot: String,
+      keepLast: Int): (Int, Seq[String]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val sync = readSync(spark, mvRoot)
+    val fs = hfs(spark, mvRoot)
+    // the sync'd view version must stay readable: widen table retention
+    // to cover every version from it forward (crash-orphans included)
+    val vs = LakeTable.versions(fs, mvRoot)
+    val coveringSync = vs.count(_ >= sync.mvVersion)
+    val removedFiles =
+      LakeTable.vacuum(spark, mvRoot, math.max(keepLast, coveringSync))
+    val dir = new Path(mvRoot, "_sync")
+    val markers = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") &&
+        n.dropRight(5).forall(_.isDigit) => n.dropRight(5).toLong }
+      .toSeq.sorted
+    val drop = markers.dropRight(keepLast)
+    drop.foreach(v => fs.delete(new Path(dir, s"$v.json"), false))
+    (drop.size, removedFiles)
   }
 }

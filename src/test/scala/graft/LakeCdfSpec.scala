@@ -402,6 +402,126 @@ class LakeCdfSpec extends SparkTestBase {
       .count() shouldBe 1L
   }
 
+  test("string zone maps compare in string order: digit-string stats never mis-prune") {
+    // regression (r10 advice): a file holding {"2","10"} records
+    // min="10"/max="2" under STRING ordering; the old both-parse-numeric
+    // compare evaluated 10 > 2 and PRUNED the file for probe "2" —
+    // wrong rows out of readEqAny, not just scan width.
+    val root = newRoot()
+    val rows = Seq((1L, "2", 1.0), (2L, "10", 2.0), (3L, "aa", 3.0),
+      (4L, "zz", 4.0)).toDF("id", "grp", "score")
+    LakeTable.init(rows, root, Seq("id"), numBuckets = 1,
+      sortCols = Seq("grp"), statsCols = Seq("grp"), maxRecordsPerFile = 2L)
+    // both digit-string probes hit their file; the zone still prunes the
+    // {"aa","zz"} file, so the fix didn't degrade to keep-all
+    LakeTable.readEqAny(spark, root, "grp", Seq("2"))
+      .select($"id").as[Long].collect() shouldBe Array(1L)
+    LakeTable.readEqAny(spark, root, "grp", Seq("10"))
+      .select($"id").as[Long].collect() shouldBe Array(2L)
+    val pruned = LakeTable.eqPrunedPaths(spark, root, "grp", Seq("2")).get
+    pruned.size shouldBe 1
+    // range scan over the same string column agrees with its exact
+    // filter's string comparison ("10" <= "2" lexicographically)
+    LakeTable.readRange(spark, root, "grp", "10", "2")
+      .select($"id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+  }
+
+  test("pinned-base write fails loudly on a commit race instead of clobbering the winner") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    // writer A applies changes PINNED to v0; its source evaluation parks
+    // after the version listing. Writer B lands v1 meanwhile. A's claim
+    // of v1 must surface as a race and NOT retry: a pinned retry would
+    // rebuild the file list from the stale base and drop B's delta.
+    WriterGate.reset()
+    val upserts = Seq((100L, "pinned", 100.0)).toDF("id", "name", "score")
+      .as[(Long, String, Double)]
+      .map { r => WriterGate.awaitOnce(); r }
+      .toDF("id", "name", "score")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(LakeTable.applyChanges(spark, root, upserts,
+      Seq.empty[Long].toDF("id"), baseVersion = Some(0L)))
+    WriterGate.awaitArrival()
+    LakeTable.merge(spark, root,
+      Seq((200L, "winner", 200.0)).toDF("id", "name", "score")) shouldBe 1L
+    WriterGate.open()
+    val thrown = intercept[Exception] {
+      Await.result(a, scala.concurrent.duration.Duration("120s"))
+    }
+    def raceish(t: Throwable): Boolean = t match {
+      case null => false
+      case _: LakeTable.CommitRaceException => true
+      case t => raceish(t.getCause)
+    }
+    assert(raceish(thrown), s"expected CommitRaceException, got $thrown")
+    // the winner's delta is intact and the pinned write left no trace
+    val head = LakeTable.read(spark, root)
+    head.filter($"id" === 200L).count() shouldBe 1L
+    head.filter($"id" === 100L).count() shouldBe 0L
+  }
+
+  test("interleaved refreshes from one sync point converge without double-apply") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val withGrp = (df: DataFrame) => df.withColumn("grp", ($"id" % 2).cast("string"))
+    LakeTable.init(withGrp(base), tRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"))
+    LakeTable.merge(spark, tRoot, withGrp(
+      Seq((100L, "x", 10.0), (101L, "y", 20.0)).toDF("id", "name", "score")))
+    // two refreshes race from the same sync point: the view write is
+    // pinned, so the loser's commit race triggers a re-base (re-read the
+    // sync marker, usually a no-op) instead of a stale-base retry. Both
+    // calls must SUCCEED and the result must equal one application of
+    // the feed — a double-apply would double cnt/sum.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      Future(MaterializedView.refresh(spark, tRoot, mvRoot)),
+      Future(MaterializedView.refresh(spark, tRoot, mvRoot)))
+    fs.foreach(f => Await.result(f, scala.concurrent.duration.Duration("180s")))
+    val got = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"cnt", $"sum_score".cast("double"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = LakeTable.read(spark, tRoot).groupBy("grp")
+      .agg(count(lit(1)).alias("cnt"), sum($"score").alias("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got shouldBe want
+  }
+
+  test("MV vacuum bounds sync markers and keeps the synced version readable") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val withGrp = (df: DataFrame) => df.withColumn("grp", ($"id" % 2).cast("string"))
+    LakeTable.init(withGrp(base), tRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"))
+    for (i <- 1 to 4) {
+      LakeTable.merge(spark, tRoot, withGrp(
+        Seq((100L + i, s"d$i", i * 1.0)).toDF("id", "name", "score")))
+      MaterializedView.refresh(spark, tRoot, mvRoot)
+    }
+    val syncDir = new Path(mvRoot, "_sync")
+    val hfs = syncDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markers() = hfs.listStatus(syncDir)
+      .count(_.getPath.getName.endsWith(".json"))
+    markers() shouldBe 5 // init + 4 refreshes, one per table version
+    val (dropped, _) = MaterializedView.vacuum(spark, mvRoot, keepLast = 2)
+    dropped shouldBe 3
+    markers() shouldBe 2
+    // the view still serves through the retained marker, exactly
+    val got = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = LakeTable.read(spark, tRoot).groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe want
+    // and another delivery + refresh still advances it
+    LakeTable.merge(spark, tRoot, withGrp(
+      Seq((200L, "post", 9.0)).toDF("id", "name", "score")))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    MaterializedView.read(spark, mvRoot)
+      .agg(sum($"cnt")).head().getLong(0) shouldBe
+      LakeTable.read(spark, tRoot).count()
+  }
+
   test("multisetSubtract cancels one copy per deleted value, any element type, in one wide projection") {
     import graft.functions.ArrayFunctions.multisetSubtract
     val df = Seq((Seq(1.0, 2.0, 2.0, 3.0), Seq(2.0, 5.0)))
@@ -486,6 +606,61 @@ class LakeCdfSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3))).toSet
     got shouldBe want
+  }
+
+  test("shallow reserve drops inserts past its tail: delete-insert-delete reads true min") {
+    // regression (r10 advice): group {2,3,3.8,4} at k=2 → rlo [2,3].
+    // delete 2 → [3]; insert 3.9 — 3.8 is an UNCOVERED survivor between
+    // the tail and the insert, so merging 3.9 would break the sorted
+    // prefix; delete 3 must then surface 3.8, not 3.9. The coverage
+    // count (__rn) is what tells the shallow merge 3.9 is unsafe.
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val rows = Seq((1L, "g", 2.0), (2L, "g", 3.0), (3L, "g", 3.8),
+      (4L, "g", 4.0)).toDF("id", "grp", "score")
+    LakeTable.init(rows, tRoot, Seq("id"), numBuckets = 2)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"),
+      minMaxCols = Seq("score"), reserveDepth = 2)
+    def mm(): (Double, Double) = {
+      val r = MaterializedView.read(spark, mvRoot)
+        .select($"min_score", $"max_score").head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    LakeTable.delete(spark, tRoot, Seq(1L).toDF("id")) // delete 2.0
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 2)
+    MaterializedView.lastExhausted shouldBe 0
+    mm()._1 shouldBe 3.0
+    LakeTable.merge(spark, tRoot, Seq((5L, "g", 3.9)).toDF("id", "grp", "score"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 2)
+    mm()._1 shouldBe 3.0
+    LakeTable.delete(spark, tRoot, Seq(2L).toDF("id")) // delete 3.0
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 2)
+    mm()._1 shouldBe 3.8 // NOT 3.9 — the buggy merge reported 3.9 here
+    // and the mirrored HI direction: {2,3,3.8,4,3.9} rhi [4,3.9] after
+    // the deletes above is exercised by the same refreshes — check it
+    mm()._2 shouldBe 4.0
+    // full history equals a from-scratch recompute
+    val want = LakeTable.read(spark, tRoot).groupBy("grp")
+      .agg(min($"score"), max($"score")).head()
+    mm() shouldBe ((want.getDouble(1), want.getDouble(2)))
+  }
+
+  test("covered small group keeps absorbing: inserts above tail merge when reserve is the whole group") {
+    // coverage counting must NOT over-drop: a group smaller than k is
+    // fully covered, so an insert above the tail extends the prefix and
+    // a later delete of the head absorbs O(delta) with no recompute.
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val rows = Seq((1L, "g", 5.0)).toDF("id", "grp", "score")
+    LakeTable.init(rows, tRoot, Seq("id"), numBuckets = 2)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"),
+      minMaxCols = Seq("score"), reserveDepth = 4)
+    LakeTable.merge(spark, tRoot, Seq((2L, "g", 7.0)).toDF("id", "grp", "score"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 4)
+    LakeTable.delete(spark, tRoot, Seq(1L).toDF("id")) // delete 5.0
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 4)
+    MaterializedView.lastExhausted shouldBe 0 // 7.0 was merged, not dropped
+    val r = MaterializedView.read(spark, mvRoot)
+      .select($"min_score", $"max_score").head()
+    (r.getDouble(0), r.getDouble(1)) shouldBe ((7.0, 7.0))
   }
 
   test("min/max reserve shrinks across deliveries, then exhausts and refills") {
