@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -56,15 +56,18 @@ object QualityClassifier {
       .fit(labeled.withColumn("__features",
         array_to_vector(featureArray(col(textCol), stopwords))))
 
-  /** Score `docs`: adds `quality_prob` (P(high quality) in [0,1]). */
+  /** Score `docs`: adds `quality_prob` (P(high quality) in [0,1]).
+    * The probability vector unpacks through `vector_to_array` +
+    * `element_at` — native expressions end to end, no Scala UDF (closure
+    * serialization, boxed eval, no codegen) in the scoring scan.
+    */
   def score(model: LogisticRegressionModel, docs: DataFrame, textCol: String,
-      stopwords: Seq[String] = TextAnalysis.defaultStopwords): DataFrame = {
-    val probToDouble = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+      stopwords: Seq[String] = TextAnalysis.defaultStopwords): DataFrame =
     model
       .transform(docs.withColumn("__features",
         array_to_vector(featureArray(col(textCol), stopwords))))
-      .withColumn("quality_prob", probToDouble(col(model.getProbabilityCol)))
+      .withColumn("quality_prob",
+        element_at(vector_to_array(col(model.getProbabilityCol)), 2))
       .drop("__features", model.getRawPredictionCol, model.getProbabilityCol,
         model.getPredictionCol)
-  }
 }

@@ -132,6 +132,7 @@ object TextAnalysis {
     * either truncate/split the straddler (the usual LLM pretraining choice)
     * or cap document length upstream. `numShards = 1` degenerates to the
     * single-sequence global packing (small-data / strict-order use only).
+    * A caller-supplied `shard` is honored regardless of `numShards`.
     */
   def packSequences(docs: DataFrame, orderCol: String, tokenCol: String,
       budget: Long, numShards: Int = 64, shard: Option[Column] = None): DataFrame = {
@@ -149,9 +150,12 @@ object TextAnalysis {
     require(shard.isDefined || !docs.columns.contains("shard"),
       "packSequences emits 'shard' — rename the input's column, or pass it " +
         "explicitly via the shard parameter")
-    val shardCol =
+    // a caller-supplied shard is honored regardless of numShards (same
+    // contract as chunkConcatenated — numShards only sizes the DEFAULT
+    // hash sharding, it must not silently discard an explicit expression)
+    val shardCol = shard.getOrElse(
       if (numShards == 1) lit(0L)
-      else shard.getOrElse(pmod(hash(col(orderCol)), lit(numShards))).cast("long")
+      else pmod(hash(col(orderCol)), lit(numShards))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(col(orderCol))

@@ -130,6 +130,22 @@ class RedactionSpec extends SparkTestBase {
     multiline should include("next steps")
   }
 
+  test("confusable skeleton boundary: mapped homoglyphs fold, unmapped ones pass through") {
+    import graft.operators.TextCleaning
+    def sk(s: String): String = Seq(Tuple1(s)).toDF("text")
+      .select(TextCleaning.confusableSkeleton($"text")).as[String].head()
+    // mapped: Cyrillic о (U+043E) and Greek ο (U+03BF) fold to Latin o —
+    // the spoofed twin skeletons collide
+    sk("gооd wοrd") shouldBe sk("good word")
+    // boundary pin: the map is a deliberate high-frequency TR39 SUBSET
+    // (doc on confusableFrom) — Greek α (U+03B1), a TR39 confusable of
+    // 'a' that is NOT in the subset, must pass through UNCHANGED rather
+    // than silently folding; widening the map is a conscious decision
+    // that must land in the oracle's literal translate too
+    sk("dαta") should not be sk("data")
+    sk("dαta") shouldBe "dαta"
+  }
+
   test("repetition signals measure duplicated lines and 2-grams") {
     val docs = Seq(
       (1L, "spam spam spam spam"),                 // 3 identical 2-grams
