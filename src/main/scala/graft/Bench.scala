@@ -31,6 +31,13 @@ import org.apache.spark.sql.SparkSession
   * rounds had no lifecycle contracts). One 2× bar over the blended
   * average stopped meaning anything once 50+ lifecycle contracts joined;
   * the tiers keep both signals honest.
+  *
+  * DRIFT: each parity query's warm median is compared against the
+  * committed same-SF recording (`bench_ref.json`, override with
+  * `SPARK_GRAFT_BENCH_REF`); queries past 2.5× (`SPARK_GRAFT_BENCH_
+  * DRIFT_FACTOR`) are LISTED in `drift` — flagged, not failed (see
+  * [[driftOutliers]]). `drift_ref_queries` says how many reference
+  * entries were comparable (0 = different SF or no ref file: gate off).
   */
 object Bench {
 
@@ -46,6 +53,42 @@ object Bench {
     name == "q_insert_ignore" || name == "q_upsert_merge" ||
     name == "q_freshness_gate" || name == "q_orc_roundtrip" ||
     name == "q_zorder_layout"
+
+  /** Parse `queries_warm` out of a committed bench recording, but ONLY
+    * when its `sf` basename matches the current run's — cross-SF ratios
+    * are meaningless. Hand-rolled parse of our own render, like every
+    * sidecar in this repo.
+    */
+  private[graft] def refWarmTimes(refJson: String, sfDir: String): Map[String, Double] = {
+    val sameSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(refJson).exists(m =>
+      new java.io.File(m.group(1)).getName == new java.io.File(sfDir).getName)
+    if (!sameSf) Map.empty
+    else {
+      val tag = "\"queries_warm\":{"
+      val at = refJson.indexOf(tag)
+      if (at < 0) Map.empty
+      else {
+        val body = refJson.substring(at + tag.length, refJson.indexOf('}', at))
+        "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+  }
+
+  /** Warm-median regression gate: the (name, warm, ref, ratio) rows whose
+    * warm median exceeds `factor` × the committed recording. The bench
+    * FLAGS these in a `drift` field rather than failing the run — the
+    * documented failure mode is shared-box load inflating totals across
+    * identical-code runs, and a flag turns that from narrative into
+    * machinery without letting a noisy box fail a correct build.
+    */
+  private[graft] def driftOutliers(results: Seq[(String, Double, Double)],
+      ref: Map[String, Double],
+      factor: Double): Seq[(String, Double, Double, Double)] =
+    results.collect {
+      case (n, _, w) if w >= 0 && ref.get(n).exists(r => r > 0 && w > factor * r) =>
+        (n, w, ref(n), w / ref(n))
+    }.sortBy(-_._4)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -100,10 +143,24 @@ object Bench {
         s""""warm_per_query":${f"$per%.4f"}}"""
     }
     val (life, parity) = results.partition(r => isLifecycle(r._1))
+    // drift gate (see driftOutliers): parity-tier warm medians vs the
+    // committed same-SF recording at bench_ref.json
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+    val driftFactor = sys.env.get("SPARK_GRAFT_BENCH_DRIFT_FACTOR")
+      .map(_.toDouble).getOrElse(2.5)
+    val refWarm = try refWarmTimes(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(refPath)), sfDir)
+      catch { case _: Exception => Map.empty[String, Double] }
+    val drift = driftOutliers(parity, refWarm, driftFactor)
+    val driftJson = drift.map { case (n, w, r, ratio) =>
+      s"""{"q":"$n","warm":${f"$w%.3f"},"ref":${f"$r%.3f"},""" +
+        s""""ratio":${f"$ratio%.2f"}}""" }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$coldTotal,"unit":"sec","valid":${failed.isEmpty},""" +
         s""""warm_total":$warmTotal,"warm_runs":$warmRuns,""" +
         s""""tiers":{${tierJson("parity", parity)},${tierJson("lifecycle", life)}},""" +
+        s""""drift":$driftJson,"drift_factor":$driftFactor,""" +
+        s""""drift_ref_queries":${refWarm.size},""" +
         s""""queries":${timesJson(_._2)},""" +
         s""""queries_warm":${timesJson(_._3)},""" +
         s""""failures":[${failed.mkString(",")}],"sf":"$sfDir"}"""

@@ -1,10 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc profiling main (not part of the driver contract):
   * `runMain graft.Scratch <queryName> [explain]` — times three runs of one
   * registered query (run 1 ≈ cold, run 3 ≈ warm) and optionally prints the
-  * formatted plan.
+  * formatted plan. `runMain graft.Scratch corpus_export_legs` instead
+  * times the composed export's four legs separately (funnel, +paragraph
+  * rewrite, +gzip write, read-back+invariants) — the stage breakdown
+  * behind `q_corpus_export`'s floor note and its 30× scale entry.
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -12,11 +16,13 @@ object Scratch {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val name = args(0)
+    if (name == "corpus_export_legs") { exportLegs(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
@@ -25,5 +31,56 @@ object Scratch {
     }
     if (args.length > 1 && args(1) == "explain") fn(spark, sfDir).explain("formatted")
     spark.stop()
+  }
+
+  /** q_corpus_export stage breakdown. Legs are CUMULATIVE pipelines
+    * (funnel ⊂ rewrite ⊂ write), so leg deltas attribute time to the
+    * stage added; the read-back leg reuses the leg-3 export on disk.
+    * Three runs each, min reported (same discipline as ScaleProof).
+    */
+  private def exportLegs(spark: SparkSession, sfDir: String): Unit = {
+    val langs = Seq("en", "es", "fr", "de", "zh", "und")
+    val out = System.getProperty("java.io.tmpdir") + "/graft_export_legs"
+    def docs() = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def timed(label: String)(body: => Long): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      println(f"[legs] $label%-22s min=${ts.map(_._1).min}%6.2fs " +
+        f"runs=${ts.map(t => f"${t._1}%.2f").mkString(",")} rows=${ts.head._2}")
+    }
+    timed("funnel") {
+      val (c, _) = graft.pipeline.CorpusPipeline.curate(docs(),
+        minQuality = 0.0, allowedLangs = langs)
+      c.count()
+    }
+    timed("funnel+rewrite") {
+      val (c, _) = graft.pipeline.CorpusPipeline.curate(docs(),
+        minQuality = 0.0, allowedLangs = langs, segmentDedup = true)
+      c.count()
+    }
+    timed("funnel+rewrite+write") {
+      val (c, r) = graft.pipeline.CorpusPipeline.curate(docs(),
+        minQuality = 0.0, allowedLangs = langs, segmentDedup = true,
+        jsonlPath = Some(out), jsonlShards = 16)
+      c.count(); r.afterNearDup
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    timed("readback+invariants") {
+      val back = graft.sinks.CorpusJsonl.read(spark, out, schema)
+      back.select(col("doc_id"), length(col("text")).alias("back_len"))
+        .join(docs().select(col("doc_id"),
+          length(col("text")).alias("orig_len")), Seq("doc_id"), "left")
+        .agg(count(lit(1)),
+          coalesce(sum(when(col("back_len") > col("orig_len"), 1L)), lit(0L)))
+        .head().getLong(0)
+    }
   }
 }

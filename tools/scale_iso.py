@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Isolated-session scale proof driver.
+
+The full-session ScaleProof run (all 20 heavy queries in one JVM) is a
+fine smoke, but its RATIOS mislead for queries whose sf0.1 denominator
+is near the session's fixed-overhead floor: r9 headlined 3.0x for
+q_dedup_incremental_neardup when the isolated truth was 1.94x. This
+driver runs ScaleProof once PER QUERY (fresh JVM, cold+warm at both
+scales, nothing else contending in-process) and merges the per-session
+JSONs into one SCALEPROOF-shaped file.
+
+Usage: python3 tools/scale_iso.py OUT.json [COPIES] [QUERY...]
+  COPIES defaults to 10 (blow-up dir /tmp/graft_sf1); 30 -> graft_sf3,
+  100 -> graft_sf10. With no QUERY args, all 20 heavy queries run.
+
+Note on filters: SPARK_GRAFT_SCALE_FILTER is substring-matched, so the
+session for q_tpch_q1 also runs q_tpch_q10 — the merge keeps only each
+session's TARGET query, and heavyAll order runs the target first, so
+its cold/warm numbers are uncontaminated.
+"""
+import json, os, subprocess, sys
+
+HEAVY = ["q_dedup_minhash", "q_corpus_funnel", "q_quality_classifier",
+         "q_embedding_spread", "q_join_asof", "q_tpch_q1", "q_tpch_q3",
+         "q_tpch_q5", "q_tpch_q6", "q_tpch_q10",
+         "q_corpus_export", "q_split_leakage_safe", "q_ann_ivfpq_indexed",
+         "q_epoch_export", "q_dedup_incremental_neardup",
+         "q_lake_cdf", "q_mv_incremental", "q_pagerank",
+         "q_bm25_index_append", "q_mv_minmax"]
+
+def main():
+    out_path = sys.argv[1]
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    queries = sys.argv[3:] or HEAVY
+    sf1_dir = {10: "/tmp/graft_sf1", 30: "/tmp/graft_sf3",
+               100: "/tmp/graft_sf10"}.get(copies, f"/tmp/graft_sf_{copies}x")
+    small, big, ratio = {}, {}, {}
+    for q in queries:
+        iso = f"/tmp/scale_iso_{q}.json"
+        env = dict(os.environ,
+                   SPARK_GRAFT_SCALE_FILTER=q,
+                   SPARK_GRAFT_SCALE_OUT=iso,
+                   SPARK_GRAFT_SCALE_COPIES=str(copies),
+                   SPARK_GRAFT_SF1_DIR=sf1_dir)
+        r = subprocess.run(["sbt", "-batch", "runMain graft.ScaleProof"],
+                           env=env, capture_output=True, text=True)
+        if r.returncode != 0 and not os.path.exists(iso):
+            print(f"[iso] {q} FAILED rc={r.returncode}", file=sys.stderr)
+            print(r.stdout[-2000:], file=sys.stderr)
+            sys.exit(1)
+        d = json.load(open(iso))
+        small[q] = d["sf01"][q]
+        big[q] = d["sf1"][q]
+        ratio[q] = d["ratio"][q]
+        print(f"[iso] {q:32s} {copies}x ratio={ratio[q]:5.2f} "
+              f"warm {small[q]['warm']:.2f}s -> {big[q]['warm']:.2f}s",
+              flush=True)
+    doc = {"metric": f"scale_ratio_max_{copies}x_isolated",
+           "value": max(ratio.values()),
+           "unit": f"x_warm_time_for_{copies}x_data",
+           "isolation": "one fresh JVM per query (cold + 2 warm, min)",
+           "sf01": small, f"sf{copies}x": big, "ratio": ratio}
+    json.dump(doc, open(out_path, "w"), indent=1)
+    print(f"[iso] wrote {out_path}; max ratio {doc['value']:.2f}")
+
+if __name__ == "__main__":
+    main()
