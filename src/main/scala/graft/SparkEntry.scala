@@ -1376,6 +1376,74 @@ object SparkEntry {
       Seq(n).toDF("n_rows")
     }),
 
+    // Metadata-only MIN/MAX (sinks/LakeTable.scala fastMinMax): the
+    // global extrema of the stats columns answered from the zone-map
+    // sidecar alone — per-file extrema are exact and files immutable, so
+    // the table min is the least per-file min; zero data files open. The
+    // delivery SHIFTS prices up, so the true max lives in a fresh file
+    // and the answer proves the sidecar's O(delta) carry-forward merged
+    // fresh-file stats correctly. Oracle recomputes both extrema from
+    // the raw rows plus the same arithmetic delivery.
+    "q_lake_faststats" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_faststats"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, statsCols = Seq("o_totalprice", "o_orderdate"))
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000000.0))
+      def mm(c: String) = graft.sinks.LakeTable.fastMinMax(s, root, c)
+        .getOrElse(sys.error(s"fastMinMax declined for $c"))
+      val (mnP, mxP) = mm("o_totalprice")
+      val (mnD, mxD) = mm("o_orderdate")
+      import s.implicits._
+      Seq(1).toDF("one").select(
+        round(lit(mnP.orNull).cast("double"), 2).alias("min_price"),
+        round(lit(mxP.orNull).cast("double"), 2).alias("max_price"),
+        date_format(lit(mnD.orNull).cast("timestamp"), "yyyy-MM-dd")
+          .alias("min_date"),
+        date_format(lit(mxD.orNull).cast("timestamp"), "yyyy-MM-dd")
+          .alias("max_date"))
+    }),
+
+    // Dynamic file pruning (sinks/LakeTable.scala dynamicPrunedScan):
+    // the dim ⋈ fact join where the dim FILTER decides which fact files
+    // open — the build side's surviving keys are collected driver-side
+    // (bounded) and pruned through the fact's zone map + bloom sidecars
+    // before any data file is read; the broadcast join then applies the
+    // exact predicate. The fact table is clustered on the join column
+    // (sortCols + rolled files), so each customer's orders live in few
+    // files — the 100 TB shape: a dim filtered to thousands of keys
+    // opens a sliver of the fact. Oracle is the plain join.
+    "q_lake_dfp" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_dfp"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, sortCols = Seq("o_custkey"),
+        statsCols = Seq("o_custkey"), bloomCols = Seq("o_custkey"),
+        maxRecordsPerFile = 4096L)
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("c_custkey") % 50 === 0)
+        .select(col("c_custkey"))
+      val fact = graft.sinks.LakeTable.dynamicPrunedScan(s, root,
+        "o_custkey", dim)
+      fact.join(broadcast(dim), fact("o_custkey") === dim("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).alias("n_orders"),
+          round(sum(col("o_totalprice")), 2).alias("sum_price"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Bucket-pruned point lookup (sinks/LakeTable.scala lookup): the probe
     // keys' hash buckets are the ONLY files opened — a point query against
     // a 100 TB table reads ≤ |probes| buckets. Value check: the lookup
@@ -5058,6 +5126,26 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 0)
         |  AS BIGINT) AS n_rows
         |FROM orders""".stripMargin,
+
+    "q_lake_faststats" ->
+      """WITH all_rows AS (
+        |  SELECT o_totalprice, o_orderdate FROM orders
+        |  UNION ALL
+        |  SELECT o_totalprice + 1000000.0, o_orderdate FROM orders
+        |  WHERE o_orderkey % 13 = 0
+        |)
+        |SELECT ROUND(MIN(o_totalprice), 2) AS min_price,
+        |       ROUND(MAX(o_totalprice), 2) AS max_price,
+        |       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+        |       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+        |FROM all_rows""".stripMargin,
+
+    "q_lake_dfp" ->
+      """SELECT c_custkey, COUNT(*) AS n_orders,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 = 0
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
     "q_lake_pointlookup" ->
       """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price

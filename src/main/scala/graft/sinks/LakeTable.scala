@@ -714,6 +714,86 @@ object LakeTable {
     }
   }
 
+  /** Global MIN/MAX of a stats column from metadata alone — the other
+    * aggregate the zone-map sidecar can answer without opening a data
+    * file: the table min is the least per-file min (per-file extrema are
+    * exact, files are immutable). Returns the stringified pair
+    * `(min, max)` in [[computeStats]]' `CAST(x AS STRING)` form —
+    * `(None, None)` for an all-NULL column — or declines with an outer
+    * None when metadata can't answer EXACTLY: deletion vectors
+    * outstanding (the deleted row may be an extremum), a sidecar gap, a
+    * non-stats column, or two distinct numeric strings that collapse
+    * under double compare (beyond-precision decimals — ordering them
+    * from strings would be a guess). Callers fall back to
+    * `read(...).agg(min, max)`.
+    */
+  def fastMinMax(spark: SparkSession, root: String, colName: String,
+      version: Option[Long] = None): Option[(Option[String], Option[String])] = {
+    val m = manifest(spark, root, version)
+    val i = m.statsCols.indexOf(colName)
+    if (m.dvFiles.nonEmpty || i < 0) return None
+    val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
+    readStats(spark, root, m.version).flatMap { stats =>
+      val perFile = m.files.map(f => stats.get(f._1))
+      // ties that compare 0 but differ as strings are unorderable from
+      // the sidecar (double-precision collapse) — decline, never guess
+      def pick(vals: Seq[String], want: Int): Option[Option[String]] =
+        vals.foldLeft(Option(Option.empty[String])) {
+          case (None, _) => None
+          case (Some(None), v) => Some(Some(v))
+          case (Some(Some(best)), v) =>
+            val c = statCmp(colType, v, best)
+            if (c == 0 && v != best) None
+            else Some(Some(if (Integer.signum(c) == want) v else best))
+        }
+      if (perFile.exists(_.isEmpty)) None
+      else for {
+        mn <- pick(perFile.flatten.flatMap(_.mins(i)), -1)
+        mx <- pick(perFile.flatten.flatMap(_.maxs(i)), 1)
+      } yield (mn, mx)
+    }
+  }
+
+  /** (files opened, live files) of the last [[dynamicPrunedScan]] this
+    * JVM ran — None when the key bound forced the full-scan fallback.
+    * Test pin for the pruning contract; not part of the public API.
+    */
+  private[graft] var lastDfpScan: Option[(Int, Int)] = None
+
+  /** Dynamic file pruning for a dim ⋈ fact join on a lake fact table —
+    * the runtime analog of Spark's dynamic partition pruning, decided
+    * against this format's own sidecars: collect the (already filtered)
+    * build side's distinct join keys driver-side, bounded by `maxKeys`,
+    * and open only the fact files whose zone map / bloom might hold one
+    * of them ([[eqPrunedPaths]]). Returns a SUPERSET scan — the rows of
+    * the surviving files, dv-applied — and the caller's join supplies
+    * the exact predicate, exactly as a pruned scan under a join does in
+    * any table format. Past the key bound (or with no sidecar on
+    * `factCol`) it degrades to the full scan, never a wrong prune: at
+    * 100 TB, a dim filtered to thousands of keys skips every fact file
+    * outside those keys' zones without a shuffle or a data-file read to
+    * decide.
+    */
+  def dynamicPrunedScan(spark: SparkSession, root: String, factCol: String,
+      dimKeys: DataFrame, maxKeys: Int = 10000,
+      version: Option[Long] = None): DataFrame = {
+    require(dimKeys.columns.length == 1,
+      s"dimKeys must be a single key column, got ${dimKeys.columns.toSeq}")
+    val m = manifest(spark, root, version)
+    val colType = StructType.fromDDL(m.schemaDdl)(factCol).dataType
+    val keys = dimKeys
+      .select(col(dimKeys.columns.head).cast(colType).cast("string"))
+      .na.drop().distinct().limit(maxKeys + 1)
+      .collect().map(_.getString(0)).toSeq
+    val paths =
+      if (keys.size > maxKeys) None
+      else eqPrunedPaths(spark, root, factCol, keys, version)
+    lastDfpScan = paths.map(p => (p.size, m.files.size))
+    applyDv(spark, root, m,
+      readFiles(spark, root, m, paths.getOrElse(m.files.map(_._1))),
+      m.dvFiles)
+  }
+
   /** Timestamp time travel: the newest version whose manifest was
     * PUBLISHED at or before `asOfMillis` (manifests stamp their publish
     * wall-clock; see [[render]]). Driver-side metadata walk — no data file

@@ -696,4 +696,53 @@ class LakeCdfSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     mins() shouldBe want
   }
+
+  test("fastMinMax answers from the sidecar, declines under deletion vectors") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4,
+      statsCols = Seq("score", "name"))
+    // delivery shifts scores UP: the true max must come from a fresh file
+    LakeTable.merge(spark, root,
+      Seq((101L, "zz", 108.0), (102L, "aa", 102.0))
+        .toDF("id", "name", "score"))
+    LakeTable.fastMinMax(spark, root, "score") shouldBe
+      Some((Some("1.0"), Some("108.0")))
+    LakeTable.fastMinMax(spark, root, "name") shouldBe
+      Some((Some("a"), Some("zz")))
+    // a non-stats column can't answer
+    LakeTable.fastMinMax(spark, root, "id") shouldBe None
+    // a MoR deletion vector may have removed an extremum: decline...
+    LakeTable.deleteMor(spark, root, Seq(101L).toDF("id"))
+    LakeTable.fastMinMax(spark, root, "score") shouldBe None
+    // ...until the rewrite folds it in and the sidecar is exact again
+    LakeTable.compactDeletes(spark, root)
+    LakeTable.fastMinMax(spark, root, "score") shouldBe
+      Some((Some("1.0"), Some("102.0")))
+  }
+
+  test("dynamicPrunedScan opens only the build keys' files; key bound falls back") {
+    val root = newRoot()
+    val fact = (1L to 4000L).map(i => (i, i % 40, i * 0.5))
+      .toDF("id", "k", "v")
+    LakeTable.init(fact, root, Seq("id"), numBuckets = 2,
+      sortCols = Seq("k"), statsCols = Seq("k"), bloomCols = Seq("k"),
+      maxRecordsPerFile = 256L)
+    val dim = Seq(3L, 17L).toDF("k")
+
+    val pruned = LakeTable.dynamicPrunedScan(spark, root, "k", dim)
+    val (opened, total) = LakeTable.lastDfpScan.get
+    assert(opened < total, s"expected a pruned scan, opened $opened/$total")
+    val got = pruned.join(dim.withColumnRenamed("k", "dk"),
+        $"k" === $"dk")
+      .agg(count(lit(1)), sum($"v")).head()
+    // k=3: Σ(3+40j)/2 = 99150; k=17: Σ(17+40j)/2 = 99850 (j = 0..99)
+    (got.getLong(0), got.getDouble(1)) shouldBe ((200L, 199000.0))
+
+    // past the key bound: full scan (diagnostic None), same join answer
+    val wide = (0L until 40L).toDF("k")
+    val full = LakeTable.dynamicPrunedScan(spark, root, "k", wide,
+      maxKeys = 10)
+    LakeTable.lastDfpScan shouldBe None
+    full.count() shouldBe 4000L
+  }
 }
