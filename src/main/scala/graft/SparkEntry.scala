@@ -1351,6 +1351,47 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Approx-count-distinct materialized view (sinks/MaterializedView
+    // approxNdCols): per-group DataSketches HLL sketches maintained
+    // incrementally — the insert delivery UNIONS into each group's sketch
+    // (register-max merge, O(delta)); the delete delivery flags its groups
+    // and rides the exhausted-group recompute, since a sketch cannot
+    // retract. The serving query checks the estimate against the base's
+    // EXACT per-group distinct count (lgK=12 ⇒ ~0.8% rse; 5% bound is
+    // >5σ), so the oracle's literal TRUE is an honest assertion, not a
+    // tautology — the exact count itself is value-compared too.
+    "q_mv_approx_distinct" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_mv_nd_base"
+      val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_nd_view"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(root, mv).foreach(p => new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(conf).delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16)
+      graft.sinks.MaterializedView.init(s, root, mv,
+        Seq("o_orderpriority"), Seq("o_totalprice"), numBuckets = 4,
+        approxNdCols = Seq("o_custkey"))
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      graft.sinks.MaterializedView.refresh(s, root, mv)
+      val view = graft.sinks.MaterializedView.read(s, mv)
+        .select(col("o_orderpriority"), col("cnt"),
+          col("appx_nd_o_custkey"))
+      val exact = graft.sinks.LakeTable.read(s, root)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).alias("nd_exact"))
+      view.join(exact, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("cnt"), col("nd_exact"),
+          (abs(col("appx_nd_o_custkey") - col("nd_exact")) /
+            col("nd_exact") < 0.05).alias("within_bound"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Metadata-only COUNT(*) (sinks/LakeTable.scala fastCount): after an
     // init and a merge (carried files keep their sidecar rows, fresh files
     // are measured), the row count comes from the zone-map sidecar alone —
@@ -5083,6 +5124,17 @@ object SparkEntry {
         |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
         |         AS sum_price
         |FROM v2 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_mv_approx_distinct" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
+        |  WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+        |    AND o_orderkey % 10 <> 4)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_exact,
+        |       CAST(1 AS BOOLEAN) AS within_bound
+        |FROM survivors GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_mv_minmax" ->
       """WITH v0 AS (

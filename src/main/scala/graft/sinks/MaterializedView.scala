@@ -57,6 +57,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * declared in `statsCols`/`bloomCols`, so even the fallback opens only
   * the files that can hold those groups rather than scanning the table.
   *
+  * `approx count distinct` (opt-in via `approxNdCols`) is maintained as
+  * a per-group DataSketches HLL sketch (`__hll_<c>`, Spark's native
+  * `hll_sketch_agg`/`hll_union` — registers merge by max, so insert
+  * maintenance is an associative union that commutes with any delivery
+  * order and costs O(delta)). A sketch cannot retract: a delivery that
+  * deletes a non-null value of the column flags the group and rides the
+  * SAME exhausted-group recompute as a wiped min/max reserve — pruned to
+  * those groups' files through the base's sidecars. [[read]] derives
+  * `appx_nd_<c>` from the sketch like `avg` derives from sum/count.
+  *
   * Scale shape, end to end: the CDF read is O(changed buckets) of the
   * base table ([[LakeTable.changes]]); the delta aggregation shuffles
   * only change rows, and the reserve deltas ride a salted two-phase hash
@@ -150,9 +160,10 @@ object MaterializedView {
   }
 
   private def aggregate(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String]): DataFrame = {
-    val aggs = count(lit(1)).alias("cnt") +: sumCols.map(c =>
-      sum(col(c).cast(SumType)).cast(SumType).alias(s"sum_$c"))
+      sumCols: Seq[String], ndCols: Seq[String] = Nil): DataFrame = {
+    val aggs = (count(lit(1)).alias("cnt") +: sumCols.map(c =>
+      sum(col(c).cast(SumType)).cast(SumType).alias(s"sum_$c"))) ++
+      ndCols.map(c => hll_sketch_agg(col(c)).alias(s"__hll_$c"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -189,20 +200,23 @@ object MaterializedView {
     * both phases are hash aggregates.
     */
   private def saltedReserves(df: DataFrame, groupCols: Seq[String],
-      arrays: Seq[RAgg], sums: Seq[(Column, String)]): DataFrame = {
+      arrays: Seq[RAgg], sums: Seq[(Column, String)],
+      sketches: Seq[(Column, String)] = Nil): DataFrame = {
     def trunc(a: RAgg, c: Column): Column = {
       val sorted = array_sort(c)
       slice(if (a.asc) sorted else reverse(sorted), 1, a.depth)
     }
     val p1 = arrays.map(a =>
       trunc(a, collect_list(a.value)).alias(s"__p_${a.name}")) ++
-      sums.map { case (e, n) => sum(e).alias(s"__p_$n") }
+      sums.map { case (e, n) => sum(e).alias(s"__p_$n") } ++
+      sketches.map { case (e, n) => hll_sketch_agg(e).alias(s"__p_$n") }
     val stage1 = df.withColumn("__salt", spark_partition_id())
       .groupBy((groupCols :+ "__salt").map(col): _*)
       .agg(p1.head, p1.tail: _*)
     val p2 = arrays.map(a =>
       trunc(a, flatten(collect_list(col(s"__p_${a.name}")))).alias(a.name)) ++
-      sums.map { case (_, n) => sum(col(s"__p_$n")).alias(n) }
+      sums.map { case (_, n) => sum(col(s"__p_$n")).alias(n) } ++
+      sketches.map { case (_, n) => hll_union_agg(col(s"__p_$n")).alias(n) }
     stage1.groupBy(groupCols.map(col): _*).agg(p2.head, p2.tail: _*)
   }
 
@@ -210,7 +224,8 @@ object MaterializedView {
     * aggregations, no window/sort over the base — see [[saltedReserves]]).
     */
   private def aggregateWithReserves(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String], minMaxCols: Seq[String], k: Int): DataFrame = {
+      sumCols: Seq[String], minMaxCols: Seq[String], k: Int,
+      ndCols: Seq[String] = Nil): DataFrame = {
     val arrays = minMaxCols.flatMap(c => Seq(
       RAgg(col(c), asc = true, k, s"__rlo_$c"),
       RAgg(col(c), asc = false, k, s"__rhi_$c")))
@@ -218,7 +233,8 @@ object MaterializedView {
       sumCols.map(c => (col(c).cast(SumType), s"sum_$c"))) ++
       minMaxCols.map(c =>
         (when(col(c).isNotNull, 1L).otherwise(0L), s"__rn_$c"))
-    saltedReserves(df, groupCols, arrays, sums)
+    saltedReserves(df, groupCols, arrays, sums,
+        ndCols.map(c => (col(c), s"__hll_$c")))
       .select(groupCols.map(col) ++
         Seq(col("cnt")) ++
         sumCols.map(c => col(s"sum_$c").cast(SumType).alias(s"sum_$c")) ++
@@ -226,7 +242,8 @@ object MaterializedView {
           try_element_at(col(s"__rlo_$c"), lit(1)).alias(s"min_$c"),
           try_element_at(col(s"__rhi_$c"), lit(1)).alias(s"max_$c"))) ++
         minMaxCols.flatMap(c => Seq(col(s"__rlo_$c"), col(s"__rhi_$c"),
-          col(s"__rn_$c"))): _*)
+          col(s"__rn_$c"))) ++
+        ndCols.map(c => col(s"__hll_$c")): _*)
   }
 
   /** Full-compute the view at the base table's CURRENT version and record
@@ -239,16 +256,25 @@ object MaterializedView {
   def init(spark: SparkSession, tableRoot: String, mvRoot: String,
       groupCols: Seq[String], sumCols: Seq[String],
       numBuckets: Int = 16, minMaxCols: Seq[String] = Nil,
-      reserveDepth: Int = 8): Unit = {
+      reserveDepth: Int = 8, approxNdCols: Seq[String] = Nil): Unit = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sumCols.nonEmpty, "sumCols must be non-empty")
     require(reserveDepth >= 1, "reserveDepth must be >= 1")
     val tv = LakeTable.manifest(spark, tableRoot).version
     val base = LakeTable.read(spark, tableRoot, Some(tv))
+    approxNdCols.foreach { c =>
+      val dt = base.schema(c).dataType
+      require(Seq("integer", "long", "string", "binary")
+        .contains(dt.typeName),
+        s"approxNdCols $c: hll_sketch_agg supports int/long/string/binary, got $dt")
+    }
     val view =
-      if (minMaxCols.isEmpty) aggregate(base, groupCols, sumCols)
+      if (minMaxCols.isEmpty && approxNdCols.isEmpty)
+        aggregate(base, groupCols, sumCols)
+      else if (minMaxCols.isEmpty) aggregate(base, groupCols, sumCols,
+        approxNdCols)
       else aggregateWithReserves(base, groupCols, sumCols, minMaxCols,
-        reserveDepth)
+        reserveDepth, approxNdCols)
     LakeTable.init(view, mvRoot, groupCols, numBuckets)
     writeSync(spark, mvRoot, Sync(tv, 0L))
   }
@@ -295,6 +321,8 @@ object MaterializedView {
       .collect { case n if n.startsWith("sum_") => n.stripPrefix("sum_") }
     val minMaxCols = viewFields
       .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
+    val ndCols = viewFields
+      .collect { case n if n.startsWith("__hll_") => n.stripPrefix("__hll_") }
     val mmType: Map[String, DataType] =
       minMaxCols.map(c => c -> viewSchema(s"min_$c").dataType).toMap
     val k = reserveDepth
@@ -314,8 +342,12 @@ object MaterializedView {
       if (minMaxCols.isEmpty)
         feed.groupBy(groupCols.map(col): _*)
           .agg(sum(sign).alias("d_cnt"),
-            sumCols.map(c => sum(col(c).cast(SumType) * sign).cast(SumType)
-              .alias(s"d_sum_$c")): _*)
+            (sumCols.map(c => sum(col(c).cast(SumType) * sign).cast(SumType)
+              .alias(s"d_sum_$c")) ++
+             ndCols.map(c => hll_sketch_agg(when(sign === 1L, col(c)))
+               .alias(s"d_hll_$c")) ++
+             ndCols.map(c => sum(when(sign === -1L && col(c).isNotNull, 1L)
+               .otherwise(0L)).alias(s"d_hdeln_$c"))): _*)
       else {
         val withSign = feed.withColumn("__sign", sign)
         val ins = (c: String) => when(col("__sign") === 1L, col(c))
@@ -331,15 +363,21 @@ object MaterializedView {
             (when(col(c).isNotNull, col("__sign")).otherwise(0L),
               s"d_rn_$c"),
             (when(col("__sign") === -1L && col(c).isNotNull, 1L)
-              .otherwise(0L), s"d_deln_$c")))
-        saltedReserves(withSign, groupCols, arrays, sums)
+              .otherwise(0L), s"d_deln_$c"))) ++
+          ndCols.map(c =>
+            (when(col("__sign") === -1L && col(c).isNotNull, 1L)
+              .otherwise(0L), s"d_hdeln_$c"))
+        saltedReserves(withSign, groupCols, arrays, sums,
+            ndCols.map(c => (ins(c), s"d_hll_$c")))
           .select(groupCols.map(col) ++
             Seq(col("d_cnt")) ++
             sumCols.map(c =>
               col(s"d_sum_$c").cast(SumType).alias(s"d_sum_$c")) ++
             arrays.map(a => col(a.name)) ++
             minMaxCols.flatMap(c =>
-              Seq(col(s"d_rn_$c"), col(s"d_deln_$c"))): _*)
+              Seq(col(s"d_rn_$c"), col(s"d_deln_$c"))) ++
+            ndCols.flatMap(c =>
+              Seq(col(s"d_hll_$c"), col(s"d_hdeln_$c"))): _*)
       }
     }.localCheckpoint()
 
@@ -356,7 +394,21 @@ object MaterializedView {
         coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
         .cast(SumType).alias(s"sum_$c"))
 
-    if (minMaxCols.isEmpty) {
+    // approx-distinct sketch maintenance: inserts UNION into the group's
+    // sketch (registers merge by max — associative, order-free); a sketch
+    // cannot retract, so any group with a non-null deleted value flags
+    // `__exnd_<c>` and rides the same exhausted-group recompute as a
+    // wiped min/max reserve.
+    val ndMergeCols = ndCols.flatMap { c =>
+      val oldH = col(s"__hll_$c")
+      val dH = col(s"d_hll_$c")
+      Seq(
+        when(oldH.isNull, dH).when(dH.isNull, oldH)
+          .otherwise(hll_union(oldH, dH)).alias(s"__hll_$c"),
+        (coalesce(col(s"d_hdeln_$c"), lit(0L)) > 0).alias(s"__exnd_$c"))
+    }
+
+    if (minMaxCols.isEmpty && ndCols.isEmpty) {
       lastRecomputeScan = None
       lastExhausted = 0
       val merged = joined.select(baseCols: _*).localCheckpoint()
@@ -422,10 +474,12 @@ object MaterializedView {
         (rnOld + dRn).alias(s"__rn_$c"),
         exhLo.alias(s"__exlo_$c"), exhHi.alias(s"__exhi_$c"))
     }
-    val merged0 = joined.select(baseCols ++ mmCols: _*).localCheckpoint()
+    val merged0 = joined.select(baseCols ++ mmCols ++ ndMergeCols: _*)
+      .localCheckpoint()
 
-    val exhAny = minMaxCols.map(c =>
-      col(s"__exlo_$c") || col(s"__exhi_$c")).reduce(_ || _)
+    val exhAny = (minMaxCols.flatMap(c =>
+      Seq(col(s"__exlo_$c"), col(s"__exhi_$c"))) ++
+      ndCols.map(c => col(s"__exnd_$c"))).reduce(_ || _)
     val exhausted = merged0.filter(exhAny && col("cnt") > 0)
     // bounded driver collect: the prune-column values (stringified by
     // Spark's own CAST so the probe matches the sidecar's
@@ -470,7 +524,8 @@ object MaterializedView {
           RAgg(col(c), asc = false, k, s"r_rhi_$c")))
         val rSums = minMaxCols.map(c =>
           (when(col(c).isNotNull, 1L).otherwise(0L), s"r_rn_$c"))
-        val recomputed = saltedReserves(restricted, groupCols, rArrays, rSums)
+        val recomputed = saltedReserves(restricted, groupCols, rArrays,
+          rSums, ndCols.map(c => (col(c), s"r_hll_$c")))
         // patch: exhausted directions take the authoritative values
         // (missing recompute row = every surviving value was NULL)
         merged0.join(recomputed, groupCols, "left")
@@ -492,12 +547,18 @@ object MaterializedView {
                 when(col(s"__exlo_$c") || col(s"__exhi_$c"),
                   coalesce(col(s"r_rn_$c"), lit(0L)))
                   .otherwise(col(s"__rn_$c")).alias(s"__rn_$c"))
-            }: _*)
+            } ++
+            ndCols.map(c =>
+              // missing recompute row = every surviving value was NULL:
+              // the authoritative sketch is the null (empty) one
+              when(col(s"__exnd_$c"), col(s"r_hll_$c"))
+                .otherwise(col(s"__hll_$c")).alias(s"__hll_$c")): _*)
           .localCheckpoint()
       }
 
     val cleaned = merged.drop(minMaxCols.flatMap(c =>
-      Seq(s"__exlo_$c", s"__exhi_$c")): _*)
+      Seq(s"__exlo_$c", s"__exhi_$c")) ++
+      ndCols.map(c => s"__exnd_$c"): _*)
     try publishMerged(spark, mvRoot, cleaned, groupCols, sync, tv)
     finally {
       merged0.unpersist(blocking = false)
@@ -525,9 +586,15 @@ object MaterializedView {
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
     val df = LakeTable.read(spark, mvRoot,
       Some(readSync(spark, mvRoot).mvVersion))
-    df.drop(df.columns.filter(n =>
+    // approx-distinct estimates derive at read time (like avg); a NULL
+    // sketch means every value in the group was NULL — 0 distinct
+    val withEst = df.columns.filter(_.startsWith("__hll_"))
+      .foldLeft(df)((d, h) => d.withColumn(
+        "appx_nd_" + h.stripPrefix("__hll_"),
+        coalesce(hll_sketch_estimate(col(h)), lit(0L))))
+    withEst.drop(withEst.columns.filter(n =>
       n.startsWith("__rlo_") || n.startsWith("__rhi_") ||
-      n.startsWith("__rn_")).toSeq: _*)
+      n.startsWith("__rn_") || n.startsWith("__hll_")).toSeq: _*)
   }
 
   /** Bounded retention for the view AND its `_sync` markers (every

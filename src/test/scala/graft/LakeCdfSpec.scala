@@ -697,6 +697,43 @@ class LakeCdfSpec extends SparkTestBase {
     mins() shouldBe want
   }
 
+  test("approx-distinct MV: insert-only deliveries union sketches, deletes recompute") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val rows = (1L to 60L).map(i => (i, (i % 2).toString, (i % 7).toString))
+      .toDF("id", "grp", "u")
+    LakeTable.init(rows, tRoot, Seq("id"), numBuckets = 2)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("id"),
+      approxNdCols = Seq("u"))
+    def est(root: String = mvRoot): Map[String, Long] =
+      MaterializedView.read(spark, root)
+        .select($"grp", $"appx_nd_u")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // DataSketches HLL is exact at these cardinalities (LIST/SET mode)
+    est() shouldBe Map("0" -> 7L, "1" -> 7L)
+
+    // insert-only delivery: sketch union absorbs, no recompute job
+    LakeTable.merge(spark, tRoot,
+      Seq((101L, "0", "x1"), (102L, "0", "x2"), (103L, "1", "x1"))
+        .toDF("id", "grp", "u"))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    MaterializedView.lastExhausted shouldBe 0
+    est() shouldBe Map("0" -> 9L, "1" -> 8L)
+
+    // delete every row carrying u="3" (both groups): sketches cannot
+    // retract, so both groups recompute from the base
+    LakeTable.delete(spark, tRoot,
+      (1L to 60L).filter(_ % 7 == 3).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    assert(MaterializedView.lastExhausted > 0)
+    est() shouldBe Map("0" -> 8L, "1" -> 7L)
+
+    // the maintained view matches an init-from-scratch twin
+    val mv2 = newRoot()
+    MaterializedView.init(spark, tRoot, mv2, Seq("grp"), Seq("id"),
+      approxNdCols = Seq("u"))
+    est(mv2) shouldBe est()
+  }
+
   test("fastMinMax answers from the sidecar, declines under deletion vectors") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4,
