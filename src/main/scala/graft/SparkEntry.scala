@@ -1417,6 +1417,61 @@ object SparkEntry {
       Seq(n).toDF("n_rows")
     }),
 
+    // Bucket-count evolution (sinks/LakeTable.scala rebucket): a table
+    // initialized at 4 buckets is rewritten to 16 mid-lifecycle — the
+    // operational move when per-bucket volume outgrows executor-sized
+    // units at scale — and the delete delivered AFTER the rebucket
+    // exercises the merge machinery against the new layout. Content is
+    // the invariant: the oracle recomputes the final aggregate from the
+    // logical row set, blind to the physical reshuffle.
+    "q_lake_rebucket" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_rebucket"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 4)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      graft.sinks.LakeTable.rebucket(s, root, 16)
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      graft.sinks.LakeTable.read(s, root)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("cnt"),
+          round(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2)
+            .alias("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Indexing evolution (sinks/LakeTable.scala alterIndexing): a table
+    // initialized WITHOUT zone maps gains statsCols after the fact — one
+    // metadata publish plus a stats pass, zero data rewritten — and the
+    // range scan immediately prunes through the fresh sidecar. The
+    // oracle is the plain range filter; the spec pins files-kept <
+    // files-live and the stale-sidecar-never-carried rule.
+    "q_lake_alter_index" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_alterix"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, sortCols = Seq("o_orderdate"),
+        maxRecordsPerFile = 4096L)
+      graft.sinks.LakeTable.alterIndexing(s, root,
+        statsCols = Seq("o_orderdate"))
+      graft.sinks.LakeTable.readRange(s, root, "o_orderdate",
+          "1996-01-01 00:00:00", "1996-12-31 23:59:59")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").alias("d"),
+          round(col("o_totalprice"), 2).alias("price"))
+        .orderBy("o_orderkey")
+    }),
+
     // Metadata-only MIN/MAX (sinks/LakeTable.scala fastMinMax): the
     // global extrema of the stats columns answered from the zone-map
     // sidecar alone — per-file extrema are exact and files immutable, so
@@ -5178,6 +5233,23 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 0)
         |  AS BIGINT) AS n_rows
         |FROM orders""".stripMargin,
+
+    "q_lake_rebucket" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+        |         AS sum_price
+        |FROM orders
+        |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+        |  AND o_orderkey % 10 <> 4
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_lake_alter_index" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |       ROUND(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_lake_faststats" ->
       """WITH all_rows AS (

@@ -687,6 +687,71 @@ object LakeTable {
     publishBlooms(spark, root, m, None)
   }
 
+  /** Bucket-count evolution: rewrite the table's CURRENT content into
+    * `newNumBuckets` hash buckets and publish it as the next version.
+    * The operational answer when a table sized at init has outgrown its
+    * layout — at 100 TB a bucket is the unit of copy-on-write, point
+    * lookup and co-located join, so per-bucket volume must stay
+    * executor-sized. Keys, layout contract (sortCols / statsCols /
+    * maxRecordsPerFile / bloomCols) and CONTENT are unchanged; the
+    * rewrite reads dv-applied, so outstanding deletion vectors fold in
+    * and the new version starts vector-free. Older versions keep their
+    * own manifests and files, so time travel across the boundary holds;
+    * [[changes]] spanning the boundary sees every bucket's file set
+    * change and degrades to a full-table value diff — correct, just no
+    * longer bucket-pruned (documented, not a hazard). Data is written
+    * BEFORE the claim, so a commit race orphans one attempt's files
+    * ([[vacuum]] sweeps them) and the retry re-reads the winner's head.
+    */
+  def rebucket(spark: SparkSession, root: String,
+      newNumBuckets: Int): Long = {
+    require(newNumBuckets >= 1,
+      s"newNumBuckets must be >= 1, got $newNumBuckets")
+    val fs = hfs(spark, root)
+    withCommitRetries() { () =>
+      val m = manifest(spark, root)
+      val rows = read(spark, root, Some(m.version))
+      val files = writeFiles(spark, root, rows, m.keys, newNumBuckets,
+        m.sortCols, m.maxRecordsPerFile)
+      val next = m.copy(version = m.version + 1,
+        numBuckets = newNumBuckets, files = files, dvFiles = Nil)
+      publish(fs, root, next)
+      // every file is fresh under the new layout: full sidecar measure
+      publishStats(spark, root, next, None)
+      publishBlooms(spark, root, next, None)
+      next.version
+    }
+  }
+
+  /** Declare (or change) the stats/bloom indexing of an EXISTING table
+    * without rewriting data: publishes the next version with the same
+    * file list and the new column sets, then measures both sidecars from
+    * scratch. Sidecar entries are positional in their own cols array, so
+    * a sidecar written under a different column list is never carried —
+    * a stale carry would misalign zones and mis-prune (wrong rows, not
+    * just wrong scan width). One metadata publish plus one stats pass
+    * over the data: the onboarding path for [[readRange]] /
+    * [[dynamicPrunedScan]] / [[fastMinMax]] on a table initialized
+    * without zone maps, at the cost of a scan, not a rewrite.
+    */
+  def alterIndexing(spark: SparkSession, root: String,
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil): Long = {
+    val fs = hfs(spark, root)
+    withCommitRetries() { () =>
+      val m = manifest(spark, root)
+      val schema = StructType.fromDDL(m.schemaDdl)
+      (statsCols ++ bloomCols).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"alterIndexing: $c is not a table column (have ${schema.fieldNames.toSeq})"))
+      val next = m.copy(version = m.version + 1,
+        statsCols = statsCols, bloomCols = bloomCols)
+      publish(fs, root, next)
+      publishStats(spark, root, next, None)
+      publishBlooms(spark, root, next, None)
+      next.version
+    }
+  }
+
   /** Read a version (default: newest) as an explicit-file-list DataFrame,
     * deletion vectors applied.
     */

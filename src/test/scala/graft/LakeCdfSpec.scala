@@ -757,6 +757,55 @@ class LakeCdfSpec extends SparkTestBase {
       Some((Some("1.0"), Some("102.0")))
   }
 
+  test("rebucket preserves content, folds deletion vectors, keeps the table writable") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2,
+      statsCols = Seq("score"))
+    LakeTable.merge(spark, root,
+      Seq((9L, "i", 9.0), (10L, "j", 10.0)).toDF("id", "name", "score"))
+    LakeTable.deleteMor(spark, root, Seq(4L).toDF("id"))
+    val v = LakeTable.rebucket(spark, root, 8)
+    val m = LakeTable.manifest(spark, root, Some(v))
+    m.numBuckets shouldBe 8
+    m.dvFiles shouldBe empty
+    LakeTable.read(spark, root).select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L, 10L)
+    // stats re-measured under the new layout, vectors folded: metadata
+    // aggregates answer again
+    LakeTable.fastCount(spark, root) shouldBe Some(9L)
+    // merge + point lookup work against the new bucket count
+    LakeTable.merge(spark, root, Seq((11L, "k", 11.0)).toDF("id", "name", "score"))
+    LakeTable.lookup(spark, root, Seq(11L, 2L).toDF("id")).count() shouldBe 2
+    // time travel across the boundary: the pre-rebucket version still
+    // reads with ITS deletion vector applied
+    LakeTable.read(spark, root, Some(v - 1)).count() shouldBe 9
+  }
+
+  test("alterIndexing onboards zone maps + blooms without rewriting data") {
+    val root = newRoot()
+    val rows = (1L to 2000L).map(i => (i, i % 50, i * 1.0))
+      .toDF("id", "k", "v")
+    LakeTable.init(rows, root, Seq("id"), numBuckets = 2,
+      sortCols = Seq("k"), maxRecordsPerFile = 128L)
+    // no statsCols at init: range pruning is unavailable
+    intercept[IllegalArgumentException] {
+      LakeTable.prunedPaths(spark, root, "k", "3", "3")
+    }
+    val v = LakeTable.alterIndexing(spark, root, statsCols = Seq("k"),
+      bloomCols = Seq("k"))
+    val m = LakeTable.manifest(spark, root, Some(v))
+    // same files, new indexing contract
+    m.files shouldBe LakeTable.manifest(spark, root, Some(v - 1)).files
+    m.statsCols shouldBe Seq("k")
+    val pruned = LakeTable.prunedPaths(spark, root, "k", "3", "3")
+    assert(pruned.size < m.files.size,
+      s"expected zone pruning, kept ${pruned.size}/${m.files.size}")
+    LakeTable.readRange(spark, root, "k", "3", "3").count() shouldBe 40
+    LakeTable.fastMinMax(spark, root, "k") shouldBe
+      Some((Some("0"), Some("49")))
+  }
+
   test("dynamicPrunedScan opens only the build keys' files; key bound falls back") {
     val root = newRoot()
     val fact = (1L to 4000L).map(i => (i, i % 40, i * 0.5))
