@@ -498,4 +498,44 @@ class StreamingSpec extends SparkTestBase {
       view() shouldBe Map("x" -> (2L, 35.0), "y" -> (1L, 7.0))
     } finally q.stop()
   }
+
+  test("streaming gold ingest maintains approx-distinct sketches across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sinks.{LakeTable, MaterializedView}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("gold_nd_stream").toString
+    val tableRoot = s"$root/table"; val mvRoot = s"$root/view"
+
+    LakeTable.init(
+      Seq((1L, "x", "u1"), (2L, "x", "u2")).toDF("id", "grp", "user"),
+      tableRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tableRoot, mvRoot, Seq("grp"), Seq("id"),
+      approxNdCols = Seq("user"))
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.LakeStreaming.goldIngest(
+        input.toDF().toDF("id", "grp", "user"), tableRoot, mvRoot)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      def nd(): Map[String, Long] =
+        MaterializedView.read(spark, mvRoot)
+          .select($"grp", $"appx_nd_user")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch 0: a DUPLICATE user in x (no growth) + a new group — the
+      // insert path unions sketches, exact at these cardinalities
+      input.addData((3L, "x", "u1"), (4L, "y", "u9"))
+      q.processAllAvailable()
+      nd() shouldBe Map("x" -> 2L, "y" -> 1L)
+      // batch 1: a genuinely new user in x
+      input.addData((5L, "x", "u3"))
+      q.processAllAvailable()
+      nd() shouldBe Map("x" -> 3L, "y" -> 1L)
+      // batch 2: an UPDATE rewrites row 1's user u1→u7 — the feed carries
+      // a retraction, so group x recomputes its sketch from the base
+      // inside the streaming loop (u1 survives via row 3)
+      input.addData((1L, "x", "u7"))
+      q.processAllAvailable()
+      nd() shouldBe Map("x" -> 4L, "y" -> 1L)
+    } finally q.stop()
+  }
 }
