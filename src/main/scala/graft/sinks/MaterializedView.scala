@@ -581,11 +581,20 @@ object MaterializedView {
   }
 
   /** The view as served: its lake table's newest SYNCED version, internal
-    * reserve columns hidden.
+    * reserve columns hidden. Sum columns serve as Σ over the group's
+    * non-null values WITH 0 for none — the `COALESCE(SUM(x), 0)`
+    * convention, made explicit here because the stored cell is NULL
+    * after an all-NULL init but 0 once a delta has folded in (the merge
+    * arithmetic runs through coalesce); serving the coalesced value
+    * makes the two histories indistinguishable, which is the property
+    * the maintenance algebra promises.
     */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
-    val df = LakeTable.read(spark, mvRoot,
+    val df0 = LakeTable.read(spark, mvRoot,
       Some(readSync(spark, mvRoot).mvVersion))
+    val df = df0.columns.filter(_.startsWith("sum_"))
+      .foldLeft(df0)((d, c) => d.withColumn(c,
+        coalesce(col(c), lit(0).cast(SumType))))
     // approx-distinct estimates derive at read time (like avg); a NULL
     // sketch means every value in the group was NULL — 0 distinct
     val withEst = df.columns.filter(_.startsWith("__hll_"))
