@@ -84,14 +84,20 @@ object TextCleaning {
     * fingerprint group's deterministic winner (min id) and whether the
     * doc is a confusable-spoof duplicate (same skeleton, different raw
     * bytes would also land here — the skeleton subsumes exact dedup).
+    *
+    * Shape: a whole-partition window min over the skeleton hash — ONE
+    * scan of the text (the zero-width strip + translate kernel is the
+    * dominant cost; a groupBy-then-join formulation evaluates it twice,
+    * once per join side) and ONE exchange whose payload is the 16-byte
+    * md5, not the document.
     */
   def homoglyphDedup(docs: DataFrame, idCol: String,
       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sk = md5(confusableSkeleton(col(textCol)))
-    val winners = docs.select(col(idCol), sk.alias("__sk"))
-      .groupBy(col("__sk")).agg(min(col(idCol)).alias("winner"))
     docs.select(col(idCol), sk.alias("__sk"))
-      .join(winners, Seq("__sk"))
+      .withColumn("winner",
+        min(col(idCol)).over(Window.partitionBy(col("__sk"))))
       .select(col(idCol), col("winner"),
         (col(idCol) =!= col("winner")).alias("is_dup"))
   }
