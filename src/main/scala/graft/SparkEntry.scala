@@ -1507,6 +1507,44 @@ object SparkEntry {
           .alias("max_date"))
     }),
 
+    // ANALYZE-style table statistics (sinks/LakeTable.scala fastNdv):
+    // per-column NDV answered by register-max union of the per-file HLL
+    // sketches in the `_ndv` sidecar — zero data files opened at ask
+    // time, and half this table's sketch mass arrives via the O(delta)
+    // carry-forward merge path. The low-cardinality column (5 priorities)
+    // is exact (sketch still in sparse mode) and hash-checked directly;
+    // the high-cardinality custkey estimate is value-checked against the
+    // exact distinct at a 5% bound (lgK=12 ≈ 0.8% rse). Exact metadata
+    // row count rides along. This is the statistic that decides
+    // broadcast-vs-shuffle joins at 100 TB without scanning the table.
+    "q_lake_analyze" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_analyze"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, statsCols = Seq("o_custkey"),
+        ndvCols = Seq("o_custkey", "o_orderpriority"))
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_custkey", col("o_custkey") + 10000000L))
+      def ndv(c: String) = graft.sinks.LakeTable.fastNdv(s, root, c)
+        .getOrElse(sys.error(s"fastNdv declined for $c"))
+      val nRows = graft.sinks.LakeTable.fastCount(s, root)
+        .getOrElse(sys.error("fastCount declined — sidecar incomplete"))
+      val exactCust = graft.sinks.LakeTable.read(s, root)
+        .agg(countDistinct(col("o_custkey"))).head().getLong(0)
+      import s.implicits._
+      Seq((nRows, exactCust, ndv("o_orderpriority"), ndv("o_custkey")))
+        .toDF("n_rows", "nd_cust", "nd_prio", "__est")
+        .select(col("n_rows"), col("nd_cust"), col("nd_prio"),
+          (abs(col("__est") - col("nd_cust")).cast("double") <=
+            col("nd_cust") * 0.05).alias("cust_est_ok"))
+    }),
+
     // Dynamic file pruning (sinks/LakeTable.scala dynamicPrunedScan):
     // the dim ⋈ fact join where the dim FILTER decides which fact files
     // open — the build side's surviving keys are collected driver-side
@@ -3370,6 +3408,39 @@ object SparkEntry {
             .alias("codes_md5"),
           aggregate(col("codes"), lit(0L), (a, c) => a + c).alias("codes_sum"))
         .orderBy("vec_id")
+    }),
+
+    // ---- binary (1-bit) quantization — 32× embedding storage cut --------
+    // End-to-end packing check: the operator emits dim/64 packed longs; the
+    // query unpacks them back to the LSB-first bit string (reverse(lpad(
+    // bin(word)))) and the oracle rebuilds the same string from raw
+    // per-dimension comparisons — a hash match proves the two's-complement
+    // packing arithmetic, not just the comparisons.
+    "q_embedding_binary" -> ((s, dir) => {
+      val (coded, _) = Similarity.binaryQuantize(
+        t(s, dir, "embeddings"), "vec_id")
+      coded.select(col("vec_id"),
+          md5(concat_ws("", transform(col("code"),
+            w => reverse(lpad(bin(w), 64, "0"))))).alias("bits_md5"),
+          aggregate(col("code"), lit(0L),
+            (a, w) => a + bit_count(w).cast("long")).alias("popcount"))
+        .orderBy("vec_id")
+    }),
+
+    // Hamming-shortlist + exact-rerank ANN over the packed codes: same
+    // planted-copy recall contract as the other ANN paths — an identical
+    // planted vector has Hamming 0, survives any shortlist, and lands at
+    // rank 1 after the exact cosine rescore.
+    "q_ann_binary" -> ((s, dir) => {
+      val emb     = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val planted = queries.withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.binaryTopK(emb.unionByName(planted), queries, "vec_id", "embedding",
+          k = 5, dim = 64, shortlist = 50)
+        .filter(col("neighbor_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("rank").cast("long").alias("planted_rank"),
+          col("hamming"))
+        .orderBy("query_id")
     }),
 
     // ---- per-label embedding centroids (mean pooling UDAF) -------------
@@ -5264,6 +5335,18 @@ object SparkEntry {
         |       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
         |FROM all_rows""".stripMargin,
 
+    "q_lake_analyze" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey + 10000000, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_cust,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+        |  TRUE AS cust_est_ok
+        |FROM live""".stripMargin,
+
     "q_lake_dfp" ->
       """SELECT c_custkey, COUNT(*) AS n_orders,
         |       ROUND(SUM(o_totalprice), 2) AS sum_price
@@ -5985,6 +6068,34 @@ object SparkEntry {
         |SELECT vec_id, md5(array_to_string(c, ',')) AS codes_md5,
         |       CAST(list_sum(c) AS BIGINT) AS codes_sum
         |FROM codes ORDER BY vec_id""".stripMargin,
+
+    "q_embedding_binary" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |flat AS (
+        |  SELECT generate_subscripts(embedding, 1) AS pos,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+        |  FROM e),
+        |m AS (SELECT pos,
+        |        CAST(sum(CAST(CAST(v AS DECIMAL(25,7)) AS DECIMAL(38,7)))
+        |             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+        |      FROM flat GROUP BY pos),
+        |arrs AS (SELECT list(mean ORDER BY pos) AS means FROM m),
+        |bits AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(64), i ->
+        |      CASE WHEN CAST(e.embedding[i+1] AS DOUBLE) > a.means[i+1]
+        |           THEN '1' ELSE '0' END) AS b
+        |  FROM e, arrs a)
+        |SELECT vec_id, md5(array_to_string(b, '')) AS bits_md5,
+        |  CAST(len(list_filter(b, x -> x = '1')) AS BIGINT) AS popcount
+        |FROM bits ORDER BY vec_id""".stripMargin,
+
+    "q_ann_binary" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q_embedding_spread" ->
       """WITH valid AS (

@@ -573,4 +573,126 @@ object Similarity {
         ((col("__s2") - col("n")) / (col("n") * (col("n") - lit(1))))
           .alias("mean_cos"))
   }
+
+  // ---- binary (1-bit) quantization — the 32× embedding storage path ----
+
+  /** Per-dimension mean thresholds for [[binaryEncode]]: bit d is set when
+    * x_d exceeds the corpus mean of dimension d. Mean-thresholding (rather
+    * than sign-at-zero) centers every dimension so each bit splits the
+    * corpus ~50/50 even when the embedding space is not zero-centered —
+    * the balanced-bit property binary Hamming search needs to be
+    * discriminative. One posexplode aggregation, `dim` rows out. The mean
+    * is a decimal(25,7)-summed ORDER-FREE mean (exact sum, one double
+    * division) — a raw double avg's last ulp depends on merge order,
+    * which could flip a bit for a component sitting exactly at the
+    * threshold; this definition is bit-identical across engines/replays.
+    */
+  def binaryThresholds(embs: DataFrame, vecCol: String, dim: Int): Array[Double] = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val means = embs
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__val")))
+      .groupBy(col("__pos"))
+      .agg((sum(col("__val").cast("double").cast("decimal(25,7)"))
+        .cast("double") / count(lit(1)).cast("double")).alias("__mean"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    require(means.size == dim,
+      s"binaryThresholds: found means for ${means.size} of $dim dimensions " +
+        "— no input row passed the isNotNull && size filter")
+    Array.tabulate(dim)(means)
+  }
+
+  /** Encode each vector to `dim/64` packed 64-bit words (`code`
+    * array<long>): bit i of word i/64 is `x_i > thresholds(i)`. The fold
+    * adds disjoint power-of-two weights from a broadcast literal array —
+    * addition IS bitwise-or here — so encoding is a narrow codegen'd
+    * projection: no shuffle, no UDF, and the 1L<<63 weight wraps to
+    * Long.MinValue exactly as two's-complement packing wants. 32× smaller
+    * than float32: at 100 TB of embeddings the code column is ~3 TB, and
+    * Hamming candidate generation scans ONLY codes.
+    */
+  def binaryEncode(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+      thresholds: Array[Double]): DataFrame = {
+    require(dim % 64 == 0, s"dim must pack into 64-bit words, got $dim")
+    require(thresholds.length == dim,
+      s"binaryEncode: ${thresholds.length} thresholds for dim $dim")
+    val thLit = array(thresholds.map(lit): _*)
+    val wLit  = array(Array.tabulate(dim)(i => lit(1L << (i % 64))): _*)
+    val words = (0 until dim / 64).map { w =>
+      aggregate(sequence(lit(w * 64), lit(w * 64 + 63)), lit(0L),
+        (acc, i) => acc + when(
+          element_at(col(vecCol), i + 1).cast("double") >
+            element_at(thLit, i + 1),
+          element_at(wLit, i + 1)).otherwise(lit(0L)))
+    }
+    embs.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol), array(words: _*).alias("code"))
+  }
+
+  /** Train thresholds AND encode in one call (train-once posture; ship the
+    * returned thresholds to [[binaryEncode]] query vectors later).
+    */
+  def binaryQuantize(embs: DataFrame, idCol: String,
+      vecCol: String = "embedding", dim: Int = 64): (DataFrame, Array[Double]) = {
+    val th = binaryThresholds(embs, vecCol, dim)
+    (binaryEncode(embs, idCol, vecCol, dim, th), th)
+  }
+
+  /** Hamming distance between two packed code arrays:
+    * Σ bit_count(a_w xor b_w) — all codegen'd built-ins. */
+  def hammingCode(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, c) => acc + c)
+
+  /** Binary-prefiltered approximate top-k: Hamming shortlist over packed
+    * 1-bit codes, exact cosine rerank of the shortlist only. Ids must be
+    * numeric (castable to long) — the bounded shortlist aggregate carries
+    * (score, id) pairs in a primitive buffer.
+    *
+    * Scale shape: phase 1 scans (id, code) — dim/8 bytes per row, 32×
+    * narrower than the vectors — scoring `bit_count(xor)` against the
+    * broadcast query codes; the per-query shortlist comes from the
+    * bounded-buffer [[graft.functions.Aggregators.TopKByScore]] hash
+    * aggregate (≤`shortlist` entries per buffer, map-side combined), so
+    * only shortlist·partitions tiny rows cross the shuffle — no per-row
+    * window sort of the corpus. Phase 2 joins the R×|queries| shortlist
+    * (tiny, broadcast) back to the corpus to fetch ONLY shortlisted
+    * vectors for the exact rescore: the full-precision column is touched
+    * for R rows per query, never per corpus row. An identical planted
+    * vector has Hamming 0 → survives any shortlist → cosine 1 → rank 1.
+    */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, shortlist: Int = 50,
+      thresholds: Option[Array[Double]] = None): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val th = thresholds.getOrElse(binaryThresholds(corpus, vecCol, dim))
+    val coded = binaryEncode(corpus, idCol, vecCol, dim, th)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val q = binaryEncode(queries, idCol, vecCol, dim, th)
+      .withColumnRenamed(idCol, "query_id")
+      .withColumnRenamed("code", "__qcode")
+    // score = −hamming: TopKByScore keeps the HIGHEST scores and breaks
+    // ties to the smallest id, which is exactly (hamming ASC, id ASC)
+    val topAgg = udaf(new graft.functions.Aggregators.TopKByScore(shortlist))
+    val short = coded.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", hammingCode(col("code"), col("__qcode")))
+      .groupBy(col("query_id"))
+      .agg(topAgg(-col("hamming").cast("double"),
+        col("neighbor_id").cast("long")).alias("__top"))
+      .select(col("query_id"), explode(col("__top")).alias("__e"))
+      .select(col("query_id"), col("__e._2").alias("neighbor_id"),
+        (-col("__e._1")).cast("long").alias("hamming"))
+    val qv = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"))
+    val cv = corpus.select(col(idCol).alias("neighbor_id"), col(vecCol).alias("__cv"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id").asc)
+    cv.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine", VectorFunctions.cosineSim(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).alias("cosine"), col("hamming"))
+  }
 }

@@ -141,6 +141,36 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.fastCount(spark, bare) shouldBe None
   }
 
+  test("fastNdv: metadata-only NDV from unioned per-file sketches, declines when inexact") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4,
+      ndvCols = Seq("name", "score"))
+    // HLL is EXACT at these cardinalities (sparse mode far below 2^12)
+    LakeTable.fastNdv(spark, root, "name") shouldBe Some(8L)
+    LakeTable.fastNdv(spark, root, "score") shouldBe Some(8L)
+    // delta: insert 9/"i", update 2 -> "B!". Copy-on-write rewrites the
+    // touched buckets (their fresh files are re-sketched), untouched
+    // buckets carry their sketches by path — NDV tracks LIVE data
+    LakeTable.merge(spark, root,
+      Seq((9L, "i", 9.0), (2L, "B!", 2.0)).toDF("id", "name", "score"))
+    LakeTable.fastNdv(spark, root, "name") shouldBe Some(9L)  // a,B!,c..h,i
+    LakeTable.fastNdv(spark, root, "score") shouldBe Some(9L) // 1..9
+    // time travel reads the old sidecar
+    LakeTable.fastNdv(spark, root, "name", Some(0L)) shouldBe Some(8L)
+    // a column not declared in ndvCols declines
+    LakeTable.fastNdv(spark, root, "id") shouldBe None
+    // outstanding deletion vectors: deleted rows are still in the
+    // sketches -> decline; folding them in restores the answer
+    LakeTable.deleteMor(spark, root, Seq(9L).toDF("id"))
+    LakeTable.fastNdv(spark, root, "name") shouldBe None
+    LakeTable.compactDeletes(spark, root)
+    LakeTable.fastNdv(spark, root, "name") shouldBe Some(8L)  // "i" gone
+    // a bare table (no ndvCols) never pretends
+    val bare = newRoot()
+    LakeTable.init(base, bare, Seq("id"), numBuckets = 2)
+    LakeTable.fastNdv(spark, bare, "name") shouldBe None
+  }
+
   test("timestamp time travel: readAsOf pins the snapshot live at the cutoff") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4)

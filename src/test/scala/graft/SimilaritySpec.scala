@@ -357,4 +357,91 @@ class SimilaritySpec extends SparkTestBase {
       }
     }
   }
+
+  test("binary quantization: packing matches a driver-side bit-for-bit reference") {
+    val (coded, th) = Similarity.binaryQuantize(emb, "vec_id", dim = 64)
+    th.length shouldBe 64
+    val got = coded.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val raw = emb.as[(Long, Array[Float])].collect()
+    raw.foreach { case (id, v) =>
+      var word = 0L
+      v.indices.foreach { i =>
+        if (v(i).toDouble > th(i)) word |= (1L << i)
+      }
+      got(id) shouldBe Seq(word)
+    }
+    // mean-thresholding balances bits: global popcount is near dim/2 per row
+    val totalBits = got.values.map(_.map(java.lang.Long.bitCount(_).toLong).sum).sum
+    val mean = totalBits.toDouble / got.size
+    mean should be > 16.0
+    mean should be < 48.0
+  }
+
+  test("binary quantization: multi-word packing and the 1L<<63 sign-bit wrap") {
+    import spark.implicits._
+    // dim 128 → two words; component 63 above threshold exercises the
+    // Long.MinValue weight, component 64 lands in word 1 bit 0
+    val v1 = Array.tabulate(128)(i => if (i == 63 || i == 64) 1f else -1f)
+    val v2 = Array.fill(128)(-1f)
+    val embs = Seq((1L, v1.toSeq), (2L, v2.toSeq)).toDF("vec_id", "embedding")
+    val coded = Similarity.binaryEncode(embs, "vec_id", "embedding", 128,
+      Array.fill(128)(0.0))
+    val got = coded.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    got(1L) shouldBe Seq(Long.MinValue, 1L)
+    got(2L) shouldBe Seq(0L, 0L)
+    val h = Seq((got(1L), got(2L))).toDF("a", "b")
+      .select(Similarity.hammingCode(col("a"), col("b")).alias("h"))
+      .as[Long].head()
+    h shouldBe 2L
+  }
+
+  test("binaryTopK: planted identical vector survives the Hamming shortlist at rank 1") {
+    val queries = emb.filter($"vec_id" < 5)
+    val planted = queries.withColumn("vec_id", $"vec_id" + 1000000L)
+    val out = Similarity.binaryTopK(emb.unionByName(planted), queries,
+        "vec_id", "embedding", k = 5, dim = 64, shortlist = 50)
+    val top = out.filter($"rank" === 1)
+      .select("query_id", "neighbor_id", "cosine", "hamming")
+      .as[(Long, Long, Double, Long)].collect()
+    top.length shouldBe 5
+    top.foreach { case (q, n, c, h) =>
+      n shouldBe q + 1000000L
+      c shouldBe 1.0 +- 1e-6
+      h shouldBe 0L
+    }
+    // every query gets exactly k ranked rows, ranks contiguous
+    val perQ = out.groupBy("query_id").agg(count(lit(1)).alias("n"),
+        max($"rank").alias("mx"))
+      .as[(Long, Long, Int)].collect()
+    perQ.foreach { case (_, n, mx) => n shouldBe 5L; mx shouldBe 5 }
+  }
+
+  test("binaryTopK: Hamming shortlist carries useful recall vs exact brute force") {
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.binaryTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = 64, shortlist = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // isotropic random corpus is the HARDEST case for 1-bit codes; demand
+    // aggregate recall strictly better than the ~5/n random-shortlist floor
+    val hits = exact.map { case (q, ids) => (ids & approx(q)).size }.sum
+    hits should be >= 5
+  }
+
+  test("binary quantization: input validation") {
+    intercept[IllegalArgumentException] {
+      Similarity.binaryEncode(emb.toDF(), "vec_id", "embedding", 60,
+        Array.fill(60)(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.binaryTopK(emb.toDF(), emb.limit(1).toDF(), "vec_id",
+        "embedding", k = 10, dim = 64, shortlist = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.binaryThresholds(emb.filter($"vec_id" < 0).toDF(), "embedding", 64)
+    }
+  }
 }
