@@ -2503,6 +2503,30 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("term").asc)
         .limit(20)),
 
+    // ---- sequence-length bucketing for padded-batch assembly -----------
+    // operators/TextAnalysis.scala lengthBucketBatches: docs land in a
+    // length bucket, are sharded within it (explicit doc_id % 4 here so
+    // the oracle can reproduce the shard — production uses the default
+    // hash shard), and batched 8-at-a-time in (len, id) order. The
+    // contract row is per-batch: docs, the padded length every member
+    // pays, and the padding efficiency Σlen / (padded·n) that the
+    // bucketing exists to maximize.
+    "q_length_buckets" -> ((s, dir) => {
+      val batches = TextAnalysis.lengthBucketBatches(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", bounds = Seq(150L, 300L, 450L), batchSize = 8,
+        numShards = 4, shard = Some(pmod(col("doc_id"), lit(4))))
+      batches.groupBy(col("bucket"), col("shard"), col("batch_id"))
+        .agg(count(lit(1)).alias("n_docs"),
+          max(col("padded_len")).alias("padded_len"),
+          sum(col("n_chars")).alias("sum_len"))
+        .select(col("bucket").cast("long").alias("bucket"), col("shard"),
+          col("batch_id"), col("n_docs"), col("padded_len"), col("sum_len"),
+          round(col("sum_len") / (col("padded_len") * col("n_docs")), 6)
+            .alias("efficiency"))
+        .orderBy("bucket", "shard", "batch_id")
+    }),
+
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -5915,6 +5939,26 @@ object SparkEntry {
         |       CAST(LEN(string_split_regex(LOWER(TRIM(text)), '[\s\x0b]+')) AS BIGINT) AS n_tokens,
         |       CAST(LENGTH(text) AS BIGINT) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars, doc_id % 4 AS shard,
+        |    (CASE WHEN n_chars > 150 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars > 300 THEN 1 ELSE 0 END +
+        |     CASE WHEN n_chars > 450 THEN 1 ELSE 0 END) AS bucket
+        |  FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY bucket, shard ORDER BY n_chars, doc_id) AS rn
+        |      FROM d),
+        |b AS (SELECT *, CAST((rn - 1) // 8 AS BIGINT) AS batch_id FROM r)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(shard AS BIGINT) AS shard,
+        |  batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MAX(n_chars) AS BIGINT) AS padded_len,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+        |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / (MAX(n_chars) * COUNT(*)), 6)
+        |    AS efficiency
+        |FROM b GROUP BY bucket, shard, batch_id
+        |ORDER BY bucket, shard, batch_id""".stripMargin,
 
     "q_text_termfreq" ->
       """SELECT term, COUNT(*) AS freq FROM (

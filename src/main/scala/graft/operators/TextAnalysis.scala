@@ -167,6 +167,58 @@ object TextAnalysis {
       .drop("__cum_before")
   }
 
+  /** Sequence-length bucketing for padded-batch assembly — the
+    * training-loader move that minimizes padding waste when batches are
+    * padded to their longest member: documents land in the length bucket
+    * whose range covers them (`bounds` ascending; bucket i = count of
+    * bounds strictly below the length, so the last bucket is open-ended),
+    * are hash-sharded WITHIN the bucket, and batched `batchSize` docs at
+    * a time in (length, id) order — near-equal lengths share a batch, so
+    * `padded_len − len` stays small.
+    *
+    * Scale shape: bucket assignment is a narrow codegen'd projection (a
+    * when-chain over the broadcast bounds); the batching window
+    * partitions by (`bucket`, `shard`), NEVER by bucket alone — a handful
+    * of buckets would funnel 100 TB through a handful of partitions,
+    * while bucket × numShards keeps every window task-sized, at the cost
+    * of per-shard (not global) batch packing — the same trade
+    * [[packSequences]] documents. Emits per-doc `bucket`, `shard`,
+    * `batch_id` (restarts at 0 per (bucket, shard)) and `padded_len`
+    * (the batch max every member pads to).
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, tokenCol: String,
+      bounds: Seq[Long], batchSize: Int, numShards: Int = 64,
+      shard: Option[Column] = None): DataFrame = {
+    require(bounds.nonEmpty && bounds == bounds.sorted && bounds.distinct == bounds,
+      s"bounds must be non-empty, ascending and distinct, got $bounds")
+    require(batchSize > 0, "batchSize must be positive")
+    require(numShards > 0, "numShards must be positive")
+    Seq("bucket", "batch_id", "padded_len").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"lengthBucketBatches emits '$c' — rename the input's column; the " +
+          "batch identity is the TRIPLE (bucket, shard, batch_id)"))
+    require(shard.isDefined || !docs.columns.contains("shard"),
+      "lengthBucketBatches emits 'shard' — rename the input's column, or " +
+        "pass it explicitly via the shard parameter")
+    val shardCol = shard.getOrElse(
+      if (numShards == 1) lit(0L)
+      else pmod(hash(col(idCol)), lit(numShards))).cast("long")
+    val bucketCol = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(tokenCol) > b, 1).otherwise(0)
+    }
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard"))
+      .orderBy(col(tokenCol).asc, col(idCol).asc)
+    val wBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"), col("shard"), col("batch_id"))
+    docs
+      .withColumn("shard", shardCol)
+      .withColumn("bucket", bucketCol)
+      .withColumn("batch_id",
+        ((row_number().over(wRank) - 1) / batchSize).cast("long"))
+      .withColumn("padded_len", max(col(tokenCol)).over(wBatch).cast("long"))
+  }
+
   /** Concat-and-chunk packing — the GPT-style epoch layout: documents are
     * concatenated in a deterministic order and the token stream is cut
     * into fixed `seqLen` training sequences, documents crossing sequence

@@ -898,6 +898,39 @@ object LakeTable {
       m.dvFiles)
   }
 
+  /** Total on-disk bytes of the LIVE data files: manifest listing plus one
+    * `FileStatus` per file — no data file opened. The size statistic the
+    * join planner wants (Spark's own broadcast decision reasons about scan
+    * bytes the same way); deletion vectors only shrink the live rows, so
+    * this is an upper bound under MoR deletes.
+    */
+  def tableBytes(spark: SparkSession, root: String,
+      version: Option[Long] = None): Long = {
+    val fs = hfs(spark, root)
+    val m = manifest(spark, root, version)
+    m.files.map(f => fs.getFileStatus(new Path(root, f._1)).getLen).sum
+  }
+
+  /** [[read]] with a metadata-decided join strategy: tables whose live
+    * bytes fit under `thresholdBytes` come back broadcast-hinted, so a
+    * join against them is a broadcast hash join regardless of what the
+    * optimizer could prove about an explicit-file-list scan. The decision
+    * reads ONLY the manifest and file lengths ([[tableBytes]]) — the
+    * ANALYZE-driven plan choice at 100 TB: a dim table stays broadcast as
+    * it accretes versions until the day it actually outgrows the
+    * threshold, and a fact table never accidentally broadcasts. The
+    * default matches Spark's own `autoBroadcastJoinThreshold` (10 MB of
+    * COMPRESSED parquet here — conservative, since in-memory rows
+    * inflate).
+    */
+  def readForJoin(spark: SparkSession, root: String,
+      thresholdBytes: Long = 10L << 20,
+      version: Option[Long] = None): DataFrame = {
+    val df = read(spark, root, version)
+    if (tableBytes(spark, root, version) <= thresholdBytes) broadcast(df)
+    else df
+  }
+
   /** COUNT(*) from metadata alone when the stats sidecar covers every live
     * file and no deletion vectors are outstanding — the aggregate-pushdown
     * answer a table format owes its planner: a row count over 100 TB that

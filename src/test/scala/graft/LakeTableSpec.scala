@@ -141,6 +141,32 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.fastCount(spark, bare) shouldBe None
   }
 
+  test("readForJoin: file-length metadata decides broadcast vs shuffle join") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2)
+    // tableBytes agrees with a direct FS walk of the live files
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = LakeTable.manifest(spark, root)
+    val walked = m.files.map(f =>
+      fs.getFileStatus(new Path(root, f._1)).getLen).sum
+    LakeTable.tableBytes(spark, root) shouldBe walked
+    walked should be > 0L
+
+    val other = spark.range(0, 1000).select(col("id"), lit("x").alias("tag"))
+    def planOf(dim: org.apache.spark.sql.DataFrame): String =
+      other.join(dim, "id").queryExecution.executedPlan.toString
+    // under the threshold: broadcast-hinted regardless of planner stats
+    planOf(LakeTable.readForJoin(spark, root)) should
+      include ("BroadcastHashJoin")
+    // a zero threshold never broadcasts from the hint (the tiny test scan
+    // may still auto-broadcast, so pin the hint itself instead)
+    LakeTable.readForJoin(spark, root, thresholdBytes = 0L)
+      .queryExecution.logical.toString should not include "Hint broadcast"
+    LakeTable.readForJoin(spark, root)
+      .queryExecution.logical.toString should include ("Hint broadcast")
+  }
+
   test("fastNdv: metadata-only NDV from unioned per-file sketches, declines when inexact") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4,

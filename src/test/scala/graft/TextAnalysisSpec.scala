@@ -415,4 +415,56 @@ class TextAnalysisSpec extends SparkTestBase {
     out(3L) shouldBe ((3L, 0L, 0.0, 0.0, 0.0, 0.0))
     out(4L)._3 shouldBe 1.0 +- 1e-12  // all Latin incl. ï and é
   }
+
+  test("lengthBucketBatches: buckets, per-shard batching and padded_len match a hand computation") {
+    import spark.implicits._
+    // one shard so batch order is globally deterministic; bounds 10/20
+    // give buckets 0 (<=10), 1 (11..20), 2 (>20)
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 10L),          // bucket 0
+      (4L, 11L), (5L, 15L), (6L, 20L),        // bucket 1
+      (7L, 21L), (8L, 99L)                    // bucket 2
+    ).toDF("doc_id", "len")
+    val out = graft.operators.TextAnalysis.lengthBucketBatches(
+        docs, "doc_id", "len", bounds = Seq(10L, 20L), batchSize = 2,
+        numShards = 1)
+      .select("doc_id", "bucket", "batch_id", "padded_len")
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    out(1L) shouldBe ((1L, 0, 0L, 9L))   // batch {5,9} pads to 9
+    out(2L) shouldBe ((2L, 0, 0L, 9L))
+    out(3L) shouldBe ((3L, 0, 1L, 10L))  // partial trailing batch
+    out(4L) shouldBe ((4L, 1, 0L, 15L))
+    out(5L) shouldBe ((5L, 1, 0L, 15L))
+    out(6L) shouldBe ((6L, 1, 1L, 20L))
+    out(7L) shouldBe ((7L, 2, 0L, 99L))
+    out(8L) shouldBe ((8L, 2, 0L, 99L))
+    // docs of near-equal length share a batch: waste is small per batch
+    // (pad 9 for a 5 is the worst here), never padded to the bucket max
+  }
+
+  test("lengthBucketBatches: validation and explicit shard") {
+    import spark.implicits._
+    val docs = Seq((1L, 5L), (2L, 6L)).toDF("doc_id", "len")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.lengthBucketBatches(
+        docs, "doc_id", "len", bounds = Seq(20L, 10L), batchSize = 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.lengthBucketBatches(
+        docs, "doc_id", "len", bounds = Seq(10L), batchSize = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.lengthBucketBatches(
+        docs.withColumn("bucket", org.apache.spark.sql.functions.lit(1)),
+        "doc_id", "len", bounds = Seq(10L), batchSize = 2)
+    }
+    // explicit shard is honored verbatim (numShards only sizes the default)
+    val out = graft.operators.TextAnalysis.lengthBucketBatches(
+        docs, "doc_id", "len", bounds = Seq(10L), batchSize = 1,
+        numShards = 1,
+        shard = Some(org.apache.spark.sql.functions.col("doc_id") % 2))
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 0L
+  }
 }
