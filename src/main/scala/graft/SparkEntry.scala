@@ -1231,6 +1231,62 @@ object SparkEntry {
     // pipeline pays only the REFRESH leg per delivery (the last ~1.5 s
     // here); the delta/merged frames are checkpointed once so the feed
     // never re-runs per consumer.
+    // Incremental JOIN materialized view (sinks/JoinMaterializedView
+    // .scala): fact ⋈ dim GROUP BY dim-attribute maintained from BOTH
+    // tables' change feeds by the signed two-leg delta rule
+    // (ΔF⋈D_new + F_old⋈ΔD — the cross term folds in exactly once). The
+    // lifecycle exercises every maintenance shape: a fact insert wave, a
+    // dim attribute MOVE (re-attributes old fact rows between groups
+    // through the dynamicPrunedScan'd dim leg — the fact is clustered on
+    // the join key so the leg opens a sliver of files), then a combined
+    // fact update + delete delivery folded through one refresh spanning
+    // two base versions. The oracle recomputes the final join aggregate
+    // from scratch, so the check proves incremental == full recompute
+    // across the whole history.
+    "q_mv_join" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val factRoot = tmp + "/graft_mvjoin_fact"
+      val dimRoot  = tmp + "/graft_mvjoin_dim"
+      val mvRoot   = tmp + "/graft_mvjoin_view"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(factRoot, dimRoot, mvRoot).foreach(p =>
+        new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+          .delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 3 =!= 0),
+        factRoot, Seq("o_orderkey"), numBuckets = 8,
+        sortCols = Seq("o_custkey"), statsCols = Seq("o_custkey"),
+        maxRecordsPerFile = 4096L)
+      graft.sinks.LakeTable.init(cust, dimRoot, Seq("c_custkey"),
+        numBuckets = 4)
+      graft.sinks.JoinMaterializedView.init(s, factRoot, dimRoot, mvRoot,
+        "o_custkey", Seq("c_mktsegment"), Seq("o_totalprice"),
+        numBuckets = 4)
+      // fact insert wave
+      graft.sinks.LakeTable.merge(s, factRoot,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      graft.sinks.JoinMaterializedView.refresh(s, factRoot, dimRoot, mvRoot)
+      // dim attribute move: every 7th customer changes segment
+      graft.sinks.LakeTable.merge(s, dimRoot,
+        cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_mktsegment", lit("MOVED")))
+      graft.sinks.JoinMaterializedView.refresh(s, factRoot, dimRoot, mvRoot)
+      // combined fact update + delete, one refresh over two versions
+      graft.sinks.LakeTable.merge(s, factRoot,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100.0))
+      graft.sinks.LakeTable.delete(s, factRoot,
+        orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+      graft.sinks.JoinMaterializedView.refresh(s, factRoot, dimRoot, mvRoot)
+      graft.sinks.JoinMaterializedView.read(s, mvRoot)
+        .select(col("c_mktsegment"), col("cnt"),
+          round(col("sum_o_totalprice").cast("double"), 2).alias("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_mv_incremental" -> ((s, dir) => {
       val root = System.getProperty("java.io.tmpdir") + "/graft_mv_base"
       val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_view"
@@ -5256,6 +5312,23 @@ object SparkEntry {
         |    AND (a_price IS DISTINCT FROM b_price
         |         OR a_pri IS DISTINCT FROM b_pri))
         |SELECT * FROM feed ORDER BY o_orderkey, change_type""".stripMargin,
+
+    "q_mv_join" ->
+      """WITH fact AS (
+        |  SELECT o_custkey,
+        |    o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 100.0
+        |                        ELSE 0.0 END AS price
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |dim AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  ROUND(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE), 2)
+        |    AS sum_price
+        |FROM fact JOIN dim ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q_mv_incremental" ->
       """WITH v0 AS (
