@@ -39,7 +39,10 @@ object ScaleProof {
     "q_corpus_export", "q_split_leakage_safe", "q_ann_ivfpq_indexed",
     "q_epoch_export", "q_dedup_incremental_neardup",
     "q_lake_cdf", "q_mv_incremental", "q_pagerank", "q_bm25_index_append",
-    "q_mv_minmax")
+    "q_mv_minmax",
+    // r10 continuation: the new lifecycle/ANN surfaces plus the heaviest
+    // bench query (HLL MV), none of which the original 20 covered
+    "q_mv_join", "q_ann_binary", "q_lake_analyze", "q_mv_approx_distinct")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -23,6 +23,7 @@ object Scratch {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val name = args(0)
     if (name == "corpus_export_legs") { exportLegs(spark, sfDir); spark.stop(); return }
+    if (name == "mv_join_legs") { mvJoinLegs(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
@@ -81,6 +82,69 @@ object Scratch {
         .agg(count(lit(1)),
           coalesce(sum(when(col("back_len") > col("orig_len"), 1L)), lit(0L)))
         .head().getLong(0)
+    }
+  }
+
+  /** q_mv_join lifecycle step breakdown: per-step wall time for the two
+    * lake inits, the view init (full join + agg), and each
+    * delivery+refresh pair — the floor note behind the query's bench
+    * entry. One pass (lifecycles don't "warm": each step publishes).
+    */
+  private def mvJoinLegs(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sinks.{JoinMaterializedView, LakeTable}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val factRoot = tmp + "/scratch_mvjoin_fact"
+    val dimRoot = tmp + "/scratch_mvjoin_dim"
+    val mvRoot = tmp + "/scratch_mvjoin_view"
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(factRoot, dimRoot, mvRoot).foreach(p =>
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+        .delete(new org.apache.hadoop.fs.Path(p), true))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def leg[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scratch] mv_join leg $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    leg("init_fact") {
+      LakeTable.init(orders.filter(col("o_orderkey") % 3 =!= 0), factRoot,
+        Seq("o_orderkey"), numBuckets = 8, sortCols = Seq("o_custkey"),
+        statsCols = Seq("o_custkey"), maxRecordsPerFile = 4096L)
+    }
+    leg("init_dim") {
+      LakeTable.init(cust, dimRoot, Seq("c_custkey"), numBuckets = 4)
+    }
+    leg("init_view") {
+      JoinMaterializedView.init(spark, factRoot, dimRoot, mvRoot,
+        "o_custkey", Seq("c_mktsegment"), Seq("o_totalprice"), numBuckets = 4)
+    }
+    leg("merge_fact_wave") {
+      LakeTable.merge(spark, factRoot, orders.filter(col("o_orderkey") % 3 === 0))
+    }
+    leg("merge_dim_move") {
+      LakeTable.merge(spark, dimRoot, cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("MOVED")))
+    }
+    leg("refresh_1_both_legs") {
+      JoinMaterializedView.refresh(spark, factRoot, dimRoot, mvRoot)
+    }
+    leg("merge_fact_update") {
+      LakeTable.merge(spark, factRoot, orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0))
+    }
+    leg("delete_fact") {
+      LakeTable.delete(spark, factRoot,
+        orders.filter(col("o_orderkey") % 11 === 0).select(col("o_orderkey")))
+    }
+    leg("refresh_2_fact_only") {
+      JoinMaterializedView.refresh(spark, factRoot, dimRoot, mvRoot)
+    }
+    leg("read") {
+      JoinMaterializedView.read(spark, mvRoot).count()
     }
   }
 }

@@ -1235,14 +1235,23 @@ object SparkEntry {
     // .scala): fact ⋈ dim GROUP BY dim-attribute maintained from BOTH
     // tables' change feeds by the signed two-leg delta rule
     // (ΔF⋈D_new + F_old⋈ΔD — the cross term folds in exactly once). The
-    // lifecycle exercises every maintenance shape: a fact insert wave, a
-    // dim attribute MOVE (re-attributes old fact rows between groups
-    // through the dynamicPrunedScan'd dim leg — the fact is clustered on
-    // the join key so the leg opens a sliver of files), then a combined
-    // fact update + delete delivery folded through one refresh spanning
-    // two base versions. The oracle recomputes the final join aggregate
-    // from scratch, so the check proves incremental == full recompute
-    // across the whole history.
+    // lifecycle exercises every maintenance shape in two refreshes: a
+    // fact insert wave TOGETHER with a dim attribute MOVE (both legs +
+    // the cross term in one pass; the dim leg re-attributes old fact
+    // rows between groups through dynamicPrunedScan — the fact is
+    // clustered on the join key), then a combined fact update + delete
+    // delivery folded through one refresh spanning two base versions.
+    // The oracle recomputes the final join aggregate from scratch, so
+    // the check proves incremental == full recompute across the whole
+    // history.
+    //
+    // Measured floor (Scratch mv_join_legs at sf0.1): ~10 s warm, of
+    // which the LAKE DELIVERIES are ~9 s (clustered fact init 3.4 s +
+    // three copy-on-write bucket-rewrite deliveries ~5.6 s) and the two
+    // view refreshes ~5 s cold / less warm — the per-run lifecycle
+    // rebuild IS the workload, as with q_mv_minmax. Isolated 10× scale
+    // ratio 2.55 (sublinear: 10× data, 2.5× time — fixed publish
+    // overhead amortizes).
     "q_mv_join" -> ((s, dir) => {
       val tmp = System.getProperty("java.io.tmpdir")
       val factRoot = tmp + "/graft_mvjoin_fact"
@@ -1265,11 +1274,13 @@ object SparkEntry {
       graft.sinks.JoinMaterializedView.init(s, factRoot, dimRoot, mvRoot,
         "o_custkey", Seq("c_mktsegment"), Seq("o_totalprice"),
         numBuckets = 4)
-      // fact insert wave
+      // delivery 1: fact insert wave AND dim attribute move (every 7th
+      // customer changes segment) folded through ONE refresh — both legs
+      // plus the ΔF⋈ΔD cross term in the same pass (the spec pins the
+      // cross term separately; here it keeps the lifecycle at two
+      // refreshes instead of three)
       graft.sinks.LakeTable.merge(s, factRoot,
         orders.filter(col("o_orderkey") % 3 === 0))
-      graft.sinks.JoinMaterializedView.refresh(s, factRoot, dimRoot, mvRoot)
-      // dim attribute move: every 7th customer changes segment
       graft.sinks.LakeTable.merge(s, dimRoot,
         cust.filter(col("c_custkey") % 7 === 0)
           .withColumn("c_mktsegment", lit("MOVED")))
@@ -2386,6 +2397,33 @@ object SparkEntry {
           k = 5, nprobe = 4)
         .filter(col("neighbor_id") === col("query_id") + 1000000L)
         .select(col("query_id"), col("rank").cast("long").alias("planted_rank"))
+        .withColumn("index_rows", lit(idx.coded.count()))
+        .orderBy("query_id")
+    }),
+
+    // Persisted + incrementally-appended BINARY index: delivery 1 builds
+    // (thresholds train here and FREEZE), delivery 2 appends the planted
+    // twins plus a REDELIVERED slice through appendToBinaryIndex —
+    // encode-delta-only with the frozen cut, dedup-on-write,
+    // stage-and-swap publish. The planted copies must come back at rank 1
+    // with Hamming 0 through codes produced by the frozen thresholds, and
+    // the index row count must equal base + 10 exactly.
+    "q_ann_binary_indexed" -> ((s, dir) => {
+      val emb     = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val planted = queries.withColumn("vec_id", col("vec_id") + 1000000L)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_binary_index"
+      Similarity.buildBinaryIndex(emb, "vec_id", "embedding", path, dim = 64)
+      Similarity.appendToBinaryIndex(s, path,
+        planted.unionByName(emb.filter(col("vec_id") < 100)),
+        "vec_id", "embedding")
+      val idx = Similarity.readBinaryIndex(s, path)
+      val corpus = emb.unionByName(planted)
+      Similarity.searchBinaryIndex(idx, corpus, queries, "vec_id", "embedding",
+          k = 5, shortlist = 50)
+        .filter(col("neighbor_id") === col("query_id") + 1000000L)
+        .select(col("query_id"), col("rank").cast("long").alias("planted_rank"),
+          col("hamming"))
         .withColumn("index_rows", lit(idx.coded.count()))
         .orderBy("query_id")
     }),
@@ -6212,6 +6250,12 @@ object SparkEntry {
     "q_ann_binary" ->
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank,
         |  CAST(0 AS BIGINT) AS hamming
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q_ann_binary_indexed" ->
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank,
+        |  CAST(0 AS BIGINT) AS hamming,
+        |  CAST((SELECT COUNT(*) + 10 FROM embeddings) AS BIGINT) AS index_rows
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "q_embedding_spread" ->

@@ -664,10 +664,21 @@ object Similarity {
   def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, shortlist: Int = 50,
       thresholds: Option[Array[Double]] = None): DataFrame = {
-    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
     val th = thresholds.getOrElse(binaryThresholds(corpus, vecCol, dim))
     val coded = binaryEncode(corpus, idCol, vecCol, dim, th)
       .withColumnRenamed(idCol, "neighbor_id")
+    binarySearch(coded, corpus, queries, idCol, vecCol, k, dim, shortlist, th)
+  }
+
+  /** Shared binary-search tail: Hamming shortlist over an already-coded
+    * corpus layout (`neighbor_id`, `code`), exact cosine rescore via
+    * `corpus`. [[binaryTopK]] codes in-memory; [[searchBinaryIndex]]
+    * reads the coded layout from disk.
+    */
+  private def binarySearch(coded: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+      shortlist: Int, th: Array[Double]): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
     val q = binaryEncode(queries, idCol, vecCol, dim, th)
       .withColumnRenamed(idCol, "query_id")
       .withColumnRenamed("code", "__qcode")
@@ -694,5 +705,71 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cosine"), 6).alias("cosine"), col("hamming"))
+  }
+
+  /** Persisted binary index read back from [[buildBinaryIndex]]. */
+  final case class BinaryIndex(dim: Int, thresholds: Array[Double],
+      coded: DataFrame)
+
+  /** Persist a binary index: `path/params` holds (dim, trained
+    * thresholds) as one parquet row; `path/coded` holds the packed codes
+    * — (id, dim/64 longs) per vector, dim/8 bytes of payload. The encode
+    * is the only full-precision pass binary search ever needs, so at
+    * 100 TB it runs ONCE here; every query batch after that scans 32×
+    * smaller rows. Same layout discipline as [[buildIvfPqIndex]].
+    */
+  def buildBinaryIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, dim: Int = 64): Unit = {
+    val th = binaryThresholds(corpus, vecCol, dim)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((dim, th.toSeq)).toDF("dim", "thresholds")
+      .write.mode("overwrite").parquet(s"$path/params")
+    binaryEncode(corpus, idCol, vecCol, dim, th)
+      .select(col(idCol).alias("id"), col("code"))
+      .write.mode("overwrite").parquet(s"$path/coded")
+  }
+
+  def readBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): BinaryIndex = {
+    val p = spark.read.parquet(s"$path/params").head()
+    BinaryIndex(p.getAs[Int]("dim"),
+      p.getAs[Seq[Double]]("thresholds").toArray,
+      spark.read.parquet(s"$path/coded"))
+  }
+
+  /** Incremental append: encode ONLY the delta with the index's FROZEN
+    * thresholds (train-once — codes stay mutually comparable across
+    * deliveries; re-thresholding would silently flip bits of every
+    * historical code), drop ids already present (idempotent re-delivery),
+    * publish old ∪ fresh stage-and-swap so a crash leaves the previous
+    * index intact and the union job's inputs are never deleted under it.
+    */
+  def appendToBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = readBinaryIndex(spark, path)
+    val fresh = binaryEncode(delta, idCol, vecCol, idx.dim, idx.thresholds)
+      .select(col(idCol).alias("id"), col("code"))
+      .dropDuplicates("id")
+      .join(idx.coded.select("id"), Seq("id"), "left_anti")
+    val codedDir = new org.apache.hadoop.fs.Path(s"$path/coded")
+    val fs = codedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sinks.LakeSink.stageAndSwap(fs, codedDir) { staging =>
+      idx.coded.unionByName(fresh).write.mode("overwrite").parquet(staging.toString)
+    }
+  }
+
+  /** [[binaryTopK]] against a PERSISTED index: thresholds come from
+    * `index.thresholds`, the packed codes are read from disk, and only
+    * the rescore stage touches `corpus` (full vectors fetched by
+    * shortlisted id). Same output contract as [[binaryTopK]] — identical
+    * parameters yield identical results.
+    */
+  def searchBinaryIndex(index: BinaryIndex, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      shortlist: Int = 50): DataFrame = {
+    val coded = index.coded.select(col("id").alias("neighbor_id"), col("code"))
+    binarySearch(coded, corpus, queries, idCol, vecCol, k, index.dim,
+      shortlist, index.thresholds)
   }
 }

@@ -431,6 +431,42 @@ class SimilaritySpec extends SparkTestBase {
     hits should be >= 5
   }
 
+  test("binary index: disk round trip equals the in-memory path; append freezes thresholds") {
+    val path = java.nio.file.Files.createTempDirectory("binidx").toString
+    val queries = emb.filter($"vec_id" < 3)
+    Similarity.buildBinaryIndex(emb, "vec_id", "embedding", path, dim = 64)
+    val idx = Similarity.readBinaryIndex(spark, path)
+    idx.dim shouldBe 64
+    idx.thresholds shouldBe Similarity.binaryThresholds(emb, "embedding", 64)
+    // disk path == in-memory path row for row (same thresholds by
+    // construction: binaryTopK trains on the same corpus)
+    val fromDisk = Similarity.searchBinaryIndex(idx, emb, queries,
+        "vec_id", "embedding", k = 5, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id", "cosine", "hamming")
+      .collect().map(_.toSeq).toSeq
+    val inMem = Similarity.binaryTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dim = 64, shortlist = 50)
+      .select("query_id", "rank", "neighbor_id", "cosine", "hamming")
+      .collect().map(_.toSeq).toSeq
+    fromDisk.sortBy(_.toString) shouldBe inMem.sortBy(_.toString)
+
+    // append: planted twins + a redelivered slice — delta-only encode
+    // under the FROZEN thresholds, dedup-on-write
+    val planted = queries.withColumn("vec_id", $"vec_id" + 1000000L)
+    Similarity.appendToBinaryIndex(spark, path,
+      planted.unionByName(emb.filter($"vec_id" < 50)), "vec_id", "embedding")
+    val idx2 = Similarity.readBinaryIndex(spark, path)
+    idx2.thresholds shouldBe idx.thresholds
+    idx2.coded.count() shouldBe emb.count() + 3
+    val top = Similarity.searchBinaryIndex(idx2,
+        emb.unionByName(planted), queries, "vec_id", "embedding", k = 5)
+      .filter($"rank" === 1)
+      .select("query_id", "neighbor_id", "hamming")
+      .as[(Long, Long, Long)].collect()
+    top.length shouldBe 3
+    top.foreach { case (q, n, h) => n shouldBe q + 1000000L; h shouldBe 0L }
+  }
+
   test("binary quantization: input validation") {
     intercept[IllegalArgumentException] {
       Similarity.binaryEncode(emb.toDF(), "vec_id", "embedding", 60,
