@@ -82,8 +82,12 @@ object LakeDag {
       // with no upserts file set is a valid (empty) day.
       if (!exists(spark, conf.upsertsDir)) ()
       else if (!tableExists(spark, conf.tableRoot))
+        // ndvCols = the view's group columns: every commit keeps per-file
+        // HLL sketches so audit_report's group-cardinality check is
+        // metadata-only (fastNdv), like its fastCount row count
         LakeTable.init(spark.read.parquet(conf.upsertsDir), conf.tableRoot,
-          conf.keys, conf.numBuckets, statsCols = conf.statsCols)
+          conf.keys, conf.numBuckets, statsCols = conf.statsCols,
+          ndvCols = conf.groupCols)
       else
         LakeTable.merge(spark, conf.tableRoot,
           spark.read.parquet(conf.upsertsDir), conf.orderCol)
@@ -147,8 +151,27 @@ object LakeDag {
         else LakeTable.fsck(spark, conf.tableRoot).ok &&
           (!tableExists(spark, conf.viewRoot) ||
             LakeTable.fsck(spark, conf.viewRoot).ok)
-      Seq((conf.ds, tableRows, viewRows, tableRows == viewRows, integrityOk))
-        .toDF("ds", "table_rows", "view_rows", "consistent", "integrity_ok")
+      // cardinality: the table's group-column NDV (metadata-only through
+      // the _ndv sidecar; compact_maintenance folded the day's vectors so
+      // fastNdv can answer — a gap falls back to an exact scan) must
+      // match the number of groups the view serves, within the sketch's
+      // error band. A silent divergence here is the drift signal: groups
+      // the view lost, or phantom groups it never retired.
+      val groupCol = conf.groupCols.head
+      val ndvGroups =
+        if (!tableExists(spark, conf.tableRoot)) 0L
+        else LakeTable.fastNdv(spark, conf.tableRoot, groupCol)
+          .getOrElse(LakeTable.read(spark, conf.tableRoot)
+            .agg(count_distinct(col(groupCol))).head().getLong(0))
+      val viewGroups =
+        if (!tableExists(spark, conf.viewRoot)) 0L
+        else MaterializedView.read(spark, conf.viewRoot).count()
+      val cardinalityOk =
+        math.abs(ndvGroups - viewGroups) <= math.max(1L, viewGroups / 20)
+      Seq((conf.ds, tableRows, viewRows, tableRows == viewRows, integrityOk,
+          ndvGroups, cardinalityOk))
+        .toDF("ds", "table_rows", "view_rows", "consistent", "integrity_ok",
+          "ndv_groups", "cardinality_ok")
         .coalesce(1)
         .write.mode("overwrite").parquet(conf.reportDir)
 

@@ -48,4 +48,28 @@ object LakeStreaming {
         } finally b.unpersist(blocking = false)
         ()
     }
+
+  /** [[goldIngest]] for a JOIN view: the stream delivers FACT rows; the
+    * dim evolves out-of-band (its own deliveries land between batches).
+    * Per batch: fact merge, then [[graft.sinks.JoinMaterializedView
+    * .refresh]] — which folds BOTH the batch's fact feed and any dim
+    * versions that landed since the last sync, so a dim attribute move
+    * published mid-stream re-attributes history in the next trigger
+    * without a separate scheduler. The replay-nets-to-empty and
+    * crash-one-sync-behind arguments carry over verbatim: both halves
+    * read change feeds, not offsets.
+    */
+  def joinGoldIngest(source: DataFrame, factRoot: String, dimRoot: String,
+      mvRoot: String, orderCol: Option[String] = None): DataStreamWriter[Row] =
+    source.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        try {
+          LakeTable.merge(spark, factRoot, b, orderCol)
+          graft.sinks.JoinMaterializedView.refresh(spark, factRoot,
+            dimRoot, mvRoot)
+        } finally b.unpersist(blocking = false)
+        ()
+    }
 }

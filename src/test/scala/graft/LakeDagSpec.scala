@@ -48,6 +48,10 @@ class LakeDagSpec extends SparkTestBase {
       "HIGH" -> (1L, BigDecimal("10.000000")), "LOW" -> (2L, BigDecimal("65.000000")))
     val r2 = spark.read.parquet(conf2.reportDir).head()
     (r2.getLong(1), r2.getLong(2), r2.getBoolean(3)) shouldBe ((3L, 3L, true))
+    // r10: group-cardinality audit — metadata-only NDV of the group
+    // column equals the groups the view serves (2: HIGH, LOW)
+    (r2.getLong(5), r2.getBoolean(6)) shouldBe ((2L, true))
+    LakeTable.fastNdv(spark, conf2.tableRoot, "o_orderpriority") shouldBe Some(2L)
 
     // compact_maintenance folded the day's vectors, and the default conf
     // declares statsCols — the audit's row count came from METADATA alone
@@ -88,9 +92,11 @@ class LakeDagSpec extends SparkTestBase {
     runDay(c0) // no upserts dir at all: nothing exists yet
     // the audit still ships, reporting a consistent, intact zero-row day
     val report = spark.read.parquet(c0.reportDir)
-      .select("table_rows", "view_rows", "consistent", "integrity_ok").head()
+      .select("table_rows", "view_rows", "consistent", "integrity_ok",
+        "ndv_groups", "cardinality_ok").head()
     (report.getLong(0), report.getLong(1), report.getBoolean(2),
       report.getBoolean(3)) shouldBe (0L, 0L, true, true)
+    (report.getLong(4), report.getBoolean(5)) shouldBe ((0L, true))
     // and the day data finally arrives, the same chain bootstraps normally
     val c1 = c0.copy(ds = "2026-08-14")
     writeUpserts(c1.upsertsDir, Seq((1L, "HIGH", 10.0)))

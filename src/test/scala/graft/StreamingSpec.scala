@@ -499,6 +499,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming join-gold ingest: fact stream + out-of-band dim deliveries fold per trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sinks.{JoinMaterializedView, LakeTable}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("jgold_stream").toString
+    val factRoot = s"$root/fact"; val dimRoot = s"$root/dim"
+    val mvRoot = s"$root/view"
+
+    LakeTable.init(Seq((1L, 10L, 1.0), (2L, 20L, 2.0))
+      .toDF("id", "fk", "amount"), factRoot, Seq("id"), numBuckets = 4)
+    LakeTable.init(Seq((10L, "A"), (20L, "B")).toDF("pk", "seg"),
+      dimRoot, Seq("pk"), numBuckets = 2)
+    JoinMaterializedView.init(spark, factRoot, dimRoot, mvRoot,
+      "fk", Seq("seg"), Seq("amount"), numBuckets = 2)
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.LakeStreaming.joinGoldIngest(
+        input.toDF().toDF("id", "fk", "amount"), factRoot, dimRoot, mvRoot)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      def view(): Map[String, (Long, Double)] =
+        JoinMaterializedView.read(spark, mvRoot)
+          .select($"seg", $"cnt", $"sum_amount".cast("double"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // batch 0: fact insert into each group
+      input.addData((3L, 10L, 4.0), (4L, 20L, 8.0))
+      q.processAllAvailable()
+      view() shouldBe Map("A" -> (2L, 5.0), "B" -> (2L, 10.0))
+
+      // an out-of-band DIM delivery lands between triggers: 20 moves B→A.
+      // The next fact batch's refresh folds the dim feed too —
+      // re-attributing rows 2 and 4 — alongside its own fact row.
+      LakeTable.merge(spark, dimRoot, Seq((20L, "A")).toDF("pk", "seg"))
+      input.addData((5L, 10L, 16.0))
+      q.processAllAvailable()
+      view() shouldBe Map("A" -> (5L, 31.0))
+
+      // replayed fact rows net to an empty feed: the view must not move
+      input.addData((5L, 10L, 16.0))
+      q.processAllAvailable()
+      view() shouldBe Map("A" -> (5L, 31.0))
+    } finally q.stop()
+  }
+
   test("streaming gold ingest maintains approx-distinct sketches across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sinks.{LakeTable, MaterializedView}
