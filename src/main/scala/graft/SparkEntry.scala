@@ -1972,6 +1972,26 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n_events"), dsum(col("value")).alias("sum_value"))
         .orderBy("window_start", "event_type")),
 
+    // OHLC/VWAP candle bars (operators/Resample.scala): the market-data
+    // rollup as ONE hash aggregation — open/close via min_by/max_by over
+    // a (ts, id) struct (timestamp ties break on the id, deterministic
+    // under replay), decimal-summed Σp·v for the vwap. The oracle picks
+    // open/close through ROW_NUMBER windows — same rows, different plan —
+    // so the hash match proves the aggregation-buffer formulation
+    // equals the sort-based one.
+    "q_ohlc_bars" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("ts"),
+        col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").alias("vol"))
+      graft.operators.Resample.ohlcBars(ev, "event_type", "ts", "event_id",
+          "value", "vol", "1 hour")
+        .select(col("event_type"),
+          date_format(col("bar_start"), "yyyy-MM-dd HH:mm:ss").alias("bar"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("n_trades"), col("volume"), col("vwap"))
+        .orderBy("event_type", "bar")
+    }),
+
     // Rolling 3-hour distinct users from MERGED hourly HLL sketches — the
     // events are scanned ONCE (hourly sketch pass); every window estimate
     // comes from merging persisted buffers. Contract: exact rolling count
@@ -5657,6 +5677,32 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, ts, event_id, value AS p,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL),
+        |w AS (SELECT *, date_trunc('hour', ts) AS b,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |          ORDER BY ts, event_id) AS rn_a,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |          ORDER BY ts DESC, event_id DESC) AS rn_d
+        |      FROM e)
+        |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bar,
+        |  MAX(CASE WHEN rn_a = 1 THEN p END) AS open,
+        |  MAX(p) AS high, MIN(p) AS low,
+        |  MAX(CASE WHEN rn_d = 1 THEN p END) AS close,
+        |  COUNT(*) AS n_trades, CAST(SUM(v) AS BIGINT) AS volume,
+        |  -- no ROUND: num and den are exact decimals cast to double, so
+        |  -- the IEEE division is bit-identical across engines (a ROUND
+        |  -- would reintroduce engine-specific decimal-tie behavior)
+        |  CASE WHEN SUM(v) = 0 THEN NULL
+        |       ELSE CAST(SUM(CAST(p * v AS DECIMAL(28,8))) AS DOUBLE) /
+        |            CAST(SUM(CAST(v AS DECIMAL(28,8))) AS DOUBLE)
+        |  END AS vwap
+        |FROM w GROUP BY 1, 2 ORDER BY event_type, bar""".stripMargin,
 
     "q_rolling_quantiles" ->
       """WITH e AS (SELECT date_trunc('hour', ts) AS h, value FROM events),
