@@ -57,7 +57,8 @@ class LakeTablePropertySpec extends SparkTestBase {
   test("property: reads, time travel, CDF replay and restore agree with the model") {
     val prop = Prop.forAll(genRows, Gen.listOfN(4, genOp)) { (base, ops) =>
       val root = java.nio.file.Files.createTempDirectory("lakeprop").toString
-      LakeTable.init(df(base), root, Seq("id"), numBuckets = 2)
+      LakeTable.init(df(base), root, Seq("id"), numBuckets = 2,
+        statsCols = Seq("score"), ndvCols = Seq("grp", "score"))
       var model: Model = base.map(r => r._1 -> ((r._2, r._3))).toMap
       val v0 = LakeTable.manifest(spark, root).version
       // (version after op, model after op)
@@ -97,13 +98,26 @@ class LakeTablePropertySpec extends SparkTestBase {
           }
         replayed == model
       }
+      // metadata statistics agree with the model whenever they ANSWER;
+      // declining is legitimate ONLY under outstanding deletion vectors
+      val dvOut = LakeTable.manifest(spark, root).dvFiles.nonEmpty
+      val fastOk = (LakeTable.fastCount(spark, root) match {
+        case Some(n) => !dvOut && n == model.size
+        case None => dvOut
+      }) && (LakeTable.fastNdv(spark, root, "grp") match {
+        case Some(n) => !dvOut && n == model.values.map(_._1).toSet.size
+        case None => dvOut
+      }) && (LakeTable.fastNdv(spark, root, "score") match {
+        case Some(n) => !dvOut && n == model.values.map(_._2).toSet.size
+        case None => dvOut
+      })
       // restore to the earliest version: content rolls back exactly
       LakeTable.restore(spark, root, v0)
       val restoreOk = asModel(LakeTable.read(spark, root)) == hist.head._2
-      val ok = headOk && travelOk && replayOk && restoreOk
+      val ok = headOk && travelOk && replayOk && restoreOk && fastOk
       if (!ok) System.err.println(
         s"lake property mismatch head=$headOk travel=$travelOk " +
-          s"replay=$replayOk restore=$restoreOk\nbase=$base\nops=$ops")
+          s"replay=$replayOk restore=$restoreOk fast=$fastOk\nbase=$base\nops=$ops")
       ok
     }
     val res = SCTest.check(
