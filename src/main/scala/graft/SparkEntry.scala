@@ -1513,6 +1513,35 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Z-order layout evolution (sinks/LakeTable.scala optimizeZOrder):
+    // the lineitem slice is first laid out sorted on l_partkey ALONE,
+    // then rewritten in Morton-interleaved (l_partkey, l_suppkey) order —
+    // the Delta OPTIMIZE ZORDER maintenance pass — and a two-predicate
+    // box probe (readBox) reads through the zone-map intersection. The
+    // oracle is the plain conjunctive filter on the logical content;
+    // LakeTableSpec pins the physical contract (the box opens fewer
+    // files than the single-sort layout needed, on BOTH columns).
+    "q_lake_zorder" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_zorder"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+      graft.sinks.LakeTable.init(li, root,
+        Seq("l_orderkey", "l_linenumber"), numBuckets = 1,
+        sortCols = Seq("l_partkey"), statsCols = Seq("l_partkey", "l_suppkey"),
+        maxRecordsPerFile = 4096L)
+      graft.sinks.LakeTable.optimizeZOrder(s, root,
+        Seq("l_partkey", "l_suppkey"))
+      graft.sinks.LakeTable.readBox(s, root,
+          Seq(("l_partkey", "100", "300"), ("l_suppkey", "1", "10")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity").cast("double").alias("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Indexing evolution (sinks/LakeTable.scala alterIndexing): a table
     // initialized WITHOUT zone maps gains statsCols after the fact — one
     // metadata publish plus a stats pass, zero data rewritten — and the
@@ -5469,6 +5498,14 @@ object SparkEntry {
         |  AND o_orderkey % 10 <> 4
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q_lake_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300
+        |  AND l_suppkey BETWEEN 1 AND 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_lake_alter_index" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
         |       ROUND(o_totalprice, 2) AS price
@@ -5683,7 +5720,11 @@ object SparkEntry {
         |  SELECT event_type, ts, event_id, value AS p,
         |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
         |  FROM events
-        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL),
+        |  -- the operator's contract filters on the parsed VOLUME, not on
+        |  -- props presence: a row whose props lacks a numeric $.k cannot
+        |  -- contribute to a candle coherently and is excluded everywhere
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL),
         |w AS (SELECT *, date_trunc('hour', ts) AS b,
         |        ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
         |          ORDER BY ts, event_id) AS rn_a,

@@ -151,23 +151,38 @@ object LakeDag {
         else LakeTable.fsck(spark, conf.tableRoot).ok &&
           (!tableExists(spark, conf.viewRoot) ||
             LakeTable.fsck(spark, conf.viewRoot).ok)
-      // cardinality: the table's group-column NDV (metadata-only through
+      // cardinality: the table's group-column NDVs (metadata-only through
       // the _ndv sidecar; compact_maintenance folded the day's vectors so
       // fastNdv can answer — a gap falls back to an exact scan) must
-      // match the number of groups the view serves, within the sketch's
-      // error band. A silent divergence here is the drift signal: groups
-      // the view lost, or phantom groups it never retired.
-      val groupCol = conf.groupCols.head
-      val ndvGroups =
-        if (!tableExists(spark, conf.tableRoot)) 0L
-        else LakeTable.fastNdv(spark, conf.tableRoot, groupCol)
-          .getOrElse(LakeTable.read(spark, conf.tableRoot)
-            .agg(count_distinct(col(groupCol))).head().getLong(0))
+      // reconcile with the number of groups the view serves, within the
+      // sketch's error band. A silent divergence here is the drift
+      // signal: groups the view lost, or phantom groups it never retired.
+      // The view counts distinct group TUPLES, so per-column NDVs bound
+      // it from both sides rather than equal it: every single column's
+      // NDV ≤ #tuples ≤ the product of the NDVs (equality only holds for
+      // ONE group column, where the tighter band applies).
+      val ndvs: Seq[Long] =
+        if (!tableExists(spark, conf.tableRoot)) conf.groupCols.map(_ => 0L)
+        else conf.groupCols.map(g =>
+          LakeTable.fastNdv(spark, conf.tableRoot, g)
+            .getOrElse(LakeTable.read(spark, conf.tableRoot)
+              .agg(count_distinct(col(g))).head().getLong(0)))
+      val ndvGroups = ndvs.max
       val viewGroups =
         if (!tableExists(spark, conf.viewRoot)) 0L
         else MaterializedView.read(spark, conf.viewRoot).count()
       val cardinalityOk =
-        math.abs(ndvGroups - viewGroups) <= math.max(1L, viewGroups / 20)
+        if (conf.groupCols.size == 1)
+          math.abs(ndvGroups - viewGroups) <= math.max(1L, viewGroups / 20)
+        else {
+          // 5% slack on each bound covers the sketches' stacked rse; the
+          // product saturates rather than overflows on wide group lists
+          val product = ndvs.foldLeft(1L)((a, b) =>
+            if (a > Long.MaxValue / math.max(b, 1L)) Long.MaxValue
+            else a * math.max(b, 1L))
+          ndvs.max <= viewGroups + math.max(1L, viewGroups / 20) &&
+            viewGroups <= product + math.max(1L, product / 20)
+        }
       Seq((conf.ds, tableRows, viewRows, tableRows == viewRows, integrityOk,
           ndvGroups, cardinalityOk))
         .toDF("ds", "table_rows", "view_rows", "consistent", "integrity_ok",

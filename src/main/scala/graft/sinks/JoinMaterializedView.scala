@@ -80,20 +80,21 @@ object JoinMaterializedView {
     val out = fs.create(staged, false)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // the FILESYSTEM's scheme decides the claim mechanism (a bare local
+    // path's own URI has NO scheme — testing the path would silently
+    // skip the hard-link branch everywhere it matters); losing the claim
+    // is benign: the winner applied the same feeds on the same pinned
+    // view base, so the marker contents are value-identical
     val dst = new Path(dir, s"${s.factVersion}_${s.dimVersion}.json")
-    val claimed =
-      if (staged.toUri.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(staged.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !fs.exists(dst) && fs.rename(staged, dst)
-    fs.delete(staged, false)
-    // losing the claim is benign: the winner applied the same feeds on
-    // the same pinned view base — identical aggregate state
-    claimed || fs.exists(dst)
+    if ("file" == Option(fs.getUri).map(_.getScheme).orNull) {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(staged.toUri.getPath))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      fs.delete(staged, false)
+    } else {
+      if (fs.exists(dst) || !fs.rename(staged, dst)) fs.delete(staged, false)
+    }
   }
 
   private def readSync(spark: SparkSession, mvRoot: String): Sync = {
@@ -162,6 +163,13 @@ object JoinMaterializedView {
       sumCols: Seq[String], numBuckets: Int = 16): Unit = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sumCols.nonEmpty, "sumCols must be non-empty")
+    // refresh reconstructs sumCols from the view schema by the `sum_`
+    // prefix and treats `cnt` as its own aggregate — a group column named
+    // into either namespace would be misclassified on the FIRST refresh
+    // (init would succeed, the view would be permanently unrefreshable)
+    groupCols.foreach(g => require(!g.startsWith("sum_") && g != "cnt",
+      s"group column '$g' collides with the view's aggregate-column " +
+        "namespace (sum_*/cnt); rename it upstream"))
     val dimKey = dimKeyOf(spark, dimRoot)
     val fv = LakeTable.manifest(spark, factRoot).version
     val dv = LakeTable.manifest(spark, dimRoot).version
@@ -247,7 +255,11 @@ object JoinMaterializedView {
 
     val current = LakeTable.lookup(spark, mvRoot,
       delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
-    val merged = delta.join(current, groupCols, "full_outer")
+    // NULL-safe on the group key (a NULL dim attribute is a legal group):
+    // a bare USING join would leave the delta row and the stored row
+    // unmatched and the keyed upsert would OVERWRITE the accumulated state
+    val merged = LakeTable.nullSafeKeyJoin(delta, current, groupCols,
+        "full_outer")
       .select(groupCols.map(col) ++ Seq(
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
           .alias("cnt")) ++ sumCols.map(c =>

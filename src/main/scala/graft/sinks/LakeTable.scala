@@ -1,8 +1,9 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, NumericType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType,
+  StructType, TimestampType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Keyed lake table with copy-on-write merge — the file-level construction
@@ -83,6 +84,39 @@ object LakeTable {
 
   private def bucketOf(keys: Seq[String], n: Int) =
     pmod(hash(keys.map(col): _*), lit(n))
+
+  /** NULL-safe key-membership join (semi/anti): both sides' key tuples
+    * wrap in a STRUCT, whose equality treats NULL fields as equal (the
+    * per-field `IS NOT DISTINCT FROM` a keyed table needs — a NULL group
+    * key is a legal GROUP BY group and must be lookup-able/deletable),
+    * while a bare `join(keys, ...)` resolves to `EqualTo` and silently
+    * drops every NULL-keyed match. Still a single-column equi-join, so
+    * broadcast/hash strategies apply unchanged.
+    */
+  private[sinks] def keyMembershipJoin(data: DataFrame, keySet: DataFrame,
+      keys: Seq[String], how: String, bcast: Boolean): DataFrame = {
+    val probe0 = keySet.select(struct(keys.map(col): _*).alias("__nsk"))
+      .dropDuplicates("__nsk")
+    val probe = if (bcast) broadcast(probe0) else probe0
+    data.withColumn("__nsk", struct(keys.map(col): _*))
+      .join(probe, Seq("__nsk"), how).drop("__nsk")
+  }
+
+  /** NULL-safe USING-style join on `keys` via the same struct wrapping —
+    * the output carries ONE copy of each key column, re-derived from the
+    * coalesced struct (so a full-outer merge sees the key whichever side
+    * contributed it). Non-key column names must be disjoint across sides.
+    */
+  private[sinks] def nullSafeKeyJoin(l: DataFrame, r: DataFrame,
+      keys: Seq[String], how: String): DataFrame = {
+    val lk = l.withColumn("__nsk", struct(keys.map(col): _*))
+      .drop(keys: _*)
+    val rk = r.withColumn("__nsk", struct(keys.map(col): _*))
+      .drop(keys: _*)
+    val j = lk.join(rk, Seq("__nsk"), how)
+    j.select(keys.map(k => col("__nsk").getField(k).alias(k)) ++
+      j.columns.filterNot(_ == "__nsk").map(col): _*)
+  }
 
   // ---- manifest codec (hand-rolled JSON, mirrors Verify's escaping) ----
 
@@ -294,7 +328,8 @@ object LakeTable {
     */
   private def writeFiles(spark: SparkSession, root: String, rows: DataFrame,
       keys: Seq[String], numBuckets: Int,
-      sortCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Seq[(String, Int)] = {
+      sortCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
+      sortExprs: Seq[Column] = Nil): Seq[(String, Int)] = {
     val fs = hfs(spark, root)
     val sub = s"data/${java.util.UUID.randomUUID}"
     val bucketed = rows.withColumn("__bucket", bucketOf(keys, numBuckets))
@@ -302,8 +337,13 @@ object LakeTable {
     // prefix the bucket so the writer's partition-grouping requirement is
     // satisfied by OUR sort (no second sort), and maxRecordsPerFile then
     // rolls files in sortCols order — each rolled file covers a narrow
-    // sortCols range, which is what makes the zone maps selective
-    val laid = if (sortCols.isEmpty) bucketed
+    // sortCols range, which is what makes the zone maps selective.
+    // sortExprs (a computed layout key, e.g. [[optimizeZOrder]]'s Morton
+    // value) overrides sortCols and is never materialized into the files.
+    val laid =
+      if (sortExprs.nonEmpty)
+        bucketed.sortWithinPartitions(col("__bucket") +: sortExprs: _*)
+      else if (sortCols.isEmpty) bucketed
       else bucketed.sortWithinPartitions((col("__bucket") +: sortCols.map(col)): _*)
     val writer0 = laid.write.partitionBy("__bucket").mode("overwrite")
     val writer = if (maxRecordsPerFile > 0)
@@ -342,12 +382,14 @@ object LakeTable {
     readWith(spark, root, keySchema(m), dvPaths)
 
   /** `df` minus the rows whose key appears in the given deletion vectors
-    * — the merge-on-read subtraction every read path applies.
+    * — the merge-on-read subtraction every read path applies (NULL-safe:
+    * a NULL-keyed row is deletable like any other).
     */
   private def applyDv(spark: SparkSession, root: String, m: Manifest,
       df: DataFrame, dv: Seq[(String, Int)]): DataFrame =
     if (dv.isEmpty) df
-    else df.join(readDv(spark, root, m, dv.map(_._1)), m.keys, "left_anti")
+    else keyMembershipJoin(df, readDv(spark, root, m, dv.map(_._1)),
+      m.keys, "left_anti", bcast = false)
 
   // ---- zone-map sidecar: per-file min/max for the manifest's statsCols --
 
@@ -456,41 +498,90 @@ object LakeTable {
     (items, bits)
   }
 
-  private def renderBlooms(version: Long, cols: Seq[String],
+  // ---- shared binary-sidecar codec (`_bloom`, `_ndv`) -----------------
+  // One JSON per version mapping path -> [base64|null, ...] (one slot per
+  // declared column). Parsing KEEPS the base64 STRING form, so a carried
+  // entry round-trips verbatim through every publish — no per-commit
+  // decode/re-encode churn on the driver (at 10k files x 4 columns that
+  // churn was ~100 MB per commit) — and probe sites decode on demand.
+  // One grammar, one escaping, one carry discipline for both sidecars.
+
+  private def renderBinSidecar(version: Long, extraHeader: String,
+      field: String, cols: Seq[String],
       entries: Seq[(String, Seq[Option[String]])]): String =
-    s"""{"version":$version,"cols":[${cols.map(jq).mkString(",")}],""" +
-      s""""files":[${entries.map { case (p, bs) =>
-        s"""{"path":${jq(p)},"bloom":[${bs.map(_.map(jq).getOrElse("null"))
+    s"""{"version":$version,$extraHeader"cols":[${cols.map(jq).mkString(",")}],""" +
+      s""""files":[${entries.map { case (p, xs) =>
+        s"""{"path":${jq(p)},"$field":[${xs.map(_.map(jq).getOrElse("null"))
           .mkString(",")}]}"""
       }.mkString(",")}]}"""
 
-  private def parseBlooms(s: String): Map[String, Seq[Option[Array[Byte]]]] = {
-    val entry = "\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"bloom\":\\[([^\\]]*)\\]\\}".r
+  private def parseBinSidecar(field: String,
+      s: String): Map[String, Seq[Option[String]]] = {
+    val entry = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"" + field +
+      "\":\\[([^\\]]*)\\]\\}").r
     entry.findAllMatchIn(s).map { m =>
       val path = m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
         .replace("\u0000", "\\")
-      val blooms = if (m.group(2).isEmpty) Seq.empty[Option[Array[Byte]]]
+      val xs = if (m.group(2).isEmpty) Seq.empty[Option[String]]
         else m.group(2).split(",", -1).toSeq.map {
           case "null" => None
-          case q => Some(java.util.Base64.getDecoder.decode(
-            q.trim.stripPrefix("\"").stripSuffix("\"")))
+          case q => Some(q.trim.stripPrefix("\"").stripSuffix("\""))
         }
-      path -> blooms
+      path -> xs
     }.toMap
   }
 
-  private[graft] def readBlooms(spark: SparkSession, root: String,
-      version: Long): Option[Map[String, Seq[Option[Array[Byte]]]]] = {
+  private def readBinSidecar(spark: SparkSession, root: String, sub: String,
+      field: String,
+      version: Long): Option[Map[String, Seq[Option[String]]]] = {
     val fs = hfs(spark, root)
-    val p = new Path(root, s"_bloom/$version.json")
+    val p = new Path(root, s"$sub/$version.json")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(parseBlooms(new String(in.readAllBytes(),
+      try Some(parseBinSidecar(field, new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)))
       finally in.close()
     }
   }
+
+  private def writeBinSidecar(spark: SparkSession, root: String,
+      sub: String, body: String, version: Long): Unit = {
+    val fs = hfs(spark, root)
+    val dir = new Path(root, sub)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+    val out = fs.create(staged, false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(staged, new Path(dir, s"$version.json"))
+  }
+
+  /** Shared O(delta) publish: carried files (immutable, so their payloads
+    * are too) inherit the previous version's entries verbatim; only fresh
+    * files are measured by `compute`. Self-healing on a missing previous
+    * sidecar — everything is "fresh" and gets re-measured.
+    */
+  private def publishBinSidecar(spark: SparkSession, root: String,
+      sub: String, field: String, extraHeader: String, cols: Seq[String],
+      m: Manifest, prevVersion: Option[Long],
+      compute: Seq[String] => Seq[(String, Seq[Option[String]])]): Unit = {
+    val prev = prevVersion
+      .flatMap(v => readBinSidecar(spark, root, sub, field, v))
+      .getOrElse(Map.empty[String, Seq[Option[String]]])
+    val (carried, fresh) = m.files.map(_._1).partition(prev.contains)
+    val entries = carried.map(p => p -> prev(p)) ++ compute(fresh)
+    writeBinSidecar(spark, root, sub,
+      renderBinSidecar(m.version, extraHeader, field, cols, entries),
+      m.version)
+  }
+
+  private def b64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  private[graft] def readBlooms(spark: SparkSession, root: String,
+      version: Long): Option[Map[String, Seq[Option[String]]]] =
+    readBinSidecar(spark, root, "_bloom", "bloom", version)
 
   /** One aggregation over ONLY `paths`, grouped on the physical file:
     * a Catalyst [[BloomFilterAggregate]] per bloom column over
@@ -524,28 +615,14 @@ object LakeTable {
       }.toSeq
   }
 
-  /** Publish the `_bloom` sidecar for manifest `m`: fresh files are
-    * measured, carried files inherit (files are immutable, so their blooms
-    * are too) — O(delta) like the stats sidecar, same self-healing.
+  /** Publish the `_bloom` sidecar for manifest `m` — the shared O(delta)
+    * carry-forward ([[publishBinSidecar]]).
     */
   private def publishBlooms(spark: SparkSession, root: String, m: Manifest,
       prevVersion: Option[Long]): Unit = {
     if (m.bloomCols.isEmpty) return
-    val fs = hfs(spark, root)
-    val prev: Map[String, Seq[Option[Array[Byte]]]] = prevVersion
-      .flatMap(v => readBlooms(spark, root, v)).getOrElse(Map.empty)
-    val (carried, fresh) = m.files.map(_._1).partition(prev.contains)
-    val entries = carried.map(p => p -> prev(p).map(
-        _.map(java.util.Base64.getEncoder.encodeToString))) ++
-      computeBlooms(spark, root, m, fresh)
-    val dir = new Path(root, "_bloom")
-    if (!fs.exists(dir)) fs.mkdirs(dir)
-    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
-    val out = fs.create(staged, false)
-    try out.write(renderBlooms(m.version, m.bloomCols, entries)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.rename(staged, new Path(dir, s"${m.version}.json"))
+    publishBinSidecar(spark, root, "_bloom", "bloom", "", m.bloomCols, m,
+      prevVersion, fresh => computeBlooms(spark, root, m, fresh))
   }
 
   // ---- ndv sidecar: per-file HLL sketches for the ndv columns ---------
@@ -560,41 +637,11 @@ object LakeTable {
     */
   private val NdvLgK = 12
 
-  private def renderNdv(version: Long, cols: Seq[String],
-      entries: Seq[(String, Seq[Option[String]])]): String =
-    s"""{"version":$version,"lgk":$NdvLgK,"cols":[${cols.map(jq).mkString(",")}],""" +
-      s""""files":[${entries.map { case (p, sks) =>
-        s"""{"path":${jq(p)},"sk":[${sks.map(_.map(jq).getOrElse("null"))
-          .mkString(",")}]}"""
-      }.mkString(",")}]}"""
-
-  private def parseNdv(s: String): Map[String, Seq[Option[Array[Byte]]]] = {
-    val entry = "\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"sk\":\\[([^\\]]*)\\]\\}".r
-    entry.findAllMatchIn(s).map { m =>
-      val path = m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
-        .replace("\u0000", "\\")
-      val sks = if (m.group(2).isEmpty) Seq.empty[Option[Array[Byte]]]
-        else m.group(2).split(",", -1).toSeq.map {
-          case "null" => None
-          case q => Some(java.util.Base64.getDecoder.decode(
-            q.trim.stripPrefix("\"").stripSuffix("\"")))
-        }
-      path -> sks
-    }.toMap
-  }
+  private def ndvHeader: String = s""""lgk":$NdvLgK,"""
 
   private[graft] def readNdv(spark: SparkSession, root: String,
-      version: Long): Option[Map[String, Seq[Option[Array[Byte]]]]] = {
-    val fs = hfs(spark, root)
-    val p = new Path(root, s"_ndv/$version.json")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(parseNdv(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)))
-      finally in.close()
-    }
-  }
+      version: Long): Option[Map[String, Seq[Option[String]]]] =
+    readBinSidecar(spark, root, "_ndv", "sk", version)
 
   /** One aggregation over ONLY `paths`, grouped on the physical file: a
     * Spark-native `hll_sketch_agg` per ndv column over the value cast
@@ -621,29 +668,14 @@ object LakeTable {
       }.toSeq
   }
 
-  /** Publish the `_ndv` sidecar for manifest `m`: fresh files are
-    * sketched, carried files inherit (files are immutable, so their
-    * sketches are too) — O(delta) like the stats and bloom sidecars,
-    * same self-healing on a missing previous version.
+  /** Publish the `_ndv` sidecar for manifest `m` — the shared O(delta)
+    * carry-forward ([[publishBinSidecar]]).
     */
   private def publishNdv(spark: SparkSession, root: String, m: Manifest,
       prevVersion: Option[Long]): Unit = {
     if (m.ndvCols.isEmpty) return
-    val fs = hfs(spark, root)
-    val prev: Map[String, Seq[Option[Array[Byte]]]] = prevVersion
-      .flatMap(v => readNdv(spark, root, v)).getOrElse(Map.empty)
-    val (carried, fresh) = m.files.map(_._1).partition(prev.contains)
-    val entries = carried.map(p => p -> prev(p).map(
-        _.map(java.util.Base64.getEncoder.encodeToString))) ++
-      computeNdv(spark, root, m, fresh)
-    val dir = new Path(root, "_ndv")
-    if (!fs.exists(dir)) fs.mkdirs(dir)
-    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
-    val out = fs.create(staged, false)
-    try out.write(renderNdv(m.version, m.ndvCols, entries)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.rename(staged, new Path(dir, s"${m.version}.json"))
+    publishBinSidecar(spark, root, "_ndv", "sk", ndvHeader, m.ndvCols, m,
+      prevVersion, fresh => computeNdv(spark, root, m, fresh))
   }
 
   /** Approximate table-level NDV of a stats column from metadata alone:
@@ -670,9 +702,10 @@ object LakeTable {
         if (sketches.isEmpty) Some(0L)
         else {
           import spark.implicits._
-          Some(sketches.toDF("sk")
-            .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
-              .alias("ndv"))
+          // the sidecar keeps base64 strings; unbase64 inside the plan
+          Some(sketches.toDF("b64")
+            .agg(hll_sketch_estimate(hll_union_agg(
+              unbase64(col("b64")), lit(true))).alias("ndv"))
             .head().getLong(0))
         }
       }
@@ -691,11 +724,13 @@ object LakeTable {
     require(i >= 0, s"$colName is not a bloom column (have ${m.bloomCols})")
     val t = StructType.fromDDL(m.schemaDdl)(colName).dataType
     val h = spark.range(1).select(xxhash64(lit(value).cast(t))).head().getLong(0)
-    val blooms = readBlooms(spark, root, m.version).getOrElse(Map.empty)
+    val blooms = readBlooms(spark, root, m.version)
+      .getOrElse(Map.empty[String, Seq[Option[String]]])
     m.files.map(_._1).filter { p =>
       blooms.get(p).flatMap(_.lift(i).flatten) match {
-        case Some(bytes) => org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(h)
+        case Some(enc) => org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(b64(enc)))
+          .mightContainLong(h)
         case None => true
       }
     }
@@ -738,8 +773,9 @@ object LakeTable {
       if (si < 0) Map.empty[String, FileStats]
       else readStats(spark, root, m.version).getOrElse(Map.empty)
     val blooms =
-      if (bi < 0) Map.empty[String, Seq[Option[Array[Byte]]]]
-      else readBlooms(spark, root, m.version).getOrElse(Map.empty)
+      if (bi < 0) Map.empty[String, Seq[Option[String]]]
+      else readBlooms(spark, root, m.version)
+        .getOrElse(Map.empty[String, Seq[Option[String]]])
     val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
     // hash exactly as the bloom build did: xxhash64 of the value cast to
     // the column's stored type — one job for the whole value set
@@ -762,9 +798,9 @@ object LakeTable {
         case None => true
       })
       def bloomKeep = bi < 0 || (blooms.get(p).flatMap(_.lift(bi).flatten) match {
-        case Some(bytes) =>
+        case Some(enc) =>
           val bf = org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .readFrom(new java.io.ByteArrayInputStream(b64(enc)))
           hs.exists(bf.mightContainLong)
         case None => true
       })
@@ -854,6 +890,136 @@ object LakeTable {
       publishBlooms(spark, root, next, None)
       publishNdv(spark, root, next, None)
       next.version
+    }
+  }
+
+  /** The table-maintenance z key: quantize each column's double view into
+    * bucket space against its table-wide [min, max] axis and interleave
+    * through [[graft.operators.Layout.mortonInterleave]] (the shared
+    * shift/and/or kernel — one codegen'd projection, no UDF). NULLs
+    * quantize to 0 (they cluster at the curve's origin; zone maps record
+    * all-NULL files separately so pruning stays exact); a degenerate axis
+    * (min == max) contributes constant bits. Bits per column shrink just
+    * enough for the widest supported interleave to fit a signed long.
+    */
+  private def zValue(cols: Seq[(Column, Double, Double)]): Column = {
+    val bits = math.min(16, 62 / cols.size)
+    val top = (1L << bits) - 1
+    val bucketed = cols.map { case (c, mn, mx) =>
+      if (mx - mn <= 0d) lit(0L)
+      else coalesce(least(lit(top), greatest(lit(0L),
+        floor((c - lit(mn)) * lit(top.toDouble) / lit(mx - mn))
+          .cast("long"))), lit(0L))
+    }
+    graft.operators.Layout.mortonInterleave(bucketed, bits)
+  }
+
+  /** The double-valued view of a z column (normalization needs one linear
+    * axis; dates/timestamps ride their epoch). */
+  private def zNumeric(c: Column, dt: DataType): Column = dt match {
+    case _: NumericType => c.cast("double")
+    case _: DateType => c.cast("timestamp").cast("double")
+    case _: TimestampType => c.cast("double")
+    case other => sys.error(s"optimizeZOrder supports numeric/date/" +
+      s"timestamp columns, got $other")
+  }
+
+  /** Z-ORDER maintenance rewrite (the Delta `OPTIMIZE ZORDER BY` /
+    * Iceberg sort-order design point, original implementation): rewrite
+    * the CURRENT content ordered by the Morton interleave of the z
+    * columns, so with file rolling each data file covers a small
+    * hyper-rectangle of the z space and the existing zone-map sidecar
+    * prunes range/equality probes on EVERY z column — a plain sortCols
+    * layout only ever helps its leading column. At 100 TB this is the
+    * difference between a two-predicate dashboard probe opening ~√-scaled
+    * slivers of the table and it scanning everything the first predicate
+    * couldn't bound.
+    *
+    * Like [[rebucket]], a maintenance pass: one content rewrite (deletion
+    * vectors folded, sidecars re-measured, time travel intact — old
+    * versions keep their layout). LATER deliveries land in the table's
+    * declared sortCols order; the z layout degrades gracefully (fresh
+    * files are merely less tight) until the next optimize, exactly the
+    * Delta operational model. The z columns must be declared `statsCols`
+    * — a z layout without zone maps prunes nothing, so that misuse fails
+    * here rather than silently scanning.
+    *
+    * Normalization uses the table's CURRENT min/max per z column (one
+    * aggregation job); quantization is 16 bits per column (15 at four
+    * columns, keeping the interleave inside a signed long). The curve
+    * kernel is [[graft.operators.Layout]]'s — same Morton interleave the
+    * standalone z-ordered parquet writer uses, applied here to a KEYED
+    * table's bucket-internal layout.
+    */
+  def optimizeZOrder(spark: SparkSession, root: String,
+      zCols: Seq[String]): Long = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"optimizeZOrder interleaves 2-4 columns, got ${zCols.size}")
+    require(zCols.distinct.size == zCols.size, s"duplicate z column in $zCols")
+    val fs = hfs(spark, root)
+    withCommitRetries() { () =>
+      val m = manifest(spark, root)
+      val schema = StructType.fromDDL(m.schemaDdl)
+      zCols.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"optimizeZOrder: $c is not a table column")
+        require(m.statsCols.contains(c),
+          s"optimizeZOrder: $c is not in statsCols (${m.statsCols}) — " +
+            "the z layout prunes through zone maps; declare the column " +
+            "via init/alterIndexing first")
+      }
+      val rows = read(spark, root, Some(m.version))
+      val nums = zCols.map(c => zNumeric(col(c), schema(c).dataType))
+      // one aggregation job for the normalization axes
+      val aggs = nums.zipWithIndex.flatMap { case (n, i) =>
+        Seq(min(n).alias(s"mn$i"), max(n).alias(s"mx$i")) }
+      val mm = rows.agg(aggs.head, aggs.tail: _*).head()
+      val ranged = nums.zipWithIndex.map { case (n, i) =>
+        val mn = if (mm.isNullAt(2 * i)) 0d else mm.getDouble(2 * i)
+        val mx = if (mm.isNullAt(2 * i + 1)) 0d else mm.getDouble(2 * i + 1)
+        (n, mn, mx)
+      }
+      val files = writeFiles(spark, root, rows, m.keys, m.numBuckets,
+        maxRecordsPerFile = m.maxRecordsPerFile,
+        sortExprs = Seq(zValue(ranged)))
+      val next = m.copy(version = m.version + 1, files = files,
+        dvFiles = Nil)
+      publish(fs, root, next)
+      // every file is fresh under the new layout: full sidecar measure
+      publishStats(spark, root, next, None)
+      publishBlooms(spark, root, next, None)
+      publishNdv(spark, root, next, None)
+      next.version
+    }
+  }
+
+  /** (files opened, live files) of the last [[readBox]] this JVM ran.
+    * Test pin; not part of the public API. */
+  private[graft] var lastBoxScan: Option[(Int, Int)] = None
+
+  /** Multi-predicate range scan: open only the files whose zone maps
+    * overlap EVERY predicate's `[lo, hi]` (set intersection of the
+    * per-column prunes, decided driver-side), then apply the exact
+    * conjunction. Under a [[optimizeZOrder]] layout the intersection
+    * prunes multiplicatively — each file is a small hyper-rectangle —
+    * where a single-sort layout bounds only its leading column. Values
+    * are `CAST(x AS STRING)` forms, as everywhere in the sidecar API.
+    */
+  def readBox(spark: SparkSession, root: String,
+      preds: Seq[(String, String, String)],
+      version: Option[Long] = None): DataFrame = {
+    require(preds.nonEmpty, "readBox needs at least one (col, lo, hi)")
+    val m = manifest(spark, root, version)
+    val keep = preds.map { case (c, lo, hi) =>
+      prunedPaths(spark, root, c, lo, hi, version).toSet }
+      .reduce(_ intersect _)
+    lastBoxScan = Some((keep.size, m.files.size))
+    val df = applyDv(spark, root, m,
+      readFiles(spark, root, m, m.files.map(_._1).filter(keep)),
+      m.dvFiles)
+    preds.foldLeft(df) { case (d, (c, lo, hi)) =>
+      val t = d.schema(c).dataType
+      d.filter(col(c) >= lit(lo).cast(t) && col(c) <= lit(hi).cast(t))
     }
   }
 
@@ -1098,7 +1264,8 @@ object LakeTable {
   def delete(spark: SparkSession, root: String, keysToDelete: DataFrame): Long = {
     val keys = manifest(spark, root).keys
     rewriteTouched(spark, root, keysToDelete.select(keys.map(col): _*),
-      (cur, del) => cur.join(del.dropDuplicates(keys), keys, "left_anti"))
+      (cur, del) => keyMembershipJoin(cur, del, keys, "left_anti",
+        bcast = false))
   }
 
   /** Upsert + delete in ONE published version (one commit point — a
@@ -1114,9 +1281,9 @@ object LakeTable {
     val touch = upserts.select(keys.map(col): _*)
       .unionByName(deleteKeys.select(keys.map(col): _*))
     rewriteTouched(spark, root, touch, (cur, _) =>
-      Merge.upsert(cur, upserts, keys, orderCol)
-        .join(deleteKeys.select(keys.map(col): _*).dropDuplicates(keys),
-          keys, "left_anti"),
+      keyMembershipJoin(Merge.upsert(cur, upserts, keys, orderCol),
+        deleteKeys.select(keys.map(col): _*), keys, "left_anti",
+        bcast = false),
       baseVersion)
   }
 
@@ -1307,10 +1474,10 @@ object LakeTable {
     val p = probes.select(m.keys.map(col): _*).dropDuplicates(m.keys)
     val touched = p.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    applyDv(spark, root, m,
+    keyMembershipJoin(applyDv(spark, root, m,
       readFiles(spark, root, m, m.files.filter(f => touched(f._2)).map(_._1)),
-      m.dvFiles.filter(f => touched(f._2)))
-      .join(broadcast(p), m.keys, "left_semi")
+      m.dvFiles.filter(f => touched(f._2))),
+      p, m.keys, "left_semi", bcast = true)
   }
 
   /** Compare two sidecar-stringified stat values in the COLUMN's own
@@ -1390,32 +1557,26 @@ object LakeTable {
       else {
         val next = target.copy(version = latest + 1)
         // claim the version first (sidecars stay single-writer), then
-        // serve the target's zone maps + blooms verbatim under it
+        // carry EVERY sidecar of the target version verbatim under it —
+        // a dropped sidecar wouldn't be wrong (readers treat a gap
+        // conservatively) but the next commit would re-measure the whole
+        // table where the carry keeps maintenance O(delta)
         publish(fs, root, next)
         if (next.statsCols.nonEmpty)
-          readStats(spark, root, version).foreach { st =>
-            val dir = new Path(root, "_stats")
-            if (!fs.exists(dir)) fs.mkdirs(dir)
-            val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
-            val out = fs.create(staged, false)
-            try out.write(renderStats(next.version, next.statsCols, st.toSeq)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            fs.rename(staged, new Path(dir, s"${next.version}.json"))
-          }
+          readStats(spark, root, version).foreach(st =>
+            writeBinSidecar(spark, root, "_stats",
+              renderStats(next.version, next.statsCols, st.toSeq),
+              next.version))
         if (next.bloomCols.nonEmpty)
-          readBlooms(spark, root, version).foreach { bl =>
-            val dir = new Path(root, "_bloom")
-            if (!fs.exists(dir)) fs.mkdirs(dir)
-            val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
-            val out = fs.create(staged, false)
-            try out.write(renderBlooms(next.version, next.bloomCols,
-              bl.toSeq.map { case (p, bs) => p -> bs.map(
-                _.map(java.util.Base64.getEncoder.encodeToString)) })
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            fs.rename(staged, new Path(dir, s"${next.version}.json"))
-          }
+          readBlooms(spark, root, version).foreach(bl =>
+            writeBinSidecar(spark, root, "_bloom",
+              renderBinSidecar(next.version, "", "bloom", next.bloomCols,
+                bl.toSeq), next.version))
+        if (next.ndvCols.nonEmpty)
+          readNdv(spark, root, version).foreach(nd =>
+            writeBinSidecar(spark, root, "_ndv",
+              renderBinSidecar(next.version, ndvHeader, "sk", next.ndvCols,
+                nd.toSeq), next.version))
         next.version
       }
     }

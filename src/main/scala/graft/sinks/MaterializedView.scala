@@ -260,6 +260,14 @@ object MaterializedView {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sumCols.nonEmpty, "sumCols must be non-empty")
     require(reserveDepth >= 1, "reserveDepth must be >= 1")
+    // refresh reconstructs the aggregate surface from the view schema by
+    // prefix (sum_/min_/max_/__hll_/__r*, plus cnt) — a group column
+    // named into any of those namespaces would be misclassified on the
+    // FIRST refresh, leaving an init-accepted view unrefreshable
+    groupCols.foreach(g => require(
+      !Seq("sum_", "min_", "max_", "__").exists(g.startsWith) && g != "cnt",
+      s"group column '$g' collides with the view's aggregate-column " +
+        "namespace (sum_*/min_*/max_*/__*/cnt); rename it upstream"))
     val tv = LakeTable.manifest(spark, tableRoot).version
     val base = LakeTable.read(spark, tableRoot, Some(tv))
     approxNdCols.foreach { c =>
@@ -386,7 +394,10 @@ object MaterializedView {
     val current = LakeTable.lookup(spark, mvRoot,
       delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
 
-    val joined = delta.join(current, groupCols, "full_outer")
+    // NULL-safe on the group key: a NULL group is a legal GROUP BY group
+    // and its delta must land on its stored row, not beside it
+    val joined = LakeTable.nullSafeKeyJoin(delta, current, groupCols,
+      "full_outer")
     val baseCols = groupCols.map(col) ++ Seq(
       (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
         .alias("cnt")) ++ sumCols.map(c =>
@@ -516,7 +527,8 @@ object MaterializedView {
             LakeTable.readEqAny(spark, tableRoot, pc, casted, Some(tv))
           }
         val exhG = exhausted.select(groupCols.map(col): _*)
-        val restricted = baseNew.join(broadcast(exhG), groupCols, "left_semi")
+        val restricted = LakeTable.keyMembershipJoin(baseNew, exhG,
+          groupCols, "left_semi", bcast = true)
         // authoritative extrema + fresh k-deep reserves for the exhausted
         // groups, same skew-proof salted construction as init
         val rArrays = minMaxCols.flatMap(c => Seq(
@@ -528,7 +540,7 @@ object MaterializedView {
           rSums, ndCols.map(c => (col(c), s"r_hll_$c")))
         // patch: exhausted directions take the authoritative values
         // (missing recompute row = every surviving value was NULL)
-        merged0.join(recomputed, groupCols, "left")
+        LakeTable.nullSafeKeyJoin(merged0, recomputed, groupCols, "left")
           .select(groupCols.map(col) ++ Seq(col("cnt")) ++
             sumCols.map(c => col(s"sum_$c")) ++
             minMaxCols.flatMap { c =>

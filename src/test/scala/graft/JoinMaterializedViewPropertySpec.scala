@@ -33,7 +33,11 @@ class JoinMaterializedViewPropertySpec extends SparkTestBase {
 
   private val genDimRow: Gen[DimRow] = for {
     pk <- Gen.choose(1L, 8L)
-    seg <- Gen.oneOf("g0", "g1", "g2")
+    // NULL is a legal group value (GROUP BY groups it): the merge path
+    // must land NULL-group deltas on the stored NULL-group row
+    seg <- Gen.frequency(
+      6 -> Gen.oneOf("g0", "g1", "g2"),
+      1 -> Gen.const(null.asInstanceOf[String]))
   } yield (pk, seg)
 
   private val genDimRows: Gen[Seq[DimRow]] =

@@ -100,6 +100,48 @@ class JoinMaterializedViewSpec extends SparkTestBase {
     served(mvRoot).keySet should not contain "B"
   }
 
+  test("NULL group key: a delta lands ON the stored NULL-group row, not beside it") {
+    val factRoot = newRoot("jmv4_fact"); val dimRoot = newRoot("jmv4_dim")
+    val mvRoot = newRoot("jmv4_view")
+    // dim attribute NULL for key 10: five fact rows accumulate under the
+    // NULL group at init; a later delivery must ADD to that state — a
+    // non-null-safe merge would leave delta and stored row unmatched and
+    // the keyed upsert would overwrite cnt=5 with cnt=1
+    LakeTable.init(factDf((1L to 5L).map(i => (i, 10L, i.toDouble)): _*),
+      factRoot, Seq("id"), numBuckets = 2)
+    LakeTable.init(Seq((10L, null.asInstanceOf[String]), (20L, "A"))
+      .toDF("custkey", "segment"), dimRoot, Seq("custkey"), numBuckets = 2)
+    JoinMaterializedView.init(spark, factRoot, dimRoot, mvRoot,
+      "custkey", Seq("segment"), Seq("amount"), numBuckets = 2)
+    served(mvRoot)(null) shouldBe ((5L, BigDecimal("15.000000")))
+
+    LakeTable.merge(spark, factRoot, factDf((6L, 10L, 2.0)))
+    JoinMaterializedView.refresh(spark, factRoot, dimRoot, mvRoot)
+    served(mvRoot) shouldBe recomputed(factRoot, dimRoot)
+    served(mvRoot)(null) shouldBe ((6L, BigDecimal("17.000000")))
+
+    // and the NULL group retires like any other when its dim row goes
+    LakeTable.delete(spark, dimRoot, Seq(10L).toDF("custkey"))
+    JoinMaterializedView.refresh(spark, factRoot, dimRoot, mvRoot)
+    served(mvRoot) shouldBe recomputed(factRoot, dimRoot)
+    served(mvRoot).keySet should not contain null
+  }
+
+  test("init rejects group columns named into the aggregate namespace") {
+    val factRoot = newRoot("jmv5_fact"); val dimRoot = newRoot("jmv5_dim")
+    LakeTable.init(factDf((1L, 10L, 1.0)), factRoot, Seq("id"),
+      numBuckets = 2)
+    LakeTable.init(Seq((10L, "A")).toDF("custkey", "sum_segment"),
+      dimRoot, Seq("custkey"), numBuckets = 2)
+    // refresh reconstructs sumCols by the sum_ prefix: a group column
+    // named sum_* would be misclassified on the FIRST refresh — init
+    // must reject it rather than accept an unrefreshable view
+    an[IllegalArgumentException] should be thrownBy
+      JoinMaterializedView.init(spark, factRoot, dimRoot,
+        newRoot("jmv5_view"), "custkey", Seq("sum_segment"), Seq("amount"),
+        numBuckets = 2)
+  }
+
   test("dim leg prunes fact files through the fact's zone-map sidecar") {
     val factRoot = newRoot("jmv3_fact"); val dimRoot = newRoot("jmv3_dim")
     val mvRoot = newRoot("jmv3_view")

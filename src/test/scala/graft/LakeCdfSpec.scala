@@ -312,6 +312,31 @@ class LakeCdfSpec extends SparkTestBase {
     LakeTable.read(spark, root).count() shouldBe 9L
   }
 
+  test("restore carries every sidecar: metadata answers stay O(delta) afterwards") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2,
+      statsCols = Seq("score"), bloomCols = Seq("name"),
+      ndvCols = Seq("name"))
+    val ndv0 = LakeTable.fastNdv(spark, root, "name")
+    ndv0.isDefined shouldBe true
+    LakeTable.merge(spark, root, Seq((2L, "BAD", -1.0)).toDF("id", "name", "score"))
+    val v2 = LakeTable.restore(spark, root, 0L)
+    // every sidecar carried to the restored head: fastNdv still answers
+    // (a gap would decline AND force the next commit to re-sketch the
+    // whole table), fsck reports no gaps at all
+    LakeTable.fastNdv(spark, root, "name") shouldBe ndv0
+    val rep = LakeTable.fsck(spark, root)
+    rep.statsGaps shouldBe empty
+    rep.bloomGaps shouldBe empty
+    rep.ndvGaps shouldBe empty
+    // and the post-restore commit carries, not re-measures: its sidecar
+    // keeps answering without a full re-sketch
+    LakeTable.merge(spark, root, Seq((9L, "i", 9.0)).toDF("id", "name", "score"))
+    LakeTable.fastNdv(spark, root, "name").isDefined shouldBe true
+    LakeTable.fsck(spark, root).ndvGaps shouldBe empty
+    v2 shouldBe 2L
+  }
+
   test("materialized view follows a restore: the feed across the rollback retracts the bad delivery") {
     val tRoot = newRoot(); val mvRoot = newRoot()
     val df = base.withColumn("grp", ($"id" % 2).cast("string"))

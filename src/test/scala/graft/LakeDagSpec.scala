@@ -104,6 +104,26 @@ class LakeDagSpec extends SparkTestBase {
     viewRows(c1) should not be empty
   }
 
+  test("multi-column groups: the cardinality audit reconciles tuples against per-column NDV bounds") {
+    // the view counts distinct group TUPLES; per-column NDVs only bound
+    // it (max ndv <= tuples <= product of ndvs). An equality check
+    // against ndv(groupCols.head) flagged every healthy multi-column
+    // pipeline: here 2 priorities x 2 statuses = 4 tuples vs head-NDV 2.
+    val root = java.nio.file.Files.createTempDirectory("lake_dag_multi").toString
+    val conf = LakeDag.StageConf("2026-08-13", s"$root/in", s"$root/lake",
+      groupCols = Seq("o_orderpriority", "o_orderstatus"))
+    Seq(
+      (1L, "HIGH", "O", 10.0), (2L, "HIGH", "F", 20.0),
+      (3L, "LOW", "O", 30.0), (4L, "LOW", "F", 40.0), (5L, "LOW", "F", 50.0)
+    ).toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(conf.upsertsDir)
+    runDay(conf)
+    val r = spark.read.parquet(conf.reportDir)
+      .select("consistent", "integrity_ok", "cardinality_ok").head()
+    (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) shouldBe
+      ((true, true, true))
+  }
+
   test("StageConf rejects a malformed ds; unknown stage fails loudly; DAG artifact byte-identical") {
     an[IllegalArgumentException] should be thrownBy
       LakeDag.StageConf("20260813", "/tmp/x", "/tmp/y")

@@ -316,4 +316,54 @@ class LakeTableSpec extends SparkTestBase {
     // back EXPLICITLY to a full scan, never get a silently-unpruned one
     LakeTable.eqPrunedPaths(spark, root, "score", Seq("1.5")) shouldBe None
   }
+
+  test("optimizeZOrder: box probes prune on EVERY z column; content and history intact") {
+    import org.apache.spark.sql.functions.col
+    val root = newRoot()
+    // a 64x64 grid, one bucket, rolled into 16 files. The initial layout
+    // sorts on x alone: every file then spans the FULL y range, so a
+    // y-only (or y-selective box) probe cannot prune at all.
+    val grid = spark.range(4096).select(col("id"),
+      (col("id") % 64).alias("x"),
+      org.apache.spark.sql.functions.shiftright(col("id"), 6).alias("y"))
+    LakeTable.init(grid, root, Seq("id"), numBuckets = 1,
+      sortCols = Seq("x"), statsCols = Seq("x", "y"),
+      maxRecordsPerFile = 256L)
+    val live = LakeTable.manifest(spark, root).files.size
+    live shouldBe 16
+    val box = Seq(("x", "0", "15"), ("y", "0", "15"))
+    def boxRows() = LakeTable.readBox(spark, root, box)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 4096L)
+      .filter(i => i % 64 <= 15 && i / 64 <= 15).toSet
+    boxRows() shouldBe want
+    // x-sorted layout: the y predicate prunes nothing beyond x's files
+    val xOnly = LakeTable.lastBoxScan.get._1
+
+    val v = LakeTable.optimizeZOrder(spark, root, Seq("x", "y"))
+    // content identical, old layout still readable via time travel
+    LakeTable.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet shouldBe (0L until 4096L).toSet
+    LakeTable.read(spark, root, Some(v - 1)).count() shouldBe 4096L
+    // the box now opens a small corner of the z space — strictly fewer
+    // files than the x-sorted layout needed, and far under the live set
+    boxRows() shouldBe want
+    val (opened, total) = LakeTable.lastBoxScan.get
+    total shouldBe LakeTable.manifest(spark, root).files.size
+    opened should be < xOnly
+    opened.toDouble should be <= total / 2.0
+    // a y-ONLY slice also prunes now (impossible under the x sort)
+    LakeTable.readBox(spark, root, Seq(("y", "0", "7")))
+      .count() shouldBe 512L
+    LakeTable.lastBoxScan.get._1 should be < total
+    // misuse fails loudly: z columns must have zone maps to prune by
+    an[IllegalArgumentException] should be thrownBy
+      LakeTable.optimizeZOrder(spark, root, Seq("x", "id"))
+    // and the table stays maintainable after the rewrite
+    LakeTable.merge(spark, root,
+      spark.range(4096, 4100).select(col("id"),
+        (col("id") % 64).alias("x"),
+        org.apache.spark.sql.functions.shiftright(col("id"), 6).alias("y")))
+    LakeTable.read(spark, root).count() shouldBe 4100L
+  }
 }

@@ -22,7 +22,12 @@ class MaterializedViewPropertySpec extends SparkTestBase {
 
   private val genRow: Gen[Row4] = for {
     id <- Gen.choose(1L, 14L)
-    grp <- Gen.oneOf("g0", "g1", "g2")
+    // NULL is a legal group value (GROUP BY groups it): the full-outer
+    // merge, the lookup, the exhaustion recompute, and the view table's
+    // keyed upsert/delete must all treat the NULL group as ONE key
+    grp <- Gen.frequency(
+      6 -> Gen.oneOf("g0", "g1", "g2"),
+      1 -> Gen.const(null.asInstanceOf[String]))
     score <- Gen.frequency(
       5 -> Gen.choose(0, 19).map(v => Some(v.toDouble)),
       1 -> Gen.const(Option.empty[Double]))
