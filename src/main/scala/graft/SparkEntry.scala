@@ -1459,6 +1459,53 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Approx-quantile materialized view (sinks/MaterializedView
+    // approxQuantileCols): per-group DDSketch bucket histograms
+    // maintained incrementally — and unlike the HLL column, deletes
+    // RETRACT exactly (bucket counts subtract via a signed map merge),
+    // so the delete delivery here costs O(delta) with no recompute leg.
+    // Serving walks the histogram in-plan (nearest rank over geometric
+    // buckets, relative error ≤ α = 1%) and the query checks both
+    // estimates against the base's EXACT interpolated percentiles at a
+    // 2.5% relative bound (α plus nearest-rank-vs-interpolation
+    // discretization); the exact percentiles are value-compared too.
+    "q_mv_quantile" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_mv_q_base"
+      val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_q_view"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(root, mv).foreach(p => new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(conf).delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16)
+      graft.sinks.MaterializedView.init(s, root, mv,
+        Seq("o_orderpriority"), Seq("o_totalprice"), numBuckets = 4,
+        approxQuantileCols = Seq("o_totalprice"), quantileAlpha = 0.01)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      graft.sinks.MaterializedView.refresh(s, root, mv)
+      val view = graft.sinks.MaterializedView.read(s, mv, Seq(0.5, 0.95))
+        .select(col("o_orderpriority"), col("cnt"),
+          col("appx_p500_o_totalprice"), col("appx_p950_o_totalprice"))
+      val exact = graft.sinks.LakeTable.read(s, root)
+        .groupBy(col("o_orderpriority"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).alias("p50x"),
+          percentile(col("o_totalprice"), lit(0.95)).alias("p95x"))
+      view.join(exact, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("cnt"),
+          round(col("p50x"), 2).alias("p50_exact"),
+          round(col("p95x"), 2).alias("p95_exact"),
+          (abs(col("appx_p500_o_totalprice") - col("p50x")) / col("p50x")
+            < 0.025 &&
+           abs(col("appx_p950_o_totalprice") - col("p95x")) / col("p95x")
+            < 0.025).alias("within_bound"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Metadata-only COUNT(*) (sinks/LakeTable.scala fastCount): after an
     // init and a merge (carried files keep their sidecar rows, fresh files
     // are measured), the row count comes from the zone-map sidecar alone —
@@ -1510,6 +1557,45 @@ object SparkEntry {
         .agg(count(lit(1)).alias("cnt"),
           round(sum(col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2)
             .alias("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Zero-copy shallow clone (sinks/LakeTable.scala cloneShallow): the
+    // Delta CLONE / Iceberg snapshot-ref branching move — the clone's
+    // manifest references the source's files ABSOLUTELY (no data bytes
+    // copied however large the table; LakeCloneSpec pins zero parquet
+    // files under the clone root at clone time), then the branches
+    // diverge: the clone's merge lands clone-local files only, the
+    // source's delete rewrites source buckets the clone never sees.
+    // Both branches serve different logical contents off one shared
+    // base; the oracle recomputes each branch from its predicates.
+    "q_lake_clone" -> ((s, dir) => {
+      val base = System.getProperty("java.io.tmpdir") + "/graft_lake_clone"
+      val src = base + "/src"
+      val dst = base + "/dst"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        src, Seq("o_orderkey"), numBuckets = 4,
+        statsCols = Seq("o_totalprice"))
+      graft.sinks.LakeTable.cloneShallow(s, src, dst)
+      // divergence: the clone gains the %3 keys, the source drops the
+      // %5 keys (its rewrite leaves the clone's pinned files in place —
+      // the retention contract cloneShallow documents)
+      graft.sinks.LakeTable.merge(s, dst,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      graft.sinks.LakeTable.delete(s, src,
+        orders.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")))
+      val cloneAgg = graft.sinks.LakeTable.read(s, dst)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("clone_cnt"))
+      val srcAgg = graft.sinks.LakeTable.read(s, src)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("src_cnt"))
+      cloneAgg.join(srcAgg, Seq("o_orderpriority"), "full_outer")
         .orderBy("o_orderpriority")
     }),
 
@@ -5446,6 +5532,18 @@ object SparkEntry {
         |FROM survivors GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    "q_mv_quantile" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+        |    AND o_orderkey % 10 <> 4)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        |       ROUND(quantile_cont(o_totalprice, 0.95), 2) AS p95_exact,
+        |       CAST(1 AS BOOLEAN) AS within_bound
+        |FROM survivors GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_mv_minmax" ->
       """WITH v0 AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice
@@ -5497,6 +5595,19 @@ object SparkEntry {
         |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
         |  AND o_orderkey % 10 <> 4
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_lake_clone" ->
+      """WITH clone AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS clone_cnt
+        |  FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+        |  GROUP BY 1),
+        |src AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS src_cnt
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, clone_cnt, src_cnt
+        |FROM clone FULL OUTER JOIN src USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_lake_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -435,13 +435,32 @@ object LakeTable {
     }
   }
 
-  /** Compute per-file min/max for `paths` (root-relative) — one aggregation
+  /** Map `input_file_name()` URIs back to the MANIFEST paths that were
+    * requested. Manifest entries are normally root-relative
+    * (`data/<uuid>/__bucket=N/part-...`), but a shallow clone
+    * ([[cloneShallow]]) references its source's files ABSOLUTELY — the
+    * uuid'd relative suffix is unique either way, so it is the join key;
+    * a measured file whose suffix matches an absolute manifest entry is
+    * keyed under that entry, keeping every sidecar keyed exactly as the
+    * manifest spells the path.
+    */
+  private def manifestKeyOf(paths: Seq[String]): String => String = {
+    val relOf = "data/[^/]+/__bucket=\\d+/[^/]+$".r
+    val bySuffix = paths.map(p => relOf.findFirstIn(p).getOrElse(p) -> p).toMap
+    (f: String) => {
+      val rel = relOf.findFirstIn(f).getOrElse(
+        sys.error(s"unexpected data path $f"))
+      bySuffix.getOrElse(rel, rel)
+    }
+  }
+
+  /** Compute per-file min/max for `paths` (manifest form) — one aggregation
     * over ONLY those files, grouped on the physical file each row came from.
     */
   private def computeStats(spark: SparkSession, root: String, m: Manifest,
       paths: Seq[String]): Map[String, FileStats] = {
     if (paths.isEmpty) return Map.empty
-    val relOf = "data/[^/]+/__bucket=\\d+/[^/]+$".r
+    val keyOf = manifestKeyOf(paths)
     val aggs = count(lit(1)).alias("__rows") +: m.statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").alias(s"__min_$c"),
       max(col(c)).cast("string").alias(s"__max_$c")))
@@ -450,9 +469,7 @@ object LakeTable {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val rel = relOf.findFirstIn(r.getString(0)).getOrElse(
-          sys.error(s"unexpected data path ${r.getString(0)}"))
-        rel -> FileStats(r.getLong(1),
+        keyOf(r.getString(0)) -> FileStats(r.getLong(1),
           m.statsCols.indices.map(i => Option(r.getString(2 + 2 * i))),
           m.statsCols.indices.map(i => Option(r.getString(3 + 2 * i))))
       }.toMap
@@ -595,7 +612,7 @@ object LakeTable {
     import org.apache.spark.sql.graftbridge.GraftSqlBridge
     if (paths.isEmpty) return Seq.empty
     val (items, bits) = bloomShape(m)
-    val relOf = "data/[^/]+/__bucket=\\d+/[^/]+$".r
+    val keyOf = manifestKeyOf(paths)
     val aggs = m.bloomCols.map { c =>
       val agg = new BloomFilterAggregate(
         GraftSqlBridge.expression(xxhash64(col(c))),
@@ -607,9 +624,7 @@ object LakeTable {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val rel = relOf.findFirstIn(r.getString(0)).getOrElse(
-          sys.error(s"unexpected data path ${r.getString(0)}"))
-        rel -> m.bloomCols.indices.map(i =>
+        keyOf(r.getString(0)) -> m.bloomCols.indices.map(i =>
           Option(r.getAs[Array[Byte]](1 + i))
             .map(java.util.Base64.getEncoder.encodeToString))
       }.toSeq
@@ -652,7 +667,7 @@ object LakeTable {
   private def computeNdv(spark: SparkSession, root: String, m: Manifest,
       paths: Seq[String]): Seq[(String, Seq[Option[String]])] = {
     if (paths.isEmpty) return Seq.empty
-    val relOf = "data/[^/]+/__bucket=\\d+/[^/]+$".r
+    val keyOf = manifestKeyOf(paths)
     val aggs = m.ndvCols.map(c =>
       hll_sketch_agg(col(c).cast("string"), NdvLgK).alias(s"__sk_$c"))
     readFiles(spark, root, m, paths)
@@ -660,9 +675,7 @@ object LakeTable {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        val rel = relOf.findFirstIn(r.getString(0)).getOrElse(
-          sys.error(s"unexpected data path ${r.getString(0)}"))
-        rel -> m.ndvCols.indices.map(i =>
+        keyOf(r.getString(0)) -> m.ndvCols.indices.map(i =>
           Option(r.getAs[Array[Byte]](1 + i))
             .map(java.util.Base64.getEncoder.encodeToString))
       }.toSeq
@@ -854,6 +867,71 @@ object LakeTable {
     publishStats(spark, root, m, None)
     publishBlooms(spark, root, m, None)
     publishNdv(spark, root, m, None)
+  }
+
+  /** Shallow clone — the Delta `CLONE` / Iceberg snapshot-ref design
+    * point, original implementation: publish `srcRoot`'s pinned snapshot
+    * as version 0 of a NEW table at `dstRoot` whose manifest references
+    * the source's data files by ABSOLUTE path — ZERO data bytes copied,
+    * however large the table (Hadoop `Path(parent, child)` resolution
+    * makes an absolute child win, so every read path handles the mixed
+    * form unchanged). The zero-copy dev-branch move at 100 TB:
+    * experiments write to the clone (fresh files land under the clone's
+    * own root), the source never sees them, and a later
+    * [[compactSmallFiles]] / [[rebucket]] / [[optimizeZOrder]] on the
+    * clone rewrites content into clone-local files, detaching it
+    * entirely.
+    *
+    * All three sidecars carry over with their keys rewritten to the
+    * absolute form, so zone-map/bloom pruning, [[fastCount]] and
+    * [[fastNdv]] answer on the clone from the first read without
+    * re-measuring anything; a post-clone commit that re-measures a
+    * source-owned file keys it back to the manifest's absolute spelling
+    * through [[manifestKeyOf]]. Deletion vectors carry the same way (the
+    * clone's reads subtract them; a clone-side rewrite folds them).
+    *
+    * CAVEAT (the one Delta documents for its shallow clones): the
+    * SOURCE's [[vacuum]] cannot see clone references — it protects only
+    * its own retained versions. Keep the cloned version inside the
+    * source's retention, or detach the clone, before vacuuming the
+    * source; [[fsck]] on the clone reports any broken reference.
+    */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    val fs = hfs(spark, dstRoot)
+    require(versions(fs, dstRoot).isEmpty,
+      s"LakeTable already exists at $dstRoot")
+    val m = manifest(spark, srcRoot, version)
+    // absolute child wins in Path(parent, child): a clone OF a clone
+    // keeps referencing the original files, never chaining indirection.
+    // makeQualified pins the source SCHEME, so a clone on another
+    // filesystem still resolves the source's files
+    val srcFs = hfs(spark, srcRoot)
+    def abs(p: String): String =
+      srcFs.makeQualified(new Path(srcRoot, p)).toString
+    val next = m.copy(version = 0L,
+      files = m.files.map { case (p, b) => (abs(p), b) },
+      dvFiles = m.dvFiles.map { case (p, b) => (abs(p), b) })
+    publish(fs, dstRoot, next)
+    // carry the sidecars verbatim under the rewritten keys — a gap would
+    // only degrade pruning to conservative keep-all, but re-measuring a
+    // 100 TB source would defeat the zero-copy point
+    readStats(spark, srcRoot, m.version).foreach { st =>
+      val entries = m.files.map(_._1).flatMap(p => st.get(p).map(abs(p) -> _))
+      writeBinSidecar(spark, dstRoot, "_stats",
+        renderStats(0L, m.statsCols, entries), 0L)
+    }
+    readBlooms(spark, srcRoot, m.version).foreach { bl =>
+      val entries = m.files.map(_._1).flatMap(p => bl.get(p).map(abs(p) -> _))
+      writeBinSidecar(spark, dstRoot, "_bloom",
+        renderBinSidecar(0L, "", "bloom", m.bloomCols, entries), 0L)
+    }
+    readNdv(spark, srcRoot, m.version).foreach { sk =>
+      val entries = m.files.map(_._1).flatMap(p => sk.get(p).map(abs(p) -> _))
+      writeBinSidecar(spark, dstRoot, "_ndv",
+        renderBinSidecar(0L, ndvHeader, "sk", m.ndvCols, entries), 0L)
+    }
+    0L
   }
 
   /** Bucket-count evolution: rewrite the table's CURRENT content into
@@ -1072,9 +1150,14 @@ object LakeTable {
     */
   def tableBytes(spark: SparkSession, root: String,
       version: Option[Long] = None): Long = {
-    val fs = hfs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
     val m = manifest(spark, root, version)
-    m.files.map(f => fs.getFileStatus(new Path(root, f._1)).getLen).sum
+    // per-path filesystem: a shallow clone may reference files on the
+    // source's scheme, not the clone root's
+    m.files.map { f =>
+      val p = new Path(root, f._1)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
   }
 
   /** [[read]] with a metadata-decided join strategy: tables whose live
@@ -1720,7 +1803,12 @@ object LakeTable {
     val referenced = manifests
       .flatMap(m => (m.files ++ m.dvFiles).map(_._1)).toSet
     val missing = referenced.toSeq.sorted
-      .filterNot(rel => fs.exists(new Path(root, rel)))
+      .filterNot { rel =>
+        // per-path filesystem: a shallow clone's absolute references may
+        // live on the source's scheme
+        val p = new Path(root, rel)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
     val onDisk = scala.collection.mutable.ArrayBuffer.empty[String]
     val dataDir = new Path(root, "data")
     if (fs.exists(dataDir))

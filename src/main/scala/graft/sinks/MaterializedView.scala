@@ -2,7 +2,8 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, NumericType,
+  StructType}
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Incremental materialized-view maintenance over a [[LakeTable]] — the
@@ -57,6 +58,31 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * declared in `statsCols`/`bloomCols`, so even the fallback opens only
   * the files that can hold those groups rather than scanning the table.
   *
+  * `approx quantiles` (opt-in via `approxQuantileCols`) are maintained as
+  * per-group DDSketch bucket histograms (Masson, Rim & Lee, VLDB 2019 —
+  * the same public design [[graft.functions.Aggregators.DdSketchQuantiles]]
+  * implements for one-shot aggregation): per column the view carries a
+  * `map<int,long>` of geometric-bucket counts for the positive values
+  * (`__ddp_<c>`), one for the negatives (`__ddn_<c>`), and a zero count
+  * (`__ddz_<c>`). Unlike an HLL register file, bucket COUNTS subtract:
+  * the refresh folds a SIGNED per-bucket delta (+1 insert, −1 delete)
+  * into the stored maps with `map_zip_with`, so retraction is EXACT and
+  * O(delta) — quantiles are the one approximate aggregate in this view
+  * that never rides the exhaustion recompute. [[read]] with a quantile
+  * list derives `appx_p<permille>_<c>` estimates by the aggregator's own
+  * nearest-rank walk over the bucket histogram (relative error ≤ α on
+  * every reported value); the bucket arithmetic here mirrors the
+  * aggregator's, so the maintained HISTOGRAM equals a from-scratch
+  * sketch of the surviving rows exactly (integer bucket counts — the
+  * property sweep compares them with no tolerance), any delivery
+  * history. The reported midpoint `2γ^i/(γ+1)` may differ from a JVM
+  * recompute by ~1 ulp: `Math.pow` is a JIT intrinsic whose rounding is
+  * only 1-ulp-bounded, so codegen'd and interpreted call sites of the
+  * SAME formula can legally disagree in the last bit. α is
+  * fixed at `init` and recorded in the `_sync` marker chain (micros) —
+  * a refresh bucketing under a different α would silently misalign the
+  * histogram, so the marker is the one source of truth.
+  *
   * `approx count distinct` (opt-in via `approxNdCols`) is maintained as
   * a per-group DataSketches HLL sketch (`__hll_<c>`, Spark's native
   * `hll_sketch_agg`/`hll_union` — registers merge by max, so insert
@@ -87,7 +113,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object MaterializedView {
 
-  private final case class Sync(tableVersion: Long, mvVersion: Long)
+  /** `ddAlphaMicros`: the DDSketch α of the view's quantile state in
+    * millionths (0 = no quantile columns). It rides the sync chain — a
+    * marker field, not a constant — because every refresh MUST bucket
+    * deltas under the α init used; the view schema records which columns
+    * have quantile state, the marker records how they were bucketed.
+    */
+  private final case class Sync(tableVersion: Long, mvVersion: Long,
+      ddAlphaMicros: Long = 0L)
 
   private def hfs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -125,7 +158,8 @@ object MaterializedView {
     val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
     val out = fs.create(staged, false)
     try out.write(
-      s"""{"table_version":${s.tableVersion},"mv_version":${s.mvVersion}}"""
+      (s"""{"table_version":${s.tableVersion},"mv_version":${s.mvVersion}""" +
+        s""","dd_alpha_micros":${s.ddAlphaMicros}}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(dir, s"${s.tableVersion}.json")
@@ -151,12 +185,14 @@ object MaterializedView {
     val in = fs.open(new Path(dir, s"$latest.json"))
     val body = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    def field(name: String): Long = {
+    def field(name: String, required: Boolean = true): Long = {
       val at = body.indexOf("\"" + name + "\":")
-      require(at >= 0, s"sync marker: missing $name")
-      body.drop(at + name.length + 3).takeWhile(c => c.isDigit || c == '-').toLong
+      if (at < 0) { require(!required, s"sync marker: missing $name"); 0L }
+      else body.drop(at + name.length + 3)
+        .takeWhile(c => c.isDigit || c == '-').toLong
     }
-    Sync(field("table_version"), field("mv_version"))
+    Sync(field("table_version"), field("mv_version"),
+      field("dd_alpha_micros", required = false))
   }
 
   private def aggregate(df: DataFrame, groupCols: Seq[String],
@@ -181,6 +217,95 @@ object MaterializedView {
     */
   private def msub(xs: Column, ds: Column): Column =
     graft.functions.ArrayFunctions.multisetSubtract(xs, ds)
+
+  // ---- DDSketch quantile state (approxQuantileCols) -------------------
+
+  /** The bucket arithmetic of
+    * [[graft.functions.Aggregators.DdSketchQuantiles]] as plan
+    * expressions — SAME formulas in the SAME evaluation order, so the
+    * maintained histogram is bit-identical to a from-scratch JVM sketch
+    * of the surviving rows (the property sweep asserts exact equality
+    * between the two implementations, not a tolerance).
+    */
+  private final case class DdParams(alpha: Double) {
+    require(alpha > 0 && alpha < 1, s"quantile alpha in (0,1), got $alpha")
+    val gamma: Double = (1 + alpha) / (1 - alpha)
+    val logGamma: Double = math.log(gamma)
+    /** Clamp index — derives from α like the aggregator's, covering
+      * |value| in [1e-38, 1e38]; magnitudes beyond collapse into the edge
+      * bucket identically on insert and delete, so retraction still
+      * cancels exactly. */
+    val maxAbsIdx: Int = math.ceil(math.log(1e38) / logGamma).toInt
+    /** Bucket of a strictly positive value: clamped `ceil(log_γ x)`. */
+    def bucketC(pos: Column): Column =
+      least(lit(maxAbsIdx.toLong), greatest(lit(-maxAbsIdx.toLong),
+        ceil(log(pos) / lit(logGamma)))).cast("int")
+    /** The α-midpoint value a bucket reports: `2γ^i/(γ+1)`. */
+    def bucketValueC(b: Column): Column =
+      lit(2.0) * pow(lit(gamma), b.cast("double")) / lit(gamma + 1)
+  }
+
+  /** `map<int,long>` literal `{}` — typed so `map_zip_with` lines up. */
+  private val emptyBuckets: Column =
+    map_from_arrays(array().cast("array<int>"), array().cast("array<bigint>"))
+
+  /** Fold a SIGNED bucket-count delta into a stored histogram: union of
+    * keys via `map_zip_with`, zero-count buckets dropped so a fully
+    * retracted value range costs no storage. Exact under any interleaving
+    * — bucket counts are plain integers, the self-maintainable shape.
+    */
+  private def mergeSigned(stored: Column, delta: Column): Column =
+    map_filter(map_zip_with(coalesce(stored, emptyBuckets),
+      coalesce(delta, emptyBuckets),
+      (_, v1, v2) => coalesce(v1, lit(0L)) + coalesce(v2, lit(0L))),
+      (_, v) => v =!= 0L)
+
+  /** Per-group DDSketch state for every quantile column in ONE pass:
+    * each row explodes into one (column, sign-class, bucket, ±1) entry
+    * per column (NULL/NaN values contribute nothing), a first hash
+    * aggregation sums signed counts per (group, column, class, bucket) —
+    * bucket cardinality keeps this skew-proof without salting — and a
+    * second rolls each column's buckets into `map<int,long>`s (positives,
+    * negatives keyed on |x|'s bucket) plus a zero count. Output columns:
+    * `<pfx>p_<c>`, `<pfx>n_<c>` (maps), `<pfx>z_<c>` (long). Groups whose
+    * entries all cancel drop out — absent state reads as empty downstream.
+    */
+  private def ddAggregate(df: DataFrame, groupCols: Seq[String],
+      ddCols: Seq[String], p: DdParams, sign: Column,
+      pfx: String): DataFrame = {
+    val entries = ddCols.map { c =>
+      val v = col(c).cast("double")
+      struct(lit(c).alias("__dc"),
+        when(v.isNull || isnan(v), lit(null).cast("string"))
+          .when(v > 0, lit("p")).when(v < 0, lit("n")).otherwise(lit("z"))
+          .alias("__cls"),
+        when(v > 0, p.bucketC(v)).when(v < 0, p.bucketC(-v))
+          .otherwise(lit(0)).alias("__b"),
+        sign.cast("long").alias("__s"))
+    }
+    val perBucket = df
+      .select(groupCols.map(col) :+
+        explode(array(entries: _*)).alias("__e"): _*)
+      .select(groupCols.map(col) ++ Seq(col("__e.__dc").alias("__dc"),
+        col("__e.__cls").alias("__cls"), col("__e.__b").alias("__b"),
+        col("__e.__s").alias("__s")): _*)
+      .filter(col("__cls").isNotNull)
+      .groupBy((groupCols ++ Seq("__dc", "__cls", "__b")).map(col): _*)
+      .agg(sum(col("__s")).alias("__d"))
+      .filter(col("__d") =!= 0L)
+    val aggs = ddCols.flatMap { c =>
+      Seq(
+        map_from_entries(collect_list(
+          when(col("__dc") === c && col("__cls") === "p",
+            struct(col("__b"), col("__d"))))).alias(s"${pfx}p_$c"),
+        map_from_entries(collect_list(
+          when(col("__dc") === c && col("__cls") === "n",
+            struct(col("__b"), col("__d"))))).alias(s"${pfx}n_$c"),
+        sum(when(col("__dc") === c && col("__cls") === "z", col("__d"))
+          .otherwise(0L)).alias(s"${pfx}z_$c"))
+    }
+    perBucket.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** A bounded extremum array to aggregate per group: the `depth`
     * smallest (`asc`) or largest values of `value`, emitted as `name`.
@@ -256,7 +381,9 @@ object MaterializedView {
   def init(spark: SparkSession, tableRoot: String, mvRoot: String,
       groupCols: Seq[String], sumCols: Seq[String],
       numBuckets: Int = 16, minMaxCols: Seq[String] = Nil,
-      reserveDepth: Int = 8, approxNdCols: Seq[String] = Nil): Unit = {
+      reserveDepth: Int = 8, approxNdCols: Seq[String] = Nil,
+      approxQuantileCols: Seq[String] = Nil,
+      quantileAlpha: Double = 0.01): Unit = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sumCols.nonEmpty, "sumCols must be non-empty")
     require(reserveDepth >= 1, "reserveDepth must be >= 1")
@@ -276,15 +403,32 @@ object MaterializedView {
         .contains(dt.typeName),
         s"approxNdCols $c: hll_sketch_agg supports int/long/string/binary, got $dt")
     }
-    val view =
+    approxQuantileCols.foreach { c =>
+      require(base.schema(c).dataType.isInstanceOf[NumericType],
+        s"approxQuantileCols $c: DDSketch buckets a numeric axis, got " +
+          base.schema(c).dataType)
+    }
+    val ddMicros =
+      if (approxQuantileCols.isEmpty) 0L
+      else { DdParams(quantileAlpha); math.round(quantileAlpha * 1e6) }
+    val view0 =
       if (minMaxCols.isEmpty && approxNdCols.isEmpty)
         aggregate(base, groupCols, sumCols)
       else if (minMaxCols.isEmpty) aggregate(base, groupCols, sumCols,
         approxNdCols)
       else aggregateWithReserves(base, groupCols, sumCols, minMaxCols,
         reserveDepth, approxNdCols)
+    // quantile state rides its own two-shuffle aggregation (bucket
+    // cardinality replaces salting) and lands beside the main aggregate
+    // via a NULL-safe group join; a group whose quantile values are all
+    // NULL simply has no state row — empty histogram downstream
+    val view =
+      if (approxQuantileCols.isEmpty) view0
+      else LakeTable.nullSafeKeyJoin(view0,
+        ddAggregate(base, groupCols, approxQuantileCols,
+          DdParams(ddMicros / 1e6), lit(1L), "__dd"), groupCols, "left")
     LakeTable.init(view, mvRoot, groupCols, numBuckets)
-    writeSync(spark, mvRoot, Sync(tv, 0L))
+    writeSync(spark, mvRoot, Sync(tv, 0L, ddMicros))
   }
 
   /** Advance the view to the base table's current version by applying the
@@ -331,6 +475,15 @@ object MaterializedView {
       .collect { case n if n.startsWith("min_") => n.stripPrefix("min_") }
     val ndCols = viewFields
       .collect { case n if n.startsWith("__hll_") => n.stripPrefix("__hll_") }
+    val ddCols = viewFields
+      .collect { case n if n.startsWith("__ddz_") => n.stripPrefix("__ddz_") }
+    // the marker chain carries the histogram's α — a refresh bucketing
+    // under any other value would misalign every stored bucket
+    require(ddCols.isEmpty || sync.ddAlphaMicros > 0,
+      s"view at $mvRoot has quantile state (${ddCols.mkString(",")}) but " +
+        "its sync marker lost dd_alpha_micros — cannot bucket the delta")
+    val ddP = if (ddCols.isEmpty) None
+      else Some(DdParams(sync.ddAlphaMicros / 1e6))
     val mmType: Map[String, DataType] =
       minMaxCols.map(c => c -> viewSchema(s"min_$c").dataType).toMap
     val k = reserveDepth
@@ -346,7 +499,7 @@ object MaterializedView {
     // aggregation. Materialized ONCE: its lineage is the whole change
     // feed (two snapshot reads + full-outer join) and several consumers
     // follow.
-    val delta = {
+    val delta0 = {
       if (minMaxCols.isEmpty)
         feed.groupBy(groupCols.map(col): _*)
           .agg(sum(sign).alias("d_cnt"),
@@ -387,7 +540,14 @@ object MaterializedView {
             ndCols.flatMap(c =>
               Seq(col(s"d_hll_$c"), col(s"d_hdeln_$c"))): _*)
       }
-    }.localCheckpoint()
+    }
+    // quantile delta: SIGNED bucket counts per (group, column) — its own
+    // two-shuffle aggregation of the same feed, joined NULL-safe onto the
+    // grouped delta (every dd group has feed rows, so `left` covers)
+    val delta = (if (ddCols.isEmpty) delta0
+      else LakeTable.nullSafeKeyJoin(delta0,
+        ddAggregate(feed, groupCols, ddCols, ddP.get, sign, "d_dd"),
+        groupCols, "left")).localCheckpoint()
 
     // current state of ONLY the touched groups, read at the PINNED view
     // version (crash-orphan versions are invisible to the retry)
@@ -419,10 +579,21 @@ object MaterializedView {
         (coalesce(col(s"d_hdeln_$c"), lit(0L)) > 0).alias(s"__exnd_$c"))
     }
 
+    // quantile maintenance: fold the signed bucket delta into the stored
+    // histograms — EXACT under retraction (bucket counts subtract), so
+    // unlike min/max reserves and HLL sketches this never flags a group
+    // for recompute and passes through the exhaustion patch untouched
+    val ddMergeCols = ddCols.flatMap { c =>
+      Seq(mergeSigned(col(s"__ddp_$c"), col(s"d_ddp_$c")).alias(s"__ddp_$c"),
+        mergeSigned(col(s"__ddn_$c"), col(s"d_ddn_$c")).alias(s"__ddn_$c"),
+        (coalesce(col(s"__ddz_$c"), lit(0L)) +
+          coalesce(col(s"d_ddz_$c"), lit(0L))).alias(s"__ddz_$c"))
+    }
+
     if (minMaxCols.isEmpty && ndCols.isEmpty) {
       lastRecomputeScan = None
       lastExhausted = 0
-      val merged = joined.select(baseCols: _*).localCheckpoint()
+      val merged = joined.select(baseCols ++ ddMergeCols: _*).localCheckpoint()
       return publishMerged(spark, mvRoot, merged, groupCols, sync, tv)
     }
 
@@ -485,7 +656,8 @@ object MaterializedView {
         (rnOld + dRn).alias(s"__rn_$c"),
         exhLo.alias(s"__exlo_$c"), exhHi.alias(s"__exhi_$c"))
     }
-    val merged0 = joined.select(baseCols ++ mmCols ++ ndMergeCols: _*)
+    val merged0 = joined
+      .select(baseCols ++ mmCols ++ ndMergeCols ++ ddMergeCols: _*)
       .localCheckpoint()
 
     val exhAny = (minMaxCols.flatMap(c =>
@@ -564,7 +736,10 @@ object MaterializedView {
               // missing recompute row = every surviving value was NULL:
               // the authoritative sketch is the null (empty) one
               when(col(s"__exnd_$c"), col(s"r_hll_$c"))
-                .otherwise(col(s"__hll_$c")).alias(s"__hll_$c")): _*)
+                .otherwise(col(s"__hll_$c")).alias(s"__hll_$c")) ++
+            // quantile state is already exact — pass through unpatched
+            ddCols.flatMap(c => Seq(col(s"__ddp_$c"), col(s"__ddn_$c"),
+              col(s"__ddz_$c"))): _*)
           .localCheckpoint()
       }
 
@@ -588,7 +763,8 @@ object MaterializedView {
       try LakeTable.applyChanges(spark, mvRoot, upserts, gone,
         Some(sync.mvVersion))
       finally merged.unpersist(blocking = false)
-    writeSync(spark, mvRoot, Sync(tv, mvVersion))
+    // the histogram α rides the chain forward — marker metadata, not state
+    writeSync(spark, mvRoot, Sync(tv, mvVersion, sync.ddAlphaMicros))
     mvVersion
   }
 
@@ -602,8 +778,84 @@ object MaterializedView {
     * the maintenance algebra promises.
     */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
-    val df0 = LakeTable.read(spark, mvRoot,
-      Some(readSync(spark, mvRoot).mvVersion))
+    val (df, _) = servedBase(spark, mvRoot)
+    dropInternals(df)
+  }
+
+  /** The view with approx-quantile estimates: one
+    * `appx_p<permille>_<c>` DOUBLE per quantile column and requested
+    * quantile (`p500` = median, `p999` = 0.999). The estimate is the
+    * aggregator's nearest-rank walk over the maintained bucket histogram
+    * — relative error ≤ α on the value — entirely in-plan: the ordered
+    * (value, count) runs assemble from the bucket maps with
+    * `transform`/`map_entries` and the rank walk is one `aggregate` HOF
+    * per estimate over a group's ≤ few-hundred-entry histogram. NULL when
+    * the group's quantile values were all NULL (an empty histogram has no
+    * quantiles — the served twin of the aggregator's NaN).
+    */
+  def read(spark: SparkSession, mvRoot: String,
+      quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      s"quantiles in [0,1], got $quantiles")
+    val (df, sync) = servedBase(spark, mvRoot)
+    val ddCols = df.columns.filter(_.startsWith("__ddz_"))
+      .map(_.stripPrefix("__ddz_")).toSeq
+    require(ddCols.nonEmpty,
+      s"view at $mvRoot has no approxQuantileCols state")
+    require(sync.ddAlphaMicros > 0,
+      s"view at $mvRoot lost dd_alpha_micros from its sync chain")
+    val p = DdParams(sync.ddAlphaMicros / 1e6)
+    val entT = "array<struct<v:double,c:bigint>>"
+    val withQ = ddCols.foldLeft(df) { (d, c) =>
+      // ascending value order, exactly the aggregator's finish(): negative
+      // buckets by index DESC (value −2γ^i/(γ+1) ascends), zeros, positive
+      // buckets by index ASC
+      val negs = transform(
+        reverse(array_sort(map_entries(coalesce(col(s"__ddn_$c"),
+          emptyBuckets)))),
+        e => struct((-p.bucketValueC(e.getField("key"))).alias("v"),
+          e.getField("value").alias("c")))
+      val zeros = when(coalesce(col(s"__ddz_$c"), lit(0L)) > 0,
+        array(struct(lit(0.0).alias("v"),
+          col(s"__ddz_$c").alias("c")))).otherwise(array().cast(entT))
+      val pos = transform(
+        array_sort(map_entries(coalesce(col(s"__ddp_$c"), emptyBuckets))),
+        e => struct(p.bucketValueC(e.getField("key")).alias("v"),
+          e.getField("value").alias("c")))
+      val d1 = d
+        .withColumn(s"__ord_$c", concat(negs, zeros, pos).cast(entT))
+        .withColumn(s"__qn_$c",
+          // fully qualified: this object's own `aggregate` (the grouped
+          // view construction) shadows the imported HOF
+          org.apache.spark.sql.functions.aggregate(col(s"__ord_$c"),
+            lit(0L), (acc, e) => acc + e.getField("c")))
+      quantiles.foldLeft(d1) { (dd, q) =>
+        // 0-based nearest rank, the aggregator's formula verbatim
+        val rank = greatest(lit(0L),
+          ceil(lit(q) * col(s"__qn_$c")) - lit(1L))
+        val est = org.apache.spark.sql.functions.aggregate(col(s"__ord_$c"),
+          struct(lit(0L).alias("cum"), lit(null).cast("double").alias("v")),
+          (acc, e) => {
+            val cum2 = acc.getField("cum") + e.getField("c")
+            when(acc.getField("v").isNotNull, acc)
+              .when(cum2 > rank,
+                struct(cum2.alias("cum"), e.getField("v").alias("v")))
+              .otherwise(struct(cum2.alias("cum"),
+                lit(null).cast("double").alias("v")))
+          },
+          acc => when(col(s"__qn_$c") > 0, acc.getField("v")))
+        dd.withColumn(s"appx_p${(q * 1000).round}_$c", est)
+      }
+    }
+    dropInternals(withQ)
+  }
+
+  /** The served frame BEFORE internal-column drop (sum coalesce + HLL
+    * estimates applied), plus the sync record that pinned it. */
+  private def servedBase(spark: SparkSession,
+      mvRoot: String): (DataFrame, Sync) = {
+    val sync = readSync(spark, mvRoot)
+    val df0 = LakeTable.read(spark, mvRoot, Some(sync.mvVersion))
     val df = df0.columns.filter(_.startsWith("sum_"))
       .foldLeft(df0)((d, c) => d.withColumn(c,
         coalesce(col(c), lit(0).cast(SumType))))
@@ -613,10 +865,15 @@ object MaterializedView {
       .foldLeft(df)((d, h) => d.withColumn(
         "appx_nd_" + h.stripPrefix("__hll_"),
         coalesce(hll_sketch_estimate(col(h)), lit(0L))))
-    withEst.drop(withEst.columns.filter(n =>
-      n.startsWith("__rlo_") || n.startsWith("__rhi_") ||
-      n.startsWith("__rn_") || n.startsWith("__hll_")).toSeq: _*)
+    (withEst, sync)
   }
+
+  private def dropInternals(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(n =>
+      n.startsWith("__rlo_") || n.startsWith("__rhi_") ||
+      n.startsWith("__rn_") || n.startsWith("__hll_") ||
+      n.startsWith("__dd") || n.startsWith("__ord_") ||
+      n.startsWith("__qn_")).toSeq: _*)
 
   /** Bounded retention for the view AND its `_sync` markers (every
     * refresh accretes one marker — unswept, a long-lived view grows one

@@ -46,7 +46,16 @@ object Merge {
       orderCol: Option[String] = None): DataFrame = {
     val src = incoming.withColumn("__prio", lit(1))
     val tgt = existing.withColumn("__prio", lit(0))
-    val rowHash = hash(incoming.columns.map(col).toSeq: _*)
+    // MAP columns are not hashable (Spark rejects hash-on-map: equal maps
+    // may differ in entry order) — their key-sorted entry arrays carry the
+    // same value identity and hash deterministically
+    val rowHash = hash(incoming.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType =>
+          array_sort(map_entries(col(f.name)))
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
     val ordering = (col("__prio").desc +: orderCol.map(col(_).desc).toSeq) :+ rowHash.asc
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     tgt.unionByName(src)

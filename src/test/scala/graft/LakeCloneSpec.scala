@@ -1,0 +1,139 @@
+package graft
+
+import graft.sinks.LakeTable
+import org.apache.spark.sql.functions._
+
+/** Shallow clone (`LakeTable.cloneShallow`): zero-copy branching. The
+  * clone's manifest references the source's files ABSOLUTELY — no data
+  * bytes move — sidecars carry with rewritten keys (pruning and
+  * `fastCount` answer from the first read), writes diverge (clone-local
+  * files only), the source never changes, and a compaction on the clone
+  * detaches it into a self-contained table.
+  */
+class LakeCloneSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def roots(): (String, String) = {
+    val d = java.nio.file.Files.createTempDirectory("lclone").toString
+    (s"$d/src", s"$d/dst")
+  }
+
+  private def parquetCount(root: String): Int = {
+    val dir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(dir)) 0
+    else {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(_.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+  }
+
+  private def content(root: String): Set[(Long, String, Double)] =
+    LakeTable.read(spark, root)
+      .select($"id", $"g", $"x").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  private def rows(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, s"g${i % 3}", i * 1.5 + tag.length)).toDF("id", "g", "x")
+
+  test("clone copies zero data files and serves the pinned snapshot") {
+    val (src, dst) = roots()
+    LakeTable.init(rows(1 to 100, "a"), src, Seq("id"), numBuckets = 4,
+      sortCols = Seq("x"), statsCols = Seq("x"), maxRecordsPerFile = 16L)
+    val before = content(src)
+    LakeTable.cloneShallow(spark, src, dst)
+    assert(parquetCount(dst) == 0, "shallow clone must copy no data files")
+    content(dst) shouldBe before
+    assert(LakeTable.fsck(spark, dst).ok)
+    // the stats sidecar carried: metadata-only COUNT answers immediately
+    LakeTable.fastCount(spark, dst) shouldBe Some(100L)
+    // and zone-map pruning works on the clone (narrow x range opens a
+    // strict subset of the live files)
+    val m = LakeTable.manifest(spark, dst)
+    val pruned = LakeTable.prunedPaths(spark, dst, "x", "10.0", "20.0")
+    assert(pruned.size < m.files.size,
+      s"expected pruning on the clone: ${pruned.size} vs ${m.files.size}")
+  }
+
+  test("writes diverge: clone-local files only, source untouched and vice versa") {
+    val (src, dst) = roots()
+    LakeTable.init(rows(1 to 50, "a"), src, Seq("id"), numBuckets = 2)
+    LakeTable.cloneShallow(spark, src, dst)
+    val srcBefore = content(src)
+    val srcFilesBefore = parquetCount(src)
+    // clone gains rows; every fresh file must live under the CLONE root
+    LakeTable.merge(spark, dst, rows(51 to 60, "bb"))
+    content(src) shouldBe srcBefore
+    parquetCount(src) shouldBe srcFilesBefore
+    assert(parquetCount(dst) > 0, "clone writes land under the clone root")
+    assert(content(dst) == content(src) ++
+      rows(51 to 60, "bb").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+    // source evolves independently; the clone keeps serving its branch
+    val dstAfterMerge = content(dst)
+    LakeTable.delete(spark, src, (1L to 10L).toDF("id"))
+    content(dst) shouldBe dstAfterMerge
+    assert(content(src) == srcBefore.filterNot(_._1 <= 10L))
+    // the clone's rewritten buckets must not have clobbered source reads
+    assert(LakeTable.fsck(spark, src).ok)
+    assert(LakeTable.fsck(spark, dst).ok)
+  }
+
+  test("deletion vectors carry: a MoR-deleted source clones its live rows") {
+    val (src, dst) = roots()
+    LakeTable.init(rows(1 to 40, "a"), src, Seq("id"), numBuckets = 2)
+    LakeTable.deleteMor(spark, src, (1L to 5L).toDF("id"))
+    LakeTable.cloneShallow(spark, src, dst)
+    content(dst) shouldBe content(src)
+    content(dst).map(_._1).intersect((1L to 5L).toSet) shouldBe Set.empty
+  }
+
+  test("compaction detaches the clone; source vacuum can no longer break it") {
+    val (src, dst) = roots()
+    LakeTable.init(rows(1 to 60, "a"), src, Seq("id"), numBuckets = 2,
+      maxRecordsPerFile = 8L)
+    LakeTable.cloneShallow(spark, src, dst)
+    LakeTable.merge(spark, dst, rows(61 to 70, "bb"))
+    val want = content(dst)
+    // rebucket rewrites ALL current content into clone-local files
+    LakeTable.rebucket(spark, dst, 4)
+    val m = LakeTable.manifest(spark, dst)
+    assert(m.files.forall(f => !f._1.contains("/src/")),
+      s"detached clone still references source files: ${m.files.map(_._1)}")
+    // source churns + vacuums away the cloned version's files
+    LakeTable.merge(spark, src, rows(1 to 60, "ccc"))
+    LakeTable.vacuum(spark, src, keepLast = 1)
+    // the clone's HEAD is self-contained — reads keep working
+    content(dst) shouldBe want
+    // but its pre-detach versions still reference the vacuumed source
+    // files: fsck pins the documented hazard (time travel to them fails)
+    assert(!LakeTable.fsck(spark, dst).ok,
+      "fsck must report the broken pre-detach references")
+    // dropping the pre-detach history completes the detach
+    LakeTable.vacuum(spark, dst, keepLast = 1)
+    assert(LakeTable.fsck(spark, dst).ok)
+    content(dst) shouldBe want
+  }
+
+  test("clone of a clone references the original files, not the middle clone") {
+    val (src, mid) = roots()
+    val dst2 = mid + "2"
+    LakeTable.init(rows(1 to 30, "a"), src, Seq("id"), numBuckets = 2)
+    LakeTable.cloneShallow(spark, src, mid)
+    LakeTable.cloneShallow(spark, mid, dst2)
+    val m = LakeTable.manifest(spark, dst2)
+    assert(m.files.forall(f => f._1.contains("/src/")),
+      s"expected original-file references, got ${m.files.map(_._1)}")
+    content(dst2) shouldBe content(src)
+  }
+
+  test("cloning a pinned older version branches history") {
+    val (src, dst) = roots()
+    LakeTable.init(rows(1 to 20, "a"), src, Seq("id"), numBuckets = 2)
+    val v0 = LakeTable.manifest(spark, src).version
+    LakeTable.merge(spark, src, rows(21 to 30, "bb"))
+    LakeTable.cloneShallow(spark, src, dst, Some(v0))
+    content(dst) shouldBe rows(1 to 20, "a").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+  }
+}

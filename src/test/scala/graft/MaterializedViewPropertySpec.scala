@@ -5,15 +5,18 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Property sweep over the materialized view's FULL aggregate surface —
-  * count, exact decimal sum, k-deep-reserve min/max, and HLL
-  * approx-distinct — under random delivery sequences (upserts with value
-  * churn, deletes, NULLs in both the min/max and the distinct column).
-  * After every sequence the maintained view must equal the from-scratch
-  * aggregate of the base's final content: the reserve algebra
-  * (subtraction, prefix-safe insert merge, exhaustion recompute) and the
-  * sketch union/retraction routing have no delivery pattern they are
-  * allowed to disagree on. Cardinalities stay inside DataSketches' exact
-  * LIST/SET range, so the "approx" column is value-comparable.
+  * count, exact decimal sum, k-deep-reserve min/max, HLL approx-distinct,
+  * and DDSketch approx-quantiles — under random delivery sequences
+  * (upserts with value churn, deletes, NULLs in both the min/max and the
+  * distinct column). After every sequence the maintained view must equal
+  * the from-scratch aggregate of the base's final content: the reserve
+  * algebra (subtraction, prefix-safe insert merge, exhaustion recompute)
+  * and the sketch union/retraction routing have no delivery pattern they
+  * are allowed to disagree on. Cardinalities stay inside DataSketches'
+  * exact LIST/SET range, so the "approx" distinct column is
+  * value-comparable; the quantile estimate compares EXACTLY against a
+  * from-scratch JVM sketch of the survivors (same bucket arithmetic, two
+  * independent implementations).
   */
 class MaterializedViewPropertySpec extends SparkTestBase {
   import spark.implicits._
@@ -67,7 +70,8 @@ class MaterializedViewPropertySpec extends SparkTestBase {
         LakeTable.init(df(base), tableRoot, Seq("id"), numBuckets = 2)
         MaterializedView.init(spark, tableRoot, mvRoot, Seq("grp"),
           Seq("score"), numBuckets = 2, minMaxCols = Seq("score"),
-          reserveDepth = 2, approxNdCols = Seq("user"))
+          reserveDepth = 2, approxNdCols = Seq("user"),
+          approxQuantileCols = Seq("score"), quantileAlpha = 0.01)
         Seq((up1, del1), (up2, del2)).foreach { case (ups, dels) =>
           if (ups.nonEmpty) LakeTable.merge(spark, tableRoot, df(ups))
           if (dels.nonEmpty)
@@ -86,9 +90,49 @@ class MaterializedViewPropertySpec extends SparkTestBase {
               lit(0).cast("decimal(38,6)")).cast("decimal(38,6)").alias("s"),
             min($"score").alias("mn"), max($"score").alias("mx"),
             count_distinct($"user").alias("nd")))
-        val ok = got == want
+        // quantile leg, two tiers: the maintained bucket HISTOGRAM must
+        // equal a from-scratch JVM sketch of the survivors EXACTLY
+        // (integer counts — the retraction-exactness claim), and the
+        // served estimate must match the aggregator's within 1e-9
+        // relative (Math.pow is a JIT intrinsic: codegen'd vs interpreted
+        // call sites of the same midpoint formula may differ in the last
+        // bit, so float exactness is not a sound contract there)
+        val gotQ = MaterializedView.read(spark, mvRoot, Seq(0.5))
+          .select($"grp", $"appx_p500_score").collect()
+          .map(r => Option(r.getString(0)) ->
+            (if (r.isNullAt(1)) NullMm else r.getDouble(1))).toMap
+        val gotH = LakeTable.read(spark, mvRoot)
+          .select($"grp", $"__ddp_score", $"__ddz_score").collect()
+          .map { r =>
+            Option(r.getString(0)) -> ((
+              if (r.isNullAt(1)) Map.empty[Int, Long]
+              else r.getMap[Int, Long](1).toMap,
+              if (r.isNullAt(2)) 0L else r.getLong(2)))
+          }.toMap
+        val survQ = LakeTable.read(spark, tableRoot)
+          .select($"grp", $"score").collect()
+          .groupBy(r => Option(r.getString(0))).view.mapValues(
+            _.filterNot(_.isNullAt(1)).map(_.getDouble(1)).toSeq).toMap
+        val agg = new graft.functions.Aggregators.DdSketchQuantiles(
+          0.01, Seq(0.5))
+        val wantQ = survQ.view.mapValues { vals =>
+          val q = agg.finish(vals.foldLeft(agg.zero)(agg.reduce)).head
+          if (q.isNaN) NullMm else q
+        }.toMap
+        val wantH = survQ.view.mapValues { vals =>
+          val (pos, _, zeros) =
+            agg.canonical(vals.foldLeft(agg.zero)(agg.reduce))
+          (pos, zeros)
+        }.toMap
+        val qOk = gotQ.keySet == wantQ.keySet && gotQ.keySet.forall { g =>
+          val (a, b) = (gotQ(g), wantQ(g))
+          a == b || math.abs(a - b) <=
+            1e-9 * math.max(math.abs(a), math.abs(b))
+        }
+        val ok = got == want && qOk && gotH == wantH
         if (!ok) System.err.println(
           s"MV property mismatch:\n got $got\nwant $want\n" +
+            s" gotQ $gotQ\nwantQ $wantQ\n gotH $gotH\nwantH $wantH\n" +
             s"base=$base\nup1=$up1 del1=$del1\nup2=$up2 del2=$del2")
         ok
     }
