@@ -40,4 +40,18 @@ class BenchDriftSpec extends AnyFunSuite with Matchers {
       Seq(("q_a", 0.5, 0.3), ("q_b", 0.5, 1.0)), ref, 2.5)
     many.map(_._1) shouldBe Seq("q_b", "q_a") // 5.0x before 3.0x
   }
+
+  test("millisecond-floor queries are exempt until they cross the absolute floor") {
+    val ref = Map("q_ms" -> 0.030, "q_big" -> 0.100)
+    // 0.080 s is 2.7x a 30 ms recording but under the absolute floor:
+    // scheduler jitter, not a regression — clean runs must flag nothing
+    Bench.driftOutliers(Seq(("q_ms", 0.5, 0.080)), ref, 2.5) shouldBe empty
+    // the same query crossing the floor DOES flag (ratio still applies)
+    val out = Bench.driftOutliers(Seq(("q_ms", 0.5, 0.200)), ref, 2.5)
+    out.map(_._1) shouldBe Seq("q_ms")
+    // a query already past the floor gates purely on the ratio
+    Bench.driftOutliers(
+      Seq(("q_big", 0.5, Bench.DriftAbsFloorSec + 0.2)), ref, 2.5)
+      .map(_._1) shouldBe Seq("q_big")
+  }
 }
