@@ -24,6 +24,7 @@ object Scratch {
     val name = args(0)
     if (name == "corpus_export_legs") { exportLegs(spark, sfDir); spark.stop(); return }
     if (name == "mv_join_legs") { mvJoinLegs(spark, sfDir); spark.stop(); return }
+    if (name == "zorder_legs") { zorderLegs(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
@@ -83,6 +84,42 @@ object Scratch {
           coalesce(sum(when(col("back_len") > col("orig_len"), 1L)), lit(0L)))
         .head().getLong(0)
     }
+  }
+
+  /** q_lake_zorder lifecycle step breakdown: init (sorted bucketed
+    * write), the OPTIMIZE ZORDER rewrite, and the box read — the floor
+    * note behind the bench's most expensive single entry. One pass
+    * (each step publishes).
+    */
+  private def zorderLegs(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sinks.LakeTable
+    val root = System.getProperty("java.io.tmpdir") + "/scratch_zorder"
+    val conf = spark.sparkContext.hadoopConfiguration
+    new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    def leg[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scratch] zorder leg $label%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    // numBuckets mirrors the bench query; rerun with 1 to reproduce the
+    // serialized-write floor this breakdown was built to attribute
+    // (init/zorder were ~12 s each at 1 bucket, sf0.1)
+    leg("init") {
+      LakeTable.init(li, root, Seq("l_orderkey", "l_linenumber"),
+        numBuckets = 8, sortCols = Seq("l_partkey"),
+        statsCols = Seq("l_partkey", "l_suppkey"), maxRecordsPerFile = 4096L)
+    }
+    leg("zorder") { LakeTable.optimizeZOrder(spark, root, Seq("l_partkey", "l_suppkey")) }
+    leg("readbox") {
+      LakeTable.readBox(spark, root,
+        Seq(("l_partkey", "100", "300"), ("l_suppkey", "1", "10"))).count()
+    }
+    println(s"[scratch] zorder box scan ${LakeTable.lastBoxScan}")
   }
 
   /** q_mv_join lifecycle step breakdown: per-step wall time for the two

@@ -1606,7 +1606,14 @@ object SparkEntry {
     // box probe (readBox) reads through the zone-map intersection. The
     // oracle is the plain conjunctive filter on the logical content;
     // LakeTableSpec pins the physical contract (the box opens fewer
-    // files than the single-sort layout needed, on BOTH columns).
+    // files than the single-sort layout needed, on BOTH columns). Eight
+    // buckets is the realistic layout (the engine's posture is
+    // executor-sized buckets — the write parallelizes per bucket; a
+    // 1-bucket table would serialize both full-table sorted writes into
+    // one task, Scratch zorder_legs attributes ~24 s of the old floor
+    // to exactly that); per-file z-ranges stay narrow within each
+    // bucket, so the box intersection still opens a handful of the
+    // ~147 files.
     "q_lake_zorder" -> ((s, dir) => {
       val root = System.getProperty("java.io.tmpdir") + "/graft_lake_zorder"
       val fs = new org.apache.hadoop.fs.Path(root)
@@ -1616,7 +1623,7 @@ object SparkEntry {
         col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"))
       graft.sinks.LakeTable.init(li, root,
-        Seq("l_orderkey", "l_linenumber"), numBuckets = 1,
+        Seq("l_orderkey", "l_linenumber"), numBuckets = 8,
         sortCols = Seq("l_partkey"), statsCols = Seq("l_partkey", "l_suppkey"),
         maxRecordsPerFile = 4096L)
       graft.sinks.LakeTable.optimizeZOrder(s, root,
