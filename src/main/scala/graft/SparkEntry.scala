@@ -1506,6 +1506,51 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Variance materialized view (sinks/MaterializedView varCols): the
+    // view carries the signed sum of squares (DECIMAL(38,6) — per-row
+    // squaring rounds deterministically, so a delete cancels its insert
+    // exactly) plus the non-null count, making sample variance FULLY
+    // self-maintainable: like sum and the quantile histograms, the
+    // delete delivery retracts exactly with no recompute leg. Hashable
+    // output: cnt and the exact decimal sum, plus the base's own
+    // stddev_samp (Spark ↔ DuckDB agree to ~1e-8 relative — safe at
+    // ROUND 2); the MV-SERVED stddev is validated against that exact
+    // recompute at 1e-9 relative in the within_bound flag (float
+    // summation order differs, value equality doesn't hash).
+    "q_mv_variance" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_mv_v_base"
+      val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_v_view"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(root, mv).foreach(p => new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(conf).delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16)
+      graft.sinks.MaterializedView.init(s, root, mv,
+        Seq("o_orderpriority"), Seq("o_totalprice"), numBuckets = 4,
+        varCols = Seq("o_totalprice"))
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      graft.sinks.MaterializedView.refresh(s, root, mv)
+      val view = graft.sinks.MaterializedView.read(s, mv)
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sum_o_totalprice"), col("stddev_o_totalprice"))
+      val exact = graft.sinks.LakeTable.read(s, root)
+        .groupBy(col("o_orderpriority"))
+        .agg(stddev_samp(col("o_totalprice")).alias("sdx"))
+      view.join(exact, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("cnt"),
+          round(col("sum_o_totalprice").cast("double"), 2).alias("sum_price"),
+          round(col("sdx"), 2).alias("sd_exact"),
+          (abs(col("stddev_o_totalprice") - col("sdx")) <=
+            col("sdx") * 1e-9 + lit(1e-9)).alias("within_bound"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Metadata-only COUNT(*) (sinks/LakeTable.scala fastCount): after an
     // init and a merge (carried files keep their sidecar rows, fresh files
     // are measured), the row count comes from the zone-map sidecar alone —
@@ -5535,6 +5580,19 @@ object SparkEntry {
         |    AND o_orderkey % 10 <> 4)
         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_exact,
+        |       CAST(1 AS BOOLEAN) AS within_bound
+        |FROM survivors GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_mv_variance" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+        |    AND o_orderkey % 10 <> 4)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        |         AS DOUBLE), 2) AS sum_price,
+        |       ROUND(stddev_samp(o_totalprice), 2) AS sd_exact,
         |       CAST(1 AS BOOLEAN) AS within_bound
         |FROM survivors GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,

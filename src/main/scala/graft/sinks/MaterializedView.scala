@@ -83,6 +83,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * a refresh bucketing under a different α would silently misalign the
   * histogram, so the marker is the one source of truth.
   *
+  * `variance`/`stddev` (opt-in via `varCols`, must also be `sumCols`) is
+  * fully self-maintainable: the view carries the signed sum of squares
+  * `__ss_<c>` (DECIMAL(38,6) — per-row squaring rounds deterministically,
+  * so a delete cancels its insert exactly) and the non-null value count
+  * `__sn_<c>` (advances by Σ sign·IS NOT NULL). Like `sum` and the
+  * quantile histograms, retraction is EXACT and O(delta) — no exhaustion
+  * path. [[read]] derives `var_<c>`/`stddev_<c>` (sample variance,
+  * `(Σx² − (Σx)²/n)/(n−1)`, NULL below two non-null values, clamped at 0
+  * against the scale-6 squaring truncation on constant groups).
+  *
   * `approx count distinct` (opt-in via `approxNdCols`) is maintained as
   * a per-group DataSketches HLL sketch (`__hll_<c>`, Spark's native
   * `hll_sketch_agg`/`hll_union` — registers merge by max, so insert
@@ -195,10 +205,24 @@ object MaterializedView {
       field("dd_alpha_micros", required = false))
   }
 
+  /** x² in DECIMAL(38,6): the square evaluates at widened scale, then
+    * rounds back to scale 6. The per-row rounding is DETERMINISTIC — the
+    * same value always squares to the same decimal — so an insert's
+    * contribution and its later delete's cancel exactly, and the signed
+    * sum of squares retracts like `sum` does. (The served variance
+    * absorbs the scale-6 truncation: ≤ 5e-7 per row, clamped at 0.)
+    */
+  private def sq(c: String): Column =
+    (col(c).cast(SumType) * col(c).cast(SumType)).cast(SumType)
+
   private def aggregate(df: DataFrame, groupCols: Seq[String],
-      sumCols: Seq[String], ndCols: Seq[String] = Nil): DataFrame = {
+      sumCols: Seq[String], ndCols: Seq[String] = Nil,
+      varCols: Seq[String] = Nil): DataFrame = {
     val aggs = (count(lit(1)).alias("cnt") +: sumCols.map(c =>
       sum(col(c).cast(SumType)).cast(SumType).alias(s"sum_$c"))) ++
+      varCols.flatMap(c => Seq(
+        sum(sq(c)).cast(SumType).alias(s"__ss_$c"),
+        sum(when(col(c).isNotNull, 1L).otherwise(0L)).alias(s"__sn_$c"))) ++
       ndCols.map(c => hll_sketch_agg(col(c)).alias(s"__hll_$c"))
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -350,12 +374,15 @@ object MaterializedView {
     */
   private def aggregateWithReserves(df: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String], minMaxCols: Seq[String], k: Int,
-      ndCols: Seq[String] = Nil): DataFrame = {
+      ndCols: Seq[String] = Nil, varCols: Seq[String] = Nil): DataFrame = {
     val arrays = minMaxCols.flatMap(c => Seq(
       RAgg(col(c), asc = true, k, s"__rlo_$c"),
       RAgg(col(c), asc = false, k, s"__rhi_$c")))
-    val sums = ((lit(1L), "cnt") +:
+    val sums = (((lit(1L), "cnt") +:
       sumCols.map(c => (col(c).cast(SumType), s"sum_$c"))) ++
+      varCols.flatMap(c => Seq(
+        (sq(c), s"__ss_$c"),
+        (when(col(c).isNotNull, 1L).otherwise(0L), s"__sn_$c")))) ++
       minMaxCols.map(c =>
         (when(col(c).isNotNull, 1L).otherwise(0L), s"__rn_$c"))
     saltedReserves(df, groupCols, arrays, sums,
@@ -363,6 +390,9 @@ object MaterializedView {
       .select(groupCols.map(col) ++
         Seq(col("cnt")) ++
         sumCols.map(c => col(s"sum_$c").cast(SumType).alias(s"sum_$c")) ++
+        varCols.flatMap(c => Seq(
+          col(s"__ss_$c").cast(SumType).alias(s"__ss_$c"),
+          col(s"__sn_$c"))) ++
         minMaxCols.flatMap(c => Seq(
           try_element_at(col(s"__rlo_$c"), lit(1)).alias(s"min_$c"),
           try_element_at(col(s"__rhi_$c"), lit(1)).alias(s"max_$c"))) ++
@@ -383,10 +413,16 @@ object MaterializedView {
       numBuckets: Int = 16, minMaxCols: Seq[String] = Nil,
       reserveDepth: Int = 8, approxNdCols: Seq[String] = Nil,
       approxQuantileCols: Seq[String] = Nil,
-      quantileAlpha: Double = 0.01): Unit = {
+      quantileAlpha: Double = 0.01,
+      varCols: Seq[String] = Nil): Unit = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(sumCols.nonEmpty, "sumCols must be non-empty")
     require(reserveDepth >= 1, "reserveDepth must be >= 1")
+    // variance derives from (Σx, Σx², n_nonnull): Σx is the sum column,
+    // so a variance column must also be a sum column — requiring it here
+    // beats silently maintaining a second Σx under another name
+    require(varCols.forall(sumCols.contains),
+      s"varCols must be a subset of sumCols, got $varCols vs $sumCols")
     // refresh reconstructs the aggregate surface from the view schema by
     // prefix (sum_/min_/max_/__hll_/__r*, plus cnt) — a group column
     // named into any of those namespaces would be misclassified on the
@@ -408,16 +444,19 @@ object MaterializedView {
         s"approxQuantileCols $c: DDSketch buckets a numeric axis, got " +
           base.schema(c).dataType)
     }
+    varCols.foreach { c =>
+      require(base.schema(c).dataType.isInstanceOf[NumericType],
+        s"varCols $c: variance needs a numeric axis, got " +
+          base.schema(c).dataType)
+    }
     val ddMicros =
       if (approxQuantileCols.isEmpty) 0L
       else { DdParams(quantileAlpha); math.round(quantileAlpha * 1e6) }
     val view0 =
-      if (minMaxCols.isEmpty && approxNdCols.isEmpty)
-        aggregate(base, groupCols, sumCols)
-      else if (minMaxCols.isEmpty) aggregate(base, groupCols, sumCols,
-        approxNdCols)
+      if (minMaxCols.isEmpty)
+        aggregate(base, groupCols, sumCols, approxNdCols, varCols)
       else aggregateWithReserves(base, groupCols, sumCols, minMaxCols,
-        reserveDepth, approxNdCols)
+        reserveDepth, approxNdCols, varCols)
     // quantile state rides its own two-shuffle aggregation (bucket
     // cardinality replaces salting) and lands beside the main aggregate
     // via a NULL-safe group join; a group whose quantile values are all
@@ -477,6 +516,8 @@ object MaterializedView {
       .collect { case n if n.startsWith("__hll_") => n.stripPrefix("__hll_") }
     val ddCols = viewFields
       .collect { case n if n.startsWith("__ddz_") => n.stripPrefix("__ddz_") }
+    val ssCols = viewFields
+      .collect { case n if n.startsWith("__ss_") => n.stripPrefix("__ss_") }
     // the marker chain carries the histogram's α — a refresh bucketing
     // under any other value would misalign every stored bucket
     require(ddCols.isEmpty || sync.ddAlphaMicros > 0,
@@ -505,6 +546,10 @@ object MaterializedView {
           .agg(sum(sign).alias("d_cnt"),
             (sumCols.map(c => sum(col(c).cast(SumType) * sign).cast(SumType)
               .alias(s"d_sum_$c")) ++
+             ssCols.flatMap(c => Seq(
+               sum(sq(c) * sign).cast(SumType).alias(s"d_ss_$c"),
+               sum(when(col(c).isNotNull, sign).otherwise(0L))
+                 .alias(s"d_sn_$c"))) ++
              ndCols.map(c => hll_sketch_agg(when(sign === 1L, col(c)))
                .alias(s"d_hll_$c")) ++
              ndCols.map(c => sum(when(sign === -1L && col(c).isNotNull, 1L)
@@ -520,6 +565,10 @@ object MaterializedView {
           RAgg(del(c), asc = false, k + 1, s"d_del_hi_$c")))
         val sums = ((col("__sign"), "d_cnt") +: sumCols.map(c =>
           (col(c).cast(SumType) * col("__sign"), s"d_sum_$c"))) ++
+          ssCols.flatMap(c => Seq(
+            (sq(c) * col("__sign"), s"d_ss_$c"),
+            (when(col(c).isNotNull, col("__sign")).otherwise(0L),
+              s"d_sn_$c"))) ++
           minMaxCols.flatMap(c => Seq(
             (when(col(c).isNotNull, col("__sign")).otherwise(0L),
               s"d_rn_$c"),
@@ -534,6 +583,9 @@ object MaterializedView {
             Seq(col("d_cnt")) ++
             sumCols.map(c =>
               col(s"d_sum_$c").cast(SumType).alias(s"d_sum_$c")) ++
+            ssCols.flatMap(c => Seq(
+              col(s"d_ss_$c").cast(SumType).alias(s"d_ss_$c"),
+              col(s"d_sn_$c"))) ++
             arrays.map(a => col(a.name)) ++
             minMaxCols.flatMap(c =>
               Seq(col(s"d_rn_$c"), col(s"d_deln_$c"))) ++
@@ -563,7 +615,12 @@ object MaterializedView {
         .alias("cnt")) ++ sumCols.map(c =>
       (coalesce(col(s"sum_$c"), lit(0).cast(SumType)) +
         coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
-        .cast(SumType).alias(s"sum_$c"))
+        .cast(SumType).alias(s"sum_$c")) ++ ssCols.flatMap(c => Seq(
+      (coalesce(col(s"__ss_$c"), lit(0).cast(SumType)) +
+        coalesce(col(s"d_ss_$c"), lit(0).cast(SumType)))
+        .cast(SumType).alias(s"__ss_$c"),
+      (coalesce(col(s"__sn_$c"), lit(0L)) +
+        coalesce(col(s"d_sn_$c"), lit(0L))).alias(s"__sn_$c")))
 
     // approx-distinct sketch maintenance: inserts UNION into the group's
     // sketch (registers merge by max — associative, order-free); a sketch
@@ -715,6 +772,9 @@ object MaterializedView {
         LakeTable.nullSafeKeyJoin(merged0, recomputed, groupCols, "left")
           .select(groupCols.map(col) ++ Seq(col("cnt")) ++
             sumCols.map(c => col(s"sum_$c")) ++
+            // variance state is exact under retraction — pass through
+            // unpatched, like the quantile histograms
+            ssCols.flatMap(c => Seq(col(s"__ss_$c"), col(s"__sn_$c"))) ++
             minMaxCols.flatMap { c =>
               val t = mmType(c)
               val rlo = coalesce(col(s"r_rlo_$c"), emptyArr(t))
@@ -865,7 +925,24 @@ object MaterializedView {
       .foldLeft(df)((d, h) => d.withColumn(
         "appx_nd_" + h.stripPrefix("__hll_"),
         coalesce(hll_sketch_estimate(col(h)), lit(0L))))
-    (withEst, sync)
+    // sample variance derives from the exact (Σx, Σx², n_nonnull) state:
+    // (Σx² − (Σx)²/n)/(n−1) in DOUBLE off the exact decimals — clamped
+    // at 0 because the per-row scale-6 squaring truncation can leave a
+    // constant group a few µ below zero; NULL below two non-null values
+    // (the SQL var_samp contract)
+    val withVar = withEst.columns.filter(_.startsWith("__ss_"))
+      .foldLeft(withEst) { (d, sscol) =>
+        val c = sscol.stripPrefix("__ss_")
+        val n = coalesce(col(s"__sn_$c"), lit(0L))
+        val ss = coalesce(col(sscol), lit(0).cast(SumType)).cast("double")
+        val sm = coalesce(col(s"sum_$c"), lit(0).cast(SumType))
+          .cast("double")
+        val variance = when(n >= 2L,
+          greatest((ss - sm * sm / n) / (n - 1L), lit(0.0)))
+        d.withColumn(s"var_$c", variance)
+          .withColumn(s"stddev_$c", sqrt(variance))
+      }
+    (withVar, sync)
   }
 
   private def dropInternals(df: DataFrame): DataFrame =
@@ -873,7 +950,8 @@ object MaterializedView {
       n.startsWith("__rlo_") || n.startsWith("__rhi_") ||
       n.startsWith("__rn_") || n.startsWith("__hll_") ||
       n.startsWith("__dd") || n.startsWith("__ord_") ||
-      n.startsWith("__qn_")).toSeq: _*)
+      n.startsWith("__qn_") || n.startsWith("__ss_") ||
+      n.startsWith("__sn_")).toSeq: _*)
 
   /** Bounded retention for the view AND its `_sync` markers (every
     * refresh accretes one marker — unswept, a long-lived view grows one

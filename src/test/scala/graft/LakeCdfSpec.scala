@@ -722,6 +722,49 @@ class LakeCdfSpec extends SparkTestBase {
     mins() shouldBe want
   }
 
+  test("variance MV: exact retraction, NULL below two values, constant group clamps at zero") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    // group "c" is CONSTANT at a fractional value whose square needs 8
+    // decimals (1.2345² = 1.52399025): the per-row scale-6 rounding makes
+    // the naive (Σx² − (Σx)²/n)/(n−1) come out a hair negative — the
+    // serve clamp must report exactly 0, not a tiny negative or NaN sqrt
+    val rows = Seq(
+      (1L, "a", 10.0), (2L, "a", 14.0), (3L, "a", 18.0),
+      (4L, "b", 7.5),
+      (5L, "c", 1.2345), (6L, "c", 1.2345), (7L, "c", 1.2345)
+    ).toDF("id", "grp", "score")
+    LakeTable.init(rows, tRoot, Seq("id"), numBuckets = 2)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"),
+      numBuckets = 2, varCols = Seq("score"))
+    def served() = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"cnt", $"var_score", $"stddev_score")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val v0 = served()
+    // a: var_samp{10,14,18} = 16, stddev 4
+    v0("a")._2.get shouldBe 16.0 +- 1e-9
+    v0("a")._3.get shouldBe 4.0 +- 1e-9
+    // b: one value -> NULL (SQL var_samp), never NaN
+    v0("b") shouldBe ((1L, None, None))
+    // c: constant group -> clamped 0 exactly
+    v0("c") shouldBe ((3L, Some(0.0), Some(0.0)))
+
+    // delete one of a's values: the retraction is exact — the state the
+    // view serves equals a from-scratch var_samp of the survivors, with
+    // NO recompute leg (variance never flags exhaustion)
+    LakeTable.delete(spark, tRoot, Seq(3L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    MaterializedView.lastExhausted shouldBe 0
+    val v1 = served()
+    v1("a")._1 shouldBe 2L
+    v1("a")._2.get shouldBe 8.0 +- 1e-9 // var_samp{10,14}
+    // delete down to one survivor: back to the NULL contract
+    LakeTable.delete(spark, tRoot, Seq(2L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot)
+    served()("a") shouldBe ((1L, None, None))
+  }
+
   test("approx-distinct MV: insert-only deliveries union sketches, deletes recompute") {
     val tRoot = newRoot(); val mvRoot = newRoot()
     val rows = (1L to 60L).map(i => (i, (i % 2).toString, (i % 7).toString))

@@ -6,7 +6,8 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Property sweep over the materialized view's FULL aggregate surface —
   * count, exact decimal sum, k-deep-reserve min/max, HLL approx-distinct,
-  * and DDSketch approx-quantiles — under random delivery sequences
+  * DDSketch approx-quantiles, and sample variance — under random delivery
+  * sequences
   * (upserts with value churn, deletes, NULLs in both the min/max and the
   * distinct column). After every sequence the maintained view must equal
   * the from-scratch aggregate of the base's final content: the reserve
@@ -71,7 +72,8 @@ class MaterializedViewPropertySpec extends SparkTestBase {
         MaterializedView.init(spark, tableRoot, mvRoot, Seq("grp"),
           Seq("score"), numBuckets = 2, minMaxCols = Seq("score"),
           reserveDepth = 2, approxNdCols = Seq("user"),
-          approxQuantileCols = Seq("score"), quantileAlpha = 0.01)
+          approxQuantileCols = Seq("score"), quantileAlpha = 0.01,
+          varCols = Seq("score"))
         Seq((up1, del1), (up2, del2)).foreach { case (ups, dels) =>
           if (ups.nonEmpty) LakeTable.merge(spark, tableRoot, df(ups))
           if (dels.nonEmpty)
@@ -129,10 +131,32 @@ class MaterializedViewPropertySpec extends SparkTestBase {
           a == b || math.abs(a - b) <=
             1e-9 * math.max(math.abs(a), math.abs(b))
         }
-        val ok = got == want && qOk && gotH == wantH
+        // variance leg: the served sample variance must match var_samp of
+        // the survivors within 1e-9 relative (the maintained Σx²/n state
+        // is exact; the final divide runs in double, and Spark's
+        // reference uses a different summation order). Spark reports NaN
+        // below two values where the view serves NULL (SQL var_samp) —
+        // normalize the want side.
+        val gotV = MaterializedView.read(spark, mvRoot)
+          .select($"grp", $"var_score").collect()
+          .map(r => Option(r.getString(0)) ->
+            (if (r.isNullAt(1)) NullMm else r.getDouble(1))).toMap
+        val wantV = LakeTable.read(spark, tableRoot)
+          .groupBy($"grp")
+          .agg(var_samp($"score").alias("v")).collect()
+          .map(r => Option(r.getString(0)) ->
+            (if (r.isNullAt(1) || r.getDouble(1).isNaN) NullMm
+             else r.getDouble(1))).toMap
+        val vOk = gotV.keySet == wantV.keySet && gotV.keySet.forall { g =>
+          val (a, b) = (gotV(g), wantV(g))
+          a == b || math.abs(a - b) <=
+            1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+        }
+        val ok = got == want && qOk && gotH == wantH && vOk
         if (!ok) System.err.println(
           s"MV property mismatch:\n got $got\nwant $want\n" +
             s" gotQ $gotQ\nwantQ $wantQ\n gotH $gotH\nwantH $wantH\n" +
+            s" gotV $gotV\nwantV $wantV\n" +
             s"base=$base\nup1=$up1 del1=$del1\nup2=$up2 del2=$del2")
         ok
     }
