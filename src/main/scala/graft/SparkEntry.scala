@@ -1634,6 +1634,10 @@ object SparkEntry {
         orders.filter(col("o_orderkey") % 3 === 0))
       graft.sinks.LakeTable.delete(s, src,
         orders.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")))
+      // incremental detach: copy-on-write of ONLY the source-referenced
+      // files (the clone's own delta carries untouched) — content is the
+      // invariant the oracle checks
+      graft.sinks.LakeTable.detachClone(s, dst)
       val cloneAgg = graft.sinks.LakeTable.read(s, dst)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).alias("clone_cnt"))

@@ -877,10 +877,10 @@ object LakeTable {
     * makes an absolute child win, so every read path handles the mixed
     * form unchanged). The zero-copy dev-branch move at 100 TB:
     * experiments write to the clone (fresh files land under the clone's
-    * own root), the source never sees them, and a later
-    * [[compactSmallFiles]] / [[rebucket]] / [[optimizeZOrder]] on the
-    * clone rewrites content into clone-local files, detaching it
-    * entirely.
+    * own root), the source never sees them, and a later [[detachClone]]
+    * (copy-on-write of ONLY the source-referenced files) — or any full
+    * rewrite: [[compactSmallFiles]] / [[rebucket]] / [[optimizeZOrder]]
+    * — moves the content into clone-local files, detaching it entirely.
     *
     * All three sidecars carry over with their keys rewritten to the
     * absolute form, so zone-map/bloom pruning, [[fastCount]] and
@@ -932,6 +932,63 @@ object LakeTable {
         renderBinSidecar(0L, ndvHeader, "sk", m.ndvCols, entries), 0L)
     }
     0L
+  }
+
+  /** Incremental detach of a shallow clone: copy-on-write ONLY the files
+    * the head manifest references OUTSIDE this root (the cloned
+    * source's), publish the result as the next version, and leave every
+    * clone-local file — the branch's own writes, with their sidecar
+    * entries — untouched on its existing path. [[rebucket]] also
+    * detaches but rewrites the local delta too and re-measures every
+    * sidecar; at scale the foreign set is the price of independence and
+    * the local delta should not be paid again.
+    *
+    * Foreign data files are read deletion-vector-applied and rewritten
+    * under this root in the manifest's own layout. Foreign DELETION
+    * VECTORS are byte-copied local (key-only files — delta-sized): their
+    * keys may still have to subtract from carried LOCAL files of the
+    * same bucket, and a detached table must never read the source for
+    * them; re-applying them to the rewritten foreign rows is an
+    * idempotent keyed anti-join. Already-detached tables no-op.
+    *
+    * The HEAD stops referencing the source; pre-detach VERSIONS still do
+    * (time travel to them needs the source's retention), so the full
+    * independence claim is detachClone + [[vacuum]] — after which
+    * [[fsck]] stays green whatever the source does.
+    */
+  def detachClone(spark: SparkSession, root: String): Long = {
+    val fs = hfs(spark, root)
+    withCommitRetries() { () =>
+      val m = manifest(spark, root)
+      def isLocal(p: String) = p.startsWith("data/")
+      val (localF, foreignF) = m.files.partition(t => isLocal(t._1))
+      val (localDv, foreignDv) = m.dvFiles.partition(t => isLocal(t._1))
+      if (foreignF.isEmpty && foreignDv.isEmpty) m.version
+      else {
+        val rows = applyDv(spark, root, m,
+          readFiles(spark, root, m, foreignF.map(_._1)), m.dvFiles)
+        val fresh = writeFiles(spark, root, rows, m.keys, m.numBuckets,
+          m.sortCols, m.maxRecordsPerFile)
+        val dvSub = s"data/${java.util.UUID.randomUUID}"
+        val conf = spark.sparkContext.hadoopConfiguration
+        val copied = foreignDv.zipWithIndex.map { case ((p, b), i) =>
+          val src = new Path(p)
+          val rel = s"$dvSub/__bucket=$b/dv-$i.parquet"
+          org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src,
+            fs, new Path(root, rel), false, conf)
+          (rel, b)
+        }
+        val next = m.copy(version = m.version + 1, files = localF ++ fresh,
+          dvFiles = localDv ++ copied)
+        publish(fs, root, next)
+        // carried-by-path: local files keep their entries, the dropped
+        // foreign paths fall away, only the fresh rewrite is measured
+        publishStats(spark, root, next, Some(m.version))
+        publishBlooms(spark, root, next, Some(m.version))
+        publishNdv(spark, root, next, Some(m.version))
+        next.version
+      }
+    }
   }
 
   /** Bucket-count evolution: rewrite the table's CURRENT content into

@@ -115,6 +115,47 @@ class LakeCloneSpec extends SparkTestBase {
     content(dst) shouldBe want
   }
 
+  test("detachClone rewrites only the foreign bytes; local files and sidecars carry") {
+    val (src, dst) = roots()
+    // MoR-delete BEFORE the clone: the clone carries FOREIGN deletion
+    // vectors that detach must localize, not just foreign data files
+    LakeTable.init(rows(1 to 60, "a"), src, Seq("id"), numBuckets = 2,
+      statsCols = Seq("x"), maxRecordsPerFile = 16L)
+    LakeTable.deleteMor(spark, src, (1L to 5L).toDF("id"))
+    LakeTable.cloneShallow(spark, src, dst)
+    // branch writes: local files (with measured sidecar entries) and a
+    // local deletion vector
+    LakeTable.merge(spark, dst, rows(61 to 80, "bb"))
+    LakeTable.deleteMor(spark, dst, Seq(70L).toDF("id"))
+    val preM = LakeTable.manifest(spark, dst)
+    val preLocalFiles = preM.files.map(_._1).filter(_.startsWith("data/")).toSet
+    val want = content(dst)
+
+    val v = LakeTable.detachClone(spark, dst)
+    val m = LakeTable.manifest(spark, dst)
+    m.version shouldBe v
+    // fully self-contained head: every data file AND deletion vector local
+    assert((m.files ++ m.dvFiles).forall(_._1.startsWith("data/")),
+      s"detached head still references foreign paths: ${m.files ++ m.dvFiles}")
+    // the branch's own files were NOT rewritten — same paths carry
+    assert(preLocalFiles.subsetOf(m.files.map(_._1).toSet),
+      "detach must carry clone-local files untouched")
+    content(dst) shouldBe want
+    // already-detached: no-op, same version
+    LakeTable.detachClone(spark, dst) shouldBe v
+    // the full independence claim: detach + history vacuum survives any
+    // source churn/vacuum
+    LakeTable.vacuum(spark, dst, keepLast = 1)
+    LakeTable.merge(spark, src, rows(1 to 60, "ccc"))
+    LakeTable.vacuum(spark, src, keepLast = 1)
+    content(dst) shouldBe want
+    assert(LakeTable.fsck(spark, dst).ok)
+    // zone maps still prune on the detached table (sidecars carried for
+    // local files, measured for the rewrite)
+    val pruned = LakeTable.prunedPaths(spark, dst, "x", "10.0", "20.0")
+    assert(pruned.size < m.files.size)
+  }
+
   test("clone of a clone references the original files, not the middle clone") {
     val (src, mid) = roots()
     val dst2 = mid + "2"
