@@ -582,4 +582,44 @@ class StreamingSpec extends SparkTestBase {
       nd() shouldBe Map("x" -> 4L, "y" -> 1L)
     } finally q.stop()
   }
+
+  test("streaming gold ingest maintains variance and quantile state with exact retraction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sinks.{LakeTable, MaterializedView}
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("gold_var_stream").toString
+    val tableRoot = s"$root/table"; val mvRoot = s"$root/view"
+
+    LakeTable.init(
+      Seq((1L, "x", 10.0), (2L, "x", 14.0)).toDF("id", "grp", "amount"),
+      tableRoot, Seq("id"), numBuckets = 4)
+    MaterializedView.init(spark, tableRoot, mvRoot, Seq("grp"),
+      Seq("amount"), varCols = Seq("amount"),
+      approxQuantileCols = Seq("amount"), quantileAlpha = 0.01)
+
+    val input = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.LakeStreaming.goldIngest(
+        input.toDF().toDF("id", "grp", "amount"), tableRoot, mvRoot)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      def state(): Map[String, (Double, Double)] =
+        MaterializedView.read(spark, mvRoot, Seq(0.5))
+          .select($"grp", $"var_amount", $"appx_p500_amount")
+          .collect().map(r => r.getString(0) ->
+            ((r.getDouble(1), r.getDouble(2)))).toMap
+      // batch 0: grow x — var_samp{10,14,18} = 16, median ≈ 14 (≤ 1% α)
+      input.addData((3L, "x", 18.0))
+      q.processAllAvailable()
+      state()("x")._1 shouldBe 16.0 +- 1e-9
+      state()("x")._2 shouldBe 14.0 +- 0.15
+      // batch 1: an UPDATE rewrites row 3 18→26 — the feed retracts the
+      // old value; variance and histogram subtract EXACTLY inside the
+      // streaming loop (no recompute leg: both are self-maintainable)
+      input.addData((3L, "x", 26.0))
+      q.processAllAvailable()
+      MaterializedView.lastExhausted shouldBe 0
+      state()("x")._1 shouldBe 69.33333333 +- 1e-6 // var_samp{10,14,26}
+      state()("x")._2 shouldBe 14.0 +- 0.15
+    } finally q.stop()
+  }
 }
