@@ -42,7 +42,11 @@ object ScaleProof {
     "q_mv_minmax",
     // r10 continuation: the new lifecycle/ANN surfaces plus the heaviest
     // bench query (HLL MV), none of which the original 20 covered
-    "q_mv_join", "q_ann_binary", "q_lake_analyze", "q_mv_approx_distinct")
+    "q_mv_join", "q_ann_binary", "q_lake_analyze", "q_mv_approx_distinct",
+    // r10 fifth session: quantile/variance MVs, clone+detach, served
+    // top-k, the re-bucketed z-order lifecycle
+    "q_mv_quantile", "q_mv_variance", "q_lake_clone", "q_lake_zorder",
+    "q_mv_topk")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -112,7 +112,7 @@ object Scratch {
     leg("init") {
       LakeTable.init(li, root, Seq("l_orderkey", "l_linenumber"),
         numBuckets = 8, sortCols = Seq("l_partkey"),
-        statsCols = Seq("l_partkey", "l_suppkey"), maxRecordsPerFile = 4096L)
+        statsCols = Seq("l_partkey", "l_suppkey"), maxRecordsPerFile = 16384L)
     }
     leg("zorder") { LakeTable.optimizeZOrder(spark, root, Seq("l_partkey", "l_suppkey")) }
     leg("readbox") {

@@ -1418,6 +1418,59 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Incremental top-k/bottom-k per group, served off the MV's extrema
+    // reserves (sinks/MaterializedView read: lowk_/topk_): the k-deep
+    // reserve that makes min/max retraction O(delta) IS a maintained
+    // bottom-k/top-k — this query puts the deeper ranks under the
+    // oracle. Lifecycle: insert delivery (prefix-safe merge), then a
+    // delivery deleting every group's 5 smallest — past the 4-deep
+    // reserve, so every group EXHAUSTS low and the recompute refills
+    // every reserve to full depth: the served arrays are
+    // deterministically the TRUE 4 smallest/largest survivors (DuckDB
+    // recomputes them with window rank + ordered list aggregation;
+    // arrays compare as fixed-decimal strings — the one cross-engine
+    // array encoding both sides render identically).
+    "q_mv_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val root = System.getProperty("java.io.tmpdir") + "/graft_mv_tk_base"
+      val mv = System.getProperty("java.io.tmpdir") + "/graft_mv_tk_view"
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(root, mv).foreach(p => new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(conf).delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16,
+        sortCols = Seq("o_orderpriority"), statsCols = Seq("o_orderpriority"))
+      graft.sinks.MaterializedView.init(s, root, mv,
+        Seq("o_orderpriority"), Seq("o_totalprice"), numBuckets = 4,
+        minMaxCols = Seq("o_totalprice"), reserveDepth = 4)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      // refresh between deliveries: the reserve must HOLD the post-merge
+      // 4 smallest when the delete lands, so wiping the 5 smallest
+      // deterministically exhausts every group (one combined refresh
+      // would net the inserted-then-deleted rows out of the feed and
+      // leave shorter — still prefix-true — reserves)
+      graft.sinks.MaterializedView.refresh(s, root, mv, reserveDepth = 4)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val victims = graft.sinks.LakeTable.read(s, root)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5).select(col("o_orderkey"))
+      graft.sinks.LakeTable.delete(s, root, victims)
+      graft.sinks.MaterializedView.refresh(s, root, mv, reserveDepth = 4)
+      val asStr = (a: org.apache.spark.sql.Column) => array_join(
+        transform(a, v => v.cast("decimal(18,2)").cast("string")), ",")
+      graft.sinks.MaterializedView.read(s, mv)
+        .select(col("o_orderpriority"), col("cnt"),
+          round(col("min_o_totalprice"), 2).alias("min_price"),
+          round(col("max_o_totalprice"), 2).alias("max_price"),
+          asStr(col("lowk_o_totalprice")).alias("low4"),
+          asStr(col("topk_o_totalprice")).alias("top4"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Approx-count-distinct materialized view (sinks/MaterializedView
     // approxNdCols): per-group DataSketches HLL sketches maintained
     // incrementally — the insert delivery UNIONS into each group's sketch
@@ -1660,9 +1713,12 @@ object SparkEntry {
     // executor-sized buckets — the write parallelizes per bucket; a
     // 1-bucket table would serialize both full-table sorted writes into
     // one task, Scratch zorder_legs attributes ~24 s of the old floor
-    // to exactly that); per-file z-ranges stay narrow within each
-    // bucket, so the box intersection still opens a handful of the
-    // ~147 files.
+    // to exactly that). File rolls are 16k rows, not 4k: the OPTIMIZE
+    // pays to RE-READ its own init's output, and the 10× scale step
+    // showed the tiny-file read tax directly (4k rolls → 1470 files at
+    // 10×, the zorder leg 4× slower than init reading the same rows
+    // from 10 source files). The box intersection still opens a
+    // handful of the ~40 files.
     "q_lake_zorder" -> ((s, dir) => {
       val root = System.getProperty("java.io.tmpdir") + "/graft_lake_zorder"
       val fs = new org.apache.hadoop.fs.Path(root)
@@ -1674,7 +1730,7 @@ object SparkEntry {
       graft.sinks.LakeTable.init(li, root,
         Seq("l_orderkey", "l_linenumber"), numBuckets = 8,
         sortCols = Seq("l_partkey"), statsCols = Seq("l_partkey", "l_suppkey"),
-        maxRecordsPerFile = 4096L)
+        maxRecordsPerFile = 16384L)
       graft.sinks.LakeTable.optimizeZOrder(s, root,
         Seq("l_partkey", "l_suppkey"))
       graft.sinks.LakeTable.readBox(s, root,
@@ -5585,6 +5641,26 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_exact,
         |       CAST(1 AS BOOLEAN) AS within_bound
+        |FROM survivors GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_mv_topk" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS rn FROM v1),
+        |survivors AS (SELECT * FROM ranked WHERE rn > 5)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       ROUND(MIN(o_totalprice), 2) AS min_price,
+        |       ROUND(MAX(o_totalprice), 2) AS max_price,
+        |       array_to_string(list_slice(
+        |         list(CAST(o_totalprice AS DECIMAL(18,2))
+        |           ORDER BY o_totalprice ASC), 1, 4), ',') AS low4,
+        |       array_to_string(list_slice(
+        |         list(CAST(o_totalprice AS DECIMAL(18,2))
+        |           ORDER BY o_totalprice DESC), 1, 4), ',') AS top4
         |FROM survivors GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

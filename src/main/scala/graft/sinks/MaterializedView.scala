@@ -57,6 +57,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * sidecar pruning ([[LakeTable.eqPrunedPaths]]) when a group column is
   * declared in `statsCols`/`bloomCols`, so even the fallback opens only
   * the files that can hold those groups rather than scanning the table.
+  * The reserves double as a served aggregate: [[read]] exposes them as
+  * `lowk_<c>`/`topk_<c>` — incremental bottom-k/top-k per group, the
+  * true sorted prefix at its current length (see [[servedBase]]).
   *
   * `approx quantiles` (opt-in via `approxQuantileCols`) are maintained as
   * per-group DDSketch bucket histograms (Masson, Rim & Lee, VLDB 2019 —
@@ -942,7 +945,22 @@ object MaterializedView {
         d.withColumn(s"var_$c", variance)
           .withColumn(s"stddev_$c", sqrt(variance))
       }
-    (withVar, sync)
+    // the extrema reserves ARE maintained bottom-k/top-k per group —
+    // serve them (`lowk_<c>` asc / `topk_<c>` desc). The arrays are the
+    // TRUE sorted prefix of the group's values at their current length:
+    // full reserveDepth after init and after any exhaustion recompute;
+    // possibly shorter between refreshes when in-reserve deletes
+    // shrank a reserve the prefix-safe insert merge could not regrow
+    // (the head — min/max — always serves; deeper ranks serve as far
+    // as the prefix reaches). Callers needing a GUARANTEED depth
+    // refresh with reserveDepth ≥ that depth and read after a refresh.
+    val withTopk = withVar.columns.filter(_.startsWith("__rlo_"))
+      .foldLeft(withVar) { (d, rl) =>
+        val c = rl.stripPrefix("__rlo_")
+        d.withColumn(s"lowk_$c", col(rl))
+          .withColumn(s"topk_$c", col(s"__rhi_$c"))
+      }
+    (withTopk, sync)
   }
 
   private def dropInternals(df: DataFrame): DataFrame =

@@ -722,6 +722,38 @@ class LakeCdfSpec extends SparkTestBase {
     mins() shouldBe want
   }
 
+  test("served lowk/topk are the true sorted prefix at current reserve coverage") {
+    val tRoot = newRoot(); val mvRoot = newRoot()
+    val rows = (1 to 10).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("id", "grp", "score")
+    LakeTable.init(rows, tRoot, Seq("id"), numBuckets = 2)
+    MaterializedView.init(spark, tRoot, mvRoot, Seq("grp"), Seq("score"),
+      numBuckets = 2, minMaxCols = Seq("score"), reserveDepth = 3)
+    def served(): (Seq[Double], Seq[Double]) = {
+      val r = MaterializedView.read(spark, mvRoot)
+        .select($"lowk_score", $"topk_score").head()
+      (r.getSeq[Double](0), r.getSeq[Double](1))
+    }
+    served() shouldBe ((Seq(1.0, 2.0, 3.0), Seq(10.0, 9.0, 8.0)))
+    // in-reserve delete, not exhausting: the low prefix SHRINKS to the
+    // true 2 smallest survivors; the high side is untouched
+    LakeTable.delete(spark, tRoot, Seq(2L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 3)
+    MaterializedView.lastExhausted shouldBe 0
+    served() shouldBe ((Seq(1.0, 3.0), Seq(10.0, 9.0, 8.0)))
+    // an insert AT/below the shrunk prefix's tail merges (it provably
+    // belongs to the prefix) — coverage grows back without any recompute
+    LakeTable.merge(spark, tRoot, Seq((11L, "g", 2.5)).toDF("id", "grp", "score"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 3)
+    MaterializedView.lastExhausted shouldBe 0
+    served() shouldBe ((Seq(1.0, 2.5, 3.0), Seq(10.0, 9.0, 8.0)))
+    // wiping the whole low reserve exhausts; the recompute refills to
+    // FULL depth with the authoritative smallest survivors
+    LakeTable.delete(spark, tRoot, Seq(1L, 11L, 3L).toDF("id"))
+    MaterializedView.refresh(spark, tRoot, mvRoot, reserveDepth = 3)
+    served() shouldBe ((Seq(4.0, 5.0, 6.0), Seq(10.0, 9.0, 8.0)))
+  }
+
   test("variance MV: exact retraction, NULL below two values, constant group clamps at zero") {
     val tRoot = newRoot(); val mvRoot = newRoot()
     // group "c" is CONSTANT at a fractional value whose square needs 8

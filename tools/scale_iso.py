@@ -37,6 +37,12 @@ def main():
     small, big, ratio = {}, {}, {}
     for q in queries:
         iso = f"/tmp/scale_iso_{q}.json"
+        # a stale per-query JSON from an earlier run must never be
+        # mistaken for this run's result (a failed sbt launch — e.g. two
+        # sbt processes contending for target/ — once reused one
+        # silently); remove it so a failure is a failure
+        if os.path.exists(iso):
+            os.remove(iso)
         env = dict(os.environ,
                    SPARK_GRAFT_SCALE_FILTER=q,
                    SPARK_GRAFT_SCALE_OUT=iso,
@@ -44,7 +50,7 @@ def main():
                    SPARK_GRAFT_SF1_DIR=sf1_dir)
         r = subprocess.run(["sbt", "-batch", "runMain graft.ScaleProof"],
                            env=env, capture_output=True, text=True)
-        if r.returncode != 0 and not os.path.exists(iso):
+        if not os.path.exists(iso):
             print(f"[iso] {q} FAILED rc={r.returncode}", file=sys.stderr)
             print(r.stdout[-2000:], file=sys.stderr)
             sys.exit(1)
