@@ -1740,6 +1740,50 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Incremental OPTIMIZE (sinks/LakeTable.scala
+    // optimizeZOrderIncremental): the O(delta) twin of q_lake_zorder's
+    // O(table) rewrite. 7/8 of the slice is laid out and z-ordered up
+    // front; the last 1/8 arrives as a copy-on-write merge and a MoR
+    // delete retires every 97th order — the incremental pass re-lays
+    // ONLY what the deliveries made z-stale (the marker's file set names
+    // the z-tight files; replacement files of merge-touched buckets drop
+    // out by path) under the FROZEN axes, folding the deletion vectors.
+    // In this lifecycle the hash-scattered delivery touches every bucket,
+    // so the pass degenerates to a full re-lay by design — the oracle
+    // checks the surviving logical content through the box read;
+    // LakeTableSpec pins the O(delta) carry with bucket-confined
+    // deliveries (untouched buckets' z files carry by path, sidecar
+    // entries included) and the no-op fast path.
+    "q_lake_zorder_incr" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_zincr"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+      // the synthetic lineitem repeats (l_orderkey, l_linenumber); the
+      // 4-column key is the unique one, so the upsert collapses nothing
+      graft.sinks.LakeTable.init(li.filter(col("l_orderkey") % 8 =!= 0),
+        root, Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        numBuckets = 8, sortCols = Seq("l_partkey"),
+        statsCols = Seq("l_partkey", "l_suppkey"),
+        maxRecordsPerFile = 16384L)
+      graft.sinks.LakeTable.optimizeZOrder(s, root,
+        Seq("l_partkey", "l_suppkey"))
+      graft.sinks.LakeTable.merge(s, root,
+        li.filter(col("l_orderkey") % 8 === 0))
+      graft.sinks.LakeTable.deleteMor(s, root,
+        li.filter(col("l_orderkey") % 97 === 0)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+      graft.sinks.LakeTable.optimizeZOrderIncremental(s, root)
+      graft.sinks.LakeTable.readBox(s, root,
+          Seq(("l_partkey", "100", "300"), ("l_suppkey", "1", "10")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity").cast("double").alias("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Indexing evolution (sinks/LakeTable.scala alterIndexing): a table
     // initialized WITHOUT zone maps gains statsCols after the fact — one
     // metadata publish plus a stats pass, zero data rewritten — and the
@@ -5760,6 +5804,15 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 300
         |  AND l_suppkey BETWEEN 1 AND 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_lake_zorder_incr" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300
+        |  AND l_suppkey BETWEEN 1 AND 10
+        |  AND l_orderkey % 97 <> 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_lake_alter_index" ->

@@ -1059,6 +1059,78 @@ object LakeTable {
       s"timestamp columns, got $other")
   }
 
+  /** `_zorder/<version>.json` marker: which live files were WRITTEN in z
+    * order (files are immutable, so "z-tight" is a property of the file —
+    * the set stays valid across restores and unrelated commits via
+    * intersection with the current live set), under which z columns and
+    * which frozen normalization axes. [[optimizeZOrderIncremental]] reads
+    * the newest marker to rewrite only what landed since.
+    */
+  private final case class ZMarker(version: Long, zCols: Seq[String],
+      axes: Seq[(Double, Double)], files: Seq[String])
+
+  private def renderZMarker(mk: ZMarker): String =
+    s"""{"version":${mk.version},""" +
+      s""""z_cols":[${mk.zCols.map(jq).mkString(",")}],""" +
+      s""""axes":[${mk.axes.map { case (mn, mx) =>
+        s"""[$mn,$mx]""" }.mkString(",")}],""" +
+      s""""files":[${mk.files.map(jq).mkString(",")}]}"""
+
+  private def parseZMarker(s: String): ZMarker = {
+    // renderZMarker's own fixed grammar; z_cols/files bodies are flat
+    // (column names and manifest paths carry no brackets)
+    def arr(name: String): String = {
+      val at = s.indexOf("\"" + name + "\":[")
+      require(at >= 0, s"zorder marker: missing $name")
+      val from = at + name.length + 4
+      s.substring(from, s.indexOf(']', from))
+    }
+    val version = "\"version\":(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    def strings(body: String): Seq[String] =
+      if (body.trim.isEmpty) Seq.empty
+      else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(
+        _.group(1).replace("\\\\", " ").replace("\\\"", "\"")
+          .replace(" ", "\\")).toSeq
+    val axesBody = {
+      val at = s.indexOf("\"axes\":[")
+      s.substring(at + 8, s.indexOf("]]", at) + 1)
+    }
+    val axes = "\\[([^,\\]]+),([^\\]]+)\\]".r.findAllMatchIn(axesBody)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
+    ZMarker(version, strings(arr("z_cols")), axes, strings(arr("files")))
+  }
+
+  private def writeZMarker(spark: SparkSession, root: String,
+      mk: ZMarker): Unit = {
+    val fs = hfs(spark, root)
+    val dir = new Path(root, "_zorder")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+    val out = fs.create(staged, false)
+    try out.write(renderZMarker(mk)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(staged, new Path(dir, s"${mk.version}.json"))
+  }
+
+  /** The newest z-order marker, if any optimize ever ran. */
+  private def readZMarker(spark: SparkSession,
+      root: String): Option[ZMarker] = {
+    val fs = hfs(spark, root)
+    val dir = new Path(root, "_zorder")
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+      .flatMap(n => scala.util.Try(n.toLong).toOption)
+    if (vs.isEmpty) None
+    else {
+      val in = fs.open(new Path(dir, s"${vs.max}.json"))
+      try Some(parseZMarker(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)))
+      finally in.close()
+    }
+  }
+
   /** Z-ORDER maintenance rewrite (the Delta `OPTIMIZE ZORDER BY` /
     * Iceberg sort-order design point, original implementation): rewrite
     * the CURRENT content ordered by the Morton interleave of the z
@@ -1124,7 +1196,69 @@ object LakeTable {
       publishStats(spark, root, next, None)
       publishBlooms(spark, root, next, None)
       publishNdv(spark, root, next, None)
+      writeZMarker(spark, root, ZMarker(next.version, zCols,
+        ranged.map { case (_, mn, mx) => (mn, mx) }, files.map(_._1)))
       next.version
+    }
+  }
+
+  /** Incremental OPTIMIZE: rewrite ONLY what landed since the last
+    * [[optimizeZOrder]] — the O(delta) maintenance pass the full rewrite's
+    * O(table) contract can't be at 100 TB. The marker's file set names the
+    * z-tight files; everything live outside it (fresh deliveries, plus
+    * whole buckets rewritten copy-on-write by [[merge]]/[[delete]], whose
+    * replacement files drop out of the set by path) is re-laid in z order
+    * under the marker's FROZEN axes (the IVF-PQ frozen-codebook pattern:
+    * values outside the original range clamp to the boundary bucket — a
+    * clustering-quality concern only, never correctness, since the z key
+    * orders files and zone maps stay exact either way; re-run the full
+    * optimize when the value distribution drifts far). Buckets holding
+    * outstanding deletion vectors escalate to a whole-bucket rewrite so
+    * the vectors fold in — the carried files a vector still applies to
+    * live in those same buckets, so the new version is vector-free.
+    * Carried files keep their sidecar entries (O(delta) stats/bloom/ndv,
+    * like every other partial rewrite); a no-change table is a no-op
+    * returning the current version, no commit published.
+    */
+  def optimizeZOrderIncremental(spark: SparkSession, root: String): Long = {
+    val fs = hfs(spark, root)
+    withCommitRetries() { () =>
+      val m = manifest(spark, root)
+      val mk = readZMarker(spark, root).getOrElse(sys.error(
+        s"optimizeZOrderIncremental: no z-order marker at $root — run " +
+          "optimizeZOrder(zCols) once to establish the layout"))
+      val schema = StructType.fromDDL(m.schemaDdl)
+      mk.zCols.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"optimizeZOrderIncremental: marker z column $c left the schema")
+        require(m.statsCols.contains(c),
+          s"optimizeZOrderIncremental: $c dropped from statsCols " +
+            s"(${m.statsCols}) — the z layout prunes through zone maps")
+      }
+      val tight = mk.files.toSet
+      val dvBuckets = m.dvFiles.map(_._2).toSet
+      val (cold, hot) = m.files.partition { case (p, b) =>
+        tight(p) && !dvBuckets(b) }
+      if (hot.isEmpty && m.dvFiles.isEmpty) m.version
+      else {
+        val cur = applyDv(spark, root, m,
+          readFiles(spark, root, m, hot.map(_._1)), m.dvFiles)
+        val nums = mk.zCols.map(c => zNumeric(col(c), schema(c).dataType))
+        val ranged = nums.zip(mk.axes).map { case (n, (mn, mx)) =>
+          (n, mn, mx) }
+        val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
+          maxRecordsPerFile = m.maxRecordsPerFile,
+          sortExprs = Seq(zValue(ranged)))
+        val next = m.copy(version = m.version + 1, files = cold ++ fresh,
+          dvFiles = Nil)
+        publish(fs, root, next)
+        publishStats(spark, root, next, Some(m.version))
+        publishBlooms(spark, root, next, Some(m.version))
+        publishNdv(spark, root, next, Some(m.version))
+        writeZMarker(spark, root, ZMarker(next.version, mk.zCols, mk.axes,
+          (cold ++ fresh).map(_._1)))
+        next.version
+      }
     }
   }
 
@@ -1812,11 +1946,23 @@ object LakeTable {
           fs.delete(sub.getPath, true)
       }
     }
+    // the NEWEST z-order marker is a chain head, not per-version state
+    // (live-set intersection keeps it valid whatever content it names),
+    // so the sweep spares it even when its version falls out of retention
+    val zHead = {
+      val zd = new Path(root, "_zorder")
+      if (!fs.exists(zd)) -1L
+      else fs.listStatus(zd).map(_.getPath.getName)
+        .filter(_.endsWith(".json")).map(_.stripSuffix(".json"))
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+        .foldLeft(-1L)(math.max)
+    }
     drop.foreach { v =>
       fs.delete(new Path(root, s"_versions/$v.json"), false)
       fs.delete(new Path(root, s"_stats/$v.json"), false)
       fs.delete(new Path(root, s"_bloom/$v.json"), false)
       fs.delete(new Path(root, s"_ndv/$v.json"), false)
+      if (v != zHead) fs.delete(new Path(root, s"_zorder/$v.json"), false)
     }
     removed.toSeq
   }

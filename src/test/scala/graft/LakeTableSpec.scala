@@ -366,4 +366,58 @@ class LakeTableSpec extends SparkTestBase {
         org.apache.spark.sql.functions.shiftright(col("id"), 6).alias("y")))
     LakeTable.read(spark, root).count() shouldBe 4100L
   }
+
+  test("optimizeZOrderIncremental: untouched buckets carry by path, dv'd buckets fold, no-op when tight") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftright}
+    val root = newRoot()
+    def grid(r: org.apache.spark.sql.DataFrame) = r.select(col("id"),
+      (col("id") % 64).alias("x"), shiftright(col("id"), 6).alias("y"))
+    LakeTable.init(grid(spark.range(4096).toDF("id")), root, Seq("id"),
+      numBuckets = 4, sortCols = Seq("x"), statsCols = Seq("x", "y"),
+      maxRecordsPerFile = 256L)
+    // no marker yet: the incremental pass refuses, naming the full one
+    an[RuntimeException] should be thrownBy
+      LakeTable.optimizeZOrderIncremental(spark, root)
+    val v1 = LakeTable.optimizeZOrder(spark, root, Seq("x", "y"))
+    // already tight: no-op, no version published
+    LakeTable.optimizeZOrderIncremental(spark, root) shouldBe v1
+    val zFiles = LakeTable.manifest(spark, root).files
+    // a delivery confined to ONE bucket (keys pre-filtered on the same
+    // hash the table buckets by) plus a MoR delete in that same bucket
+    val ins = grid(spark.range(4096, 5120).toDF("id"))
+      .filter(pmod(hash(col("id")), lit(4)) === 1)
+    val insIds = ins.select("id").collect().map(_.getLong(0)).toSet
+    insIds should not be empty
+    LakeTable.merge(spark, root, ins)
+    val delIds = spark.range(4096).toDF("id")
+      .filter(pmod(hash(col("id")), lit(4)) === 1).limit(16)
+      .select("id").collect().map(_.getLong(0)).toSet
+    LakeTable.deleteMor(spark, root, delIds.toSeq.toDF("id"))
+    val v2 = LakeTable.optimizeZOrderIncremental(spark, root)
+    val m2 = LakeTable.manifest(spark, root)
+    m2.version shouldBe v2
+    m2.dvFiles shouldBe empty
+    // buckets 0/2/3 never went z-stale: their files carried BY PATH
+    val carried = zFiles.filter(_._2 != 1)
+    carried should not be empty
+    carried.foreach(f => m2.files should contain(f))
+    // content exact: inserts present, deletes gone
+    val want = ((0L until 4096L).toSet ++ insIds) -- delIds
+    LakeTable.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet shouldBe want
+    // box probes still prune through the maintained zone maps
+    LakeTable.readBox(spark, root, Seq(("x", "0", "15"), ("y", "0", "15")))
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe
+      want.filter(i => i % 64 <= 15 && (i >> 6) <= 15)
+    LakeTable.lastBoxScan.get._1 should be < m2.files.size
+    // tight again: no-op
+    LakeTable.optimizeZOrderIncremental(spark, root) shouldBe v2
+    // the marker chain head survives vacuum even when ITS version leaves
+    // retention (it is a chain head, not per-version state)
+    LakeTable.merge(spark, root, grid(spark.range(5120, 5200).toDF("id")))
+    LakeTable.vacuum(spark, root, 1)
+    val v4 = LakeTable.optimizeZOrderIncremental(spark, root)
+    v4 should be > v2
+    LakeTable.read(spark, root).count() shouldBe (want.size + 80L)
+  }
 }
