@@ -25,6 +25,7 @@ object Scratch {
     if (name == "corpus_export_legs") { exportLegs(spark, sfDir); spark.stop(); return }
     if (name == "mv_join_legs") { mvJoinLegs(spark, sfDir); spark.stop(); return }
     if (name == "zorder_legs") { zorderLegs(spark, sfDir); spark.stop(); return }
+    if (name == "zorder_incr_legs") { zorderIncrLegs(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
@@ -120,6 +121,55 @@ object Scratch {
         Seq(("l_partkey", "100", "300"), ("l_suppkey", "1", "10"))).count()
     }
     println(s"[scratch] zorder box scan ${LakeTable.lastBoxScan}")
+  }
+
+  /** Incremental vs full OPTIMIZE ZORDER on the same state: a 64-bucket
+    * z-laid table takes a FIXED bucket-confined delivery (copy-on-write
+    * touches one bucket), then both passes are timed. The claim under
+    * measure: the incremental pass costs O(touched buckets) — at sfX vs
+    * sf10X the full rewrite grows with the table while the incremental
+    * grows only with the touched bucket (1/64 of it) — which is the shape
+    * bucket-granular maintenance needs at 1000-executor scale.
+    */
+  private def zorderIncrLegs(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sinks.LakeTable
+    val root = System.getProperty("java.io.tmpdir") + "/scratch_zincr"
+    val conf = spark.sparkContext.hadoopConfiguration
+    new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val keys = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))
+    def leg[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scratch] zincr leg $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    leg("init") {
+      LakeTable.init(li, root, keys, numBuckets = 64,
+        sortCols = Seq("l_partkey"),
+        statsCols = Seq("l_partkey", "l_suppkey"), maxRecordsPerFile = 16384L)
+    }
+    leg("full_optimize") {
+      LakeTable.optimizeZOrder(spark, root, Seq("l_partkey", "l_suppkey"))
+    }
+    // FIXED-size delivery (new keys, shifted orderkey) confined to one
+    // bucket via the table's own bucket hash — delta does not scale with sf
+    val delta = li.withColumn("l_orderkey", col("l_orderkey") + lit(10000000L))
+      .filter(pmod(hash(keys.map(col): _*), lit(64)) === 1).limit(4096)
+      .cache()
+    println(s"[scratch] zincr delta rows=${delta.count()}")
+    leg("merge_delta") { LakeTable.merge(spark, root, delta) }
+    val before = LakeTable.manifest(spark, root).files.size
+    leg("incremental") { LakeTable.optimizeZOrderIncremental(spark, root) }
+    val m = LakeTable.manifest(spark, root)
+    println(s"[scratch] zincr files=$before->${m.files.size}")
+    leg("incremental_noop") { LakeTable.optimizeZOrderIncremental(spark, root) }
+    leg("full_again") {
+      LakeTable.optimizeZOrder(spark, root, Seq("l_partkey", "l_suppkey"))
+    }
   }
 
   /** q_mv_join lifecycle step breakdown: per-step wall time for the two
