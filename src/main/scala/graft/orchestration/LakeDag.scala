@@ -44,10 +44,17 @@ object LakeDag {
       statsCols: Seq[String] = Seq("o_totalprice"),
       numBuckets: Int = 16,
       maxFilesPerBucket: Int = 4,
-      keepVersions: Int = 7
+      keepVersions: Int = 7,
+      // opt-in multi-dimensional layout maintenance: compact_maintenance
+      // bootstraps the z layout on the first delivery (full OPTIMIZE) and
+      // keeps it with the O(delta) incremental pass on every later one
+      zOrderCols: Seq[String] = Nil
   ) {
     require(ds.matches("\\d{4}-\\d{2}-\\d{2}"),
       s"ds must be a yyyy-MM-dd date, got '$ds'")
+    require(zOrderCols.isEmpty || zOrderCols.forall(statsCols.contains),
+      s"zOrderCols ($zOrderCols) must be covered by statsCols ($statsCols)" +
+        " — the z layout prunes through the zone-map sidecar")
     def upsertsDir: String = s"$inputRoot/upserts/dt=$ds"
     def deletesDir: String = s"$inputRoot/deletes/dt=$ds"
     def tableRoot: String  = s"$lakeRoot/table"
@@ -109,6 +116,12 @@ object LakeDag {
         LakeTable.compactDeletes(spark, conf.tableRoot)
         LakeTable.compactSmallFiles(spark, conf.tableRoot,
           conf.maxFilesPerBucket)
+        // layout LAST: compaction rewrites fat buckets in sortCols order
+        // (z-stale by construction); the auto pass re-lays exactly those —
+        // full on the first delivery, O(delta) incremental after
+        if (conf.zOrderCols.nonEmpty)
+          LakeTable.optimizeZOrderAuto(spark, conf.tableRoot,
+            conf.zOrderCols)
       }
 
     case "refresh_views" =>

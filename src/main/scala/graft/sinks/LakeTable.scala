@@ -1262,6 +1262,21 @@ object LakeTable {
     }
   }
 
+  /** The operational entry point a maintenance schedule wants: bootstrap
+    * the z layout with the full [[optimizeZOrder]] when none exists (or
+    * the requested columns changed — stale-axis incremental passes under
+    * a different column set would cluster nothing), otherwise run the
+    * O(delta) [[optimizeZOrderIncremental]]. Convergent: a tight table
+    * is a no-op.
+    */
+  def optimizeZOrderAuto(spark: SparkSession, root: String,
+      zCols: Seq[String]): Long =
+    readZMarker(spark, root) match {
+      case Some(mk) if mk.zCols == zCols =>
+        optimizeZOrderIncremental(spark, root)
+      case _ => optimizeZOrder(spark, root, zCols)
+    }
+
   /** (files opened, live files) of the last [[readBox]] this JVM ran.
     * Test pin; not part of the public API. */
   private[graft] var lastBoxScan: Option[(Int, Int)] = None

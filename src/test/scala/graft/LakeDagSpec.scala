@@ -124,6 +124,40 @@ class LakeDagSpec extends SparkTestBase {
       ((true, true, true))
   }
 
+  test("zOrderCols: compact_maintenance bootstraps the z layout, then maintains it incrementally") {
+    val root = java.nio.file.Files.createTempDirectory("lake_dag_z").toString
+    val conf1 = LakeDag.StageConf("2026-08-13", s"$root/in", s"$root/lake",
+      statsCols = Seq("o_totalprice", "o_orderkey"),
+      zOrderCols = Seq("o_orderkey", "o_totalprice"))
+    writeUpserts(conf1.upsertsDir, (1L to 64L).map(i =>
+      (i, if (i % 2 == 0) "HIGH" else "LOW", i.toDouble)))
+    runDay(conf1)
+    // day 1 bootstrapped the layout: a two-predicate box probe answers
+    // exactly through the zone-map intersection
+    LakeTable.readBox(spark, conf1.tableRoot,
+        Seq(("o_orderkey", "1", "16"), ("o_totalprice", "1", "8")))
+      .collect().map(_.getLong(0)).toSet shouldBe (1L to 8L).toSet
+    // day 2: inserts + a tombstone; the incremental pass keeps the layout
+    val conf2 = conf1.copy(ds = "2026-08-14")
+    writeUpserts(conf2.upsertsDir, (65L to 96L).map(i => (i, "LOW", i.toDouble)))
+    Seq(10L).toDF("o_orderkey").write.mode("overwrite").parquet(conf2.deletesDir)
+    runDay(conf2)
+    LakeTable.readBox(spark, conf2.tableRoot,
+        Seq(("o_orderkey", "1", "16"), ("o_totalprice", "1", "16")))
+      .collect().map(_.getLong(0)).toSet shouldBe ((1L to 16L).toSet - 10L)
+    val r2 = spark.read.parquet(conf2.reportDir)
+      .select("consistent", "integrity_ok").head()
+    (r2.getBoolean(0), r2.getBoolean(1)) shouldBe ((true, true))
+    // convergent: a rerun of the maintenance stage on a tight, compacted
+    // table publishes nothing (the auto pass no-ops)
+    val v = LakeTable.manifest(spark, conf2.tableRoot).version
+    LakeDag.runStage(spark, "compact_maintenance", conf2)
+    LakeTable.manifest(spark, conf2.tableRoot).version shouldBe v
+    // misconfiguration fails at conf construction, not mid-chain
+    an[IllegalArgumentException] should be thrownBy
+      conf1.copy(zOrderCols = Seq("o_orderkey", "o_orderpriority"))
+  }
+
   test("StageConf rejects a malformed ds; unknown stage fails loudly; DAG artifact byte-identical") {
     an[IllegalArgumentException] should be thrownBy
       LakeDag.StageConf("20260813", "/tmp/x", "/tmp/y")
