@@ -6,7 +6,9 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Property sweep over the lake table's write surface — merge (upsert
   * with value churn), copy-on-write delete, merge-on-read delete,
-  * vector compaction — against an in-memory model map. After a random
+  * vector compaction, and the auto z-order pass (full bootstrap, then
+  * incremental; a pure layout rewrite, so the model ignores it) —
+  * against an in-memory model map. After a random
   * op sequence: (1) the head read equals the model; (2) EVERY published
   * version time-travels to the model as it stood after that op; (3) the
   * change feed across the whole history replays the initial model into
@@ -25,6 +27,8 @@ class LakeTablePropertySpec extends SparkTestBase {
   private case class Del(ids: Seq[Long]) extends Op
   private case class DelMor(ids: Seq[Long]) extends Op
   private case object Compact extends Op
+  // the auto z pass (bootstrap full, then incremental): content no-op
+  private case object ZOpt extends Op
 
   private val genRow: Gen[R] = for {
     id <- Gen.choose(1L, 12L)
@@ -39,7 +43,8 @@ class LakeTablePropertySpec extends SparkTestBase {
     4 -> genRows.map(Up),
     2 -> Gen.nonEmptyListOf(Gen.choose(1L, 12L)).map(ids => Del(ids.distinct)),
     2 -> Gen.nonEmptyListOf(Gen.choose(1L, 12L)).map(ids => DelMor(ids.distinct)),
-    1 -> Gen.const(Compact))
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(ZOpt))
 
   private def df(rows: Seq[R]) = rows.toDF("id", "grp", "score")
 
@@ -48,6 +53,7 @@ class LakeTablePropertySpec extends SparkTestBase {
     case Del(ids) => m -- ids
     case DelMor(ids) => m -- ids
     case Compact => m
+    case ZOpt => m
   }
 
   private def asModel(d: org.apache.spark.sql.DataFrame): Model =
@@ -58,7 +64,7 @@ class LakeTablePropertySpec extends SparkTestBase {
     val prop = Prop.forAll(genRows, Gen.listOfN(4, genOp)) { (base, ops) =>
       val root = java.nio.file.Files.createTempDirectory("lakeprop").toString
       LakeTable.init(df(base), root, Seq("id"), numBuckets = 2,
-        statsCols = Seq("score"), ndvCols = Seq("grp", "score"))
+        statsCols = Seq("score", "id"), ndvCols = Seq("grp", "score"))
       var model: Model = base.map(r => r._1 -> ((r._2, r._3))).toMap
       val v0 = LakeTable.manifest(spark, root).version
       // (version after op, model after op)
@@ -70,6 +76,8 @@ class LakeTablePropertySpec extends SparkTestBase {
           case Del(ids) => LakeTable.delete(spark, root, ids.toDF("id"))
           case DelMor(ids) => LakeTable.deleteMor(spark, root, ids.toDF("id"))
           case Compact => LakeTable.compactDeletes(spark, root)
+          case ZOpt =>
+            LakeTable.optimizeZOrderAuto(spark, root, Seq("id", "score"))
         }
         model = applyModel(model, op)
         history += ((LakeTable.manifest(spark, root).version, model))
