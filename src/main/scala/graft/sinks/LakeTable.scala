@@ -931,6 +931,17 @@ object LakeTable {
       writeBinSidecar(spark, dstRoot, "_ndv",
         renderBinSidecar(0L, ndvHeader, "sk", m.ndvCols, entries), 0L)
     }
+    // the z-order marker travels too (z-tightness is a property of the
+    // immutable files, so it survives the path rewrite) — without it the
+    // branch would silently lose incremental layout maintenance and pay
+    // a full re-optimize. Intersected with THIS version's files: the
+    // source head's marker may be newer than the cloned snapshot.
+    readZMarker(spark, srcRoot).foreach { mk =>
+      val live = m.files.map(_._1).toSet
+      val kept = mk.files.filter(live).map(abs)
+      if (kept.nonEmpty)
+        writeZMarker(spark, dstRoot, ZMarker(0L, mk.zCols, mk.axes, kept))
+    }
     0L
   }
 

@@ -55,6 +55,32 @@ class LakeCloneSpec extends SparkTestBase {
       s"expected pruning on the clone: ${pruned.size} vs ${m.files.size}")
   }
 
+  test("the z-order marker travels: a cloned branch keeps incremental layout maintenance") {
+    val (src, dst) = roots()
+    LakeTable.init(rows(1 to 200, "a"), src, Seq("id"), numBuckets = 2,
+      sortCols = Seq("x"), statsCols = Seq("x", "id"), maxRecordsPerFile = 16L)
+    LakeTable.optimizeZOrder(spark, src, Seq("id", "x"))
+    LakeTable.cloneShallow(spark, src, dst)
+    val v0Files = LakeTable.manifest(spark, dst).files
+    // the branch takes a delivery, then maintains its OWN layout — the
+    // carried marker means this is the O(delta) incremental pass, not a
+    // bootstrap full rewrite: the still-tight source-referenced files of
+    // the untouched bucket carry by (absolute) path
+    val ins = rows(201 to 260, "b")
+      .filter(pmod(hash($"id"), lit(2)) === 1)
+    LakeTable.merge(spark, dst, ins)
+    val v = LakeTable.optimizeZOrderIncremental(spark, dst)
+    val m = LakeTable.manifest(spark, dst)
+    m.version shouldBe v
+    val carried = v0Files.filter(_._2 == 0)
+    carried should not be empty
+    carried.foreach(f => m.files should contain(f))
+    // content exact and the source untouched
+    content(dst) shouldBe (content(src) ++ ins.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))))
+    assert(LakeTable.fsck(spark, src).ok)
+  }
+
   test("writes diverge: clone-local files only, source untouched and vice versa") {
     val (src, dst) = roots()
     LakeTable.init(rows(1 to 50, "a"), src, Seq("id"), numBuckets = 2)
