@@ -978,8 +978,21 @@ object LakeTable {
       else {
         val rows = applyDv(spark, root, m,
           readFiles(spark, root, m, foreignF.map(_._1)), m.dvFiles)
+        // layout-preserving: a branch that maintains a z layout gets its
+        // detached foreign rows written z-sorted under the marker's
+        // frozen axes (and they JOIN the marker below) — otherwise the
+        // detach would silently z-stale everything it localizes and the
+        // next incremental pass would re-pay the rewrite
+        val schema = StructType.fromDDL(m.schemaDdl)
+        val mk = readZMarker(spark, root).filter(k =>
+          k.axes.size == k.zCols.size && k.zCols.forall(c =>
+            schema.fieldNames.contains(c) && m.statsCols.contains(c)))
+        val zExprs = mk.toSeq.map { k =>
+          val nums = k.zCols.map(c => zNumeric(col(c), schema(c).dataType))
+          zValue(nums.zip(k.axes).map { case (n, (mn, mx)) => (n, mn, mx) })
+        }
         val fresh = writeFiles(spark, root, rows, m.keys, m.numBuckets,
-          m.sortCols, m.maxRecordsPerFile)
+          m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
         val dvSub = s"data/${java.util.UUID.randomUUID}"
         val conf = spark.sparkContext.hadoopConfiguration
         val copied = foreignDv.zipWithIndex.map { case ((p, b), i) =>
@@ -997,6 +1010,11 @@ object LakeTable {
         publishStats(spark, root, next, Some(m.version))
         publishBlooms(spark, root, next, Some(m.version))
         publishNdv(spark, root, next, Some(m.version))
+        mk.foreach { k =>
+          val live = next.files.map(_._1).toSet
+          writeZMarker(spark, root, ZMarker(next.version, k.zCols, k.axes,
+            (k.files.filter(live) ++ fresh.map(_._1)).distinct))
+        }
         next.version
       }
     }

@@ -79,6 +79,12 @@ class LakeCloneSpec extends SparkTestBase {
     content(dst) shouldBe (content(src) ++ ins.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))))
     assert(LakeTable.fsck(spark, src).ok)
+    // detach is layout-preserving: the localized foreign rows were
+    // written z-sorted under the marker's frozen axes and joined the
+    // marker, so the branch is already tight — incremental no-ops
+    val dv = LakeTable.detachClone(spark, dst)
+    LakeTable.optimizeZOrderIncremental(spark, dst) shouldBe dv
+    content(dst).size shouldBe (200 + ins.count())
   }
 
   test("writes diverge: clone-local files only, source untouched and vice versa") {
