@@ -46,7 +46,12 @@ object ScaleProof {
     // r10 fifth session: quantile/variance MVs, clone+detach, served
     // top-k, the re-bucketed z-order lifecycle
     "q_mv_quantile", "q_mv_variance", "q_lake_clone", "q_lake_zorder",
-    "q_mv_topk")
+    "q_mv_topk",
+    // r10 sixth session: the incremental-optimize lifecycle (its oracle
+    // delivery is hash-scattered BY DESIGN, so this entry reads like the
+    // full rewrite — the O(delta) claim lives in the scale proof's
+    // zorder_incremental_legs field, measured bucket-confined)
+    "q_lake_zorder_incr")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
