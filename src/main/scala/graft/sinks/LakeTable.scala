@@ -978,19 +978,11 @@ object LakeTable {
       else {
         val rows = applyDv(spark, root, m,
           readFiles(spark, root, m, foreignF.map(_._1)), m.dvFiles)
-        // layout-preserving: a branch that maintains a z layout gets its
-        // detached foreign rows written z-sorted under the marker's
-        // frozen axes (and they JOIN the marker below) — otherwise the
-        // detach would silently z-stale everything it localizes and the
-        // next incremental pass would re-pay the rewrite
-        val schema = StructType.fromDDL(m.schemaDdl)
-        val mk = readZMarker(spark, root).filter(k =>
-          k.axes.size == k.zCols.size && k.zCols.forall(c =>
-            schema.fieldNames.contains(c) && m.statsCols.contains(c)))
-        val zExprs = mk.toSeq.map { k =>
-          val nums = k.zCols.map(c => zNumeric(col(c), schema(c).dataType))
-          zValue(nums.zip(k.axes).map { case (n, (mn, mx)) => (n, mn, mx) })
-        }
+        // layout-preserving (zSortIfMarked): detached foreign rows write
+        // z-sorted under the marker's frozen axes and join the marker —
+        // otherwise the detach would silently z-stale everything it
+        // localizes and the next incremental pass would re-pay the rewrite
+        val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, rows, m.keys, m.numBuckets,
           m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
         val dvSub = s"data/${java.util.UUID.randomUUID}"
@@ -1010,11 +1002,7 @@ object LakeTable {
         publishStats(spark, root, next, Some(m.version))
         publishBlooms(spark, root, next, Some(m.version))
         publishNdv(spark, root, next, Some(m.version))
-        mk.foreach { k =>
-          val live = next.files.map(_._1).toSet
-          writeZMarker(spark, root, ZMarker(next.version, k.zCols, k.axes,
-            (k.files.filter(live) ++ fresh.map(_._1)).distinct))
-        }
+        carryZMarker(spark, root, mk, next, fresh.map(_._1))
         next.version
       }
     }
@@ -1044,8 +1032,9 @@ object LakeTable {
     withCommitRetries() { () =>
       val m = manifest(spark, root)
       val rows = read(spark, root, Some(m.version))
+      val (mk, zExprs) = zSortIfMarked(spark, root, m)
       val files = writeFiles(spark, root, rows, m.keys, newNumBuckets,
-        m.sortCols, m.maxRecordsPerFile)
+        m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
       val next = m.copy(version = m.version + 1,
         numBuckets = newNumBuckets, files = files, dvFiles = Nil)
       publish(fs, root, next)
@@ -1053,6 +1042,7 @@ object LakeTable {
       publishStats(spark, root, next, None)
       publishBlooms(spark, root, next, None)
       publishNdv(spark, root, next, None)
+      carryZMarker(spark, root, mk, next, files.map(_._1))
       next.version
     }
   }
@@ -1159,6 +1149,39 @@ object LakeTable {
       finally in.close()
     }
   }
+
+  /** Maintenance rewrites are LAYOUT-PRESERVING: if the table keeps a z
+    * layout (marker present, columns still valid under the current
+    * schema/statsCols), every maintenance pass that rewrites content —
+    * [[compactDeletes]], [[compactSmallFiles]], [[rebucket]],
+    * [[detachClone]] — sorts what it writes by the marker's frozen z key
+    * instead of sortCols, so maintenance never z-stales what it touches
+    * and the incremental pass stays reserved for fresh DELIVERIES (the
+    * Delta operational split: deliveries land cheap, optimize follows).
+    * Returns the validated marker plus the sort expressions (empty when
+    * the table has no layout: callers fall back to sortCols).
+    */
+  private def zSortIfMarked(spark: SparkSession, root: String,
+      m: Manifest): (Option[ZMarker], Seq[Column]) = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val mk = readZMarker(spark, root).filter(k =>
+      k.axes.size == k.zCols.size && k.zCols.forall(c =>
+        schema.fieldNames.contains(c) && m.statsCols.contains(c)))
+    (mk, mk.toSeq.map { k =>
+      val nums = k.zCols.map(c => zNumeric(col(c), schema(c).dataType))
+      zValue(nums.zip(k.axes).map { case (n, (mn, mx)) => (n, mn, mx) })
+    })
+  }
+
+  /** Advance the marker after a layout-preserving rewrite: carried files
+    * that are still live stay members, the fresh z-sorted files join. */
+  private def carryZMarker(spark: SparkSession, root: String,
+      mk: Option[ZMarker], next: Manifest, fresh: Seq[String]): Unit =
+    mk.foreach { k =>
+      val live = next.files.map(_._1).toSet
+      writeZMarker(spark, root, ZMarker(next.version, k.zCols, k.axes,
+        (k.files.filter(live) ++ fresh).distinct))
+    }
 
   /** Z-ORDER maintenance rewrite (the Delta `OPTIMIZE ZORDER BY` /
     * Iceberg sort-order design point, original implementation): rewrite
@@ -1696,14 +1719,16 @@ object LakeTable {
         val (hot, cold) = m.files.partition { case (_, b) => dvB(b) }
         val cur = applyDv(spark, root, m,
           readFiles(spark, root, m, hot.map(_._1)), m.dvFiles)
+        val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
-          m.sortCols, m.maxRecordsPerFile)
+          m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
         val next = m.copy(version = m.version + 1, files = cold ++ fresh,
           dvFiles = Nil)
         publish(fs, root, next)
         publishStats(spark, root, next, Some(m.version))
         publishBlooms(spark, root, next, Some(m.version))
         publishNdv(spark, root, next, Some(m.version))
+        carryZMarker(spark, root, mk, next, fresh.map(_._1))
         next.version
       }
     }
@@ -1919,14 +1944,16 @@ object LakeTable {
         val dvHot = m.dvFiles.filter { case (_, b) => fat(b) }
         val cur = applyDv(spark, root, m,
           readFiles(spark, root, m, hot.map(_._1)), dvHot)
+        val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
-          m.sortCols, m.maxRecordsPerFile)
+          m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
         val next = m.copy(version = m.version + 1, files = cold ++ fresh,
           dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) })
         publish(fs, root, next)
         publishStats(spark, root, next, Some(m.version))
         publishBlooms(spark, root, next, Some(m.version))
         publishNdv(spark, root, next, Some(m.version))
+        carryZMarker(spark, root, mk, next, fresh.map(_._1))
         next.version
       }
     }

@@ -419,5 +419,13 @@ class LakeTableSpec extends SparkTestBase {
     val v4 = LakeTable.optimizeZOrderIncremental(spark, root)
     v4 should be > v2
     LakeTable.read(spark, root).count() shouldBe (want.size + 80L)
+    // maintenance is layout-preserving: folding a MoR delete rewrites
+    // its bucket Z-SORTED under the frozen axes and joins the marker —
+    // the incremental pass then has nothing left to do
+    LakeTable.deleteMor(spark, root, Seq(5150L).toDF("id"))
+    LakeTable.compactDeletes(spark, root)
+    val v5 = LakeTable.manifest(spark, root).version
+    LakeTable.optimizeZOrderIncremental(spark, root) shouldBe v5
+    LakeTable.read(spark, root).count() shouldBe (want.size + 79L)
   }
 }
