@@ -1314,20 +1314,62 @@ object LakeTable {
     }
   }
 
+  /** Metadata-only drift check for [[optimizeZOrderAuto]]: the marker's
+    * frozen axes clamp out-of-range values to the boundary bucket — fine
+    * for small drift, but a distribution that has left the axes far
+    * behind piles new data into one boundary bucket and multi-column
+    * pruning degrades SILENTLY. For NUMERIC z columns the newest
+    * zone-map sidecar answers the current table range with zero data
+    * files opened; the layout counts as drifted when the range extends
+    * past an axis by more than half the axis width on either side (or
+    * the axis was degenerate and values now spread). Date/timestamp
+    * columns have no exact numeric form in the sidecar's string
+    * rendering and never report drift — the documented re-optimize
+    * judgement stays with the operator there.
+    */
+  private def axesDrifted(spark: SparkSession, root: String, m: Manifest,
+      mk: ZMarker): Boolean = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    readStats(spark, root, m.version) match {
+      case None => false
+      case Some(st) =>
+        mk.zCols.zip(mk.axes).exists { case (c, (mn, mx)) =>
+          schema(c).dataType match {
+            case _: NumericType =>
+              val i = m.statsCols.indexOf(c)
+              val los = st.values.flatMap(_.mins(i)).map(_.toDouble)
+              val his = st.values.flatMap(_.maxs(i)).map(_.toDouble)
+              if (i < 0 || los.isEmpty) false
+              else {
+                val (lo, hi) = (los.min, his.max)
+                val w = mx - mn
+                if (w <= 0d) hi > lo
+                else lo < mn - w / 2 || hi > mx + w / 2
+              }
+            case _ => false
+          }
+        }
+    }
+  }
+
   /** The operational entry point a maintenance schedule wants: bootstrap
-    * the z layout with the full [[optimizeZOrder]] when none exists (or
-    * the requested columns changed — stale-axis incremental passes under
-    * a different column set would cluster nothing), otherwise run the
-    * O(delta) [[optimizeZOrderIncremental]]. Convergent: a tight table
-    * is a no-op.
+    * the z layout with the full [[optimizeZOrder]] when none exists, the
+    * requested columns changed (stale-axis incremental passes under a
+    * different column set would cluster nothing), or the value
+    * distribution has DRIFTED past the frozen axes ([[axesDrifted]],
+    * metadata-only — re-normalizing is a full rewrite by definition);
+    * otherwise run the O(delta) [[optimizeZOrderIncremental]].
+    * Convergent: a tight table is a no-op.
     */
   def optimizeZOrderAuto(spark: SparkSession, root: String,
-      zCols: Seq[String]): Long =
+      zCols: Seq[String]): Long = {
+    val m = manifest(spark, root)
     readZMarker(spark, root) match {
-      case Some(mk) if mk.zCols == zCols =>
+      case Some(mk) if mk.zCols == zCols && !axesDrifted(spark, root, m, mk) =>
         optimizeZOrderIncremental(spark, root)
       case _ => optimizeZOrder(spark, root, zCols)
     }
+  }
 
   /** (files opened, live files) of the last [[readBox]] this JVM ran.
     * Test pin; not part of the public API. */

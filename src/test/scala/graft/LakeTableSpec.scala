@@ -428,4 +428,43 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.optimizeZOrderIncremental(spark, root) shouldBe v5
     LakeTable.read(spark, root).count() shouldBe (want.size + 79L)
   }
+
+  test("optimizeZOrderAuto re-bootstraps when the distribution leaves the frozen axes behind") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftright}
+    val root = newRoot()
+    def grid(r: org.apache.spark.sql.DataFrame, xScale: Long) = r.select(
+      col("id"), (col("id") % 64 * xScale).alias("x"),
+      shiftright(col("id"), 6).alias("y"))
+    LakeTable.init(grid(spark.range(4096).toDF("id"), 1L), root, Seq("id"),
+      numBuckets = 2, sortCols = Seq("x"), statsCols = Seq("x", "y"),
+      maxRecordsPerFile = 256L)
+    LakeTable.optimizeZOrder(spark, root, Seq("x", "y"))
+    // an IN-RANGE bucket-confined delivery: auto takes the O(delta)
+    // incremental path — the untouched bucket's z files carry by path
+    val zf1 = LakeTable.manifest(spark, root).files
+    LakeTable.merge(spark, root, grid(spark.range(4096, 4160).toDF("id"), 1L)
+      .filter(pmod(hash(col("id")), lit(2)) === 1))
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
+    val m1 = LakeTable.manifest(spark, root)
+    val carried = zf1.filter(_._2 == 0)
+    carried should not be empty
+    carried.foreach(f => m1.files should contain(f))
+    // a delivery 100x beyond the axes: auto detects the drift from the
+    // zone maps alone and re-bootstraps — a FULL re-lay, nothing carries
+    LakeTable.merge(spark, root, grid(spark.range(8192, 8256).toDF("id"), 100L))
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
+    val m2 = LakeTable.manifest(spark, root)
+    m1.files.toSet.intersect(m2.files.toSet) shouldBe empty
+    // the refreshed axes serve the widened space: a box over the far end
+    // answers exactly and still prunes
+    val far = LakeTable.readBox(spark, root,
+      Seq(("x", "3000", "6300"), ("y", "128", "129")))
+    far.collect().map(_.getLong(0)).toSet shouldBe
+      (8192L until 8256L).filter(i => i % 64 * 100 >= 3000 &&
+        (i >> 6) >= 128 && (i >> 6) <= 129).toSet
+    LakeTable.lastBoxScan.get._1 should be < m2.files.size
+    // and auto is back on the incremental path under the new axes
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe
+      m2.version
+  }
 }
