@@ -116,9 +116,10 @@ object LakeDag {
         LakeTable.compactDeletes(spark, conf.tableRoot)
         LakeTable.compactSmallFiles(spark, conf.tableRoot,
           conf.maxFilesPerBucket)
-        // layout LAST: compaction rewrites fat buckets in sortCols order
-        // (z-stale by construction); the auto pass re-lays exactly those —
-        // full on the first delivery, O(delta) incremental after
+        // layout LAST: compaction is layout-preserving once a marker
+        // exists (zSortIfMarked — its output is already z-sorted and the
+        // auto pass no-ops on it), so this covers fresh deliveries and
+        // the day-1 bootstrap — full on the first run, O(delta) after
         if (conf.zOrderCols.nonEmpty)
           LakeTable.optimizeZOrderAuto(spark, conf.tableRoot,
             conf.zOrderCols)

@@ -1108,8 +1108,8 @@ object LakeTable {
     def strings(body: String): Seq[String] =
       if (body.trim.isEmpty) Seq.empty
       else "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body).map(
-        _.group(1).replace("\\\\", " ").replace("\\\"", "\"")
-          .replace(" ", "\\")).toSeq
+        _.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
+          .replace("\u0000", "\\")).toSeq
     val axesBody = {
       val at = s.indexOf("\"axes\":[")
       s.substring(at + 8, s.indexOf("]]", at) + 1)
@@ -1161,12 +1161,24 @@ object LakeTable {
     * Returns the validated marker plus the sort expressions (empty when
     * the table has no layout: callers fall back to sortCols).
     */
+  /** The newest marker, only if it is still VALID under this manifest:
+    * axes match the column count and every z column is still a schema
+    * column declared in statsCols. [[alterIndexing]] can re-declare
+    * statsCols under a live marker, so validity is a per-version
+    * property, not something marker creation can guarantee forever.
+    */
+  private def validZMarker(spark: SparkSession, root: String,
+      m: Manifest): Option[ZMarker] = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    readZMarker(spark, root).filter(k =>
+      k.axes.size == k.zCols.size && k.zCols.forall(c =>
+        schema.fieldNames.contains(c) && m.statsCols.contains(c)))
+  }
+
   private def zSortIfMarked(spark: SparkSession, root: String,
       m: Manifest): (Option[ZMarker], Seq[Column]) = {
     val schema = StructType.fromDDL(m.schemaDdl)
-    val mk = readZMarker(spark, root).filter(k =>
-      k.axes.size == k.zCols.size && k.zCols.forall(c =>
-        schema.fieldNames.contains(c) && m.statsCols.contains(c)))
+    val mk = validZMarker(spark, root, m)
     (mk, mk.toSeq.map { k =>
       val nums = k.zCols.map(c => zNumeric(col(c), schema(c).dataType))
       zValue(nums.zip(k.axes).map { case (n, (mn, mx)) => (n, mn, mx) })
@@ -1322,10 +1334,20 @@ object LakeTable {
     * zone-map sidecar answers the current table range with zero data
     * files opened; the layout counts as drifted when the range extends
     * past an axis by more than half the axis width on either side (or
-    * the axis was degenerate and values now spread). Date/timestamp
-    * columns have no exact numeric form in the sidecar's string
-    * rendering and never report drift — the documented re-optimize
-    * judgement stays with the operator there.
+    * the axis was degenerate and values now spread). DATE z columns get
+    * the same protection — their zone strings render ISO `yyyy-MM-dd`,
+    * which parses exactly to an epoch day, and the frozen axes live in
+    * epoch seconds ([[zNumeric]] routes dates through a timestamp cast);
+    * a non-UTC session timezone skews the comparison by at most 14 hours,
+    * far below the half-width threshold for any multi-day axis, and a
+    * degenerate (single-day) axis compares lo/hi parsed the same way so
+    * the skew cancels. TIMESTAMP columns stay exempt: their sidecar
+    * strings carry a session-timezone rendering with engine-variable
+    * fraction digits — no exact numeric form — so the documented
+    * re-optimize judgement stays with the operator there. Columns the
+    * current statsCols no longer index (or sidecar entries carried from
+    * an older column list) contribute no signal rather than crashing —
+    * the caller's marker validation is what rules them out.
     */
   private def axesDrifted(spark: SparkSession, root: String, m: Manifest,
       mk: ZMarker): Boolean = {
@@ -1334,19 +1356,26 @@ object LakeTable {
       case None => false
       case Some(st) =>
         mk.zCols.zip(mk.axes).exists { case (c, (mn, mx)) =>
-          schema(c).dataType match {
-            case _: NumericType =>
-              val i = m.statsCols.indexOf(c)
-              val los = st.values.flatMap(_.mins(i)).map(_.toDouble)
-              val his = st.values.flatMap(_.maxs(i)).map(_.toDouble)
-              if (i < 0 || los.isEmpty) false
-              else {
-                val (lo, hi) = (los.min, his.max)
-                val w = mx - mn
-                if (w <= 0d) hi > lo
-                else lo < mn - w / 2 || hi > mx + w / 2
-              }
-            case _ => false
+          val i = m.statsCols.indexOf(c)
+          if (i < 0) false
+          else {
+            // parse a zone string into the column's z-numeric space
+            // (where the frozen axes live); None = no exact form
+            val toNum: String => Option[Double] = schema(c).dataType match {
+              case _: NumericType => s => s.toDoubleOption
+              case _: DateType => s => scala.util.Try(
+                java.time.LocalDate.parse(s).toEpochDay * 86400d).toOption
+              case _ => _ => None
+            }
+            val los = st.values.flatMap(_.mins.lift(i).flatten).flatMap(toNum)
+            val his = st.values.flatMap(_.maxs.lift(i).flatten).flatMap(toNum)
+            if (los.isEmpty || his.isEmpty) false
+            else {
+              val (lo, hi) = (los.min, his.max)
+              val w = mx - mn
+              if (w <= 0d) hi > lo
+              else lo < mn - w / 2 || hi > mx + w / 2
+            }
           }
         }
     }
@@ -1360,11 +1389,29 @@ object LakeTable {
     * metadata-only — re-normalizing is a full rewrite by definition);
     * otherwise run the O(delta) [[optimizeZOrderIncremental]].
     * Convergent: a tight table is a no-op.
+    *
+    * The marker is validated like [[zSortIfMarked]] validates it: a
+    * marker whose z columns have left the schema or statsCols (reachable
+    * — [[alterIndexing]] re-declares statsCols under a live marker)
+    * cannot steer the maintenance choice, so the pass re-bootstraps,
+    * and [[optimizeZOrder]]'s own z⊆statsCols `require` then reports the
+    * genuinely unservable case loudly instead of this entry point
+    * crashing on a misaligned sidecar index.
+    *
+    * Concurrency: the full-vs-incremental CHOICE reads the manifest and
+    * marker outside any commit-retry scope, so a concurrent commit can
+    * supersede the version it was made against. Content stays correct
+    * regardless — both downstream passes re-read and re-validate inside
+    * [[withCommitRetries]] — but the choice itself assumes the usual
+    * single-maintenance-writer schedule (one OPTIMIZE job per table, the
+    * Delta/Iceberg operational model); under a racing re-declaration the
+    * worst case is one extra full rewrite or a loud `require`, never a
+    * wrong layout.
     */
   def optimizeZOrderAuto(spark: SparkSession, root: String,
       zCols: Seq[String]): Long = {
     val m = manifest(spark, root)
-    readZMarker(spark, root) match {
+    validZMarker(spark, root, m) match {
       case Some(mk) if mk.zCols == zCols && !axesDrifted(spark, root, m, mk) =>
         optimizeZOrderIncremental(spark, root)
       case _ => optimizeZOrder(spark, root, zCols)

@@ -6,8 +6,11 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Property sweep over the lake table's write surface — merge (upsert
   * with value churn), copy-on-write delete, merge-on-read delete,
-  * vector compaction, and the auto z-order pass (full bootstrap, then
-  * incremental; a pure layout rewrite, so the model ignores it) —
+  * vector compaction, the auto z-order pass (full bootstrap, then
+  * incremental; a pure layout rewrite, so the model ignores it), and
+  * indexing re-declaration (alterIndexing, which may drop a z column
+  * from statsCols under a live marker — the maintenance pass must then
+  * fail loudly, never crash on a misaligned sidecar index) —
   * against an in-memory model map. After a random
   * op sequence: (1) the head read equals the model; (2) EVERY published
   * version time-travels to the model as it stood after that op; (3) the
@@ -29,6 +32,9 @@ class LakeTablePropertySpec extends SparkTestBase {
   private case object Compact extends Op
   // the auto z pass (bootstrap full, then incremental): content no-op
   private case object ZOpt extends Op
+  // indexing re-declaration: may DROP a z column from statsCols under a
+  // live marker (the interleaving behind the r10 axesDrifted crash)
+  private case class AlterIdx(statsCols: Seq[String]) extends Op
 
   private val genRow: Gen[R] = for {
     id <- Gen.choose(1L, 12L)
@@ -44,7 +50,9 @@ class LakeTablePropertySpec extends SparkTestBase {
     2 -> Gen.nonEmptyListOf(Gen.choose(1L, 12L)).map(ids => Del(ids.distinct)),
     2 -> Gen.nonEmptyListOf(Gen.choose(1L, 12L)).map(ids => DelMor(ids.distinct)),
     1 -> Gen.const(Compact),
-    1 -> Gen.const(ZOpt))
+    1 -> Gen.const(ZOpt),
+    1 -> Gen.oneOf(Seq("score", "id"), Seq("id"), Seq("id", "score"))
+      .map(AlterIdx))
 
   private def df(rows: Seq[R]) = rows.toDF("id", "grp", "score")
 
@@ -54,6 +62,7 @@ class LakeTablePropertySpec extends SparkTestBase {
     case DelMor(ids) => m -- ids
     case Compact => m
     case ZOpt => m
+    case AlterIdx(_) => m
   }
 
   private def asModel(d: org.apache.spark.sql.DataFrame): Model =
@@ -77,7 +86,18 @@ class LakeTablePropertySpec extends SparkTestBase {
           case DelMor(ids) => LakeTable.deleteMor(spark, root, ids.toDF("id"))
           case Compact => LakeTable.compactDeletes(spark, root)
           case ZOpt =>
-            LakeTable.optimizeZOrderAuto(spark, root, Seq("id", "score"))
+            // when a prior AlterIdx dropped a z column from statsCols the
+            // pass must fail with the LOUD z⊆statsCols contract (never an
+            // IndexOutOfBounds from a misaligned sidecar index)
+            val st = LakeTable.manifest(spark, root).statsCols
+            if (Seq("id", "score").forall(st.contains))
+              LakeTable.optimizeZOrderAuto(spark, root, Seq("id", "score"))
+            else intercept[IllegalArgumentException] {
+              LakeTable.optimizeZOrderAuto(spark, root, Seq("id", "score"))
+            }
+          case AlterIdx(statsCols) =>
+            LakeTable.alterIndexing(spark, root, statsCols,
+              ndvCols = Seq("grp", "score"))
         }
         model = applyModel(model, op)
         history += ((LakeTable.manifest(spark, root).version, model))

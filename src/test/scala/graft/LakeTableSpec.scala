@@ -467,4 +467,79 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe
       m2.version
   }
+
+  test("optimizeZOrderAuto survives alterIndexing re-declaring statsCols under a live marker") {
+    import org.apache.spark.sql.functions.{col, shiftright}
+    val root = newRoot()
+    val grid = spark.range(4096).select(col("id"),
+      (col("id") % 64).alias("x"), shiftright(col("id"), 6).alias("y"))
+    LakeTable.init(grid, root, Seq("id"), numBuckets = 2,
+      sortCols = Seq("x"), statsCols = Seq("x", "y"),
+      maxRecordsPerFile = 512L)
+    LakeTable.optimizeZOrder(spark, root, Seq("x", "y"))
+    // a z column leaves statsCols while the marker persists: the auto
+    // pass must NOT crash on the misaligned sidecar index — the invalid
+    // marker re-bootstraps, and the full pass's own z⊆statsCols contract
+    // reports the genuinely unservable request loudly
+    LakeTable.alterIndexing(spark, root, statsCols = Seq("y"))
+    val ex = intercept[IllegalArgumentException] {
+      LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
+    }
+    ex.getMessage should include("statsCols")
+    // a request the NEW statsCols can serve re-bootstraps cleanly under
+    // the invalid marker (different columns — nothing to carry)
+    LakeTable.alterIndexing(spark, root, statsCols = Seq("y", "id"))
+    val v = LakeTable.optimizeZOrderAuto(spark, root, Seq("y", "id"))
+    LakeTable.manifest(spark, root).version shouldBe v
+    LakeTable.read(spark, root).count() shouldBe 4096L
+    // re-declare the SAME columns reordered: the marker stays valid,
+    // positions re-resolve against the re-measured sidecar, and a tight
+    // table is the incremental no-op (no version published)
+    val v2 = LakeTable.alterIndexing(spark, root, statsCols = Seq("id", "y"))
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("y", "id")) shouldBe v2
+  }
+
+  test("optimizeZOrderAuto detects axes drift on a DATE z column") {
+    import org.apache.spark.sql.functions.{col, date_add, hash, lit, pmod, shiftright, to_date}
+    val root = newRoot()
+    // a two-month date axis (the time-series shape z-order exists for)
+    def days(r: org.apache.spark.sql.DataFrame, offset: Int) = r.select(
+      col("id"),
+      date_add(to_date(lit("2024-01-01")),
+        (pmod(col("id"), lit(60)) + lit(offset)).cast("int")).alias("d"),
+      shiftright(col("id"), 6).alias("y"))
+    LakeTable.init(days(spark.range(4096).toDF("id"), 0), root, Seq("id"),
+      numBuckets = 2, sortCols = Seq("d"), statsCols = Seq("d", "y"),
+      maxRecordsPerFile = 256L)
+    LakeTable.optimizeZOrder(spark, root, Seq("d", "y"))
+    // an in-range delivery (same date window, one bucket): incremental —
+    // the untouched bucket's z files carry by path
+    val zf = LakeTable.manifest(spark, root).files
+    LakeTable.merge(spark, root,
+      days(spark.range(4096, 4160).toDF("id"), 0)
+        .filter(pmod(hash(col("id")), lit(2)) === 1))
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("d", "y"))
+    val m1 = LakeTable.manifest(spark, root)
+    val carried = zf.filter(_._2 == 0)
+    carried should not be empty
+    carried.foreach(f => m1.files should contain(f))
+    // a delivery a YEAR past the axis: the ISO zone strings parse to
+    // epoch days, the drift check fires, auto re-bootstraps (full
+    // re-lay — nothing carries) instead of clamping every new day into
+    // the boundary z bucket forever
+    LakeTable.merge(spark, root, days(spark.range(8192, 8256).toDF("id"), 365))
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("d", "y"))
+    val m2 = LakeTable.manifest(spark, root)
+    m1.files.toSet.intersect(m2.files.toSet) shouldBe empty
+    // the refreshed axes serve the widened window exactly, with pruning
+    val far = LakeTable.readBox(spark, root,
+      Seq(("d", "2024-12-01", "2026-01-01"), ("y", "128", "129")))
+    far.select("id").collect().map(_.getLong(0)).toSet shouldBe
+      (8192L until 8256L).filter(i => (i >> 6) >= 128 && (i >> 6) <= 129)
+        .toSet
+    LakeTable.lastBoxScan.get._1 should be < m2.files.size
+    // and auto is back on the incremental path under the new axes
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("d", "y")) shouldBe
+      m2.version
+  }
 }
