@@ -468,6 +468,75 @@ class LakeTableSpec extends SparkTestBase {
       m2.version
   }
 
+  test("z-marker crash window: manifest published, marker write lost — the next auto pass converges") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftright}
+    val root = newRoot()
+    def grid(r: org.apache.spark.sql.DataFrame) = r.select(col("id"),
+      (col("id") % 64).alias("x"), shiftright(col("id"), 6).alias("y"))
+    def killMarker(v: Long): Unit = {
+      val p = java.nio.file.Paths.get(root, "_zorder", s"$v.json")
+      assert(java.nio.file.Files.deleteIfExists(p), s"no marker at v$v")
+    }
+    def ids() = LakeTable.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet
+    LakeTable.init(grid(spark.range(4096).toDF("id")), root, Seq("id"),
+      numBuckets = 2, sortCols = Seq("x"), statsCols = Seq("x", "y"),
+      maxRecordsPerFile = 256L)
+    // CASE 1 — the FIRST optimize dies between publish(manifest) and
+    // writeZMarker: the data is live and z-sorted but no marker exists.
+    // Zone maps are per-version sidecars published BEFORE the marker, so
+    // box reads stay exact (and still prune — the files ARE z-laid);
+    // the auto pass simply re-bootstraps.
+    val v1 = LakeTable.optimizeZOrder(spark, root, Seq("x", "y"))
+    killMarker(v1)
+    val want0 = (0L until 4096L).toSet
+    LakeTable.readBox(spark, root, Seq(("x", "0", "15"), ("y", "0", "15")))
+      .select("id").collect().map(_.getLong(0)).toSet shouldBe
+      want0.filter(i => i % 64 <= 15 && (i >> 6) <= 15)
+    LakeTable.lastBoxScan.get._1 should be <
+      LakeTable.manifest(spark, root).files.size
+    val v2 = LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
+    v2 should be > v1
+    ids() shouldBe want0
+    // recovered: tight table, auto is a no-op again
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe v2
+    // CASE 2 — an INCREMENTAL pass dies in the same window: the chain
+    // head is the previous marker, whose file list names the carried
+    // cold files (still live — they stay members by path) plus the
+    // rewritten buckets' predecessors (dead — intersection drops them).
+    // The next pass re-lays only the replacement files: convergent, no
+    // stall, never a wrong prune.
+    val zf = LakeTable.manifest(spark, root).files
+    LakeTable.merge(spark, root, grid(spark.range(4096, 4160).toDF("id"))
+      .filter(pmod(hash(col("id")), lit(2)) === 1))
+    val v3 = LakeTable.optimizeZOrderIncremental(spark, root)
+    killMarker(v3)
+    val v4 = LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
+    v4 should be > v3
+    // bucket 0 never went stale across EITHER pass: carried by path
+    // through the crash recovery (the marker's cold members stayed live)
+    val cold = zf.filter(_._2 == 0)
+    cold should not be empty
+    cold.foreach(f => LakeTable.manifest(spark, root).files should contain(f))
+    val want1 = want0 ++ grid(spark.range(4096, 4160).toDF("id"))
+      .filter(pmod(hash(col("id")), lit(2)) === 1)
+      .select("id").collect().map(_.getLong(0))
+    ids() shouldBe want1
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe v4
+    // CASE 3 — a MAINTENANCE rewrite (layout-preserving compactDeletes)
+    // dies after publishing its manifest but before carryZMarker: the
+    // stale head now names files the compaction replaced. Same recovery
+    // — membership is a property of the PATH, dead paths drop out, the
+    // compacted output (z-sorted already) is re-admitted by one
+    // incremental pass.
+    LakeTable.deleteMor(spark, root, Seq(10L, 20L).toDF("id"))
+    LakeTable.compactDeletes(spark, root)
+    killMarker(LakeTable.manifest(spark, root).version)
+    val v5 = LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
+    ids() shouldBe (want1 - 10L - 20L)
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe v5
+  }
+
   test("optimizeZOrderAuto survives alterIndexing re-declaring statsCols under a live marker") {
     import org.apache.spark.sql.functions.{col, shiftright}
     val root = newRoot()
