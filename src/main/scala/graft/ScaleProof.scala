@@ -24,12 +24,66 @@ import org.apache.spark.sql.functions._
   *    per-user activity — the as-of/sessionize partition count grows, the
   *    per-partition work does not.
   *
-  * Emits one JSON line {"sf01":{q:{cold,warm}},"sf1":{...},"ratio":{...}}
-  * and exits nonzero if any warm ratio exceeds `maxRatio` (default 15).
+  * Emits one JSON line carrying a machine-readable per-entry table
+  * (`entries`: [{query, copies, base:{cold,warm}, scaled:{cold,warm},
+  * ratio, gate, pass}]) plus the legacy {"sf01","sf1","ratio"} maps the
+  * merge driver (`tools/scale_iso.py`) consumes, and exits nonzero if
+  * any entry FAILS ITS GATE.
+  *
+  * The gate is per-query, evaluated at the contract decade (10×):
+  * default 3.0 — a linear plan with a sublinear fixed-overhead share
+  * lands well under it (r10 median 1.34, max 2.11), while any
+  * superlinear term (pair fan-out, driver loop, broadcast overflow)
+  * blows straight through. Queries whose CONTRACT is O(table) work per
+  * run declare an explicit exemption with the linear null hypothesis
+  * (10.0) as their bound — see [[gates]]. Other copy counts (30×/100×
+  * depth probes) report `gate: null` and never fail the run: their
+  * honest bound would be data-shape-specific, and the 10× gate already
+  * pins the growth class.
   */
 object ScaleProof {
 
   private val stride = 10_000_000L
+
+  /** Per-query warm-ratio gate at the 10× decade: (bound, why). */
+  private[graft] val defaultGate = 3.0
+  private[graft] val gates: Map[String, (Double, String)] = Map(
+    // OPTIMIZE ZORDER rewrites the WHOLE table by contract — linear
+    // (10.0) is the null hypothesis for 10x data, not ~1x
+    "q_lake_zorder" -> (10.0, "full-table rewrite by contract"),
+    // the incremental-optimize ORACLE lifecycle hash-scatters its
+    // delivery by design (correctness surface: every bucket is touched);
+    // the O(touched-bucket) claim is measured bucket-confined in
+    // zorder_incremental_legs
+    "q_lake_zorder_incr" -> (10.0, "oracle delivery hash-scatters by design"))
+
+  private[graft] def gateFor(q: String): (Double, String) =
+    gates.getOrElse(q, (defaultGate, "sublinear-or-linear growth contract"))
+
+  /** Gate verdicts for a measured run: (query, ratio, bound) for every
+    * entry that fails. Only the 10× decade is gated (see class doc). */
+  private[graft] def gateFailures(copies: Int,
+      ratios: Map[String, Double]): Seq[(String, Double, Double)] =
+    if (copies != 10) Nil
+    else ratios.toSeq.collect {
+      case (q, r) if r > gateFor(q)._1 => (q, r, gateFor(q)._1)
+    }
+
+  /** Deliberately superlinear toy queries, runnable ONLY through the
+    * scale proof (never registered in [[SparkEntry.queries]], so the
+    * correctness driver and bench never see them). `toy_quadratic` is an
+    * all-pairs theta self-join over documents — O(n²) by construction —
+    * kept as the demonstration that the gate actually fails a
+    * superlinear plan (ScaleGateSpec measures it at two scales and runs
+    * [[gateFailures]] on the result).
+    */
+  private[graft] val toyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("toy_quadratic" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), length(col("text")).alias("len"))
+      d.alias("a").join(d.alias("b"), col("a.len") <= col("b.len"))
+        .groupBy(col("a.doc_id")).agg(count(lit(1)).alias("geq"))
+    }))
 
   /** The heaviest registry queries (bench ranking) — the scale gate. */
   private val heavyAll = Seq(
@@ -58,14 +112,14 @@ object ScaleProof {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scaleproof_out.json")
     val copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES").map(_.toInt).getOrElse(10)
-    val maxRatio = sys.env.get("SPARK_GRAFT_SCALE_MAX_RATIO").map(_.toDouble).getOrElse(15.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // comma-separated name substrings restrict the query set — for leg
-    // isolation and for the deeper-scale (30×) step on the heaviest five
+    // isolation and for the deeper-scale (30×) step on the heaviest five;
+    // toy (deliberately superlinear) queries run only when named
     val heavy = sys.env.get("SPARK_GRAFT_SCALE_FILTER") match {
       case Some(subs) =>
         val pats = subs.split(",").toSeq
-        heavyAll.filter(q => pats.exists(q.contains))
+        (heavyAll ++ toyQueries.keys).filter(q => pats.exists(q.contains))
       case None => heavyAll
     }
 
@@ -79,9 +133,10 @@ object ScaleProof {
 
     generate(spark, srcDir, sf1Dir, copies)
 
+    val allQueries = SparkEntry.queries ++ toyQueries
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      allQueries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
     def run(dir: String): Map[String, (Double, Double)] =
@@ -99,18 +154,28 @@ object ScaleProof {
     def fmtQ(m: Map[String, (Double, Double)]): String =
       heavy.map(q => s""""$q":{"cold":${f"${m(q)._1}%.3f"},"warm":${f"${m(q)._2}%.3f"}}""")
         .mkString("{", ",", "}")
+    val failed = gateFailures(copies, ratio).map(_._1).toSet
+    val entries = heavy.map { q =>
+      val gate = if (copies == 10) f"${gateFor(q)._1}%.1f" else "null"
+      s"""{"query":"$q","copies":$copies,""" +
+        s""""base":{"cold":${f"${small(q)._1}%.3f"},"warm":${f"${small(q)._2}%.3f"}},""" +
+        s""""scaled":{"cold":${f"${big(q)._1}%.3f"},"warm":${f"${big(q)._2}%.3f"}},""" +
+        s""""ratio":${f"${ratio(q)}%.2f"},"gate":$gate,""" +
+        s""""pass":${!failed(q)}}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"scale_ratio_max","value":${f"${ratio.values.max}%.2f"},""" +
       s""""unit":"x_warm_time_for_${copies}x_data","copies":$copies,""" +
+      s""""entries":$entries,""" +
       s""""sf01":${fmtQ(small)},"sf1":${fmtQ(big)},""" +
       s""""ratio":${heavy.map(q => s""""$q":${f"${ratio(q)}%.2f"}""").mkString("{", ",", "}")}}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    if (ratio.values.max > maxRatio) {
-      System.err.println(s"[scale] FAIL: max warm ratio ${ratio.values.max} > $maxRatio")
-      sys.exit(1)
+    gateFailures(copies, ratio).foreach { case (q, r, g) =>
+      System.err.println(f"[scale] GATE FAIL: $q warm ratio $r%.2f > $g%.1f at ${copies}x")
     }
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** Materialize the blown-up tables (skipped when the marker file says the
