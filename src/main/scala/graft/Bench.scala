@@ -87,6 +87,10 @@ object Bench {
     * scheduler jitter, not a plan change, and flagging it on clean runs
     * would train readers to ignore the field. A real regression on such
     * a query still surfaces the moment it crosses the floor.
+    *
+    * When the committed recording itself may be REFRESHED (box epochs
+    * move the whole board) is rule-governed: see BASELINE.md
+    * "Drift-reference (box-epoch) refresh policy".
     */
   private[graft] val DriftAbsFloorSec = 0.15
   private[graft] def driftOutliers(results: Seq[(String, Double, Double)],
