@@ -24,6 +24,7 @@ object Scratch {
     val name = args(0)
     if (name == "corpus_export_legs") { exportLegs(spark, sfDir); spark.stop(); return }
     if (name == "mv_join_legs") { mvJoinLegs(spark, sfDir); spark.stop(); return }
+    if (name == "mv_join_refresh_legs") { mvJoinRefreshLegs(spark, sfDir); spark.stop(); return }
     if (name == "zorder_legs") { zorderLegs(spark, sfDir); spark.stop(); return }
     if (name == "zorder_incr_legs") { zorderIncrLegs(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
@@ -232,6 +233,67 @@ object Scratch {
     }
     leg("read") {
       JoinMaterializedView.read(spark, mvRoot).count()
+    }
+  }
+
+  /** Sub-attribution INSIDE q_mv_join's refresh_1: time each input the
+    * refresh derives (fact change feed, dim broadcast read, dim change
+    * feed, pruned old-fact scan) as standalone actions, then the real
+    * refresh. The standalone timings overlap the refresh's own work
+    * (frames are re-derived), so they attribute, not sum.
+    */
+  private def mvJoinRefreshLegs(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sinks.{JoinMaterializedView, LakeTable}
+    val tmp = System.getProperty("java.io.tmpdir")
+    val factRoot = tmp + "/scratch_mvjrl_fact"
+    val dimRoot = tmp + "/scratch_mvjrl_dim"
+    val mvRoot = tmp + "/scratch_mvjrl_view"
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(factRoot, dimRoot, mvRoot).foreach(p =>
+      new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+        .delete(new org.apache.hadoop.fs.Path(p), true))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    LakeTable.init(orders.filter(col("o_orderkey") % 3 =!= 0), factRoot,
+      Seq("o_orderkey"), numBuckets = 8, sortCols = Seq("o_custkey"),
+      statsCols = Seq("o_custkey"), maxRecordsPerFile = 4096L)
+    LakeTable.init(cust, dimRoot, Seq("c_custkey"), numBuckets = 4)
+    JoinMaterializedView.init(spark, factRoot, dimRoot, mvRoot,
+      "o_custkey", Seq("c_mktsegment"), Seq("o_totalprice"), numBuckets = 4)
+    val fv0 = LakeTable.manifest(spark, factRoot).version
+    val dv0 = LakeTable.manifest(spark, dimRoot).version
+    LakeTable.merge(spark, factRoot, orders.filter(col("o_orderkey") % 3 === 0))
+    LakeTable.merge(spark, dimRoot, cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_mktsegment", lit("MOVED")))
+    val fv1 = LakeTable.manifest(spark, factRoot).version
+    val dv1 = LakeTable.manifest(spark, dimRoot).version
+    def leg[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scratch] refresh1 leg $label%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    leg("fact_changes") {
+      LakeTable.changes(spark, factRoot, fv0, fv1).count()
+    }
+    leg("fact_changes_warm") {
+      LakeTable.changes(spark, factRoot, fv0, fv1).count()
+    }
+    leg("dim_read_for_join") {
+      LakeTable.readForJoin(spark, dimRoot, version = Some(dv1)).count()
+    }
+    leg("dim_changes") {
+      LakeTable.changes(spark, dimRoot, dv0, dv1).count()
+    }
+    leg("fact_pruned_scan") {
+      LakeTable.dynamicPrunedScan(spark, factRoot, "o_custkey",
+        LakeTable.changes(spark, dimRoot, dv0, dv1).select(col("c_custkey")),
+        10000, Some(fv0)).count()
+    }
+    leg("refresh_1_real") {
+      JoinMaterializedView.refresh(spark, factRoot, dimRoot, mvRoot)
     }
   }
 }

@@ -1245,13 +1245,17 @@ object SparkEntry {
     // the check proves incremental == full recompute across the whole
     // history.
     //
-    // Measured floor (Scratch mv_join_legs at sf0.1): ~10 s warm, of
-    // which the LAKE DELIVERIES are ~9 s (clustered fact init 3.4 s +
-    // three copy-on-write bucket-rewrite deliveries ~5.6 s) and the two
-    // view refreshes ~5 s cold / less warm — the per-run lifecycle
-    // rebuild IS the workload, as with q_mv_minmax. Isolated 10× scale
-    // ratio 2.55 (sublinear: 10× data, 2.5× time — fixed publish
-    // overhead amortizes).
+    // Measured floor (Scratch mv_join_legs at sf0.1, r11): the LAKE
+    // DELIVERIES are the named inherent leg — clustered fact init ~4 s +
+    // three copy-on-write rewrites ~7 s (the oracle's deliveries
+    // hash-scatter across every bucket BY DESIGN; a real pipeline's
+    // bucket-confined delivery rewrites one). The two view refreshes are
+    // ~5.4 s cold after the r11 one-pass foldGroupedDelta commit
+    // (refresh_1 5.76→3.76 s, refresh_2 2.81→1.68 s; isolated warm
+    // q_mv_join 16.0→13.7 s same-session A/B) — each refresh is now
+    // delta-derive + ONE copy-on-write fold, so its remaining cost is
+    // the CDF derivation plus ~4 fixed-overhead jobs. Isolated 10×
+    // scale ratio 2.55 (sublinear — fixed publish overhead amortizes).
     "q_mv_join" -> ((s, dir) => {
       val tmp = System.getProperty("java.io.tmpdir")
       val factRoot = tmp + "/graft_mvjoin_fact"

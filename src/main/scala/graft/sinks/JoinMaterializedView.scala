@@ -253,30 +253,26 @@ object JoinMaterializedView {
           .cast(SumType).alias(s"d_sum_$c")): _*)
       .localCheckpoint()
 
-    val current = LakeTable.lookup(spark, mvRoot,
-      delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
-    // NULL-safe on the group key (a NULL dim attribute is a legal group):
-    // a bare USING join would leave the delta row and the stored row
-    // unmatched and the keyed upsert would OVERWRITE the accumulated state
-    val merged = LakeTable.nullSafeKeyJoin(delta, current, groupCols,
-        "full_outer")
-      .select(groupCols.map(col) ++ Seq(
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
-          .alias("cnt")) ++ sumCols.map(c =>
-        (coalesce(col(s"sum_$c"), lit(0).cast(SumType)) +
-          coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
-          .cast(SumType).alias(s"sum_$c")): _*)
-      .localCheckpoint()
-
-    val upserts = merged.filter(col("cnt") > 0)
-    val gone = merged.filter(col("cnt") <= 0).select(groupCols.map(col): _*)
+    // one-pass fold: the touched view buckets are read ONCE inside the
+    // copy-on-write commit; the NULL-safe full-outer (a NULL dim
+    // attribute is a legal group — a bare USING join would land the
+    // delta BESIDE the stored row and the upsert would overwrite the
+    // accumulated state) adds the signed delta onto stored state,
+    // untouched groups of the bucket pass through on the cur side, and
+    // dead groups (cnt ≤ 0) simply aren't re-emitted
     val mvVersion =
-      try LakeTable.applyChanges(spark, mvRoot, upserts, gone,
-        Some(sync.mvVersion))
-      finally {
-        merged.unpersist(blocking = false)
-        delta.unpersist(blocking = false)
+      try LakeTable.foldGroupedDelta(spark, mvRoot, delta,
+        Some(sync.mvVersion)) { (cur, d) =>
+        LakeTable.nullSafeKeyJoin(d, cur, groupCols, "full_outer")
+          .select(groupCols.map(col) ++ Seq(
+            (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
+              .alias("cnt")) ++ sumCols.map(c =>
+            (coalesce(col(s"sum_$c"), lit(0).cast(SumType)) +
+              coalesce(col(s"d_sum_$c"), lit(0).cast(SumType)))
+              .cast(SumType).alias(s"sum_$c")): _*)
+          .filter(col("cnt") > 0)
       }
+      finally delta.unpersist(blocking = false)
     writeSync(spark, mvRoot, Sync(fv2, dv2, mvVersion))
     mvVersion
   }

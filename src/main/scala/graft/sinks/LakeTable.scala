@@ -1698,6 +1698,24 @@ object LakeTable {
         bcast = false))
   }
 
+  /** One-pass keyed-aggregate delta fold — the materialized-view commit
+    * primitive. Reads the buckets `delta`'s keys hash to ONCE, hands
+    * (bucket content, delta) to `fold`, and publishes fold's output as
+    * those buckets' new content in the same claim-disciplined commit as
+    * [[applyChanges]]. A view refresh that used lookup → full-outer
+    * merge → checkpoint → applyChanges paid TWO reads of the touched
+    * view buckets and two upsert-shaped joins for one state change; here
+    * the fold (full-outer arithmetic + `cnt > 0` liveness filter —
+    * dropping a dead group IS its deletion, the bucket is being
+    * rewritten) runs inside the single copy-on-write pass. `baseVersion`
+    * pins the snapshot and makes a lost race a [[CommitRaceException]]
+    * for the caller's re-base loop, exactly like applyChanges.
+    */
+  def foldGroupedDelta(spark: SparkSession, root: String, delta: DataFrame,
+      baseVersion: Option[Long] = None)(
+      fold: (DataFrame, DataFrame) => DataFrame): Long =
+    rewriteTouched(spark, root, delta, fold, baseVersion)
+
   /** Upsert + delete in ONE published version (one commit point — a
     * crash leaves either the old table or the fully-applied one, never
     * the half state two separate calls would expose). `baseVersion` pins
@@ -1739,7 +1757,7 @@ object LakeTable {
     * sync marker and re-runs the whole refresh) or gives up. Either
     * way the loser's data files become crash-orphans for [[vacuum]].
     */
-  private def rewriteTouched(spark: SparkSession, root: String,
+  private[sinks] def rewriteTouched(spark: SparkSession, root: String,
       source: DataFrame, apply: (DataFrame, DataFrame) => DataFrame,
       baseVersion: Option[Long] = None): Long =
       withCommitRetries(if (baseVersion.isDefined) 1 else 5) { () =>
@@ -1849,6 +1867,13 @@ object LakeTable {
     * the two snapshots, classification by null-safe struct equality, all
     * codegen. This feed is what makes downstream consumers incremental
     * ([[MaterializedView.refresh]] is the in-repo consumer).
+    *
+    * A [[rebucket]] inside the span makes bucket ids incomparable between
+    * the two manifests, so the bucket-set pruning degrades to a FULL value
+    * diff of both snapshots — still the correct net feed (rebucket itself
+    * is content-preserving and nets to zero rows), at O(both snapshots)
+    * cost for that one span. The KEY layout must match: a key change has
+    * no sound feed.
     */
   def changes(spark: SparkSession, root: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
@@ -1856,8 +1881,8 @@ object LakeTable {
       s"fromVersion $fromVersion > toVersion $toVersion")
     val mf = manifest(spark, root, Some(fromVersion))
     val mt = manifest(spark, root, Some(toVersion))
-    require(mf.keys == mt.keys && mf.numBuckets == mt.numBuckets,
-      s"key/bucket layout changed between $fromVersion and $toVersion")
+    require(mf.keys == mt.keys,
+      s"key layout changed between $fromVersion and $toVersion")
     val toSchema = StructType.fromDDL(mt.schemaDdl)
     // additive evolution is fine (the FROM side reads widened with NULLs);
     // anything else — dropped or retyped columns — has no sound feed
@@ -1865,7 +1890,9 @@ object LakeTable {
       require(toSchema.find(_.name == f.name).exists(_.dataType == f.dataType),
         s"column ${f.name} dropped or retyped between $fromVersion and " +
           s"$toVersion; changes() supports additive evolution only"))
-    val hot = changedBuckets(mf, mt)
+    val hot: Int => Boolean =
+      if (mf.numBuckets == mt.numBuckets) changedBuckets(mf, mt)
+      else _ => true // rebucket in the span: full value diff (see doc)
     val cols = toSchema.fieldNames.toSeq
     def side(m: Manifest, alias: String): DataFrame = {
       // both sides read with the TO schema: pre-widening files surface the

@@ -604,15 +604,6 @@ object MaterializedView {
         ddAggregate(feed, groupCols, ddCols, ddP.get, sign, "d_dd"),
         groupCols, "left")).localCheckpoint()
 
-    // current state of ONLY the touched groups, read at the PINNED view
-    // version (crash-orphan versions are invisible to the retry)
-    val current = LakeTable.lookup(spark, mvRoot,
-      delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
-
-    // NULL-safe on the group key: a NULL group is a legal GROUP BY group
-    // and its delta must land on its stored row, not beside it
-    val joined = LakeTable.nullSafeKeyJoin(delta, current, groupCols,
-      "full_outer")
     val baseCols = groupCols.map(col) ++ Seq(
       (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
         .alias("cnt")) ++ sumCols.map(c =>
@@ -651,11 +642,35 @@ object MaterializedView {
     }
 
     if (minMaxCols.isEmpty && ndCols.isEmpty) {
+      // exact-under-retraction aggregates only (count/sum/variance/
+      // quantile): no exhaustion decision stands between the delta and
+      // the publish, so the whole state change is ONE copy-on-write
+      // fold — the touched view buckets are read once inside the commit
+      // instead of lookup + full-outer + checkpoint + applyChanges
+      // reading them twice ([[LakeTable.foldGroupedDelta]])
       lastRecomputeScan = None
       lastExhausted = 0
-      val merged = joined.select(baseCols ++ ddMergeCols: _*).localCheckpoint()
-      return publishMerged(spark, mvRoot, merged, groupCols, sync, tv)
+      val mvVersion =
+        try LakeTable.foldGroupedDelta(spark, mvRoot, delta,
+          Some(sync.mvVersion)) { (cur, d) =>
+          LakeTable.nullSafeKeyJoin(d, cur, groupCols, "full_outer")
+            .select(baseCols ++ ddMergeCols: _*)
+            .filter(col("cnt") > 0)
+        }
+        finally delta.unpersist(blocking = false)
+      writeSync(spark, mvRoot, Sync(tv, mvVersion, sync.ddAlphaMicros))
+      return mvVersion
     }
+
+    // current state of ONLY the touched groups, read at the PINNED view
+    // version (crash-orphan versions are invisible to the retry)
+    val current = LakeTable.lookup(spark, mvRoot,
+      delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
+
+    // NULL-safe on the group key: a NULL group is a legal GROUP BY group
+    // and its delta must land on its stored row, not beside it
+    val joined = LakeTable.nullSafeKeyJoin(delta, current, groupCols,
+      "full_outer")
 
     // reserve maintenance per group: subtract the delivery's deleted
     // values from the reserve, merge its inserted values, flag EXHAUSTED

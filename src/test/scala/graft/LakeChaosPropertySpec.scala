@@ -1,0 +1,230 @@
+package graft
+
+import graft.sinks.{LakeTable, MaterializedView}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
+/** Full-surface crash/concurrency sweep — the composition of the pieces
+  * the targeted specs pin separately (interleaved writers, interleaved
+  * refreshes, publish-crash injection, the sequential op sweep): random
+  * op sequences over merge / CoW delete / MoR delete / compaction /
+  * rebucket / z-order maintenance / MV refresh, executed by TWO
+  * CONCURRENT ACTORS with disjoint key spaces (every step launches both
+  * actors' ops simultaneously; disjointness makes the pair commute on
+  * the model, so any interleaving must land on the same final state),
+  * with CRASHES INJECTED between steps at the protocols' publish
+  * boundaries — the newest MV `_sync` marker deleted (a refresh that
+  * published its view version but died before the marker), the current
+  * version's `_stats` sidecar deleted (a commit that died between
+  * manifest and sidecar publish), the newest `_zorder` marker deleted
+  * (an optimize that died between manifest and marker).
+  *
+  * After the chaos: (1) a concurrent PAIR of final refreshes converges;
+  * (2) the head content equals the model; (3) the whole-history change
+  * feed replays the initial model into the final one — including across
+  * any rebucket in the span (the full-value-diff fallback); (4) the
+  * served view equals the from-scratch aggregate of the model. Every
+  * crash state must be healed by the protocols alone — no operator
+  * intervention, no wrong content, no stall.
+  */
+class LakeChaosPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private type R = (Long, String, Double)
+  private type Model = Map[Long, (String, Double)]
+
+  private sealed trait Op
+  private case class Up(rows: Seq[R]) extends Op
+  private case class Del(ids: Seq[Long]) extends Op
+  private case class DelMor(ids: Seq[Long]) extends Op
+  private case object Compact extends Op
+  private case object ZOpt extends Op
+  private case class Rebucket(n: Int) extends Op
+  private case object Refresh extends Op
+
+  private sealed trait Crash
+  private case object NoCrash extends Crash
+  private case object KillSync extends Crash
+  private case object KillStats extends Crash
+  private case object KillZMarker extends Crash
+
+  private def genRowsIn(lo: Long, hi: Long): Gen[Seq[R]] = for {
+    ids <- Gen.nonEmptyListOf(Gen.choose(lo, hi)).map(_.distinct)
+    gs <- Gen.listOfN(ids.size, Gen.oneOf("a", "b", "c"))
+    vs <- Gen.listOfN(ids.size, Gen.choose(0, 99))
+  } yield ids.lazyZip(gs).lazyZip(vs).map((id, g, v) => (id, g, v.toDouble))
+
+  private def genOp(lo: Long, hi: Long): Gen[Op] = Gen.frequency(
+    5 -> genRowsIn(lo, hi).map(Up),
+    2 -> Gen.nonEmptyListOf(Gen.choose(lo, hi)).map(ids => Del(ids.distinct)),
+    2 -> Gen.nonEmptyListOf(Gen.choose(lo, hi)).map(ids =>
+      DelMor(ids.distinct)),
+    1 -> Gen.const(Compact),
+    1 -> Gen.const(ZOpt),
+    1 -> Gen.oneOf(2, 3, 5).map(Rebucket),
+    1 -> Gen.const(Refresh))
+
+  private val genCrash: Gen[Crash] = Gen.frequency(
+    4 -> Gen.const(NoCrash), 1 -> Gen.const(KillSync),
+    1 -> Gen.const(KillStats), 1 -> Gen.const(KillZMarker))
+
+  // one actor step: ops from DISJOINT id ranges commute on the model
+  private case class Step(a: Op, b: Op, crash: Crash)
+  private val genStep: Gen[Step] = for {
+    a <- genOp(1L, 30L); b <- genOp(31L, 60L); c <- genCrash
+  } yield Step(a, b, c)
+
+  private def df(rows: Seq[R]) = rows.toDF("id", "grp", "score")
+
+  private def applyModel(m: Model, op: Op): Model = op match {
+    case Up(rows) => m ++ rows.map(r => r._1 -> ((r._2, r._3)))
+    case Del(ids) => m -- ids
+    case DelMor(ids) => m -- ids
+    case _ => m
+  }
+
+  private def runOp(root: String, mvRoot: String, op: Op): Unit = op match {
+    case Up(rows) => LakeTable.merge(spark, root, df(rows))
+    case Del(ids) => LakeTable.delete(spark, root, ids.toDF("id"))
+    case DelMor(ids) => LakeTable.deleteMor(spark, root, ids.toDF("id"))
+    case Compact => LakeTable.compactDeletes(spark, root)
+    case ZOpt => LakeTable.optimizeZOrderAuto(spark, root, Seq("id", "score"))
+    case Rebucket(n) => LakeTable.rebucket(spark, root, n)
+    case Refresh => MaterializedView.refresh(spark, root, mvRoot)
+  }
+
+  // post-crash-state reconstruction: the artifact a crash between the
+  // two publishes would have lost is simply deleted
+  private def inject(root: String, mvRoot: String, c: Crash): Unit = {
+    def killNewest(dir: String): Unit = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val vs = fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.endsWith(".json"))
+          .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong)
+            .toOption)
+        // never kill the LAST marker of a chain that needs a root (the
+        // MV init marker): that is not a reachable crash state — init
+        // writes its marker before any refresh can observe the view
+        if (vs.size > 1) fs.delete(new Path(p, s"${vs.max}.json"), false)
+      }
+    }
+    c match {
+      case NoCrash => ()
+      case KillSync => killNewest(s"$mvRoot/_sync")
+      case KillZMarker =>
+        val p = new Path(s"$root/_zorder")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val vs = fs.listStatus(p).map(_.getPath.getName)
+            .filter(_.endsWith(".json"))
+            .flatMap(n => scala.util.Try(n.stripSuffix(".json").toLong)
+              .toOption)
+          if (vs.nonEmpty)
+            fs.delete(new Path(p, s"${vs.max}.json"), false)
+        }
+      case KillStats =>
+        val v = LakeTable.manifest(spark, root).version
+        val p = new Path(s"$root/_stats/$v.json")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, false)
+    }
+  }
+
+  private def asModel(d: org.apache.spark.sql.DataFrame): Model =
+    d.select($"id", $"grp", $"score").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+
+  test("MV refresh across a rebucket span: full-value-diff fallback keeps the feed sound") {
+    val root = java.nio.file.Files.createTempDirectory("lakerb").toString
+    val mvRoot = java.nio.file.Files.createTempDirectory("lakerbmv").toString
+    val base = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+    LakeTable.init(df(base), root, Seq("id"), numBuckets = 2)
+    MaterializedView.init(spark, root, mvRoot, Seq("grp"), Seq("score"))
+    // a delivery, then a REBUCKET, then another delivery — the refresh
+    // span crosses the layout boundary; before r11 changes() refused it
+    // and the view was permanently unrefreshable without a reinit
+    LakeTable.merge(spark, root, df(Seq((4L, "b", 4.0))))
+    LakeTable.rebucket(spark, root, 5)
+    LakeTable.merge(spark, root, df(Seq((1L, "a", 10.0))))
+    MaterializedView.refresh(spark, root, mvRoot)
+    val got = MaterializedView.read(spark, mvRoot)
+      .select($"grp", $"cnt", $"sum_score".cast("double")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    got shouldBe Map("a" -> ((2L, 13.0)), "b" -> ((2L, 6.0)))
+    // the rebucket itself nets to zero rows in the feed
+    val feed = LakeTable.changes(spark, root, 0L,
+      LakeTable.manifest(spark, root).version)
+      .select($"id", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    feed shouldBe Set((4L, "insert"), (1L, "update_preimage"),
+      (1L, "update_postimage"))
+  }
+
+  test("property: two concurrent actors + injected publish-boundary crashes converge to the model") {
+    val prop = Prop.forAll(genRowsIn(1L, 60L), Gen.listOfN(3, genStep)) {
+      (base, steps) =>
+        val root = java.nio.file.Files.createTempDirectory("lakechaos").toString
+        val mvRoot = java.nio.file.Files.createTempDirectory("lakechaosmv").toString
+        LakeTable.init(df(base), root, Seq("id"), numBuckets = 2,
+          statsCols = Seq("id", "score"))
+        MaterializedView.init(spark, root, mvRoot, Seq("grp"), Seq("score"))
+        var model: Model = base.map(r => r._1 -> ((r._2, r._3))).toMap
+        val v0 = LakeTable.manifest(spark, root).version
+        steps.foreach { s =>
+          // both actors fire SIMULTANEOUSLY; retries/races must land both
+          val fa = Future(runOp(root, mvRoot, s.a))
+          val fb = Future(runOp(root, mvRoot, s.b))
+          Await.result(fa, Duration("300s"))
+          Await.result(fb, Duration("300s"))
+          model = applyModel(applyModel(model, s.a), s.b)
+          inject(root, mvRoot, s.crash)
+        }
+        // quiesce: a RACING final refresh pair must both succeed and
+        // leave one application of the outstanding feed
+        val frs = Seq(Future(MaterializedView.refresh(spark, root, mvRoot)),
+          Future(MaterializedView.refresh(spark, root, mvRoot)))
+        frs.foreach(f => Await.result(f, Duration("300s")))
+
+        val headOk = asModel(LakeTable.read(spark, root)) == model
+        // whole-history replay, crossing any rebucket via the full diff
+        val vEnd = LakeTable.manifest(spark, root).version
+        val replayOk = if (vEnd == v0) true else {
+          val feed = LakeTable.changes(spark, root, v0, vEnd)
+            .select($"id", $"grp", $"score", $"_change_type").collect()
+          val replayed = feed.groupBy(_.getLong(0))
+            .foldLeft(base.map(r => r._1 -> ((r._2, r._3))).toMap) {
+              case (m, (id, rows)) =>
+                rows.find(r =>
+                  Set("insert", "update_postimage")(r.getString(3))) match {
+                  case Some(r) =>
+                    m + (id -> ((r.getString(1), r.getDouble(2))))
+                  case None => m - id
+                }
+            }
+          replayed == model
+        }
+        // the served view equals the from-scratch aggregate of the model
+        val want = model.values.groupBy(_._1).view.mapValues(vs =>
+          (vs.size.toLong, vs.map(_._2).sum)).toMap
+        val got = MaterializedView.read(spark, mvRoot)
+          .select($"grp", $"cnt", $"sum_score".cast("double"))
+          .collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+        val viewOk = got == want
+        val ok = headOk && replayOk && viewOk
+        if (!ok) System.err.println(
+          s"chaos mismatch head=$headOk replay=$replayOk view=$viewOk\n" +
+            s"base=$base\nsteps=$steps\ngot=$got\nwant=$want")
+        ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
