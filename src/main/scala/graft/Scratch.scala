@@ -25,6 +25,7 @@ object Scratch {
     if (name == "corpus_export_legs") { exportLegs(spark, sfDir); spark.stop(); return }
     if (name == "mv_join_legs") { mvJoinLegs(spark, sfDir); spark.stop(); return }
     if (name == "mv_join_refresh_legs") { mvJoinRefreshLegs(spark, sfDir); spark.stop(); return }
+    if (name == "cdf_record_legs") { cdfRecordLegs(spark, sfDir); spark.stop(); return }
     if (name == "zorder_legs") { zorderLegs(spark, sfDir); spark.stop(); return }
     if (name == "zorder_incr_legs") { zorderIncrLegs(spark, sfDir); spark.stop(); return }
     val fn = SparkEntry.queries(name)
@@ -295,5 +296,57 @@ object Scratch {
     leg("refresh_1_real") {
       JoinMaterializedView.refresh(spark, factRoot, dimRoot, mvRoot)
     }
+  }
+
+  /** Recorded-CDF A/B: producer overhead (merge on a cdfRecord table vs a
+    * plain twin) and consumer cost (changes() from feed files vs the
+    * snapshot diff) for a HASH-SCATTERED delivery — the shape where the
+    * snapshot diff is O(table) and the recorded feed is O(delta). Also a
+    * 3-step netting span. min of 3 per timed leg.
+    */
+  private def cdfRecordLegs(spark: SparkSession, sfDir: String): Unit = {
+    import graft.sinks.LakeTable
+    val tmp = System.getProperty("java.io.tmpdir")
+    val rec = tmp + "/scratch_cdfrec"
+    val plain = tmp + "/scratch_cdfplain"
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(rec, plain).foreach(p => new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(conf).delete(new org.apache.hadoop.fs.Path(p), true))
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def timed(label: String)(body: => Any): Unit = {
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+      println(f"[legs] $label%-28s min=${ts.min}%6.2fs " +
+        f"runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
+    def once(label: String)(body: => Any): Unit = {
+      val t0 = System.nanoTime(); body
+      println(f"[legs] $label%-28s once=${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
+    LakeTable.init(orders.filter(col("o_orderkey") % 3 =!= 0), rec,
+      Seq("o_orderkey"), numBuckets = 8, cdfRecord = true)
+    LakeTable.init(orders.filter(col("o_orderkey") % 3 =!= 0), plain,
+      Seq("o_orderkey"), numBuckets = 8)
+    val delta = orders.filter(col("o_orderkey") % 3 === 0)
+    once("merge_recorded")(LakeTable.merge(spark, rec, delta))
+    once("merge_plain")(LakeTable.merge(spark, plain, delta))
+    timed("changes_recorded")(
+      LakeTable.changes(spark, rec, 0L, 1L).count())
+    timed("changes_snapshot_diff")(
+      LakeTable.changes(spark, plain, 0L, 1L).count())
+    // a 3-step span: two more scattered deliveries, then net the span
+    Seq(rec, plain).foreach { r =>
+      LakeTable.merge(spark, r, delta.withColumn("o_totalprice",
+        col("o_totalprice") + 1.0))
+      LakeTable.delete(spark, r,
+        orders.filter(col("o_orderkey") % 9 === 0).select(col("o_orderkey")))
+    }
+    timed("span3_recorded_net")(
+      LakeTable.changes(spark, rec, 0L,
+        LakeTable.manifest(spark, rec).version).count())
+    timed("span3_snapshot_diff")(
+      LakeTable.changes(spark, plain, 0L,
+        LakeTable.manifest(spark, plain).version).count())
   }
 }

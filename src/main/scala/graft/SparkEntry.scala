@@ -1215,6 +1215,43 @@ object SparkEntry {
         .orderBy(col("o_orderkey"), col("change_type"))
     }),
 
+    // Commit-time RECORDED change feed (Manifest.cdfRecord — the Delta
+    // _change_data design point): the same lifecycle as q_lake_cdf but
+    // every commit writes its delivery-sized diff under _cdf/ and the
+    // multi-step span is served by NETTING the recorded feeds (min_by/
+    // max_by endpoints per key) instead of diffing two snapshots — the
+    // consumer reads O(delta) bytes even though these deliveries
+    // hash-scatter into every bucket. A REBUCKET sits inside the span:
+    // recorded feeds are layout-independent, so the span stays recorded
+    // where the snapshot diff would pay a full value diff. The oracle
+    // re-derives the identical net feed from the base parquet, so the
+    // check proves recorded netting == snapshot semantics, hash for
+    // hash (CdfRecordedSpec pins path selection; the driver pins values)
+    "q_lake_cdf_recorded" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_cdfrec"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 16, cdfRecord = true)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      graft.sinks.LakeTable.rebucket(s, root, 8)
+      graft.sinks.LakeTable.delete(s, root,
+        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+      val v = graft.sinks.LakeTable.manifest(s, root).version
+      val feed = graft.sinks.LakeTable.changes(s, root, 0L, v)
+      require(graft.sinks.LakeTable.lastChangesRecorded.contains(true),
+        "q_lake_cdf_recorded must serve from recorded feeds")
+      feed.select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).alias("price"),
+          col("_change_type").alias("change_type"))
+        .orderBy(col("o_orderkey"), col("change_type"))
+    }),
+
     // Incremental materialized-view maintenance
     // (sinks/MaterializedView.scala): the gold per-priority aggregate is
     // initialized at table v0, the base table then takes an upsert wave and
@@ -5610,6 +5647,46 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_lake_cdf" ->
+      """WITH v0 AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |incoming AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |v2 AS (
+        |  SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
+        |         COALESCE(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
+        |         COALESCE(i.o_totalprice, e.o_totalprice) AS o_totalprice
+        |  FROM v0 e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey
+        |  WHERE COALESCE(e.o_orderkey, i.o_orderkey) % 10 <> 4),
+        |j AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+        |         a.o_orderkey AS ak, b.o_orderkey AS bk,
+        |         a.o_orderpriority AS a_pri, b.o_orderpriority AS b_pri,
+        |         a.o_totalprice AS a_price, b.o_totalprice AS b_price
+        |  FROM v0 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey),
+        |feed AS (
+        |  SELECT k AS o_orderkey, b_pri AS o_orderpriority,
+        |         ROUND(b_price, 2) AS price, 'insert' AS change_type
+        |  FROM j WHERE ak IS NULL
+        |  UNION ALL
+        |  SELECT k, a_pri, ROUND(a_price, 2), 'delete' FROM j WHERE bk IS NULL
+        |  UNION ALL
+        |  SELECT k, a_pri, ROUND(a_price, 2), 'update_preimage' FROM j
+        |  WHERE ak IS NOT NULL AND bk IS NOT NULL
+        |    AND (a_price IS DISTINCT FROM b_price
+        |         OR a_pri IS DISTINCT FROM b_pri)
+        |  UNION ALL
+        |  SELECT k, b_pri, ROUND(b_price, 2), 'update_postimage' FROM j
+        |  WHERE ak IS NOT NULL AND bk IS NOT NULL
+        |    AND (a_price IS DISTINCT FROM b_price
+        |         OR a_pri IS DISTINCT FROM b_pri))
+        |SELECT * FROM feed ORDER BY o_orderkey, change_type""".stripMargin,
+
+    // identical net-feed semantics by contract: the recorded path must
+    // hash-match the exact SQL that defines the snapshot diff (the
+    // rebucket inside the span nets to zero rows)
+    "q_lake_cdf_recorded" ->
       """WITH v0 AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice
         |  FROM orders WHERE o_orderkey % 2 = 0),

@@ -67,11 +67,23 @@ object LakeTable {
     * point): [[readEq]] tests each file's bloom driver-side and opens only
     * the files that MIGHT contain the probe value.
     */
+  /** `cdfRecord` opts the table into COMMIT-TIME change-feed recording
+    * (the Delta `_change_data` design point): every copy-on-write commit
+    * also writes its delivery-sized row diff under `_cdf/`, claimed by a
+    * per-version `_cdf/<v>.json` marker, and [[changes]] serves a span
+    * whose steps are all recorded from those files — O(delta read) for
+    * the consumer even when the delivery hash-scattered across every
+    * bucket (where the snapshot diff costs two full reads + a join of
+    * the touched buckets). A table property (copy-carried); the marker
+    * is per-step state (sidecar-disciplined, written after the manifest
+    * claim — a missing marker only degrades that span to the diff).
+    */
   final case class Manifest(version: Long, keys: Seq[String], numBuckets: Int,
       schemaDdl: String, files: Seq[(String, Int)],
       sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L, dvFiles: Seq[(String, Int)] = Nil,
-      bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil,
+      cdfRecord: Boolean = false)
 
   /** Per-file zone-map entry: row count + min/max of each stats column,
     * string-rendered (None = the column was all-NULL in the file).
@@ -144,6 +156,7 @@ object LakeTable {
       s""""bloom_cols":[${m.bloomCols.map(jq).mkString(",")}],""" +
       s""""ndv_cols":[${m.ndvCols.map(jq).mkString(",")}],""" +
       s""""max_records":${m.maxRecordsPerFile},""" +
+      s""""cdf_record":${if (m.cdfRecord) 1 else 0},""" +
       s""""dv_files":[${m.dvFiles.map { case (p, b) =>
         s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}],""" +
       s""""files":[${m.files.map { case (p, b) =>
@@ -211,7 +224,8 @@ object LakeTable {
     Manifest(longField("version"), keys, longField("num_buckets").toInt,
       strField("schema_ddl"), fileArray("files"),
       strSeq("sort_cols"), strSeq("stats_cols"), optLong("max_records", 0L),
-      fileArray("dv_files"), strSeq("bloom_cols"), strSeq("ndv_cols"))
+      fileArray("dv_files"), strSeq("bloom_cols"), strSeq("ndv_cols"),
+      optLong("cdf_record", 0L) == 1L)
   }
 
   private[graft] def versions(fs: FileSystem, root: String): Seq[Long] = {
@@ -850,7 +864,8 @@ object LakeTable {
   def init(df: DataFrame, root: String, keys: Seq[String],
       numBuckets: Int = 64, sortCols: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L,
-      bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil,
+      cdfRecord: Boolean = false): Unit = {
     require(keys.nonEmpty, "keys must be non-empty")
     val spark = df.sparkSession
     val fs = hfs(spark, root)
@@ -858,7 +873,8 @@ object LakeTable {
     val files = writeFiles(spark, root, df, keys, numBuckets,
       sortCols, maxRecordsPerFile)
     val m = Manifest(0L, keys, numBuckets, df.schema.toDDL, files,
-      sortCols, statsCols, maxRecordsPerFile, Nil, bloomCols, ndvCols)
+      sortCols, statsCols, maxRecordsPerFile, Nil, bloomCols, ndvCols,
+      cdfRecord)
     // manifest FIRST: winning the version claim makes the sidecars
     // single-writer (a commit-race loser must never overwrite the
     // winner's stats/blooms — wrong sidecars would mis-prune, and a
@@ -1003,6 +1019,7 @@ object LakeTable {
         publishBlooms(spark, root, next, Some(m.version))
         publishNdv(spark, root, next, Some(m.version))
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
+        if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
       }
     }
@@ -1043,6 +1060,7 @@ object LakeTable {
       publishBlooms(spark, root, next, None)
       publishNdv(spark, root, next, None)
       carryZMarker(spark, root, mk, next, files.map(_._1))
+      if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
     }
   }
@@ -1262,6 +1280,7 @@ object LakeTable {
       publishNdv(spark, root, next, None)
       writeZMarker(spark, root, ZMarker(next.version, zCols,
         ranged.map { case (_, mn, mx) => (mn, mx) }, files.map(_._1)))
+      if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
     }
   }
@@ -1321,6 +1340,7 @@ object LakeTable {
         publishNdv(spark, root, next, Some(m.version))
         writeZMarker(spark, root, ZMarker(next.version, mk.zCols, mk.axes,
           (cold ++ fresh).map(_._1)))
+        if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
       }
     }
@@ -1475,6 +1495,7 @@ object LakeTable {
       publishStats(spark, root, next, None)
       publishBlooms(spark, root, next, None)
       publishNdv(spark, root, next, None)
+      if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
     }
   }
@@ -1788,6 +1809,11 @@ object LakeTable {
     publishStats(spark, root, next, Some(m.version))
     publishBlooms(spark, root, next, Some(m.version))
     publishNdv(spark, root, next, Some(m.version))
+    // commit-time change feed (opt-in): `apply` mutates only source-keyed
+    // rows (upsert/delete/fold all guarantee it), so the step diff is the
+    // pre/post bucket content restricted to the delivery's keys
+    if (m.cdfRecord)
+      publishCdf(spark, root, next, cur, fresh.map(_._1), source, m.keys)
     next.version
   }
 
@@ -1836,11 +1862,171 @@ object LakeTable {
         publishBlooms(spark, root, next, Some(m.version))
         publishNdv(spark, root, next, Some(m.version))
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
+        if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
       }
     }
 
   // ---- change data feed ------------------------------------------------
+
+  /** Classify a keyed full-outer pre/post comparison into the Delta-CDF
+    * vocabulary. `joined` carries `__pre`/`__post` row structs (NULL =
+    * absent on that side); unchanged rows (null-safe struct equality)
+    * emit nothing. Shared by the snapshot diff, commit-time recording,
+    * and recorded-span netting — one classification, three producers.
+    */
+  private def explodeDiff(joined: DataFrame): DataFrame = {
+    val changed = col("__pre").isNotNull && col("__post").isNotNull &&
+      !(col("__pre") <=> col("__post"))
+    val entries = array(
+      when(col("__pre").isNull && col("__post").isNotNull,
+        struct(lit("insert").alias("t"), col("__post").alias("r"))),
+      when(col("__post").isNull && col("__pre").isNotNull,
+        struct(lit("delete").alias("t"), col("__pre").alias("r"))),
+      when(changed,
+        struct(lit("update_preimage").alias("t"), col("__pre").alias("r"))),
+      when(changed,
+        struct(lit("update_postimage").alias("t"), col("__post").alias("r"))))
+    joined.select(explode(filter(entries, e => e.isNotNull)).alias("__e"))
+      .select(col("__e.r.*"), col("__e.t").alias("_change_type"))
+  }
+
+  // ---- commit-time recorded change feed (`_cdf/`) ----------------------
+  // Per-version marker `_cdf/<v>.json` listing the step's feed parquet
+  // files (empty list = recorded-empty: maintenance rewrites). Written
+  // AFTER the manifest claim like every sidecar — a race loser never
+  // writes one, and a crash between the two leaves a missing marker,
+  // which only degrades that span to the snapshot diff. [[deleteMor]]
+  // and [[restore]] record nothing by design: deriving their row images
+  // would cost the bucket reads the operations exist to avoid.
+
+  private def writeCdfMarker(spark: SparkSession, root: String,
+      version: Long, paths: Seq[String]): Unit = {
+    val fs = hfs(spark, root)
+    val dir = new Path(root, "_cdf")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+    val out = fs.create(staged, false)
+    try out.write(s"""{"files":[${paths.map(jq).mkString(",")}]}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(staged, new Path(dir, s"$version.json"))
+  }
+
+  private[graft] def readCdfMarker(spark: SparkSession, root: String,
+      version: Long): Option[Seq[String]] = {
+    val fs = hfs(spark, root)
+    val p = new Path(root, s"_cdf/$version.json")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some("\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(
+        s.drop(s.indexOf('['))).map(_.group(1)
+          .replace("\\\\", "\u0000").replace("\\\"", "\"")
+          .replace("\u0000", "\\")).toSeq)
+    }
+  }
+
+  /** Record a copy-on-write commit's row diff: pre/post bucket content
+    * restricted to the DELIVERY's keys (valid because every rewrite path
+    * only mutates source-keyed rows — [[rewriteTouched]]'s `apply`
+    * contract), classified and written delivery-sized under `_cdf/`.
+    * The post side reads BACK the freshly written files, so nothing is
+    * recomputed; the pre side re-reads the hot files the rewrite already
+    * read — one extra bounded pass, paid only by `cdfRecord` tables.
+    */
+  private def publishCdf(spark: SparkSession, root: String, next: Manifest,
+      pre: DataFrame, freshPaths: Seq[String], source: DataFrame,
+      keys: Seq[String]): Unit = {
+    val schema = StructType.fromDDL(next.schemaDdl)
+    val cols = schema.fieldNames.toSeq
+    val srcKeys = source.select(keys.map(col): _*).dropDuplicates(keys)
+    def restrict(d: DataFrame) =
+      keyMembershipJoin(d, srcKeys, keys, "left_semi", bcast = true)
+    def side(d: DataFrame, alias: String) = {
+      // the pre side may predate an additive widening: surface missing
+      // columns as NULL under the TO schema, like the snapshot diff does
+      val w = restrict(d).select(cols.map(c =>
+        if (d.columns.contains(c)) col(c)
+        else lit(null).cast(schema(c).dataType).alias(c)): _*)
+      w.select(keys.map(col) :+ struct(cols.map(col): _*).alias(alias): _*)
+    }
+    val post = readFiles(spark, root, next, freshPaths)
+    val feed = explodeDiff(nullSafeKeyJoin(
+      side(pre, "__pre"), side(post, "__post"), keys, "full_outer")
+      .select(col("__pre"), col("__post")))
+    val dir = s"_cdf/data/${java.util.UUID.randomUUID}"
+    feed.write.parquet(s"$root/$dir")
+    val fs = hfs(spark, root)
+    val parts = fs.listStatus(new Path(root, dir))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"$dir/$n").toSeq
+    writeCdfMarker(spark, root, next.version, parts)
+  }
+
+  /** Which path the last [[changes]] call served: Some(true) = recorded
+    * feeds, Some(false) = snapshot diff. Test pin; not public API. */
+  private[graft] var lastChangesRecorded: Option[Boolean] = None
+
+  /** Serve a span from recorded per-step feeds. One step passes through
+    * verbatim (a step feed IS that step's exact diff). Multiple steps NET
+    * per key — the span's pre-image is the key's EARLIEST recorded
+    * pre-state (absent if its first touch was an insert), the post-image
+    * its LATEST post-state (absent if its last touch was a delete), and
+    * [[explodeDiff]] then classifies exactly like the snapshot diff,
+    * cancelling intermediate churn (insert→delete nets to nothing,
+    * re-merged identical rows net to nothing). All plan-side: a grouped
+    * min_by/max_by over delivery-sized feed rows; presence rides an
+    * explicit flag so a NULL pre/post (insert/delete) survives the
+    * aggregation. Pre-widening step feeds union in by name with NULLs.
+    */
+  private def recordedFeed(spark: SparkSession, root: String,
+      steps: Seq[(Long, Seq[String])], toSchema: StructType,
+      keys: Seq[String]): DataFrame = {
+    val cols = toSchema.fieldNames.toSeq
+    def empty: DataFrame = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      toSchema.add("_change_type", "string"))
+    def project(d: DataFrame): DataFrame =
+      d.select(cols.map(c =>
+        if (d.columns.contains(c)) col(c).cast(toSchema(c).dataType)
+        else lit(null).cast(toSchema(c).dataType).alias(c)) :+
+        col("_change_type"): _*)
+    val frames = steps.collect { case (v, paths) if paths.nonEmpty =>
+      (v, spark.read.parquet(paths.map(p => s"$root/$p"): _*)) }
+    frames match {
+      case Seq() => empty
+      case Seq((_, one)) => project(one)
+      case many =>
+        val all = many.map { case (v, d) =>
+          project(d).withColumn("__v", lit(v)) }
+          .reduce(_ unionByName _)
+        val rowS = struct(cols.map(col): _*)
+        val perStep = all
+          .groupBy((keys.map(col) :+ col("__v")): _*)
+          .agg(
+            first(when(col("_change_type")
+              .isin("delete", "update_preimage"), rowS),
+              ignoreNulls = true).alias("__pre0"),
+            first(when(col("_change_type")
+              .isin("insert", "update_postimage"), rowS),
+              ignoreNulls = true).alias("__post0"))
+          .select((keys.map(col) :+ col("__v") :+
+            struct(col("__pre0").isNotNull.alias("p"),
+              col("__pre0").alias("r")).alias("__preW") :+
+            struct(col("__post0").isNotNull.alias("p"),
+              col("__post0").alias("r")).alias("__postW")): _*)
+        val net = perStep
+          .groupBy(keys.map(col): _*)
+          .agg(min_by(col("__preW"), col("__v")).alias("__preW"),
+            max_by(col("__postW"), col("__v")).alias("__postW"))
+          .select(when(col("__preW.p"), col("__preW.r")).alias("__pre"),
+            when(col("__postW.p"), col("__postW.r")).alias("__post"))
+        explodeDiff(net)
+    }
+  }
 
   /** Buckets whose live file SETS differ between the two manifests — data
     * files are immutable and shared across versions, so an identical file
@@ -1890,33 +2076,45 @@ object LakeTable {
       require(toSchema.find(_.name == f.name).exists(_.dataType == f.dataType),
         s"column ${f.name} dropped or retyped between $fromVersion and " +
           s"$toVersion; changes() supports additive evolution only"))
-    val hot: Int => Boolean =
-      if (mf.numBuckets == mt.numBuckets) changedBuckets(mf, mt)
-      else _ => true // rebucket in the span: full value diff (see doc)
     val cols = toSchema.fieldNames.toSeq
-    def side(m: Manifest, alias: String): DataFrame = {
-      // both sides read with the TO schema: pre-widening files surface the
-      // new columns as NULL, exactly what their snapshot contained; each
-      // side subtracts ITS OWN deletion vectors (hot buckets only)
-      val df = applyDv(spark, root, m,
-        readFiles(spark, root, mt, m.files.filter(f => hot(f._2)).map(_._1)),
-        m.dvFiles.filter(f => hot(f._2)))
-      df.select(m.keys.map(col) :+ struct(cols.map(col): _*).alias(alias): _*)
+    // fast path: every step in the span carries a commit-time recorded
+    // feed — serve from the delivery-sized feed files alone, no snapshot
+    // is read (see [[Manifest.cdfRecord]]); any unrecorded step (an old
+    // version, a deleteMor, a restore, a crash-lost marker) falls back
+    val recorded: Option[Seq[(Long, Seq[String])]] = {
+      val span = ((fromVersion + 1) to toVersion)
+        .map(v => v -> readCdfMarker(spark, root, v))
+      if (span.nonEmpty && span.forall(_._2.isDefined))
+        Some(span.map { case (v, p) => (v, p.get) })
+      else None
     }
-    val changed = col("__pre").isNotNull && col("__post").isNotNull &&
-      !(col("__pre") <=> col("__post"))
-    val entries = array(
-      when(col("__pre").isNull,
-        struct(lit("insert").alias("t"), col("__post").alias("r"))),
-      when(col("__post").isNull,
-        struct(lit("delete").alias("t"), col("__pre").alias("r"))),
-      when(changed,
-        struct(lit("update_preimage").alias("t"), col("__pre").alias("r"))),
-      when(changed,
-        struct(lit("update_postimage").alias("t"), col("__post").alias("r"))))
-    side(mf, "__pre").join(side(mt, "__post"), mt.keys, "full_outer")
-      .select(explode(filter(entries, e => e.isNotNull)).alias("__e"))
-      .select(col("__e.r.*"), col("__e.t").alias("_change_type"))
+    lastChangesRecorded = if (fromVersion == toVersion) None
+      else Some(recorded.isDefined)
+    val body = recorded match {
+      case Some(steps) =>
+        recordedFeed(spark, root, steps, toSchema, mt.keys)
+      case None =>
+        val hot: Int => Boolean =
+          if (mf.numBuckets == mt.numBuckets) changedBuckets(mf, mt)
+          else _ => true // rebucket in the span: full value diff (see doc)
+        def side(m: Manifest, alias: String): DataFrame = {
+          // both sides read with the TO schema: pre-widening files surface
+          // the new columns as NULL, exactly what their snapshot
+          // contained; each side subtracts ITS OWN deletion vectors (hot
+          // buckets only)
+          val df = applyDv(spark, root, m,
+            readFiles(spark, root, mt,
+              m.files.filter(f => hot(f._2)).map(_._1)),
+            m.dvFiles.filter(f => hot(f._2)))
+          df.select(m.keys.map(col) :+
+            struct(cols.map(col): _*).alias(alias): _*)
+        }
+        // NULL-safe on the keys: a NULL key is one row on both sides and
+        // must classify as update/unchanged, never a phantom delete+insert
+        explodeDiff(nullSafeKeyJoin(side(mf, "__pre"), side(mt, "__post"),
+          mt.keys, "full_outer").select(col("__pre"), col("__post")))
+    }
+    body
       .withColumn("_from_version", lit(fromVersion))
       .withColumn("_to_version", lit(toVersion))
   }
@@ -2070,6 +2268,7 @@ object LakeTable {
         publishBlooms(spark, root, next, Some(m.version))
         publishNdv(spark, root, next, Some(m.version))
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
+        if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
       }
     }
@@ -2149,7 +2348,22 @@ object LakeTable {
       fs.delete(new Path(root, s"_stats/$v.json"), false)
       fs.delete(new Path(root, s"_bloom/$v.json"), false)
       fs.delete(new Path(root, s"_ndv/$v.json"), false)
+      fs.delete(new Path(root, s"_cdf/$v.json"), false)
       if (v != zHead) fs.delete(new Path(root, s"_zorder/$v.json"), false)
+    }
+    // recorded change-feed data unreferenced by any KEPT marker: feeds of
+    // dropped versions plus crash/race-loser debris (a feed dir written
+    // before a publish that never landed)
+    val cdfData = new Path(root, "_cdf/data")
+    if (fs.exists(cdfData)) {
+      val keptFeeds = keep.flatMap(v =>
+        readCdfMarker(spark, root, v).getOrElse(Nil))
+        .map(p => p.split("/").takeRight(2).head).toSet
+      for (sub <- fs.listStatus(cdfData)
+           if !keptFeeds(sub.getPath.getName)) {
+        fs.delete(sub.getPath, true)
+        removed += s"_cdf/data/${sub.getPath.getName}"
+      }
     }
     removed.toSeq
   }

@@ -51,6 +51,7 @@ class LakeChaosPropertySpec extends SparkTestBase {
   private case object KillSync extends Crash
   private case object KillStats extends Crash
   private case object KillZMarker extends Crash
+  private case object KillCdfMarker extends Crash
 
   private def genRowsIn(lo: Long, hi: Long): Gen[Seq[R]] = for {
     ids <- Gen.nonEmptyListOf(Gen.choose(lo, hi)).map(_.distinct)
@@ -70,7 +71,8 @@ class LakeChaosPropertySpec extends SparkTestBase {
 
   private val genCrash: Gen[Crash] = Gen.frequency(
     4 -> Gen.const(NoCrash), 1 -> Gen.const(KillSync),
-    1 -> Gen.const(KillStats), 1 -> Gen.const(KillZMarker))
+    1 -> Gen.const(KillStats), 1 -> Gen.const(KillZMarker),
+    1 -> Gen.const(KillCdfMarker))
 
   // one actor step: ops from DISJOINT id ranges commute on the model
   private case class Step(a: Op, b: Op, crash: Crash)
@@ -133,6 +135,13 @@ class LakeChaosPropertySpec extends SparkTestBase {
         val p = new Path(s"$root/_stats/$v.json")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, false)
+      case KillCdfMarker =>
+        // a commit that died between manifest and feed marker: the span
+        // must degrade to the snapshot diff, never break
+        val v = LakeTable.manifest(spark, root).version
+        val p = new Path(s"$root/_cdf/$v.json")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, false)
     }
   }
 
@@ -171,8 +180,11 @@ class LakeChaosPropertySpec extends SparkTestBase {
       (base, steps) =>
         val root = java.nio.file.Files.createTempDirectory("lakechaos").toString
         val mvRoot = java.nio.file.Files.createTempDirectory("lakechaosmv").toString
+        // cdfRecord: the recorded-feed fast path runs under the same
+        // chaos (deleteMor/restore-free recorded spans serve from feed
+        // files; deleteMor steps and killed markers force the fallback)
         LakeTable.init(df(base), root, Seq("id"), numBuckets = 2,
-          statsCols = Seq("id", "score"))
+          statsCols = Seq("id", "score"), cdfRecord = true)
         MaterializedView.init(spark, root, mvRoot, Seq("grp"), Seq("score"))
         var model: Model = base.map(r => r._1 -> ((r._2, r._3))).toMap
         val v0 = LakeTable.manifest(spark, root).version
