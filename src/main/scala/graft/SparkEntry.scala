@@ -1234,14 +1234,18 @@ object SparkEntry {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       val orders = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      // deliveries are DELIVERY-SIZED (~1% of keys): the cost gate then
+      // provably picks the recorded path (feed bytes ≪ snapshot bytes) —
+      // table-scale scattered deliveries would correctly flip it back to
+      // the snapshot diff (see changes() cost gate)
       graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
         root, Seq("o_orderkey"), numBuckets = 16, cdfRecord = true)
       graft.sinks.LakeTable.merge(s, root,
-        orders.filter(col("o_orderkey") % 3 === 0)
+        orders.filter(col("o_orderkey") % 97 === 0)
           .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
       graft.sinks.LakeTable.rebucket(s, root, 8)
       graft.sinks.LakeTable.delete(s, root,
-        orders.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")))
+        orders.filter(col("o_orderkey") % 131 === 0).select(col("o_orderkey")))
       val v = graft.sinks.LakeTable.manifest(s, root).version
       val feed = graft.sinks.LakeTable.changes(s, root, 0L, v)
       require(graft.sinks.LakeTable.lastChangesRecorded.contains(true),
@@ -5692,13 +5696,13 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 2 = 0),
         |incoming AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice + 1000.0 AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |  FROM orders WHERE o_orderkey % 97 = 0),
         |v2 AS (
         |  SELECT COALESCE(e.o_orderkey, i.o_orderkey) AS o_orderkey,
         |         COALESCE(i.o_orderpriority, e.o_orderpriority) AS o_orderpriority,
         |         COALESCE(i.o_totalprice, e.o_totalprice) AS o_totalprice
         |  FROM v0 e FULL OUTER JOIN incoming i ON e.o_orderkey = i.o_orderkey
-        |  WHERE COALESCE(e.o_orderkey, i.o_orderkey) % 10 <> 4),
+        |  WHERE COALESCE(e.o_orderkey, i.o_orderkey) % 131 <> 0),
         |j AS (
         |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
         |         a.o_orderkey AS ak, b.o_orderkey AS bk,

@@ -1958,7 +1958,11 @@ object LakeTable {
       side(pre, "__pre"), side(post, "__post"), keys, "full_outer")
       .select(col("__pre"), col("__post")))
     val dir = s"_cdf/data/${java.util.UUID.randomUUID}"
-    feed.write.parquet(s"$root/$dir")
+    // the feed is delivery-sized; don't let the shuffle partitioning
+    // scatter it into 32 near-empty files (file count scales with the
+    // rewrite's width, bounded — a delivery-sized diff lands in a few)
+    feed.coalesce(math.min(8, math.max(1, freshPaths.size / 4)))
+      .write.parquet(s"$root/$dir")
     val fs = hfs(spark, root)
     val parts = fs.listStatus(new Path(root, dir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
@@ -2080,7 +2084,15 @@ object LakeTable {
     // fast path: every step in the span carries a commit-time recorded
     // feed — serve from the delivery-sized feed files alone, no snapshot
     // is read (see [[Manifest.cdfRecord]]); any unrecorded step (an old
-    // version, a deleteMor, a restore, a crash-lost marker) falls back
+    // version, a deleteMor, a restore, a crash-lost marker) falls back.
+    // COST GATE for multi-step spans: netting aggregates the feed rows,
+    // so it only undercuts the snapshot diff when the summed feed bytes
+    // undercut the two snapshot sides (metadata-only FileStatus check —
+    // a span of table-scale scattered deliveries carries MORE feed than
+    // table and the diff is cheaper; a span of delivery-sized steps is
+    // the recorded path's whole point). A single recorded step IS the
+    // diff and always serves directly. Both paths are value-identical
+    // (CdfRecordedSpec twin-checks), so the choice is purely cost.
     val recorded: Option[Seq[(Long, Seq[String])]] = {
       val span = ((fromVersion + 1) to toVersion)
         .map(v => v -> readCdfMarker(spark, root, v))
@@ -2088,12 +2100,27 @@ object LakeTable {
         Some(span.map { case (v, p) => (v, p.get) })
       else None
     }
+    val serveRecorded = recorded.exists { steps =>
+      val nonEmpty = steps.count(_._2.nonEmpty)
+      if (nonEmpty <= 1) true
+      else {
+        val fsys = hfs(spark, root)
+        def len(p: String) = scala.util.Try(
+          fsys.getFileStatus(new Path(root, p)).getLen).getOrElse(0L)
+        val feedBytes = steps.flatMap(_._2).map(len).sum
+        val hot: Int => Boolean =
+          if (mf.numBuckets == mt.numBuckets) changedBuckets(mf, mt)
+          else _ => true
+        val snapBytes = (mf.files ++ mt.files).filter(f => hot(f._2))
+          .map(f => len(f._1)).sum
+        feedBytes <= snapBytes
+      }
+    }
     lastChangesRecorded = if (fromVersion == toVersion) None
-      else Some(recorded.isDefined)
-    val body = recorded match {
-      case Some(steps) =>
-        recordedFeed(spark, root, steps, toSchema, mt.keys)
-      case None =>
+      else Some(serveRecorded)
+    val body = if (serveRecorded)
+        recordedFeed(spark, root, recorded.get, toSchema, mt.keys)
+      else {
         val hot: Int => Boolean =
           if (mf.numBuckets == mt.numBuckets) changedBuckets(mf, mt)
           else _ => true // rebucket in the span: full value diff (see doc)

@@ -50,8 +50,16 @@ class CdfRecordedSpec extends SparkTestBase {
 
   test("multi-step netting: churn cancels, update chains collapse to endpoints") {
     val rec = newRoot(); val twin = newRoot()
-    LakeTable.init(base, rec, Seq("id"), numBuckets = 2, cdfRecord = true)
-    LakeTable.init(base, twin, Seq("id"), numBuckets = 2)
+    // filler rows make the snapshot sides decisively heavier than the
+    // delivery-sized feeds, so the multi-step COST GATE picks the
+    // recorded path deterministically (tiny-table byte counts are
+    // parquet-overhead noise)
+    val filler = spark.range(10000, 12000).select($"id",
+      concat(lit("f"), lpad($"id".cast("string"), 100, "x")).alias("name"),
+      lit(0.0).alias("score"))
+    val big = base.unionByName(filler)
+    LakeTable.init(big, rec, Seq("id"), numBuckets = 2, cdfRecord = true)
+    LakeTable.init(big, twin, Seq("id"), numBuckets = 2)
     def both(f: String => Unit): Unit = { f(rec); f(twin) }
     both(r => LakeTable.merge(spark, r,
       Seq((9L, "i", 9.0), (2L, "B1", 21.0)).toDF("id", "name", "score")))
@@ -126,8 +134,13 @@ class CdfRecordedSpec extends SparkTestBase {
 
   test("additive widening inside a recorded span projects old feeds with NULLs") {
     val rec = newRoot(); val twin = newRoot()
-    LakeTable.init(base, rec, Seq("id"), numBuckets = 2, cdfRecord = true)
-    LakeTable.init(base, twin, Seq("id"), numBuckets = 2)
+    // filler keeps the cost gate on the recorded path (see netting test)
+    val filler = spark.range(10000, 12000).select($"id",
+      concat(lit("f"), lpad($"id".cast("string"), 100, "x")).alias("name"),
+      lit(0.0).alias("score"))
+    val wide = base.unionByName(filler)
+    LakeTable.init(wide, rec, Seq("id"), numBuckets = 2, cdfRecord = true)
+    LakeTable.init(wide, twin, Seq("id"), numBuckets = 2)
     def both(f: String => Unit): Unit = { f(rec); f(twin) }
     both(r => LakeTable.merge(spark, r,
       Seq((9L, "i", 9.0)).toDF("id", "name", "score")))
