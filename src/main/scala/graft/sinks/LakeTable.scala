@@ -1500,6 +1500,33 @@ object LakeTable {
     }
   }
 
+  /** Toggle commit-time change-feed recording on an EXISTING table: one
+    * metadata-only publish (same files, sidecars carried verbatim).
+    * Nothing is backfilled — steps before the toggle stay unrecorded and
+    * serve through the snapshot diff; recording starts with the next
+    * copy-on-write commit. The toggle version itself is a content no-op
+    * and always records an EMPTY feed — a span crossing the toggle is
+    * only as unrecorded as its other steps. Disabling stops writing
+    * feeds; markers already written stay valid for their versions.
+    */
+  def alterCdfRecord(spark: SparkSession, root: String,
+      enabled: Boolean): Long = {
+    val fs = hfs(spark, root)
+    withCommitRetries() { () =>
+      val m = manifest(spark, root)
+      if (m.cdfRecord == enabled) m.version
+      else {
+        val next = m.copy(version = m.version + 1, cdfRecord = enabled)
+        publish(fs, root, next)
+        publishStats(spark, root, next, Some(m.version))
+        publishBlooms(spark, root, next, Some(m.version))
+        publishNdv(spark, root, next, Some(m.version))
+        writeCdfMarker(spark, root, next.version, Nil)
+        next.version
+      }
+    }
+  }
+
   /** Read a version (default: newest) as an explicit-file-list DataFrame,
     * deletion vectors applied.
     */

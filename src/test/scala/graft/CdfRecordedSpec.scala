@@ -195,6 +195,36 @@ class CdfRecordedSpec extends SparkTestBase {
     fs.exists(orphan) shouldBe false
   }
 
+  test("alterCdfRecord: recording starts at the toggle, pre-toggle spans fall back") {
+    val rec = newRoot()
+    LakeTable.init(base, rec, Seq("id"), numBuckets = 2)
+    LakeTable.merge(spark, rec,
+      Seq((9L, "i", 9.0)).toDF("id", "name", "score")) // v1, unrecorded
+    val vOn = LakeTable.alterCdfRecord(spark, rec, enabled = true) // v2
+    LakeTable.manifest(spark, rec).cdfRecord shouldBe true
+    // idempotent: same state publishes nothing
+    LakeTable.alterCdfRecord(spark, rec, enabled = true) shouldBe vOn
+    LakeTable.merge(spark, rec,
+      Seq((10L, "j", 10.0)).toDF("id", "name", "score")) // v3, recorded
+    // post-toggle span (v2..v3) is fully recorded: toggle = empty feed
+    feedSet(LakeTable.changes(spark, rec, vOn - 1, vOn + 1)) shouldBe
+      Set((10L, "j", 10.0, "insert"))
+    LakeTable.lastChangesRecorded shouldBe Some(true)
+    // a span reaching before the toggle has an unrecorded step: fallback
+    feedSet(LakeTable.changes(spark, rec, 0L, vOn + 1)) shouldBe
+      Set((9L, "i", 9.0, "insert"), (10L, "j", 10.0, "insert"))
+    LakeTable.lastChangesRecorded shouldBe Some(false)
+    // disable: the next commit records nothing
+    LakeTable.alterCdfRecord(spark, rec, enabled = false)
+    LakeTable.merge(spark, rec,
+      Seq((11L, "k", 11.0)).toDF("id", "name", "score"))
+    val vEnd = LakeTable.manifest(spark, rec).version
+    LakeTable.readCdfMarker(spark, rec, vEnd) shouldBe None
+    feedSet(LakeTable.changes(spark, rec, vEnd - 1, vEnd)) shouldBe
+      Set((11L, "k", 11.0, "insert"))
+    LakeTable.lastChangesRecorded shouldBe Some(false)
+  }
+
   test("an MV over a recorded table refreshes from the feed files") {
     val rec = newRoot(); val mvRoot = newRoot()
     val withGrp = base.withColumn("grp", ($"id" % 2).cast("string"))
