@@ -1961,6 +1961,59 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Plan-time sidecar pruning (sinks/LakeTable.scala SidecarFileIndex /
+    // scan): the zone maps answer the PLANNER's pushed dataFilters instead
+    // of a bespoke entry point — scan() returns a FileIndex-backed
+    // relation, so this query's ordinary DataFrame date-range filter
+    // prunes files inside Catalyst exactly as readRange would have, with
+    // the oracle checking no row was lost to a wrong prune.
+    "q_lake_scan_pushdown" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_scanpd"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate").cast("date").alias("o_odate"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, sortCols = Seq("o_odate"),
+        statsCols = Seq("o_odate"), bloomCols = Seq("o_custkey"),
+        maxRecordsPerFile = 4096L)
+      graft.sinks.LakeTable.scan(s, root)
+        .filter(col("o_odate").between(lit("1996-01-01").cast("date"),
+          lit("1996-12-31").cast("date")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"),
+          round(sum(col("o_totalprice")), 2).alias("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // The SQL front door over the same index: a temp view of scan() makes
+    // the lake table a first-class SQL table — the WHERE's IN list reaches
+    // SidecarFileIndex.listFiles as a Catalyst dataFilter and probes the
+    // per-file BLOOMS on o_custkey (non-key, non-clustered, hash-scattered
+    // — zones can't help), with zero graft-specific syntax in the query.
+    "q_lake_scan_sql" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_scansql"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderdate").cast("date").alias("o_odate"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, sortCols = Seq("o_odate"),
+        statsCols = Seq("o_odate"), bloomCols = Seq("o_custkey"),
+        maxRecordsPerFile = 4096L)
+      graft.sinks.LakeTable.scan(s, root)
+        .createOrReplaceTempView("lake_orders")
+      s.sql("""SELECT o_orderkey, date_format(o_odate, 'yyyy-MM-dd') AS d,
+        |  ROUND(o_totalprice, 2) AS price
+        |FROM lake_orders
+        |WHERE o_custkey IN (37, 74, 113)
+        |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // Bucket-pruned point lookup (sinks/LakeTable.scala lookup): the probe
     // keys' hash buckets are the ONLY files opened — a point query against
     // a 100 TB table reads ≤ |probes| buckets. Value check: the lookup
@@ -2287,6 +2340,40 @@ object SparkEntry {
           .alias("window_start"), col("event_type"))
         .agg(count(lit(1)).alias("n_events"), dsum(col("value")).alias("sum_value"))
         .orderBy("window_start", "event_type")),
+
+    // Time-series gap fill + forward fill: a sparse event stream (1/97 of
+    // users) densified to a regular hourly grid per event type. The dense
+    // axis is sequence(min_hour, max_hour) × distinct types — metadata-
+    // sized however large the fact side grows (hours × |types|), so the
+    // only table-scale work is the hourly groupBy and one window per
+    // type. Missing hours fill n=0; the last observed hourly max carries
+    // forward via last(ignoreNulls) over an unbounded-preceding row
+    // frame (hours before a type's first observation stay NULL — both
+    // engines agree). Metric is MAX (order-independent), so the fill
+    // values hash exactly cross-engine.
+    "q_gapfill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = events(s, dir)
+        .filter(col("value") > 18 && col("user_id") % 97 === 0)
+      val hours = src
+        .agg(date_trunc("hour", min(col("ts"))).alias("lo"),
+          date_trunc("hour", max(col("ts"))).alias("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 hour"))).alias("h"))
+      val types = src.select(col("event_type")).distinct()
+      val agg = src
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).alias("h"))
+        .agg(count(lit(1)).alias("n"), round(max(col("value")), 2).alias("mx"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hours.crossJoin(broadcast(types))
+        .join(agg, Seq("event_type", "h"), "left")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm").alias("hh"),
+          coalesce(col("n"), lit(0L)).alias("n"),
+          last(col("mx"), ignoreNulls = true).over(w).alias("ffill_max"))
+        .orderBy("event_type", "hh")
+    }),
 
     // OHLC/VWAP candle bars (operators/Resample.scala): the market-data
     // rollup as ONE hash aggregation — open/close via min_by/max_by over
@@ -5940,6 +6027,21 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 = 0
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
+    "q_lake_scan_pushdown" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       ROUND(SUM(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_lake_scan_sql" ->
+      """SELECT o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+        |       ROUND(o_totalprice, 2) AS price
+        |FROM orders WHERE o_custkey IN (37, 74, 113)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_lake_pointlookup" ->
       """SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS price
         |FROM orders WHERE o_orderkey % 97 = 0
@@ -6108,6 +6210,26 @@ object SparkEntry {
         |       event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH src AS (SELECT * FROM events
+        |             WHERE value > 18 AND user_id % 97 = 0),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+        |                  date_trunc('hour', max(ts)) AS hi FROM src),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |          FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM src),
+        |agg AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |               COUNT(*) AS n, ROUND(MAX(value), 2) AS mx
+        |        FROM src GROUP BY 1, 2)
+        |SELECT t.event_type, strftime(hr.h, '%Y-%m-%d %H:%M') AS hh,
+        |       CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+        |       last_value(a.mx IGNORE NULLS) OVER (
+        |         PARTITION BY t.event_type ORDER BY hr.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_max
+        |FROM hours hr CROSS JOIN types t
+        |LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = hr.h
+        |ORDER BY t.event_type, hh""".stripMargin,
 
     "q_ohlc_bars" ->
       """WITH e AS (

@@ -2,9 +2,9 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, NumericType,
-  StructType, TimestampType}
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.{BooleanType, DataType, DateType,
+  NumericType, StringType, StructType, TimestampType}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Keyed lake table with copy-on-write merge — the file-level construction
   * behind every gold table at 100 TB. [[Merge]] gives the ROW semantics
@@ -2250,6 +2250,288 @@ object LakeTable {
       m.dvFiles)
     val t = df.schema(colName).dataType
     df.filter(col(colName) >= lit(lo).cast(t) && col(colName) <= lit(hi).cast(t))
+  }
+
+  // ---- plan-time sidecar pruning: the FileIndex-backed declarative scan
+
+  /** (files listed, live files) of the last [[SidecarFileIndex]] listing
+    * this JVM ran with at least one data filter — spec pin for the
+    * plan-time pruning contract; not part of the public API.
+    */
+  private[graft] var lastIndexScan: Option[(Int, Int)] = None
+
+  /** A snapshot's live files as a Catalyst
+    * [[org.apache.spark.sql.execution.datasources.FileIndex]] whose
+    * `listFiles` answers the planner's `dataFilters` from the zone-map and
+    * bloom sidecars — the Delta `TahoeFileIndex` design point, original
+    * implementation. [[readEq]]/[[readRange]]/[[readBox]] prune for
+    * callers who name the probe explicitly; this moves the SAME
+    * driver-side decisions behind the planner's own pushdown, so ANY
+    * predicate — DataFrame `.filter`, SQL text over a temp view, a
+    * conjunct Catalyst pushed through a join — skips files without the
+    * caller knowing the sidecars exist. Everything stays metadata-only:
+    * the verdicts read the in-memory snapshot this index captured at
+    * construction; no data file is opened to decide, and no Spark job
+    * runs at plan time (bloom probes hash the literal with the same
+    * `xxhash64` expression the build side used, evaluated driver-side).
+    *
+    * Exactness discipline (a wrong prune loses rows; a kept file only
+    * costs a read):
+    *   - Zone compares use [[statCmp]] — the ordering the sidecar's
+    *     min/max were TAKEN under. Strict `<`/`>` keep on the widened
+    *     non-strict bound: `statCmp`'s double parse may collapse values
+    *     that differ beyond double precision, so `max > v` as a keep
+    *     test could wrongly drop a file where `max = v` under collapse;
+    *     `max >= v` can only over-keep.
+    *   - Literals render through `CAST(x AS STRING)` (same session zone)
+    *     — exactly [[computeStats]]' rendering. TIMESTAMP literals don't
+    *     prune (session-tz rendering has no stable string form — the
+    *     same exemption [[axesDrifted]] documents); numeric, string,
+    *     date and boolean do.
+    *   - An all-NULL zone (`min`/`max` absent with the entry present)
+    *     admits no comparison or `IS NOT NULL` match — those predicates
+    *     prune the file EXACTLY, not conservatively.
+    *   - Anything unrecognized — casts over the column, UDFs, columns
+    *     without sidecars, `IS NULL` (zones carry no null counts) —
+    *     keeps the file.
+    */
+  private final class SidecarFileIndex(spark: SparkSession, root: String,
+      m: Manifest, stats: Map[String, FileStats],
+      blooms: Map[String, Seq[Option[String]]])
+      extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+    private val colTypes: Map[String, DataType] = StructType
+      .fromDDL(m.schemaDdl).fields.map(f => f.name -> f.dataType).toMap
+
+    // one FileStatus per live file, resolved once at construction and
+    // batched per PARENT directory (one LIST per delivery-dir × bucket,
+    // not one RPC per file — the difference between seconds and minutes
+    // of driver time on an object store at 100k files); clone manifests
+    // may reference absolute paths on the source's scheme, so the
+    // filesystem resolves per directory. A manifest entry missing from
+    // its directory listing fails loudly via the direct-status fallback.
+    private val statuses: Seq[(String, FileStatus)] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val byDir = m.files.map(_._1).groupBy(f => new Path(root, f).getParent)
+      val listed: Map[Path, FileStatus] = byDir.keysIterator.flatMap { d =>
+        d.getFileSystem(conf).listStatus(d).iterator.map(st => st.getPath -> st)
+      }.toMap
+      m.files.map { case (f, _) =>
+        val p0 = new Path(root, f)
+        val fsys = p0.getFileSystem(conf)
+        // listStatus returns fully-qualified paths; qualify the probe or
+        // every lookup silently misses into the per-file fallback
+        val p = fsys.makeQualified(p0)
+        f -> listed.getOrElse(p, fsys.getFileStatus(p))
+      }
+    }
+
+    // decoded bloom filters by (file, bloom position), decoded on first
+    // probe — the index is an immutable snapshot, so caching is safe
+    private val bloomCache = scala.collection.mutable.HashMap
+      .empty[(String, Int), Option[org.apache.spark.util.sketch.BloomFilter]]
+    private def bloomOf(p: String, bi: Int) = bloomCache.synchronized {
+      bloomCache.getOrElseUpdate((p, bi),
+        blooms.get(p).flatMap(_.lift(bi).flatten).map(enc =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(b64(enc)))))
+    }
+
+    /** `CAST(lit AS STRING)` under the session zone — [[computeStats]]'
+      * rendering; None = this literal can't be compared against zones.
+      */
+    private def render(l: ce.Literal): Option[String] =
+      if (l.value == null) None
+      else l.dataType match {
+        case TimestampType => None
+        case _: NumericType | StringType | DateType | BooleanType =>
+          Option(ce.Cast(l, StringType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null))
+            .map(_.toString)
+        case _ => None
+      }
+
+    /** The file's zone for `name`: None = no verdict possible (column not
+      * in statsCols, or the file has no entry); Some((None, None)) = the
+      * column is all-NULL in the file (min/max of zero non-null values).
+      */
+    private def zone(p: String,
+        name: String): Option[(Option[String], Option[String])] = {
+      val si = m.statsCols.indexOf(name)
+      if (si < 0) None
+      else stats.get(p).flatMap { st =>
+        (st.mins.lift(si), st.maxs.lift(si)) match {
+          case (Some(mn), Some(mx)) => Some((mn, mx))
+          case _ => None
+        }
+      }
+    }
+
+    /** May any row of file `p` satisfy `name <op> v`? Strict ops are
+      * widened to non-strict (see class doc).
+      */
+    private def cmpKeep(p: String, name: String, v: String,
+        op: String): Boolean = {
+      val dt = colTypes(name)
+      zone(p, name) match {
+        case None => true
+        case Some((Some(mn), Some(mx))) => op match {
+          case "=" => statCmp(dt, v, mn) >= 0 && statCmp(dt, v, mx) <= 0
+          case ">=" => statCmp(dt, mx, v) >= 0
+          case "<=" => statCmp(dt, mn, v) <= 0
+        }
+        case _ => false // all-NULL zone: no non-null value to compare
+      }
+    }
+
+    private def bloomKeep(p: String, name: String,
+        lits: Seq[ce.Literal]): Boolean = {
+      val bi = m.bloomCols.indexOf(name)
+      if (bi < 0) true
+      else bloomOf(p, bi) match {
+        case None => true
+        case Some(bf) => lits.exists { l =>
+          if (l.value == null) false
+          // the build side hashed the column's stored type; a literal of
+          // any other type hashes differently — no verdict
+          else if (l.dataType != colTypes(name)) true
+          else bf.mightContainLong(
+            ce.XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long])
+        }
+      }
+    }
+
+    /** May any row of `p` have `name` equal to one of `lits`? Zones and
+      * blooms each veto independently; NULL literals never match
+      * (`c = NULL` is never true), so an all-NULL list prunes exactly.
+      */
+    private def eqAnyKeep(p: String, name: String,
+        lits0: Seq[ce.Literal]): Boolean = {
+      val lits = lits0.filter(_.value != null)
+      if (lits.isEmpty) return false
+      val zoneAny = lits.exists { l =>
+        render(l) match {
+          case Some(v) => cmpKeep(p, name, v, "=")
+          case None => true
+        }
+      }
+      zoneAny && bloomKeep(p, name, lits)
+    }
+
+    private def rangeKeep(p: String, name: String, l: ce.Literal,
+        op: String): Boolean =
+      render(l) match {
+        case Some(v) => cmpKeep(p, name, v, op)
+        case None => true
+      }
+
+    /** May any row of file `p` satisfy conjunct `e`? (false = provably
+      * no row can — the file is skipped for this scan.)
+      */
+    private def mayKeep(p: String)(e: ce.Expression): Boolean = e match {
+      case ce.And(a, b) => mayKeep(p)(a) && mayKeep(p)(b)
+      case ce.Or(a, b) => mayKeep(p)(a) || mayKeep(p)(b)
+      case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) =>
+        eqAnyKeep(p, a.name, Seq(l))
+      case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) =>
+        eqAnyKeep(p, a.name, Seq(l))
+      case ce.EqualNullSafe(a: ce.AttributeReference, l: ce.Literal)
+          if l.value != null => eqAnyKeep(p, a.name, Seq(l))
+      case ce.EqualNullSafe(l: ce.Literal, a: ce.AttributeReference)
+          if l.value != null => eqAnyKeep(p, a.name, Seq(l))
+      case ce.GreaterThan(a: ce.AttributeReference, l: ce.Literal) =>
+        rangeKeep(p, a.name, l, ">=")
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
+        rangeKeep(p, a.name, l, ">=")
+      case ce.LessThan(a: ce.AttributeReference, l: ce.Literal) =>
+        rangeKeep(p, a.name, l, "<=")
+      case ce.LessThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
+        rangeKeep(p, a.name, l, "<=")
+      // literal-on-the-left comparisons flip the operator
+      case ce.GreaterThan(l: ce.Literal, a: ce.AttributeReference) =>
+        rangeKeep(p, a.name, l, "<=")
+      case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
+        rangeKeep(p, a.name, l, "<=")
+      case ce.LessThan(l: ce.Literal, a: ce.AttributeReference) =>
+        rangeKeep(p, a.name, l, ">=")
+      case ce.LessThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
+        rangeKeep(p, a.name, l, ">=")
+      case ce.In(a: ce.AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
+        eqAnyKeep(p, a.name, vs.map(_.asInstanceOf[ce.Literal]))
+      case ce.InSet(a: ce.AttributeReference, set) =>
+        eqAnyKeep(p, a.name,
+          set.toSeq.filter(_ != null).map(v => ce.Literal(v, a.dataType)))
+      case ce.IsNotNull(a: ce.AttributeReference) =>
+        val si = m.statsCols.indexOf(a.name)
+        si < 0 || stats.get(p).forall(_.mins.lift(si).forall(_.nonEmpty))
+      case ce.StartsWith(a: ce.AttributeReference, l: ce.Literal)
+          if l.value != null && colTypes.get(a.name).contains(StringType) =>
+        val prefix = l.value.toString
+        zone(p, a.name) match {
+          case Some((Some(mn), Some(mx))) if prefix.nonEmpty =>
+            // any s with this prefix has s >= prefix, and when the last
+            // char is incrementable, s < prefix-with-last-char-bumped
+            val okHi = mx.compareTo(prefix) >= 0
+            val okLo = prefix.last == Char.MaxValue ||
+              mn.compareTo(prefix.init + (prefix.last + 1).toChar) < 0
+            okHi && okLo
+          case Some((None, _)) | Some((_, None)) => false
+          case _ => true
+        }
+      case _ => true
+    }
+
+    override def rootPaths: Seq[Path] = Seq(new Path(root))
+    override def partitionSchema: StructType = new StructType()
+    override def inputFiles: Array[String] =
+      statuses.map(_._2.getPath.toString).toArray
+    override def refresh(): Unit = () // immutable snapshot
+    override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+
+    override def listFiles(partitionFilters: Seq[ce.Expression],
+        dataFilters: Seq[ce.Expression]): Seq[PartitionDirectory] = {
+      val kept =
+        if (dataFilters.isEmpty) statuses
+        else statuses.filter { case (p, _) => dataFilters.forall(mayKeep(p)) }
+      if (dataFilters.nonEmpty)
+        lastIndexScan = Some((kept.size, statuses.size))
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+    }
+  }
+
+  /** Read a version (default: newest) as a [[SidecarFileIndex]]-backed
+    * relation, deletion vectors applied — the front-door read for
+    * declarative consumers: predicates written over THIS DataFrame (or
+    * over a temp view of it in SQL) reach `listFiles` as Catalyst
+    * `dataFilters` and prune files through the zone-map/bloom sidecars at
+    * plan time, with no bespoke entry point named. Parquet row-group
+    * pushdown, column pruning and file-splitting behave exactly as a
+    * path-list scan; MoR deletion vectors subtract through the same
+    * anti-join as [[read]] (user predicates push through its left side).
+    * At 100 TB this is the difference between "the engine can prune if
+    * you call the right method" and "every query prunes".
+    */
+  def scan(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(spark, root, version)
+    val stats =
+      if (m.statsCols.isEmpty) Map.empty[String, FileStats]
+      else readStats(spark, root, m.version).getOrElse(Map.empty)
+    val blooms =
+      if (m.bloomCols.isEmpty) Map.empty[String, Seq[Option[String]]]
+      else readBlooms(spark, root, m.version).getOrElse(Map.empty)
+    val index = new SidecarFileIndex(spark, root, m, stats, blooms)
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      index, new StructType(), StructType.fromDDL(m.schemaDdl), None,
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      Map("graft.lake.root" -> root))(spark)
+    val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+    applyDv(spark, root, m, df, m.dvFiles)
   }
 
   /** Roll the table back (or forward) to the CONTENT of `version` by
