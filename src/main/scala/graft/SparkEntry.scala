@@ -1961,6 +1961,51 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Streaming CDC mirror (streaming/LakeCdfSource.scala + LakeStreaming
+    // .mirror): the source table's versions are the stream's offsets; a
+    // subscriber bootstraps from the snapshot-as-inserts batch and then
+    // rides O(delta) change-feed batches, applying them with idempotent
+    // merge/deleteMor — exactly-once replication with no offset ledger
+    // beyond the checkpoint. Lifecycle: init (evens) → mirror → merge
+    // (multiples of 3, price bumped) + MoR-delete (multiples of 10) →
+    // mirror again; the oracle recomputes the replicated end state from
+    // the raw table.
+    "q_lake_cdf_mirror" -> ((s, dir) => {
+      val base = System.getProperty("java.io.tmpdir")
+      val srcRoot = base + "/graft_lake_cdfmir_src"
+      val tgtRoot = base + "/graft_lake_cdfmir_tgt"
+      val cp = base + "/graft_lake_cdfmir_cp"
+      val fs = new org.apache.hadoop.fs.Path(srcRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(srcRoot, tgtRoot, cp).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        srcRoot, Seq("o_orderkey"), numBuckets = 8)
+      graft.sinks.LakeTable.init(orders.filter(lit(false)),
+        tgtRoot, Seq("o_orderkey"), numBuckets = 8)
+      def run(): Unit = {
+        val q = graft.streaming.LakeStreaming.mirror(s, srcRoot, tgtRoot)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // bootstrap from the snapshot
+      graft.sinks.LakeTable.merge(s, srcRoot,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+      graft.sinks.LakeTable.deleteMor(s, srcRoot,
+        orders.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")))
+      run() // ride the delta span
+      graft.sinks.LakeTable.read(s, tgtRoot)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).alias("price"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
     // Plan-time sidecar pruning (sinks/LakeTable.scala SidecarFileIndex /
     // scan): the zone maps answer the PLANNER's pushed dataFilters instead
     // of a bespoke entry point — scan() returns a FileIndex-backed
@@ -6026,6 +6071,16 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 = 0
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_lake_cdf_mirror" ->
+      """SELECT o_orderkey,
+        |       ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000
+        |                  ELSE o_totalprice END, 2) AS price,
+        |       o_orderpriority
+        |FROM orders
+        |WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+        |  AND o_orderkey % 10 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_lake_scan_pushdown" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -72,4 +72,51 @@ object LakeStreaming {
         } finally b.unpersist(blocking = false)
         ()
     }
+
+  /** CDC table replication: subscribe to `sourceRoot`'s change feed
+    * ([[LakeCdfSource]]) and keep `targetRoot` — a pre-initialized lake
+    * table with the same keys — converged to it. The consumer half of the
+    * streaming lakehouse loop: the producer's commits become the stream's
+    * offsets, so the mirror is EXACTLY-ONCE by construction (checkpoint
+    * recovery replays a deterministic version span; merge and deleteMor
+    * are idempotent on identical rows, so even a replayed batch
+    * converges instead of double-applying). The first batch bootstraps
+    * from the source's snapshot-as-inserts; after that every trigger
+    * costs O(span delta), never O(table) — the cross-region /
+    * dev-fanout replication shape at 100 TB.
+    *
+    * Apply order inside a batch: upserts (insert + update_postimage) then
+    * deletes — the feed NETS per key within a span, so one key never
+    * carries both an upsert and a delete in the same batch and the order
+    * is a non-issue; preimages are informational and skipped. Start the
+    * returned writer with a checkpointLocation and a trigger.
+    */
+  def mirror(spark: org.apache.spark.sql.SparkSession, sourceRoot: String,
+      targetRoot: String): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream.format("graft-lake-cdf").option("root", sourceRoot)
+      .load()
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: Dataset[Row], _: Long) =>
+          val s = batch.sparkSession
+          val meta = Seq("_change_type", "_from_version", "_to_version")
+          val b = batch.toDF().localCheckpoint()
+          try {
+            // one action decides which halves exist — empty merges and
+            // deletes would otherwise publish pointless versions
+            val kinds = b.groupBy(col("_change_type")).count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val ups = b.filter(col("_change_type")
+              .isin("insert", "update_postimage")).drop(meta: _*)
+            val dels = b.filter(col("_change_type") === "delete")
+              .drop(meta: _*)
+            if (kinds.getOrElse("insert", 0L) +
+                kinds.getOrElse("update_postimage", 0L) > 0)
+              LakeTable.merge(s, targetRoot, ups)
+            if (kinds.getOrElse("delete", 0L) > 0)
+              LakeTable.deleteMor(s, targetRoot, dels)
+          } finally b.unpersist(blocking = false)
+          ()
+      }
+  }
 }

@@ -14,6 +14,23 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Re-tag a batch plan as a STREAMING DataFrame — what a v1 streaming
+    * `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`), built exactly the way Spark's own v1 sources do it:
+    * `internalCreateDataFrame(rdd, schema, isStreaming = true)` over the
+    * plan's lazily-planned `toRdd` (no job runs here; the engine triggers
+    * execution when the micro-batch runs). `internalCreateDataFrame` is
+    * `private[sql]`, hence this bridge.
+    */
+  def streamingDataFrame(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val qe = df.queryExecution
+    classic.internalCreateDataFrame(qe.toRdd, qe.analyzed.schema,
+      isStreaming = true)
+  }
+
   /** Build a NEW session over an existing context with the given extensions
     * applied — `SparkSession.builder.getOrCreate` reuses the default session
     * and silently ignores `spark.sql.extensions`, so tests (and any host

@@ -1,0 +1,145 @@
+package graft
+
+import graft.sinks.LakeTable
+import graft.streaming.LakeStreaming
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming change-feed source (streaming/LakeCdfSource.scala): table
+  * versions are the offsets, batch (start, end] is LakeTable.changes over
+  * exactly that span, and the first batch is the snapshot-as-inserts
+  * bootstrap. Exactly-once falls out of determinism + checkpointing;
+  * LakeStreaming.mirror composes it into CDC table replication.
+  */
+class LakeCdfStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def initSource(n: Int): String = {
+    val root = Files.createTempDirectory("graft-cdfsrc").toString
+    val df = spark.range(n.toLong).select(col("id").alias("k"),
+      concat(lit("v"), col("id")).alias("v"))
+    LakeTable.init(df, root, Seq("k"), numBuckets = 4)
+    root
+  }
+
+  /** Drain all available versions through foreachBatch, collecting every
+    * emitted row; returns them. Same checkpoint dir = resumes offsets.
+    */
+  private def drain(root: String, cp: String): Seq[Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = spark.readStream.format("graft-lake-cdf").option("root", root)
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.collect() }; ()
+      }
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  test("first batch is the snapshot as inserts, pinned to the head version") {
+    val root = initSource(10)
+    val cp = Files.createTempDirectory("graft-cdfsrc-cp").toString
+    val rows = drain(root, cp)
+    rows should have size 10
+    rows.map(_.getAs[String]("_change_type")).toSet shouldBe Set("insert")
+    rows.map(_.getAs[Long]("_from_version")).toSet shouldBe Set(-1L)
+    rows.map(_.getAs[Long]("_to_version")).toSet shouldBe Set(0L)
+    rows.map(_.getAs[Long]("k")).sorted shouldBe (0L until 10L)
+  }
+
+  test("subsequent drains serve exactly the version span since the checkpoint") {
+    val root = initSource(10)
+    val cp = Files.createTempDirectory("graft-cdfsrc-cp2").toString
+    drain(root, cp) should have size 10 // bootstrap
+
+    // v1: update k=3, insert k=100; v2: delete k=7
+    LakeTable.merge(spark, root,
+      Seq((3L, "v3b"), (100L, "v100")).toDF("k", "v"))
+    LakeTable.deleteMor(spark, root, Seq(7L).toDF("k"))
+
+    val rows = drain(root, cp)
+    val expected = LakeTable.changes(spark, root, 0L, 2L).collect()
+    rows.map(_.toSeq).sortBy(_.mkString("|")) shouldBe
+      expected.map(_.toSeq).sortBy(_.mkString("|"))
+    // netting sanity: one update pair, one insert, one delete
+    rows.map(_.getAs[String]("_change_type")).sorted shouldBe
+      Seq("delete", "insert", "update_postimage", "update_preimage")
+    // and a re-drain with the same checkpoint emits nothing new
+    drain(root, cp) shouldBe empty
+  }
+
+  test("maintenance-only spans drain as empty batches, offset still advances") {
+    val root = initSource(50)
+    val cp = Files.createTempDirectory("graft-cdfsrc-cp3").toString
+    drain(root, cp) should have size 50
+    LakeTable.compactSmallFiles(spark, root) // content no-op
+    drain(root, cp) shouldBe empty
+    // a real delivery after the maintenance version still arrives
+    LakeTable.merge(spark, root, Seq((500L, "new")).toDF("k", "v"))
+    val rows = drain(root, cp)
+    rows.map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"))) shouldBe
+      Seq((500L, "insert"))
+  }
+
+  test("mirror: CDC replication converges the target and is exactly-once across re-drains") {
+    val root = initSource(40)
+    val target = Files.createTempDirectory("graft-cdfsrc-tgt").toString
+    // pre-init the target EMPTY with the same keys
+    LakeTable.init(spark.range(0).select(col("id").alias("k"),
+      lit("").alias("v")), target, Seq("k"), numBuckets = 4)
+    val cp = Files.createTempDirectory("graft-cdfsrc-cp4").toString
+
+    def runMirror(): Unit = {
+      val q = LakeStreaming.mirror(spark, root, target)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def content(r: String): Set[(Long, String)] =
+      LakeTable.read(spark, r).select($"k", $"v").as[(Long, String)]
+        .collect().toSet
+
+    runMirror() // bootstrap from snapshot
+    content(target) shouldBe content(root)
+
+    LakeTable.merge(spark, root,
+      Seq((5L, "v5b"), (200L, "v200")).toDF("k", "v"))
+    LakeTable.deleteMor(spark, root, Seq(1L, 2L).toDF("k"))
+    runMirror()
+    content(target) shouldBe content(root)
+    content(target).exists(_._1 == 1L) shouldBe false
+
+    // exactly-once: nothing pending, so the target's version must not move
+    val vBefore = LakeTable.manifest(spark, target).version
+    runMirror()
+    LakeTable.manifest(spark, target).version shouldBe vBefore
+    content(target) shouldBe content(root)
+  }
+
+  test("additive widening: a resumed checkpoint serves the new column (old spans NULL-filled on replay)") {
+    val root = initSource(10)
+    val cp = Files.createTempDirectory("graft-cdfsrc-cp5").toString
+    drain(root, cp) should have size 10
+    // widen with a new column (additive evolution)
+    LakeTable.merge(spark, root,
+      Seq((3L, "v3c", "extra")).toDF("k", "v", "w"))
+    // each drain() builds a fresh stream over the same checkpoint: the
+    // schema re-pins WIDENED, and checkpoint recovery replays the
+    // committed bootstrap span (whose rows predate w) — the NULL-fill
+    // reconciliation is what lets that replay resolve
+    val rows = drain(root, cp)
+    rows should not be empty
+    rows.head.schema.fieldNames should contain("w")
+    val post = rows.filter(r =>
+      r.getAs[String]("_change_type") == "update_postimage")
+    post.map(r => (r.getAs[Long]("k"), r.getAs[String]("w"))) shouldBe
+      Seq((3L, "extra"))
+  }
+}
