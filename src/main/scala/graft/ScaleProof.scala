@@ -105,7 +105,10 @@ object ScaleProof {
     // delivery is hash-scattered BY DESIGN, so this entry reads like the
     // full rewrite — the O(delta) claim lives in the scale proof's
     // zorder_incremental_legs field, measured bucket-confined)
-    "q_lake_zorder_incr")
+    "q_lake_zorder_incr",
+    // r11 continuation: the plan-time-pruned scan, the streaming CDC
+    // mirror lifecycle, and the cross-table transaction lifecycle
+    "q_lake_scan_pushdown", "q_lake_cdf_mirror", "q_lake_txn")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1961,6 +1961,59 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Cross-table atomic transaction (sinks/LakeTxn.scala): a fact and a
+    // dim receive their deliveries in ONE transaction — visibility flips
+    // for both tables with a single outcome-file create, so no reader
+    // ever joins new fact rows against the old dim. Lifecycle: init both
+    // → txn1 commits (fact price bump + dim segment move) → txn2 stages
+    // POISON rows into both tables and fails before commit (presumed
+    // abort — nothing visible) → a crashed transaction's orphan staging
+    // is left in-flight on the fact (readers skip it without blocking).
+    // The oracle recomputes the join from init + txn1 alone; any leaked
+    // poison row breaks the hash.
+    "q_lake_txn" -> ((s, dir) => {
+      val base = System.getProperty("java.io.tmpdir")
+      val fRoot = base + "/graft_lake_txn_f"
+      val dRoot = base + "/graft_lake_txn_d"
+      val fs = new org.apache.hadoop.fs.Path(fRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(fRoot, dRoot).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        fRoot, Seq("o_orderkey"), numBuckets = 8)
+      graft.sinks.LakeTable.init(customer, dRoot, Seq("c_custkey"),
+        numBuckets = 4)
+      graft.sinks.LakeTxn.atomically(s, fRoot) { txn =>
+        txn.merge(fRoot, orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        txn.merge(dRoot, customer.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_mktsegment", lit("TXN")))
+      }
+      try graft.sinks.LakeTxn.atomically(s, fRoot) { txn =>
+        txn.merge(fRoot, orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", lit(-1e9)))
+        txn.merge(dRoot, customer.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_mktsegment", lit("POISON")))
+        sys.error("injected failure before commit")
+      } catch { case _: RuntimeException => () }
+      // a CRASHED transaction: staged, outcome never written — in-flight
+      graft.sinks.LakeTable.mergeTagged(s, fRoot,
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", lit(-1e9)), None,
+        Some(fRoot + "/_txn/ghost-never-committed.json"))
+      val f = graft.sinks.LakeTable.read(s, fRoot)
+      val d = graft.sinks.LakeTable.read(s, dRoot)
+      f.join(broadcast(d), f("o_custkey") === d("c_custkey"))
+        .groupBy(col("c_mktsegment").alias("seg"))
+        .agg(count(lit(1)).alias("n"),
+          round(dsum(col("o_totalprice")), 2).alias("sum_price"))
+        .orderBy("seg")
+    }),
+
     // Streaming CDC mirror (streaming/LakeCdfSource.scala + LakeStreaming
     // .mirror): the source table's versions are the stream's offsets; a
     // subscriber bootstraps from the snapshot-as-inserts batch and then
@@ -6071,6 +6124,23 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 = 0
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_lake_txn" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0),
+        |d AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'TXN'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT seg, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |             AS DOUBLE), 2) AS sum_price
+        |FROM f JOIN d ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
 
     "q_lake_cdf_mirror" ->
       """SELECT o_orderkey,

@@ -78,12 +78,21 @@ object LakeTable {
     * is per-step state (sidecar-disciplined, written after the manifest
     * claim — a missing marker only degrades that span to the diff).
     */
+  /** `txn` ties the version to a cross-table transaction: it names the
+    * transaction's OUTCOME file ([[LakeTxn]]). A txn-tagged version is
+    * INVISIBLE to readers until that file exists with outcome `commit`
+    * (one atomic create flips every member table's staged version live
+    * together); outcome `abort` — or a crash that never wrote the file,
+    * resolved by the next writer's force-abort — leaves it permanently
+    * dead. Dead versions still OCCUPY their slot (writers claim past
+    * them); [[vacuum]] reclaims their manifests and files.
+    */
   final case class Manifest(version: Long, keys: Seq[String], numBuckets: Int,
       schemaDdl: String, files: Seq[(String, Int)],
       sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L, dvFiles: Seq[(String, Int)] = Nil,
       bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil,
-      cdfRecord: Boolean = false)
+      cdfRecord: Boolean = false, txn: Option[String] = None)
 
   /** Per-file zone-map entry: row count + min/max of each stats column,
     * string-rendered (None = the column was all-NULL in the file).
@@ -157,6 +166,7 @@ object LakeTable {
       s""""ndv_cols":[${m.ndvCols.map(jq).mkString(",")}],""" +
       s""""max_records":${m.maxRecordsPerFile},""" +
       s""""cdf_record":${if (m.cdfRecord) 1 else 0},""" +
+      m.txn.map(p => s""""txn":${jq(p)},""").getOrElse("") +
       s""""dv_files":[${m.dvFiles.map { case (p, b) =>
         s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}],""" +
       s""""files":[${m.files.map { case (p, b) =>
@@ -221,11 +231,48 @@ object LakeTable {
           .toSeq
       }
     }
+    // optional string field (txn tag): absent on every pre-txn manifest
+    def optStrField(name: String): Option[String] =
+      if (s.indexOf("\"" + name + "\":\"") < 0) None else Some(strField(name))
     Manifest(longField("version"), keys, longField("num_buckets").toInt,
       strField("schema_ddl"), fileArray("files"),
       strSeq("sort_cols"), strSeq("stats_cols"), optLong("max_records", 0L),
       fileArray("dv_files"), strSeq("bloom_cols"), strSeq("ndv_cols"),
-      optLong("cdf_record", 0L) == 1L)
+      optLong("cdf_record", 0L) == 1L, optStrField("txn"))
+  }
+
+  /** The newest slot in `vs` that is LIVE — or the writer's own staged
+    * transaction version (`selfTxn`), so a multi-step transaction chains
+    * its own table history before it is visible to anyone else.
+    */
+  private def liveHeadIn(spark: SparkSession, root: String, vs: Seq[Long],
+      selfTxn: Option[String]): Manifest = {
+    val it = vs.sorted.reverseIterator
+    while (it.hasNext) {
+      val m = manifestAt(spark, root, it.next())
+      if (liveOf(spark, m) || (m.txn.isDefined && m.txn == selfTxn))
+        return m
+    }
+    sys.error(s"no committed version at $root — every manifest belongs " +
+      "to an uncommitted or aborted transaction")
+  }
+
+  /** ONE `_versions` listing resolving BOTH the write base (newest LIVE
+    * slot; a transaction writer also sees its own staged versions) and
+    * the slot to claim (max LISTED slot + 1 — live or not: an aborted
+    * transaction's slot stays occupied forever, so content lineage is
+    * the live chain while slot numbering is the claim sequence). The
+    * single listing is load-bearing for the claim discipline: a commit
+    * landing after it claims the SAME slot and collides at [[publish]];
+    * a second listing for the slot would instead skip past it and
+    * silently drop its delta.
+    */
+  private def writeHead(spark: SparkSession, root: String,
+      selfTxn: Option[String] = None): (Manifest, Long) = {
+    val fs = hfs(spark, root)
+    val vs = versions(fs, root)
+    require(vs.nonEmpty, s"no LakeTable at $root")
+    (liveHeadIn(spark, root, vs, selfTxn), vs.max + 1)
   }
 
   private[graft] def versions(fs: FileSystem, root: String): Seq[Long] = {
@@ -237,17 +284,64 @@ object LakeTable {
       .toSeq.sorted
   }
 
+  /** Raw manifest at slot `v` — NO transaction-liveness check. For the
+    * maintenance surfaces that must see dead slots ([[vacuum]], [[fsck]])
+    * and for liveness resolution itself; every read path goes through
+    * [[manifest]].
+    */
+  private[graft] def manifestAt(spark: SparkSession, root: String,
+      v: Long): Manifest = {
+    val fs = hfs(spark, root)
+    val in = fs.open(new Path(root, s"_versions/$v.json"))
+    try parse(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** The transaction outcome the file at `outcomePath` records: None =
+    * no file yet (in-flight), Some(true) = commit, Some(false) = abort.
+    * Outcomes are claimed EXCLUSIVELY ([[claimOutcome]]) so a decided
+    * outcome is FINAL — liveness can flip in-flight→decided, never back.
+    */
+  private[graft] def txnOutcome(spark: SparkSession,
+      outcomePath: String): Option[Boolean] =
+    txnOutcome2(spark.sparkContext.hadoopConfiguration, outcomePath)
+
+  /** Is this manifest visible to readers? Non-txn versions always are;
+    * a txn version only once its outcome file records `commit`.
+    */
+  private[graft] def liveOf(spark: SparkSession, m: Manifest): Boolean =
+    m.txn.forall(p => txnOutcome(spark, p).contains(true))
+
   private[graft] def manifest(spark: SparkSession, root: String,
       version: Option[Long] = None): Manifest = {
     val fs = hfs(spark, root)
     val vs = versions(fs, root)
     require(vs.nonEmpty, s"no LakeTable at $root")
-    val v = version.getOrElse(vs.max)
-    require(vs.contains(v), s"version $v not in $vs at $root")
-    val in = fs.open(new Path(root, s"_versions/$v.json"))
-    try parse(new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally in.close()
+    version match {
+      case Some(v) =>
+        require(vs.contains(v), s"version $v not in $vs at $root")
+        val m = manifestAt(spark, root, v)
+        require(liveOf(spark, m),
+          s"version $v of $root belongs to an uncommitted or aborted " +
+            s"transaction (outcome ${m.txn.getOrElse("?")})")
+        m
+      case None =>
+        // head = the newest LIVE slot. In-flight/aborted txn slots can
+        // only sit at the very top (a writer never claims above an
+        // undecided slot — see publish's below-slot guard), so this walk
+        // is 1 read in the steady state and short always.
+        val it = vs.sorted.reverseIterator
+        var found: Manifest = null
+        while (found == null && it.hasNext) {
+          val m = manifestAt(spark, root, it.next())
+          if (liveOf(spark, m)) found = m
+        }
+        require(found != null,
+          s"no committed version at $root — every manifest belongs to an " +
+            "uncommitted or aborted transaction")
+        found
+    }
   }
 
   /** A concurrent writer claimed this manifest version first. Write paths
@@ -285,27 +379,29 @@ object LakeTable {
   private val exclusiveRenameSchemes =
     Set("hdfs", "viewfs", "webhdfs", "abfs", "abfss")
 
-  private def publish(fs: FileSystem, root: String, m: Manifest): Unit = {
-    val dir = new Path(root, "_versions")
+  /** Atomically and EXCLUSIVELY create `dir/dstName` holding `bytes`:
+    * true = this caller created it; false = it already existed or a
+    * concurrent creator won. The guts of the manifest claim, shared with
+    * the transaction-outcome claim ([[claimOutcome]]) — same hard-link /
+    * allowlisted-rename discipline and the same `graft.lake.unsafePublish`
+    * escape hatch.
+    */
+  private def exclusiveCreate(fs: FileSystem, dir: Path, dstName: String,
+      bytes: Array[Byte]): Boolean = {
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
     val out = fs.create(staged, false)
-    try out.write(render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new Path(dir, s"${m.version}.json")
-    def lost(): Nothing = {
-      fs.delete(staged, false)
-      throw new CommitRaceException(
-        s"manifest version ${m.version} was claimed by a concurrent " +
-          s"writer at $root — re-read the head and retry")
-    }
+    try out.write(bytes) finally out.close()
+    val dst = new Path(dir, dstName)
     val local = "file" == Option(fs.getUri).map(_.getScheme).orNull
     if (local) {
       val stagedNio = java.nio.file.Paths.get(staged.toUri.getPath)
       val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
-      try java.nio.file.Files.createLink(dstNio, stagedNio)
-      catch { case _: java.nio.file.FileAlreadyExistsException => lost() }
+      val won =
+        try { java.nio.file.Files.createLink(dstNio, stagedNio); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
       fs.delete(staged, false)
+      won
     } else {
       val scheme = Option(fs.getUri).map(_.getScheme).getOrElse("unknown")
       require(exclusiveRenameSchemes.contains(scheme) ||
@@ -315,8 +411,97 @@ object LakeTable {
           s"(${exclusiveRenameSchemes.toSeq.sorted.mkString(", ")}) or " +
           "accept last-writer-wins explicitly with " +
           "graft.lake.unsafePublish=true for single-writer deployments")
-      if (fs.exists(dst)) lost()
-      if (!fs.rename(staged, dst)) lost()
+      if (fs.exists(dst)) { fs.delete(staged, false); false }
+      else if (!fs.rename(staged, dst)) { fs.delete(staged, false); false }
+      else true
+    }
+  }
+
+  /** Decide the outcome of the transaction whose outcome file is
+    * `outcomePath` — EXCLUSIVE first-writer-wins create, so the outcome
+    * is decided exactly once and is final. Returns the decided outcome
+    * (which may differ from the request when another decider won the
+    * race: a late commit against a force-abort, or vice versa).
+    */
+  private[graft] def claimOutcome(spark: SparkSession, outcomePath: String,
+      commit: Boolean): Boolean = {
+    val p = new Path(outcomePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val body = s"""{"outcome":"${if (commit) "commit" else "abort"}",""" +
+      s""""ts":${System.currentTimeMillis}}"""
+    exclusiveCreate(fs, p.getParent, p.getName,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    txnOutcome(spark, outcomePath).getOrElse(
+      sys.error(s"transaction outcome at $outcomePath unreadable after claim"))
+  }
+
+  private def publish(fs: FileSystem, root: String, m: Manifest): Unit =
+    publish(fs, root, m, waitTxn = true)
+
+  /** See the class doc of [[exclusiveCreate]] for the claim mechanics.
+    * `waitTxn` gates the BELOW-SLOT transaction guard: a writer must
+    * never claim a slot above an UNDECIDED transaction slot — if the
+    * transaction later committed, this writer's base would silently
+    * lack its delta (a lost update). The guard waits up to
+    * `graft.lake.txnWaitMs` (Hadoop conf, default 10 s) for the outcome
+    * and then FORCE-ABORTS the stalled transaction by claiming its
+    * outcome; if the outcome turns out `commit`, the head just moved and
+    * the writer must rebase — surfaced as the ordinary
+    * [[CommitRaceException]] retry. Transaction members themselves
+    * publish with `waitTxn = false` scoped to their OWN outcome path
+    * ([[LakeTxn]] serializes its member publishes).
+    */
+  private def publish(fs: FileSystem, root: String, m: Manifest,
+      waitTxn: Boolean, selfTxn: Option[String] = None): Unit = {
+    val dir = new Path(root, "_versions")
+    val below = new Path(dir, s"${m.version - 1}.json")
+    if (waitTxn && m.version > 0 && fs.exists(below)) {
+      val in = fs.open(below)
+      val bm = try parse(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
+      bm.txn.filterNot(selfTxn.contains) match {
+        case Some(outcomePath)
+            if txnOutcome2(fs.getConf, outcomePath).isEmpty =>
+          val waitMs = fs.getConf.getLong("graft.lake.txnWaitMs", 10000L)
+          val deadline = System.currentTimeMillis + waitMs
+          while (txnOutcome2(fs.getConf, outcomePath).isEmpty &&
+              System.currentTimeMillis < deadline)
+            Thread.sleep(50)
+          val committed = txnOutcome2(fs.getConf, outcomePath).getOrElse {
+            // still undecided past the deadline: force-abort (exclusive —
+            // a racing late commit may still win, in which case rebase)
+            val p = new Path(outcomePath)
+            val ofs = p.getFileSystem(fs.getConf)
+            exclusiveCreate(ofs, p.getParent, p.getName,
+              """{"outcome":"abort","forced":1}"""
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            txnOutcome2(fs.getConf, outcomePath).getOrElse(true)
+          }
+          if (committed)
+            throw new CommitRaceException(
+              s"version ${m.version - 1} of $root committed via its " +
+                "transaction while this writer was staging — rebase")
+        case _ => () // non-txn, decided, or our own transaction
+      }
+    }
+    if (!exclusiveCreate(fs, dir, s"${m.version}.json",
+        render(m).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      throw new CommitRaceException(
+        s"manifest version ${m.version} was claimed by a concurrent " +
+          s"writer at $root — re-read the head and retry")
+  }
+
+  /** [[txnOutcome]] from a Hadoop conf (publish has no SparkSession). */
+  private def txnOutcome2(conf: org.apache.hadoop.conf.Configuration,
+      outcomePath: String): Option[Boolean] = {
+    val p = new Path(outcomePath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(s.contains("\"outcome\":\"commit\""))
     }
   }
 
@@ -925,7 +1110,7 @@ object LakeTable {
     val srcFs = hfs(spark, srcRoot)
     def abs(p: String): String =
       srcFs.makeQualified(new Path(srcRoot, p)).toString
-    val next = m.copy(version = 0L,
+    val next = m.copy(version = 0L, txn = None,
       files = m.files.map { case (p, b) => (abs(p), b) },
       dvFiles = m.dvFiles.map { case (p, b) => (abs(p), b) })
     publish(fs, dstRoot, next)
@@ -986,7 +1171,7 @@ object LakeTable {
   def detachClone(spark: SparkSession, root: String): Long = {
     val fs = hfs(spark, root)
     withCommitRetries() { () =>
-      val m = manifest(spark, root)
+      val (m, slot) = writeHead(spark, root)
       def isLocal(p: String) = p.startsWith("data/")
       val (localF, foreignF) = m.files.partition(t => isLocal(t._1))
       val (localDv, foreignDv) = m.dvFiles.partition(t => isLocal(t._1))
@@ -1010,7 +1195,7 @@ object LakeTable {
             fs, new Path(root, rel), false, conf)
           (rel, b)
         }
-        val next = m.copy(version = m.version + 1, files = localF ++ fresh,
+        val next = m.copy(version = slot, txn = None, files = localF ++ fresh,
           dvFiles = localDv ++ copied)
         publish(fs, root, next)
         // carried-by-path: local files keep their entries, the dropped
@@ -1047,12 +1232,12 @@ object LakeTable {
       s"newNumBuckets must be >= 1, got $newNumBuckets")
     val fs = hfs(spark, root)
     withCommitRetries() { () =>
-      val m = manifest(spark, root)
+      val (m, slot) = writeHead(spark, root)
       val rows = read(spark, root, Some(m.version))
       val (mk, zExprs) = zSortIfMarked(spark, root, m)
       val files = writeFiles(spark, root, rows, m.keys, newNumBuckets,
         m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
-      val next = m.copy(version = m.version + 1,
+      val next = m.copy(version = slot, txn = None,
         numBuckets = newNumBuckets, files = files, dvFiles = Nil)
       publish(fs, root, next)
       // every file is fresh under the new layout: full sidecar measure
@@ -1247,7 +1432,7 @@ object LakeTable {
     require(zCols.distinct.size == zCols.size, s"duplicate z column in $zCols")
     val fs = hfs(spark, root)
     withCommitRetries() { () =>
-      val m = manifest(spark, root)
+      val (m, slot) = writeHead(spark, root)
       val schema = StructType.fromDDL(m.schemaDdl)
       zCols.foreach { c =>
         require(schema.fieldNames.contains(c),
@@ -1271,7 +1456,7 @@ object LakeTable {
       val files = writeFiles(spark, root, rows, m.keys, m.numBuckets,
         maxRecordsPerFile = m.maxRecordsPerFile,
         sortExprs = Seq(zValue(ranged)))
-      val next = m.copy(version = m.version + 1, files = files,
+      val next = m.copy(version = slot, txn = None, files = files,
         dvFiles = Nil)
       publish(fs, root, next)
       // every file is fresh under the new layout: full sidecar measure
@@ -1306,7 +1491,7 @@ object LakeTable {
   def optimizeZOrderIncremental(spark: SparkSession, root: String): Long = {
     val fs = hfs(spark, root)
     withCommitRetries() { () =>
-      val m = manifest(spark, root)
+      val (m, slot) = writeHead(spark, root)
       val mk = readZMarker(spark, root).getOrElse(sys.error(
         s"optimizeZOrderIncremental: no z-order marker at $root — run " +
           "optimizeZOrder(zCols) once to establish the layout"))
@@ -1332,7 +1517,7 @@ object LakeTable {
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           maxRecordsPerFile = m.maxRecordsPerFile,
           sortExprs = Seq(zValue(ranged)))
-        val next = m.copy(version = m.version + 1, files = cold ++ fresh,
+        val next = m.copy(version = slot, txn = None, files = cold ++ fresh,
           dvFiles = Nil)
         publish(fs, root, next)
         publishStats(spark, root, next, Some(m.version))
@@ -1484,12 +1669,12 @@ object LakeTable {
       ndvCols: Seq[String] = Nil): Long = {
     val fs = hfs(spark, root)
     withCommitRetries() { () =>
-      val m = manifest(spark, root)
+      val (m, slot) = writeHead(spark, root)
       val schema = StructType.fromDDL(m.schemaDdl)
       (statsCols ++ bloomCols ++ ndvCols).foreach(c =>
         require(schema.fieldNames.contains(c),
           s"alterIndexing: $c is not a table column (have ${schema.fieldNames.toSeq})"))
-      val next = m.copy(version = m.version + 1,
+      val next = m.copy(version = slot, txn = None,
         statsCols = statsCols, bloomCols = bloomCols, ndvCols = ndvCols)
       publish(fs, root, next)
       publishStats(spark, root, next, None)
@@ -1513,10 +1698,10 @@ object LakeTable {
       enabled: Boolean): Long = {
     val fs = hfs(spark, root)
     withCommitRetries() { () =>
-      val m = manifest(spark, root)
+      val (m, slot) = writeHead(spark, root)
       if (m.cdfRecord == enabled) m.version
       else {
-        val next = m.copy(version = m.version + 1, cdfRecord = enabled)
+        val next = m.copy(version = slot, txn = None, cdfRecord = enabled)
         publish(fs, root, next)
         publishStats(spark, root, next, Some(m.version))
         publishBlooms(spark, root, next, Some(m.version))
@@ -1684,7 +1869,8 @@ object LakeTable {
       val in = fs.open(new Path(root, s"_versions/$v.json"))
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L) <= asOfMillis
+      tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L) <= asOfMillis &&
+        liveOf(spark, parse(s)) // txn slots resolve as-of only once committed
     }
     require(eligible.nonEmpty,
       s"no version of $root had been published at epoch-millis $asOfMillis")
@@ -1720,8 +1906,17 @@ object LakeTable {
     * with NULL by parquet name-matching.
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
-      orderCol: Option[String] = None): Long = {
-    val m = manifest(spark, root)
+      orderCol: Option[String] = None): Long =
+    mergeTagged(spark, root, source, orderCol, None)
+
+  /** [[merge]] with an optional transaction tag ([[LakeTxn]]): the
+    * published manifest carries `txn` and stays invisible until the
+    * transaction's outcome file records commit.
+    */
+  private[graft] def mergeTagged(spark: SparkSession, root: String,
+      source: DataFrame, orderCol: Option[String],
+      txnTag: Option[String]): Long = {
+    val m = headFor(spark, root, txnTag)
     val curSchema = StructType.fromDDL(m.schemaDdl)
     source.schema.fields.foreach { f =>
       curSchema.find(_.name == f.name).foreach(c =>
@@ -1733,8 +1928,22 @@ object LakeTable {
         s"source is missing table column $n (partial-column upserts would " +
           "silently null existing values; project the full row instead)"))
     rewriteTouched(spark, root, source,
-      (cur, src) => Merge.upsert(widen(cur, source.schema), src, m.keys, orderCol))
+      (cur, src) => Merge.upsert(widen(cur, source.schema), src, m.keys, orderCol),
+      txnTag = txnTag)
   }
+
+  /** Head resolution that also sees a transaction's OWN staged versions
+    * (`selfTxn`) — plain [[manifest]] otherwise.
+    */
+  private def headFor(spark: SparkSession, root: String,
+      selfTxn: Option[String]): Manifest =
+    if (selfTxn.isEmpty) manifest(spark, root)
+    else {
+      val fs = hfs(spark, root)
+      val vs = versions(fs, root)
+      require(vs.nonEmpty, s"no LakeTable at $root")
+      liveHeadIn(spark, root, vs, selfTxn)
+    }
 
   /** Delete every row whose key appears in `keysToDelete` (extra columns
     * ignored). Same touched-bucket copy-on-write as [[merge]].
@@ -1807,13 +2016,15 @@ object LakeTable {
     */
   private[sinks] def rewriteTouched(spark: SparkSession, root: String,
       source: DataFrame, apply: (DataFrame, DataFrame) => DataFrame,
-      baseVersion: Option[Long] = None): Long =
+      baseVersion: Option[Long] = None,
+      txnTag: Option[String] = None): Long =
       withCommitRetries(if (baseVersion.isDefined) 1 else 5) { () =>
     val fs = hfs(spark, root)
     val vs = versions(fs, root)
     require(vs.nonEmpty, s"no LakeTable at $root")
     val latest = vs.max
-    val m = manifest(spark, root, Some(baseVersion.getOrElse(latest)))
+    val m = baseVersion.map(v => manifest(spark, root, Some(v)))
+      .getOrElse(liveHeadIn(spark, root, vs, txnTag))
     // bounded driver collect: at most numBuckets ints
     val touched = source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
@@ -1830,9 +2041,10 @@ object LakeTable {
     // files predating a widening read back with NULLs by name-matching
     val next = m.copy(version = latest + 1, files = cold ++ fresh,
       schemaDdl = merged.schema.toDDL,
-      dvFiles = m.dvFiles.filterNot { case (_, b) => touched(b) })
+      dvFiles = m.dvFiles.filterNot { case (_, b) => touched(b) },
+      txn = txnTag)
     // manifest first — winning the claim makes the sidecars single-writer
-    publish(fs, root, next)
+    publish(fs, root, next, waitTxn = true, selfTxn = txnTag)
     publishStats(spark, root, next, Some(m.version))
     publishBlooms(spark, root, next, Some(m.version))
     publishNdv(spark, root, next, Some(m.version))
@@ -1852,13 +2064,20 @@ object LakeTable {
     * no-op at read time.
     */
   def deleteMor(spark: SparkSession, root: String,
-      keysToDelete: DataFrame): Long = withCommitRetries() { () =>
+      keysToDelete: DataFrame): Long =
+    deleteMorTagged(spark, root, keysToDelete, None)
+
+  /** [[deleteMor]] with an optional transaction tag ([[LakeTxn]]). */
+  private[graft] def deleteMorTagged(spark: SparkSession, root: String,
+      keysToDelete: DataFrame,
+      txnTag: Option[String]): Long = withCommitRetries() { () =>
     val fs = hfs(spark, root)
-    val m = manifest(spark, root)
+    val (m, slot) = writeHead(spark, root, txnTag)
     val keys = keysToDelete.select(m.keys.map(col): _*).dropDuplicates(m.keys)
     val fresh = writeFiles(spark, root, keys, m.keys, m.numBuckets)
-    val next = m.copy(version = m.version + 1, dvFiles = m.dvFiles ++ fresh)
-    publish(fs, root, next)
+    val next = m.copy(version = slot, dvFiles = m.dvFiles ++ fresh,
+      txn = txnTag)
+    publish(fs, root, next, waitTxn = true, selfTxn = txnTag)
     publishStats(spark, root, next, Some(m.version))
     publishBlooms(spark, root, next, Some(m.version))
     publishNdv(spark, root, next, Some(m.version))
@@ -1872,7 +2091,7 @@ object LakeTable {
   def compactDeletes(spark: SparkSession, root: String): Long =
     withCommitRetries() { () =>
       val fs = hfs(spark, root)
-      val m = manifest(spark, root)
+      val (m, slot) = writeHead(spark, root)
       if (m.dvFiles.isEmpty) m.version
       else {
         val dvB = m.dvFiles.map(_._2).toSet
@@ -1882,7 +2101,7 @@ object LakeTable {
         val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
-        val next = m.copy(version = m.version + 1, files = cold ++ fresh,
+        val next = m.copy(version = slot, txn = None, files = cold ++ fresh,
           dvFiles = Nil)
         publish(fs, root, next)
         publishStats(spark, root, next, Some(m.version))
@@ -2121,7 +2340,12 @@ object LakeTable {
     // diff and always serves directly. Both paths are value-identical
     // (CdfRecordedSpec twin-checks), so the choice is purely cost.
     val recorded: Option[Seq[(Long, Seq[String])]] = {
+      // DEAD transaction slots inside the span contributed nothing to the
+      // live chain — exclude them (their feeds, if any were recorded
+      // before the abort, describe content that never became visible)
       val span = ((fromVersion + 1) to toVersion)
+        .filter(v => scala.util.Try(manifestAt(spark, root, v)).toOption
+          .exists(liveOf(spark, _))) // missing slot = vacuumed abort
         .map(v => v -> readCdfMarker(spark, root, v))
       if (span.nonEmpty && span.forall(_._2.isDefined))
         Some(span.map { case (v, p) => (v, p.get) })
@@ -2545,10 +2769,10 @@ object LakeTable {
     withCommitRetries() { () =>
       val fs = hfs(spark, root)
       val target = manifest(spark, root, Some(version))
-      val latest = versions(fs, root).max
-      if (latest == version) version
+      val (head, slot) = writeHead(spark, root)
+      if (head.version == version) version
       else {
-        val next = target.copy(version = latest + 1)
+        val next = target.copy(version = slot, txn = None)
         // claim the version first (sidecars stay single-writer), then
         // carry EVERY sidecar of the target version verbatim under it —
         // a dropped sidecar wouldn't be wrong (readers treat a gap
@@ -2585,7 +2809,7 @@ object LakeTable {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1")
     withCommitRetries() { () =>
       val fs = hfs(spark, root)
-      val m = manifest(spark, root)
+      val (m, slot) = writeHead(spark, root)
       val counts = (m.files ++ m.dvFiles).groupBy(_._2).view.mapValues(_.size)
       val fat = counts.filter(_._2 > maxFilesPerBucket).keys.toSet
       if (fat.isEmpty) m.version
@@ -2597,7 +2821,7 @@ object LakeTable {
         val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
-        val next = m.copy(version = m.version + 1, files = cold ++ fresh,
+        val next = m.copy(version = slot, txn = None, files = cold ++ fresh,
           dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) })
         publish(fs, root, next)
         publishStats(spark, root, next, Some(m.version))
@@ -2641,10 +2865,22 @@ object LakeTable {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fs = hfs(spark, root)
     val vs = versions(fs, root)
-    val drop = vs.dropRight(keepLast)
-    val keep = vs.takeRight(keepLast)
+    // transaction slots: ABORTED ones are dead everywhere — their files
+    // are reclaimable now and their manifests deletable, EXCEPT the top
+    // slot's manifest, which keeps its number occupied (deleting it would
+    // let the next writer REUSE the slot, aliasing CDF stream offsets and
+    // time-travel identities). IN-FLIGHT slots are conservatively live:
+    // never reclaimed, never dropped, whatever their age.
+    def abortedSlot(v: Long) = manifestAt(spark, root, v).txn
+      .exists(p => txnOutcome(spark, p).contains(false))
+    def inFlightSlot(v: Long) = manifestAt(spark, root, v).txn
+      .exists(p => txnOutcome(spark, p).isEmpty)
+    val keep0 = vs.takeRight(keepLast)
+    val (keepDead, keep) = keep0.partition(abortedSlot)
+    val drop = (vs.dropRight(keepLast) ++ keepDead.filterNot(_ == vs.max))
+      .filterNot(inFlightSlot)
     val live = keep.flatMap { v =>
-      val m = manifest(spark, root, Some(v))
+      val m = manifestAt(spark, root, v)
       (m.files ++ m.dvFiles).map(_._1)
     }.toSet
     val dataDir = new Path(root, "data")
@@ -2739,7 +2975,11 @@ object LakeTable {
     val fs = hfs(spark, root)
     val vs = versions(fs, root)
     require(vs.nonEmpty, s"no LakeTable at $root")
-    val manifests = vs.map(v => manifest(spark, root, Some(v)))
+    // ABORTED transaction slots are excluded: their files are vacuum's to
+    // reclaim, so auditing them as "referenced" would report phantom
+    // missing files after a sweep. In-flight slots audit conservatively.
+    val manifests = vs.map(v => manifestAt(spark, root, v))
+      .filter(m => !m.txn.exists(p => txnOutcome(spark, p).contains(false)))
     val referenced = manifests
       .flatMap(m => (m.files ++ m.dvFiles).map(_._1)).toSet
     val missing = referenced.toSeq.sorted

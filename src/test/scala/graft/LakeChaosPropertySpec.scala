@@ -45,6 +45,14 @@ class LakeChaosPropertySpec extends SparkTestBase {
   private case object ZOpt extends Op
   private case class Rebucket(n: Int) extends Op
   private case object Refresh extends Op
+  // cross-table transaction surface, exercised on one table as a
+  // two-member chain: TxnBoth commits (or is legitimately FORCE-ABORTED
+  // by the concurrent actor's 150 ms patience — the op reports which),
+  // TxnAbort fails after staging, TxnGhost stages and "crashes" without
+  // ever writing an outcome
+  private case class TxnBoth(r1: Seq[R], r2: Seq[R]) extends Op
+  private case class TxnAbort(rows: Seq[R]) extends Op
+  private case class TxnGhost(rows: Seq[R]) extends Op
 
   private sealed trait Crash
   private case object NoCrash extends Crash
@@ -67,7 +75,11 @@ class LakeChaosPropertySpec extends SparkTestBase {
     1 -> Gen.const(Compact),
     1 -> Gen.const(ZOpt),
     1 -> Gen.oneOf(2, 3, 5).map(Rebucket),
-    1 -> Gen.const(Refresh))
+    1 -> Gen.const(Refresh),
+    2 -> (for { r1 <- genRowsIn(lo, hi); r2 <- genRowsIn(lo, hi) }
+      yield TxnBoth(r1, r2)),
+    1 -> genRowsIn(lo, hi).map(TxnAbort),
+    1 -> genRowsIn(lo, hi).map(TxnGhost))
 
   private val genCrash: Gen[Crash] = Gen.frequency(
     4 -> Gen.const(NoCrash), 1 -> Gen.const(KillSync),
@@ -82,22 +94,47 @@ class LakeChaosPropertySpec extends SparkTestBase {
 
   private def df(rows: Seq[R]) = rows.toDF("id", "grp", "score")
 
-  private def applyModel(m: Model, op: Op): Model = op match {
-    case Up(rows) => m ++ rows.map(r => r._1 -> ((r._2, r._3)))
-    case Del(ids) => m -- ids
-    case DelMor(ids) => m -- ids
-    case _ => m
-  }
+  private def up(m: Model, rows: Seq[R]): Model =
+    m ++ rows.map(r => r._1 -> ((r._2, r._3)))
 
-  private def runOp(root: String, mvRoot: String, op: Op): Unit = op match {
-    case Up(rows) => LakeTable.merge(spark, root, df(rows))
-    case Del(ids) => LakeTable.delete(spark, root, ids.toDF("id"))
-    case DelMor(ids) => LakeTable.deleteMor(spark, root, ids.toDF("id"))
-    case Compact => LakeTable.compactDeletes(spark, root)
-    case ZOpt => LakeTable.optimizeZOrderAuto(spark, root, Seq("id", "score"))
-    case Rebucket(n) => LakeTable.rebucket(spark, root, n)
-    case Refresh => MaterializedView.refresh(spark, root, mvRoot)
-  }
+  /** Run the op and return its effect ON THE MODEL — txn ops only know
+    * whether they landed after running (a concurrent force-abort is a
+    * legitimate outcome, reported by TxnAbortedException).
+    */
+  private def runOp(root: String, mvRoot: String, op: Op): Model => Model =
+    op match {
+      case Up(rows) =>
+        LakeTable.merge(spark, root, df(rows)); m => up(m, rows)
+      case Del(ids) =>
+        LakeTable.delete(spark, root, ids.toDF("id")); m => m -- ids
+      case DelMor(ids) =>
+        LakeTable.deleteMor(spark, root, ids.toDF("id")); m => m -- ids
+      case Compact => LakeTable.compactDeletes(spark, root); identity
+      case ZOpt =>
+        LakeTable.optimizeZOrderAuto(spark, root, Seq("id", "score"))
+        identity
+      case Rebucket(n) => LakeTable.rebucket(spark, root, n); identity
+      case Refresh => MaterializedView.refresh(spark, root, mvRoot); identity
+      case TxnBoth(r1, r2) =>
+        try {
+          graft.sinks.LakeTxn.atomically(spark, root) { t =>
+            t.merge(root, df(r1)); t.merge(root, df(r2))
+          }
+          m => up(up(m, r1), r2)
+        } catch {
+          case _: graft.sinks.LakeTxn.TxnAbortedException => identity
+        }
+      case TxnAbort(rows) =>
+        try graft.sinks.LakeTxn.atomically(spark, root) { t =>
+          t.merge(root, df(rows)); sys.error("injected txn failure")
+        } catch { case e: RuntimeException
+            if e.getMessage.contains("injected txn failure") => () }
+        identity
+      case TxnGhost(rows) =>
+        LakeTable.mergeTagged(spark, root, df(rows), None,
+          Some(s"$root/_txn/ghost-${java.util.UUID.randomUUID}.json"))
+        identity
+    }
 
   // post-crash-state reconstruction: the artifact a crash between the
   // two publishes would have lost is simply deleted
@@ -188,15 +225,23 @@ class LakeChaosPropertySpec extends SparkTestBase {
         MaterializedView.init(spark, root, mvRoot, Seq("grp"), Seq("score"))
         var model: Model = base.map(r => r._1 -> ((r._2, r._3))).toMap
         val v0 = LakeTable.manifest(spark, root).version
-        steps.foreach { s =>
+        // short patience so ghost transactions are force-aborted inside
+        // the test's own time budget (healthy TxnBoth windows may also
+        // lose to it — the op reports which way it went)
+        spark.sparkContext.hadoopConfiguration
+          .setLong("graft.lake.txnWaitMs", 150L)
+        try steps.foreach { s =>
           // both actors fire SIMULTANEOUSLY; retries/races must land both
           val fa = Future(runOp(root, mvRoot, s.a))
           val fb = Future(runOp(root, mvRoot, s.b))
-          Await.result(fa, Duration("300s"))
-          Await.result(fb, Duration("300s"))
-          model = applyModel(applyModel(model, s.a), s.b)
+          val ea = Await.result(fa, Duration("300s"))
+          val eb = Await.result(fb, Duration("300s"))
+          // effects commute (disjoint id ranges), so application order
+          // doesn't matter
+          model = eb(ea(model))
           inject(root, mvRoot, s.crash)
-        }
+        } finally spark.sparkContext.hadoopConfiguration
+          .unset("graft.lake.txnWaitMs")
         // quiesce: a RACING final refresh pair must both succeed and
         // leave one application of the outstanding feed
         val frs = Seq(Future(MaterializedView.refresh(spark, root, mvRoot)),

@@ -39,7 +39,8 @@ HEAVY = ["q_dedup_minhash", "q_corpus_funnel", "q_quality_classifier",
          "q_mv_join", "q_ann_binary", "q_lake_analyze",
          "q_mv_approx_distinct", "q_mv_quantile", "q_mv_variance",
          "q_lake_clone", "q_lake_zorder", "q_mv_topk",
-         "q_lake_zorder_incr"]
+         "q_lake_zorder_incr", "q_lake_scan_pushdown", "q_lake_cdf_mirror",
+         "q_lake_txn"]
 
 def main():
     out_path = sys.argv[1]
