@@ -1961,6 +1961,35 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // Metadata aggregate pushdown (plans/LakeMetadataAggs.scala): the
+    // first branch's global COUNT/MIN/MAX is answered from the manifest +
+    // zone-map sidecar (the optimizer rule replaces the whole aggregate
+    // with a precomputed LocalRelation — zero data files opened); the
+    // second branch's WHERE keeps the real scan (file-pruned through the
+    // SidecarFileIndex). The oracle checks both against the raw table —
+    // a wrong metadata answer or a wrong prune breaks the hash.
+    "q_lake_agg_pushdown" -> ((s, dir) => {
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_aggpd"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate").cast("date").alias("o_odate"),
+        col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders, root, Seq("o_orderkey"),
+        numBuckets = 8, sortCols = Seq("o_odate"),
+        statsCols = Seq("o_odate", "o_totalprice"),
+        maxRecordsPerFile = 4096L)
+      graft.sinks.LakeTable.scan(s, root).createOrReplaceTempView("aggpd")
+      s.sql("""SELECT 'all' AS scope, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM aggpd
+        |UNION ALL
+        |SELECT '1996y' AS scope, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM aggpd
+        |WHERE o_odate BETWEEN DATE'1996-01-01' AND DATE'1996-12-31'
+        |ORDER BY scope""".stripMargin)
+    }),
+
     // Cross-table atomic transaction (sinks/LakeTxn.scala): a fact and a
     // dim receive their deliveries in ONE transaction — visibility flips
     // for both tables with a single outcome-file create, so no reader
@@ -6124,6 +6153,17 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 = 0
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_lake_agg_pushdown" ->
+      """WITH src AS (SELECT CAST(o_orderdate AS DATE) AS o_odate,
+        |                    o_totalprice FROM orders)
+        |SELECT 'all' AS scope, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM src
+        |UNION ALL
+        |SELECT '1996y' AS scope, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM src
+        |WHERE o_odate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |ORDER BY scope""".stripMargin,
 
     "q_lake_txn" ->
       """WITH f AS (

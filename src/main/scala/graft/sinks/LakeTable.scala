@@ -2749,10 +2749,15 @@ object LakeTable {
       if (m.bloomCols.isEmpty) Map.empty[String, Seq[Option[String]]]
       else readBlooms(spark, root, m.version).getOrElse(Map.empty)
     val index = new SidecarFileIndex(spark, root, m, stats, blooms)
+    // tag root + PINNED VERSION for graft.plans.LakeMetadataAggs — the
+    // metadata-aggregate rewrite must answer for this snapshot, not for
+    // whatever the head is at optimize time
     val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       index, new StructType(), StructType.fromDDL(m.schemaDdl), None,
       new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      Map("graft.lake.root" -> root))(spark)
+      Map("graft.lake.root" -> root,
+        "graft.lake.version" -> m.version.toString))(spark)
+    graft.plans.LakeMetadataAggs.register(spark)
     val df = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(rel)
     applyDv(spark, root, m, df, m.dvFiles)
