@@ -51,25 +51,52 @@ import org.apache.spark.sql.types.StructType
   * column fails inside `changes()` with its additive-only require.
   */
 class LakeCdfSource(spark: SparkSession, root: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None) extends Source {
 
   private def latestVersion: Long = LakeTable.manifest(spark, root).version
 
-  override def getOffset: Option[Offset] = Some(LongOffset(latestVersion))
+  /** Newest version already handed to the engine — the rate-limit base.
+    * Recovery is seamless: the engine re-runs the last committed batch
+    * through getBatch before polling again, which re-seeds this.
+    */
+  private var handedOut: Option[Long] = None
+
+  /** Head, capped to `handedOut + maxVersionsPerTrigger` when the rate
+    * limit is on — a backlog (resumed checkpoint, slow consumer) drains
+    * as bounded spans instead of one giant batch. The bootstrap batch is
+    * never capped: the snapshot is one unit of work whatever its version
+    * number (there is no smaller correct first batch).
+    */
+  override def getOffset: Option[Offset] = {
+    val head = latestVersion
+    val capped = (handedOut, maxVersionsPerTrigger) match {
+      case (Some(k), Some(n)) => math.min(head, k + n)
+      case _ => head
+    }
+    Some(LongOffset(capped))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = end.json().toLong
+    handedOut = Some(math.max(to, handedOut.getOrElse(Long.MinValue)))
     val valueCols = schema.fieldNames.toSeq
       .filterNot(Set("_change_type", "_from_version", "_to_version"))
     val body = start match {
       case Some(s) =>
         LakeTable.changes(spark, root, s.json().toLong, to)
-      case None =>
+      case None => startingVersion match {
+        // changes-only subscription from a named version (the Delta
+        // `startingVersion` design point): the consumer already holds the
+        // state as of that version and wants only what happened after
+        case Some(sv) => LakeTable.changes(spark, root, sv, to)
         // initial snapshot as inserts, pinned to the offset version
-        LakeTable.read(spark, root, Some(to))
+        case None => LakeTable.read(spark, root, Some(to))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_from_version", lit(-1L))
           .withColumn("_to_version", lit(to))
+      }
     }
     // reconcile to the PINNED schema (order and width). Both directions
     // of additive drift between the pinned schema and the span's schema
@@ -122,7 +149,13 @@ class LakeCdfSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val root = rootOf(parameters)
+    val maxV = parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
     new LakeCdfSource(sqlContext.sparkSession, root,
-      schema.getOrElse(LakeCdfSource.cdfSchema(sqlContext.sparkSession, root)))
+      schema.getOrElse(LakeCdfSource.cdfSchema(sqlContext.sparkSession, root)),
+      maxV, parameters.get("startingVersion").map(_.toLong))
   }
 }

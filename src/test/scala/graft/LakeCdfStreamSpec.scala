@@ -123,6 +123,55 @@ class LakeCdfStreamSpec extends SparkTestBase {
     content(target) shouldBe content(root)
   }
 
+  test("maxVersionsPerTrigger bounds post-bootstrap batch spans") {
+    val root = initSource(20)
+    val cp = Files.createTempDirectory("graft-cdfsrc-cp6").toString
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-lake-cdf").option("root", root)
+        .option("maxVersionsPerTrigger", "2").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.select(col("_from_version"), col("_to_version"))
+            .distinct().collect()
+          spans.synchronized {
+            spans ++= rows.map(r => (r.getLong(0), r.getLong(1))) }
+          ()
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run() // bootstrap: uncapped snapshot at version 0
+    // a BACKLOG accumulated while no stream was running — the cap binds
+    (1 to 4).foreach(i => LakeTable.merge(spark, root,
+      Seq((100L + i, s"v$i")).toDF("k", "v")))
+    run() // 4-version backlog drains as 2 + 2, never one giant span
+    spans.toSet shouldBe Set((-1L, 0L), (0L, 2L), (2L, 4L))
+  }
+
+  test("startingVersion subscribes changes-only from a named version, no snapshot bootstrap") {
+    val root = initSource(10) // v0
+    LakeTable.merge(spark, root, Seq((3L, "v3b")).toDF("k", "v")) // v1
+    LakeTable.merge(spark, root, Seq((200L, "new")).toDF("k", "v")) // v2
+    val cp = Files.createTempDirectory("graft-cdfsrc-cp7").toString
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = spark.readStream.format("graft-lake-cdf").option("root", root)
+      .option("startingVersion", "0").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.collect() }; ()
+      }
+      .start()
+    q.awaitTermination()
+    // only the two deliveries since v0 — the 10 base rows never appear
+    buf.map(_.getAs[String]("_change_type")).sorted shouldBe
+      Seq("insert", "update_postimage", "update_preimage")
+    buf.map(_.getAs[Long]("_from_version")).toSet shouldBe Set(0L)
+  }
+
   test("additive widening: a resumed checkpoint serves the new column (old spans NULL-filled on replay)") {
     val root = initSource(10)
     val cp = Files.createTempDirectory("graft-cdfsrc-cp5").toString
