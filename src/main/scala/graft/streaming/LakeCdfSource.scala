@@ -53,7 +53,11 @@ import org.apache.spark.sql.types.StructType
 class LakeCdfSource(spark: SparkSession, root: String,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
-    startingVersion: Option[Long] = None) extends Source {
+    startingVersion: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
+    ReadLimit}
 
   private def latestVersion: Long = LakeTable.manifest(spark, root).version
 
@@ -63,20 +67,45 @@ class LakeCdfSource(spark: SparkSession, root: String,
     */
   private var handedOut: Option[Long] = None
 
-  /** Head, capped to `handedOut + maxVersionsPerTrigger` when the rate
-    * limit is on — a backlog (resumed checkpoint, slow consumer) drains
-    * as bounded spans instead of one giant batch. The bootstrap batch is
-    * never capped: the snapshot is one unit of work whatever its version
-    * number (there is no smaller correct first batch).
+  /** Trigger.AvailableNow target, snapshotted at stream start: the run
+    * drains versions up to here (in rate-limited spans when
+    * `maxVersionsPerTrigger` is set) and stops — commits landing during
+    * the drain wait for the next run, the AvailableNow contract.
     */
-  override def getOffset: Option[Offset] = {
-    val head = latestVersion
-    val capped = (handedOut, maxVersionsPerTrigger) match {
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(latestVersion)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Head, bounded by the AvailableNow target and capped to
+    * `base + maxVersionsPerTrigger` when the rate limit is on — a
+    * backlog (resumed checkpoint, slow consumer) drains as bounded spans
+    * instead of one giant batch. The bootstrap batch is never capped:
+    * the snapshot is one unit of work whatever its version number
+    * (there is no smaller correct first batch).
+    */
+  private def nextOffset(base: Option[Long]): Long = {
+    val head = availableNowCap.fold(latestVersion)(math.min(latestVersion, _))
+    (base, maxVersionsPerTrigger) match {
       case (Some(k), Some(n)) => math.min(head, k + n)
       case _ => head
     }
-    Some(LongOffset(capped))
   }
+
+  /** Admission-control poll (the engine prefers this over [[getOffset]]
+    * once [[SupportsTriggerAvailableNow]] is implemented; both answer
+    * identically). `start` is the offset the engine last committed —
+    * authoritative across restarts, so it supersedes [[handedOut]].
+    */
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val base = Option(start).map(_.json().toLong).orElse(handedOut)
+    LongOffset(nextOffset(base))
+  }
+
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(nextOffset(handedOut)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = end.json().toLong

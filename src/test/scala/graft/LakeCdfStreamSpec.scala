@@ -148,6 +148,27 @@ class LakeCdfStreamSpec extends SparkTestBase {
       Seq((100L + i, s"v$i")).toDF("k", "v")))
     run() // 4-version backlog drains as 2 + 2, never one giant span
     spans.toSet shouldBe Set((-1L, 0L), (0L, 2L), (2L, 4L))
+    // Trigger.AvailableNow + rate limit: ONE run drains the WHOLE
+    // backlog in capped spans and stops at the start-time target
+    // (SupportsTriggerAvailableNow — not one span per run)
+    (5 to 8).foreach(i => LakeTable.merge(spark, root,
+      Seq((100L + i, s"v$i")).toDF("k", "v")))
+    spans.clear()
+    val q2 = spark.readStream.format("graft-lake-cdf").option("root", root)
+      .option("maxVersionsPerTrigger", "2").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select(col("_from_version"), col("_to_version"))
+          .distinct().collect()
+        spans.synchronized {
+          spans ++= rows.map(r => (r.getLong(0), r.getLong(1))) }
+        ()
+      }
+      .start()
+    q2.awaitTermination()
+    spans.toSet shouldBe Set((4L, 6L), (6L, 8L))
   }
 
   test("startingVersion subscribes changes-only from a named version, no snapshot bootstrap") {
