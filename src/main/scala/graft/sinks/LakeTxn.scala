@@ -79,6 +79,36 @@ object LakeTxn {
       val v = LakeTable.deleteMorTagged(spark, root, keysToDelete, tag)
       staged += ((root, v)); v
     }
+
+    /** Copy-on-write [[LakeTable.delete]] as a transaction member. */
+    def delete(root: String, keysToDelete: DataFrame): Long = {
+      val keys = LakeTable.manifest(spark, root).keys
+      val v = LakeTable.rewriteTouched(spark, root,
+        keysToDelete.select(keys.map(org.apache.spark.sql.functions.col): _*),
+        (cur, del) => LakeTable.keyMembershipJoin(cur, del, keys,
+          "left_anti", bcast = false),
+        txnTag = tag)
+      staged += ((root, v)); v
+    }
+
+    /** [[LakeTable.applyChanges]] (upsert + delete, one member version)
+      * as a transaction member — a key in both inputs is deleted.
+      */
+    def applyChanges(root: String, upserts: DataFrame,
+        deleteKeys: DataFrame,
+        orderCol: Option[String] = None): Long = {
+      import org.apache.spark.sql.functions.col
+      val keys = LakeTable.manifest(spark, root).keys
+      val touch = upserts.select(keys.map(col): _*)
+        .unionByName(deleteKeys.select(keys.map(col): _*))
+      val v = LakeTable.rewriteTouched(spark, root, touch, (cur, _) =>
+        LakeTable.keyMembershipJoin(
+          Merge.upsert(cur, upserts, keys, orderCol),
+          deleteKeys.select(keys.map(col): _*), keys, "left_anti",
+          bcast = false),
+        txnTag = tag)
+      staged += ((root, v)); v
+    }
   }
 
   /** Run `body`'s member operations atomically. Returns the (table root,

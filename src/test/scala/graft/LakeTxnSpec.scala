@@ -121,6 +121,26 @@ class LakeTxnSpec extends SparkTestBase {
     keysOf(a) should not contain 3L
   }
 
+  test("the full delivery surface is transactional: delete and applyChanges members") {
+    val a = mkTable("surface", 20, "a")
+    val b = mkTable("surface2", 20, "b")
+    LakeTxn.atomically(spark, a) { txn =>
+      txn.delete(a, Seq(1L, 2L).toDF("k"))
+      txn.applyChanges(b,
+        upserts = Seq((3L, "b3x"), (300L, "new")).toDF("k", "v"),
+        deleteKeys = Seq(4L, 300L).toDF("k")) // key in both = deleted
+      // still invisible mid-transaction on both tables
+      keysOf(a) should contain(1L)
+      keysOf(b) should contain(4L)
+    }
+    keysOf(a) should not contain 1L
+    keysOf(a) should not contain 2L
+    keysOf(b) should not contain 4L
+    keysOf(b) should not contain 300L
+    LakeTable.read(spark, b).filter($"k" === 3L).select($"v")
+      .as[String].head() shouldBe "b3x"
+  }
+
   test("vacuum reclaims aborted slots; history, changes and new commits stay sound") {
     val a = mkTable("vac", 20, "a")
     LakeTable.merge(spark, a, Seq((50L, "live1")).toDF("k", "v")) // v1
