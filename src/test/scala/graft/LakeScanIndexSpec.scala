@@ -231,6 +231,32 @@ class LakeScanIndexSpec extends SparkTestBase {
     assert(kept < live)
   }
 
+  test("sizeInBytes feeds Spark's own broadcast decision: a small scan() broadcasts in a join") {
+    val dimRoot = mkTable(50) // tiny: well under autoBroadcastJoinThreshold
+    val fact = spark.range(5000).select(col("id").alias("fk"),
+      (col("id") % 50).alias("k"))
+    val joined = fact.join(LakeTable.scan(spark, dimRoot), Seq("k"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"expected a broadcast join off the index's sizeInBytes, got:\n$plan")
+  }
+
+  test("a shallow clone's absolute foreign paths scan and prune like local ones") {
+    val src = mkTable(600)
+    val cloneRoot = Files.createTempDirectory("graft-scanidx-clone").toString
+    new java.io.File(cloneRoot).delete()
+    LakeTable.cloneShallow(spark, src, cloneRoot)
+    LakeTable.lastIndexScan = None
+    val pred = col("d").between(lit("2025-02-01").cast("date"),
+      lit("2025-02-28").cast("date"))
+    sameRows(LakeTable.scan(spark, cloneRoot).filter(pred),
+      LakeTable.read(spark, cloneRoot).filter(pred))
+    val (kept, live) = lastScan
+    assert(kept < live, s"clone scan should prune: $kept of $live")
+  }
+
   test("time travel: a versioned scan prunes against that version's sidecar") {
     val root = mkTable(600)
     val v0 = 0L
