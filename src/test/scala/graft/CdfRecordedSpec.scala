@@ -48,6 +48,46 @@ class CdfRecordedSpec extends SparkTestBase {
     // the re-merge of an identical row (3L) emitted nothing on either path
   }
 
+  test("an aborted transaction's recorded feed is excluded by LIVENESS, span stays recorded") {
+    val rec = newRoot()
+    // heavy base: the cost gate compares summed feed bytes against the
+    // hot snapshot sides — delivery-sized feeds must actually be the
+    // cheaper read for the recorded path to serve (at a 4-row toy scale
+    // the gate legitimately picks the diff)
+    val heavy = spark.range(2000).select(col("id"),
+      concat(lit("n"), col("id")).alias("name"),
+      (col("id") % 97).cast("double").alias("score"))
+    LakeTable.init(heavy, rec, Seq("id"), numBuckets = 2, cdfRecord = true)
+    LakeTable.merge(spark, rec,
+      Seq((9010L, "j", 10.0)).toDF("id", "name", "score")) // v1, recorded
+    // a txn member on a cdfRecord table writes its feed AT PUBLISH — the
+    // abort must not leak it into the span (exclusion is by liveness,
+    // not by marker absence)
+    val outcome = s"$rec/_txn/${java.util.UUID.randomUUID}.json"
+    LakeTable.mergeTagged(spark, rec,
+      Seq((1L, "POISON", -1.0)).toDF("id", "name", "score"),
+      None, Some(outcome)) // slot 2, dead after:
+    LakeTable.claimOutcome(spark, outcome, commit = false) shouldBe false
+    LakeTable.merge(spark, rec,
+      Seq((9011L, "k", 11.0)).toDF("id", "name", "score")) // slot 3, recorded
+    val got = feedSet(LakeTable.changes(spark, rec, 0L, 3L))
+    // all LIVE steps carry feeds and they undercut the hot snapshot
+    // sides, so the recorded path serves the span
+    LakeTable.lastChangesRecorded shouldBe Some(true)
+    got shouldBe Set((9010L, "j", 10.0, "insert"),
+      (9011L, "k", 11.0, "insert"))
+    // and a COMMITTED txn member's feed is served like any other step
+    val outcome2 = s"$rec/_txn/${java.util.UUID.randomUUID}.json"
+    LakeTable.mergeTagged(spark, rec,
+      Seq((9012L, "l", 12.0)).toDF("id", "name", "score"), None,
+      Some(outcome2))
+    LakeTable.claimOutcome(spark, outcome2, commit = true) shouldBe true
+    val got2 = feedSet(LakeTable.changes(spark, rec, 3L,
+      LakeTable.manifest(spark, rec).version))
+    LakeTable.lastChangesRecorded shouldBe Some(true)
+    got2 shouldBe Set((9012L, "l", 12.0, "insert"))
+  }
+
   test("multi-step netting: churn cancels, update chains collapse to endpoints") {
     val rec = newRoot(); val twin = newRoot()
     // filler rows make the snapshot sides decisively heavier than the
