@@ -2763,6 +2763,44 @@ object LakeTable {
     applyDv(spark, root, m, df, m.dvFiles)
   }
 
+  /** One [[history]] row: a SLOT's operational state, metadata-only. */
+  final case class VersionInfo(version: Long, tsMillis: Long, state: String,
+      files: Int, dvFiles: Int, numBuckets: Int, txn: Option[String])
+
+  /** Operational history, newest slot first — the DESCRIBE HISTORY a
+    * table format owes its operators, driver-side from metadata alone
+    * (no data file opened). Every SLOT appears, not just the live
+    * chain: `state` is `committed` for plain commits and committed
+    * transaction members, `aborted` for transaction slots whose outcome
+    * records abort (vacuum food — their content never became visible),
+    * and `in-flight` for transaction slots whose outcome is still
+    * undecided (invisible to readers; blocking writers until decided).
+    * `tsMillis` is the manifest's PUBLISH wall-clock — for transaction
+    * members that predates visibility (the outcome decides that), the
+    * same caveat [[versionAsOf]] carries.
+    */
+  def history(spark: SparkSession, root: String): Seq[VersionInfo] = {
+    val fs = hfs(spark, root)
+    val tsOf = "\"ts\":(\\d+)".r
+    versions(fs, root).sorted.reverse.map { v =>
+      val in = fs.open(new Path(root, s"_versions/$v.json"))
+      val raw = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val m = parse(raw)
+      val state = m.txn match {
+        case None => "committed"
+        case Some(p) => txnOutcome(spark, p) match {
+          case Some(true) => "committed"
+          case Some(false) => "aborted"
+          case None => "in-flight"
+        }
+      }
+      VersionInfo(v,
+        tsOf.findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(0L),
+        state, m.files.size, m.dvFiles.size, m.numBuckets, m.txn)
+    }
+  }
+
   /** Roll the table back (or forward) to the CONTENT of `version` by
     * publishing it as the newest version — data files are immutable and
     * shared, so a restore writes one manifest and zero data; the undone

@@ -141,6 +141,31 @@ class LakeTxnSpec extends SparkTestBase {
       .as[String].head() shouldBe "b3x"
   }
 
+  test("history reports every slot's state: committed, aborted, in-flight") {
+    val a = mkTable("hist", 10, "a")                        // slot 0
+    LakeTable.merge(spark, a, Seq((50L, "x")).toDF("k", "v")) // slot 1
+    val dead = s"$a/_txn/${java.util.UUID.randomUUID}.json"
+    LakeTable.mergeTagged(spark, a,
+      Seq((60L, "d")).toDF("k", "v"), None, Some(dead))     // slot 2
+    LakeTable.claimOutcome(spark, dead, commit = false)
+    val committed = s"$a/_txn/${java.util.UUID.randomUUID}.json"
+    LakeTable.mergeTagged(spark, a,
+      Seq((70L, "c")).toDF("k", "v"), None, Some(committed)) // slot 3
+    LakeTable.claimOutcome(spark, committed, commit = true)
+    LakeTable.mergeTagged(spark, a,
+      Seq((80L, "g")).toDF("k", "v"), None,
+      Some(s"$a/_txn/${java.util.UUID.randomUUID}.json"))   // slot 4, ghost
+    val h = LakeTable.history(spark, a)
+    h.map(_.version) shouldBe Seq(4L, 3L, 2L, 1L, 0L)       // newest first
+    h.map(_.state) shouldBe
+      Seq("in-flight", "committed", "aborted", "committed", "committed")
+    h.map(_.tsMillis).forall(_ > 0L) shouldBe true
+    h.last.files should be > 0
+    // the in-flight and aborted slots carry their outcome paths
+    h.head.txn shouldBe defined
+    h(2).txn shouldBe Some(dead)
+  }
+
   test("vacuum reclaims aborted slots; history, changes and new commits stay sound") {
     val a = mkTable("vac", 20, "a")
     LakeTable.merge(spark, a, Seq((50L, "live1")).toDF("k", "v")) // v1
