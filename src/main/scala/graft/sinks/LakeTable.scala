@@ -2913,16 +2913,24 @@ object LakeTable {
     // slot's manifest, which keeps its number occupied (deleting it would
     // let the next writer REUSE the slot, aliasing CDF stream offsets and
     // time-travel identities). IN-FLIGHT slots are conservatively live:
-    // never reclaimed, never dropped, whatever their age.
-    def abortedSlot(v: Long) = manifestAt(spark, root, v).txn
-      .exists(p => txnOutcome(spark, p).contains(false))
-    def inFlightSlot(v: Long) = manifestAt(spark, root, v).txn
-      .exists(p => txnOutcome(spark, p).isEmpty)
-    val keep0 = vs.takeRight(keepLast)
-    val (keepDead, keep) = keep0.partition(abortedSlot)
-    val drop = (vs.dropRight(keepLast) ++ keepDead.filterNot(_ == vs.max))
-      .filterNot(inFlightSlot)
-    val live = keep.flatMap { v =>
+    // never reclaimed, never dropped, their files always protected,
+    // whatever their age. The retention window `keepLast` counts LIVE
+    // (committed-visible) slots ONLY — counting raw slots would let a run
+    // of aborted/in-flight transaction slots at the top empty the keep
+    // set and sweep the committed table itself (e.g. vacuum(root, 1)
+    // right after a force-abort would otherwise delete the live head's
+    // manifest and every data file).
+    val outcomeOf: Map[Long, Option[Option[Boolean]]] = vs.map { v =>
+      v -> manifestAt(spark, root, v).txn.map(p => txnOutcome(spark, p))
+    }.toMap
+    def abortedSlot(v: Long) = outcomeOf(v).exists(_.contains(false))
+    def inFlightSlot(v: Long) = outcomeOf(v).exists(_.isEmpty)
+    val inFlight = vs.filter(inFlightSlot)
+    val keep = vs.filterNot(v => abortedSlot(v) || inFlightSlot(v))
+      .takeRight(keepLast)
+    val drop = vs.filterNot(v =>
+      keep.contains(v) || inFlightSlot(v) || v == vs.max)
+    val live = (keep ++ inFlight).flatMap { v =>
       val m = manifestAt(spark, root, v)
       (m.files ++ m.dvFiles).map(_._1)
     }.toSet
@@ -2971,7 +2979,7 @@ object LakeTable {
     // before a publish that never landed)
     val cdfData = new Path(root, "_cdf/data")
     if (fs.exists(cdfData)) {
-      val keptFeeds = keep.flatMap(v =>
+      val keptFeeds = (keep ++ inFlight).flatMap(v =>
         readCdfMarker(spark, root, v).getOrElse(Nil))
         .map(p => p.split("/").takeRight(2).head).toSet
       for (sub <- fs.listStatus(cdfData)

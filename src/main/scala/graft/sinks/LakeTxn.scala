@@ -132,8 +132,13 @@ object LakeTxn {
     try body(txn)
     catch {
       case e: Throwable =>
-        // make the presumed abort explicit so blocked writers move now
-        LakeTable.claimOutcome(spark, outcomePath, commit = false)
+        // make the presumed abort explicit so blocked writers move now —
+        // but never let a failing abort claim (filesystem error) REPLACE
+        // the body's own exception: the caller must see what actually
+        // broke, and an unrecorded abort only degrades to the presumed
+        // abort (waiting writers force-abort after txnWaitMs)
+        try LakeTable.claimOutcome(spark, outcomePath, commit = false)
+        catch { case claimErr: Throwable => e.addSuppressed(claimErr) }
         throw e
     }
     val committed = LakeTable.claimOutcome(spark, outcomePath, commit = true)

@@ -90,6 +90,12 @@ class LakeCdfSource(spark: SparkSession, root: String,
     val head = availableNowCap.fold(latestVersion)(math.min(latestVersion, _))
     (base, maxVersionsPerTrigger) match {
       case (Some(k), Some(n)) => math.min(head, k + n)
+      // changes-only subscription with no committed offset yet: the
+      // backlog from startingVersion to head is a DIVISIBLE changes()
+      // span (unlike the snapshot bootstrap), so the rate limit applies
+      // from the very first batch — seed the base with startingVersion
+      case (None, Some(n)) if startingVersion.isDefined =>
+        math.min(head, startingVersion.get + n)
       case _ => head
     }
   }

@@ -171,6 +171,31 @@ class LakeCdfStreamSpec extends SparkTestBase {
     spans.toSet shouldBe Set((4L, 6L), (6L, 8L))
   }
 
+  test("startingVersion backlog honors maxVersionsPerTrigger from the very first batch") {
+    val root = initSource(10) // v0
+    (1 to 5).foreach(i => LakeTable.merge(spark, root,
+      Seq((100L + i, s"v$i")).toDF("k", "v"))) // v1..v5
+    val cp = Files.createTempDirectory("graft-cdfsrc-cp8").toString
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft-lake-cdf").option("root", root)
+      .option("startingVersion", "0").option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select(col("_from_version"), col("_to_version"))
+          .agg(min("_from_version"), max("_to_version")).collect()(0)
+        spans.synchronized { spans += ((rows.getLong(0), rows.getLong(1))) }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    // the changes-only backlog is divisible: the rate limit applies from
+    // the FIRST batch (old behavior served (0,5] as one giant span)
+    spans.toSet shouldBe Set((0L, 2L), (2L, 4L), (4L, 5L))
+  }
+
   test("startingVersion subscribes changes-only from a named version, no snapshot bootstrap") {
     val root = initSource(10) // v0
     LakeTable.merge(spark, root, Seq((3L, "v3b")).toDF("k", "v")) // v1

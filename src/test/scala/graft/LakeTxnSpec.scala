@@ -191,4 +191,49 @@ class LakeTxnSpec extends SparkTestBase {
     val v = LakeTable.merge(spark, a, Seq((80L, "live3")).toDF("k", "v"))
     v should be > 3L
   }
+
+  test("vacuum(1) right after a force-abort keeps the live head — the table survives") {
+    val a = mkTable("vacab", 20, "a")                              // slot 0
+    LakeTable.merge(spark, a, Seq((50L, "live")).toDF("k", "v"))   // slot 1
+    val outcome = s"$a/_txn/${java.util.UUID.randomUUID}.json"
+    LakeTable.mergeTagged(spark, a,
+      Seq((60L, "dead")).toDF("k", "v"), None, Some(outcome))      // slot 2
+    LakeTable.claimOutcome(spark, outcome, commit = false)
+    // keepLast counts LIVE slots: the newest keepLast slots being all
+    // aborted must never empty the keep set and sweep the committed table
+    LakeTable.vacuum(spark, a, keepLast = 1)
+    LakeTable.fsck(spark, a).ok shouldBe true
+    keysOf(a) should contain(50L)
+    keysOf(a) should not contain 60L
+    LakeTable.read(spark, a).count() shouldBe 21L
+  }
+
+  test("vacuum(1) under an in-flight top slot protects the committed head below it") {
+    val a = mkTable("vacif", 20, "a")                              // slot 0
+    LakeTable.merge(spark, a, Seq((50L, "live")).toDF("k", "v"))   // slot 1
+    val outcome = s"$a/_txn/${java.util.UUID.randomUUID}.json"
+    LakeTable.mergeTagged(spark, a,
+      Seq((60L, "maybe")).toDF("k", "v"), None, Some(outcome))     // slot 2
+    LakeTable.vacuum(spark, a, keepLast = 1)
+    // the committed head (slot 1) is the newest LIVE slot: its manifest
+    // and its touched-bucket pre-image files stay — if the transaction
+    // then aborts, the table still has a committed version
+    LakeTable.claimOutcome(spark, outcome, commit = false)
+    LakeTable.fsck(spark, a).ok shouldBe true
+    keysOf(a) should contain(50L)
+    keysOf(a) should not contain 60L
+  }
+
+  test("a failing abort claim never masks the body's own exception (suppressed instead)") {
+    val a = mkTable("mask", 5, "a")
+    // block the outcome directory with a FILE so the abort claim's own
+    // filesystem write fails
+    val txnDir = new java.io.File(a, "_txn")
+    java.nio.file.Files.write(txnDir.toPath, Array[Byte](1))
+    val boom = intercept[RuntimeException] {
+      LakeTxn.atomically(spark, a) { _ => sys.error("body broke first") }
+    }
+    boom.getMessage should include("body broke first")
+    boom.getSuppressed should not be empty
+  }
 }
