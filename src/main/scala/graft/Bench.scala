@@ -38,6 +38,15 @@ import org.apache.spark.sql.SparkSession
   * DRIFT_FACTOR`) are LISTED in `drift` — flagged, not failed (see
   * [[driftOutliers]]). `drift_ref_queries` says how many reference
   * entries were comparable (0 = different SF or no ref file: gate off).
+  * Each flag is SELF-ATTRIBUTED: the query is re-run once in isolation
+  * after the board and the entry records the rerun plus a verdict —
+  * `contention` (rerun back under the threshold: the board run was
+  * fighting the box) or `regression` (persists: a plan change to fix).
+  *
+  * `bench_out.json` is an UNTRACKED run artifact (gitignored); the
+  * committed drift reference lives at `bench_ref.json` and is only ever
+  * refreshed deliberately under the BASELINE.md box-epoch policy — a
+  * driver or local run can never clobber it.
   */
 object Bench {
 
@@ -164,9 +173,22 @@ object Bench {
         java.nio.file.Paths.get(refPath)), sfDir)
       catch { case _: Exception => Map.empty[String, Double] }
     val drift = driftOutliers(parity, refWarm, driftFactor)
+    // SELF-ATTRIBUTION: a flag produced while the whole board was running
+    // may be box contention, not a plan change. Each flagged query is
+    // re-run ONCE in isolation here (post-board, nothing else in flight);
+    // a rerun back under the threshold is attributed `contention`, one
+    // that persists is a real `regression` the round must fix. The
+    // artifact carries both numbers so no reader has to adjudicate.
+    val byName = queries.toMap
     val driftJson = drift.map { case (n, w, r, ratio) =>
+      val rerun = try time(byName(n)) catch { case _: Throwable => -1.0 }
+      val verdict =
+        if (rerun < 0) "error"
+        else if (rerun <= driftFactor * r) "contention"
+        else "regression"
       s"""{"q":"$n","warm":${f"$w%.3f"},"ref":${f"$r%.3f"},""" +
-        s""""ratio":${f"$ratio%.2f"}}""" }.mkString("[", ",", "]")
+        s""""ratio":${f"$ratio%.2f"},"rerun":${f"$rerun%.3f"},""" +
+        s""""verdict":"$verdict"}""" }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$coldTotal,"unit":"sec","valid":${failed.isEmpty},""" +
         s""""warm_total":$warmTotal,"warm_runs":$warmRuns,""" +

@@ -2043,6 +2043,49 @@ object SparkEntry {
         .orderBy("seg")
     }),
 
+    // DESCRIBE HISTORY surface (sinks/LakeTable.scala history()):
+    // metadata-only operational history covering every SLOT, not just the
+    // live chain. Lifecycle on a 2-bucket table: init → merge → MoR delete
+    // (leaves 2 deletion vectors) → a transaction that stages a merge and
+    // aborts (its slot folds the DVs but never becomes visible) → a
+    // crashed transaction left in-flight. Every delta spans hundreds of
+    // keys, so both buckets are touched deterministically: file/DV counts,
+    // states, txn tagging and newest-first publish-clock ordering are all
+    // arithmetic facts the oracle replays as a VALUES table.
+    "q_lake_history" -> ((s, dir) => {
+      import s.implicits._
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_hist"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 2)
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+      graft.sinks.LakeTable.deleteMor(s, root,
+        orders.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")))
+      try graft.sinks.LakeTxn.atomically(s, root) { txn =>
+        txn.merge(root, orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", lit(-1e9)))
+        sys.error("injected failure before commit")
+      } catch { case _: RuntimeException => () }
+      graft.sinks.LakeTable.mergeTagged(s, root,
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", lit(-1e9)), None,
+        Some(root + "/_txn/ghost-never-committed.json"))
+      val h = graft.sinks.LakeTable.history(s, root)
+      val rows = h.zipWithIndex.map { case (vi, i) =>
+        val tsOk = i == h.length - 1 || vi.tsMillis >= h(i + 1).tsMillis
+        (vi.version, vi.state, vi.files, vi.dvFiles, vi.numBuckets,
+          vi.txn.isDefined, tsOk)
+      }
+      rows.toDF("version", "state", "files", "dv", "buckets", "has_txn",
+        "ts_ok").orderBy(org.apache.spark.sql.functions.desc("version"))
+    }),
+
     // Streaming CDC mirror (streaming/LakeCdfSource.scala + LakeStreaming
     // .mirror): the source table's versions are the stream's offsets; a
     // subscriber bootstraps from the snapshot-as-inserts batch and then
@@ -6181,6 +6224,16 @@ object SparkEntry {
         |             AS DOUBLE), 2) AS sum_price
         |FROM f JOIN d ON o_custkey = c_custkey
         |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q_lake_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(4 AS BIGINT), 'in-flight', 2, 0, 2, TRUE,  TRUE),
+        |  (CAST(3 AS BIGINT), 'aborted',   2, 0, 2, TRUE,  TRUE),
+        |  (CAST(2 AS BIGINT), 'committed', 2, 2, 2, FALSE, TRUE),
+        |  (CAST(1 AS BIGINT), 'committed', 2, 0, 2, FALSE, TRUE),
+        |  (CAST(0 AS BIGINT), 'committed', 2, 0, 2, FALSE, TRUE))
+        |AS t(version, state, files, dv, buckets, has_txn, ts_ok)
+        |ORDER BY version DESC""".stripMargin,
 
     "q_lake_cdf_mirror" ->
       """SELECT o_orderkey,
