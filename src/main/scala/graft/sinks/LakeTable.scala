@@ -87,12 +87,88 @@ object LakeTable {
     * dead. Dead versions still OCCUPY their slot (writers claim past
     * them); [[vacuum]] reclaims their manifests and files.
     */
+  /** THE METADATA PLANE IS SHARDED (the Iceberg manifest-list /
+    * manifest-file split, original implementation): per-file metadata —
+    * path, bucket, size, row count, zone-map min/max, bloom filter, NDV
+    * sketch — lives in immutable per-DELIVERY '''segment files''' under
+    * `_segments/`, written once when the delivery commits and shared by
+    * every later version that still references any of its files. The
+    * manifest carries only [[SegmentRef]]s: O(live segments) bytes, not
+    * O(live files) — so a commit against a 10⁶-file table writes one
+    * delta-sized segment plus a ref list, where the pre-r12 design
+    * re-serialized the whole file list and whole-table `_stats`/`_bloom`/
+    * `_ndv` JSONs on every commit and re-parsed them on every scan.
+    *
+    * A ref names which of its segment's files are still live: `buckets`
+    * (copy-on-write replaces whole buckets, so bucket-drop is the common
+    * shrink) plus `dead` (entry indexes retired at sub-bucket granularity
+    * — [[optimizeZOrderIncremental]] rewrites only non-tight files and
+    * [[detachClone]] only foreign ones). Segment files parse once per
+    * JVM into [[segmentCache]] (immutable, so caching is sound); the
+    * per-commit parse cost is O(new segments since the cache last saw
+    * this table) = O(delta).
+    */
+  final case class SegmentRef(path: String, buckets: Seq[Int],
+      dead: Seq[Int], files: Int, rows: Long, bytes: Long,
+      mins: Seq[Option[String]], maxs: Seq[Option[String]])
+
+  /** One file's complete metadata inside a segment: identity (path,
+    * bucket, bytes) plus the payloads the manifest's column declarations
+    * position — zone min/max per statsCol, base64 bloom per bloomCol,
+    * base64 HLL sketch per ndvCol. `rows` is -1 when the table declares
+    * no indexed columns (no measurement pass ran).
+    */
+  final case class SegEntry(path: String, bucket: Int, rows: Long,
+      bytes: Long, mins: IndexedSeq[Option[String]],
+      maxs: IndexedSeq[Option[String]], blooms: IndexedSeq[Option[String]],
+      sks: IndexedSeq[Option[String]])
+
+  /** A parsed segment file. The column lists are captured at write time:
+    * a segment whose lists differ from the referencing manifest's cannot
+    * serve payloads (positional under the wrong columns) — commits
+    * re-measure such files into the fresh segment ([[alterIndexing]]),
+    * so a published manifest only ever references matching segments.
+    */
+  final case class Segment(statsCols: Seq[String], bloomCols: Seq[String],
+      ndvCols: Seq[String], entries: Vector[SegEntry])
+
   final case class Manifest(version: Long, keys: Seq[String], numBuckets: Int,
-      schemaDdl: String, files: Seq[(String, Int)],
+      schemaDdl: String, filesEager: Seq[(String, Int)] = null,
       sortCols: Seq[String] = Nil, statsCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L, dvFiles: Seq[(String, Int)] = Nil,
       bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil,
-      cdfRecord: Boolean = false, txn: Option[String] = None)
+      cdfRecord: Boolean = false, txn: Option[String] = None,
+      segments: Seq[SegmentRef] = Nil,
+      segmentLoader: String => Segment = null) {
+    /** The live file list. Writers construct it eagerly (`filesEager` —
+      * carried ++ fresh, exactly as before the sharding); parsed
+      * manifests resolve it lazily from the segment refs through the
+      * per-JVM cache, so metadata-only surfaces ([[history]], the
+      * version walks) never pay the resolution.
+      */
+    lazy val files: Seq[(String, Int)] =
+      if (filesEager != null) filesEager
+      else segments.flatMap(r => liveEntries(r, segmentLoader(r.path))
+        .map(e => (e.path, e.bucket)))
+    /** Live-file count without resolving any segment file. */
+    def fileCount: Int =
+      if (filesEager != null) filesEager.size else segments.map(_.files).sum
+  }
+
+  /** The entries of `seg` still live under `ref`: bucket listed, index
+    * not retired.
+    */
+  private def liveEntries(ref: SegmentRef, seg: Segment): Seq[SegEntry] = {
+    val bset = ref.buckets.toSet
+    if (ref.dead.isEmpty)
+      seg.entries.filter(e => bset(e.bucket))
+    else {
+      val dset = ref.dead.toSet
+      seg.entries.iterator.zipWithIndex.collect {
+        case (e, i) if bset(e.bucket) && !dset(i) => e
+      }.toSeq
+    }
+  }
 
   /** Per-file zone-map entry: row count + min/max of each stats column,
     * string-rendered (None = the column was all-NULL in the file).
@@ -149,6 +225,163 @@ object LakeTable {
     case c => c.toString
   } + "\""
 
+  // ---- tiny JSON reader -------------------------------------------------
+  // Escape-exact recursive descent over the fixed grammars this file's
+  // render* methods emit (no JSON library in the dependency budget). The
+  // pre-r12 regex extraction broke on stat strings containing ']' inside
+  // nested arrays; the segment plane nests arrays-in-objects-in-arrays,
+  // so it parses properly.
+  private sealed trait JVal
+  private final case class JStr(s: String) extends JVal
+  private final case class JNum(s: String) extends JVal
+  private final case class JBool(b: Boolean) extends JVal
+  private case object JNull extends JVal
+  private final case class JArr(xs: Vector[JVal]) extends JVal
+  private final case class JObj(fields: Map[String, JVal]) extends JVal
+
+  private object Json {
+    def parse(s: String): JVal = {
+      val p = new P(s); val v = p.value(); p.ws()
+      require(p.i >= s.length, s"json: trailing content at ${p.i}")
+      v
+    }
+    private final class P(s: String) {
+      var i = 0
+      def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+      def value(): JVal = { ws(); s(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => JStr(str())
+        case 't' => i += 4; JBool(true)
+        case 'f' => i += 5; JBool(false)
+        case 'n' => i += 4; JNull
+        case _ =>
+          val j = i
+          while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+          JNum(s.substring(j, i))
+      } }
+      def obj(): JObj = {
+        i += 1; ws()
+        val b = Map.newBuilder[String, JVal]
+        if (s(i) == '}') { i += 1; return JObj(b.result()) }
+        var go = true
+        while (go) {
+          ws(); val k = str(); ws()
+          require(s(i) == ':', s"json: expected ':' at $i"); i += 1
+          b += k -> value(); ws()
+          if (s(i) == ',') i += 1 else { require(s(i) == '}'); i += 1; go = false }
+        }
+        JObj(b.result())
+      }
+      def arr(): JArr = {
+        i += 1; ws()
+        val b = Vector.newBuilder[JVal]
+        if (s(i) == ']') { i += 1; return JArr(b.result()) }
+        var go = true
+        while (go) {
+          b += value(); ws()
+          if (s(i) == ',') i += 1 else { require(s(i) == ']'); i += 1; go = false }
+        }
+        JArr(b.result())
+      }
+      def str(): String = {
+        require(s(i) == '"', s"json: expected string at $i"); i += 1
+        val sb = new StringBuilder
+        while (s(i) != '"') {
+          if (s(i) == '\\') { i += 1; s(i) match {
+            case 'n' => sb.append('\n')
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case c => sb.append(c)
+          } } else sb.append(s(i))
+          i += 1
+        }
+        i += 1
+        sb.toString
+      }
+    }
+    // typed accessors over the fixed grammar — a missing optional field
+    // defaults; a malformed one fails loudly
+    def str(o: JObj, k: String): String =
+      o.fields(k).asInstanceOf[JStr].s
+    def optStr(o: JObj, k: String): Option[String] =
+      o.fields.get(k).collect { case JStr(x) => x }
+    def num(o: JObj, k: String, default: Long = 0L): Long =
+      o.fields.get(k) match {
+        case Some(JNum(x)) => x.toLong
+        case _ => default
+      }
+    def arr(o: JObj, k: String): Vector[JVal] =
+      o.fields.get(k) match {
+        case Some(JArr(xs)) => xs
+        case _ => Vector.empty
+      }
+    def strSeq(o: JObj, k: String): Seq[String] =
+      arr(o, k).map(_.asInstanceOf[JStr].s)
+    def optStrSeq(o: JObj, k: String): IndexedSeq[Option[String]] =
+      arr(o, k).map { case JStr(x) => Some(x); case _ => None }
+  }
+
+  private def jOptStr(v: Option[String]): String =
+    v.map(jq).getOrElse("null")
+
+  // ---- segment files (`_segments/<uuid>.json`) --------------------------
+
+  private def renderSegment(statsCols: Seq[String], bloomCols: Seq[String],
+      ndvCols: Seq[String], entries: Seq[SegEntry]): String =
+    s"""{"stats_cols":[${statsCols.map(jq).mkString(",")}],""" +
+      s""""bloom_cols":[${bloomCols.map(jq).mkString(",")}],""" +
+      s""""ndv_cols":[${ndvCols.map(jq).mkString(",")}],"lgk":$NdvLgK,""" +
+      s""""files":[${entries.map { e =>
+        s"""{"path":${jq(e.path)},"bucket":${e.bucket},"rows":${e.rows},""" +
+          s""""bytes":${e.bytes},""" +
+          s""""min":[${e.mins.map(jOptStr).mkString(",")}],""" +
+          s""""max":[${e.maxs.map(jOptStr).mkString(",")}],""" +
+          s""""bloom":[${e.blooms.map(jOptStr).mkString(",")}],""" +
+          s""""sk":[${e.sks.map(jOptStr).mkString(",")}]}"""
+      }.mkString(",")}]}"""
+
+  private def parseSegment(s: String): Segment = {
+    val o = Json.parse(s).asInstanceOf[JObj]
+    Segment(Json.strSeq(o, "stats_cols"), Json.strSeq(o, "bloom_cols"),
+      Json.strSeq(o, "ndv_cols"),
+      Json.arr(o, "files").map { f =>
+        val fo = f.asInstanceOf[JObj]
+        SegEntry(Json.str(fo, "path"), Json.num(fo, "bucket").toInt,
+          Json.num(fo, "rows", -1L), Json.num(fo, "bytes", -1L),
+          Json.optStrSeq(fo, "min"), Json.optStrSeq(fo, "max"),
+          Json.optStrSeq(fo, "bloom"), Json.optStrSeq(fo, "sk"))
+      })
+  }
+
+  /** Per-JVM cache of parsed segment files, keyed by qualified path.
+    * Segments are IMMUTABLE (written once under a UUID name before their
+    * first referencing manifest publishes), so a cached parse is valid
+    * forever; the cost of planning against a table is O(segments the
+    * cache hasn't seen) = O(delta) in the steady state. The cap only
+    * bounds a long-lived driver touching unboundedly many tables —
+    * eviction merely re-parses.
+    */
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Segment]()
+
+  private def loadSegment(spark: SparkSession, root: String,
+      refPath: String): Segment = {
+    val p0 = new Path(root, refPath)
+    val fs = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(p0).toString
+    val hit = segmentCache.get(key)
+    if (hit != null) return hit
+    val in = fs.open(p0)
+    val seg = try parseSegment(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+    if (segmentCache.size > 8192) segmentCache.clear()
+    segmentCache.put(key, seg)
+    seg
+  }
+
   /** `ts` (publish wall-clock millis) is stamped at render time — it is
     * commit metadata, not table state, which is why it lives outside the
     * [[Manifest]] case class (a `copy`-derived next version must get a
@@ -156,6 +389,13 @@ object LakeTable {
     * back for timestamp time travel; legacy manifests without the field
     * parse as ts = 0 (eligible at any cutoff, as the oldest).
     */
+  private def renderRef(r: SegmentRef): String =
+    s"""{"path":${jq(r.path)},"buckets":[${r.buckets.mkString(",")}],""" +
+      s""""dead":[${r.dead.mkString(",")}],"files":${r.files},""" +
+      s""""rows":${r.rows},"bytes":${r.bytes},""" +
+      s""""min":[${r.mins.map(jOptStr).mkString(",")}],""" +
+      s""""max":[${r.maxs.map(jOptStr).mkString(",")}]}"""
+
   private def render(m: Manifest): String =
     s"""{"ts":${System.currentTimeMillis},""" +
       s""""version":${m.version},"keys":[${m.keys.map(jq).mkString(",")}],""" +
@@ -169,76 +409,35 @@ object LakeTable {
       m.txn.map(p => s""""txn":${jq(p)},""").getOrElse("") +
       s""""dv_files":[${m.dvFiles.map { case (p, b) =>
         s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}],""" +
-      s""""files":[${m.files.map { case (p, b) =>
-        s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}]}"""
+      s""""segments":[${m.segments.map(renderRef).mkString(",")}]}"""
 
-  /** Minimal recursive-descent parse of [[render]]'s own output — no JSON
-    * library in the dependency budget, and the grammar here is fixed.
+  /** Parse [[render]]'s own output. Pre-r12 manifests carried an inline
+    * `files` array instead of `segments` — those parse to an eager file
+    * list with no refs (every read path handles both forms).
     */
   private def parse(s: String): Manifest = {
-    def strField(name: String): String = {
-      val at = s.indexOf("\"" + name + "\":")
-      require(at >= 0, s"manifest: missing $name")
-      val sb = new StringBuilder
-      var i = s.indexOf('"', at + name.length + 3) + 1
-      while (s(i) != '"') {
-        if (s(i) == '\\') { i += 1
-          sb.append(s(i) match {
-            case 'n' => '\n'
-            case 'u' => val c = Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
-              i += 4; c
-            case c => c
-          })
-        } else sb.append(s(i))
-        i += 1
+    val o = Json.parse(s).asInstanceOf[JObj]
+    def files(k: String): Seq[(String, Int)] =
+      Json.arr(o, k).map { f =>
+        val fo = f.asInstanceOf[JObj]
+        (Json.str(fo, "path"), Json.num(fo, "bucket").toInt)
       }
-      sb.toString
+    val refs = Json.arr(o, "segments").map { r =>
+      val ro = r.asInstanceOf[JObj]
+      SegmentRef(Json.str(ro, "path"),
+        Json.arr(ro, "buckets").map(_.asInstanceOf[JNum].s.toInt),
+        Json.arr(ro, "dead").map(_.asInstanceOf[JNum].s.toInt),
+        Json.num(ro, "files").toInt, Json.num(ro, "rows", -1L),
+        Json.num(ro, "bytes", -1L),
+        Json.optStrSeq(ro, "min"), Json.optStrSeq(ro, "max"))
     }
-    def longField(name: String): Long = {
-      val at = s.indexOf("\"" + name + "\":")
-      require(at >= 0, s"manifest: missing $name")
-      s.drop(at + name.length + 3).takeWhile(c => c.isDigit || c == '-').toLong
-    }
-    // optional fields default (old manifests predate the layout contract)
-    def strSeq(name: String): Seq[String] = {
-      val tag = "\"" + name + "\":["
-      val at = s.indexOf(tag)
-      if (at < 0) Seq.empty
-      else {
-        val end = s.indexOf(']', at)
-        s.substring(at + tag.length, end).split(",").filter(_.nonEmpty)
-          .map(k => k.trim.stripPrefix("\"").stripSuffix("\"")).toSeq
-      }
-    }
-    def optLong(name: String, default: Long): Long = {
-      val at = s.indexOf("\"" + name + "\":")
-      if (at < 0) default
-      else s.drop(at + name.length + 3).takeWhile(c => c.isDigit || c == '-').toLong
-    }
-    val keys = strSeq("keys")
-    // each file array is delimited by ITS OWN closing bracket (paths are
-    // UUID-based and never contain ']'), so multiple arrays coexist
-    def fileArray(name: String): Seq[(String, Int)] = {
-      val tag = "\"" + name + "\":["
-      val at = s.indexOf(tag)
-      if (at < 0) Seq.empty
-      else {
-        val body = s.substring(at + tag.length, s.indexOf(']', at + tag.length))
-        "\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"bucket\":(\\d+)\\}".r
-          .findAllMatchIn(body)
-          .map(m => (m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
-            .replace("\u0000", "\\"), m.group(2).toInt))
-          .toSeq
-      }
-    }
-    // optional string field (txn tag): absent on every pre-txn manifest
-    def optStrField(name: String): Option[String] =
-      if (s.indexOf("\"" + name + "\":\"") < 0) None else Some(strField(name))
-    Manifest(longField("version"), keys, longField("num_buckets").toInt,
-      strField("schema_ddl"), fileArray("files"),
-      strSeq("sort_cols"), strSeq("stats_cols"), optLong("max_records", 0L),
-      fileArray("dv_files"), strSeq("bloom_cols"), strSeq("ndv_cols"),
-      optLong("cdf_record", 0L) == 1L, optStrField("txn"))
+    Manifest(Json.num(o, "version"), Json.strSeq(o, "keys"),
+      Json.num(o, "num_buckets").toInt, Json.str(o, "schema_ddl"),
+      if (o.fields.contains("files")) files("files") else null,
+      Json.strSeq(o, "sort_cols"), Json.strSeq(o, "stats_cols"),
+      Json.num(o, "max_records"), files("dv_files"),
+      Json.strSeq(o, "bloom_cols"), Json.strSeq(o, "ndv_cols"),
+      Json.num(o, "cdf_record") == 1L, Json.optStr(o, "txn"), refs)
   }
 
   /** The newest slot in `vs` that is LIVE — or the writer's own staged
@@ -293,9 +492,12 @@ object LakeTable {
       v: Long): Manifest = {
     val fs = hfs(spark, root)
     val in = fs.open(new Path(root, s"_versions/$v.json"))
-    try parse(new String(in.readAllBytes(),
+    val m = try parse(new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8))
     finally in.close()
+    // attach the segment resolver: `files` stays lazy, so metadata-only
+    // walks (history, liveness, the claim guard) never load a segment
+    m.copy(segmentLoader = p => loadSegment(spark, root, p))
   }
 
   /** The transaction outcome the file at `outcomePath` records: None =
@@ -521,6 +723,204 @@ object LakeTable {
     throw last
   }
 
+  /** Staged write + rename of a small metadata file (UUID-named segment
+    * files and other single-writer sidecars — no exclusive claim needed).
+    */
+  private def writeMetaFile(fs: FileSystem, root: String, rel: String,
+      body: String): Unit = {
+    val dst = new Path(root, rel)
+    val dir = dst.getParent
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
+    val out = fs.create(staged, false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.rename(staged, dst)
+  }
+
+  /** Measure the complete per-file metadata of `paths` in ONE aggregation
+    * pass over only those files — row count, zone min/max per statsCol,
+    * bloom per bloomCol, HLL sketch per ndvCol, grouped on the physical
+    * file (the pre-r12 design paid three separate passes). File sizes
+    * come from one directory listing per parent. Tables declaring no
+    * indexed columns skip the scan entirely (rows = -1). A zero-row file
+    * produces no aggregation group and synthesizes an empty entry — its
+    * IDENTITY must survive into the segment (entries ARE the file list).
+    */
+  private def measureEntries(spark: SparkSession, root: String, m: Manifest,
+      paths: Seq[(String, Int)]): Seq[SegEntry] = {
+    if (paths.isEmpty) return Nil
+    val conf = spark.sparkContext.hadoopConfiguration
+    val byDir = paths.map(_._1).groupBy(f => new Path(root, f).getParent)
+    val lens: Map[Path, Long] = byDir.keysIterator.flatMap { d =>
+      d.getFileSystem(conf).listStatus(d).iterator
+        .map(st => st.getPath -> st.getLen)
+    }.toMap
+    def lenOf(p: String): Long = {
+      val p0 = new Path(root, p)
+      val fsys = p0.getFileSystem(conf)
+      lens.getOrElse(fsys.makeQualified(p0), fsys.getFileStatus(p0).getLen)
+    }
+    val nS = m.statsCols.size; val nB = m.bloomCols.size
+    val nN = m.ndvCols.size
+    val noneS = IndexedSeq.fill(nS)(Option.empty[String])
+    val noneB = IndexedSeq.fill(nB)(Option.empty[String])
+    val noneN = IndexedSeq.fill(nN)(Option.empty[String])
+    if (nS + nB + nN == 0)
+      return paths.map { case (p, b) =>
+        SegEntry(p, b, -1L, lenOf(p), noneS, noneS, noneB, noneN) }
+    val keyOf = manifestKeyOf(paths.map(_._1))
+    val (items, bits) = bloomShape(m)
+    val statAggs = m.statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val bloomAggs = {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graftbridge.GraftSqlBridge
+      m.bloomCols.map { c =>
+        val agg = new BloomFilterAggregate(
+          GraftSqlBridge.expression(xxhash64(col(c))),
+          Literal(items), Literal(bits))
+        GraftSqlBridge.column(agg.toAggregateExpression())
+      }
+    }
+    val ndvAggs = m.ndvCols.map(c =>
+      hll_sketch_agg(col(c).cast("string"), NdvLgK))
+    val aggs = (count(lit(1)) +: (statAggs ++ bloomAggs ++ ndvAggs))
+      .zipWithIndex.map { case (c, i) => c.alias(s"__a$i") }
+    val b64enc = java.util.Base64.getEncoder
+    val measured: Map[String, SegEntry] =
+      readFiles(spark, root, m, paths.map(_._1))
+        .groupBy(input_file_name().alias("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val p = keyOf(r.getString(0))
+          val mins = (0 until nS).map(i => Option(r.getString(2 + 2 * i)))
+          val maxs = (0 until nS).map(i => Option(r.getString(3 + 2 * i)))
+          val blooms = (0 until nB).map(i =>
+            Option(r.getAs[Array[Byte]](2 + 2 * nS + i))
+              .map(b64enc.encodeToString))
+          val sks = (0 until nN).map(i =>
+            Option(r.getAs[Array[Byte]](2 + 2 * nS + nB + i))
+              .map(b64enc.encodeToString))
+          p -> SegEntry(p, -1, r.getLong(1), -1L, mins, maxs, blooms, sks)
+        }.toMap
+    paths.map { case (p, b) =>
+      measured.get(p) match {
+        case Some(e) => e.copy(bucket = b, bytes = lenOf(p))
+        case None => SegEntry(p, b, 0L, lenOf(p), noneS, noneS, noneB, noneN)
+      }
+    }
+  }
+
+  /** Segment-level zone summary over `entries` for statsCol `i` — the
+    * manifest-resident range a scan dismisses whole segments with, no
+    * segment file parsed. None = no dismissal possible on this column
+    * (unmeasured entries, or no non-null value); a None NEVER prunes.
+    * All-null files contribute no value, which is exact for range
+    * predicates (NULL satisfies none).
+    */
+  private def refSummary(entries: Seq[SegEntry], dt: DataType, i: Int,
+      want: Int): Option[String] = {
+    if (entries.exists(_.rows < 0)) return None
+    val side = if (want < 0) entries.flatMap(_.mins.lift(i).flatten)
+      else entries.flatMap(_.maxs.lift(i).flatten)
+    if (side.isEmpty) None
+    else Some(side.reduce((a, b) =>
+      if (Integer.signum(statCmp(dt, a, b)) == want) a else b))
+  }
+
+  /** THE commit of every write path: diff the writer's file list against
+    * the carried segment refs (`next.segments` — the base version's, via
+    * `copy`), write ONE immutable segment file for the files no carried
+    * segment still covers (payloads measured in a single pass, or taken
+    * from `known` — [[cloneShallow]] copies the source's), shrink the
+    * carried refs exactly (bucket drops, per-file `dead` indexes), and
+    * publish the manifest. Metadata bytes per commit: O(delta files) in
+    * the segment + O(live segments) in the manifest — never O(live
+    * files). A commit-race loser's segment file is unreferenced debris
+    * [[vacuum]] sweeps. Carried segments whose payload column lists
+    * differ from `next`'s cannot serve their entries (positional under
+    * the wrong columns — the [[alterIndexing]] path): their files
+    * re-measure into the fresh segment, data untouched.
+    */
+  private def commitVersion(spark: SparkSession, root: String,
+      next: Manifest, waitTxn: Boolean = true,
+      selfTxn: Option[String] = None,
+      known: Map[String, SegEntry] = Map.empty,
+      metadataOnly: Boolean = false): Manifest = {
+    val fs = hfs(spark, root)
+    // metadata-only commits (MoR delete vectors, CDF toggle, restore)
+    // leave the data-file list and the indexed-column declarations
+    // untouched: every ref republishes VERBATIM — no segment is loaded,
+    // no file resolved, the commit is one manifest write whatever the
+    // table size
+    if (metadataOnly) {
+      publish(fs, root, next, waitTxn, selfTxn)
+      return next
+    }
+    val nextFiles = next.files
+    val want: Map[String, Int] = nextFiles.toMap
+    val covered = Set.newBuilder[String]
+    val survivors = next.segments.flatMap { ref =>
+      val seg = loadSegment(spark, root, ref.path)
+      val colsMatch = seg.statsCols == next.statsCols &&
+        seg.bloomCols == next.bloomCols && seg.ndvCols == next.ndvCols
+      if (!colsMatch) None
+      else {
+        val bset = ref.buckets.toSet
+        val dset = ref.dead.toSet
+        val kept = seg.entries.zipWithIndex.filter { case (e, i) =>
+          bset(e.bucket) && !dset(i) && want.contains(e.path) }
+        if (kept.isEmpty) None
+        else {
+          kept.foreach { case (e, _) => covered += e.path }
+          val keptB = kept.map(_._1.bucket).toSet
+          val keptIdx = kept.map(_._2).toSet
+          val dead = seg.entries.zipWithIndex.collect {
+            case (e, i) if keptB(e.bucket) && !keptIdx(i) => i }
+          Some(SegmentRef(ref.path, keptB.toSeq.sorted, dead, kept.size,
+            if (kept.exists(_._1.rows < 0)) -1L else kept.map(_._1.rows).sum,
+            if (kept.exists(_._1.bytes < 0)) -1L
+            else kept.map(_._1.bytes).sum,
+            ref.mins, ref.maxs))
+        }
+      }
+    }
+    val cov = covered.result()
+    val freshPaths = nextFiles.filterNot { case (p, _) => cov(p) }
+    val (knownFresh, toMeasure) =
+      freshPaths.partition(f => known.contains(f._1))
+    val entries =
+      knownFresh.map { case (p, b) => known(p).copy(path = p, bucket = b) } ++
+        measureEntries(spark, root, next, toMeasure)
+    val newRef =
+      if (entries.isEmpty) Nil
+      else {
+        val schema = StructType.fromDDL(next.schemaDdl)
+        val segPath = s"_segments/${java.util.UUID.randomUUID}.json"
+        // segment BEFORE manifest: a published manifest always resolves;
+        // a crash (or race loss) here leaves an orphan segment, never a
+        // torn table
+        writeMetaFile(fs, root, segPath,
+          renderSegment(next.statsCols, next.bloomCols, next.ndvCols,
+            entries))
+        Seq(SegmentRef(segPath, entries.map(_.bucket).distinct.sorted, Nil,
+          entries.size,
+          if (entries.exists(_.rows < 0)) -1L else entries.map(_.rows).sum,
+          if (entries.exists(_.bytes < 0)) -1L
+          else entries.map(_.bytes).sum,
+          next.statsCols.indices.map(i =>
+            refSummary(entries, schema(next.statsCols(i)).dataType, i, -1)),
+          next.statsCols.indices.map(i =>
+            refSummary(entries, schema(next.statsCols(i)).dataType, i, 1))))
+      }
+    val toPublish = next.copy(segments = survivors ++ newRef)
+    publish(fs, root, toPublish, waitTxn, selfTxn)
+    toPublish
+  }
+
   /** Write `rows` bucketed under a fresh UUID data dir; returns manifest
     * entries (root-relative path, bucket). Files only become live when a
     * manifest referencing them is published.
@@ -590,48 +990,42 @@ object LakeTable {
     else keyMembershipJoin(df, readDv(spark, root, m, dv.map(_._1)),
       m.keys, "left_anti", bcast = false)
 
-  // ---- zone-map sidecar: per-file min/max for the manifest's statsCols --
+  // ---- per-file metadata readers (segment-backed) ----------------------
+  // The pre-r12 whole-table `_stats`/`_bloom`/`_ndv` per-version JSONs are
+  // gone: payloads live inside the per-delivery segment files and are
+  // assembled here into the same Map shapes the probe sites always used.
+  // A legacy manifest (inline file list, no segments) simply has no
+  // metadata — readers return None and every consumer degrades to its
+  // documented conservative fallback.
 
-  private def renderStats(version: Long, cols: Seq[String],
-      entries: Seq[(String, FileStats)]): String = {
-    def opt(v: Option[String]) = v.map(jq).getOrElse("null")
-    s"""{"version":$version,"cols":[${cols.map(jq).mkString(",")}],""" +
-      s""""files":[${entries.map { case (p, st) =>
-        s"""{"path":${jq(p)},"rows":${st.rows},""" +
-          s""""min":[${st.mins.map(opt).mkString(",")}],""" +
-          s""""max":[${st.maxs.map(opt).mkString(",")}]}"""
-      }.mkString(",")}]}"""
+  /** Live-entry view of a version: (manifest, its live SegEntry list). */
+  private def liveEntriesOf(spark: SparkSession, root: String,
+      version: Long): (Manifest, Seq[SegEntry]) = {
+    val m = manifestAt(spark, root, version)
+    (m, m.segments.flatMap { ref =>
+      val seg = loadSegment(spark, root, ref.path)
+      // a published manifest only references matching-col segments
+      // (commitVersion re-measures mismatches); skip defensively anyway
+      if (seg.statsCols == m.statsCols && seg.bloomCols == m.bloomCols &&
+          seg.ndvCols == m.ndvCols) liveEntries(ref, seg)
+      else Nil
+    })
   }
 
-  private def parseStats(s: String): Map[String, FileStats] = {
-    // same fixed grammar as the manifest: objects rendered by renderStats
-    val entry = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"rows\":(\\d+)," +
-      "\"min\":\\[([^\\]]*)\\],\"max\":\\[([^\\]]*)\\]\\}").r
-    def vals(body: String): Seq[Option[String]] =
-      if (body.isEmpty) Seq.empty
-      else body.split(",", -1).toSeq.map {
-        case "null" => None
-        case q => Some(q.trim.stripPrefix("\"").stripSuffix("\"")
-          .replace("\\\\", "\u0000").replace("\\\"", "\"").replace("\u0000", "\\"))
-      }
-    entry.findAllMatchIn(s).map { m =>
-      val path = m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
-        .replace("\u0000", "\\")
-      path -> FileStats(m.group(2).toLong, vals(m.group(3)), vals(m.group(4)))
-    }.toMap
-  }
+  /** A parsed manifest with NO metadata plane: pre-r12 (inline file
+    * list, non-empty) — readers decline and consumers degrade to their
+    * conservative fallbacks. An EMPTY segment list on a post-r12
+    * manifest is a genuinely empty table, which answers exactly.
+    */
+  private def legacyNoMetadata(m: Manifest): Boolean =
+    m.segments.isEmpty && m.filesEager != null && m.filesEager.nonEmpty
 
   private[graft] def readStats(spark: SparkSession, root: String,
       version: Long): Option[Map[String, FileStats]] = {
-    val fs = hfs(spark, root)
-    val p = new Path(root, s"_stats/$version.json")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(parseStats(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)))
-      finally in.close()
-    }
+    val (m, es) = liveEntriesOf(spark, root, version)
+    if (legacyNoMetadata(m)) None
+    else Some(es.iterator.filter(_.rows >= 0)
+      .map(e => e.path -> FileStats(e.rows, e.mins, e.maxs)).toMap)
   }
 
   /** Map `input_file_name()` URIs back to the MANIFEST paths that were
@@ -640,7 +1034,7 @@ object LakeTable {
     * ([[cloneShallow]]) references its source's files ABSOLUTELY — the
     * uuid'd relative suffix is unique either way, so it is the join key;
     * a measured file whose suffix matches an absolute manifest entry is
-    * keyed under that entry, keeping every sidecar keyed exactly as the
+    * keyed under that entry, keeping every payload keyed exactly as the
     * manifest spells the path.
     */
   private def manifestKeyOf(paths: Seq[String]): String => String = {
@@ -653,59 +1047,12 @@ object LakeTable {
     }
   }
 
-  /** Compute per-file min/max for `paths` (manifest form) — one aggregation
-    * over ONLY those files, grouped on the physical file each row came from.
-    */
-  private def computeStats(spark: SparkSession, root: String, m: Manifest,
-      paths: Seq[String]): Map[String, FileStats] = {
-    if (paths.isEmpty) return Map.empty
-    val keyOf = manifestKeyOf(paths)
-    val aggs = count(lit(1)).alias("__rows") +: m.statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").alias(s"__min_$c"),
-      max(col(c)).cast("string").alias(s"__max_$c")))
-    readFiles(spark, root, m, paths)
-      .groupBy(input_file_name().alias("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        keyOf(r.getString(0)) -> FileStats(r.getLong(1),
-          m.statsCols.indices.map(i => Option(r.getString(2 + 2 * i))),
-          m.statsCols.indices.map(i => Option(r.getString(3 + 2 * i))))
-      }.toMap
-  }
-
-  /** Publish the `_stats` sidecar for manifest `m`: fresh files are
-    * measured, carried files inherit the previous version's entries (files
-    * are immutable, so the zone map is too) — the sidecar write is
-    * O(delta) like the data write itself. Self-healing: a missing previous
-    * sidecar just means every file is measured this once.
-    */
-  private def publishStats(spark: SparkSession, root: String, m: Manifest,
-      prevVersion: Option[Long]): Unit = {
-    if (m.statsCols.isEmpty) return
-    val fs = hfs(spark, root)
-    val prev: Map[String, FileStats] = prevVersion
-      .flatMap(v => readStats(spark, root, v)).getOrElse(Map.empty)
-    val (carried, fresh) = m.files.map(_._1).partition(prev.contains)
-    val entries = carried.map(p => p -> prev(p)) ++
-      computeStats(spark, root, m, fresh).toSeq
-    val dir = new Path(root, "_stats")
-    if (!fs.exists(dir)) fs.mkdirs(dir)
-    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
-    val out = fs.create(staged, false)
-    try out.write(renderStats(m.version, m.statsCols, entries)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.rename(staged, new Path(dir, s"${m.version}.json"))
-  }
-
-  // ---- bloom sidecar: per-file membership filters for bloomCols --------
-
   /** Per-file bloom sizing: expected distinct items per file follows the
     * layout contract (`maxRecordsPerFile` when rolling is on, else a
-    * conservative 64k), bits sized for ~2% fpp — at 10k files × 60 KB the
-    * whole sidecar is still a sub-GB driver-side object, and a 2% false
-    * open rate only costs a wasted file read, never a wrong row.
+    * conservative 64k), bits sized for ~2% fpp — at 10k files x 60 KB the
+    * per-table bloom metadata is still sub-GB (and now sharded across
+    * segment files), and a 2% false open rate only costs a wasted file
+    * read, never a wrong row.
     */
   private def bloomShape(m: Manifest): (Long, Long) = {
     val items = if (m.maxRecordsPerFile > 0) m.maxRecordsPerFile else 65536L
@@ -714,180 +1061,31 @@ object LakeTable {
     (items, bits)
   }
 
-  // ---- shared binary-sidecar codec (`_bloom`, `_ndv`) -----------------
-  // One JSON per version mapping path -> [base64|null, ...] (one slot per
-  // declared column). Parsing KEEPS the base64 STRING form, so a carried
-  // entry round-trips verbatim through every publish — no per-commit
-  // decode/re-encode churn on the driver (at 10k files x 4 columns that
-  // churn was ~100 MB per commit) — and probe sites decode on demand.
-  // One grammar, one escaping, one carry discipline for both sidecars.
-
-  private def renderBinSidecar(version: Long, extraHeader: String,
-      field: String, cols: Seq[String],
-      entries: Seq[(String, Seq[Option[String]])]): String =
-    s"""{"version":$version,$extraHeader"cols":[${cols.map(jq).mkString(",")}],""" +
-      s""""files":[${entries.map { case (p, xs) =>
-        s"""{"path":${jq(p)},"$field":[${xs.map(_.map(jq).getOrElse("null"))
-          .mkString(",")}]}"""
-      }.mkString(",")}]}"""
-
-  private def parseBinSidecar(field: String,
-      s: String): Map[String, Seq[Option[String]]] = {
-    val entry = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"" + field +
-      "\":\\[([^\\]]*)\\]\\}").r
-    entry.findAllMatchIn(s).map { m =>
-      val path = m.group(1).replace("\\\\", "\u0000").replace("\\\"", "\"")
-        .replace("\u0000", "\\")
-      val xs = if (m.group(2).isEmpty) Seq.empty[Option[String]]
-        else m.group(2).split(",", -1).toSeq.map {
-          case "null" => None
-          case q => Some(q.trim.stripPrefix("\"").stripSuffix("\""))
-        }
-      path -> xs
-    }.toMap
-  }
-
-  private def readBinSidecar(spark: SparkSession, root: String, sub: String,
-      field: String,
-      version: Long): Option[Map[String, Seq[Option[String]]]] = {
-    val fs = hfs(spark, root)
-    val p = new Path(root, s"$sub/$version.json")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(parseBinSidecar(field, new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)))
-      finally in.close()
-    }
-  }
-
-  private def writeBinSidecar(spark: SparkSession, root: String,
-      sub: String, body: String, version: Long): Unit = {
-    val fs = hfs(spark, root)
-    val dir = new Path(root, sub)
-    if (!fs.exists(dir)) fs.mkdirs(dir)
-    val staged = new Path(dir, s".staging-${java.util.UUID.randomUUID}")
-    val out = fs.create(staged, false)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.rename(staged, new Path(dir, s"$version.json"))
-  }
-
-  /** Shared O(delta) publish: carried files (immutable, so their payloads
-    * are too) inherit the previous version's entries verbatim; only fresh
-    * files are measured by `compute`. Self-healing on a missing previous
-    * sidecar — everything is "fresh" and gets re-measured.
-    */
-  private def publishBinSidecar(spark: SparkSession, root: String,
-      sub: String, field: String, extraHeader: String, cols: Seq[String],
-      m: Manifest, prevVersion: Option[Long],
-      compute: Seq[String] => Seq[(String, Seq[Option[String]])]): Unit = {
-    val prev = prevVersion
-      .flatMap(v => readBinSidecar(spark, root, sub, field, v))
-      .getOrElse(Map.empty[String, Seq[Option[String]]])
-    val (carried, fresh) = m.files.map(_._1).partition(prev.contains)
-    val entries = carried.map(p => p -> prev(p)) ++ compute(fresh)
-    writeBinSidecar(spark, root, sub,
-      renderBinSidecar(m.version, extraHeader, field, cols, entries),
-      m.version)
-  }
-
   private def b64(s: String): Array[Byte] =
     java.util.Base64.getDecoder.decode(s)
 
   private[graft] def readBlooms(spark: SparkSession, root: String,
-      version: Long): Option[Map[String, Seq[Option[String]]]] =
-    readBinSidecar(spark, root, "_bloom", "bloom", version)
-
-  /** One aggregation over ONLY `paths`, grouped on the physical file:
-    * a Catalyst [[BloomFilterAggregate]] per bloom column over
-    * `xxhash64(col)` — codegen'd build side, same hash the probe applies
-    * driver-side. Sizes stay far under the runtime-filter SQLConf clamps.
-    */
-  private def computeBlooms(spark: SparkSession, root: String, m: Manifest,
-      paths: Seq[String]): Seq[(String, Seq[Option[String]])] = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.GraftSqlBridge
-    if (paths.isEmpty) return Seq.empty
-    val (items, bits) = bloomShape(m)
-    val keyOf = manifestKeyOf(paths)
-    val aggs = m.bloomCols.map { c =>
-      val agg = new BloomFilterAggregate(
-        GraftSqlBridge.expression(xxhash64(col(c))),
-        Literal(items), Literal(bits))
-      GraftSqlBridge.column(agg.toAggregateExpression()).alias(s"__bf_$c")
-    }
-    readFiles(spark, root, m, paths)
-      .groupBy(input_file_name().alias("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        keyOf(r.getString(0)) -> m.bloomCols.indices.map(i =>
-          Option(r.getAs[Array[Byte]](1 + i))
-            .map(java.util.Base64.getEncoder.encodeToString))
-      }.toSeq
+      version: Long): Option[Map[String, Seq[Option[String]]]] = {
+    val (m, es) = liveEntriesOf(spark, root, version)
+    if (legacyNoMetadata(m)) None
+    else Some(es.iterator.filter(_.rows >= 0)
+      .map(e => e.path -> (e.blooms: Seq[Option[String]])).toMap)
   }
 
-  /** Publish the `_bloom` sidecar for manifest `m` — the shared O(delta)
-    * carry-forward ([[publishBinSidecar]]).
-    */
-  private def publishBlooms(spark: SparkSession, root: String, m: Manifest,
-      prevVersion: Option[Long]): Unit = {
-    if (m.bloomCols.isEmpty) return
-    publishBinSidecar(spark, root, "_bloom", "bloom", "", m.bloomCols, m,
-      prevVersion, fresh => computeBlooms(spark, root, m, fresh))
-  }
-
-  // ---- ndv sidecar: per-file HLL sketches for the ndv columns ---------
-
-  /** lgK of the per-file DataSketches HLL sketches: 2^12 registers ≈ 0.8%
-    * relative standard error at ~2.5 KB per (file, column). At 10k files ×
-    * 4 stats columns the whole sidecar is ≤100 MB of driver-side metadata,
-    * and the union that answers a table-level NDV is register-max —
-    * EXACTLY the sketch a single pass over the union of the files would
-    * have built, so the estimate does not degrade as the table accretes
-    * deliveries.
+  /** lgK of the per-file DataSketches HLL sketches: 2^12 registers = ~0.8%
+    * relative standard error at ~2.5 KB per (file, column); the union that
+    * answers a table-level NDV is register-max — EXACTLY the sketch a
+    * single pass over the union of the files would have built, so the
+    * estimate does not degrade as the table accretes deliveries.
     */
   private val NdvLgK = 12
 
-  private def ndvHeader: String = s""""lgk":$NdvLgK,"""
-
   private[graft] def readNdv(spark: SparkSession, root: String,
-      version: Long): Option[Map[String, Seq[Option[String]]]] =
-    readBinSidecar(spark, root, "_ndv", "sk", version)
-
-  /** One aggregation over ONLY `paths`, grouped on the physical file: a
-    * Spark-native `hll_sketch_agg` per ndv column over the value cast
-    * to string (injective for every min/max-able type, and uniform across
-    * the numeric/date/string columns a stats list mixes). NULLs don't
-    * enter the sketch; an all-NULL (or empty) file stores a null sketch.
-    */
-  private def computeNdv(spark: SparkSession, root: String, m: Manifest,
-      paths: Seq[String]): Seq[(String, Seq[Option[String]])] = {
-    if (paths.isEmpty) return Seq.empty
-    val keyOf = manifestKeyOf(paths)
-    val aggs = m.ndvCols.map(c =>
-      hll_sketch_agg(col(c).cast("string"), NdvLgK).alias(s"__sk_$c"))
-    readFiles(spark, root, m, paths)
-      .groupBy(input_file_name().alias("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        keyOf(r.getString(0)) -> m.ndvCols.indices.map(i =>
-          Option(r.getAs[Array[Byte]](1 + i))
-            .map(java.util.Base64.getEncoder.encodeToString))
-      }.toSeq
-  }
-
-  /** Publish the `_ndv` sidecar for manifest `m` — the shared O(delta)
-    * carry-forward ([[publishBinSidecar]]).
-    */
-  private def publishNdv(spark: SparkSession, root: String, m: Manifest,
-      prevVersion: Option[Long]): Unit = {
-    if (m.ndvCols.isEmpty) return
-    publishBinSidecar(spark, root, "_ndv", "sk", ndvHeader, m.ndvCols, m,
-      prevVersion, fresh => computeNdv(spark, root, m, fresh))
+      version: Long): Option[Map[String, Seq[Option[String]]]] = {
+    val (m, es) = liveEntriesOf(spark, root, version)
+    if (legacyNoMetadata(m)) None
+    else Some(es.iterator.filter(_.rows >= 0)
+      .map(e => e.path -> (e.sks: Seq[Option[String]])).toMap)
   }
 
   /** Approximate table-level NDV of a stats column from metadata alone:
@@ -1060,14 +1258,8 @@ object LakeTable {
     val m = Manifest(0L, keys, numBuckets, df.schema.toDDL, files,
       sortCols, statsCols, maxRecordsPerFile, Nil, bloomCols, ndvCols,
       cdfRecord)
-    // manifest FIRST: winning the version claim makes the sidecars
-    // single-writer (a commit-race loser must never overwrite the
-    // winner's stats/blooms — wrong sidecars would mis-prune, and a
-    // MISSING sidecar only degrades to conservative keep-all)
-    publish(fs, root, m)
-    publishStats(spark, root, m, None)
-    publishBlooms(spark, root, m, None)
-    publishNdv(spark, root, m, None)
+    commitVersion(spark, root, m)
+    ()
   }
 
   /** Shallow clone — the Delta `CLONE` / Iceberg snapshot-ref design
@@ -1110,28 +1302,23 @@ object LakeTable {
     val srcFs = hfs(spark, srcRoot)
     def abs(p: String): String =
       srcFs.makeQualified(new Path(srcRoot, p)).toString
+    // every payload carries VERBATIM into one dst-local segment under
+    // the absolute keys: the clone's refs must not name src-relative
+    // segment paths (they would resolve under the wrong root), and a
+    // re-measure of a 100 TB source would defeat the zero-copy point —
+    // so the src's live entries ARE the known payloads, no scan runs
+    val known: Map[String, SegEntry] = m.segments.flatMap { ref =>
+      val seg = loadSegment(spark, srcRoot, ref.path)
+      if (seg.statsCols == m.statsCols && seg.bloomCols == m.bloomCols &&
+          seg.ndvCols == m.ndvCols)
+        liveEntries(ref, seg).map(e => abs(e.path) -> e)
+      else Nil
+    }.toMap
     val next = m.copy(version = 0L, txn = None,
-      files = m.files.map { case (p, b) => (abs(p), b) },
-      dvFiles = m.dvFiles.map { case (p, b) => (abs(p), b) })
-    publish(fs, dstRoot, next)
-    // carry the sidecars verbatim under the rewritten keys — a gap would
-    // only degrade pruning to conservative keep-all, but re-measuring a
-    // 100 TB source would defeat the zero-copy point
-    readStats(spark, srcRoot, m.version).foreach { st =>
-      val entries = m.files.map(_._1).flatMap(p => st.get(p).map(abs(p) -> _))
-      writeBinSidecar(spark, dstRoot, "_stats",
-        renderStats(0L, m.statsCols, entries), 0L)
-    }
-    readBlooms(spark, srcRoot, m.version).foreach { bl =>
-      val entries = m.files.map(_._1).flatMap(p => bl.get(p).map(abs(p) -> _))
-      writeBinSidecar(spark, dstRoot, "_bloom",
-        renderBinSidecar(0L, "", "bloom", m.bloomCols, entries), 0L)
-    }
-    readNdv(spark, srcRoot, m.version).foreach { sk =>
-      val entries = m.files.map(_._1).flatMap(p => sk.get(p).map(abs(p) -> _))
-      writeBinSidecar(spark, dstRoot, "_ndv",
-        renderBinSidecar(0L, ndvHeader, "sk", m.ndvCols, entries), 0L)
-    }
+      filesEager = m.files.map { case (p, b) => (abs(p), b) },
+      dvFiles = m.dvFiles.map { case (p, b) => (abs(p), b) },
+      segments = Nil, segmentLoader = null)
+    commitVersion(spark, dstRoot, next, known = known)
     // the z-order marker travels too (z-tightness is a property of the
     // immutable files, so it survives the path rewrite) — without it the
     // branch would silently lose incremental layout maintenance and pay
@@ -1195,14 +1382,13 @@ object LakeTable {
             fs, new Path(root, rel), false, conf)
           (rel, b)
         }
-        val next = m.copy(version = slot, txn = None, files = localF ++ fresh,
-          dvFiles = localDv ++ copied)
-        publish(fs, root, next)
-        // carried-by-path: local files keep their entries, the dropped
-        // foreign paths fall away, only the fresh rewrite is measured
-        publishStats(spark, root, next, Some(m.version))
-        publishBlooms(spark, root, next, Some(m.version))
-        publishNdv(spark, root, next, Some(m.version))
+        val next0 = m.copy(version = slot, txn = None,
+          filesEager = localF ++ fresh, dvFiles = localDv ++ copied)
+        // carried-by-path: local files keep their segment entries, the
+        // dropped foreign paths retire from their refs (sub-bucket
+        // granularity — the `dead` index list), only the fresh rewrite
+        // is measured
+        val next = commitVersion(spark, root, next0)
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -1237,13 +1423,11 @@ object LakeTable {
       val (mk, zExprs) = zSortIfMarked(spark, root, m)
       val files = writeFiles(spark, root, rows, m.keys, newNumBuckets,
         m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
-      val next = m.copy(version = slot, txn = None,
-        numBuckets = newNumBuckets, files = files, dvFiles = Nil)
-      publish(fs, root, next)
-      // every file is fresh under the new layout: full sidecar measure
-      publishStats(spark, root, next, None)
-      publishBlooms(spark, root, next, None)
-      publishNdv(spark, root, next, None)
+      // every file is fresh under the new bucket numbering: the carried
+      // refs' entries all drop by path and one full segment is measured
+      val next = commitVersion(spark, root, m.copy(version = slot,
+        txn = None, numBuckets = newNumBuckets, filesEager = files,
+        dvFiles = Nil))
       carryZMarker(spark, root, mk, next, files.map(_._1))
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
@@ -1456,13 +1640,8 @@ object LakeTable {
       val files = writeFiles(spark, root, rows, m.keys, m.numBuckets,
         maxRecordsPerFile = m.maxRecordsPerFile,
         sortExprs = Seq(zValue(ranged)))
-      val next = m.copy(version = slot, txn = None, files = files,
-        dvFiles = Nil)
-      publish(fs, root, next)
-      // every file is fresh under the new layout: full sidecar measure
-      publishStats(spark, root, next, None)
-      publishBlooms(spark, root, next, None)
-      publishNdv(spark, root, next, None)
+      val next = commitVersion(spark, root, m.copy(version = slot,
+        txn = None, filesEager = files, dvFiles = Nil))
       writeZMarker(spark, root, ZMarker(next.version, zCols,
         ranged.map { case (_, mn, mx) => (mn, mx) }, files.map(_._1)))
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
@@ -1517,12 +1696,8 @@ object LakeTable {
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           maxRecordsPerFile = m.maxRecordsPerFile,
           sortExprs = Seq(zValue(ranged)))
-        val next = m.copy(version = slot, txn = None, files = cold ++ fresh,
-          dvFiles = Nil)
-        publish(fs, root, next)
-        publishStats(spark, root, next, Some(m.version))
-        publishBlooms(spark, root, next, Some(m.version))
-        publishNdv(spark, root, next, Some(m.version))
+        val next = commitVersion(spark, root, m.copy(version = slot,
+          txn = None, filesEager = cold ++ fresh, dvFiles = Nil))
         writeZMarker(spark, root, ZMarker(next.version, mk.zCols, mk.axes,
           (cold ++ fresh).map(_._1)))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
@@ -1674,12 +1849,12 @@ object LakeTable {
       (statsCols ++ bloomCols ++ ndvCols).foreach(c =>
         require(schema.fieldNames.contains(c),
           s"alterIndexing: $c is not a table column (have ${schema.fieldNames.toSeq})"))
-      val next = m.copy(version = slot, txn = None,
-        statsCols = statsCols, bloomCols = bloomCols, ndvCols = ndvCols)
-      publish(fs, root, next)
-      publishStats(spark, root, next, None)
-      publishBlooms(spark, root, next, None)
-      publishNdv(spark, root, next, None)
+      // same file list, new column declarations: every carried segment
+      // is cols-mismatched, so commitVersion re-measures the whole table
+      // into one fresh segment (a scan, not a rewrite — data untouched)
+      val next = commitVersion(spark, root, m.copy(version = slot,
+        txn = None, statsCols = statsCols, bloomCols = bloomCols,
+        ndvCols = ndvCols))
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
     }
@@ -1701,11 +1876,9 @@ object LakeTable {
       val (m, slot) = writeHead(spark, root)
       if (m.cdfRecord == enabled) m.version
       else {
-        val next = m.copy(version = slot, txn = None, cdfRecord = enabled)
-        publish(fs, root, next)
-        publishStats(spark, root, next, Some(m.version))
-        publishBlooms(spark, root, next, Some(m.version))
-        publishNdv(spark, root, next, Some(m.version))
+        // metadata-only: the file list is untouched, every ref carries
+        val next = commitVersion(spark, root, m.copy(version = slot,
+          txn = None, cdfRecord = enabled), metadataOnly = true)
         writeCdfMarker(spark, root, next.version, Nil)
         next.version
       }
@@ -1732,9 +1905,13 @@ object LakeTable {
       version: Option[Long] = None): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val m = manifest(spark, root, version)
-    // per-path filesystem: a shallow clone may reference files on the
-    // source's scheme, not the clone root's
-    m.files.map { f =>
+    // the refs carry exact live byte totals (file sizes are segment
+    // metadata) — zero filesystem RPCs; refs predating the byte field
+    // (-1) fall back to per-path status, per-path filesystem because a
+    // shallow clone may reference files on the source's scheme
+    if (m.segments.nonEmpty && m.segments.forall(_.bytes >= 0))
+      m.segments.map(_.bytes).sum
+    else m.files.map { f =>
       val p = new Path(root, f._1)
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
@@ -2039,15 +2216,12 @@ object LakeTable {
       m.sortCols, m.maxRecordsPerFile)
     // schema follows the rewrite (additive widening under merge); cold
     // files predating a widening read back with NULLs by name-matching
-    val next = m.copy(version = latest + 1, files = cold ++ fresh,
-      schemaDdl = merged.schema.toDDL,
-      dvFiles = m.dvFiles.filterNot { case (_, b) => touched(b) },
-      txn = txnTag)
-    // manifest first — winning the claim makes the sidecars single-writer
-    publish(fs, root, next, waitTxn = true, selfTxn = txnTag)
-    publishStats(spark, root, next, Some(m.version))
-    publishBlooms(spark, root, next, Some(m.version))
-    publishNdv(spark, root, next, Some(m.version))
+    val next = commitVersion(spark, root,
+      m.copy(version = latest + 1, filesEager = cold ++ fresh,
+        schemaDdl = merged.schema.toDDL,
+        dvFiles = m.dvFiles.filterNot { case (_, b) => touched(b) },
+        txn = txnTag),
+      waitTxn = true, selfTxn = txnTag)
     // commit-time change feed (opt-in): `apply` mutates only source-keyed
     // rows (upsert/delete/fold all guarantee it), so the step diff is the
     // pre/post bucket content restricted to the delivery's keys
@@ -2075,12 +2249,11 @@ object LakeTable {
     val (m, slot) = writeHead(spark, root, txnTag)
     val keys = keysToDelete.select(m.keys.map(col): _*).dropDuplicates(m.keys)
     val fresh = writeFiles(spark, root, keys, m.keys, m.numBuckets)
-    val next = m.copy(version = slot, dvFiles = m.dvFiles ++ fresh,
-      txn = txnTag)
-    publish(fs, root, next, waitTxn = true, selfTxn = txnTag)
-    publishStats(spark, root, next, Some(m.version))
-    publishBlooms(spark, root, next, Some(m.version))
-    publishNdv(spark, root, next, Some(m.version))
+    // deletion vectors ride the manifest, not segments: data files (and
+    // every ref) carry verbatim — an O(|keys|) metadata-plus-vectors commit
+    val next = commitVersion(spark, root,
+      m.copy(version = slot, dvFiles = m.dvFiles ++ fresh, txn = txnTag),
+      waitTxn = true, selfTxn = txnTag, metadataOnly = true)
     next.version
   }
 
@@ -2101,12 +2274,8 @@ object LakeTable {
         val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
-        val next = m.copy(version = slot, txn = None, files = cold ++ fresh,
-          dvFiles = Nil)
-        publish(fs, root, next)
-        publishStats(spark, root, next, Some(m.version))
-        publishBlooms(spark, root, next, Some(m.version))
-        publishNdv(spark, root, next, Some(m.version))
+        val next = commitVersion(spark, root, m.copy(version = slot,
+          txn = None, filesEager = cold ++ fresh, dvFiles = Nil))
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -2519,9 +2688,14 @@ object LakeTable {
     *     without sidecars, `IS NULL` (zones carry no null counts) —
     *     keeps the file.
     */
+  /** (segments kept, total segments) of the last listing with data
+    * filters — spec pin for the manifest-level (ref summary) dismissal;
+    * not part of the public API.
+    */
+  private[graft] var lastIndexSegments: Option[(Int, Int)] = None
+
   private final class SidecarFileIndex(spark: SparkSession, root: String,
-      m: Manifest, stats: Map[String, FileStats],
-      blooms: Map[String, Seq[Option[String]]])
+      m: Manifest)
       extends org.apache.spark.sql.execution.datasources.FileIndex {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.{expressions => ce}
@@ -2529,42 +2703,72 @@ object LakeTable {
 
     private val colTypes: Map[String, DataType] = StructType
       .fromDDL(m.schemaDdl).fields.map(f => f.name -> f.dataType).toMap
+    private val conf = spark.sparkContext.hadoopConfiguration
 
-    // one FileStatus per live file, resolved once at construction and
-    // batched per PARENT directory (one LIST per delivery-dir × bucket,
-    // not one RPC per file — the difference between seconds and minutes
-    // of driver time on an object store at 100k files); clone manifests
-    // may reference absolute paths on the source's scheme, so the
-    // filesystem resolves per directory. A manifest entry missing from
-    // its directory listing fails loudly via the direct-status fallback.
-    private val statuses: Seq[(String, FileStatus)] = {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val byDir = m.files.map(_._1).groupBy(f => new Path(root, f).getParent)
-      val listed: Map[Path, FileStatus] = byDir.keysIterator.flatMap { d =>
-        d.getFileSystem(conf).listStatus(d).iterator.map(st => st.getPath -> st)
-      }.toMap
-      m.files.map { case (f, _) =>
-        val p0 = new Path(root, f)
-        val fsys = p0.getFileSystem(conf)
-        // listStatus returns fully-qualified paths; qualify the probe or
-        // every lookup silently misses into the per-file fallback
-        val p = fsys.makeQualified(p0)
-        f -> listed.getOrElse(p, fsys.getFileStatus(p))
-      }
+    /** One prunable unit: a segment's ref — zone summary, file count and
+      * byte total straight from the manifest — plus its lazily-loaded
+      * live entries. A whole part a predicate dismisses through the
+      * summary never has its segment file parsed ([[segMayKeep]]); a
+      * legacy manifest (inline file list) synthesizes one summary-less
+      * part whose entries carry no payloads — conservative keep-all with
+      * sizes from a directory listing.
+      */
+    private final class Part(val summaryMins: Seq[Option[String]],
+        val summaryMaxs: Seq[Option[String]], val count: Int,
+        val bytes: Long, loader: () => Seq[SegEntry]) {
+      lazy val entries: Seq[SegEntry] = loader()
+    }
+
+    private val parts: Seq[Part] =
+      if (m.segments.nonEmpty || m.filesEager == null)
+        m.segments.map { r =>
+          new Part(r.mins, r.maxs, r.files, r.bytes,
+            () => liveEntries(r, loadSegment(spark, root, r.path)))
+        }
+      else Seq(new Part(Nil, Nil, m.filesEager.size, -1L, () => {
+        val none = IndexedSeq.empty[Option[String]]
+        val byDir = m.filesEager.map(_._1)
+          .groupBy(f => new Path(root, f).getParent)
+        val lens: Map[Path, Long] = byDir.keysIterator.flatMap { d =>
+          d.getFileSystem(conf).listStatus(d).iterator
+            .map(st => st.getPath -> st.getLen)
+        }.toMap
+        m.filesEager.map { case (f, b) =>
+          val p0 = new Path(root, f)
+          val fsys = p0.getFileSystem(conf)
+          SegEntry(f, b, -1L,
+            lens.getOrElse(fsys.makeQualified(p0),
+              fsys.getFileStatus(p0).getLen),
+            none, none, none, none)
+        }
+      }))
+
+    /** FileStatus synthesized from segment metadata: the length is exact
+      * (recorded when the file was committed), so NO filesystem RPC runs
+      * at plan time — a 100k-file object-store table plans its scan
+      * without a single LIST call (the pre-r12 index listed every parent
+      * directory at construction).
+      */
+    private def statusOf(e: SegEntry): FileStatus = {
+      val p0 = new Path(root, e.path)
+      val fsys = p0.getFileSystem(conf)
+      val p = fsys.makeQualified(p0)
+      val len = if (e.bytes >= 0) e.bytes else fsys.getFileStatus(p).getLen
+      new FileStatus(len, false, 1, 128L << 20, 0L, p)
     }
 
     // decoded bloom filters by (file, bloom position), decoded on first
     // probe — the index is an immutable snapshot, so caching is safe
     private val bloomCache = scala.collection.mutable.HashMap
       .empty[(String, Int), Option[org.apache.spark.util.sketch.BloomFilter]]
-    private def bloomOf(p: String, bi: Int) = bloomCache.synchronized {
-      bloomCache.getOrElseUpdate((p, bi),
-        blooms.get(p).flatMap(_.lift(bi).flatten).map(enc =>
+    private def bloomOf(e: SegEntry, bi: Int) = bloomCache.synchronized {
+      bloomCache.getOrElseUpdate((e.path, bi),
+        e.blooms.lift(bi).flatten.map(enc =>
           org.apache.spark.util.sketch.BloomFilter
             .readFrom(new java.io.ByteArrayInputStream(b64(enc)))))
     }
 
-    /** `CAST(lit AS STRING)` under the session zone — [[computeStats]]'
+    /** `CAST(lit AS STRING)` under the session zone — [[measureEntries]]'
       * rendering; None = this literal can't be compared against zones.
       */
     private def render(l: ce.Literal): Option[String] =
@@ -2579,28 +2783,27 @@ object LakeTable {
       }
 
     /** The file's zone for `name`: None = no verdict possible (column not
-      * in statsCols, or the file has no entry); Some((None, None)) = the
-      * column is all-NULL in the file (min/max of zero non-null values).
+      * in statsCols, or the entry was never measured); Some((None, None))
+      * = the column is all-NULL in the file (min/max of zero non-null
+      * values).
       */
-    private def zone(p: String,
+    private def zone(e: SegEntry,
         name: String): Option[(Option[String], Option[String])] = {
       val si = m.statsCols.indexOf(name)
-      if (si < 0) None
-      else stats.get(p).flatMap { st =>
-        (st.mins.lift(si), st.maxs.lift(si)) match {
-          case (Some(mn), Some(mx)) => Some((mn, mx))
-          case _ => None
-        }
+      if (si < 0 || e.rows < 0) None
+      else (e.mins.lift(si), e.maxs.lift(si)) match {
+        case (Some(mn), Some(mx)) => Some((mn, mx))
+        case _ => None
       }
     }
 
-    /** May any row of file `p` satisfy `name <op> v`? Strict ops are
+    /** May any row of file `e` satisfy `name <op> v`? Strict ops are
       * widened to non-strict (see class doc).
       */
-    private def cmpKeep(p: String, name: String, v: String,
+    private def cmpKeep(e: SegEntry, name: String, v: String,
         op: String): Boolean = {
       val dt = colTypes(name)
-      zone(p, name) match {
+      zone(e, name) match {
         case None => true
         case Some((Some(mn), Some(mx))) => op match {
           case "=" => statCmp(dt, v, mn) >= 0 && statCmp(dt, v, mx) <= 0
@@ -2611,11 +2814,11 @@ object LakeTable {
       }
     }
 
-    private def bloomKeep(p: String, name: String,
+    private def bloomKeep(e: SegEntry, name: String,
         lits: Seq[ce.Literal]): Boolean = {
       val bi = m.bloomCols.indexOf(name)
       if (bi < 0) true
-      else bloomOf(p, bi) match {
+      else bloomOf(e, bi) match {
         case None => true
         case Some(bf) => lits.exists { l =>
           if (l.value == null) false
@@ -2628,74 +2831,74 @@ object LakeTable {
       }
     }
 
-    /** May any row of `p` have `name` equal to one of `lits`? Zones and
+    /** May any row of `e` have `name` equal to one of `lits`? Zones and
       * blooms each veto independently; NULL literals never match
       * (`c = NULL` is never true), so an all-NULL list prunes exactly.
       */
-    private def eqAnyKeep(p: String, name: String,
+    private def eqAnyKeep(e: SegEntry, name: String,
         lits0: Seq[ce.Literal]): Boolean = {
       val lits = lits0.filter(_.value != null)
       if (lits.isEmpty) return false
       val zoneAny = lits.exists { l =>
         render(l) match {
-          case Some(v) => cmpKeep(p, name, v, "=")
+          case Some(v) => cmpKeep(e, name, v, "=")
           case None => true
         }
       }
-      zoneAny && bloomKeep(p, name, lits)
+      zoneAny && bloomKeep(e, name, lits)
     }
 
-    private def rangeKeep(p: String, name: String, l: ce.Literal,
+    private def rangeKeep(e: SegEntry, name: String, l: ce.Literal,
         op: String): Boolean =
       render(l) match {
-        case Some(v) => cmpKeep(p, name, v, op)
+        case Some(v) => cmpKeep(e, name, v, op)
         case None => true
       }
 
-    /** May any row of file `p` satisfy conjunct `e`? (false = provably
+    /** May any row of file `e` satisfy conjunct `x`? (false = provably
       * no row can — the file is skipped for this scan.)
       */
-    private def mayKeep(p: String)(e: ce.Expression): Boolean = e match {
-      case ce.And(a, b) => mayKeep(p)(a) && mayKeep(p)(b)
-      case ce.Or(a, b) => mayKeep(p)(a) || mayKeep(p)(b)
+    private def mayKeep(e: SegEntry)(x: ce.Expression): Boolean = x match {
+      case ce.And(a, b) => mayKeep(e)(a) && mayKeep(e)(b)
+      case ce.Or(a, b) => mayKeep(e)(a) || mayKeep(e)(b)
       case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) =>
-        eqAnyKeep(p, a.name, Seq(l))
+        eqAnyKeep(e, a.name, Seq(l))
       case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) =>
-        eqAnyKeep(p, a.name, Seq(l))
+        eqAnyKeep(e, a.name, Seq(l))
       case ce.EqualNullSafe(a: ce.AttributeReference, l: ce.Literal)
-          if l.value != null => eqAnyKeep(p, a.name, Seq(l))
+          if l.value != null => eqAnyKeep(e, a.name, Seq(l))
       case ce.EqualNullSafe(l: ce.Literal, a: ce.AttributeReference)
-          if l.value != null => eqAnyKeep(p, a.name, Seq(l))
+          if l.value != null => eqAnyKeep(e, a.name, Seq(l))
       case ce.GreaterThan(a: ce.AttributeReference, l: ce.Literal) =>
-        rangeKeep(p, a.name, l, ">=")
+        rangeKeep(e, a.name, l, ">=")
       case ce.GreaterThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
-        rangeKeep(p, a.name, l, ">=")
+        rangeKeep(e, a.name, l, ">=")
       case ce.LessThan(a: ce.AttributeReference, l: ce.Literal) =>
-        rangeKeep(p, a.name, l, "<=")
+        rangeKeep(e, a.name, l, "<=")
       case ce.LessThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
-        rangeKeep(p, a.name, l, "<=")
+        rangeKeep(e, a.name, l, "<=")
       // literal-on-the-left comparisons flip the operator
       case ce.GreaterThan(l: ce.Literal, a: ce.AttributeReference) =>
-        rangeKeep(p, a.name, l, "<=")
+        rangeKeep(e, a.name, l, "<=")
       case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
-        rangeKeep(p, a.name, l, "<=")
+        rangeKeep(e, a.name, l, "<=")
       case ce.LessThan(l: ce.Literal, a: ce.AttributeReference) =>
-        rangeKeep(p, a.name, l, ">=")
+        rangeKeep(e, a.name, l, ">=")
       case ce.LessThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
-        rangeKeep(p, a.name, l, ">=")
+        rangeKeep(e, a.name, l, ">=")
       case ce.In(a: ce.AttributeReference, vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
-        eqAnyKeep(p, a.name, vs.map(_.asInstanceOf[ce.Literal]))
+        eqAnyKeep(e, a.name, vs.map(_.asInstanceOf[ce.Literal]))
       case ce.InSet(a: ce.AttributeReference, set) =>
-        eqAnyKeep(p, a.name,
+        eqAnyKeep(e, a.name,
           set.toSeq.filter(_ != null).map(v => ce.Literal(v, a.dataType)))
       case ce.IsNotNull(a: ce.AttributeReference) =>
         val si = m.statsCols.indexOf(a.name)
-        si < 0 || stats.get(p).forall(_.mins.lift(si).forall(_.nonEmpty))
+        si < 0 || e.rows < 0 || e.mins.lift(si).forall(_.nonEmpty)
       case ce.StartsWith(a: ce.AttributeReference, l: ce.Literal)
           if l.value != null && colTypes.get(a.name).contains(StringType) =>
         val prefix = l.value.toString
-        zone(p, a.name) match {
+        zone(e, a.name) match {
           case Some((Some(mn), Some(mx))) if prefix.nonEmpty =>
             // any s with this prefix has s >= prefix, and when the last
             // char is incrementable, s < prefix-with-last-char-bumped
@@ -2709,21 +2912,95 @@ object LakeTable {
       case _ => true
     }
 
+    /** May any row of the WHOLE part satisfy conjunct `x`, judged from
+      * the ref's zone summary alone — the manifest-resident min/max over
+      * the segment's files? false = the part is dismissed without its
+      * segment file ever being parsed (the Iceberg manifest-list skip).
+      * Summaries stay conservative supersets after bucket shrink, a None
+      * summary never dismisses, and blooms/null-accounting are per-file
+      * payloads — only range/equality verdicts apply at this level.
+      */
+    private def segMayKeep(part: Part)(x: ce.Expression): Boolean = {
+      def zoneOf(name: String): Option[(String, String)] = {
+        val si = m.statsCols.indexOf(name)
+        if (si < 0) None
+        else (part.summaryMins.lift(si).flatten,
+            part.summaryMaxs.lift(si).flatten) match {
+          case (Some(mn), Some(mx)) => Some((mn, mx))
+          case _ => None
+        }
+      }
+      def cmp(name: String, l: ce.Literal, op: String): Boolean =
+        (render(l), zoneOf(name)) match {
+          case (Some(v), Some((mn, mx))) =>
+            val dt = colTypes(name)
+            op match {
+              case "=" => statCmp(dt, v, mn) >= 0 && statCmp(dt, v, mx) <= 0
+              case ">=" => statCmp(dt, mx, v) >= 0
+              case "<=" => statCmp(dt, mn, v) <= 0
+            }
+          case _ => true
+        }
+      def eqAny(name: String, lits: Seq[ce.Literal]): Boolean =
+        lits.filter(_.value != null) match {
+          case Seq() => false
+          case ls => ls.exists(l => cmp(name, l, "="))
+        }
+      x match {
+        case ce.And(a, b) => segMayKeep(part)(a) && segMayKeep(part)(b)
+        case ce.Or(a, b) => segMayKeep(part)(a) || segMayKeep(part)(b)
+        case ce.EqualTo(a: ce.AttributeReference, l: ce.Literal) =>
+          eqAny(a.name, Seq(l))
+        case ce.EqualTo(l: ce.Literal, a: ce.AttributeReference) =>
+          eqAny(a.name, Seq(l))
+        case ce.GreaterThan(a: ce.AttributeReference, l: ce.Literal) =>
+          cmp(a.name, l, ">=")
+        case ce.GreaterThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
+          cmp(a.name, l, ">=")
+        case ce.LessThan(a: ce.AttributeReference, l: ce.Literal) =>
+          cmp(a.name, l, "<=")
+        case ce.LessThanOrEqual(a: ce.AttributeReference, l: ce.Literal) =>
+          cmp(a.name, l, "<=")
+        case ce.GreaterThan(l: ce.Literal, a: ce.AttributeReference) =>
+          cmp(a.name, l, "<=")
+        case ce.GreaterThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
+          cmp(a.name, l, "<=")
+        case ce.LessThan(l: ce.Literal, a: ce.AttributeReference) =>
+          cmp(a.name, l, ">=")
+        case ce.LessThanOrEqual(l: ce.Literal, a: ce.AttributeReference) =>
+          cmp(a.name, l, ">=")
+        case ce.In(a: ce.AttributeReference, vs)
+            if vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
+          eqAny(a.name, vs.map(_.asInstanceOf[ce.Literal]))
+        case ce.InSet(a: ce.AttributeReference, set) =>
+          eqAny(a.name,
+            set.toSeq.filter(_ != null).map(v => ce.Literal(v, a.dataType)))
+        case _ => true
+      }
+    }
+
     override def rootPaths: Seq[Path] = Seq(new Path(root))
     override def partitionSchema: StructType = new StructType()
     override def inputFiles: Array[String] =
-      statuses.map(_._2.getPath.toString).toArray
+      parts.flatMap(_.entries.map(e => statusOf(e).getPath.toString)).toArray
     override def refresh(): Unit = () // immutable snapshot
-    override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
+    override def sizeInBytes: Long =
+      parts.map(p => if (p.bytes >= 0) p.bytes
+        else p.entries.map(statusOf(_).getLen).sum).sum
 
     override def listFiles(partitionFilters: Seq[ce.Expression],
         dataFilters: Seq[ce.Expression]): Seq[PartitionDirectory] = {
-      val kept =
-        if (dataFilters.isEmpty) statuses
-        else statuses.filter { case (p, _) => dataFilters.forall(mayKeep(p)) }
-      if (dataFilters.nonEmpty)
-        lastIndexScan = Some((kept.size, statuses.size))
-      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+      val alive = if (dataFilters.isEmpty) parts
+        else parts.filter(p => dataFilters.forall(segMayKeep(p)))
+      val kept = alive.flatMap { part =>
+        if (dataFilters.isEmpty) part.entries
+        else part.entries.filter(e => dataFilters.forall(mayKeep(e)))
+      }
+      if (dataFilters.nonEmpty) {
+        lastIndexScan = Some((kept.size, parts.map(_.count).sum))
+        lastIndexSegments = Some((alive.size, parts.size))
+      }
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
     }
   }
 
@@ -2742,13 +3019,10 @@ object LakeTable {
   def scan(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val m = manifest(spark, root, version)
-    val stats =
-      if (m.statsCols.isEmpty) Map.empty[String, FileStats]
-      else readStats(spark, root, m.version).getOrElse(Map.empty)
-    val blooms =
-      if (m.bloomCols.isEmpty) Map.empty[String, Seq[Option[String]]]
-      else readBlooms(spark, root, m.version).getOrElse(Map.empty)
-    val index = new SidecarFileIndex(spark, root, m, stats, blooms)
+    // no payload is loaded here: the index resolves segments lazily and
+    // a predicate that dismisses a whole segment through the manifest's
+    // ref summary never parses that segment file at all
+    val index = new SidecarFileIndex(spark, root, m)
     // tag root + PINNED VERSION for graft.plans.LakeMetadataAggs — the
     // metadata-aggregate rewrite must answer for this snapshot, not for
     // whatever the head is at optimize time
@@ -2795,9 +3069,11 @@ object LakeTable {
           case None => "in-flight"
         }
       }
+      // fileCount reads the refs' stored counts — no segment file is
+      // opened, keeping history() metadata-only at any table size
       VersionInfo(v,
         tsOf.findFirstMatchIn(raw).map(_.group(1).toLong).getOrElse(0L),
-        state, m.files.size, m.dvFiles.size, m.numBuckets, m.txn)
+        state, m.fileCount, m.dvFiles.size, m.numBuckets, m.txn)
     }
   }
 
@@ -2815,28 +3091,11 @@ object LakeTable {
       val (head, slot) = writeHead(spark, root)
       if (head.version == version) version
       else {
-        val next = target.copy(version = slot, txn = None)
-        // claim the version first (sidecars stay single-writer), then
-        // carry EVERY sidecar of the target version verbatim under it —
-        // a dropped sidecar wouldn't be wrong (readers treat a gap
-        // conservatively) but the next commit would re-measure the whole
-        // table where the carry keeps maintenance O(delta)
-        publish(fs, root, next)
-        if (next.statsCols.nonEmpty)
-          readStats(spark, root, version).foreach(st =>
-            writeBinSidecar(spark, root, "_stats",
-              renderStats(next.version, next.statsCols, st.toSeq),
-              next.version))
-        if (next.bloomCols.nonEmpty)
-          readBlooms(spark, root, version).foreach(bl =>
-            writeBinSidecar(spark, root, "_bloom",
-              renderBinSidecar(next.version, "", "bloom", next.bloomCols,
-                bl.toSeq), next.version))
-        if (next.ndvCols.nonEmpty)
-          readNdv(spark, root, version).foreach(nd =>
-            writeBinSidecar(spark, root, "_ndv",
-              renderBinSidecar(next.version, ndvHeader, "sk", next.ndvCols,
-                nd.toSeq), next.version))
+        // the target's refs republish verbatim — segments are immutable
+        // and vacuum keeps every segment a kept manifest references, so
+        // a restore is one manifest write, zero data and zero payloads
+        val next = commitVersion(spark, root,
+          target.copy(version = slot, txn = None), metadataOnly = true)
         next.version
       }
     }
@@ -2864,12 +3123,9 @@ object LakeTable {
         val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
-        val next = m.copy(version = slot, txn = None, files = cold ++ fresh,
-          dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) })
-        publish(fs, root, next)
-        publishStats(spark, root, next, Some(m.version))
-        publishBlooms(spark, root, next, Some(m.version))
-        publishNdv(spark, root, next, Some(m.version))
+        val next = commitVersion(spark, root, m.copy(version = slot,
+          txn = None, filesEager = cold ++ fresh,
+          dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) }))
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -2968,11 +3224,26 @@ object LakeTable {
     }
     drop.foreach { v =>
       fs.delete(new Path(root, s"_versions/$v.json"), false)
-      fs.delete(new Path(root, s"_stats/$v.json"), false)
-      fs.delete(new Path(root, s"_bloom/$v.json"), false)
-      fs.delete(new Path(root, s"_ndv/$v.json"), false)
       fs.delete(new Path(root, s"_cdf/$v.json"), false)
       if (v != zHead) fs.delete(new Path(root, s"_zorder/$v.json"), false)
+    }
+    // segment files: immutable and SHARED across versions — one is live
+    // while any KEPT or IN-FLIGHT manifest references it (the retained
+    // top aborted slot's manifest survives as a slot tombstone, but its
+    // segments are reclaimable exactly like its data files: nothing
+    // resolves a dead slot's file list). Unreferenced segments are
+    // race-loser/crash debris or belonged to dropped versions; `.staging`
+    // leftovers are abandoned writes.
+    val segDir = new Path(root, "_segments")
+    if (fs.exists(segDir)) {
+      val liveSegs = (keep ++ inFlight)
+        .flatMap(v => manifestAt(spark, root, v).segments.map(_.path))
+        .map(p => fs.makeQualified(new Path(root, p)).toString).toSet
+      for (f <- fs.listStatus(segDir)
+           if !liveSegs(fs.makeQualified(f.getPath).toString)) {
+        fs.delete(f.getPath, false)
+        removed += s"_segments/${f.getPath.getName}"
+      }
     }
     // recorded change-feed data unreferenced by any KEPT marker: feeds of
     // dropped versions plus crash/race-loser debris (a feed dir written
@@ -3003,7 +3274,8 @@ object LakeTable {
       orphanFiles: Seq[String],
       statsGaps: Seq[String],
       bloomGaps: Seq[String],
-      ndvGaps: Seq[String] = Nil) {
+      ndvGaps: Seq[String] = Nil,
+      orphanSegments: Seq[String] = Nil) {
     def ok: Boolean = missingFiles.isEmpty
   }
 
@@ -3031,9 +3303,24 @@ object LakeTable {
     // missing files after a sweep. In-flight slots audit conservatively.
     val manifests = vs.map(v => manifestAt(spark, root, v))
       .filter(m => !m.txn.exists(p => txnOutcome(spark, p).contains(false)))
-    val referenced = manifests
+    // segment references audit FIRST: a referenced-but-missing segment
+    // file breaks that version's reads exactly like a missing data file,
+    // and resolving the file list through it would crash the audit —
+    // manifests whose segments are intact resolve; the broken segment
+    // itself joins missingFiles.
+    val (missingSegs, resolvable) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val refs = manifests.flatMap(_.segments.map(_.path)).distinct
+      val missing = refs.filterNot { rel =>
+        val p = new Path(root, rel)
+        p.getFileSystem(conf).exists(p)
+      }.toSet
+      (missing.toSeq.sorted,
+        manifests.filter(_.segments.forall(r => !missing(r.path))))
+    }
+    val referenced = resolvable
       .flatMap(m => (m.files ++ m.dvFiles).map(_._1)).toSet
-    val missing = referenced.toSeq.sorted
+    val missing = missingSegs ++ referenced.toSeq.sorted
       .filterNot { rel =>
         // per-path filesystem: a shallow clone's absolute references may
         // live on the source's scheme
@@ -3050,26 +3337,34 @@ object LakeTable {
            if f.getPath.getName.endsWith(".parquet"))
         onDisk += s"data/${sub.getPath.getName}/${bd.getPath.getName}/${f.getPath.getName}"
     val orphans = onDisk.toSeq.filterNot(referenced).sorted
+    // segment debris: on-disk segment files no non-aborted manifest
+    // references — race-loser/crash leftovers, vacuum's to reclaim
+    val orphanSegs = {
+      val segDir = new Path(root, "_segments")
+      if (!fs.exists(segDir)) Nil
+      else {
+        val refd = manifests.flatMap(_.segments.map(r =>
+          fs.makeQualified(new Path(root, r.path)).toString)).toSet
+        fs.listStatus(segDir).toSeq
+          .filterNot(f => refd(fs.makeQualified(f.getPath).toString))
+          .map(f => s"_segments/${f.getPath.getName}").sorted
+      }
+    }
     val head = manifests.last
-    val statsGaps =
-      if (head.statsCols.isEmpty) Nil
+    val headResolvable = resolvable.exists(_.version == head.version)
+    def gaps(cols: Seq[String],
+        payload: Option[Map[String, _]]): Seq[String] =
+      if (cols.isEmpty || !headResolvable) Nil
       else {
-        val st = readStats(spark, root, head.version).getOrElse(Map.empty)
-        head.files.map(_._1).filterNot(st.contains).sorted
+        val have = payload.getOrElse(Map.empty)
+        head.files.map(_._1).filterNot(have.contains).sorted
       }
-    val bloomGaps =
-      if (head.bloomCols.isEmpty) Nil
-      else {
-        val bl = readBlooms(spark, root, head.version).getOrElse(Map.empty)
-        head.files.map(_._1).filterNot(bl.contains).sorted
-      }
-    val ndvGaps =
-      if (head.ndvCols.isEmpty) Nil
-      else {
-        val nd = readNdv(spark, root, head.version).getOrElse(Map.empty)
-        head.files.map(_._1).filterNot(nd.contains).sorted
-      }
-    FsckReport(head.version, head.files.size + head.dvFiles.size,
-      missing, orphans, statsGaps, bloomGaps, ndvGaps)
+    val statsGaps = gaps(head.statsCols, readStats(spark, root, head.version))
+    val bloomGaps = gaps(head.bloomCols, readBlooms(spark, root, head.version))
+    val ndvGaps = gaps(head.ndvCols, readNdv(spark, root, head.version))
+    FsckReport(head.version,
+      (if (headResolvable) head.files.size else head.fileCount) +
+        head.dvFiles.size,
+      missing, orphans, statsGaps, bloomGaps, ndvGaps, orphanSegs)
   }
 }
