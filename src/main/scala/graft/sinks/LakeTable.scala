@@ -366,6 +366,11 @@ object LakeTable {
   private val segmentCache =
     new java.util.concurrent.ConcurrentHashMap[String, Segment]()
 
+  /** Drop every cached segment parse — measurement hook for the scale
+    * proof's cold-plan leg (MetaScale); not part of the public API.
+    */
+  private[graft] def clearSegmentCache(): Unit = segmentCache.clear()
+
   private def loadSegment(spark: SparkSession, root: String,
       refPath: String): Segment = {
     val p0 = new Path(root, refPath)

@@ -18,18 +18,22 @@ import scala.concurrent.duration.Duration
   * the model, so any interleaving must land on the same final state),
   * with CRASHES INJECTED between steps at the protocols' publish
   * boundaries — the newest MV `_sync` marker deleted (a refresh that
-  * published its view version but died before the marker), the current
-  * version's `_stats` sidecar deleted (a commit that died between
-  * manifest and sidecar publish), the newest `_zorder` marker deleted
-  * (an optimize that died between manifest and marker).
+  * published its view version but died before the marker), an ORPHAN
+  * segment file planted (a commit that wrote its per-delivery segment
+  * and died — or lost the claim race — before publishing a manifest),
+  * the newest `_zorder` marker deleted (an optimize that died between
+  * manifest and marker).
   *
   * After the chaos: (1) a concurrent PAIR of final refreshes converges;
   * (2) the head content equals the model; (3) the whole-history change
   * feed replays the initial model into the final one — including across
   * any rebucket in the span (the full-value-diff fallback); (4) the
-  * served view equals the from-scratch aggregate of the model. Every
-  * crash state must be healed by the protocols alone — no operator
-  * intervention, no wrong content, no stall.
+  * served view equals the from-scratch aggregate of the model; (5) the
+  * segment plane audits clean — fsck ok throughout, planted orphan
+  * segments REPORTED, a keep-everything vacuum reclaiming exactly the
+  * unreferenced debris with content intact. Every crash state must be
+  * healed by the protocols alone — no operator intervention, no wrong
+  * content, no stall.
   */
 class LakeChaosPropertySpec extends SparkTestBase {
   import spark.implicits._
@@ -57,7 +61,11 @@ class LakeChaosPropertySpec extends SparkTestBase {
   private sealed trait Crash
   private case object NoCrash extends Crash
   private case object KillSync extends Crash
-  private case object KillStats extends Crash
+  // r12 segment plane: a commit that wrote its segment file and died (or
+  // lost the manifest claim) before publishing — an ORPHAN segment no
+  // manifest references. Readers must be unaffected, fsck must report
+  // it, vacuum must reclaim it (asserted post-chaos for every run).
+  private case object OrphanSegment extends Crash
   private case object KillZMarker extends Crash
   private case object KillCdfMarker extends Crash
 
@@ -83,7 +91,7 @@ class LakeChaosPropertySpec extends SparkTestBase {
 
   private val genCrash: Gen[Crash] = Gen.frequency(
     4 -> Gen.const(NoCrash), 1 -> Gen.const(KillSync),
-    1 -> Gen.const(KillStats), 1 -> Gen.const(KillZMarker),
+    1 -> Gen.const(OrphanSegment), 1 -> Gen.const(KillZMarker),
     1 -> Gen.const(KillCdfMarker))
 
   // one actor step: ops from DISJOINT id ranges commute on the model
@@ -167,11 +175,19 @@ class LakeChaosPropertySpec extends SparkTestBase {
           if (vs.nonEmpty)
             fs.delete(new Path(p, s"${vs.max}.json"), false)
         }
-      case KillStats =>
-        val v = LakeTable.manifest(spark, root).version
-        val p = new Path(s"$root/_stats/$v.json")
+      case OrphanSegment =>
+        // a crash between segment write and manifest publish: copy a live
+        // segment file (if any) to a fresh UUID name nothing references
+        val p = new Path(s"$root/_segments")
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, false)
+        if (fs.exists(p)) {
+          val segs = fs.listStatus(p).filter(_.getPath.getName.endsWith(".json"))
+          if (segs.nonEmpty) {
+            val dst = new Path(p, s"${java.util.UUID.randomUUID}.json")
+            org.apache.hadoop.fs.FileUtil.copy(fs, segs.head.getPath,
+              fs, dst, false, spark.sparkContext.hadoopConfiguration)
+          }
+        }
       case KillCdfMarker =>
         // a commit that died between manifest and feed marker: the span
         // must degrade to the snapshot diff, never break
@@ -274,10 +290,22 @@ class LakeChaosPropertySpec extends SparkTestBase {
           .collect()
           .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
         val viewOk = got == want
-        val ok = headOk && replayOk && viewOk
+        // segment-plane invariants under the same chaos: no referenced
+        // metadata file is ever missing (fsck ok), orphan segments are
+        // REPORTED (when a crash planted one) and a vacuum that keeps
+        // every version reclaims exactly the unreferenced debris,
+        // converging fsck back to zero orphans with content intact
+        val rep = LakeTable.fsck(spark, root)
+        val planted = steps.exists(_.crash == OrphanSegment)
+        LakeTable.vacuum(spark, root, keepLast = 1000)
+        val rep2 = LakeTable.fsck(spark, root)
+        val segOk = rep.ok && rep2.ok && rep2.orphanSegments.isEmpty &&
+          (!planted || rep.orphanSegments.nonEmpty) &&
+          asModel(LakeTable.read(spark, root)) == model
+        val ok = headOk && replayOk && viewOk && segOk
         if (!ok) System.err.println(
-          s"chaos mismatch head=$headOk replay=$replayOk view=$viewOk\n" +
-            s"base=$base\nsteps=$steps\ngot=$got\nwant=$want")
+          s"chaos mismatch head=$headOk replay=$replayOk view=$viewOk " +
+            s"seg=$segOk\nbase=$base\nsteps=$steps\ngot=$got\nwant=$want")
         ok
     }
     val res = SCTest.check(

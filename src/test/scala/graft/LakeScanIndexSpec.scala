@@ -269,4 +269,36 @@ class LakeScanIndexSpec extends SparkTestBase {
     LakeTable.scan(spark, root, Some(v0)).filter(pred).count() shouldBe 0L
     LakeTable.scan(spark, root).filter(pred).count() should be > 0L
   }
+
+  test("whole-segment dismissal: the manifest's ref summary skips a segment without parsing it") {
+    // 16 buckets so a tiny late-dated delivery touches only a couple of
+    // buckets: the init segment survives on the untouched buckets with
+    // its narrow date summary, and a filter on the delivery's far-future
+    // range must dismiss it at the MANIFEST level — the ref summary
+    // answers before the segment file is ever consulted.
+    val root = Files.createTempDirectory("graft-segdismiss").toString
+    val base = spark.range(800).select(
+      col("id").alias("k"),
+      date_add(lit("2025-01-01").cast("date"),
+        (col("id") % 50).cast("int")).alias("d"),
+      concat(lit("tag"), col("id")).alias("tag"),
+      (col("id") % 100).cast("double").alias("v"))
+    LakeTable.init(base, root, Seq("k"), numBuckets = 16,
+      sortCols = Seq("d"), statsCols = Seq("d", "k"),
+      maxRecordsPerFile = 128L)
+    LakeTable.merge(spark, root, spark.range(10000, 10002).select(
+      col("id").alias("k"), lit("2027-06-01").cast("date").alias("d"),
+      concat(lit("tag"), col("id")).alias("tag"), lit(0.0).alias("v")))
+    val m = LakeTable.manifest(spark, root)
+    m.segments.size shouldBe 2
+    LakeTable.lastIndexScan = None
+    LakeTable.lastIndexSegments = None
+    val pred = col("d") >= lit("2027-01-01").cast("date")
+    val got = LakeTable.scan(spark, root).filter(pred)
+    sameRows(got, LakeTable.read(spark, root).filter(pred))
+    LakeTable.lastIndexSegments shouldBe defined
+    val (aliveSegs, totalSegs) = LakeTable.lastIndexSegments.get
+    totalSegs shouldBe 2
+    aliveSegs shouldBe 1 // the init segment never left the manifest plane
+  }
 }

@@ -611,4 +611,59 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.optimizeZOrderAuto(spark, root, Seq("d", "y")) shouldBe
       m2.version
   }
+
+  test("segment plane: O(delta) commits, metadata-only ops carry refs verbatim, fsck audits segments") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = newRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def segFiles(): Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(root, "_segments")
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).map(_.getPath.getName).toSet
+    }
+    LakeTable.init(
+      spark.range(200).select(col("id"), (col("id") * 2.0).alias("v")),
+      root, Seq("id"), numBuckets = 4, statsCols = Seq("v"))
+    val afterInit = segFiles()
+    afterInit should have size 1
+
+    // a MERGE writes exactly ONE new segment (the delta), and carried
+    // refs shrink by bucket — never a whole-table metadata rewrite
+    LakeTable.merge(spark, root,
+      spark.range(3).select(col("id"), lit(-1.0).alias("v")))
+    val afterMerge = segFiles()
+    (afterMerge -- afterInit) should have size 1
+    val m1 = LakeTable.manifest(spark, root)
+
+    // a MoR delete is a metadata-only commit: same refs, same segment
+    // files, nothing measured
+    LakeTable.deleteMor(spark, root, spark.range(5).select(col("id")))
+    segFiles() shouldBe afterMerge
+    val m2 = LakeTable.manifest(spark, root)
+    m2.segments.map(_.path) shouldBe m1.segments.map(_.path)
+
+    // restore republishes the target's refs verbatim — zero new segments
+    LakeTable.restore(spark, root, 0L)
+    segFiles() shouldBe afterMerge
+
+    // fsck: a planted orphan segment is REPORTED (warning, table ok) and
+    // a deleted REFERENCED segment breaks reads loudly (ok = false)
+    val orphan = new org.apache.hadoop.fs.Path(root,
+      s"_segments/${java.util.UUID.randomUUID}.json")
+    val out = fs.create(orphan, false)
+    out.write("{\"stats_cols\":[],\"bloom_cols\":[],\"ndv_cols\":[],\"files\":[]}"
+      .getBytes); out.close()
+    val rep = LakeTable.fsck(spark, root)
+    rep.ok shouldBe true
+    rep.orphanSegments should have size 1
+    // vacuum keeps every version yet reclaims exactly the orphan
+    LakeTable.vacuum(spark, root, keepLast = 100)
+    LakeTable.fsck(spark, root).orphanSegments shouldBe empty
+    val victim = LakeTable.manifest(spark, root).segments.head.path
+    fs.delete(new org.apache.hadoop.fs.Path(root, victim), false)
+    val broken = LakeTable.fsck(spark, root)
+    broken.ok shouldBe false
+    broken.missingFiles should contain(victim)
+  }
 }
