@@ -2131,6 +2131,77 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Transaction-consistent CDC mirroring of a table PAIR (streaming/
+    // LakeTxnCdfPairSource + LakeStreaming.mirrorTxn): two tables that
+    // commit together via LakeTxn flip visibility with one outcome-file
+    // create, and the pair stream's composite offset is a CONSISTENT CUT
+    // — no batch ever carries one half of a transaction without the
+    // other, so the replica pair is never torn. Lifecycle: init fact+dim
+    // sources and empty targets → bootstrap mirror → txn1 commits a fact
+    // price bump + dim segment move together → txn2 stages POISON into
+    // both and aborts → a crashed in-flight txn is left on the fact →
+    // mirror again. The oracle recomputes the fact⋈dim join from init +
+    // txn1 alone, READ FROM THE MIRRORS: a leaked poison row, a missing
+    // half of txn1, or a torn batch all break the hash.
+    "q_lake_txn_mirror" -> ((s, dir) => {
+      val base = System.getProperty("java.io.tmpdir")
+      val fSrc = base + "/graft_lake_txnmir_fsrc"
+      val dSrc = base + "/graft_lake_txnmir_dsrc"
+      val fTgt = base + "/graft_lake_txnmir_ftgt"
+      val dTgt = base + "/graft_lake_txnmir_dtgt"
+      val cp = base + "/graft_lake_txnmir_cp"
+      val fs = new org.apache.hadoop.fs.Path(fSrc)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(fSrc, dSrc, fTgt, dTgt, cp).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        fSrc, Seq("o_orderkey"), numBuckets = 8)
+      graft.sinks.LakeTable.init(customer, dSrc, Seq("c_custkey"),
+        numBuckets = 4)
+      graft.sinks.LakeTable.init(orders.filter(lit(false)), fTgt,
+        Seq("o_orderkey"), numBuckets = 8)
+      graft.sinks.LakeTable.init(customer.filter(lit(false)), dTgt,
+        Seq("c_custkey"), numBuckets = 4)
+      def run(): Unit = {
+        val q = graft.streaming.LakeStreaming.mirrorTxn(s, fSrc, fTgt,
+          dSrc, dTgt)
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // bootstrap both snapshots at one consistent cut
+      graft.sinks.LakeTxn.atomically(s, fSrc) { txn =>
+        txn.merge(fSrc, orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        txn.merge(dSrc, customer.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_mktsegment", lit("TXN")))
+      }
+      try graft.sinks.LakeTxn.atomically(s, fSrc) { txn =>
+        txn.merge(fSrc, orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", lit(-1e9)))
+        txn.merge(dSrc, customer.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_mktsegment", lit("POISON")))
+        sys.error("injected failure before commit")
+      } catch { case _: RuntimeException => () }
+      graft.sinks.LakeTable.mergeTagged(s, fSrc,
+        orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", lit(-1e9)), None,
+        Some(fSrc + "/_txn/ghost-never-committed.json"))
+      run() // ride the delta spans through the consistent cut
+      val f = graft.sinks.LakeTable.read(s, fTgt)
+      val d = graft.sinks.LakeTable.read(s, dTgt)
+      f.join(broadcast(d), f("o_custkey") === d("c_custkey"))
+        .groupBy(col("c_mktsegment").alias("seg"))
+        .agg(count(lit(1)).alias("n"),
+          round(dsum(col("o_totalprice")), 2).alias("sum_price"))
+        .orderBy("seg")
+    }),
+
     // Plan-time sidecar pruning (sinks/LakeTable.scala SidecarFileIndex /
     // scan): the zone maps answer the PLANNER's pushed dataFilters instead
     // of a bespoke entry point — scan() returns a FileIndex-backed
@@ -2992,6 +3063,58 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").alias("planted_rank"))
         .withColumn("index_rows", lit(idx.coded.count()))
         .orderBy("query_id")
+    }),
+
+    // Frozen-index DRIFT ALARM (operators/Similarity.scala
+    // ivfPqDriftReports / binaryDriftReport): the IVF centroids, PQ
+    // codebooks and binary thresholds freeze at build so codes stay
+    // mutually comparable — which means a shifted embedding distribution
+    // degrades recall SILENTLY. Every append now measures its delta under
+    // the frozen models (one bounded aggregate over rows already being
+    // encoded) against train-time references stored in the index params:
+    // self-ADC + coarse-cell share for IVF-PQ, bit balance for binary.
+    // Lifecycle: train on even ids → an IN-DISTRIBUTION delivery (odd
+    // ids, same distribution) must NOT fire → a PLANTED shifted delivery
+    // (collapsed toward a constant direction) MUST fire. The alarm is a
+    // report, never a silent retrain. The oracle pins the per-delivery
+    // verdicts and how many metrics were armed.
+    "q_ann_drift_alarm" -> ((s, dir) => {
+      import s.implicits._
+      val base = System.getProperty("java.io.tmpdir")
+      val pqPath = base + "/graft_drift_ivfpq"
+      val binPath = base + "/graft_drift_bin"
+      val fs = new org.apache.hadoop.fs.Path(pqPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(pqPath, binPath).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val train = emb.filter(col("vec_id") % 2 === 0)
+      val inDist = emb.filter(col("vec_id") % 2 === 1)
+      val shifted = inDist
+        .withColumn("vec_id", col("vec_id") + 10000000L)
+        .withColumn("embedding", transform(col("embedding"),
+          x => (x * lit(0.05) + lit(3.0)).cast("float")))
+      Similarity.buildIvfPqIndex(train, "vec_id", "embedding", pqPath,
+        dim = 64, numCells = 16, m = 8, ksub = 16)
+      Similarity.buildBinaryIndex(train, "vec_id", "embedding", binPath,
+        dim = 64)
+      val rows = Seq(
+        ("ivfpq", "in_dist",
+          Similarity.appendToIvfPqIndex(s, pqPath, inDist, "vec_id",
+            "embedding")),
+        ("ivfpq", "shifted",
+          Similarity.ivfPqDriftReports(s, pqPath, shifted, "embedding")),
+        ("binary", "in_dist",
+          Similarity.appendToBinaryIndex(s, binPath, inDist, "vec_id",
+            "embedding").toSeq),
+        ("binary", "shifted",
+          Similarity.binaryDriftReport(s, binPath, shifted, "embedding")
+            .toSeq)
+      ).map { case (family, delivery, reports) =>
+        (family, delivery, reports.size, reports.exists(_.drifted))
+      }
+      rows.toDF("family", "delivery", "metrics", "drifted")
+        .orderBy("family", "delivery")
     }),
 
     // Persisted + incrementally-appended BINARY index: delivery 1 builds
@@ -6235,6 +6358,23 @@ object SparkEntry {
         |AS t(version, state, files, dv, buckets, has_txn, ts_ok)
         |ORDER BY version DESC""".stripMargin,
 
+    "q_lake_txn_mirror" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0),
+        |d AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'TXN'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT seg, COUNT(*) AS n,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |             AS DOUBLE), 2) AS sum_price
+        |FROM f JOIN d ON o_custkey = c_custkey
+        |GROUP BY seg ORDER BY seg""".stripMargin,
+
     "q_lake_cdf_mirror" ->
       """SELECT o_orderkey,
         |       ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000
@@ -6685,6 +6825,15 @@ object SparkEntry {
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS planted_rank,
         |  CAST((SELECT COUNT(*) + 10 FROM embeddings) AS BIGINT) AS index_rows
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "q_ann_drift_alarm" ->
+      """SELECT * FROM (VALUES
+        |  ('binary', 'in_dist', 1, FALSE),
+        |  ('binary', 'shifted', 1, TRUE),
+        |  ('ivfpq',  'in_dist', 2, FALSE),
+        |  ('ivfpq',  'shifted', 2, TRUE))
+        |AS t(family, delivery, metrics, drifted)
+        |ORDER BY family, delivery""".stripMargin,
 
     "q_warc_corpus" ->
       """WITH g AS (SELECT UNNEST(generate_series(1, 40)) AS i),

@@ -343,9 +343,53 @@ object Similarity {
         round(col("cosine"), 6).alias("cosine"))
   }
 
-  /** Persisted IVF-PQ index read back from [[buildIvfPqIndex]]. */
+  /** Persisted IVF-PQ index read back from [[buildIvfPqIndex]].
+    * `trainSelfAdc`/`trainCellShare` are the TRAIN-TIME drift references
+    * ([[ivfPqDriftReports]]); None on indexes built before r12.
+    */
   final case class IvfPqIndex(dim: Int, m: Int, ksub: Int,
-      centroids: Array[Float], codebooks: Array[Float], coded: DataFrame)
+      centroids: Array[Float], codebooks: Array[Float], coded: DataFrame,
+      trainSelfAdc: Option[Double] = None,
+      trainCellShare: Option[Double] = None)
+
+  /** One drift verdict for a frozen-model index ([[ivfPqDriftReports]],
+    * [[binaryDriftReport]]): the train-time reference, the delta's
+    * observed value, and whether the alarm FIRES. A report column, never
+    * a silent retrain — retraining invalidates every historical code, so
+    * the decision stays with the operator.
+    */
+  final case class IndexDriftReport(metric: String, trained: Double,
+      observed: Double, drifted: Boolean)
+
+  /** One aggregation over `df` under the index's frozen models: (mean
+    * self-ADC, max coarse-cell share). Self-ADC — the ADC dot of a
+    * vector's own codes against its normalized self — is the
+    * reconstruction-quality proxy (≈ ⟨v̂, v⟩; falls when the frozen
+    * codebooks stop fitting the data); cell share is the coarse-quantizer
+    * fit (a shifted distribution piles into few cells, collapsing IVF
+    * pruning — the scale-invariant failure self-ADC can miss and vice
+    * versa). Bounded: ≤ numCells rows collected.
+    */
+  private def ivfPqDeltaStats(df: DataFrame, vecCol: String, dim: Int,
+      cents: Array[Float], books: Array[Float], m: Int,
+      ksub: Int): (Double, Double) = {
+    val dsub = dim / m
+    val qn = VectorFunctions.l2Normalize(col(vecCol))
+    val per = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(
+        element_at(VectorFunctions.nearestCells(col(vecCol), cents, dim, 1),
+          1).alias("__c"),
+        VectorFunctions.adcDot(
+          VectorFunctions.pqEncode(qn, books, m, dsub, ksub), qn,
+          books, m, dsub, ksub).alias("__adc"))
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).alias("n"), sum(col("__adc")).alias("s"))
+      .collect()
+    val total = per.map(_.getAs[Long]("n")).sum
+    require(total > 0, "drift stats: no valid vector in the delta")
+    (per.map(_.getAs[Double]("s")).sum / total,
+      per.map(_.getAs[Long]("n")).max.toDouble / total)
+  }
 
   /** Persist a trained IVF-PQ index: `path/params` holds the trained
     * models (coarse centroids + PQ codebooks + shape) as one parquet row;
@@ -366,8 +410,13 @@ object Similarity {
     val books = trainPqCodebooks(corpus, vecCol, dim, m, ksub, seed)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((dim, m, ksub, cents.toSeq, books.toSeq))
-      .toDF("dim", "m", "ksub", "centroids", "codebooks")
+    // train-time drift references: what "fits the distribution" measured
+    // as at build, so every append can compare its delta against them
+    val (trainAdc, trainShare) =
+      ivfPqDeltaStats(corpus, vecCol, dim, cents, books, m, ksub)
+    Seq((dim, m, ksub, cents.toSeq, books.toSeq, trainAdc, trainShare))
+      .toDF("dim", "m", "ksub", "centroids", "codebooks",
+        "train_self_adc", "train_cell_share")
       .write.mode("overwrite").parquet(s"$path/params")
     codedCorpus(corpus, idCol, vecCol, dim, cents, books, m, dsub, ksub)
       .select(col("neighbor_id").alias("id"), col("__cell").alias("cell"),
@@ -378,10 +427,42 @@ object Similarity {
   def readIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqIndex = {
     val p = spark.read.parquet(s"$path/params").head()
+    def opt(c: String): Option[Double] =
+      if (p.schema.fieldNames.contains(c)) Some(p.getAs[Double](c)) else None
     IvfPqIndex(p.getAs[Int]("dim"), p.getAs[Int]("m"), p.getAs[Int]("ksub"),
       p.getAs[Seq[Float]]("centroids").toArray,
       p.getAs[Seq[Float]]("codebooks").toArray,
-      spark.read.parquet(s"$path/coded"))
+      spark.read.parquet(s"$path/coded"),
+      opt("train_self_adc"), opt("train_cell_share"))
+  }
+
+  /** Drift check of a delivery against a persisted IVF-PQ index's FROZEN
+    * models — one bounded aggregate over the delta ([[ivfPqDeltaStats]]),
+    * no index row read, no data rewritten. Two alarms:
+    *   - `self_adc`: mean reconstruction quality under the frozen PQ
+    *     codebooks fell more than `adcTolerance` (relative) below the
+    *     train-time value — quantization error is growing, recall decays.
+    *   - `cell_share`: the delta's largest coarse-cell share exceeds
+    *     2 × train + 0.1 — the distribution has moved off the trained
+    *     centroids and IVF pruning is collapsing toward a scan of one
+    *     cell (the scale-invariant drift self-ADC can miss).
+    * Empty on pre-r12 indexes (no stored references — rebuild to arm).
+    */
+  def ivfPqDriftReports(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, vecCol: String,
+      adcTolerance: Double = 0.25): Seq[IndexDriftReport] = {
+    val idx = readIvfPqIndex(spark, path)
+    (idx.trainSelfAdc, idx.trainCellShare) match {
+      case (Some(tAdc), Some(tShare)) =>
+        val (adc, share) = ivfPqDeltaStats(delta, vecCol, idx.dim,
+          idx.centroids, idx.codebooks, idx.m, idx.ksub)
+        Seq(
+          IndexDriftReport("self_adc", tAdc, adc,
+            adc < tAdc - adcTolerance * math.abs(tAdc)),
+          IndexDriftReport("cell_share", tShare, share,
+            share > tShare * 2 + 0.1))
+      case _ => Nil
+    }
   }
 
   /** Incremental append to a persisted IVF-PQ index: encode ONLY the delta
@@ -399,8 +480,14 @@ object Similarity {
     * full-precision vectors are never re-read.
     */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, delta: DataFrame, idCol: String, vecCol: String): Unit = {
+      path: String, delta: DataFrame, idCol: String,
+      vecCol: String): Seq[IndexDriftReport] = {
     val idx = readIvfPqIndex(spark, path)
+    // drift alarm BEFORE the append lands: the delta is being encoded
+    // under the frozen models anyway, so the check is one extra bounded
+    // aggregate — the report rides back to the caller, the append is
+    // never blocked (operator decides; retrain invalidates history)
+    val reports = ivfPqDriftReports(spark, path, delta, vecCol)
     val dsub = idx.dim / idx.m
     val fresh = codedCorpus(delta, idCol, vecCol, idx.dim, idx.centroids,
         idx.codebooks, idx.m, dsub, idx.ksub)
@@ -413,6 +500,7 @@ object Similarity {
     graft.sinks.LakeSink.stageAndSwap(fs, codedDir) { staging =>
       idx.coded.unionByName(fresh).write.mode("overwrite").parquet(staging.toString)
     }
+    reports
   }
 
   /** [[ivfPqTopK]] against a PERSISTED index: models come from
@@ -707,9 +795,30 @@ object Similarity {
         round(col("cosine"), 6).alias("cosine"), col("hamming"))
   }
 
-  /** Persisted binary index read back from [[buildBinaryIndex]]. */
+  /** Persisted binary index read back from [[buildBinaryIndex]].
+    * `trainBalance` is the train-time mean bit balance — the drift
+    * reference for [[binaryDriftReport]]; None on pre-r12 indexes.
+    */
   final case class BinaryIndex(dim: Int, thresholds: Array[Double],
-      coded: DataFrame)
+      coded: DataFrame, trainBalance: Option[Double] = None)
+
+  /** Mean bit balance of `df` under frozen `thresholds`: the average
+    * fraction of dimensions landing ABOVE their threshold. At train time
+    * the thresholds are the per-dimension means, so balance sits near
+    * 0.5 (stored exactly, not assumed); a shifted delivery pushes whole
+    * dimensions to one side and the balance walks away — the
+    * Hamming-margin collapse that silently degrades recall.
+    */
+  private def bitBalance(df: DataFrame, vecCol: String, dim: Int,
+      thresholds: Array[Double]): Double = {
+    val thLit = array(thresholds.map(lit): _*)
+    val frac = aggregate(
+      zip_with(col(vecCol), thLit,
+        (x, t) => when(x.cast("double") > t, 1.0).otherwise(0.0)),
+      lit(0.0), (a, b) => a + b) / lit(dim.toDouble)
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .agg(avg(frac)).head().getDouble(0)
+  }
 
   /** Persist a binary index: `path/params` holds (dim, trained
     * thresholds) as one parquet row; `path/coded` holds the packed codes
@@ -723,7 +832,8 @@ object Similarity {
     val th = binaryThresholds(corpus, vecCol, dim)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((dim, th.toSeq)).toDF("dim", "thresholds")
+    Seq((dim, th.toSeq, bitBalance(corpus, vecCol, dim, th)))
+      .toDF("dim", "thresholds", "train_balance")
       .write.mode("overwrite").parquet(s"$path/params")
     binaryEncode(corpus, idCol, vecCol, dim, th)
       .select(col(idCol).alias("id"), col("code"))
@@ -735,7 +845,24 @@ object Similarity {
     val p = spark.read.parquet(s"$path/params").head()
     BinaryIndex(p.getAs[Int]("dim"),
       p.getAs[Seq[Double]]("thresholds").toArray,
-      spark.read.parquet(s"$path/coded"))
+      spark.read.parquet(s"$path/coded"),
+      if (p.schema.fieldNames.contains("train_balance"))
+        Some(p.getAs[Double]("train_balance")) else None)
+  }
+
+  /** Drift check of a delivery against a persisted binary index's FROZEN
+    * thresholds: the delta's mean bit balance vs the train-time value
+    * (alarm past `tolerance` absolute deviation). One aggregate over the
+    * delta; None on pre-r12 indexes (rebuild to arm).
+    */
+  def binaryDriftReport(spark: org.apache.spark.sql.SparkSession,
+      path: String, delta: DataFrame, vecCol: String,
+      tolerance: Double = 0.15): Option[IndexDriftReport] = {
+    val idx = readBinaryIndex(spark, path)
+    idx.trainBalance.map { t =>
+      val obs = bitBalance(delta, vecCol, idx.dim, idx.thresholds)
+      IndexDriftReport("bit_balance", t, obs, math.abs(obs - t) > tolerance)
+    }
   }
 
   /** Incremental append: encode ONLY the delta with the index's FROZEN
@@ -746,8 +873,10 @@ object Similarity {
     * index intact and the union job's inputs are never deleted under it.
     */
   def appendToBinaryIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, delta: DataFrame, idCol: String, vecCol: String): Unit = {
+      path: String, delta: DataFrame, idCol: String,
+      vecCol: String): Option[IndexDriftReport] = {
     val idx = readBinaryIndex(spark, path)
+    val report = binaryDriftReport(spark, path, delta, vecCol)
     val fresh = binaryEncode(delta, idCol, vecCol, idx.dim, idx.thresholds)
       .select(col(idCol).alias("id"), col("code"))
       .dropDuplicates("id")
@@ -757,6 +886,7 @@ object Similarity {
     graft.sinks.LakeSink.stageAndSwap(fs, codedDir) { staging =>
       idx.coded.unionByName(fresh).write.mode("overwrite").parquet(staging.toString)
     }
+    report
   }
 
   /** [[binaryTopK]] against a PERSISTED index: thresholds come from

@@ -119,4 +119,50 @@ object LakeStreaming {
           ()
       }
   }
+
+  /** TRANSACTION-CONSISTENT replication of a table PAIR: one stream over
+    * [[LakeTxnCdfPairSource]] (`graft-lake-cdf-pair`), whose composite
+    * offset is a consistent cut — no batch ever contains one half of a
+    * [[graft.sinks.LakeTxn]] commit without the other — applied to both
+    * targets inside ONE trigger. Between triggers the target pair holds
+    * a cut state too: a reader joining the two mirrors can see a
+    * transaction as not-yet-arrived or as fully-arrived, NEVER torn
+    * (the gap two independent [[mirror]] streams cannot close). The
+    * single-trigger window between the two target applies is the
+    * familiar foreachBatch non-atomicity — crash inside it replays the
+    * batch, and both appliers are idempotent, so convergence holds; a
+    * pair of mirrors that must be externally queryable mid-trigger
+    * should be read through their own [[graft.sinks.LakeTxn]] on the
+    * target side (same machinery, consumer-owned).
+    */
+  def mirrorTxn(spark: org.apache.spark.sql.SparkSession,
+      srcA: String, tgtA: String, srcB: String,
+      tgtB: String): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    spark.readStream.format("graft-lake-cdf-pair")
+      .option("rootA", srcA).option("rootB", srcB).load()
+      .writeStream.outputMode("append").foreachBatch {
+        (batch: Dataset[Row], _: Long) =>
+          val s = batch.sparkSession
+          val b = batch.toDF().localCheckpoint()
+          try Seq((srcA, tgtA), (srcB, tgtB)).foreach { case (src, tgt) =>
+            val cols = org.apache.spark.sql.types.StructType
+              .fromDDL(LakeTable.manifest(s, tgt).schemaDdl)
+              .fieldNames.toSeq
+            val side = b.filter(col("_table") === src)
+            val kinds = side.groupBy(col("_change_type")).count().collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            val ups = side.filter(col("_change_type")
+              .isin("insert", "update_postimage")).select(cols.map(col): _*)
+            val dels = side.filter(col("_change_type") === "delete")
+              .select(cols.map(col): _*)
+            if (kinds.getOrElse("insert", 0L) +
+                kinds.getOrElse("update_postimage", 0L) > 0)
+              LakeTable.merge(s, tgt, ups)
+            if (kinds.getOrElse("delete", 0L) > 0)
+              LakeTable.deleteMor(s, tgt, dels)
+          } finally b.unpersist(blocking = false)
+          ()
+      }
+  }
 }

@@ -1,0 +1,228 @@
+package graft.streaming
+
+import graft.sinks.LakeTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftSqlBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** TRANSACTION-CONSISTENT change-feed source over a PAIR of lake tables
+  * — the missing half of cross-table atomicity ([[graft.sinks.LakeTxn]]):
+  * two tables committed together flip visibility with ONE outcome-file
+  * create, but two INDEPENDENT `graft-lake-cdf` streams drain at their
+  * own rates, so a downstream replica pair can expose a torn state (fact
+  * rows from a transaction whose dim half hasn't arrived). This source
+  * subscribes to BOTH feeds with one composite offset `{"a":vA,"b":vB}`
+  * chosen as a '''consistent cut''': for every committed transaction
+  * with members on both tables, either both members are inside the cut
+  * or both are beyond it — a batch can never split a transaction.
+  *
+  * Cut computation ([[LakeTxnCdfPairSource.consistentCut]]): poll both
+  * live heads, then clamp — a txn-tagged committed version inside one
+  * side's span whose sibling (same outcome path, the transaction's one
+  * shared fact) lies beyond the other side's candidate is excluded by
+  * lowering that side below it, iterated to fixpoint. The scan covers
+  * only (previous offset, head] on each side — O(delta) manifest reads
+  * per poll, no data file touched — because every transaction wholly
+  * inside a previous batch was consistent by induction.
+  *
+  * Rows are the union-by-name of both tables' CDF feeds plus a `_table`
+  * column carrying the root the row belongs to; columns the two schemas
+  * don't share are NULL on the other side's rows (shared names must
+  * agree on type — required at stream creation). Bootstrap batch =
+  * both snapshots-as-inserts at one consistent cut. Exactly-once for
+  * the same reason as the single-table source: offsets are versions,
+  * spans are deterministic, appliers are idempotent.
+  */
+class LakeTxnCdfPairSource(spark: SparkSession, rootA: String,
+    rootB: String, override val schema: StructType) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
+    ReadLimit}
+  import LakeTxnCdfPairSource._
+
+  private var handedOut: Option[(Long, Long)] = None
+  private var availableNowCap: Option[(Long, Long)] = None
+
+  private def head(root: String): Long =
+    LakeTable.manifest(spark, root).version
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some((head(rootA), head(rootB)))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def nextOffset(base: Option[(Long, Long)]): (Long, Long) = {
+    val hA0 = head(rootA); val hB0 = head(rootB)
+    val (hA, hB) = availableNowCap
+      .fold((hA0, hB0))(c => (math.min(hA0, c._1), math.min(hB0, c._2)))
+    consistentCut(spark, rootA, rootB,
+      base.map(_._1).getOrElse(-1L), base.map(_._2).getOrElse(-1L), hA, hB)
+  }
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val base = Option(start).map(o => parseOffset(o.json())).orElse(handedOut)
+    renderOffset(nextOffset(base))
+  }
+
+  override def getOffset: Option[Offset] =
+    Some(renderOffset(nextOffset(handedOut)))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val (toA, toB) = parseOffset(end.json())
+    handedOut = Some((
+      math.max(toA, handedOut.map(_._1).getOrElse(Long.MinValue)),
+      math.max(toB, handedOut.map(_._2).getOrElse(Long.MinValue))))
+    val from = start.map(o => parseOffset(o.json()))
+    def side(root: String, fromV: Option[Long], toV: Long): DataFrame = {
+      val body = fromV match {
+        case Some(f) if f == toV =>
+          null // nothing new on this side this trigger
+        case Some(f) => LakeTable.changes(spark, root, f, toV)
+        case None => LakeTable.read(spark, root, Some(toV))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_from_version", lit(-1L))
+          .withColumn("_to_version", lit(toV))
+      }
+      if (body == null) null
+      else body.withColumn("_table", lit(root))
+    }
+    val a = side(rootA, from.map(_._1), toA)
+    val b = side(rootB, from.map(_._2), toB)
+    // union by the PINNED schema: each side fills the other's columns
+    // with typed NULLs, exactly like the single-table source reconciles
+    def conform(d: DataFrame): DataFrame = {
+      val present = d.columns.toSet
+      val filled = schema.fields.filterNot(f => present(f.name))
+        .foldLeft(d)((x, f) => x.withColumn(f.name, lit(null).cast(f.dataType)))
+      filled.select(schema.fieldNames.map(col).toSeq: _*)
+    }
+    val unioned = (Option(a).map(conform), Option(b).map(conform)) match {
+      case (Some(x), Some(y)) => x.unionByName(y)
+      case (Some(x), None) => x
+      case (None, Some(y)) => y
+      case (None, None) =>
+        conform(spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema))
+    }
+    GraftSqlBridge.streamingDataFrame(unioned)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object LakeTxnCdfPairSource {
+
+  private[streaming] def renderOffset(o: (Long, Long)) =
+    org.apache.spark.sql.execution.streaming.runtime
+      .SerializedOffset(s"""{"a":${o._1},"b":${o._2}}""")
+
+  private[streaming] def parseOffset(s: String): (Long, Long) = {
+    def f(k: String) = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
+      .getOrElse(sys.error(s"bad pair offset $s")).group(1).toLong
+    (f("a"), f("b"))
+  }
+
+  /** The largest transaction-consistent cut `(cA, cB)` with
+    * `prevX < cX ≤ hX`...`= hX` initially: any committed transaction
+    * whose member on one side is inside the cut but whose sibling on the
+    * other side is beyond it clamps that side below the member, to
+    * fixpoint. Only (prev, candidate] slots are scanned — transactions
+    * wholly inside a previous batch are consistent by induction, and
+    * manifest reads are metadata-only. Never clamps below `prev` (a
+    * committed offset is already consistent and immutable).
+    */
+  private[graft] def consistentCut(spark: SparkSession, rootA: String,
+      rootB: String, prevA: Long, prevB: Long, hA: Long,
+      hB: Long): (Long, Long) = {
+    // committed-txn members in (from, to]: slot -> outcome path
+    def txnsIn(root: String, from: Long, to: Long): Seq[(Long, String)] =
+      ((from + 1) to to).flatMap { v =>
+        scala.util.Try(LakeTable.manifestAt(spark, root, v)).toOption
+          .flatMap(m => m.txn.filter(p =>
+            LakeTable.txnOutcome(spark, p).contains(true)).map(v -> _))
+      }
+    // the sibling member of outcome path p on `root`, if any, scanning
+    // above `from` (members below a committed offset are already served)
+    def siblingAbove(root: String, p: String, from: Long): Option[Long] = {
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      LakeTable.versions(fs, root).filter(_ > from).find { v =>
+        scala.util.Try(LakeTable.manifestAt(spark, root, v)).toOption
+          .exists(_.txn.contains(p))
+      }
+    }
+    var cA = math.max(hA, prevA); var cB = math.max(hB, prevB)
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((v, p) <- txnsIn(rootA, prevA, cA)
+           if siblingAbove(rootB, p, prevB).exists(_ > cB)) {
+        val clamped = math.max(prevA, v - 1)
+        if (clamped < cA) { cA = clamped; changed = true }
+      }
+      for ((v, p) <- txnsIn(rootB, prevB, cB)
+           if siblingAbove(rootA, p, prevA).exists(_ > cA)) {
+        val clamped = math.max(prevB, v - 1)
+        if (clamped < cB) { cB = clamped; changed = true }
+      }
+    }
+    (cA, cB)
+  }
+
+}
+
+/** `format("graft-lake-cdf-pair")` registration (META-INF/services). */
+class LakeTxnCdfPairSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake-cdf-pair"
+
+  private def rootsOf(parameters: Map[String, String]): (String, String) = (
+    parameters.getOrElse("rootA", throw new IllegalArgumentException(
+      """graft-lake-cdf-pair requires .option("rootA", <lake root>)""")),
+    parameters.getOrElse("rootB", throw new IllegalArgumentException(
+      """graft-lake-cdf-pair requires .option("rootB", <lake root>)""")))
+
+  private def schemaOf(spark: SparkSession, rootA: String,
+      rootB: String): StructType = {
+    val a = StructType.fromDDL(LakeTable.manifest(spark, rootA).schemaDdl)
+    val b = StructType.fromDDL(LakeTable.manifest(spark, rootB).schemaDdl)
+    val merged = b.fields.foldLeft(a) { (acc, f) =>
+      acc.find(_.name == f.name) match {
+        case Some(have) =>
+          require(have.dataType == f.dataType,
+            s"pair stream: column ${f.name} is ${have.dataType} on $rootA " +
+              s"but ${f.dataType} on $rootB — shared names must agree")
+          acc
+        case None => acc.add(f)
+      }
+    }
+    merged.fields.foldLeft(new StructType().add("_table", "string"))(
+      (s, f) => s.add(f))
+      .add("_change_type", "string")
+      .add("_from_version", "bigint")
+      .add("_to_version", "bigint")
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (a, b) = rootsOf(parameters)
+    ("graft-lake-cdf-pair",
+      schema.getOrElse(schemaOf(sqlContext.sparkSession, a, b)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val (a, b) = rootsOf(parameters)
+    new LakeTxnCdfPairSource(sqlContext.sparkSession, a, b,
+      schema.getOrElse(schemaOf(sqlContext.sparkSession, a, b)))
+  }
+}

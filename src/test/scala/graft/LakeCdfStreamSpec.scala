@@ -237,4 +237,93 @@ class LakeCdfStreamSpec extends SparkTestBase {
     post.map(r => (r.getAs[Long]("k"), r.getAs[String]("w"))) shouldBe
       Seq((3L, "extra"))
   }
+
+  // ---- transaction-consistent pair mirroring (LakeTxnCdfPairSource) ----
+
+  private def initPair(): (String, String) = {
+    val a = Files.createTempDirectory("graft-pairA").toString
+    val b = Files.createTempDirectory("graft-pairB").toString
+    LakeTable.init(spark.range(20).select(col("id").alias("fk"),
+      (col("id") * 1.0).alias("amt")), a, Seq("fk"), numBuckets = 2)
+    LakeTable.init(spark.range(5).select(col("id").alias("dk"),
+      concat(lit("seg"), col("id")).alias("seg")), b, Seq("dk"),
+      numBuckets = 2)
+    (a, b)
+  }
+
+  private def runMirrorTxn(srcA: String, tgtA: String, srcB: String,
+      tgtB: String, cp: String): Unit = {
+    val q = LakeStreaming.mirrorTxn(spark, srcA, tgtA, srcB, tgtB)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("mirrorTxn: a cross-table transaction arrives in BOTH mirrors or in NEITHER — never torn") {
+    val (a, b) = initPair()
+    val tgtA = Files.createTempDirectory("graft-pairTgtA").toString
+    val tgtB = Files.createTempDirectory("graft-pairTgtB").toString
+    LakeTable.init(spark.range(0).select(col("id").alias("fk"),
+      (col("id") * 1.0).alias("amt")), tgtA, Seq("fk"), numBuckets = 2)
+    LakeTable.init(spark.range(0).select(col("id").alias("dk"),
+      concat(lit("seg"), col("id")).alias("seg")), tgtB, Seq("dk"),
+      numBuckets = 2)
+    val cp = Files.createTempDirectory("graft-pair-cp").toString
+    runMirrorTxn(a, tgtA, b, tgtB, cp) // bootstrap both snapshots
+    LakeTable.read(spark, tgtA).count() shouldBe 20
+    LakeTable.read(spark, tgtB).count() shouldBe 5
+
+    // one committed transaction touching both tables
+    graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((3L, 999.0)).toDF("fk", "amt"))
+      t.merge(b, Seq((2L, "MOVED")).toDF("dk", "seg"))
+    }
+    // one aborted transaction staging poison into both
+    try graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((4L, -1e9)).toDF("fk", "amt"))
+      t.merge(b, Seq((1L, "POISON")).toDF("dk", "seg"))
+      sys.error("injected failure before commit")
+    } catch { case _: RuntimeException => () }
+    runMirrorTxn(a, tgtA, b, tgtB, cp)
+    LakeTable.read(spark, tgtA).filter(col("fk") === 3)
+      .head().getDouble(1) shouldBe 999.0
+    LakeTable.read(spark, tgtB).filter(col("dk") === 2)
+      .head().getString(1) shouldBe "MOVED"
+    LakeTable.read(spark, tgtA).filter(col("amt") < 0).count() shouldBe 0
+    LakeTable.read(spark, tgtB).filter(col("seg") === "POISON")
+      .count() shouldBe 0
+    // re-drain: exactly-once, nothing moves
+    runMirrorTxn(a, tgtA, b, tgtB, cp)
+    LakeTable.read(spark, tgtA).count() shouldBe 20
+    LakeTable.read(spark, tgtB).count() shouldBe 5
+  }
+
+  test("consistentCut clamps a candidate that would split a transaction") {
+    val (a, b) = initPair()
+    val headA0 = LakeTable.manifest(spark, a).version
+    val headB0 = LakeTable.manifest(spark, b).version
+    graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((3L, 999.0)).toDF("fk", "amt"))
+      t.merge(b, Seq((2L, "MOVED")).toDF("dk", "seg"))
+    }
+    val vA = LakeTable.manifest(spark, a).version
+    val vB = LakeTable.manifest(spark, b).version
+    // the torn candidate a racing commit produces: A's head includes the
+    // txn member, B's candidate (polled earlier) does not — the cut must
+    // clamp A back below its member
+    graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
+      headA0, headB0, vA, vB - 1) shouldBe ((vA - 1, vB - 1))
+    // symmetric direction
+    graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
+      headA0, headB0, vA - 1, vB) shouldBe ((vA - 1, vB - 1))
+    // both members inside: nothing clamps
+    graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
+      headA0, headB0, vA, vB) shouldBe ((vA, vB))
+    // non-txn commits never clamp
+    LakeTable.merge(spark, a, Seq((5L, 50.0)).toDF("fk", "amt"))
+    val vA2 = LakeTable.manifest(spark, a).version
+    graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
+      vA, vB, vA2, vB) shouldBe ((vA2, vB))
+  }
 }

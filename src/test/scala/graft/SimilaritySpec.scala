@@ -480,4 +480,49 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.binaryThresholds(emb.filter($"vec_id" < 0).toDF(), "embedding", 64)
     }
   }
+
+  test("frozen-index drift alarm: in-distribution delivery quiet, shifted delivery fires, appends report") {
+    val pqPath = java.nio.file.Files.createTempDirectory("graft-drift-pq").toString
+    val binPath = java.nio.file.Files.createTempDirectory("graft-drift-bin").toString
+    val train = emb.filter($"vec_id" % 2 === 0)
+    val inDist = emb.filter($"vec_id" % 2 === 1)
+    val shifted = inDist.withColumn("vec_id", $"vec_id" + 10000000L)
+      .withColumn("embedding", transform($"embedding",
+        x => (x * lit(0.05) + lit(3.0)).cast("float")))
+    Similarity.buildIvfPqIndex(train.toDF(), "vec_id", "embedding", pqPath,
+      dim = 64, numCells = 16, m = 8, ksub = 16)
+    Similarity.buildBinaryIndex(train.toDF(), "vec_id", "embedding", binPath,
+      dim = 64)
+    // train-time references persisted and read back
+    val idx = Similarity.readIvfPqIndex(spark, pqPath)
+    idx.trainSelfAdc shouldBe defined
+    idx.trainCellShare shouldBe defined
+    Similarity.readBinaryIndex(spark, binPath).trainBalance shouldBe defined
+
+    // an in-distribution APPEND reports, and stays quiet on every metric
+    val quietPq = Similarity.appendToIvfPqIndex(spark, pqPath, inDist.toDF(),
+      "vec_id", "embedding")
+    quietPq.map(_.metric).sorted shouldBe Seq("cell_share", "self_adc")
+    quietPq.foreach(r => withClue(r) { r.drifted shouldBe false })
+    val quietBin = Similarity.appendToBinaryIndex(spark, binPath,
+      inDist.toDF(), "vec_id", "embedding")
+    quietBin shouldBe defined
+    quietBin.get.drifted shouldBe false
+    // the in-dist balance sits near the trained one
+    math.abs(quietBin.get.observed - quietBin.get.trained) should be < 0.05
+
+    // the planted shift collapses toward one direction: the coarse-cell
+    // share and the bit balance both fire (report, not retrain — the
+    // frozen models are untouched)
+    val firedPq = Similarity.ivfPqDriftReports(spark, pqPath,
+      shifted.toDF(), "embedding")
+    firedPq.find(_.metric == "cell_share").get.drifted shouldBe true
+    firedPq.find(_.metric == "cell_share").get.observed should be > 0.9
+    val firedBin = Similarity.binaryDriftReport(spark, binPath,
+      shifted.toDF(), "embedding")
+    firedBin.get.drifted shouldBe true
+    firedBin.get.observed should be > 0.9
+    // the models really are untouched: search still answers from them
+    Similarity.readIvfPqIndex(spark, pqPath).centroids shouldBe idx.centroids
+  }
 }
