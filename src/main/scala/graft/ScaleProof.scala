@@ -108,7 +108,10 @@ object ScaleProof {
     "q_lake_zorder_incr",
     // r11 continuation: the plan-time-pruned scan, the streaming CDC
     // mirror lifecycle, and the cross-table transaction lifecycle
-    "q_lake_scan_pushdown", "q_lake_cdf_mirror", "q_lake_txn")
+    "q_lake_scan_pushdown", "q_lake_cdf_mirror", "q_lake_txn",
+    // r12: the consistent-cut pair-mirror lifecycle and the frozen-index
+    // drift alarm (two index builds + four delta measurements per run)
+    "q_lake_txn_mirror", "q_ann_drift_alarm")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -394,9 +394,36 @@ object LakeTable {
     * back for timestamp time travel; legacy manifests without the field
     * parse as ts = 0 (eligible at any cutoff, as the oldest).
     */
+  /** Sorted int list rendered run-length: a contiguous run [a..b] with
+    * b > a becomes the two-element array `[a,b]`, singletons stay bare —
+    * the common shapes (a fresh segment covering buckets 0..N-1; a
+    * carried ref down to a few survivors) render in O(runs), so a
+    * manifest stays O(live segments) bytes even at thousands of buckets.
+    */
+  private def renderRuns(xs: Seq[Int]): String = {
+    val out = new StringBuilder("[")
+    var i = 0
+    while (i < xs.length) {
+      var j = i
+      while (j + 1 < xs.length && xs(j + 1) == xs(j) + 1) j += 1
+      if (out.length > 1) out.append(',')
+      if (j > i) out.append('[').append(xs(i)).append(',')
+        .append(xs(j)).append(']')
+      else out.append(xs(i))
+      i = j + 1
+    }
+    out.append(']').toString
+  }
+
+  private def parseRuns(xs: Vector[JVal]): Seq[Int] = xs.flatMap {
+    case JNum(n) => Seq(n.toInt)
+    case JArr(Vector(JNum(a), JNum(b))) => a.toInt to b.toInt
+    case other => sys.error(s"bad run entry $other")
+  }
+
   private def renderRef(r: SegmentRef): String =
-    s"""{"path":${jq(r.path)},"buckets":[${r.buckets.mkString(",")}],""" +
-      s""""dead":[${r.dead.mkString(",")}],"files":${r.files},""" +
+    s"""{"path":${jq(r.path)},"buckets":${renderRuns(r.buckets)},""" +
+      s""""dead":${renderRuns(r.dead)},"files":${r.files},""" +
       s""""rows":${r.rows},"bytes":${r.bytes},""" +
       s""""min":[${r.mins.map(jOptStr).mkString(",")}],""" +
       s""""max":[${r.maxs.map(jOptStr).mkString(",")}]}"""
@@ -430,8 +457,8 @@ object LakeTable {
     val refs = Json.arr(o, "segments").map { r =>
       val ro = r.asInstanceOf[JObj]
       SegmentRef(Json.str(ro, "path"),
-        Json.arr(ro, "buckets").map(_.asInstanceOf[JNum].s.toInt),
-        Json.arr(ro, "dead").map(_.asInstanceOf[JNum].s.toInt),
+        parseRuns(Json.arr(ro, "buckets")),
+        parseRuns(Json.arr(ro, "dead")),
         Json.num(ro, "files").toInt, Json.num(ro, "rows", -1L),
         Json.num(ro, "bytes", -1L),
         Json.optStrSeq(ro, "min"), Json.optStrSeq(ro, "max"))

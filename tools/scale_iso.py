@@ -40,7 +40,7 @@ HEAVY = ["q_dedup_minhash", "q_corpus_funnel", "q_quality_classifier",
          "q_mv_approx_distinct", "q_mv_quantile", "q_mv_variance",
          "q_lake_clone", "q_lake_zorder", "q_mv_topk",
          "q_lake_zorder_incr", "q_lake_scan_pushdown", "q_lake_cdf_mirror",
-         "q_lake_txn"]
+         "q_lake_txn", "q_lake_txn_mirror", "q_ann_drift_alarm"]
 
 def main():
     out_path = sys.argv[1]
