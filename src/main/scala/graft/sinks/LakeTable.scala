@@ -1979,7 +1979,13 @@ object LakeTable {
   def fastCount(spark: SparkSession, root: String,
       version: Option[Long] = None): Option[Long] = {
     val m = manifest(spark, root, version)
-    if (m.dvFiles.nonEmpty || m.statsCols.isEmpty) return None
+    // rows are measured whenever ANY indexed column is declared (the
+    // single metadata pass counts as it measures), so a bloom- or
+    // ndv-only table answers too — only a wholly unindexed table, or
+    // outstanding deletion vectors, decline
+    if (m.dvFiles.nonEmpty ||
+      (m.statsCols.isEmpty && m.bloomCols.isEmpty && m.ndvCols.isEmpty))
+      return None
     readStats(spark, root, m.version).flatMap { stats =>
       val counts = m.files.map(f => stats.get(f._1).map(_.rows))
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)

@@ -139,6 +139,12 @@ class LakeTableSpec extends SparkTestBase {
     val bare = newRoot()
     LakeTable.init(base, bare, Seq("id"), numBuckets = 2)
     LakeTable.fastCount(spark, bare) shouldBe None
+    // a bloom-only table answers too: the single metadata pass counts
+    // rows whenever ANY indexed column is declared
+    val bloomy = newRoot()
+    LakeTable.init(base, bloomy, Seq("id"), numBuckets = 2,
+      bloomCols = Seq("name"))
+    LakeTable.fastCount(spark, bloomy) shouldBe Some(8L)
   }
 
   test("readForJoin: file-length metadata decides broadcast vs shuffle join") {
