@@ -3144,6 +3144,38 @@ object LakeTable {
     * buckets; each deleteMor adds vectors). Untouched buckets are carried
     * by path; dv'd buckets that get rewritten fold their vectors in.
     */
+  /** Consolidate the METADATA plane: copy every live file's metadata —
+    * payloads verbatim, no data file opened, no scan run — into ONE
+    * fresh segment and publish a manifest carrying a single ref. The
+    * ref list grows O(live segments) as small deliveries accrete; this
+    * is [[compactSmallFiles]]' metadata analog (the Iceberg
+    * `rewrite_manifests` design point): one O(live files) metadata
+    * write, zero data I/O, and every later commit is back to shrinking
+    * one wide ref. Old segment files stay for time travel until
+    * [[vacuum]] drops the versions referencing them. A ≤1-segment
+    * table is a no-op returning the current version.
+    */
+  def compactMetadata(spark: SparkSession, root: String): Long =
+    withCommitRetries() { () =>
+      val (m, slot) = writeHead(spark, root)
+      if (m.segments.size <= 1) m.version
+      else {
+        val known = m.segments.flatMap { ref =>
+          val seg = loadSegment(spark, root, ref.path)
+          if (seg.statsCols == m.statsCols && seg.bloomCols == m.bloomCols &&
+              seg.ndvCols == m.ndvCols)
+            liveEntries(ref, seg).map(e => e.path -> e)
+          else Nil // unreachable at a published head; re-measure if ever
+        }.toMap
+        // segments = Nil: commitVersion sees every file as fresh and the
+        // known payloads make the consolidation measurement-free
+        val next = commitVersion(spark, root, m.copy(version = slot,
+          txn = None, filesEager = m.files, segments = Nil), known = known)
+        if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
+        next.version
+      }
+    }
+
   def compactSmallFiles(spark: SparkSession, root: String,
       maxFilesPerBucket: Int = 4): Long = {
     require(maxFilesPerBucket >= 1, s"maxFilesPerBucket must be >= 1")

@@ -136,11 +136,14 @@ object LakeStreaming {
     * target side (same machinery, consumer-owned).
     */
   def mirrorTxn(spark: org.apache.spark.sql.SparkSession,
-      srcA: String, tgtA: String, srcB: String,
-      tgtB: String): DataStreamWriter[Row] = {
+      srcA: String, tgtA: String, srcB: String, tgtB: String,
+      maxVersionsPerTrigger: Option[Long] = None): DataStreamWriter[Row] = {
     import org.apache.spark.sql.functions.col
-    spark.readStream.format("graft-lake-cdf-pair")
-      .option("rootA", srcA).option("rootB", srcB).load()
+    val reader0 = spark.readStream.format("graft-lake-cdf-pair")
+      .option("rootA", srcA).option("rootB", srcB)
+    maxVersionsPerTrigger.foreach(n =>
+      reader0.option("maxVersionsPerTrigger", n.toString))
+    reader0.load()
       .writeStream.outputMode("append").foreachBatch {
         (batch: Dataset[Row], _: Long) =>
           val s = batch.sparkSession

@@ -38,7 +38,8 @@ import org.apache.spark.sql.types.StructType
   * spans are deterministic, appliers are idempotent.
   */
 class LakeTxnCdfPairSource(spark: SparkSession, rootA: String,
-    rootB: String, override val schema: StructType) extends Source
+    rootB: String, override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset,
@@ -58,8 +59,19 @@ class LakeTxnCdfPairSource(spark: SparkSession, rootA: String,
 
   private def nextOffset(base: Option[(Long, Long)]): (Long, Long) = {
     val hA0 = head(rootA); val hB0 = head(rootB)
-    val (hA, hB) = availableNowCap
+    val (hA1, hB1) = availableNowCap
       .fold((hA0, hB0))(c => (math.min(hA0, c._1), math.min(hB0, c._2)))
+    // rate limit BEFORE the consistency clamp: capping only lowers the
+    // candidate and clamping only lowers it further, so the cut stays
+    // consistent — a transaction whose sibling sits past the other
+    // side's cap simply waits for the trigger whose cap reaches it.
+    // The bootstrap batch (no base) is never capped: the snapshot pair
+    // is one unit of work, there is no smaller correct first batch.
+    val (hA, hB) = (base, maxVersionsPerTrigger) match {
+      case (Some((a, b)), Some(n)) =>
+        (math.min(hA1, a + n), math.min(hB1, b + n))
+      case _ => (hA1, hB1)
+    }
     consistentCut(spark, rootA, rootB,
       base.map(_._1).getOrElse(-1L), base.map(_._2).getOrElse(-1L), hA, hB)
   }
@@ -222,7 +234,12 @@ class LakeTxnCdfPairSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val (a, b) = rootsOf(parameters)
+    val maxV = parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = v.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
     new LakeTxnCdfPairSource(sqlContext.sparkSession, a, b,
-      schema.getOrElse(schemaOf(sqlContext.sparkSession, a, b)))
+      schema.getOrElse(schemaOf(sqlContext.sparkSession, a, b)), maxV)
   }
 }

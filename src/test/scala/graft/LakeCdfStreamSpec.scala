@@ -299,6 +299,45 @@ class LakeCdfStreamSpec extends SparkTestBase {
     LakeTable.read(spark, tgtB).count() shouldBe 5
   }
 
+  test("mirrorTxn rate limit: a backlog drains as bounded spans, transactions still never split") {
+    val (a, b) = initPair()
+    val tgtA = Files.createTempDirectory("graft-pairRlTgtA").toString
+    val tgtB = Files.createTempDirectory("graft-pairRlTgtB").toString
+    LakeTable.init(spark.range(0).select(col("id").alias("fk"),
+      (col("id") * 1.0).alias("amt")), tgtA, Seq("fk"), numBuckets = 2)
+    LakeTable.init(spark.range(0).select(col("id").alias("dk"),
+      concat(lit("seg"), col("id")).alias("seg")), tgtB, Seq("dk"),
+      numBuckets = 2)
+    val cp = Files.createTempDirectory("graft-pairRl-cp").toString
+    var batches = 0
+    def drainCapped(): Unit = {
+      val q = LakeStreaming.mirrorTxn(spark, a, tgtA, b, tgtB,
+        maxVersionsPerTrigger = Some(1L))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainCapped() // bootstrap (uncapped single unit)
+    // backlog: two plain commits per side plus one cross-table txn
+    LakeTable.merge(spark, a, Seq((1L, 11.0)).toDF("fk", "amt"))
+    LakeTable.merge(spark, a, Seq((2L, 22.0)).toDF("fk", "amt"))
+    LakeTable.merge(spark, b, Seq((0L, "segX")).toDF("dk", "seg"))
+    graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((3L, 999.0)).toDF("fk", "amt"))
+      t.merge(b, Seq((2L, "MOVED")).toDF("dk", "seg"))
+    }
+    drainCapped() // rate-limited: several bounded spans, never a torn one
+    LakeTable.read(spark, tgtA).filter(col("fk") === 3)
+      .head().getDouble(1) shouldBe 999.0
+    LakeTable.read(spark, tgtB).filter(col("dk") === 2)
+      .head().getString(1) shouldBe "MOVED"
+    LakeTable.read(spark, tgtA).filter(col("fk") === 1)
+      .head().getDouble(1) shouldBe 11.0
+    LakeTable.read(spark, tgtB).filter(col("dk") === 0)
+      .head().getString(1) shouldBe "segX"
+  }
+
   test("consistentCut clamps a candidate that would split a transaction") {
     val (a, b) = initPair()
     val headA0 = LakeTable.manifest(spark, a).version

@@ -672,4 +672,35 @@ class LakeTableSpec extends SparkTestBase {
     broken.ok shouldBe false
     broken.missingFiles should contain(victim)
   }
+
+  test("compactMetadata: consolidates all live refs into one segment, zero data I/O, content intact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = newRoot()
+    LakeTable.init(
+      spark.range(300).select(col("id"), (col("id") * 2.0).alias("v")),
+      root, Seq("id"), numBuckets = 8, statsCols = Seq("v"))
+    // accrete refs with narrow deliveries (few buckets touched each)
+    LakeTable.merge(spark, root,
+      spark.range(2).select(col("id"), lit(-1.0).alias("v")))
+    LakeTable.merge(spark, root,
+      spark.range(5, 7).select(col("id"), lit(-2.0).alias("v")))
+    val before = LakeTable.manifest(spark, root)
+    before.segments.size should be > 1
+    val dataBefore = before.files.toSet
+    val v = LakeTable.compactMetadata(spark, root)
+    val after = LakeTable.manifest(spark, root)
+    after.version shouldBe v
+    after.segments should have size 1
+    // METADATA-only: the data file set is untouched, content identical,
+    // pruning metadata survives the consolidation verbatim
+    after.files.toSet shouldBe dataBefore
+    LakeTable.read(spark, root).count() shouldBe 300
+    LakeTable.fastCount(spark, root) shouldBe Some(300L)
+    LakeTable.readStats(spark, root, v).get.keySet shouldBe
+      dataBefore.map(_._1)
+    // no-op on an already-compact table
+    LakeTable.compactMetadata(spark, root) shouldBe v
+    // time travel to pre-compaction versions still resolves
+    LakeTable.read(spark, root, Some(before.version)).count() shouldBe 300
+  }
 }
