@@ -2131,6 +2131,45 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Metadata compaction (sinks/LakeTable.scala compactMetadata — the
+    // Iceberg rewrite_manifests design point): narrow deliveries accrete
+    // manifest refs; the compaction copies every live file's metadata
+    // verbatim into ONE segment with zero data I/O. Lifecycle: init →
+    // two narrow merges (each touches ≤2 of 8 buckets, so the init
+    // segment survives partially and the ref list grows) → MoR delete
+    // (vectors must survive the compaction) → compactMetadata. The
+    // oracle recomputes the end state and pins one-segment-after; any
+    // lost or doubled row from the metadata rewrite breaks the hash.
+    "q_lake_compact_meta" -> ((s, dir) => {
+      import s.implicits._
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_cmpmeta"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 8, statsCols = Seq("o_totalprice"))
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey").isin(2L, 4L))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey").isin(6L, 8L))
+          .withColumn("o_totalprice", col("o_totalprice") + 2000))
+      graft.sinks.LakeTable.deleteMor(s, root,
+        orders.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")))
+      val before = graft.sinks.LakeTable.manifest(s, root).segments.size
+      graft.sinks.LakeTable.compactMetadata(s, root)
+      val after = graft.sinks.LakeTable.manifest(s, root).segments.size
+      graft.sinks.LakeTable.read(s, root)
+        .agg(count(lit(1)).alias("n_rows"),
+          round(dsum(col("o_totalprice")), 2).alias("sum_price"))
+        .withColumn("before_multi", lit(before >= 2))
+        .withColumn("after_segs", lit(after))
+        .select(col("before_multi"), col("after_segs"), col("n_rows"),
+          col("sum_price"))
+    }),
+
     // Transaction-consistent CDC mirroring of a table PAIR (streaming/
     // LakeTxnCdfPairSource + LakeStreaming.mirrorTxn): two tables that
     // commit together via LakeTxn flip visibility with one outcome-file
@@ -6357,6 +6396,17 @@ object SparkEntry {
         |  (CAST(0 AS BIGINT), 'committed', 2, 0, 2, FALSE, TRUE))
         |AS t(version, state, files, dv, buckets, has_txn, ts_ok)
         |ORDER BY version DESC""".stripMargin,
+
+    "q_lake_compact_meta" ->
+      """SELECT TRUE AS before_multi, 1 AS after_segs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(
+        |    CASE WHEN o_orderkey IN (2, 4) THEN o_totalprice + 1000
+        |         WHEN o_orderkey IN (6, 8) THEN o_totalprice + 2000
+        |         ELSE o_totalprice END AS DECIMAL(18,6)))
+        |    AS DOUBLE), 2) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
 
     "q_lake_txn_mirror" ->
       """WITH f AS (
