@@ -140,7 +140,11 @@ object LakeTxnCdfPairSource {
     (f("a"), f("b"))
   }
 
-  /** The largest transaction-consistent cut `(cA, cB)` with
+  /** The largest transaction-consistent cut `(cA, cB)` — whole on BOTH
+    * axes: cross-table members stay jointly in or out, and a
+    * multi-member chain on ONE table is likewise never split (its
+    * members flipped visible as one unit; a rate-limited batch serving
+    * half of it would expose a state the source never served) — with
     * `prevX < cX ≤ hX`...`= hX` initially: any committed transaction
     * whose member on one side is inside the cut but whose sibling on the
     * other side is beyond it clamps that side below the member, to
@@ -173,13 +177,20 @@ object LakeTxnCdfPairSource {
     var changed = true
     while (changed) {
       changed = false
+      // a member is torn when its transaction has ANOTHER member beyond
+      // a candidate — on the OTHER table (the cross-table tear) or on
+      // its OWN table above the same cut (a multi-member chain on one
+      // table flips visibility as one unit too: serving its first half
+      // would expose a state the source never served)
       for ((v, p) <- txnsIn(rootA, prevA, cA)
-           if siblingAbove(rootB, p, prevB).exists(_ > cB)) {
+           if siblingAbove(rootB, p, prevB).exists(_ > cB) ||
+             siblingAbove(rootA, p, v).exists(_ > cA)) {
         val clamped = math.max(prevA, v - 1)
         if (clamped < cA) { cA = clamped; changed = true }
       }
       for ((v, p) <- txnsIn(rootB, prevB, cB)
-           if siblingAbove(rootA, p, prevA).exists(_ > cA)) {
+           if siblingAbove(rootA, p, prevA).exists(_ > cA) ||
+             siblingAbove(rootB, p, v).exists(_ > cB)) {
         val clamped = math.max(prevB, v - 1)
         if (clamped < cB) { cB = clamped; changed = true }
       }

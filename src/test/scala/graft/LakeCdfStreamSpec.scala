@@ -365,4 +365,23 @@ class LakeCdfStreamSpec extends SparkTestBase {
     graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
       vA, vB, vA2, vB) shouldBe ((vA2, vB))
   }
+
+  test("consistentCut keeps a same-table multi-member transaction whole") {
+    val (a, b) = initPair()
+    val h0 = LakeTable.manifest(spark, a).version
+    val hB = LakeTable.manifest(spark, b).version
+    // one transaction, TWO members on table a (consecutive slots)
+    graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((3L, 1.0)).toDF("fk", "amt"))
+      t.merge(a, Seq((4L, 2.0)).toDF("fk", "amt"))
+    }
+    val vA = LakeTable.manifest(spark, a).version // the second member
+    // a candidate covering only the FIRST member must clamp below it —
+    // half a chain is a state the source never served
+    graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
+      h0, hB, vA - 1, hB) shouldBe ((h0, hB))
+    // covering both members passes through unclamped
+    graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
+      h0, hB, vA, hB) shouldBe ((vA, hB))
+  }
 }
