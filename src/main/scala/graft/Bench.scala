@@ -164,15 +164,26 @@ object Bench {
         s""""warm_per_query":${f"$per%.4f"}}"""
     }
     val (life, parity) = results.partition(r => isLifecycle(r._1))
-    // drift gate (see driftOutliers): parity-tier warm medians vs the
-    // committed same-SF recording at bench_ref.json
+    // drift gate (see driftOutliers): warm medians vs the committed
+    // same-SF recording at bench_ref.json — BOTH tiers. Lifecycle queries
+    // are exactly the expensive multi-publish contracts, so they get the
+    // same self-attributing gate under their own factor (default equal;
+    // they carry more publish-sequencing variance, which the isolated
+    // rerun verdict absorbs — r12's q_lake_agg_pushdown at 2.55× sailed
+    // through a parity-only gate unflagged).
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
     val driftFactor = sys.env.get("SPARK_GRAFT_BENCH_DRIFT_FACTOR")
       .map(_.toDouble).getOrElse(2.5)
+    val lifeFactor = sys.env.get("SPARK_GRAFT_BENCH_DRIFT_FACTOR_LIFECYCLE")
+      .map(_.toDouble).getOrElse(driftFactor)
     val refWarm = try refWarmTimes(java.nio.file.Files.readString(
         java.nio.file.Paths.get(refPath)), sfDir)
       catch { case _: Exception => Map.empty[String, Double] }
-    val drift = driftOutliers(parity, refWarm, driftFactor)
+    val drift =
+      driftOutliers(parity, refWarm, driftFactor)
+        .map(d => (d, "parity", driftFactor)) ++
+      driftOutliers(life, refWarm, lifeFactor)
+        .map(d => (d, "lifecycle", lifeFactor))
     // SELF-ATTRIBUTION: a flag produced while the whole board was running
     // may be box contention, not a plan change. Each flagged query is
     // re-run ONCE in isolation here (post-board, nothing else in flight);
@@ -180,13 +191,13 @@ object Bench {
     // that persists is a real `regression` the round must fix. The
     // artifact carries both numbers so no reader has to adjudicate.
     val byName = queries.toMap
-    val driftJson = drift.map { case (n, w, r, ratio) =>
+    val driftJson = drift.map { case ((n, w, r, ratio), tier, fac) =>
       val rerun = try time(byName(n)) catch { case _: Throwable => -1.0 }
       val verdict =
         if (rerun < 0) "error"
-        else if (rerun <= driftFactor * r) "contention"
+        else if (rerun <= fac * r) "contention"
         else "regression"
-      s"""{"q":"$n","warm":${f"$w%.3f"},"ref":${f"$r%.3f"},""" +
+      s"""{"q":"$n","tier":"$tier","warm":${f"$w%.3f"},"ref":${f"$r%.3f"},""" +
         s""""ratio":${f"$ratio%.2f"},"rerun":${f"$rerun%.3f"},""" +
         s""""verdict":"$verdict"}""" }.mkString("[", ",", "]")
     val json =
@@ -194,6 +205,7 @@ object Bench {
         s""""warm_total":$warmTotal,"warm_runs":$warmRuns,""" +
         s""""tiers":{${tierJson("parity", parity)},${tierJson("lifecycle", life)}},""" +
         s""""drift":$driftJson,"drift_factor":$driftFactor,""" +
+        s""""drift_factor_lifecycle":$lifeFactor,""" +
         s""""drift_ref_queries":${refWarm.size},""" +
         s""""queries":${timesJson(_._2)},""" +
         s""""queries_warm":${timesJson(_._3)},""" +

@@ -60,7 +60,27 @@ object MetaScale {
     val buckets = 32
     val perFile = 128L
 
-    val decades = Seq(64, 640, 6400).map { targetFiles =>
+    // the commit runs on THIS thread (Spark job work lands on executor
+    // pool threads, local mode included), so the calling thread's wall
+    // clock + allocated bytes isolate the DRIVER-side commit cost — the
+    // O(live files) survivor scan the r13 delta commit removed would show
+    // here as a column growing with F
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    tmx.setThreadCpuTimeEnabled(true)
+    def measured[T](body: => T): (T, Double, Long) = {
+      val tid = Thread.currentThread.getId
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      val c0 = tmx.getThreadCpuTime(tid)
+      val r = body
+      // CPU, not wall: while the commit waits on the bucket-rewrite JOB
+      // (data-plane, O(bucket) by design) this thread accrues no CPU —
+      // what's left is the driver-side metadata work under test
+      ((r, (tmx.getThreadCpuTime(tid) - c0) / 1e6,
+        tmx.getThreadAllocatedBytes(tid) - a0))
+    }
+
+    val decades = Seq(64, 640, 6400, 64000).map { targetFiles =>
       val rows = targetFiles * perFile
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-metascale-$targetFiles").toString
@@ -84,7 +104,10 @@ object MetaScale {
         .select(col("id"), pmod(hash(col("id")), lit(buckets)).alias("b"))
         .filter(col("b") === 0).limit(64).select(col("id"),
           lit(-1.0).alias("v"), lit("fresh").alias("tag"))
-      LakeTable.merge(spark, root, inB0)
+        .localCheckpoint() // pin the delta: the merge times the COMMIT,
+                           // not this derivation
+      val (_, mergeCpuMs, mergeAllocBytes) =
+        measured(LakeTable.merge(spark, root, inB0))
       val m1 = LakeTable.manifest(spark, root)
       val segs1 = {
         val d = new Path(root, "_segments")
@@ -123,10 +146,13 @@ object MetaScale {
       System.err.println(f"[meta] F=$files0%6d newSeg=$newSegBytes%9d " +
         f"manifest=$manifestBytes%7d mor=$morManifestBytes%7d " +
         f"fresh=$freshFiles%4d table=$tableMetaBytes%10d " +
-        f"cold=$cold%8.1fms warm=$warm%8.1fms")
+        f"cold=$cold%8.1fms warm=$warm%8.1fms " +
+        f"mergeCpu=$mergeCpuMs%8.1fms mergeAllocMB=${mergeAllocBytes / 1e6}%7.1f")
       s"""{"files":$files0,"table_meta_bytes":$tableMetaBytes,""" +
         s""""merge_commit":{"segment_bytes":$newSegBytes,""" +
-        s""""manifest_bytes":$manifestBytes,"fresh_files":$freshFiles},""" +
+        s""""manifest_bytes":$manifestBytes,"fresh_files":$freshFiles,""" +
+        s""""driver_cpu_ms":${f"$mergeCpuMs%.1f"},""" +
+        s""""driver_alloc_bytes":$mergeAllocBytes},""" +
         s""""mor_commit":{"manifest_bytes":$morManifestBytes},""" +
         s""""plan_cold_ms":${f"$cold%.1f"},"plan_warm_ms":${f"$warm%.1f"}}"""
     }

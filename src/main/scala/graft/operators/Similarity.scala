@@ -372,7 +372,7 @@ object Similarity {
     */
   private def ivfPqDeltaStats(df: DataFrame, vecCol: String, dim: Int,
       cents: Array[Float], books: Array[Float], m: Int,
-      ksub: Int): (Double, Double) = {
+      ksub: Int): Option[(Double, Double)] = {
     val dsub = dim / m
     val qn = VectorFunctions.l2Normalize(col(vecCol))
     val per = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
@@ -385,10 +385,15 @@ object Similarity {
       .groupBy(col("__c"))
       .agg(count(lit(1)).alias("n"), sum(col("__adc")).alias("s"))
       .collect()
-    val total = per.map(_.getAs[Long]("n")).sum
-    require(total > 0, "drift stats: no valid vector in the delta")
-    (per.map(_.getAs[Double]("s")).sum / total,
-      per.map(_.getAs[Long]("n")).max.toDouble / total)
+    // an empty (or all-invalid-dim) frame has no verdict: callers either
+    // fail loudly (build — an index over nothing is a bug) or report
+    // nothing (drift over an empty delta — the append is a no-op)
+    if (per.isEmpty) None
+    else {
+      val total = per.map(_.getAs[Long]("n")).sum
+      Some((per.map(_.getAs[Double]("s")).sum / total,
+        per.map(_.getAs[Long]("n")).max.toDouble / total))
+    }
   }
 
   /** Persist a trained IVF-PQ index: `path/params` holds the trained
@@ -414,6 +419,8 @@ object Similarity {
     // as at build, so every append can compare its delta against them
     val (trainAdc, trainShare) =
       ivfPqDeltaStats(corpus, vecCol, dim, cents, books, m, ksub)
+        .getOrElse(sys.error(
+          s"buildIvfPqIndex: no valid $dim-dim vector in the corpus"))
     Seq((dim, m, ksub, cents.toSeq, books.toSeq, trainAdc, trainShare))
       .toDF("dim", "m", "ksub", "centroids", "codebooks",
         "train_self_adc", "train_cell_share")
@@ -454,13 +461,17 @@ object Similarity {
     val idx = readIvfPqIndex(spark, path)
     (idx.trainSelfAdc, idx.trainCellShare) match {
       case (Some(tAdc), Some(tShare)) =>
-        val (adc, share) = ivfPqDeltaStats(delta, vecCol, idx.dim,
-          idx.centroids, idx.codebooks, idx.m, idx.ksub)
-        Seq(
-          IndexDriftReport("self_adc", tAdc, adc,
-            adc < tAdc - adcTolerance * math.abs(tAdc)),
-          IndexDriftReport("cell_share", tShare, share,
-            share > tShare * 2 + 0.1))
+        ivfPqDeltaStats(delta, vecCol, idx.dim,
+            idx.centroids, idx.codebooks, idx.m, idx.ksub) match {
+          case Some((adc, share)) => Seq(
+            IndexDriftReport("self_adc", tAdc, adc,
+              adc < tAdc - adcTolerance * math.abs(tAdc)),
+            IndexDriftReport("cell_share", tShare, share,
+              share > tShare * 2 + 0.1))
+          // empty delta: nothing to judge, and the append it rides on is
+          // a harmless no-op — reporting (or crashing) would be noise
+          case None => Nil
+        }
       case _ => Nil
     }
   }
@@ -810,14 +821,16 @@ object Similarity {
     * Hamming-margin collapse that silently degrades recall.
     */
   private def bitBalance(df: DataFrame, vecCol: String, dim: Int,
-      thresholds: Array[Double]): Double = {
+      thresholds: Array[Double]): Option[Double] = {
     val thLit = array(thresholds.map(lit): _*)
     val frac = aggregate(
       zip_with(col(vecCol), thLit,
         (x, t) => when(x.cast("double") > t, 1.0).otherwise(0.0)),
       lit(0.0), (a, b) => a + b) / lit(dim.toDouble)
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .agg(avg(frac)).head().getDouble(0)
+    val r = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .agg(avg(frac)).head()
+    // empty (or all-invalid-dim) frame: no balance to measure
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
 
   /** Persist a binary index: `path/params` holds (dim, trained
@@ -832,7 +845,8 @@ object Similarity {
     val th = binaryThresholds(corpus, vecCol, dim)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((dim, th.toSeq, bitBalance(corpus, vecCol, dim, th)))
+    Seq((dim, th.toSeq, bitBalance(corpus, vecCol, dim, th).getOrElse(
+        sys.error(s"buildBinaryIndex: no valid $dim-dim vector in the corpus"))))
       .toDF("dim", "thresholds", "train_balance")
       .write.mode("overwrite").parquet(s"$path/params")
     binaryEncode(corpus, idCol, vecCol, dim, th)
@@ -859,9 +873,10 @@ object Similarity {
       path: String, delta: DataFrame, vecCol: String,
       tolerance: Double = 0.15): Option[IndexDriftReport] = {
     val idx = readBinaryIndex(spark, path)
-    idx.trainBalance.map { t =>
-      val obs = bitBalance(delta, vecCol, idx.dim, idx.thresholds)
-      IndexDriftReport("bit_balance", t, obs, math.abs(obs - t) > tolerance)
+    idx.trainBalance.flatMap { t =>
+      // empty delta: no verdict — the append it rides on is a no-op
+      bitBalance(delta, vecCol, idx.dim, idx.thresholds).map(obs =>
+        IndexDriftReport("bit_balance", t, obs, math.abs(obs - t) > tolerance))
     }
   }
 

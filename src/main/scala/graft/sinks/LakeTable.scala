@@ -138,22 +138,49 @@ object LakeTable {
       maxRecordsPerFile: Long = 0L, dvFiles: Seq[(String, Int)] = Nil,
       bloomCols: Seq[String] = Nil, ndvCols: Seq[String] = Nil,
       cdfRecord: Boolean = false, txn: Option[String] = None,
-      segments: Seq[SegmentRef] = Nil,
-      segmentLoader: String => Segment = null) {
-    /** The live file list. Writers construct it eagerly (`filesEager` —
-      * carried ++ fresh, exactly as before the sharding); parsed
-      * manifests resolve it lazily from the segment refs through the
-      * per-JVM cache, so metadata-only surfaces ([[history]], the
-      * version walks) never pay the resolution.
+      segments: Seq[SegmentRef] = Nil) {
+    /** Segment resolver, attached AFTER construction ([[manifestAt]],
+      * [[commitDelta]]) — deliberately not a constructor field: case-class
+      * equality/hashCode stay structural (a function field made them
+      * reference-based), and `copy()` can never silently propagate a
+      * loader bound to another session or root — a copy that needs
+      * resolution gets a fresh loader from whoever published or parsed it.
       */
-    lazy val files: Seq[(String, Int)] =
+    @transient private[LakeTable] var segmentLoader: String => Segment = null
+    /** The live file list. Legacy manifests carry it inline (`filesEager`);
+      * parsed segment-plane manifests resolve it lazily from the refs
+      * through the per-JVM cache, so metadata-only surfaces ([[history]],
+      * the version walks) never pay the resolution.
+      */
+    lazy val files: Seq[(String, Int)] = {
       if (filesEager != null) filesEager
-      else segments.flatMap(r => liveEntries(r, segmentLoader(r.path))
-        .map(e => (e.path, e.bucket)))
+      else {
+        require(segments.isEmpty || segmentLoader != null,
+          "manifest has no segment resolver attached (a copy-derived " +
+            "manifest resolves through the instance that parsed it)")
+        segments.flatMap(r => liveEntries(r, segmentLoader(r.path))
+          .map(e => (e.path, e.bucket)))
+      }
+    }
     /** Live-file count without resolving any segment file. */
     def fileCount: Int =
       if (filesEager != null) filesEager.size else segments.map(_.files).sum
   }
+
+  /** The live files of `m` inside the buckets `touched` selects,
+    * resolving ONLY the refs whose bucket set intersects — a delivery
+    * touching k buckets parses O(refs covering k buckets) segments,
+    * never the whole table's. The read half of the O(delta) commit
+    * discipline: [[rewriteTouched]] and friends use this for the hot
+    * side and never materialize the full live-file list.
+    */
+  private def filesInBuckets(spark: SparkSession, root: String, m: Manifest,
+      touched: Int => Boolean): Seq[(String, Int)] =
+    if (m.filesEager != null) m.filesEager.filter { case (_, b) => touched(b) }
+    else m.segments.withFilter(_.buckets.exists(touched)).flatMap { ref =>
+      liveEntries(ref, loadSegment(spark, root, ref.path))
+        .withFilter(e => touched(e.bucket)).map(e => (e.path, e.bucket))
+    }
 
   /** The entries of `seg` still live under `ref`: bucket listed, index
     * not retired.
@@ -441,6 +468,15 @@ object LakeTable {
       m.txn.map(p => s""""txn":${jq(p)},""").getOrElse("") +
       s""""dv_files":[${m.dvFiles.map { case (p, b) =>
         s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}],""" +
+      // a LEGACY manifest (pre-r12 inline file list, no segment refs)
+      // re-published verbatim by a metadata-only commit (deleteMor /
+      // CDF toggle / restore-to-legacy-version) must keep its inline
+      // list — rendering segments alone would publish an EMPTY table
+      // and every later merge would build on the empty base
+      (if (m.segments.isEmpty && m.filesEager != null && m.filesEager.nonEmpty)
+        s""""files":[${m.filesEager.map { case (p, b) =>
+          s"""{"path":${jq(p)},"bucket":$b}""" }.mkString(",")}],"""
+      else "") +
       s""""segments":[${m.segments.map(renderRef).mkString(",")}]}"""
 
   /** Parse [[render]]'s own output. Pre-r12 manifests carried an inline
@@ -529,7 +565,8 @@ object LakeTable {
     finally in.close()
     // attach the segment resolver: `files` stays lazy, so metadata-only
     // walks (history, liveness, the claim guard) never load a segment
-    m.copy(segmentLoader = p => loadSegment(spark, root, p))
+    m.segmentLoader = p => loadSegment(spark, root, p)
+    m
   }
 
   /** The transaction outcome the file at `outcomePath` records: None =
@@ -863,56 +900,78 @@ object LakeTable {
       if (Integer.signum(statCmp(dt, a, b)) == want) a else b))
   }
 
-  /** THE commit of every write path: diff the writer's file list against
-    * the carried segment refs (`next.segments` — the base version's, via
-    * `copy`), write ONE immutable segment file for the files no carried
-    * segment still covers (payloads measured in a single pass, or taken
-    * from `known` — [[cloneShallow]] copies the source's), shrink the
-    * carried refs exactly (bucket drops, per-file `dead` indexes), and
-    * publish the manifest. Metadata bytes per commit: O(delta files) in
-    * the segment + O(live segments) in the manifest — never O(live
-    * files). A commit-race loser's segment file is unreferenced debris
-    * [[vacuum]] sweeps. Carried segments whose payload column lists
-    * differ from `next`'s cannot serve their entries (positional under
-    * the wrong columns — the [[alterIndexing]] path): their files
-    * re-measure into the fresh segment, data untouched.
+  /** Metadata-only commit (MoR delete vectors, CDF toggle, restore): the
+    * data-file list and the indexed-column declarations are untouched, so
+    * every ref republishes VERBATIM — no segment is loaded, no file
+    * resolved, the commit is one manifest write whatever the table size.
+    * A LEGACY base's inline file list republishes inline ([[render]]).
     */
-  private def commitVersion(spark: SparkSession, root: String,
+  private def commitMetadataOnly(spark: SparkSession, root: String,
       next: Manifest, waitTxn: Boolean = true,
+      selfTxn: Option[String] = None): Manifest = {
+    publish(hfs(spark, root), root, next, waitTxn, selfTxn)
+    next
+  }
+
+  /** THE commit of every write path, in DELTA form: the writer names what
+    * changed — `replaced` (buckets wholly rewritten: their old files
+    * die), `fresh` (the new files), `dead` (sub-bucket per-path
+    * retirements, e.g. [[optimizeZOrderIncremental]]'s re-laid files) —
+    * and this commit touches ONLY the carried refs (`next.segments`, the
+    * base version's via `copy`) whose bucket set intersects the delta:
+    * those shrink exactly (bucket drops, per-file `dead` indexes); every
+    * other ref republishes VERBATIM with no segment load and no entry
+    * resolution. The fresh files' payloads are measured in a single pass
+    * (or taken from `known` — [[cloneShallow]] copies the source's) into
+    * ONE immutable segment file.
+    *
+    * Per-commit cost — bytes AND driver CPU/heap: O(delta files) in the
+    * segment, O(live segments) in the manifest, O(refs covering the
+    * touched buckets) in resolution — never O(live files). (The pre-r13
+    * form materialized the full live-file list per commit: flat BYTES but
+    * O(live files) driver work — tens of millions of tuples at 10⁷
+    * files. MetaScale measures the delta form flat across decades.)
+    *
+    * A commit-race loser's segment file is unreferenced debris [[vacuum]]
+    * sweeps. A carried TOUCHED segment whose payload column lists differ
+    * from `next`'s cannot serve its entries (positional under the wrong
+    * columns): its surviving files re-measure into the fresh segment —
+    * defensive only, since [[alterIndexing]] republishes every file under
+    * a cols change, so published heads only reference matching segments.
+    * A LEGACY base (pre-r12 inline list, no refs) upgrades here: its
+    * untouched files measure into the fresh segment — the one-time
+    * O(table) migration scan, paid on the first copy-on-write commit.
+    */
+  private def commitDelta(spark: SparkSession, root: String,
+      next: Manifest, replaced: Set[Int], fresh: Seq[(String, Int)],
+      dead: Seq[(String, Int)] = Nil, waitTxn: Boolean = true,
       selfTxn: Option[String] = None,
-      known: Map[String, SegEntry] = Map.empty,
-      metadataOnly: Boolean = false): Manifest = {
+      known: Map[String, SegEntry] = Map.empty): Manifest = {
     val fs = hfs(spark, root)
-    // metadata-only commits (MoR delete vectors, CDF toggle, restore)
-    // leave the data-file list and the indexed-column declarations
-    // untouched: every ref republishes VERBATIM — no segment is loaded,
-    // no file resolved, the commit is one manifest write whatever the
-    // table size
-    if (metadataOnly) {
-      publish(fs, root, next, waitTxn, selfTxn)
-      return next
-    }
-    val nextFiles = next.files
-    val want: Map[String, Int] = nextFiles.toMap
-    val covered = Set.newBuilder[String]
+    val deadPaths = dead.map(_._1).toSet
+    val touchedB: Set[Int] = replaced ++ dead.map(_._2)
+    val demoted = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     val survivors = next.segments.flatMap { ref =>
-      val seg = loadSegment(spark, root, ref.path)
-      val colsMatch = seg.statsCols == next.statsCols &&
-        seg.bloomCols == next.bloomCols && seg.ndvCols == next.ndvCols
-      if (!colsMatch) None
+      if (!ref.buckets.exists(touchedB)) Some(ref) // verbatim, no load
       else {
+        val seg = loadSegment(spark, root, ref.path)
         val bset = ref.buckets.toSet
         val dset = ref.dead.toSet
         val kept = seg.entries.zipWithIndex.filter { case (e, i) =>
-          bset(e.bucket) && !dset(i) && want.contains(e.path) }
-        if (kept.isEmpty) None
+          bset(e.bucket) && !dset(i) && !replaced(e.bucket) &&
+            !deadPaths(e.path) }
+        val colsMatch = seg.statsCols == next.statsCols &&
+          seg.bloomCols == next.bloomCols && seg.ndvCols == next.ndvCols
+        if (!colsMatch) {
+          demoted ++= kept.map { case (e, _) => (e.path, e.bucket) }
+          None
+        } else if (kept.isEmpty) None
         else {
-          kept.foreach { case (e, _) => covered += e.path }
           val keptB = kept.map(_._1.bucket).toSet
           val keptIdx = kept.map(_._2).toSet
-          val dead = seg.entries.zipWithIndex.collect {
+          val deadIdx = seg.entries.zipWithIndex.collect {
             case (e, i) if keptB(e.bucket) && !keptIdx(i) => i }
-          Some(SegmentRef(ref.path, keptB.toSeq.sorted, dead, kept.size,
+          Some(SegmentRef(ref.path, keptB.toSeq.sorted, deadIdx, kept.size,
             if (kept.exists(_._1.rows < 0)) -1L else kept.map(_._1.rows).sum,
             if (kept.exists(_._1.bytes < 0)) -1L
             else kept.map(_._1.bytes).sum,
@@ -920,10 +979,14 @@ object LakeTable {
         }
       }
     }
-    val cov = covered.result()
-    val freshPaths = nextFiles.filterNot { case (p, _) => cov(p) }
+    // legacy base: untouched inline files join the fresh segment
+    val legacyCarry =
+      if (next.segments.isEmpty && next.filesEager != null)
+        next.filesEager.filterNot(f => replaced(f._2) || deadPaths(f._1))
+      else Nil
+    val freshAll = fresh ++ demoted ++ legacyCarry
     val (knownFresh, toMeasure) =
-      freshPaths.partition(f => known.contains(f._1))
+      freshAll.partition(f => known.contains(f._1))
     val entries =
       knownFresh.map { case (p, b) => known(p).copy(path = p, bucket = b) } ++
         measureEntries(spark, root, next, toMeasure)
@@ -948,8 +1011,10 @@ object LakeTable {
           next.statsCols.indices.map(i =>
             refSummary(entries, schema(next.statsCols(i)).dataType, i, 1))))
       }
-    val toPublish = next.copy(segments = survivors ++ newRef)
+    val toPublish = next.copy(filesEager = null,
+      segments = survivors ++ newRef)
     publish(fs, root, toPublish, waitTxn, selfTxn)
+    toPublish.segmentLoader = p => loadSegment(spark, root, p)
     toPublish
   }
 
@@ -1287,10 +1352,10 @@ object LakeTable {
     require(versions(fs, root).isEmpty, s"LakeTable already exists at $root")
     val files = writeFiles(spark, root, df, keys, numBuckets,
       sortCols, maxRecordsPerFile)
-    val m = Manifest(0L, keys, numBuckets, df.schema.toDDL, files,
+    val m = Manifest(0L, keys, numBuckets, df.schema.toDDL, null,
       sortCols, statsCols, maxRecordsPerFile, Nil, bloomCols, ndvCols,
       cdfRecord)
-    commitVersion(spark, root, m)
+    commitDelta(spark, root, m, Set.empty, files)
     ()
   }
 
@@ -1346,11 +1411,11 @@ object LakeTable {
         liveEntries(ref, seg).map(e => abs(e.path) -> e)
       else Nil
     }.toMap
-    val next = m.copy(version = 0L, txn = None,
-      filesEager = m.files.map { case (p, b) => (abs(p), b) },
+    val next = m.copy(version = 0L, txn = None, filesEager = null,
       dvFiles = m.dvFiles.map { case (p, b) => (abs(p), b) },
-      segments = Nil, segmentLoader = null)
-    commitVersion(spark, dstRoot, next, known = known)
+      segments = Nil)
+    commitDelta(spark, dstRoot, next, Set.empty,
+      fresh = m.files.map { case (p, b) => (abs(p), b) }, known = known)
     // the z-order marker travels too (z-tightness is a property of the
     // immutable files, so it survives the path rewrite) — without it the
     // branch would silently lose incremental layout maintenance and pay
@@ -1415,12 +1480,13 @@ object LakeTable {
           (rel, b)
         }
         val next0 = m.copy(version = slot, txn = None,
-          filesEager = localF ++ fresh, dvFiles = localDv ++ copied)
+          dvFiles = localDv ++ copied)
         // carried-by-path: local files keep their segment entries, the
         // dropped foreign paths retire from their refs (sub-bucket
         // granularity — the `dead` index list), only the fresh rewrite
         // is measured
-        val next = commitVersion(spark, root, next0)
+        val next = commitDelta(spark, root, next0, Set.empty, fresh,
+          dead = foreignF)
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -1456,10 +1522,11 @@ object LakeTable {
       val files = writeFiles(spark, root, rows, m.keys, newNumBuckets,
         m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
       // every file is fresh under the new bucket numbering: the carried
-      // refs' entries all drop by path and one full segment is measured
-      val next = commitVersion(spark, root, m.copy(version = slot,
-        txn = None, numBuckets = newNumBuckets, filesEager = files,
-        dvFiles = Nil))
+      // refs all drop (bucket ids are incomparable across the boundary)
+      // and one full segment is measured
+      val next = commitDelta(spark, root, m.copy(version = slot,
+        txn = None, numBuckets = newNumBuckets, filesEager = null,
+        segments = Nil, dvFiles = Nil), Set.empty, files)
       carryZMarker(spark, root, mk, next, files.map(_._1))
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
@@ -1672,8 +1739,10 @@ object LakeTable {
       val files = writeFiles(spark, root, rows, m.keys, m.numBuckets,
         maxRecordsPerFile = m.maxRecordsPerFile,
         sortExprs = Seq(zValue(ranged)))
-      val next = commitVersion(spark, root, m.copy(version = slot,
-        txn = None, filesEager = files, dvFiles = Nil))
+      // full rewrite: every carried ref drops, one full segment measured
+      val next = commitDelta(spark, root, m.copy(version = slot,
+        txn = None, filesEager = null, segments = Nil, dvFiles = Nil),
+        Set.empty, files)
       writeZMarker(spark, root, ZMarker(next.version, zCols,
         ranged.map { case (_, mn, mx) => (mn, mx) }, files.map(_._1)))
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
@@ -1728,8 +1797,11 @@ object LakeTable {
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           maxRecordsPerFile = m.maxRecordsPerFile,
           sortExprs = Seq(zValue(ranged)))
-        val next = commitVersion(spark, root, m.copy(version = slot,
-          txn = None, filesEager = cold ++ fresh, dvFiles = Nil))
+        // delta commit: the re-laid hot files retire BY PATH from their
+        // refs; untouched refs (wholly z-tight, no vectors) republish
+        // verbatim without a segment load
+        val next = commitDelta(spark, root, m.copy(version = slot,
+          txn = None, dvFiles = Nil), Set.empty, fresh, dead = hot)
         writeZMarker(spark, root, ZMarker(next.version, mk.zCols, mk.axes,
           (cold ++ fresh).map(_._1)))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
@@ -1882,11 +1954,13 @@ object LakeTable {
         require(schema.fieldNames.contains(c),
           s"alterIndexing: $c is not a table column (have ${schema.fieldNames.toSeq})"))
       // same file list, new column declarations: every carried segment
-      // is cols-mismatched, so commitVersion re-measures the whole table
-      // into one fresh segment (a scan, not a rewrite — data untouched)
-      val next = commitVersion(spark, root, m.copy(version = slot,
+      // is cols-mismatched, so the whole table re-measures into one
+      // fresh segment (a scan, not a rewrite — data untouched; resolving
+      // the full file list is inherent to this declared-O(table) op)
+      val next = commitDelta(spark, root, m.copy(version = slot,
         txn = None, statsCols = statsCols, bloomCols = bloomCols,
-        ndvCols = ndvCols))
+        ndvCols = ndvCols, filesEager = null, segments = Nil),
+        Set.empty, fresh = m.files)
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
     }
@@ -1909,8 +1983,8 @@ object LakeTable {
       if (m.cdfRecord == enabled) m.version
       else {
         // metadata-only: the file list is untouched, every ref carries
-        val next = commitVersion(spark, root, m.copy(version = slot,
-          txn = None, cdfRecord = enabled), metadataOnly = true)
+        val next = commitMetadataOnly(spark, root, m.copy(version = slot,
+          txn = None, cdfRecord = enabled))
         writeCdfMarker(spark, root, next.version, Nil)
         next.version
       }
@@ -2243,7 +2317,10 @@ object LakeTable {
     // bounded driver collect: at most numBuckets ints
     val touched = source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val (hot, cold) = m.files.partition { case (_, b) => touched(b) }
+    // hot side only: resolve JUST the refs covering the touched buckets —
+    // the cold live-file list is never materialized (at 10⁷ files that
+    // was the last O(live files) driver step per commit)
+    val hot = filesInBuckets(spark, root, m, touched)
     // a rewritten bucket folds its deletion vectors in (the rows are
     // gone from the fresh files, so the vectors retire with the rewrite)
     val dvHot = m.dvFiles.filter { case (_, b) => touched(b) }
@@ -2254,12 +2331,11 @@ object LakeTable {
       m.sortCols, m.maxRecordsPerFile)
     // schema follows the rewrite (additive widening under merge); cold
     // files predating a widening read back with NULLs by name-matching
-    val next = commitVersion(spark, root,
-      m.copy(version = latest + 1, filesEager = cold ++ fresh,
-        schemaDdl = merged.schema.toDDL,
+    val next = commitDelta(spark, root,
+      m.copy(version = latest + 1, schemaDdl = merged.schema.toDDL,
         dvFiles = m.dvFiles.filterNot { case (_, b) => touched(b) },
         txn = txnTag),
-      waitTxn = true, selfTxn = txnTag)
+      replaced = touched, fresh = fresh, waitTxn = true, selfTxn = txnTag)
     // commit-time change feed (opt-in): `apply` mutates only source-keyed
     // rows (upsert/delete/fold all guarantee it), so the step diff is the
     // pre/post bucket content restricted to the delivery's keys
@@ -2289,9 +2365,9 @@ object LakeTable {
     val fresh = writeFiles(spark, root, keys, m.keys, m.numBuckets)
     // deletion vectors ride the manifest, not segments: data files (and
     // every ref) carry verbatim — an O(|keys|) metadata-plus-vectors commit
-    val next = commitVersion(spark, root,
+    val next = commitMetadataOnly(spark, root,
       m.copy(version = slot, dvFiles = m.dvFiles ++ fresh, txn = txnTag),
-      waitTxn = true, selfTxn = txnTag, metadataOnly = true)
+      waitTxn = true, selfTxn = txnTag)
     next.version
   }
 
@@ -2306,14 +2382,14 @@ object LakeTable {
       if (m.dvFiles.isEmpty) m.version
       else {
         val dvB = m.dvFiles.map(_._2).toSet
-        val (hot, cold) = m.files.partition { case (_, b) => dvB(b) }
+        val hot = filesInBuckets(spark, root, m, dvB)
         val cur = applyDv(spark, root, m,
           readFiles(spark, root, m, hot.map(_._1)), m.dvFiles)
         val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
-        val next = commitVersion(spark, root, m.copy(version = slot,
-          txn = None, filesEager = cold ++ fresh, dvFiles = Nil))
+        val next = commitDelta(spark, root, m.copy(version = slot,
+          txn = None, dvFiles = Nil), replaced = dvB, fresh = fresh)
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -2488,11 +2564,27 @@ object LakeTable {
   /** Buckets whose live file SETS differ between the two manifests — data
     * files are immutable and shared across versions, so an identical file
     * set proves bit-identical bucket content with no read at all.
+    *
+    * Decided from REF-LEVEL signatures alone: a bucket's live file set is
+    * fully determined by the (segment path, dead list) of the refs
+    * covering it — segments are immutable, so identical covering refs
+    * prove identical content with NO segment resolved (the diff of a
+    * delivery against a 10⁷-file table reads zero segment files to find
+    * its touched buckets). A ref whose dead list moved for ANOTHER
+    * bucket's retirement marks this bucket changed too — a conservative
+    * superset (one extra bucket read in the diff), never a missed
+    * change. Legacy manifests (inline list) compare by path; mixed forms
+    * compare incomparably and conservatively mark everything changed.
     */
   private[graft] def changedBuckets(from: Manifest, to: Manifest): Set[Int] = {
-    def byBucket(m: Manifest): Map[Int, Set[String]] =
-      (m.files ++ m.dvFiles.map { case (p, b) => (p + "#dv", b) })
+    def byBucket(m: Manifest): Map[Int, Set[String]] = {
+      val content: Seq[(String, Int)] =
+        if (m.filesEager != null) m.filesEager.map { case (p, b) => (p, b) }
+        else m.segments.flatMap(r =>
+          r.buckets.map(b => (s"${r.path}#${r.dead.mkString(",")}", b)))
+      (content ++ m.dvFiles.map { case (p, b) => (p + "#dv", b) })
         .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    }
     val f = byBucket(from); val t = byBucket(to)
     (f.keySet ++ t.keySet)
       .filter(b => f.getOrElse(b, Set.empty) != t.getOrElse(b, Set.empty))
@@ -2569,7 +2661,8 @@ object LakeTable {
         val hot: Int => Boolean =
           if (mf.numBuckets == mt.numBuckets) changedBuckets(mf, mt)
           else _ => true
-        val snapBytes = (mf.files ++ mt.files).filter(f => hot(f._2))
+        val snapBytes = (filesInBuckets(spark, root, mf, hot) ++
+            filesInBuckets(spark, root, mt, hot))
           .map(f => len(f._1)).sum
         feedBytes <= snapBytes
       }
@@ -2589,7 +2682,7 @@ object LakeTable {
           // buckets only)
           val df = applyDv(spark, root, m,
             readFiles(spark, root, mt,
-              m.files.filter(f => hot(f._2)).map(_._1)),
+              filesInBuckets(spark, root, m, hot).map(_._1)),
             m.dvFiles.filter(f => hot(f._2)))
           df.select(m.keys.map(col) :+
             struct(cols.map(col): _*).alias(alias): _*)
@@ -2617,7 +2710,8 @@ object LakeTable {
     val touched = p.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
       .distinct().collect().map(_.getInt(0)).toSet
     keyMembershipJoin(applyDv(spark, root, m,
-      readFiles(spark, root, m, m.files.filter(f => touched(f._2)).map(_._1)),
+      readFiles(spark, root, m,
+        filesInBuckets(spark, root, m, touched).map(_._1)),
       m.dvFiles.filter(f => touched(f._2))),
       p, m.keys, "left_semi", bcast = true)
   }
@@ -3132,8 +3226,8 @@ object LakeTable {
         // the target's refs republish verbatim — segments are immutable
         // and vacuum keeps every segment a kept manifest references, so
         // a restore is one manifest write, zero data and zero payloads
-        val next = commitVersion(spark, root,
-          target.copy(version = slot, txn = None), metadataOnly = true)
+        val next = commitMetadataOnly(spark, root,
+          target.copy(version = slot, txn = None))
         next.version
       }
     }
@@ -3167,10 +3261,12 @@ object LakeTable {
             liveEntries(ref, seg).map(e => e.path -> e)
           else Nil // unreachable at a published head; re-measure if ever
         }.toMap
-        // segments = Nil: commitVersion sees every file as fresh and the
-        // known payloads make the consolidation measurement-free
-        val next = commitVersion(spark, root, m.copy(version = slot,
-          txn = None, filesEager = m.files, segments = Nil), known = known)
+        // segments = Nil: every file is fresh and the known payloads make
+        // the consolidation measurement-free (resolving the full live
+        // list is the point of this declared-O(live files) metadata op)
+        val next = commitDelta(spark, root, m.copy(version = slot,
+          txn = None, filesEager = null, segments = Nil),
+          Set.empty, fresh = m.files, known = known)
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
       }
@@ -3182,20 +3278,25 @@ object LakeTable {
     withCommitRetries() { () =>
       val fs = hfs(spark, root)
       val (m, slot) = writeHead(spark, root)
+      // per-bucket counts need entry-level metadata (refs record only a
+      // total) — resolving the live list is inherent to this maintenance
+      // pass's fat-bucket decision, like vacuum's; the COMMIT below is
+      // still delta-form
       val counts = (m.files ++ m.dvFiles).groupBy(_._2).view.mapValues(_.size)
       val fat = counts.filter(_._2 > maxFilesPerBucket).keys.toSet
       if (fat.isEmpty) m.version
       else {
-        val (hot, cold) = m.files.partition { case (_, b) => fat(b) }
+        val hot = filesInBuckets(spark, root, m, fat)
         val dvHot = m.dvFiles.filter { case (_, b) => fat(b) }
         val cur = applyDv(spark, root, m,
           readFiles(spark, root, m, hot.map(_._1)), dvHot)
         val (mk, zExprs) = zSortIfMarked(spark, root, m)
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
-        val next = commitVersion(spark, root, m.copy(version = slot,
-          txn = None, filesEager = cold ++ fresh,
-          dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) }))
+        val next = commitDelta(spark, root, m.copy(version = slot,
+          txn = None,
+          dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) }),
+          replaced = fat, fresh = fresh)
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -3230,9 +3331,28 @@ object LakeTable {
     vacuum(spark, root, math.max(1, recent))
   }
 
+  /** Unreferenced-debris sweeps are AGE-GATED (`graft.lake.vacuumGraceMs`
+    * Hadoop conf, default 10 min): a writer stages data files, segment
+    * files and CDF feeds BEFORE its manifest claim (publish can block up
+    * to `graft.lake.txnWaitMs` in the below-slot guard), so to a
+    * concurrent vacuum an in-flight commit's files look exactly like
+    * orphan debris — sweeping them would let the winning manifest
+    * reference missing files and break that version's reads. Files
+    * younger than the grace window are spared (the orphan-file retention
+    * every table format ships); genuinely dead debris is reclaimed by
+    * the next scheduled vacuum once it ages past the window. Set 0 only
+    * where no writer can be in flight.
+    */
   def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val fs = hfs(spark, root)
+    // read through the SESSION conf, not fs.getConf: the Hadoop FS cache
+    // can hold a configuration copied at first access, so a later conf
+    // change (an operator widening the grace) would be silently ignored
+    val graceMs = spark.sparkContext.hadoopConfiguration
+      .getLong("graft.lake.vacuumGraceMs", 600000L)
+    val modCutoff = System.currentTimeMillis - graceMs
+    def aged(st: FileStatus): Boolean = st.getModificationTime <= modCutoff
     val vs = versions(fs, root)
     // transaction slots: ABORTED ones are dead everywhere — their files
     // are reclaimable now and their manifests deletable, EXCEPT the top
@@ -3267,17 +3387,20 @@ object LakeTable {
            if bd.getPath.getName.startsWith("__bucket=");
            f <- fs.listStatus(bd.getPath)) {
         val rel = s"data/${sub.getPath.getName}/${bd.getPath.getName}/${f.getPath.getName}"
-        if (!live(rel) && f.getPath.getName.endsWith(".parquet")) {
+        if (!live(rel) && f.getPath.getName.endsWith(".parquet") && aged(f)) {
           fs.delete(f.getPath, false); removed += rel
         }
       }
       // prune dirs emptied of parquet files (metadata stragglers included)
+      // — unless anything inside is younger than the grace window (a
+      // delivery's write job may be mid-flight in this very dir)
       for (sub <- fs.listStatus(dataDir)) {
         val left = fs.listStatus(sub.getPath).flatMap {
           case d if d.isDirectory => fs.listStatus(d.getPath).toSeq
           case f => Seq(f)
         }
-        if (!left.exists(_.getPath.getName.endsWith(".parquet")))
+        if (!left.exists(_.getPath.getName.endsWith(".parquet")) &&
+            left.forall(aged))
           fs.delete(sub.getPath, true)
       }
     }
@@ -3310,7 +3433,7 @@ object LakeTable {
         .flatMap(v => manifestAt(spark, root, v).segments.map(_.path))
         .map(p => fs.makeQualified(new Path(root, p)).toString).toSet
       for (f <- fs.listStatus(segDir)
-           if !liveSegs(fs.makeQualified(f.getPath).toString)) {
+           if !liveSegs(fs.makeQualified(f.getPath).toString) && aged(f)) {
         fs.delete(f.getPath, false)
         removed += s"_segments/${f.getPath.getName}"
       }
@@ -3324,7 +3447,7 @@ object LakeTable {
         readCdfMarker(spark, root, v).getOrElse(Nil))
         .map(p => p.split("/").takeRight(2).head).toSet
       for (sub <- fs.listStatus(cdfData)
-           if !keptFeeds(sub.getPath.getName)) {
+           if !keptFeeds(sub.getPath.getName) && aged(sub)) {
         fs.delete(sub.getPath, true)
         removed += s"_cdf/data/${sub.getPath.getName}"
       }

@@ -703,4 +703,72 @@ class LakeTableSpec extends SparkTestBase {
     // time travel to pre-compaction versions still resolves
     LakeTable.read(spark, root, Some(before.version)).count() shouldBe 300
   }
+
+  test("legacy inline-file manifest survives metadata-only commits and seeds later merges") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    val m = LakeTable.manifest(spark, root)
+    // hand-write a PRE-r12 head: inline `files` array, no segment refs —
+    // the manifest shape every pre-segment-plane table still carries
+    val legacy = s"""{"ts":1,"version":1,"keys":["id"],"num_buckets":4,""" +
+      s""""schema_ddl":"${m.schemaDdl}","sort_cols":[],"stats_cols":[],""" +
+      s""""bloom_cols":[],"ndv_cols":[],"max_records":0,"cdf_record":0,""" +
+      s""""dv_files":[],"files":[${m.files.map { case (p, b) =>
+        s"""{"path":"$p","bucket":$b}""" }.mkString(",")}]}"""
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(root, "_versions/1.json"), false)
+    out.write(legacy.getBytes("UTF-8")); out.close()
+    rows(LakeTable.read(spark, root)) shouldBe rows(base)
+
+    // metadata-only commit on the legacy head (deleteMor republishes the
+    // manifest verbatim): the inline file list must survive the rerender —
+    // a segments-only render would publish an EMPTY table here
+    LakeTable.deleteMor(spark, root, Seq(1L).toDF("id"))
+    rows(LakeTable.read(spark, root)).keySet shouldBe (2L to 8L).toSet
+
+    // restore TO the legacy version is the same rerender path
+    LakeTable.restore(spark, root, 1L)
+    rows(LakeTable.read(spark, root)) shouldBe rows(base)
+
+    // and a copy-on-write merge on the legacy base upgrades it to the
+    // segment plane without losing the carried content
+    LakeTable.merge(spark, root, Seq((9L, "i", 9.0)).toDF("id", "name", "score"))
+    val after = rows(LakeTable.read(spark, root))
+    after.keySet shouldBe (1L to 9L).toSet
+    LakeTable.manifest(spark, root).segments should not be empty
+  }
+
+  test("vacuum's orphan sweep is age-gated: fresh debris spared, aged debris reclaimed") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // debris exactly like an in-flight commit's pre-publish files: an
+    // unreferenced data file and an unreferenced segment file, just written
+    val orphanData = new Path(root, "data/in-flight-uuid/__bucket=0/part-0.parquet")
+    fs.mkdirs(orphanData.getParent)
+    val o1 = fs.create(orphanData, false); o1.write(Array[Byte](1)); o1.close()
+    val orphanSeg = new Path(root, "_segments/in-flight-seg.json")
+    val o2 = fs.create(orphanSeg, false); o2.write(Array[Byte](1)); o2.close()
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setLong("graft.lake.vacuumGraceMs", 60000L)
+    try {
+      // inside the grace window: both spared — a concurrent writer may be
+      // about to publish a manifest referencing them
+      LakeTable.vacuum(spark, root, keepLast = 10)
+      fs.exists(orphanData) shouldBe true
+      fs.exists(orphanSeg) shouldBe true
+      // age both past the window: genuinely dead debris, reclaimed
+      val old = System.currentTimeMillis - 120000L
+      fs.setTimes(orphanData, old, old)
+      fs.setTimes(orphanSeg, old, old)
+      val removed = LakeTable.vacuum(spark, root, keepLast = 10)
+      removed should contain allOf (
+        "data/in-flight-uuid/__bucket=0/part-0.parquet",
+        "_segments/in-flight-seg.json")
+      fs.exists(orphanData) shouldBe false
+      fs.exists(orphanSeg) shouldBe false
+    } finally conf.setLong("graft.lake.vacuumGraceMs", 0L)
+    // the table itself was never touched
+    rows(LakeTable.read(spark, root)) shouldBe rows(base)
+  }
 }

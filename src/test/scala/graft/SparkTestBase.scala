@@ -24,6 +24,11 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // specs exercise vacuum against just-written debris; the production
+    // default (10 min orphan grace — see LakeTable.vacuum) would spare
+    // everything they assert reclaimed. The grace path itself is pinned
+    // by LakeTableSpec's dedicated case, which sets the conf explicitly.
+    s.sparkContext.hadoopConfiguration.setLong("graft.lake.vacuumGraceMs", 0L)
     s
   }
 }
