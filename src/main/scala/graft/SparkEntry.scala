@@ -2241,6 +2241,92 @@ object SparkEntry {
         .orderBy("seg")
     }),
 
+    // N-table transaction-consistent mirroring (streaming/
+    // LakeTxnCdfGroupSource + LakeStreaming.mirrorTxnGroup): the pair
+    // source generalized to a ROOT VECTOR — a LakeTxn spanning fact +
+    // dim + bridge (three tables) commits atomically, and the group
+    // stream's vector offset is a consistent cut across all three, so no
+    // mirror ever serves a partial transaction. Lifecycle mirrors the
+    // pair query's with a THIRD member: txn1 commits a fact price bump +
+    // dim segment move + nation rename together; txn2 stages POISON into
+    // all three and aborts; a crashed in-flight txn is left on the DIM.
+    // The oracle recomputes the 3-way join from init + txn1 alone, READ
+    // FROM THE MIRRORS: a leaked poison row, a missing third of txn1, or
+    // a torn batch on any member all break the hash.
+    "q_lake_txn_mirror3" -> ((s, dir) => {
+      val base = System.getProperty("java.io.tmpdir")
+      val fSrc = base + "/graft_lake_txnmir3_fsrc"
+      val dSrc = base + "/graft_lake_txnmir3_dsrc"
+      val nSrc = base + "/graft_lake_txnmir3_nsrc"
+      val fTgt = base + "/graft_lake_txnmir3_ftgt"
+      val dTgt = base + "/graft_lake_txnmir3_dtgt"
+      val nTgt = base + "/graft_lake_txnmir3_ntgt"
+      val cp = base + "/graft_lake_txnmir3_cp"
+      val fs = new org.apache.hadoop.fs.Path(fSrc)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(fSrc, dSrc, nSrc, fTgt, dTgt, nTgt, cp).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        fSrc, Seq("o_orderkey"), numBuckets = 8)
+      graft.sinks.LakeTable.init(customer, dSrc, Seq("c_custkey"),
+        numBuckets = 4)
+      graft.sinks.LakeTable.init(nation, nSrc, Seq("n_nationkey"),
+        numBuckets = 2)
+      graft.sinks.LakeTable.init(orders.filter(lit(false)), fTgt,
+        Seq("o_orderkey"), numBuckets = 8)
+      graft.sinks.LakeTable.init(customer.filter(lit(false)), dTgt,
+        Seq("c_custkey"), numBuckets = 4)
+      graft.sinks.LakeTable.init(nation.filter(lit(false)), nTgt,
+        Seq("n_nationkey"), numBuckets = 2)
+      def run(): Unit = {
+        val q = graft.streaming.LakeStreaming.mirrorTxnGroup(s,
+          Seq((fSrc, fTgt), (dSrc, dTgt), (nSrc, nTgt)))
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      run() // bootstrap all three snapshots at one consistent cut
+      graft.sinks.LakeTxn.atomically(s, fSrc) { txn =>
+        txn.merge(fSrc, orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))
+        txn.merge(dSrc, customer.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_mktsegment", lit("TXN")))
+        txn.merge(nSrc, nation.filter(col("n_nationkey") % 2 === 0)
+          .withColumn("n_name", lit("TXN")))
+      }
+      try graft.sinks.LakeTxn.atomically(s, fSrc) { txn =>
+        txn.merge(fSrc, orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", lit(-1e9)))
+        txn.merge(dSrc, customer.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_mktsegment", lit("POISON")))
+        txn.merge(nSrc, nation.filter(col("n_nationkey") % 3 === 0)
+          .withColumn("n_name", lit("POISON")))
+        sys.error("injected failure before commit")
+      } catch { case _: RuntimeException => () }
+      graft.sinks.LakeTable.mergeTagged(s, dSrc,
+        customer.filter(col("c_custkey") % 13 === 0)
+          .withColumn("c_mktsegment", lit("POISON")), None,
+        Some(dSrc + "/_txn/ghost-never-committed.json"))
+      run() // ride the delta spans through the consistent cut
+      val f = graft.sinks.LakeTable.read(s, fTgt)
+      val d = graft.sinks.LakeTable.read(s, dTgt)
+      val n = graft.sinks.LakeTable.read(s, nTgt)
+      f.join(broadcast(d), f("o_custkey") === d("c_custkey"))
+        .join(broadcast(n), d("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_mktsegment").alias("seg"),
+          col("n_name").alias("nname"))
+        .agg(count(lit(1)).alias("cnt"),
+          round(dsum(col("o_totalprice")), 2).alias("sum_price"))
+        .orderBy("seg", "nname")
+    }),
+
     // Plan-time sidecar pruning (sinks/LakeTable.scala SidecarFileIndex /
     // scan): the zone maps answer the PLANNER's pushed dataFilters instead
     // of a bespoke entry point — scan() returns a FileIndex-backed
@@ -6424,6 +6510,29 @@ object SparkEntry {
         |             AS DOUBLE), 2) AS sum_price
         |FROM f JOIN d ON o_custkey = c_custkey
         |GROUP BY seg ORDER BY seg""".stripMargin,
+
+    "q_lake_txn_mirror3" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0),
+        |d AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'TXN'
+        |              ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |nat AS (
+        |  SELECT n_nationkey,
+        |         CASE WHEN n_nationkey % 2 = 0 THEN 'TXN'
+        |              ELSE n_name END AS nname
+        |  FROM nation)
+        |SELECT seg, nname, COUNT(*) AS cnt,
+        |       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |             AS DOUBLE), 2) AS sum_price
+        |FROM f JOIN d ON o_custkey = c_custkey
+        |       JOIN nat ON c_nationkey = n_nationkey
+        |GROUP BY seg, nname ORDER BY seg, nname""".stripMargin,
 
     "q_lake_cdf_mirror" ->
       """SELECT o_orderkey,

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *    redundant vector file; `compact_maintenance` folds it.
   *  - `refresh_views`: crash-idempotent by construction
   *    ([[MaterializedView.refresh]]'s pinned-snapshot sync marker).
-  *  - `compact_maintenance` / `vacuum_retention`: convergent maintenance
-  *    (second run is a no-op on an already-bounded table).
+  *  - `compact_maintenance` / `compact_metadata` / `vacuum_retention`:
+  *    convergent maintenance (second run is a no-op on an
+  *    already-bounded table).
   *  - `audit_report`: derived from durable state only.
   */
 object LakeDag {
@@ -44,6 +45,12 @@ object LakeDag {
       statsCols: Seq[String] = Seq("o_totalprice"),
       numBuckets: Int = 16,
       maxFilesPerBucket: Int = 4,
+      // ref-count threshold for the compact_metadata stage: long
+      // accretions of narrow deliveries grow the manifest's segment-ref
+      // list one ref per delivery; past this many refs the stage folds
+      // them into ONE wide segment (LakeTable.compactMetadata — zero
+      // data I/O), so manifest size and per-commit ref work stay bounded
+      maxRefsPerManifest: Int = 8,
       keepVersions: Int = 7,
       // opt-in multi-dimensional layout maintenance: compact_maintenance
       // bootstraps the z layout on the first delivery (full OPTIMIZE) and
@@ -66,6 +73,7 @@ object LakeDag {
     "ingest_upserts",
     "apply_deletes",
     "compact_maintenance",
+    "compact_metadata",
     "refresh_views",
     "vacuum_retention",
     "audit_report"
@@ -124,6 +132,19 @@ object LakeDag {
           LakeTable.optimizeZOrderAuto(spark, conf.tableRoot,
             conf.zOrderCols)
       }
+
+    case "compact_metadata" =>
+      // the METADATA analog of compact_maintenance (see maxRefsPerManifest):
+      // threshold-gated so quiet days publish nothing, idempotent (a
+      // compacted table is one ref — below any threshold — and a second
+      // run is a version-preserving no-op), convergent like every other
+      // maintenance stage. Served content, time travel and the change
+      // feed are invariant: compactMetadata republishes the same file
+      // list with payloads carried verbatim and records an empty CDF step.
+      if (tableExists(spark, conf.tableRoot) &&
+          LakeTable.manifest(spark, conf.tableRoot).segments.size >
+            conf.maxRefsPerManifest)
+        LakeTable.compactMetadata(spark, conf.tableRoot)
 
     case "refresh_views" =>
       if (!tableExists(spark, conf.tableRoot)) ()

@@ -138,34 +138,65 @@ object LakeStreaming {
   def mirrorTxn(spark: org.apache.spark.sql.SparkSession,
       srcA: String, tgtA: String, srcB: String, tgtB: String,
       maxVersionsPerTrigger: Option[Long] = None): DataStreamWriter[Row] = {
-    import org.apache.spark.sql.functions.col
     val reader0 = spark.readStream.format("graft-lake-cdf-pair")
       .option("rootA", srcA).option("rootB", srcB)
     maxVersionsPerTrigger.foreach(n =>
       reader0.option("maxVersionsPerTrigger", n.toString))
-    reader0.load()
-      .writeStream.outputMode("append").foreachBatch {
-        (batch: Dataset[Row], _: Long) =>
-          val s = batch.sparkSession
-          val b = batch.toDF().localCheckpoint()
-          try Seq((srcA, tgtA), (srcB, tgtB)).foreach { case (src, tgt) =>
-            val cols = org.apache.spark.sql.types.StructType
-              .fromDDL(LakeTable.manifest(s, tgt).schemaDdl)
-              .fieldNames.toSeq
-            val side = b.filter(col("_table") === src)
-            val kinds = side.groupBy(col("_change_type")).count().collect()
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
-            val ups = side.filter(col("_change_type")
-              .isin("insert", "update_postimage")).select(cols.map(col): _*)
-            val dels = side.filter(col("_change_type") === "delete")
-              .select(cols.map(col): _*)
-            if (kinds.getOrElse("insert", 0L) +
-                kinds.getOrElse("update_postimage", 0L) > 0)
-              LakeTable.merge(s, tgt, ups)
-            if (kinds.getOrElse("delete", 0L) > 0)
-              LakeTable.deleteMor(s, tgt, dels)
-          } finally b.unpersist(blocking = false)
-          ()
-      }
+    applyTxnBatches(reader0.load(), Seq((srcA, tgtA), (srcB, tgtB)))
+  }
+
+  /** [[mirrorTxn]] for a transaction GROUP of any arity: one stream over
+    * [[LakeTxnCdfGroupSource]] (`graft-lake-cdf-group`) whose vector
+    * offset is a consistent cut across EVERY member — the fact + dim +
+    * bridge shape a pair cannot mirror torn-free. Same batch applier,
+    * same idempotence/convergence arguments; the pair entry point is the
+    * N = 2 instance (on its own source, for checkpoint compatibility).
+    */
+  def mirrorTxnGroup(spark: org.apache.spark.sql.SparkSession,
+      srcToTgt: Seq[(String, String)],
+      maxVersionsPerTrigger: Option[Long] = None): DataStreamWriter[Row] = {
+    require(srcToTgt.size >= 2,
+      s"mirrorTxnGroup needs >= 2 (src, tgt) pairs, got $srcToTgt")
+    val reader0 = spark.readStream.format("graft-lake-cdf-group")
+      .option("roots", srcToTgt.map(_._1).mkString(","))
+    maxVersionsPerTrigger.foreach(n =>
+      reader0.option("maxVersionsPerTrigger", n.toString))
+    applyTxnBatches(reader0.load(), srcToTgt)
+  }
+
+  private def applyTxnBatches(stream: DataFrame,
+      srcToTgt: Seq[(String, String)]): DataStreamWriter[Row] = {
+    import org.apache.spark.sql.functions.col
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF().localCheckpoint()
+        try srcToTgt.foreach { case (src, tgt) =>
+          // project onto the SOURCE table's schema (its columns are
+          // exactly the non-null ones for this side's rows): merge's
+          // additive widening then carries a source-side column add to
+          // the target — projecting onto the TARGET's schema would drop
+          // the new column from the replica forever. Intersected with
+          // the batch's pinned columns: a widening that happened AFTER
+          // stream creation isn't in the feed yet (restart the stream
+          // to pick it up — the source's pinned-schema contract).
+          val cols = org.apache.spark.sql.types.StructType
+            .fromDDL(LakeTable.manifest(s, src).schemaDdl)
+            .fieldNames.toSeq.filter(b.columns.contains)
+          val side = b.filter(col("_table") === src)
+          val kinds = side.groupBy(col("_change_type")).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val ups = side.filter(col("_change_type")
+            .isin("insert", "update_postimage")).select(cols.map(col): _*)
+          val dels = side.filter(col("_change_type") === "delete")
+            .select(cols.map(col): _*)
+          if (kinds.getOrElse("insert", 0L) +
+              kinds.getOrElse("update_postimage", 0L) > 0)
+            LakeTable.merge(s, tgt, ups)
+          if (kinds.getOrElse("delete", 0L) > 0)
+            LakeTable.deleteMor(s, tgt, dels)
+        } finally b.unpersist(blocking = false)
+        ()
+    }
   }
 }

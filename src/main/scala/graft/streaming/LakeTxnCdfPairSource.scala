@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.sinks.LakeTable
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions._
@@ -140,62 +139,17 @@ object LakeTxnCdfPairSource {
     (f("a"), f("b"))
   }
 
-  /** The largest transaction-consistent cut `(cA, cB)` — whole on BOTH
-    * axes: cross-table members stay jointly in or out, and a
-    * multi-member chain on ONE table is likewise never split (its
-    * members flipped visible as one unit; a rate-limited batch serving
-    * half of it would expose a state the source never served) — with
-    * `prevX < cX ≤ hX`...`= hX` initially: any committed transaction
-    * whose member on one side is inside the cut but whose sibling on the
-    * other side is beyond it clamps that side below the member, to
-    * fixpoint. Only (prev, candidate] slots are scanned — transactions
-    * wholly inside a previous batch are consistent by induction, and
-    * manifest reads are metadata-only. Never clamps below `prev` (a
-    * committed offset is already consistent and immutable).
+  /** The largest transaction-consistent cut `(cA, cB)` — the N = 2
+    * instance of [[LakeTxnCdfGroupSource.consistentCutN]] (the pair
+    * source keeps its own `{"a":…,"b":…}` offset format so existing
+    * checkpoints recover; the clamp logic lives once in the group form).
     */
   private[graft] def consistentCut(spark: SparkSession, rootA: String,
       rootB: String, prevA: Long, prevB: Long, hA: Long,
       hB: Long): (Long, Long) = {
-    // committed-txn members in (from, to]: slot -> outcome path
-    def txnsIn(root: String, from: Long, to: Long): Seq[(Long, String)] =
-      ((from + 1) to to).flatMap { v =>
-        scala.util.Try(LakeTable.manifestAt(spark, root, v)).toOption
-          .flatMap(m => m.txn.filter(p =>
-            LakeTable.txnOutcome(spark, p).contains(true)).map(v -> _))
-      }
-    // the sibling member of outcome path p on `root`, if any, scanning
-    // above `from` (members below a committed offset are already served)
-    def siblingAbove(root: String, p: String, from: Long): Option[Long] = {
-      val fs = new Path(root).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      LakeTable.versions(fs, root).filter(_ > from).find { v =>
-        scala.util.Try(LakeTable.manifestAt(spark, root, v)).toOption
-          .exists(_.txn.contains(p))
-      }
-    }
-    var cA = math.max(hA, prevA); var cB = math.max(hB, prevB)
-    var changed = true
-    while (changed) {
-      changed = false
-      // a member is torn when its transaction has ANOTHER member beyond
-      // a candidate — on the OTHER table (the cross-table tear) or on
-      // its OWN table above the same cut (a multi-member chain on one
-      // table flips visibility as one unit too: serving its first half
-      // would expose a state the source never served)
-      for ((v, p) <- txnsIn(rootA, prevA, cA)
-           if siblingAbove(rootB, p, prevB).exists(_ > cB) ||
-             siblingAbove(rootA, p, v).exists(_ > cA)) {
-        val clamped = math.max(prevA, v - 1)
-        if (clamped < cA) { cA = clamped; changed = true }
-      }
-      for ((v, p) <- txnsIn(rootB, prevB, cB)
-           if siblingAbove(rootA, p, prevA).exists(_ > cA) ||
-             siblingAbove(rootB, p, v).exists(_ > cB)) {
-        val clamped = math.max(prevB, v - 1)
-        if (clamped < cB) { cB = clamped; changed = true }
-      }
-    }
-    (cA, cB)
+    val c = LakeTxnCdfGroupSource.consistentCutN(spark,
+      Seq(rootA, rootB), IndexedSeq(prevA, prevB), IndexedSeq(hA, hB))
+    (c(0), c(1))
   }
 
 }

@@ -384,4 +384,95 @@ class LakeCdfStreamSpec extends SparkTestBase {
     graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
       h0, hB, vA, hB) shouldBe ((vA, hB))
   }
+
+  test("mirrorTxnGroup: a THREE-table transaction arrives whole in every mirror or in none") {
+    val (a, b) = initPair()
+    val c = Files.createTempDirectory("graft-groupC").toString
+    LakeTable.init(spark.range(3).select(col("id").alias("bk"),
+      concat(lit("br"), col("id")).alias("tag")), c, Seq("bk"),
+      numBuckets = 2)
+    val tgts = Seq("A", "B", "C").map(x =>
+      Files.createTempDirectory(s"graft-groupTgt$x").toString)
+    LakeTable.init(spark.range(0).select(col("id").alias("fk"),
+      (col("id") * 1.0).alias("amt")), tgts(0), Seq("fk"), numBuckets = 2)
+    LakeTable.init(spark.range(0).select(col("id").alias("dk"),
+      concat(lit("seg"), col("id")).alias("seg")), tgts(1), Seq("dk"),
+      numBuckets = 2)
+    LakeTable.init(spark.range(0).select(col("id").alias("bk"),
+      concat(lit("br"), col("id")).alias("tag")), tgts(2), Seq("bk"),
+      numBuckets = 2)
+    val cp = Files.createTempDirectory("graft-group-cp").toString
+    def drain(): Unit = {
+      val q = LakeStreaming.mirrorTxnGroup(spark,
+        Seq((a, tgts(0)), (b, tgts(1)), (c, tgts(2))))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // bootstrap all three snapshots at one consistent cut
+    LakeTable.read(spark, tgts(0)).count() shouldBe 20
+    LakeTable.read(spark, tgts(1)).count() shouldBe 5
+    LakeTable.read(spark, tgts(2)).count() shouldBe 3
+
+    // one committed transaction touching ALL THREE tables
+    graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((3L, 999.0)).toDF("fk", "amt"))
+      t.merge(b, Seq((2L, "MOVED")).toDF("dk", "seg"))
+      t.merge(c, Seq((1L, "BRIDGED")).toDF("bk", "tag"))
+    }
+    // one aborted transaction staging poison into all three
+    try graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((4L, -1e9)).toDF("fk", "amt"))
+      t.merge(b, Seq((1L, "POISON")).toDF("dk", "seg"))
+      t.merge(c, Seq((0L, "POISON")).toDF("bk", "tag"))
+      sys.error("injected failure before commit")
+    } catch { case _: RuntimeException => () }
+    drain()
+    LakeTable.read(spark, tgts(0)).filter(col("fk") === 3)
+      .head().getDouble(1) shouldBe 999.0
+    LakeTable.read(spark, tgts(1)).filter(col("dk") === 2)
+      .head().getString(1) shouldBe "MOVED"
+    LakeTable.read(spark, tgts(2)).filter(col("bk") === 1)
+      .head().getString(1) shouldBe "BRIDGED"
+    LakeTable.read(spark, tgts(0)).filter(col("amt") < 0).count() shouldBe 0
+    LakeTable.read(spark, tgts(1)).filter(col("seg") === "POISON")
+      .count() shouldBe 0
+    LakeTable.read(spark, tgts(2)).filter(col("tag") === "POISON")
+      .count() shouldBe 0
+    // re-drain: exactly-once, nothing moves
+    drain()
+    LakeTable.read(spark, tgts(0)).count() shouldBe 20
+    LakeTable.read(spark, tgts(2)).count() shouldBe 3
+  }
+
+  test("consistentCutN clamps a 3-root candidate that would split a transaction on ANY axis") {
+    val (a, b) = initPair()
+    val c = Files.createTempDirectory("graft-cut3C").toString
+    LakeTable.init(spark.range(3).select(col("id").alias("bk"),
+      concat(lit("br"), col("id")).alias("tag")), c, Seq("bk"),
+      numBuckets = 2)
+    val h0 = IndexedSeq(a, b, c).map(r => LakeTable.manifest(spark, r).version)
+    graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((3L, 999.0)).toDF("fk", "amt"))
+      t.merge(b, Seq((2L, "MOVED")).toDF("dk", "seg"))
+      t.merge(c, Seq((1L, "BRIDGED")).toDF("bk", "tag"))
+    }
+    val h1 = IndexedSeq(a, b, c).map(r => LakeTable.manifest(spark, r).version)
+    def cut(cand: IndexedSeq[Long]) =
+      graft.streaming.LakeTxnCdfGroupSource.consistentCutN(spark,
+        Seq(a, b, c), h0, cand)
+    // the THIRD member beyond its candidate clamps the other two below
+    // their members — the tear a pair source cannot see
+    cut(IndexedSeq(h1(0), h1(1), h1(2) - 1)) shouldBe
+      IndexedSeq(h1(0) - 1, h1(1) - 1, h1(2) - 1)
+    // middle member behind: same, on the other axes
+    cut(IndexedSeq(h1(0), h1(1) - 1, h1(2))) shouldBe
+      IndexedSeq(h1(0) - 1, h1(1) - 1, h1(2) - 1)
+    // all three inside: nothing clamps
+    cut(h1) shouldBe h1
+    // the pair cut is literally the N = 2 instance
+    graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
+      h0(0), h0(1), h1(0), h1(1)) shouldBe ((h1(0), h1(1)))
+  }
 }

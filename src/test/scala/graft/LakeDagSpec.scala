@@ -158,6 +158,44 @@ class LakeDagSpec extends SparkTestBase {
       conf1.copy(zOrderCols = Seq("o_orderkey", "o_orderpriority"))
   }
 
+  test("compact_metadata bounds the manifest's ref list across many narrow deliveries") {
+    val root = java.nio.file.Files.createTempDirectory("lake_dag_meta").toString
+    // threshold 3 so a handful of days crosses it; every delivery is
+    // narrow (1-2 keys), the ref-per-delivery accretion compactMetadata
+    // exists to bound
+    val conf0 = LakeDag.StageConf("2026-08-01", s"$root/in", s"$root/lake",
+      maxRefsPerManifest = 3)
+    writeUpserts(conf0.upsertsDir,
+      (1L to 20L).map(i => (i, if (i % 2 == 0) "HIGH" else "LOW", i.toDouble)))
+    runDay(conf0)
+    val days = (2 to 7).map(d => conf0.copy(ds = f"2026-08-$d%02d"))
+    days.foreach { c =>
+      writeUpserts(c.upsertsDir,
+        Seq((c.ds.takeRight(2).toLong, "HIGH", 999.0)))
+      runDay(c)
+      // the stage keeps refs bounded: never past threshold + the day's
+      // own delivery segments between compactions
+      LakeTable.manifest(spark, c.tableRoot).segments.size should be <=
+        conf0.maxRefsPerManifest + 1
+    }
+    // served content survived every consolidation: the view's running
+    // state equals a from-scratch recompute of the final table
+    val expect = LakeTable.read(spark, conf0.tableRoot)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)), sum(col("o_totalprice")).cast("decimal(38,6)"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1),
+        BigDecimal(r.getDecimal(2)))).toMap
+    viewRows(days.last) shouldBe expect
+    // time travel across compaction boundaries still resolves (vacuum
+    // kept 7 versions; the newest few span several consolidations)
+    val vs = LakeTable.history(spark, conf0.tableRoot).map(_.version)
+    LakeTable.read(spark, conf0.tableRoot, Some(vs(1))).count() should be >= 20L
+    // idempotent: a rerun on the already-compacted table publishes nothing
+    val v = LakeTable.manifest(spark, conf0.tableRoot).version
+    LakeDag.runStage(spark, "compact_metadata", days.last)
+    LakeTable.manifest(spark, conf0.tableRoot).version shouldBe v
+  }
+
   test("StageConf rejects a malformed ds; unknown stage fails loudly; DAG artifact byte-identical") {
     an[IllegalArgumentException] should be thrownBy
       LakeDag.StageConf("20260813", "/tmp/x", "/tmp/y")
