@@ -3321,15 +3321,30 @@ object LakeTable {
     val fs = hfs(spark, root)
     val cutoff = System.currentTimeMillis - maxAgeMillis
     val tsOf = "\"ts\":(\\d+)".r
-    val vs = versions(fs, root)
-    val recent = vs.count { v =>
+    // newest-first with early stop: publish timestamps are monotone in
+    // slot order on one clock (a slot renders only after its listing saw
+    // the slot below published), so the first out-of-window manifest
+    // ends the count — O(window) small reads, not O(all versions)
+    var recent = 0
+    val it = versions(fs, root).sorted.reverseIterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      val v = it.next()
       val in = fs.open(new Path(root, s"_versions/$v.json"))
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L) >= cutoff
+      if (tsOf.findFirstMatchIn(s).map(_.group(1).toLong)
+          .getOrElse(0L) >= cutoff) recent += 1
+      else stop = true
     }
     vacuum(spark, root, math.max(1, recent))
   }
+
+  /** Manifest files read by the last [[vacuum]] this JVM ran — spec pin
+    * for the bounded-outcome-resolution contract (O(keep window), not
+    * O(all versions)); not part of the public API.
+    */
+  private[graft] var lastVacuumManifestReads: Option[Int] = None
 
   /** Unreferenced-debris sweeps are AGE-GATED (`graft.lake.vacuumGraceMs`
     * Hadoop conf, default 10 min): a writer stages data files, segment
@@ -3366,18 +3381,40 @@ object LakeTable {
     // set and sweep the committed table itself (e.g. vacuum(root, 1)
     // right after a force-abort would otherwise delete the live head's
     // manifest and every data file).
-    val outcomeOf: Map[Long, Option[Option[Boolean]]] = vs.map { v =>
-      v -> manifestAt(spark, root, v).txn.map(p => txnOutcome(spark, p))
-    }.toMap
-    def abortedSlot(v: Long) = outcomeOf(v).exists(_.contains(false))
-    def inFlightSlot(v: Long) = outcomeOf(v).exists(_.isEmpty)
-    val inFlight = vs.filter(inFlightSlot)
-    val keep = vs.filterNot(v => abortedSlot(v) || inFlightSlot(v))
-      .takeRight(keepLast)
-    val drop = vs.filterNot(v =>
-      keep.contains(v) || inFlightSlot(v) || v == vs.max)
-    val live = (keep ++ inFlight).flatMap { v =>
+    //
+    // BOUNDED outcome resolution: the walk reads manifests NEWEST-first
+    // and stops once `keepLast` live slots are classified — on a
+    // 1000-version table with keepLast=5 that is ~5 reads, not 1000
+    // (the pre-r13 sweep resolved every slot's outcome). Sound because
+    // undecided transaction slots form a TOP SUFFIX of the version
+    // sequence: publish's below-slot guard never claims above an
+    // undecided slot (waiting, then force-aborting), so any slot below
+    // a successfully published one is decided — an in-flight slot can
+    // never hide below the keep boundary. Everything under the boundary
+    // drops unread; parsed manifests are reused for the live-file and
+    // live-segment sets below (no second read).
+    val walked = scala.collection.mutable.LinkedHashMap.empty[Long, Manifest]
+    val inFlightB = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val keepB = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val it = vs.sorted.reverseIterator
+    while (it.hasNext && keepB.size < keepLast) {
+      val v = it.next()
       val m = manifestAt(spark, root, v)
+      walked(v) = m
+      m.txn.map(p => txnOutcome(spark, p)) match {
+        case Some(None) => inFlightB += v
+        case Some(Some(false)) => () // aborted: droppable (top-slot rule below)
+        case _ => keepB += v
+      }
+    }
+    lastVacuumManifestReads = Some(walked.size)
+    val keep = keepB.toSeq.sorted
+    val inFlight = inFlightB.toSeq.sorted
+    val keepSet = keep.toSet; val inFlightSet = inFlight.toSet
+    val drop = vs.filterNot(v =>
+      keepSet(v) || inFlightSet(v) || v == vs.max)
+    val live = (keep ++ inFlight).flatMap { v =>
+      val m = walked(v)
       (m.files ++ m.dvFiles).map(_._1)
     }.toSet
     val dataDir = new Path(root, "data")
@@ -3430,7 +3467,7 @@ object LakeTable {
     val segDir = new Path(root, "_segments")
     if (fs.exists(segDir)) {
       val liveSegs = (keep ++ inFlight)
-        .flatMap(v => manifestAt(spark, root, v).segments.map(_.path))
+        .flatMap(v => walked(v).segments.map(_.path))
         .map(p => fs.makeQualified(new Path(root, p)).toString).toSet
       for (f <- fs.listStatus(segDir)
            if !liveSegs(fs.makeQualified(f.getPath).toString) && aged(f)) {

@@ -446,6 +446,47 @@ class LakeCdfStreamSpec extends SparkTestBase {
     LakeTable.read(spark, tgts(2)).count() shouldBe 3
   }
 
+  test("pair mirror: additive widening on one member reaches its replica across a restart") {
+    // the PINNED-SCHEMA contract, spec-pinned: a running pair/group
+    // stream serves the schema captured at its creation — a column added
+    // mid-flight is conformed away until the stream restarts (checkpoint
+    // recovery re-derives the schema from the tables' current manifests,
+    // and the offsets are schema-independent versions). After restart the
+    // widened span replays/continues WITH the column, and the batch
+    // applier projects onto the SOURCE schema, so merge's additive
+    // widening carries it into the replica — projecting onto the
+    // target's schema (the pre-r13 bug) dropped it forever.
+    val (a, b) = initPair()
+    val tgtA = Files.createTempDirectory("graft-widenTgtA").toString
+    val tgtB = Files.createTempDirectory("graft-widenTgtB").toString
+    LakeTable.init(spark.range(0).select(col("id").alias("fk"),
+      (col("id") * 1.0).alias("amt")), tgtA, Seq("fk"), numBuckets = 2)
+    LakeTable.init(spark.range(0).select(col("id").alias("dk"),
+      concat(lit("seg"), col("id")).alias("seg")), tgtB, Seq("dk"),
+      numBuckets = 2)
+    val cp = Files.createTempDirectory("graft-widen-cp").toString
+    runMirrorTxn(a, tgtA, b, tgtB, cp) // bootstrap both snapshots
+    LakeTable.read(spark, tgtA).columns.toSeq shouldBe Seq("fk", "amt")
+
+    // additive widening on member A between triggers
+    LakeTable.merge(spark, a, Seq((2L, 5.0, "wide")).toDF("fk", "amt", "note"))
+    // restart = a fresh AvailableNow query on the SAME checkpoint: the
+    // re-derived stream schema now carries `note`, the span replays
+    // deterministically from the committed offset
+    runMirrorTxn(a, tgtA, b, tgtB, cp)
+    val mirA = LakeTable.read(spark, tgtA)
+    mirA.columns should contain("note")
+    mirA.filter(col("fk") === 2).head().getAs[String]("note") shouldBe "wide"
+    // pre-widening rows surface the column as NULL, exactly like the
+    // source's own reads of pre-widening files
+    mirA.filter(col("fk") === 3).head().getAs[String]("note") shouldBe null
+    // the other member is untouched, and a re-drain moves nothing
+    LakeTable.read(spark, tgtB).count() shouldBe 5
+    runMirrorTxn(a, tgtA, b, tgtB, cp)
+    LakeTable.read(spark, tgtA).filter(col("note").isNotNull)
+      .count() shouldBe 1
+  }
+
   test("consistentCutN clamps a 3-root candidate that would split a transaction on ANY axis") {
     val (a, b) = initPair()
     val c = Files.createTempDirectory("graft-cut3C").toString

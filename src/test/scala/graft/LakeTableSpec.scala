@@ -738,6 +738,25 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.manifest(spark, root).segments should not be empty
   }
 
+  test("vacuum reads O(keep window) manifests, not O(all versions)") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4)
+    // a long-lived table: 30 deliveries
+    (1 to 30).foreach(i => LakeTable.merge(spark, root,
+      Seq((i.toLong % 8 + 1, s"v$i", i.toDouble)).toDF("id", "name", "score")))
+    val latest = rows(LakeTable.read(spark, root))
+    LakeTable.vacuum(spark, root, keepLast = 3)
+    // the newest-first walk stopped after classifying 3 live slots —
+    // the 28 dropped versions were never parsed (the pre-r13 sweep
+    // resolved every slot's outcome: 31 reads here, thousands on a
+    // long-retention production table)
+    LakeTable.lastVacuumManifestReads shouldBe Some(3)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    LakeTable.versions(fs, root) shouldBe Seq(28L, 29L, 30L)
+    rows(LakeTable.read(spark, root)) shouldBe latest
+    LakeTable.fsck(spark, root).ok shouldBe true
+  }
+
   test("vacuum's orphan sweep is age-gated: fresh debris spared, aged debris reclaimed") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4)
