@@ -57,8 +57,14 @@ object MetaScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val buckets = 32
     val perFile = 128L
+    // bucket count scales with the table so per-bucket file count stays
+    // executor-sized across decades (the production layout contract —
+    // [[graft.sinks.LakeTable.rebucket]] exists exactly for this): the
+    // one-bucket delivery below then touches a CONSTANT-sized bucket,
+    // and the driver columns isolate the metadata plane instead of a
+    // deliberately overgrown bucket's data-plane rewrite.
+    def bucketsFor(targetFiles: Int): Int = math.max(32, targetFiles / 64)
 
     // the commit runs on THIS thread (Spark job work lands on executor
     // pool threads, local mode included), so the calling thread's wall
@@ -81,6 +87,7 @@ object MetaScale {
     }
 
     val decades = Seq(64, 640, 6400, 64000).map { targetFiles =>
+      val buckets = bucketsFor(targetFiles)
       val rows = targetFiles * perFile
       val root = java.nio.file.Files
         .createTempDirectory(s"graft-metascale-$targetFiles").toString
@@ -148,7 +155,8 @@ object MetaScale {
         f"fresh=$freshFiles%4d table=$tableMetaBytes%10d " +
         f"cold=$cold%8.1fms warm=$warm%8.1fms " +
         f"mergeCpu=$mergeCpuMs%8.1fms mergeAllocMB=${mergeAllocBytes / 1e6}%7.1f")
-      s"""{"files":$files0,"table_meta_bytes":$tableMetaBytes,""" +
+      s"""{"files":$files0,"buckets":$buckets,""" +
+        s""""table_meta_bytes":$tableMetaBytes,""" +
         s""""merge_commit":{"segment_bytes":$newSegBytes,""" +
         s""""manifest_bytes":$manifestBytes,"fresh_files":$freshFiles,""" +
         s""""driver_cpu_ms":${f"$mergeCpuMs%.1f"},""" +
@@ -156,7 +164,7 @@ object MetaScale {
         s""""mor_commit":{"manifest_bytes":$morManifestBytes},""" +
         s""""plan_cold_ms":${f"$cold%.1f"},"plan_warm_ms":${f"$warm%.1f"}}"""
     }
-    val json = s"""{"metric":"lake_meta_commit_bytes","buckets":$buckets,""" +
+    val json = s"""{"metric":"lake_meta_commit_bytes",""" +
       s""""per_file_rows":$perFile,"decades":[${decades.mkString(",")}]}"""
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

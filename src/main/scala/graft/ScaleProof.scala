@@ -111,7 +111,9 @@ object ScaleProof {
     "q_lake_scan_pushdown", "q_lake_cdf_mirror", "q_lake_txn",
     // r12: the consistent-cut pair-mirror lifecycle and the frozen-index
     // drift alarm (two index builds + four delta measurements per run)
-    "q_lake_txn_mirror", "q_ann_drift_alarm")
+    "q_lake_txn_mirror", "q_ann_drift_alarm",
+    // r13: the N-table (fact+dim+bridge) consistent-cut mirror lifecycle
+    "q_lake_txn_mirror3")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

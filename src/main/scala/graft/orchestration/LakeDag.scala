@@ -136,15 +136,20 @@ object LakeDag {
     case "compact_metadata" =>
       // the METADATA analog of compact_maintenance (see maxRefsPerManifest):
       // threshold-gated so quiet days publish nothing, idempotent (a
-      // compacted table is one ref — below any threshold — and a second
-      // run is a version-preserving no-op), convergent like every other
-      // maintenance stage. Served content, time travel and the change
-      // feed are invariant: compactMetadata republishes the same file
-      // list with payloads carried verbatim and records an empty CDF step.
-      if (tableExists(spark, conf.tableRoot) &&
-          LakeTable.manifest(spark, conf.tableRoot).segments.size >
-            conf.maxRefsPerManifest)
-        LakeTable.compactMetadata(spark, conf.tableRoot)
+      // compacted table sits at its segment floor — below any threshold —
+      // and a second run is a version-preserving no-op), convergent like
+      // every other maintenance stage. The threshold counts EXCESS refs
+      // above the entry-cap floor (LakeTable.minSegments), so a large
+      // table's unavoidable shard count never triggers daily rewrites.
+      // Served content, time travel and the change feed are invariant:
+      // compactMetadata republishes the same file list with payloads
+      // carried verbatim.
+      if (tableExists(spark, conf.tableRoot)) {
+        val m = LakeTable.manifest(spark, conf.tableRoot)
+        if (m.segments.size >
+            LakeTable.minSegments(m) - 1 + conf.maxRefsPerManifest)
+          LakeTable.compactMetadata(spark, conf.tableRoot)
+      }
 
     case "refresh_views" =>
       if (!tableExists(spark, conf.tableRoot)) ()

@@ -393,6 +393,21 @@ object LakeTable {
   private val segmentCache =
     new java.util.concurrent.ConcurrentHashMap[String, Segment]()
 
+  /** Per-segment entry cap: commits larger than this shard their fresh
+    * metadata into several bucket-ordered segments (see [[commitDelta]]),
+    * bounding what any later touched-bucket commit has to parse. 4096
+    * entries ≈ 1.5-2 MB of segment JSON — the Iceberg manifest-file
+    * target-size design point.
+    */
+  private val MaxSegmentEntries = 4096
+
+  /** The floor on a table's live segment count under the entry cap —
+    * [[compactMetadata]] can't consolidate below this, and maintenance
+    * thresholds count EXCESS refs above it.
+    */
+  private[graft] def minSegments(m: Manifest): Int =
+    math.max(1, (m.fileCount + MaxSegmentEntries - 1) / MaxSegmentEntries)
+
   /** Drop every cached segment parse — measurement hook for the scale
     * proof's cold-plan leg (MetaScale); not part of the public API.
     */
@@ -990,29 +1005,38 @@ object LakeTable {
     val entries =
       knownFresh.map { case (p, b) => known(p).copy(path = p, bucket = b) } ++
         measureEntries(spark, root, next, toMeasure)
-    val newRef =
+    // chunked by bucket order under MaxSegmentEntries: a full rewrite of
+    // a 10⁶-file table lands as ~250 bounded segments instead of one
+    // giant one, so a later single-bucket delivery's shrink parses ONE
+    // ~constant-sized covering shard — without the cap, the first
+    // delivery after init/compactMetadata paid an O(table) segment
+    // parse (MetaScale's driver_alloc column is the receipt). Delta
+    // deliveries (≤ cap) still write exactly one segment.
+    val newRefs =
       if (entries.isEmpty) Nil
       else {
         val schema = StructType.fromDDL(next.schemaDdl)
-        val segPath = s"_segments/${java.util.UUID.randomUUID}.json"
-        // segment BEFORE manifest: a published manifest always resolves;
-        // a crash (or race loss) here leaves an orphan segment, never a
-        // torn table
-        writeMetaFile(fs, root, segPath,
-          renderSegment(next.statsCols, next.bloomCols, next.ndvCols,
-            entries))
-        Seq(SegmentRef(segPath, entries.map(_.bucket).distinct.sorted, Nil,
-          entries.size,
-          if (entries.exists(_.rows < 0)) -1L else entries.map(_.rows).sum,
-          if (entries.exists(_.bytes < 0)) -1L
-          else entries.map(_.bytes).sum,
-          next.statsCols.indices.map(i =>
-            refSummary(entries, schema(next.statsCols(i)).dataType, i, -1)),
-          next.statsCols.indices.map(i =>
-            refSummary(entries, schema(next.statsCols(i)).dataType, i, 1))))
+        entries.sortBy(_.bucket).grouped(MaxSegmentEntries).map { chunk =>
+          val segPath = s"_segments/${java.util.UUID.randomUUID}.json"
+          // segment BEFORE manifest: a published manifest always
+          // resolves; a crash (or race loss) here leaves an orphan
+          // segment, never a torn table
+          writeMetaFile(fs, root, segPath,
+            renderSegment(next.statsCols, next.bloomCols, next.ndvCols,
+              chunk))
+          SegmentRef(segPath, chunk.map(_.bucket).distinct.sorted, Nil,
+            chunk.size,
+            if (chunk.exists(_.rows < 0)) -1L else chunk.map(_.rows).sum,
+            if (chunk.exists(_.bytes < 0)) -1L
+            else chunk.map(_.bytes).sum,
+            next.statsCols.indices.map(i =>
+              refSummary(chunk, schema(next.statsCols(i)).dataType, i, -1)),
+            next.statsCols.indices.map(i =>
+              refSummary(chunk, schema(next.statsCols(i)).dataType, i, 1)))
+        }.toSeq
       }
     val toPublish = next.copy(filesEager = null,
-      segments = survivors ++ newRef)
+      segments = survivors ++ newRefs)
     publish(fs, root, toPublish, waitTxn, selfTxn)
     toPublish.segmentLoader = p => loadSegment(spark, root, p)
     toPublish
@@ -3239,20 +3263,23 @@ object LakeTable {
     * by path; dv'd buckets that get rewritten fold their vectors in.
     */
   /** Consolidate the METADATA plane: copy every live file's metadata —
-    * payloads verbatim, no data file opened, no scan run — into ONE
-    * fresh segment and publish a manifest carrying a single ref. The
-    * ref list grows O(live segments) as small deliveries accrete; this
-    * is [[compactSmallFiles]]' metadata analog (the Iceberg
-    * `rewrite_manifests` design point): one O(live files) metadata
-    * write, zero data I/O, and every later commit is back to shrinking
-    * one wide ref. Old segment files stay for time travel until
-    * [[vacuum]] drops the versions referencing them. A ≤1-segment
-    * table is a no-op returning the current version.
+    * payloads verbatim, no data file opened, no scan run — into fresh
+    * bucket-ordered segments at the entry cap (one for small tables;
+    * [[minSegments]] for large — the cap keeps any later touched-bucket
+    * commit's parse bounded) and publish a manifest carrying just those
+    * refs. The ref list grows O(live segments) as small deliveries
+    * accrete; this is [[compactSmallFiles]]' metadata analog (the
+    * Iceberg `rewrite_manifests` design point): one O(live files)
+    * metadata write, zero data I/O, and every later commit is back to
+    * shrinking few wide refs. Old segment files stay for time travel
+    * until [[vacuum]] drops the versions referencing them. A table
+    * already at its segment floor is a no-op returning the current
+    * version.
     */
   def compactMetadata(spark: SparkSession, root: String): Long =
     withCommitRetries() { () =>
       val (m, slot) = writeHead(spark, root)
-      if (m.segments.size <= 1) m.version
+      if (m.segments.size <= minSegments(m)) m.version
       else {
         val known = m.segments.flatMap { ref =>
           val seg = loadSegment(spark, root, ref.path)
