@@ -957,6 +957,13 @@ object LakeTable {
     * untouched files measure into the fresh segment — the one-time
     * O(table) migration scan, paid on the first copy-on-write commit.
     */
+  /** (refs loaded and shrunk, refs republished verbatim) of the last
+    * [[commitDelta]] this JVM ran — spec pin for the O(delta) commit
+    * contract (only bucket-intersecting refs ever resolve); not part of
+    * the public API.
+    */
+  private[graft] var lastCommitRefs: Option[(Int, Int)] = None
+
   private def commitDelta(spark: SparkSession, root: String,
       next: Manifest, replaced: Set[Int], fresh: Seq[(String, Int)],
       dead: Seq[(String, Int)] = Nil, waitTxn: Boolean = true,
@@ -966,9 +973,11 @@ object LakeTable {
     val deadPaths = dead.map(_._1).toSet
     val touchedB: Set[Int] = replaced ++ dead.map(_._2)
     val demoted = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var refsLoaded = 0; var refsVerbatim = 0
     val survivors = next.segments.flatMap { ref =>
-      if (!ref.buckets.exists(touchedB)) Some(ref) // verbatim, no load
+      if (!ref.buckets.exists(touchedB)) { refsVerbatim += 1; Some(ref) }
       else {
+        refsLoaded += 1
         val seg = loadSegment(spark, root, ref.path)
         val bset = ref.buckets.toSet
         val dset = ref.dead.toSet
@@ -994,6 +1003,7 @@ object LakeTable {
         }
       }
     }
+    lastCommitRefs = Some((refsLoaded, refsVerbatim))
     // legacy base: untouched inline files join the fresh segment
     val legacyCarry =
       if (next.segments.isEmpty && next.filesEager != null)

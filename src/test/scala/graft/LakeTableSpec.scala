@@ -738,6 +738,35 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.manifest(spark, root).segments should not be empty
   }
 
+  test("a delta commit loads only bucket-intersecting refs; the rest republish verbatim") {
+    val root = newRoot()
+    // two keys landing in DIFFERENT buckets of an 8-bucket layout
+    val bucketOf = (id: Long) => spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(
+          org.apache.spark.sql.functions.lit(id)), //
+        org.apache.spark.sql.functions.lit(8))).head().getInt(0)
+    val ids = (1L to 100L)
+    val a = ids.find(i => bucketOf(i) == 0).get
+    val b = ids.find(i => bucketOf(i) == 5).get
+    // 100 keys so every bucket holds files (the init ref must COVER b's
+    // bucket for the load-vs-verbatim split below to be deterministic)
+    LakeTable.init(ids.map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "score"), root, Seq("id"), numBuckets = 8)
+    // second segment: a delivery touching only a's bucket
+    LakeTable.merge(spark, root, Seq((a, "a2", 1.0)).toDF("id", "name", "score"))
+    val m = LakeTable.manifest(spark, root)
+    m.segments.size shouldBe 2
+    // now touch ONLY b's bucket: the init ref (covers bucket 5) must
+    // load and shrink; a's delta ref (bucket 0 only) republishes
+    // verbatim with no segment resolution — the O(delta) commit contract
+    LakeTable.merge(spark, root, Seq((b, "b2", 2.0)).toDF("id", "name", "score"))
+    LakeTable.lastCommitRefs shouldBe Some((1, 1))
+    // content is exact either way
+    rows(LakeTable.read(spark, root))(a) shouldBe ("a2", 1.0)
+    rows(LakeTable.read(spark, root))(b) shouldBe ("b2", 2.0)
+  }
+
   test("vacuum reads O(keep window) manifests, not O(all versions)") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4)
