@@ -50,6 +50,47 @@ class LegacyPipelinesSpec extends SparkTestBase {
     queryLong(s"SELECT COUNT(*) FROM ${FlatPipeline.tableName}") shouldBe 200L
   }
 
+  test("day9/v4 twins: per_page=10 slice, CSV handoff, flat load, atomic MinIO-style upload") {
+    import graft.pipeline.MinioPipelines
+    drop(FlatPipeline.tableName)
+    val bronze = fixture("crypto-lake/bronze/coins/dt=2026-01-13")
+    val stamp = java.sql.Timestamp.valueOf("2026-01-13 08:00:00")
+    val work = java.nio.file.Files.createTempDirectory("day9").toString
+    val store = s"$work/store"
+
+    val (n, obj) = MinioPipelines.runDay9(spark, bronze, s"$work/staging",
+      url, props, store, stamp)
+    // per_page=10: the market-cap-desc top slice, not the flagship's 100
+    n shouldBe 10L
+    queryLong(s"SELECT COUNT(*) FROM ${FlatPipeline.tableName}") shouldBe 10L
+    // the slice really is the API's default order: bitcoin leads
+    queryLong("SELECT market_cap FROM crypto_data_pipeline WHERE id = 'bitcoin'") shouldBe
+      1824202162947L
+    // the upload landed as ONE object at the reference's bucket/key, with
+    // the CSV header and all 10 rows
+    obj should endWith("processed/crypto/crypto_transformed.csv")
+    val lines = scala.io.Source.fromFile(
+      new java.io.File(new java.net.URI("file:" + obj).getPath))
+    val body = try lines.getLines().toVector finally lines.close()
+    body.head should startWith("id,symbol,name,current_price,market_cap")
+    body.size shouldBe 11
+    // rerun: the load duplicates (v1 semantics) but the upload OVERWRITES
+    // (fput_object last-writer-wins) — still exactly one object
+    MinioPipelines.runDay9(spark, bronze, s"$work/staging", url, props,
+      store, stamp)
+    queryLong(s"SELECT COUNT(*) FROM ${FlatPipeline.tableName}") shouldBe 20L
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$store/processed/crypto"))
+      .count(_.getPath.getName.endsWith(".csv")) shouldBe 1
+    // v4's in-DAG surface: upload an already-produced CSV standalone,
+    // creating the bucket under a FRESH store root (make_bucket branch)
+    val store2 = s"$work/store2"
+    val obj2 = MinioPipelines.runV4(spark,
+      s"$work/staging/crypto_transformed.csv", store2)
+    fs.exists(new org.apache.hadoop.fs.Path(obj2)) shouldBe true
+  }
+
   test("EP2 warehouse pipeline: CSV handoffs, file checkpoint, dim ignore + fact append") {
     drop("coin_prices_fact"); drop("coin_dimension")
     val bronze = fixture("crypto-lake/bronze/coins/dt=2026-01-13")
