@@ -2094,6 +2094,12 @@ object LakeTable {
     if (m.dvFiles.nonEmpty ||
       (m.statsCols.isEmpty && m.bloomCols.isEmpty && m.ndvCols.isEmpty))
       return None
+    // the refs carry EXACT live row totals (recomputed on every shrink,
+    // -1 whenever any covered entry is unmeasured), so the common case
+    // answers from the MANIFEST alone — zero segment files parsed, a
+    // COUNT(*) over 10⁷ files in O(refs) driver work
+    if (m.segments.nonEmpty && m.segments.forall(_.rows >= 0))
+      return Some(m.segments.map(_.rows).sum)
     readStats(spark, root, m.version).flatMap { stats =>
       val counts = m.files.map(f => stats.get(f._1).map(_.rows))
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)

@@ -145,6 +145,15 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.init(base, bloomy, Seq("id"), numBuckets = 2,
       bloomCols = Seq("name"))
     LakeTable.fastCount(spark, bloomy) shouldBe Some(8L)
+    // and it answers from the MANIFEST's ref totals alone — with every
+    // segment file moved aside (and the parse cache dropped), the count
+    // still serves while an actual read would fail: zero segment loads,
+    // the COUNT(*) contract at 10⁷ files
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(root, "_segments"), new Path(root, "_segments_aside"))
+    LakeTable.clearSegmentCache()
+    LakeTable.fastCount(spark, root) shouldBe Some(8L)
+    fs.rename(new Path(root, "_segments_aside"), new Path(root, "_segments"))
   }
 
   test("readForJoin: file-length metadata decides broadcast vs shuffle join") {
