@@ -397,9 +397,12 @@ object LakeTable {
     * metadata into several bucket-ordered segments (see [[commitDelta]]),
     * bounding what any later touched-bucket commit has to parse. 4096
     * entries ≈ 1.5-2 MB of segment JSON — the Iceberg manifest-file
-    * target-size design point.
+    * target-size design point. The override is a TEST hook (exercising
+    * multi-chunk shapes without writing thousands of files); production
+    * never sets it.
     */
-  private val MaxSegmentEntries = 4096
+  private[graft] var maxSegmentEntriesOverride: Option[Int] = None
+  private def MaxSegmentEntries: Int = maxSegmentEntriesOverride.getOrElse(4096)
 
   /** The floor on a table's live segment count under the entry cap —
     * [[compactMetadata]] can't consolidate below this, and maintenance

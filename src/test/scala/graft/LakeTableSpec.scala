@@ -776,6 +776,44 @@ class LakeTableSpec extends SparkTestBase {
     rows(LakeTable.read(spark, root))(b) shouldBe ("b2", 2.0)
   }
 
+  test("segments chunk at the entry cap: bounded shards, exact reads, floor-aware compaction") {
+    val root = newRoot()
+    LakeTable.maxSegmentEntriesOverride = Some(8)
+    try {
+      // 100 keys / 4 buckets / maxRecordsPerFile=4 -> ~28 files, so the
+      // init must shard into ceil(files/8) bucket-ordered segments
+      val wide = (1L to 100L).map(i => (i, s"n$i", i.toDouble))
+        .toDF("id", "name", "score")
+      LakeTable.init(wide, root, Seq("id"), numBuckets = 4,
+        statsCols = Seq("score"), maxRecordsPerFile = 4L)
+      val m0 = LakeTable.manifest(spark, root)
+      val floor = LakeTable.minSegments(m0)
+      m0.segments.size shouldBe floor
+      floor should be > 1
+      m0.segments.foreach(_.files should be <= 8)
+      // every read path serves exactly across the shards
+      rows(LakeTable.read(spark, root)).keySet shouldBe (1L to 100L).toSet
+      LakeTable.fastCount(spark, root) shouldBe Some(100L)
+      LakeTable.scan(spark, root)
+        .filter(org.apache.spark.sql.functions.col("score") <= 10.0)
+        .count() shouldBe 10L
+      // a single-key delivery touches ONE bucket: only the shards
+      // covering it load, the rest republish verbatim
+      LakeTable.merge(spark, root, Seq((1L, "X", -1.0)).toDF("id", "name", "score"))
+      val (loaded, verbatim) = LakeTable.lastCommitRefs.get
+      (loaded + verbatim) shouldBe floor
+      loaded should be < floor
+      rows(LakeTable.read(spark, root))(1L) shouldBe ("X", -1.0)
+      // compactMetadata consolidates back TO the floor, never below,
+      // and a second run is a version-preserving no-op
+      val v = LakeTable.compactMetadata(spark, root)
+      val m1 = LakeTable.manifest(spark, root)
+      m1.segments.size shouldBe LakeTable.minSegments(m1)
+      LakeTable.compactMetadata(spark, root) shouldBe v
+      LakeTable.fastCount(spark, root) shouldBe Some(100L)
+    } finally LakeTable.maxSegmentEntriesOverride = None
+  }
+
   test("vacuum reads O(keep window) manifests, not O(all versions)") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4)
