@@ -1313,43 +1313,60 @@ object LakeTable {
     val bi = m.bloomCols.indexOf(colName)
     if (si < 0 && bi < 0) return None
     if (values.isEmpty) return Some(Nil)
-    val stats =
-      if (si < 0) Map.empty[String, FileStats]
-      else readStats(spark, root, m.version).getOrElse(Map.empty)
-    val blooms =
-      if (bi < 0) Map.empty[String, Seq[Option[String]]]
-      else readBlooms(spark, root, m.version)
-        .getOrElse(Map.empty[String, Seq[Option[String]]])
     val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
     // hash exactly as the bloom build did: xxhash64 of the value cast to
     // the column's stored type — one job for the whole value set
     val hs: Seq[Long] =
       if (bi < 0) Nil
       else {
-        val t = StructType.fromDDL(m.schemaDdl)(colName).dataType
         import spark.implicits._
-        values.toDF("__v").select(xxhash64(col("__v").cast(t)))
+        values.toDF("__v").select(xxhash64(col("__v").cast(colType)))
           .collect().map(_.getLong(0)).toSeq
       }
-    Some(m.files.map(_._1).filter { p =>
-      val zoneKeep = si < 0 || (stats.get(p) match {
-        case Some(st) => (st.mins(si), st.maxs(si)) match {
+    def entryKeep(e: SegEntry): Boolean = {
+      val zoneKeep = si < 0 || e.rows < 0 ||
+        ((e.mins.lift(si).flatten, e.maxs.lift(si).flatten) match {
           case (Some(mn), Some(mx)) =>
             values.exists(v => statCmp(colType, v, mn) >= 0 &&
               statCmp(colType, v, mx) <= 0)
           case _ => true
-        }
-        case None => true
-      })
-      def bloomKeep = bi < 0 || (blooms.get(p).flatMap(_.lift(bi).flatten) match {
-        case Some(enc) =>
-          val bf = org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(b64(enc)))
-          hs.exists(bf.mightContainLong)
-        case None => true
-      })
+        })
+      def bloomKeep = bi < 0 || e.rows < 0 ||
+        (e.blooms.lift(bi).flatten match {
+          case Some(enc) =>
+            val bf = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(b64(enc)))
+            hs.exists(bf.mightContainLong)
+          case None => true
+        })
       zoneKeep && bloomKeep
-    })
+    }
+    if (m.segments.isEmpty) Some(m.files.map(_._1)) // legacy: keep-all
+    else {
+      var resolved = 0; var dismissed = 0
+      val kept = m.segments.flatMap { ref =>
+        // manifest-level dismissal through the ref's zone summary (a
+        // conservative superset — a summary miss proves an entry miss);
+        // blooms are per-entry payloads, so they only veto after resolve
+        val summaryHit = si < 0 ||
+          ((ref.mins.lift(si).flatten, ref.maxs.lift(si).flatten) match {
+            case (Some(mn), Some(mx)) =>
+              values.exists(v => statCmp(colType, v, mn) >= 0 &&
+                statCmp(colType, v, mx) <= 0)
+            case _ => true
+          })
+        if (!summaryHit) { dismissed += 1; Nil }
+        else {
+          resolved += 1
+          val seg = loadSegment(spark, root, ref.path)
+          if (seg.statsCols != m.statsCols || seg.bloomCols != m.bloomCols)
+            liveEntries(ref, seg).map(_.path) // defensive keep-all
+          else liveEntries(ref, seg).filter(entryKeep).map(_.path)
+        }
+      }
+      lastPruneRefs = Some((resolved, dismissed))
+      Some(kept)
+    }
   }
 
   /** Multi-value equality scan through [[eqPrunedPaths]]: open only the
@@ -2781,27 +2798,60 @@ object LakeTable {
     case _ => a.compareTo(b)
   }
 
+  /** (refs resolved, refs dismissed whole) of the last ref-summary-aware
+    * prune ([[prunedPaths]]/[[eqPrunedPaths]]) this JVM ran — spec pin;
+    * not part of the public API.
+    */
+  private[graft] var lastPruneRefs: Option[(Int, Int)] = None
+
   /** The live files whose `[min,max]` zone for `colName` overlaps
     * `[lo, hi]` — files without a stats entry (or an all-NULL zone) are
     * conservatively kept. Driver-side pruning over the sidecar: no file
-    * is opened to decide.
+    * is opened to decide — and whole refs whose MANIFEST-resident zone
+    * summary misses the range are dismissed without their segment file
+    * ever being parsed (summaries are conservative supersets after
+    * shrink, so a summary miss proves an entry miss), the same
+    * manifest-level skip the planner's [[scan]] index applies.
     */
   def prunedPaths(spark: SparkSession, root: String, colName: String,
       lo: String, hi: String, version: Option[Long] = None): Seq[String] = {
     val m = manifest(spark, root, version)
     val i = m.statsCols.indexOf(colName)
     require(i >= 0, s"$colName is not a stats column (have ${m.statsCols})")
-    val stats = readStats(spark, root, m.version).getOrElse(Map.empty)
     val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
-    m.files.map(_._1).filter { p =>
-      stats.get(p) match {
-        case Some(st) => (st.mins(i), st.maxs(i)) match {
+    def entryKeep(e: SegEntry): Boolean =
+      if (e.rows < 0) true
+      else (e.mins.lift(i).flatten, e.maxs.lift(i).flatten) match {
+        case (Some(mn), Some(mx)) =>
+          statCmp(colType, mx, lo) >= 0 && statCmp(colType, mn, hi) <= 0
+        case _ => true
+      }
+    if (m.segments.isEmpty) {
+      // legacy inline list: no sidecar — conservative keep-all
+      lastPruneRefs = None
+      m.files.map(_._1)
+    } else {
+      var resolved = 0; var dismissed = 0
+      val kept = m.segments.flatMap { ref =>
+        val summaryHit = (ref.mins.lift(i).flatten,
+            ref.maxs.lift(i).flatten) match {
           case (Some(mn), Some(mx)) =>
             statCmp(colType, mx, lo) >= 0 && statCmp(colType, mn, hi) <= 0
-          case _ => true
+          case _ => true // no summary never dismisses
         }
-        case None => true
+        if (!summaryHit) { dismissed += 1; Nil }
+        else {
+          resolved += 1
+          val seg = loadSegment(spark, root, ref.path)
+          // defensive: a cols-mismatched segment can't serve payloads —
+          // conservative keep (unreachable at a published head)
+          if (seg.statsCols != m.statsCols)
+            liveEntries(ref, seg).map(_.path)
+          else liveEntries(ref, seg).filter(entryKeep).map(_.path)
+        }
       }
+      lastPruneRefs = Some((resolved, dismissed))
+      kept
     }
   }
 

@@ -814,6 +814,34 @@ class LakeTableSpec extends SparkTestBase {
     } finally LakeTable.maxSegmentEntriesOverride = None
   }
 
+  test("prunedPaths/eqPrunedPaths dismiss whole delivery segments through manifest summaries") {
+    val root = newRoot()
+    // delivery-correlated values: each commit's segment carries a tight
+    // zone SUMMARY in the manifest, so a range probe can dismiss other
+    // deliveries' refs without parsing their segment files — the same
+    // manifest-level skip the planner's scan() index applies, now on the
+    // explicit pruning entry points (the MV-retraction read path)
+    LakeTable.init((1L to 20L).map(i => (i, s"n$i", i.toDouble))
+      .toDF("id", "name", "score"), root, Seq("id"), numBuckets = 4,
+      statsCols = Seq("score"))
+    LakeTable.merge(spark, root, Seq((100L, "a", 100.0)).toDF("id", "name", "score"))
+    LakeTable.merge(spark, root, Seq((200L, "b", 200.0)).toDF("id", "name", "score"))
+    LakeTable.manifest(spark, root).segments.size shouldBe 3
+    val hit = LakeTable.prunedPaths(spark, root, "score", "150.0", "300.0")
+    // only the third delivery's ref resolved; the init ref ([1,20]) and
+    // the first delivery's ([...,100]) dismissed through their summaries
+    LakeTable.lastPruneRefs shouldBe Some((1, 2))
+    LakeTable.readRange(spark, root, "score", "150.0", "300.0")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(200L)
+    hit should not be empty
+    // equality probes dismiss the same way (zone part of eqPrunedPaths)
+    LakeTable.eqPrunedPaths(spark, root, "score", Seq("200.0")).get should
+      not be empty
+    LakeTable.lastPruneRefs shouldBe Some((1, 2))
+    LakeTable.readEqAny(spark, root, "score", Seq("200.0"))
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(200L)
+  }
+
   test("vacuum reads O(keep window) manifests, not O(all versions)") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4)
