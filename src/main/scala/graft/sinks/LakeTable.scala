@@ -1264,20 +1264,13 @@ object LakeTable {
   def bloomPrunedPaths(spark: SparkSession, root: String, colName: String,
       value: String, version: Option[Long] = None): Seq[String] = {
     val m = manifest(spark, root, version)
-    val i = m.bloomCols.indexOf(colName)
-    require(i >= 0, s"$colName is not a bloom column (have ${m.bloomCols})")
-    val t = StructType.fromDDL(m.schemaDdl)(colName).dataType
-    val h = spark.range(1).select(xxhash64(lit(value).cast(t))).head().getLong(0)
-    val blooms = readBlooms(spark, root, m.version)
-      .getOrElse(Map.empty[String, Seq[Option[String]]])
-    m.files.map(_._1).filter { p =>
-      blooms.get(p).flatMap(_.lift(i).flatten) match {
-        case Some(enc) => org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(b64(enc)))
-          .mightContainLong(h)
-        case None => true
-      }
-    }
+    require(m.bloomCols.contains(colName),
+      s"$colName is not a bloom column (have ${m.bloomCols})")
+    // the single-value case of [[eqPrunedPaths]] (which also folds in the
+    // zone maps when the column declares them, and dismisses whole refs
+    // through the manifest summaries) — one pruning kernel, not two
+    eqPrunedPaths(spark, root, colName, Seq(value), version)
+      .getOrElse(m.files.map(_._1))
   }
 
   /** Equality scan through the bloom sidecar: open only the files that

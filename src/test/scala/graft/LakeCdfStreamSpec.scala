@@ -487,6 +487,55 @@ class LakeCdfStreamSpec extends SparkTestBase {
       .count() shouldBe 1
   }
 
+  test("mirrorTxnGroup rate limit: a 3-table backlog drains as bounded spans, the txn whole") {
+    val (a, b) = initPair()
+    val c = Files.createTempDirectory("graft-groupRlC").toString
+    LakeTable.init(spark.range(3).select(col("id").alias("bk"),
+      concat(lit("br"), col("id")).alias("tag")), c, Seq("bk"),
+      numBuckets = 2)
+    val tgts = Seq("A", "B", "C").map(x =>
+      Files.createTempDirectory(s"graft-groupRlTgt$x").toString)
+    LakeTable.init(spark.range(0).select(col("id").alias("fk"),
+      (col("id") * 1.0).alias("amt")), tgts(0), Seq("fk"), numBuckets = 2)
+    LakeTable.init(spark.range(0).select(col("id").alias("dk"),
+      concat(lit("seg"), col("id")).alias("seg")), tgts(1), Seq("dk"),
+      numBuckets = 2)
+    LakeTable.init(spark.range(0).select(col("id").alias("bk"),
+      concat(lit("br"), col("id")).alias("tag")), tgts(2), Seq("bk"),
+      numBuckets = 2)
+    val cp = Files.createTempDirectory("graft-groupRl-cp").toString
+    def drainCapped(): Unit = {
+      val q = LakeStreaming.mirrorTxnGroup(spark,
+        Seq((a, tgts(0)), (b, tgts(1)), (c, tgts(2))),
+        maxVersionsPerTrigger = Some(1L))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainCapped() // bootstrap (uncapped single unit)
+    // backlog: plain commits on every member plus one THREE-table txn
+    LakeTable.merge(spark, a, Seq((1L, 11.0)).toDF("fk", "amt"))
+    LakeTable.merge(spark, b, Seq((0L, "segX")).toDF("dk", "seg"))
+    LakeTable.merge(spark, c, Seq((2L, "brX")).toDF("bk", "tag"))
+    graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((3L, 999.0)).toDF("fk", "amt"))
+      t.merge(b, Seq((2L, "MOVED")).toDF("dk", "seg"))
+      t.merge(c, Seq((1L, "BRIDGED")).toDF("bk", "tag"))
+    }
+    drainCapped() // rate-limited: several bounded spans, never a torn one
+    LakeTable.read(spark, tgts(0)).filter(col("fk") === 3)
+      .head().getDouble(1) shouldBe 999.0
+    LakeTable.read(spark, tgts(1)).filter(col("dk") === 2)
+      .head().getString(1) shouldBe "MOVED"
+    LakeTable.read(spark, tgts(2)).filter(col("bk") === 1)
+      .head().getString(1) shouldBe "BRIDGED"
+    LakeTable.read(spark, tgts(0)).filter(col("fk") === 1)
+      .head().getDouble(1) shouldBe 11.0
+    LakeTable.read(spark, tgts(2)).filter(col("bk") === 2)
+      .head().getString(1) shouldBe "brX"
+  }
+
   test("consistentCutN clamps a 3-root candidate that would split a transaction on ANY axis") {
     val (a, b) = initPair()
     val c = Files.createTempDirectory("graft-cut3C").toString
