@@ -1969,9 +1969,11 @@ object LakeTable {
     val keep = preds.map { case (c, lo, hi) =>
       prunedPaths(spark, root, c, lo, hi, version).toSet }
       .reduce(_ intersect _)
-    lastBoxScan = Some((keep.size, m.files.size))
+    // the intersection IS the scan list — re-filtering m.files would
+    // resolve every segment and undo the per-column summary dismissal
+    lastBoxScan = Some((keep.size, m.fileCount))
     val df = applyDv(spark, root, m,
-      readFiles(spark, root, m, m.files.map(_._1).filter(keep)),
+      readFiles(spark, root, m, keep.toSeq.sorted),
       m.dvFiles)
     preds.foldLeft(df) { case (d, (c, lo, hi)) =>
       val t = d.schema(c).dataType
