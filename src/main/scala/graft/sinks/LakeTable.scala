@@ -108,9 +108,18 @@ object LakeTable {
     * per-commit parse cost is O(new segments since the cache last saw
     * this table) = O(delta).
     */
+  /** `exactSummary`: the zone summary was computed over EXACTLY this
+    * ref's live entries (fresh chunks, and r13+ shrinks which recompute
+    * from the kept entries) — [[fastMinMax]] may fold it directly. Refs
+    * persisted by pre-r13 commits carried shrink summaries verbatim
+    * (conservative supersets: fine for pruning, wrong for an exact
+    * MIN/MAX), so the flag parses false when absent and such refs force
+    * the entry-resolving path.
+    */
   final case class SegmentRef(path: String, buckets: Seq[Int],
       dead: Seq[Int], files: Int, rows: Long, bytes: Long,
-      mins: Seq[Option[String]], maxs: Seq[Option[String]])
+      mins: Seq[Option[String]], maxs: Seq[Option[String]],
+      exactSummary: Boolean = false)
 
   /** One file's complete metadata inside a segment: identity (path,
     * bucket, bytes) plus the payloads the manifest's column declarations
@@ -470,6 +479,7 @@ object LakeTable {
     s"""{"path":${jq(r.path)},"buckets":${renderRuns(r.buckets)},""" +
       s""""dead":${renderRuns(r.dead)},"files":${r.files},""" +
       s""""rows":${r.rows},"bytes":${r.bytes},""" +
+      (if (r.exactSummary) """"xs":1,""" else "") +
       s""""min":[${r.mins.map(jOptStr).mkString(",")}],""" +
       s""""max":[${r.maxs.map(jOptStr).mkString(",")}]}"""
 
@@ -515,7 +525,8 @@ object LakeTable {
         parseRuns(Json.arr(ro, "dead")),
         Json.num(ro, "files").toInt, Json.num(ro, "rows", -1L),
         Json.num(ro, "bytes", -1L),
-        Json.optStrSeq(ro, "min"), Json.optStrSeq(ro, "max"))
+        Json.optStrSeq(ro, "min"), Json.optStrSeq(ro, "max"),
+        Json.num(ro, "xs") == 1L)
     }
     Manifest(Json.num(o, "version"), Json.strSeq(o, "keys"),
       Json.num(o, "num_buckets").toInt, Json.str(o, "schema_ddl"),
@@ -914,8 +925,20 @@ object LakeTable {
     val side = if (want < 0) entries.flatMap(_.mins.lift(i).flatten)
       else entries.flatMap(_.maxs.lift(i).flatten)
     if (side.isEmpty) None
-    else Some(side.reduce((a, b) =>
-      if (Integer.signum(statCmp(dt, a, b)) == want) a else b))
+    else {
+      // two distinct strings comparing 0 (beyond-double-precision
+      // decimals) make the extremum unorderable — decline rather than
+      // pick arbitrarily: a None summary never prunes and forces
+      // [[fastMinMax]] back to its entry path's own decline discipline
+      var best = side.head
+      var ambiguous = false
+      side.tail.foreach { v =>
+        val c = statCmp(dt, v, best)
+        if (c == 0 && v != best) ambiguous = true
+        else if (Integer.signum(c) == want) best = v
+      }
+      if (ambiguous) None else Some(best)
+    }
   }
 
   /** Metadata-only commit (MoR delete vectors, CDF toggle, restore): the
@@ -976,6 +999,7 @@ object LakeTable {
     val deadPaths = dead.map(_._1).toSet
     val touchedB: Set[Int] = replaced ++ dead.map(_._2)
     val demoted = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    lazy val schemaT = StructType.fromDDL(next.schemaDdl)
     var refsLoaded = 0; var refsVerbatim = 0
     val survivors = next.segments.flatMap { ref =>
       if (!ref.buckets.exists(touchedB)) { refsVerbatim += 1; Some(ref) }
@@ -998,11 +1022,19 @@ object LakeTable {
           val keptIdx = kept.map(_._2).toSet
           val deadIdx = seg.entries.zipWithIndex.collect {
             case (e, i) if keptB(e.bucket) && !keptIdx(i) => i }
+          // the summary RECOMPUTES over exactly the kept entries (they
+          // are already in hand): tighter pruning than carrying the
+          // pre-shrink range, and exact — so fastMinMax can fold refs
+          val keptE = kept.map(_._1)
           Some(SegmentRef(ref.path, keptB.toSeq.sorted, deadIdx, kept.size,
             if (kept.exists(_._1.rows < 0)) -1L else kept.map(_._1.rows).sum,
             if (kept.exists(_._1.bytes < 0)) -1L
             else kept.map(_._1.bytes).sum,
-            ref.mins, ref.maxs))
+            next.statsCols.indices.map(i =>
+              refSummary(keptE, schemaT(next.statsCols(i)).dataType, i, -1)),
+            next.statsCols.indices.map(i =>
+              refSummary(keptE, schemaT(next.statsCols(i)).dataType, i, 1)),
+            exactSummary = true))
         }
       }
     }
@@ -1045,7 +1077,8 @@ object LakeTable {
             next.statsCols.indices.map(i =>
               refSummary(chunk, schema(next.statsCols(i)).dataType, i, -1)),
             next.statsCols.indices.map(i =>
-              refSummary(chunk, schema(next.statsCols(i)).dataType, i, 1)))
+              refSummary(chunk, schema(next.statsCols(i)).dataType, i, 1)),
+            exactSummary = true)
         }.toSeq
       }
     val toPublish = next.copy(filesEager = null,
@@ -2140,19 +2173,33 @@ object LakeTable {
     val i = m.statsCols.indexOf(colName)
     if (m.dvFiles.nonEmpty || i < 0) return None
     val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
+    // ties that compare 0 but differ as strings are unorderable from
+    // the sidecar (double-precision collapse) — decline, never guess
+    def pick(vals: Seq[String], want: Int): Option[Option[String]] =
+      vals.foldLeft(Option(Option.empty[String])) {
+        case (None, _) => None
+        case (Some(None), v) => Some(Some(v))
+        case (Some(Some(best)), v) =>
+          val c = statCmp(colType, v, best)
+          if (c == 0 && v != best) None
+          else Some(Some(if (Integer.signum(c) == want) v else best))
+      }
+    // ref fast path: when every ref's summary is EXACT over its live
+    // entries (r13+ commits flag this; the fold of exact per-ref extrema
+    // IS the table extremum), the answer reads ZERO segment files —
+    // O(refs) like fastCount. A None summary is ambiguous at ref level
+    // (all-NULL column vs unmeasured entries), so any None falls through
+    // to the entry-resolving path, which distinguishes them.
+    if (m.segments.nonEmpty && m.segments.forall(r =>
+        r.exactSummary && r.rows >= 0 &&
+          r.mins.lift(i).flatten.nonEmpty && r.maxs.lift(i).flatten.nonEmpty)) {
+      return for {
+        mn <- pick(m.segments.flatMap(_.mins.lift(i).flatten), -1)
+        mx <- pick(m.segments.flatMap(_.maxs.lift(i).flatten), 1)
+      } yield (mn, mx)
+    }
     readStats(spark, root, m.version).flatMap { stats =>
       val perFile = m.files.map(f => stats.get(f._1))
-      // ties that compare 0 but differ as strings are unorderable from
-      // the sidecar (double-precision collapse) — decline, never guess
-      def pick(vals: Seq[String], want: Int): Option[Option[String]] =
-        vals.foldLeft(Option(Option.empty[String])) {
-          case (None, _) => None
-          case (Some(None), v) => Some(Some(v))
-          case (Some(Some(best)), v) =>
-            val c = statCmp(colType, v, best)
-            if (c == 0 && v != best) None
-            else Some(Some(if (Integer.signum(c) == want) v else best))
-        }
       if (perFile.exists(_.isEmpty)) None
       else for {
         mn <- pick(perFile.flatten.flatMap(_.mins(i)), -1)

@@ -855,6 +855,21 @@ class LakeCdfSpec extends SparkTestBase {
     LakeTable.compactDeletes(spark, root)
     LakeTable.fastMinMax(spark, root, "score") shouldBe
       Some((Some("1.0"), Some("102.0")))
+    // and the answer folds the manifests' EXACT ref summaries — with
+    // every segment file moved aside (cache dropped) it still serves,
+    // like fastCount: MIN/MAX over 10⁷ files in O(refs) driver work
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(root, "_segments"),
+      new org.apache.hadoop.fs.Path(root, "_segments_aside"))
+    LakeTable.clearSegmentCache()
+    LakeTable.fastMinMax(spark, root, "score") shouldBe
+      Some((Some("1.0"), Some("102.0")))
+    // the deleted row's "zz" is gone from the folded extremum too
+    LakeTable.fastMinMax(spark, root, "name") shouldBe
+      Some((Some("a"), Some("h")))
+    fs.rename(new org.apache.hadoop.fs.Path(root, "_segments_aside"),
+      new org.apache.hadoop.fs.Path(root, "_segments"))
   }
 
   test("rebucket preserves content, folds deletion vectors, keeps the table writable") {
