@@ -116,21 +116,33 @@ object LakeTable {
     * MIN/MAX), so the flag parses false when absent and such refs force
     * the entry-resolving path.
     */
+  /** `zg`: the z-layout generation ALL of this ref's live entries are
+    * stamped with (-1 = mixed, unstamped, or pre-r14) — the ref-local
+    * tightness summary [[optimizeZOrderIncremental]] skips whole refs
+    * with, never parsing a segment whose every file is already z-tight.
+    * Recomputed on shrink exactly like the zone summary.
+    */
   final case class SegmentRef(path: String, buckets: Seq[Int],
       dead: Seq[Int], files: Int, rows: Long, bytes: Long,
       mins: Seq[Option[String]], maxs: Seq[Option[String]],
-      exactSummary: Boolean = false)
+      exactSummary: Boolean = false, zg: Long = -1L)
 
   /** One file's complete metadata inside a segment: identity (path,
     * bucket, bytes) plus the payloads the manifest's column declarations
     * position — zone min/max per statsCol, base64 bloom per bloomCol,
     * base64 HLL sketch per ndvCol. `rows` is -1 when the table declares
-    * no indexed columns (no measurement pass ran).
+    * no indexed columns (no measurement pass ran). `zg` is the z-layout
+    * generation the file was WRITTEN under (-1 = not z-laid): files are
+    * immutable, so tightness is a per-file property — stamped by the
+    * optimize/maintenance commit that laid the file, carried verbatim by
+    * every later ref shrink, and compared against the marker's `gen`
+    * ([[ZMarker]]) so a stale stamp from a superseded layout never
+    * counts as tight.
     */
   final case class SegEntry(path: String, bucket: Int, rows: Long,
       bytes: Long, mins: IndexedSeq[Option[String]],
       maxs: IndexedSeq[Option[String]], blooms: IndexedSeq[Option[String]],
-      sks: IndexedSeq[Option[String]])
+      sks: IndexedSeq[Option[String]], zg: Long = -1L)
 
   /** A parsed segment file. The column lists are captured at write time:
     * a segment whose lists differ from the referencing manifest's cannot
@@ -372,6 +384,7 @@ object LakeTable {
       s""""files":[${entries.map { e =>
         s"""{"path":${jq(e.path)},"bucket":${e.bucket},"rows":${e.rows},""" +
           s""""bytes":${e.bytes},""" +
+          (if (e.zg >= 0) s""""zg":${e.zg},""" else "") +
           s""""min":[${e.mins.map(jOptStr).mkString(",")}],""" +
           s""""max":[${e.maxs.map(jOptStr).mkString(",")}],""" +
           s""""bloom":[${e.blooms.map(jOptStr).mkString(",")}],""" +
@@ -387,7 +400,8 @@ object LakeTable {
         SegEntry(Json.str(fo, "path"), Json.num(fo, "bucket").toInt,
           Json.num(fo, "rows", -1L), Json.num(fo, "bytes", -1L),
           Json.optStrSeq(fo, "min"), Json.optStrSeq(fo, "max"),
-          Json.optStrSeq(fo, "bloom"), Json.optStrSeq(fo, "sk"))
+          Json.optStrSeq(fo, "bloom"), Json.optStrSeq(fo, "sk"),
+          Json.num(fo, "zg", -1L))
       })
   }
 
@@ -480,6 +494,7 @@ object LakeTable {
       s""""dead":${renderRuns(r.dead)},"files":${r.files},""" +
       s""""rows":${r.rows},"bytes":${r.bytes},""" +
       (if (r.exactSummary) """"xs":1,""" else "") +
+      (if (r.zg >= 0) s""""zg":${r.zg},""" else "") +
       s""""min":[${r.mins.map(jOptStr).mkString(",")}],""" +
       s""""max":[${r.maxs.map(jOptStr).mkString(",")}]}"""
 
@@ -526,7 +541,7 @@ object LakeTable {
         Json.num(ro, "files").toInt, Json.num(ro, "rows", -1L),
         Json.num(ro, "bytes", -1L),
         Json.optStrSeq(ro, "min"), Json.optStrSeq(ro, "max"),
-        Json.num(ro, "xs") == 1L)
+        Json.num(ro, "xs") == 1L, Json.num(ro, "zg", -1L))
     }
     Manifest(Json.num(o, "version"), Json.strSeq(o, "keys"),
       Json.num(o, "num_buckets").toInt, Json.str(o, "schema_ddl"),
@@ -919,7 +934,7 @@ object LakeTable {
     * All-null files contribute no value, which is exact for range
     * predicates (NULL satisfies none).
     */
-  private def refSummary(entries: Seq[SegEntry], dt: DataType, i: Int,
+  private[graft] def refSummary(entries: Seq[SegEntry], dt: DataType, i: Int,
       want: Int): Option[String] = {
     if (entries.exists(_.rows < 0)) return None
     val side = if (want < 0) entries.flatMap(_.mins.lift(i).flatten)
@@ -929,16 +944,26 @@ object LakeTable {
       // two distinct strings comparing 0 (beyond-double-precision
       // decimals) make the extremum unorderable — decline rather than
       // pick arbitrarily: a None summary never prunes and forces
-      // [[fastMinMax]] back to its entry path's own decline discipline
+      // [[fastMinMax]] back to its entry path's own decline discipline.
+      // Two passes so only ties against the FINAL extremum decline: a
+      // 0-compare against some interior running best (min over
+      // ["2","2.0","1"]) is irrelevant once a strictly better value wins
       var best = side.head
-      var ambiguous = false
       side.tail.foreach { v =>
-        val c = statCmp(dt, v, best)
-        if (c == 0 && v != best) ambiguous = true
-        else if (Integer.signum(c) == want) best = v
+        if (Integer.signum(statCmp(dt, v, best)) == want) best = v
       }
+      val ambiguous = side.exists(v => v != best && statCmp(dt, v, best) == 0)
       if (ambiguous) None else Some(best)
     }
+  }
+
+  /** Ref-level z-generation summary: the generation iff EVERY entry is
+    * stamped with it (a single unstamped file makes the ref -1 = not
+    * wholly tight — the incremental optimize must look inside).
+    */
+  private def refZg(entries: Seq[SegEntry]): Long = {
+    val g = entries.head.zg
+    if (g >= 0 && entries.forall(_.zg == g)) g else -1L
   }
 
   /** Metadata-only commit (MoR delete vectors, CDF toggle, restore): the
@@ -990,11 +1015,25 @@ object LakeTable {
     */
   private[graft] var lastCommitRefs: Option[(Int, Int)] = None
 
+  /** `zGen` stamps the FRESH files' entries with a z-layout generation
+    * ([[SegEntry.zg]]) — only the optimize/maintenance passes that
+    * actually write in z order pass it; deliveries leave it -1.
+    * `untouchedRefs` is a caller ATTESTATION that the named refs contain
+    * no replaced-bucket entry and no `dead` path, so they republish
+    * verbatim even when their bucket set intersects the delta — the
+    * per-path retirement passes ([[optimizeZOrderIncremental]]) know
+    * exactly which refs their dead list came from, and without the
+    * attestation a hash-scattered delivery's buckets would force every
+    * wholly-tight ref through a no-op shrink scan.
+    */
   private def commitDelta(spark: SparkSession, root: String,
       next: Manifest, replaced: Set[Int], fresh: Seq[(String, Int)],
       dead: Seq[(String, Int)] = Nil, waitTxn: Boolean = true,
       selfTxn: Option[String] = None,
-      known: Map[String, SegEntry] = Map.empty): Manifest = {
+      known: Map[String, SegEntry] = Map.empty,
+      zGen: Long = -1L,
+      untouchedRefs: Set[String] = Set.empty,
+      zgKnown: Map[String, Long] = Map.empty): Manifest = {
     val fs = hfs(spark, root)
     val deadPaths = dead.map(_._1).toSet
     val touchedB: Set[Int] = replaced ++ dead.map(_._2)
@@ -1002,8 +1041,9 @@ object LakeTable {
     lazy val schemaT = StructType.fromDDL(next.schemaDdl)
     var refsLoaded = 0; var refsVerbatim = 0
     val survivors = next.segments.flatMap { ref =>
-      if (!ref.buckets.exists(touchedB)) { refsVerbatim += 1; Some(ref) }
-      else {
+      if (untouchedRefs(ref.path) || !ref.buckets.exists(touchedB)) {
+        refsVerbatim += 1; Some(ref)
+      } else {
         refsLoaded += 1
         val seg = loadSegment(spark, root, ref.path)
         val bset = ref.buckets.toSet
@@ -1034,7 +1074,7 @@ object LakeTable {
               refSummary(keptE, schemaT(next.statsCols(i)).dataType, i, -1)),
             next.statsCols.indices.map(i =>
               refSummary(keptE, schemaT(next.statsCols(i)).dataType, i, 1)),
-            exactSummary = true))
+            exactSummary = true, zg = refZg(keptE)))
         }
       }
     }
@@ -1047,9 +1087,27 @@ object LakeTable {
     val freshAll = fresh ++ demoted ++ legacyCarry
     val (knownFresh, toMeasure) =
       freshAll.partition(f => known.contains(f._1))
-    val entries =
+    val entries0 =
       knownFresh.map { case (p, b) => known(p).copy(path = p, bucket = b) } ++
         measureEntries(spark, root, next, toMeasure)
+    // only the caller's own FRESH files stamp: demoted/legacy carries
+    // were not written by this pass's z sort — they stay -1 and the next
+    // incremental re-lays them once (conservative, converges). `zgKnown`
+    // carries existing files' stamps through a re-MEASURE that keeps the
+    // files themselves (alterIndexing): tightness is a property of the
+    // immutable file, not of the measurement pass
+    val entries = {
+      val stamped =
+        if (zGen < 0) entries0
+        else {
+          val freshSet = fresh.map(_._1).toSet
+          entries0.map(e => if (freshSet(e.path)) e.copy(zg = zGen) else e)
+        }
+      if (zgKnown.isEmpty) stamped
+      else stamped.map(e =>
+        if (e.zg < 0) zgKnown.get(e.path).fold(e)(g => e.copy(zg = g))
+        else e)
+    }
     // chunked by bucket order under MaxSegmentEntries: a full rewrite of
     // a 10⁶-file table lands as ~250 bounded segments instead of one
     // giant one, so a later single-bucket delivery's shrink parses ONE
@@ -1078,7 +1136,7 @@ object LakeTable {
               refSummary(chunk, schema(next.statsCols(i)).dataType, i, -1)),
             next.statsCols.indices.map(i =>
               refSummary(chunk, schema(next.statsCols(i)).dataType, i, 1)),
-            exactSummary = true)
+            exactSummary = true, zg = refZg(chunk))
         }.toSeq
       }
     val toPublish = next.copy(filesEager = null,
@@ -1290,9 +1348,12 @@ object LakeTable {
   }
 
   /** The live files whose bloom MIGHT contain `value` for `colName` —
-    * files without a bloom entry are conservatively kept. Driver-side:
-    * no file is opened to decide. The probe hashes exactly as the build
-    * did (`xxhash64` of the value cast to the column's stored type).
+    * files without a bloom entry are conservatively kept (a LEGACY
+    * inline-list table keeps ALL files until its first copy-on-write
+    * commit builds the segment plane — see [[eqPrunedPaths]]).
+    * Driver-side: no file is opened to decide. The probe hashes exactly
+    * as the build did (`xxhash64` of the value cast to the column's
+    * stored type).
     */
   def bloomPrunedPaths(spark: SparkSession, root: String, colName: String,
       value: String, version: Option[Long] = None): Seq[String] = {
@@ -1331,6 +1392,13 @@ object LakeTable {
     * than a silently-unpruned one. `values` is expected bounded (callers
     * cap it); each value is the `CAST(x AS STRING)` form, matching how
     * [[computeStats]] stringifies and how [[publishBlooms]] hashed.
+    *
+    * LEGACY tables (pre-segment inline file list): the declared sidecar
+    * columns exist but their payloads have no segment to live in, so the
+    * answer is a conservative KEEP-ALL (`Some(all live files)`, exact but
+    * unpruned — [[lastPruneRefs]] reads None, the no-prune signal) until
+    * the table's first copy-on-write commit measures its files into the
+    * segment plane and pruning resumes. Same contract as [[prunedPaths]].
     */
   def eqPrunedPaths(spark: SparkSession, root: String, colName: String,
       values: Seq[String], version: Option[Long] = None): Option[Seq[String]] = {
@@ -1367,8 +1435,12 @@ object LakeTable {
         })
       zoneKeep && bloomKeep
     }
-    if (m.segments.isEmpty) Some(m.files.map(_._1)) // legacy: keep-all
-    else {
+    if (m.segments.isEmpty) {
+      // legacy inline list: no sidecar payloads — conservative keep-all,
+      // signalled the same way [[prunedPaths]] signals it
+      lastPruneRefs = None
+      Some(m.files.map(_._1))
+    } else {
       var resolved = 0; var dismissed = 0
       val kept = m.segments.flatMap { ref =>
         // manifest-level dismissal through the ref's zone summary (a
@@ -1502,10 +1574,18 @@ object LakeTable {
     // a full re-optimize. Intersected with THIS version's files: the
     // source head's marker may be newer than the cloned snapshot.
     readZMarker(spark, srcRoot).foreach { mk =>
-      val live = m.files.map(_._1).toSet
-      val kept = mk.files.filter(live).map(abs)
-      if (kept.nonEmpty)
-        writeZMarker(spark, dstRoot, ZMarker(0L, mk.zCols, mk.axes, kept))
+      if (mk.gen >= 0)
+        // gen marker: membership rides the copied segment entries' own
+        // stamps (`known` carried them verbatim) — the clone's marker is
+        // the same O(1) layout record
+        writeZMarker(spark, dstRoot,
+          ZMarker(0L, mk.zCols, mk.axes, Nil, mk.gen))
+      else {
+        val live = m.files.map(_._1).toSet
+        val kept = mk.files.filter(live).map(abs)
+        if (kept.nonEmpty)
+          writeZMarker(spark, dstRoot, ZMarker(0L, mk.zCols, mk.axes, kept))
+      }
     }
     0L
   }
@@ -1566,7 +1646,7 @@ object LakeTable {
         // granularity — the `dead` index list), only the fresh rewrite
         // is measured
         val next = commitDelta(spark, root, next0, Set.empty, fresh,
-          dead = foreignF)
+          dead = foreignF, zGen = zGenOf(mk))
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -1606,7 +1686,8 @@ object LakeTable {
       // and one full segment is measured
       val next = commitDelta(spark, root, m.copy(version = slot,
         txn = None, numBuckets = newNumBuckets, filesEager = null,
-        segments = Nil, dvFiles = Nil), Set.empty, files)
+        segments = Nil, dvFiles = Nil), Set.empty, files,
+        zGen = zGenOf(mk))
       carryZMarker(spark, root, mk, next, files.map(_._1))
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
@@ -1644,18 +1725,29 @@ object LakeTable {
       s"timestamp columns, got $other")
   }
 
-  /** `_zorder/<version>.json` marker: which live files were WRITTEN in z
-    * order (files are immutable, so "z-tight" is a property of the file —
-    * the set stays valid across restores and unrelated commits via
-    * intersection with the current live set), under which z columns and
-    * which frozen normalization axes. [[optimizeZOrderIncremental]] reads
-    * the newest marker to rewrite only what landed since.
+  /** `_zorder/<version>.json` marker: the table's z LAYOUT — which z
+    * columns, which frozen normalization axes, and the layout GENERATION
+    * (`gen` = the full-optimize version that established it). Files
+    * written in z order are stamped with the generation IN their segment
+    * entries ([[SegEntry.zg]], summarized per ref as [[SegmentRef.zg]]),
+    * so the marker is O(1) bytes whatever the table size and tightness
+    * rides the atomic manifest commit itself — a maintenance rewrite has
+    * no second marker write to lose. Markers written before r14 carry an
+    * explicit `files` list instead (`gen` parses -1): every consumer
+    * honors both forms, and the first full optimize upgrades the table.
+    * Tightness stays a per-FILE property either way (files are
+    * immutable), so the stamped set stays valid across restores and
+    * unrelated commits; a stamp from a superseded layout (older `gen`)
+    * never counts as tight. [[optimizeZOrderIncremental]] reads the
+    * newest marker to rewrite only what landed since — for gen markers
+    * the hot-set derivation is REF-LOCAL (wholly-tight refs never parse).
     */
   private final case class ZMarker(version: Long, zCols: Seq[String],
-      axes: Seq[(Double, Double)], files: Seq[String])
+      axes: Seq[(Double, Double)], files: Seq[String], gen: Long = -1L)
 
   private def renderZMarker(mk: ZMarker): String =
     s"""{"version":${mk.version},""" +
+      (if (mk.gen >= 0) s""""gen":${mk.gen},""" else "") +
       s""""z_cols":[${mk.zCols.map(jq).mkString(",")}],""" +
       s""""axes":[${mk.axes.map { case (mn, mx) =>
         s"""[$mn,$mx]""" }.mkString(",")}],""" +
@@ -1682,7 +1774,9 @@ object LakeTable {
     }
     val axes = "\\[([^,\\]]+),([^\\]]+)\\]".r.findAllMatchIn(axesBody)
       .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toSeq
-    ZMarker(version, strings(arr("z_cols")), axes, strings(arr("files")))
+    val gen = "\"gen\":(-?\\d+)".r.findFirstMatchIn(s)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    ZMarker(version, strings(arr("z_cols")), axes, strings(arr("files")), gen)
   }
 
   private def writeZMarker(spark: SparkSession, root: String,
@@ -1751,11 +1845,23 @@ object LakeTable {
     })
   }
 
-  /** Advance the marker after a layout-preserving rewrite: carried files
-    * that are still live stay members, the fresh z-sorted files join. */
+  /** The generation a layout-preserving rewrite stamps its fresh files
+    * with ([[commitDelta]]'s `zGen`): the valid marker's, or -1 when the
+    * table has no z layout (or a pre-r14 files-list marker — those carry
+    * membership in the marker itself, via [[carryZMarker]]).
+    */
+  private def zGenOf(mk: Option[ZMarker]): Long =
+    mk.map(_.gen).getOrElse(-1L)
+
+  /** Advance a pre-r14 FILES-LIST marker after a layout-preserving
+    * rewrite: carried files that are still live stay members, the fresh
+    * z-sorted files join. Gen markers are a no-op here — their fresh
+    * files were stamped inside the commit itself ([[zGenOf]]), so there
+    * is no second marker write (and no crash window between them).
+    */
   private def carryZMarker(spark: SparkSession, root: String,
       mk: Option[ZMarker], next: Manifest, fresh: Seq[String]): Unit =
-    mk.foreach { k =>
+    mk.filter(_.gen < 0).foreach { k =>
       val live = next.files.map(_._1).toSet
       writeZMarker(spark, root, ZMarker(next.version, k.zCols, k.axes,
         (k.files.filter(live) ++ fresh).distinct))
@@ -1819,12 +1925,14 @@ object LakeTable {
       val files = writeFiles(spark, root, rows, m.keys, m.numBuckets,
         maxRecordsPerFile = m.maxRecordsPerFile,
         sortExprs = Seq(zValue(ranged)))
-      // full rewrite: every carried ref drops, one full segment measured
+      // full rewrite: every carried ref drops, one full segment measured;
+      // the fresh entries stamp the NEW generation (= this version), and
+      // the marker records only the layout — O(1) bytes at any table size
       val next = commitDelta(spark, root, m.copy(version = slot,
         txn = None, filesEager = null, segments = Nil, dvFiles = Nil),
-        Set.empty, files)
+        Set.empty, files, zGen = slot)
       writeZMarker(spark, root, ZMarker(next.version, zCols,
-        ranged.map { case (_, mn, mx) => (mn, mx) }, files.map(_._1)))
+        ranged.map { case (_, mn, mx) => (mn, mx) }, Nil, gen = slot))
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
     }
@@ -1848,6 +1956,14 @@ object LakeTable {
     * like every other partial rewrite); a no-change table is a no-op
     * returning the current version, no commit published.
     */
+  /** (refs parsed, refs skipped as wholly tight) by the last
+    * [[optimizeZOrderIncremental]] hot-set derivation this JVM ran —
+    * spec pin for the ref-local contract (a tight steady-state table's
+    * pass parses O(untight + dv-intersecting refs), never O(live
+    * files)); None when the legacy files-list path derived it.
+    */
+  private[graft] var lastZIncrRefs: Option[(Int, Int)] = None
+
   def optimizeZOrderIncremental(spark: SparkSession, root: String): Long = {
     val fs = hfs(spark, root)
     withCommitRetries() { () =>
@@ -1863,10 +1979,31 @@ object LakeTable {
           s"optimizeZOrderIncremental: $c dropped from statsCols " +
             s"(${m.statsCols}) — the z layout prunes through zone maps")
       }
-      val tight = mk.files.toSet
       val dvBuckets = m.dvFiles.map(_._2).toSet
-      val (cold, hot) = m.files.partition { case (p, b) =>
-        tight(p) && !dvBuckets(b) }
+      // hot-set derivation. Gen marker + segment plane: REF-LOCAL — a
+      // ref wholly stamped with the marker's generation and free of
+      // dv'd buckets is cold without its segment ever parsing, and the
+      // commit below republishes it verbatim on the same attestation;
+      // O(untight + dv-intersecting refs), never O(live files). The
+      // files-list marker (pre-r14) and legacy inline manifests keep
+      // the full-resolution path.
+      val refLocal = mk.gen >= 0 && m.filesEager == null
+      val (hot: Seq[(String, Int)], skippedRefs: Set[String]) =
+        if (refLocal) {
+          val (skip, load) = m.segments.partition(r =>
+            r.zg == mk.gen && !r.buckets.exists(dvBuckets))
+          lastZIncrRefs = Some((load.size, skip.size))
+          val h = load.flatMap(r =>
+            liveEntries(r, loadSegment(spark, root, r.path)))
+            .filterNot(e => e.zg == mk.gen && !dvBuckets(e.bucket))
+            .map(e => (e.path, e.bucket))
+          (h, skip.map(_.path).toSet)
+        } else {
+          lastZIncrRefs = None
+          val tight = mk.files.toSet
+          (m.files.filterNot { case (p, b) =>
+            tight(p) && !dvBuckets(b) }, Set.empty[String])
+        }
       if (hot.isEmpty && m.dvFiles.isEmpty) m.version
       else {
         val cur = applyDv(spark, root, m,
@@ -1879,11 +2016,18 @@ object LakeTable {
           sortExprs = Seq(zValue(ranged)))
         // delta commit: the re-laid hot files retire BY PATH from their
         // refs; untouched refs (wholly z-tight, no vectors) republish
-        // verbatim without a segment load
+        // verbatim without a segment load. Gen markers stamp the fresh
+        // entries inside this one atomic commit — no marker write at
+        // all, hence no crash window between manifest and marker.
         val next = commitDelta(spark, root, m.copy(version = slot,
-          txn = None, dvFiles = Nil), Set.empty, fresh, dead = hot)
-        writeZMarker(spark, root, ZMarker(next.version, mk.zCols, mk.axes,
-          (cold ++ fresh).map(_._1)))
+          txn = None, dvFiles = Nil), Set.empty, fresh, dead = hot,
+          zGen = mk.gen, untouchedRefs = skippedRefs)
+        if (mk.gen < 0) {
+          val hotSet = hot.map(_._1).toSet
+          writeZMarker(spark, root, ZMarker(next.version, mk.zCols,
+            mk.axes,
+            (m.files.filterNot(f => hotSet(f._1)) ++ fresh).map(_._1)))
+        }
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
       }
@@ -2038,11 +2182,17 @@ object LakeTable {
       // same file list, new column declarations: every carried segment
       // is cols-mismatched, so the whole table re-measures into one
       // fresh segment (a scan, not a rewrite — data untouched; resolving
-      // the full file list is inherent to this declared-O(table) op)
+      // the full file list is inherent to this declared-O(table) op).
+      // z stamps survive the re-measure: the FILES are unchanged, so
+      // their tightness is too (losing the stamps here would make the
+      // next incremental pass rewrite a perfectly tight table)
+      val zgKnown = m.segments.flatMap(r =>
+        liveEntries(r, loadSegment(spark, root, r.path))
+          .collect { case e if e.zg >= 0 => e.path -> e.zg }).toMap
       val next = commitDelta(spark, root, m.copy(version = slot,
         txn = None, statsCols = statsCols, bloomCols = bloomCols,
         ndvCols = ndvCols, filesEager = null, segments = Nil),
-        Set.empty, fresh = m.files)
+        Set.empty, fresh = m.files, zgKnown = zgKnown)
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
     }
@@ -2491,7 +2641,8 @@ object LakeTable {
         val fresh = writeFiles(spark, root, cur, m.keys, m.numBuckets,
           m.sortCols, m.maxRecordsPerFile, sortExprs = zExprs)
         val next = commitDelta(spark, root, m.copy(version = slot,
-          txn = None, dvFiles = Nil), replaced = dvB, fresh = fresh)
+          txn = None, dvFiles = Nil), replaced = dvB, fresh = fresh,
+          zGen = zGenOf(mk))
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -3434,7 +3585,7 @@ object LakeTable {
         val next = commitDelta(spark, root, m.copy(version = slot,
           txn = None,
           dvFiles = m.dvFiles.filterNot { case (_, b) => fat(b) }),
-          replaced = fat, fresh = fresh)
+          replaced = fat, fresh = fresh, zGen = zGenOf(mk))
         carryZMarker(spark, root, mk, next, fresh.map(_._1))
         if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
         next.version
@@ -3458,22 +3609,36 @@ object LakeTable {
     require(maxAgeMillis >= 0, s"maxAgeMillis must be >= 0, got $maxAgeMillis")
     val fs = hfs(spark, root)
     val cutoff = System.currentTimeMillis - maxAgeMillis
+    // publish timestamps are monotone in slot order only on ONE clock; a
+    // multi-host writer set skews them, so a newer slot can carry an
+    // older stamp. The walk may only stop once a stamp is older than the
+    // cutoff by MORE than the skew bound (`graft.lake.vacuumClockSkewMs`,
+    // default 5 min — NTP-disciplined fleets sit far under it): any slot
+    // below one stamped before `cutoff - skew` published earlier in real
+    // time, so its own stamp is < cutoff and it is genuinely out of
+    // window. Slots stamped inside the margin don't count as recent (the
+    // window is exact) but don't end the walk either — a skewed
+    // in-window slot may still sit below them. Still O(window + slots in
+    // the skew margin) small reads, never a deletion inside the window.
+    val skewMs = spark.sparkContext.hadoopConfiguration
+      .getLong("graft.lake.vacuumClockSkewMs", 300000L)
     val tsOf = "\"ts\":(\\d+)".r
-    // newest-first with early stop: publish timestamps are monotone in
-    // slot order on one clock (a slot renders only after its listing saw
-    // the slot below published), so the first out-of-window manifest
-    // ends the count — O(window) small reads, not O(all versions)
+    // keep down to the DEEPEST in-window slot: a margin-stamped slot
+    // sitting ABOVE an in-window one is inside the keep span by position
+    // (vacuum keeps the newest k slots, not a stamp-selected subset)
+    var walked = 0
     var recent = 0
     val it = versions(fs, root).sorted.reverseIterator
     var stop = false
     while (it.hasNext && !stop) {
       val v = it.next()
+      walked += 1
       val in = fs.open(new Path(root, s"_versions/$v.json"))
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      if (tsOf.findFirstMatchIn(s).map(_.group(1).toLong)
-          .getOrElse(0L) >= cutoff) recent += 1
-      else stop = true
+      val ts = tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      if (ts >= cutoff) recent = walked
+      else if (ts < cutoff - skewMs) stop = true
     }
     vacuum(spark, root, math.max(1, recent))
   }
@@ -3567,15 +3732,27 @@ object LakeTable {
         }
       }
       // prune dirs emptied of parquet files (metadata stragglers included)
-      // — unless anything inside is younger than the grace window (a
-      // delivery's write job may be mid-flight in this very dir)
-      for (sub <- fs.listStatus(dataDir)) {
-        val left = fs.listStatus(sub.getPath).flatMap {
+      // — unless anything inside OR the directory tree itself is younger
+      // than the grace window: `left.forall(aged)` is vacuously true for
+      // a just-created still-EMPTY dir, but that dir is exactly where an
+      // in-flight write job is about to land its files, so the dir's own
+      // (and each bucket subdir's) FileStatus must pass the age gate too.
+      // The prune cutoff is stamped AFTER the file sweep above: deleting
+      // a parquet freshens its parent dir's mtime, and measuring that
+      // against the entry-time cutoff would make this pass spare every
+      // dir it just emptied (under a real grace window the freshened dir
+      // waits one vacuum cycle — empty debris, nothing references it)
+      val pruneCutoff = System.currentTimeMillis - graceMs
+      def agedP(st: FileStatus): Boolean =
+        st.getModificationTime <= pruneCutoff
+      for (sub <- fs.listStatus(dataDir) if agedP(sub)) {
+        val kids = fs.listStatus(sub.getPath)
+        val left = kids.flatMap {
           case d if d.isDirectory => fs.listStatus(d.getPath).toSeq
           case f => Seq(f)
         }
         if (!left.exists(_.getPath.getName.endsWith(".parquet")) &&
-            left.forall(aged))
+            kids.forall(agedP) && left.forall(agedP))
           fs.delete(sub.getPath, true)
       }
     }

@@ -175,7 +175,27 @@ object LakeTxnCdfGroupSource {
           .exists(_.txn.contains(p))
       }
     }
-    val c = Array.tabulate(n)(i => math.max(h(i), prev(i)))
+    // an offset must land on a LIVE slot (or stay at `prev`, live by
+    // induction): getBatch serves it through changes()/read(), which
+    // require committed visibility — a cut clamped onto an aborted or
+    // in-flight txn slot would throw there, and the offset may already
+    // be checkpointed, wedging the stream. Walk down past non-live
+    // slots; cheap in practice (undecided slots form a top suffix of
+    // the chain, and aborted mid-chain slots are rare one-step hops).
+    def liveAtOrBelow(root: String, floor: Long, v: Long): Long = {
+      if (v <= floor) return floor
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      LakeTable.versions(fs, root)
+        .filter(x => x > floor && x <= v).sorted.reverseIterator
+        .find(x => scala.util.Try(LakeTable.manifestAt(spark, root, x))
+          .toOption.exists(LakeTable.liveOf(spark, _)))
+        .getOrElse(floor)
+    }
+    // initial candidates normalize too: the caller's rate cap `prev + n`
+    // is a raw slot number that can land on a dead slot just like a clamp
+    val c = Array.tabulate(n)(i =>
+      liveAtOrBelow(roots(i), prev(i), math.max(h(i), prev(i))))
     var changed = true
     while (changed) {
       changed = false
@@ -188,7 +208,7 @@ object LakeTxnCdfGroupSource {
           siblingAbove(roots(j), p, from).exists(_ > c(j))
         }
         if (torn) {
-          val clamped = math.max(prev(i), v - 1)
+          val clamped = liveAtOrBelow(roots(i), prev(i), v - 1)
           if (clamped < c(i)) { c(i) = clamped; changed = true }
         }
       }

@@ -565,4 +565,38 @@ class LakeCdfStreamSpec extends SparkTestBase {
     graft.streaming.LakeTxnCdfPairSource.consistentCut(spark, a, b,
       h0(0), h0(1), h1(0), h1(1)) shouldBe ((h1(0), h1(1)))
   }
+
+  test("consistentCutN clamps onto a LIVE slot — never an aborted one getBatch can't serve") {
+    val (a, b) = initPair()
+    val h0A = LakeTable.manifest(spark, a).version
+    val h0B = LakeTable.manifest(spark, b).version
+    // a dead slot right below the transaction: the naive v-1 clamp target
+    intercept[RuntimeException] {
+      graft.sinks.LakeTxn.atomically(spark, a) { t =>
+        t.merge(a, Seq((8L, 88.0)).toDF("fk", "amt"))
+        sys.error("abort after staging")
+      }
+    }
+    graft.sinks.LakeTxn.atomically(spark, a) { t =>
+      t.merge(a, Seq((3L, 999.0)).toDF("fk", "amt"))
+      t.merge(b, Seq((2L, "MOVED")).toDF("dk", "seg"))
+    }
+    val vA = LakeTable.manifest(spark, a).version
+    val vB = LakeTable.manifest(spark, b).version
+    vA shouldBe h0A + 2 // the aborted slot occupies h0A + 1
+    // B's candidate excludes its member, so A clamps below vA — but slot
+    // vA-1 is the ABORTED one: an offset there wedges the stream (the
+    // checkpointed cut feeds changes()/read(), which demand liveness).
+    // The clamp must walk down to the live slot below.
+    val cut = graft.streaming.LakeTxnCdfGroupSource.consistentCutN(spark,
+      Seq(a, b), IndexedSeq(h0A, h0B), IndexedSeq(vA, vB - 1))
+    cut shouldBe IndexedSeq(h0A, vB - 1)
+    noException should be thrownBy
+      LakeTable.manifest(spark, a, Some(cut(0)))
+    // a rate cap hands the cut RAW slot numbers (prev + n) that can land
+    // on the dead slot directly: the initial candidates normalize too
+    graft.streaming.LakeTxnCdfGroupSource.consistentCutN(spark,
+      Seq(a, b), IndexedSeq(h0A - 1, h0B), IndexedSeq(h0A + 1, h0B))
+      .shouldBe(IndexedSeq(h0A, h0B))
+  }
 }

@@ -515,21 +515,20 @@ class LakeTableSpec extends SparkTestBase {
     ids() shouldBe want0
     // recovered: tight table, auto is a no-op again
     LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe v2
-    // CASE 2 — an INCREMENTAL pass dies in the same window: the chain
-    // head is the previous marker, whose file list names the carried
-    // cold files (still live — they stay members by path) plus the
-    // rewritten buckets' predecessors (dead — intersection drops them).
-    // The next pass re-lays only the replacement files: convergent, no
-    // stall, never a wrong prune.
+    // CASE 2 — the INCREMENTAL pass has NO such window anymore: the
+    // tightness stamps ride the atomic manifest commit itself (segment
+    // entries, [[SegEntry.zg]]), so there is no second marker write to
+    // lose — the newest marker stays the bootstrap's O(1) layout record
+    // and the chain is convergent by construction.
     val zf = LakeTable.manifest(spark, root).files
     LakeTable.merge(spark, root, grid(spark.range(4096, 4160).toDF("id"))
       .filter(pmod(hash(col("id")), lit(2)) === 1))
     val v3 = LakeTable.optimizeZOrderIncremental(spark, root)
-    killMarker(v3)
-    val v4 = LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
-    v4 should be > v3
-    // bucket 0 never went stale across EITHER pass: carried by path
-    // through the crash recovery (the marker's cold members stayed live)
+    v3 should be > v2
+    // nothing landed under _zorder for v3 — nothing a crash could lose
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_zorder", s"$v3.json")) shouldBe false
+    // bucket 0 never went stale: carried by path, stamps intact
     val cold = zf.filter(_._2 == 0)
     cold should not be empty
     cold.foreach(f => LakeTable.manifest(spark, root).files should contain(f))
@@ -537,19 +536,68 @@ class LakeTableSpec extends SparkTestBase {
       .filter(pmod(hash(col("id")), lit(2)) === 1)
       .select("id").collect().map(_.getLong(0))
     ids() shouldBe want1
-    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe v4
+    // tight: auto is a no-op — the commit-resident stamps ARE the state
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe v3
     // CASE 3 — a MAINTENANCE rewrite (layout-preserving compactDeletes)
-    // dies after publishing its manifest but before carryZMarker: the
-    // stale head now names files the compaction replaced. Same recovery
-    // — membership is a property of the PATH, dead paths drop out, the
-    // compacted output (z-sorted already) is re-admitted by one
-    // incremental pass.
+    // also stamps its z-sorted output inside its own atomic commit: no
+    // trailing carryZMarker write exists to lose (pre-r14 this was a
+    // real crash window — stale marker, one recovery rewrite), and the
+    // compacted table is immediately tight
     LakeTable.deleteMor(spark, root, Seq(10L, 20L).toDF("id"))
-    LakeTable.compactDeletes(spark, root)
-    killMarker(LakeTable.manifest(spark, root).version)
-    val v5 = LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
+    val v5 = LakeTable.compactDeletes(spark, root)
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_zorder", s"$v5.json")) shouldBe false
     ids() shouldBe (want1 - 10L - 20L)
     LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe v5
+  }
+
+  test("z layout is segment-resident: O(1) marker, ref-local incremental derivation, verbatim tight refs") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, shiftright}
+    val root = newRoot()
+    def grid(r: org.apache.spark.sql.DataFrame) = r.select(col("id"),
+      (col("id") % 64).alias("x"), shiftright(col("id"), 6).alias("y"))
+    LakeTable.init(grid(spark.range(4096).toDF("id")), root, Seq("id"),
+      numBuckets = 4, sortCols = Seq("x"), statsCols = Seq("x", "y"),
+      maxRecordsPerFile = 256L)
+    val v1 = LakeTable.optimizeZOrder(spark, root, Seq("x", "y"))
+    // the marker names the LAYOUT, not the files — O(1) bytes at any
+    // table size (the pre-r14 form listed every z-tight file)
+    val mkJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_zorder", s"$v1.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    mkJson should include(""""gen":""")
+    mkJson should include(""""files":[]""")
+    // every fresh ref is wholly stamped: the manifest carries the
+    // tightness summary (zg) the next pass skips whole refs with
+    LakeTable.manifest(spark, root).segments.foreach(_.zg shouldBe v1)
+    // a one-bucket delivery: the incremental pass parses ONLY the
+    // delivery's ref — the init ref never loads (no dv'd bucket), and
+    // the commit republishes it VERBATIM on the same attestation
+    val ins = grid(spark.range(4096, 5120).toDF("id"))
+      .filter(pmod(hash(col("id")), lit(4)) === 1)
+    LakeTable.merge(spark, root, ins)
+    val v2 = LakeTable.optimizeZOrderIncremental(spark, root)
+    LakeTable.lastZIncrRefs shouldBe Some((1, 1)) // (parsed, skipped)
+    LakeTable.lastCommitRefs shouldBe Some((1, 1)) // (shrunk, verbatim)
+    // the re-laid delivery joined the stamped set inside that one commit
+    LakeTable.manifest(spark, root).segments.foreach(_.zg shouldBe v1)
+    // steady state: everything tight, NOTHING parses, no-op
+    LakeTable.optimizeZOrderIncremental(spark, root) shouldBe v2
+    LakeTable.lastZIncrRefs shouldBe Some((0, 2))
+    // content stayed exact throughout
+    val want = (0L until 4096L).toSet ++
+      ins.select("id").collect().map(_.getLong(0)).toSet
+    LakeTable.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet shouldBe want
+    // and the clone carries the layout as the same O(1) record: the
+    // copied entries keep their stamps, so the branch's first
+    // incremental pass is ref-local too (and a no-op: all tight)
+    val dst = newRoot() + "-clone"
+    LakeTable.cloneShallow(spark, root, dst)
+    LakeTable.optimizeZOrderIncremental(spark, dst) shouldBe 0L
+    // the clone's one commit consolidated the entries into one ref —
+    // wholly stamped, so nothing parses there either
+    LakeTable.lastZIncrRefs shouldBe Some((0, 1))
   }
 
   test("optimizeZOrderAuto survives alterIndexing re-declaring statsCols under a live marker") {
@@ -893,5 +941,86 @@ class LakeTableSpec extends SparkTestBase {
     } finally conf.setLong("graft.lake.vacuumGraceMs", 0L)
     // the table itself was never touched
     rows(LakeTable.read(spark, root)) shouldBe rows(base)
+  }
+
+  test("vacuumOlderThan survives clock skew: a skew-stamped slot neither ends the walk nor evicts the in-window slot below it") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2)            // v0
+    LakeTable.merge(spark, root, Seq((1L, "A", 1.0)).toDF("id", "name", "score")) // v1
+    LakeTable.merge(spark, root, Seq((2L, "B", 2.0)).toDF("id", "name", "score")) // v2
+    LakeTable.merge(spark, root, Seq((3L, "C", 3.0)).toDF("id", "name", "score")) // v3
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(v: Long, ts: Long): Unit = {
+      val p = new Path(root, s"_versions/$v.json")
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(s.replaceAll("\"ts\":\\d+", s""""ts":$ts""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // multi-host skew: v2 (a slow-clock writer) stamps BELOW the cutoff
+    // while the OLDER slot v1 (a fast-clock writer) stamps inside the
+    // window; v0 is genuinely ancient (past the skew margin)
+    val now = System.currentTimeMillis
+    stamp(0L, now - 400000L) // beyond cutoff - skew: ends the walk
+    stamp(1L, now)           // in window, sitting BELOW the skewed slot
+    stamp(2L, now - 70000L)  // out of window by its stamp, inside margin
+    stamp(3L, now)
+    LakeTable.vacuumOlderThan(spark, root, 60000L)
+    // the walk must not stop at v2 (pre-fix it did, vacuuming v1 — a
+    // version inside maxAgeMillis); v1 stays, and v2 above it stays by
+    // position; only the genuinely ancient v0 goes
+    LakeTable.versions(fs, root) shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("vacuum's empty-dir prune is age-gated on the DIRECTORY itself: a just-mkdir'd still-empty data dir survives") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exactly what an in-flight write job does first: mkdir its fresh
+    // uuid data dir (files land moments later) — empty, so every
+    // children-based age check is vacuously true
+    val inFlight = new Path(root, s"data/${java.util.UUID.randomUUID}")
+    fs.mkdirs(inFlight)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setLong("graft.lake.vacuumGraceMs", 60000L)
+    try {
+      LakeTable.vacuum(spark, root, keepLast = 10)
+      fs.exists(inFlight) shouldBe true // spared: younger than the grace
+      // aged past the window with still nothing inside = abandoned mkdir
+      val old = System.currentTimeMillis - 120000L
+      fs.setTimes(inFlight, old, old)
+      LakeTable.vacuum(spark, root, keepLast = 10)
+      fs.exists(inFlight) shouldBe false
+    } finally conf.setLong("graft.lake.vacuumGraceMs", 0L)
+    rows(LakeTable.read(spark, root)) shouldBe rows(base)
+  }
+
+  test("refSummary: an interior 0-compare tie doesn't decline an unambiguous extremum; a tie AT the extremum still does") {
+    import org.apache.spark.sql.types.LongType
+    def e(mn: String): LakeTable.SegEntry = LakeTable.SegEntry(
+      s"p-$mn", 0, 1L, 1L, IndexedSeq(Some(mn)), IndexedSeq(Some(mn)),
+      IndexedSeq.empty, IndexedSeq.empty)
+    // 2^53 and 2^53 + 1 are distinct longs whose double views compare 0
+    // — the beyond-double-precision tie the decline discipline exists for
+    val tieA = "9007199254740992"; val tieB = "9007199254740993"
+    // the tie is INTERIOR to the scan (the true min "1" comes last):
+    // order-dependent detection declined this; the extremum is unambiguous
+    LakeTable.refSummary(Seq(e(tieB), e(tieA), e("1")), LongType, 0, -1)
+      .shouldBe(Some("1"))
+    // same entries, any order — order independence is the contract
+    LakeTable.refSummary(Seq(e("1"), e(tieB), e(tieA)), LongType, 0, -1)
+      .shouldBe(Some("1"))
+    // but a tie AT the final extremum is genuinely unorderable: decline
+    LakeTable.refSummary(Seq(e(tieB), e(tieA)), LongType, 0, -1)
+      .shouldBe(None)
+    LakeTable.refSummary(Seq(e("1"), e(tieA), e(tieB)), LongType, 0, 1)
+      .shouldBe(None)
+    // and the max side sees the interior tie the same way
+    LakeTable.refSummary(Seq(e(tieA), e(tieB), e("99007199254740993")),
+      LongType, 0, 1).shouldBe(Some("99007199254740993"))
   }
 }
