@@ -2086,6 +2086,68 @@ object SparkEntry {
         "ts_ok").orderBy(org.apache.spark.sql.functions.desc("version"))
     }),
 
+    // Age-based retention (sinks/LakeTable.scala vacuumOlderThan — the
+    // "keep 7 days of time travel" operator surface) under multi-host
+    // clock skew. Lifecycle: init + three merges, then the publish
+    // stamps are FORGED onto different writer clocks — v0 ancient
+    // (beyond the skew margin), v1 inside the window, v2 stamped
+    // slightly out-of-window by a slow clock while sitting ABOVE v1,
+    // v3 fresh — and a 60 s window is vacuumed. The contract pinned:
+    // the skewed stamp neither ends the newest-first walk (v1, a
+    // version INSIDE maxAgeMillis, must survive and still time-travel)
+    // nor evicts by stamp (v2 is kept by position); only the genuinely
+    // ancient v0 goes. The oracle recomputes the head (sequential
+    // upserts, later merge wins) and the v1 snapshot from raw orders.
+    "q_lake_retention" -> ((s, dir) => {
+      import s.implicits._
+      val root = System.getProperty("java.io.tmpdir") + "/graft_lake_retn"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.sinks.LakeTable.init(orders.filter(col("o_orderkey") % 2 === 0),
+        root, Seq("o_orderkey"), numBuckets = 2)                      // v0
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000))   // v1
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 500))    // v2
+      graft.sinks.LakeTable.merge(s, root,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 700))    // v3
+      def stamp(v: Long, ts: Long): Unit = {
+        val p = new org.apache.hadoop.fs.Path(root, s"_versions/$v.json")
+        val in = fs.open(p)
+        val raw = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        fs.delete(p, false)
+        val out = fs.create(p, false)
+        try out.write(raw.replaceAll("\"ts\":\\d+", s""""ts":$ts""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      val now = System.currentTimeMillis
+      stamp(0L, now - 400000L) // ancient: past the 5 min skew margin
+      stamp(1L, now)           // in window, BELOW the skew-stamped slot
+      stamp(2L, now - 70000L)  // out-of-window stamp from a slow clock
+      stamp(3L, now)
+      graft.sinks.LakeTable.vacuumOlderThan(s, root, 60000L)
+      val kept = graft.sinks.LakeTable.versions(fs, root)
+      val head = graft.sinks.LakeTable.read(s, root)
+      val v1Rows = graft.sinks.LakeTable.read(s, root, Some(1L)).count()
+      head.agg(
+        count(lit(1)).alias("n_rows"),
+        round(sum(col("o_totalprice")), 2).alias("sum_price"))
+        .select(lit(kept.size).alias("versions_kept"),
+          lit(kept.min).cast("bigint").alias("oldest_kept"),
+          lit(kept.contains(2L)).alias("skew_slot_kept"),
+          lit(!kept.contains(0L)).alias("ancient_dropped"),
+          col("n_rows"), col("sum_price"),
+          lit(v1Rows).cast("bigint").alias("v1_rows"))
+    }),
+
     // Streaming CDC mirror (streaming/LakeCdfSource.scala + LakeStreaming
     // .mirror): the source table's versions are the stream's offsets; a
     // subscriber bootstraps from the snapshot-as-inserts batch and then
@@ -6482,6 +6544,26 @@ object SparkEntry {
         |  (CAST(0 AS BIGINT), 'committed', 2, 0, 2, FALSE, TRUE))
         |AS t(version, state, files, dv, buckets, has_txn, ts_ok)
         |ORDER BY version DESC""".stripMargin,
+
+    "q_lake_retention" ->
+      """WITH t AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 700
+        |         WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500
+        |         WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS price
+        |  FROM orders
+        |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0
+        |     OR o_orderkey % 5 = 0 OR o_orderkey % 7 = 0
+        |)
+        |SELECT 3 AS versions_kept, CAST(1 AS BIGINT) AS oldest_kept,
+        |  TRUE AS skew_slot_kept, TRUE AS ancient_dropped,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(price AS DECIMAL(18,6))) AS DOUBLE), 2)
+        |    AS sum_price,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) AS v1_rows
+        |FROM t""".stripMargin,
 
     "q_lake_compact_meta" ->
       """SELECT TRUE AS before_multi, 1 AS after_segs,

@@ -2057,35 +2057,56 @@ object LakeTable {
     * an older column list) contribute no signal rather than crashing —
     * the caller's marker validation is what rules them out.
     */
+  /** Whether the last [[axesDrifted]] answered from manifest-resident
+    * ref summaries alone (true = zero segment parses). Spec pin. */
+  private[graft] var lastDriftExact: Option[Boolean] = None
+
   private def axesDrifted(spark: SparkSession, root: String, m: Manifest,
       mk: ZMarker): Boolean = {
     val schema = StructType.fromDDL(m.schemaDdl)
-    readStats(spark, root, m.version) match {
-      case None => false
-      case Some(st) =>
-        mk.zCols.zip(mk.axes).exists { case (c, (mn, mx)) =>
-          val i = m.statsCols.indexOf(c)
-          if (i < 0) false
-          else {
-            // parse a zone string into the column's z-numeric space
-            // (where the frozen axes live); None = no exact form
-            val toNum: String => Option[Double] = schema(c).dataType match {
-              case _: NumericType => s => s.toDoubleOption
-              case _: DateType => s => scala.util.Try(
-                java.time.LocalDate.parse(s).toEpochDay * 86400d).toOption
-              case _ => _ => None
-            }
-            val los = st.values.flatMap(_.mins.lift(i).flatten).flatMap(toNum)
-            val his = st.values.flatMap(_.maxs.lift(i).flatten).flatMap(toNum)
-            if (los.isEmpty || his.isEmpty) false
-            else {
-              val (lo, hi) = (los.min, his.max)
-              val w = mx - mn
-              if (w <= 0d) hi > lo
-              else lo < mn - w / 2 || hi > mx + w / 2
-            }
-          }
+    // O(refs) fast path: when every ref carries an EXACT zone summary
+    // (r13+ commits), the current table range folds from the manifest
+    // with ZERO segment parses — the scheduled auto pass's drift check
+    // then costs one manifest read at any table size. Pre-r13 refs carry
+    // conservative superset summaries (an overstated range would force a
+    // spurious full rewrite), so they take the entry-resolving path.
+    // (A declined-tie None summary is invisible here: ties that decline
+    // are beyond double precision, identical in z-numeric space.)
+    val exact = m.segments.nonEmpty && m.segments.forall(_.exactSummary)
+    lastDriftExact = Some(exact)
+    lazy val entryStats = readStats(spark, root, m.version)
+    if (!exact && entryStats.isEmpty) return false
+    mk.zCols.zip(mk.axes).exists { case (c, (mn, mx)) =>
+      val i = m.statsCols.indexOf(c)
+      if (i < 0) false
+      else {
+        // parse a zone string into the column's z-numeric space
+        // (where the frozen axes live); None = no exact form
+        val toNum: String => Option[Double] = schema(c).dataType match {
+          case _: NumericType => s => s.toDoubleOption
+          case _: DateType => s => scala.util.Try(
+            java.time.LocalDate.parse(s).toEpochDay * 86400d).toOption
+          case _ => _ => None
         }
+        val (losRaw, hisRaw) =
+          if (exact)
+            (m.segments.flatMap(_.mins.lift(i).flatten),
+              m.segments.flatMap(_.maxs.lift(i).flatten))
+          else {
+            val st = entryStats.get
+            (st.values.flatMap(_.mins.lift(i).flatten).toSeq,
+              st.values.flatMap(_.maxs.lift(i).flatten).toSeq)
+          }
+        val los = losRaw.flatMap(toNum)
+        val his = hisRaw.flatMap(toNum)
+        if (los.isEmpty || his.isEmpty) false
+        else {
+          val (lo, hi) = (los.min, his.max)
+          val w = mx - mn
+          if (w <= 0d) hi > lo
+          else lo < mn - w / 2 || hi > mx + w / 2
+        }
+      }
     }
   }
 

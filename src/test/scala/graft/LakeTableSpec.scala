@@ -661,6 +661,9 @@ class LakeTableSpec extends SparkTestBase {
     // the boundary z bucket forever
     LakeTable.merge(spark, root, days(spark.range(8192, 8256).toDF("id"), 365))
     LakeTable.optimizeZOrderAuto(spark, root, Seq("d", "y"))
+    // the drift check answered from EXACT manifest ref summaries alone —
+    // zero segment parses on the scheduled-maintenance path
+    LakeTable.lastDriftExact shouldBe Some(true)
     val m2 = LakeTable.manifest(spark, root)
     m1.files.toSet.intersect(m2.files.toSet) shouldBe empty
     // the refreshed axes serve the widened window exactly, with pruning
