@@ -168,7 +168,9 @@ object Scratch {
     leg("incremental") { LakeTable.optimizeZOrderIncremental(spark, root) }
     val m = LakeTable.manifest(spark, root)
     println(s"[scratch] zincr files=$before->${m.files.size}")
+    println(s"[scratch] zincr refs(parsed,skipped)=${LakeTable.lastZIncrRefs}")
     leg("incremental_noop") { LakeTable.optimizeZOrderIncremental(spark, root) }
+    println(s"[scratch] zincr noop refs(parsed,skipped)=${LakeTable.lastZIncrRefs}")
     leg("full_again") {
       LakeTable.optimizeZOrder(spark, root, Seq("l_partkey", "l_suppkey"))
     }
