@@ -1574,13 +1574,20 @@ object LakeTable {
     // a full re-optimize. Intersected with THIS version's files: the
     // source head's marker may be newer than the cloned snapshot.
     readZMarker(spark, srcRoot).foreach { mk =>
-      if (mk.gen >= 0)
+      if (mk.gen >= 0) {
         // gen marker: membership rides the copied segment entries' own
         // stamps (`known` carried them verbatim) — the clone's marker is
-        // the same O(1) layout record
-        writeZMarker(spark, dstRoot,
-          ZMarker(0L, mk.zCols, mk.axes, Nil, mk.gen))
-      else {
+        // the same O(1) layout record. Copied ONLY when the cloned
+        // SNAPSHOT actually carries the generation (the source head's
+        // marker may postdate a pinned older version): a marker claiming
+        // a layout the entries never had would make the branch's first
+        // incremental pass a silent full rewrite under foreign axes —
+        // with no marker it refuses loudly, exactly like pre-optimize
+        // source versions always did.
+        if (known.values.exists(_.zg == mk.gen))
+          writeZMarker(spark, dstRoot,
+            ZMarker(0L, mk.zCols, mk.axes, Nil, mk.gen))
+      } else {
         val live = m.files.map(_._1).toSet
         val kept = mk.files.filter(live).map(abs)
         if (kept.nonEmpty)
@@ -2065,18 +2072,19 @@ object LakeTable {
       mk: ZMarker): Boolean = {
     val schema = StructType.fromDDL(m.schemaDdl)
     // O(refs) fast path: when every ref carries an EXACT zone summary
-    // (r13+ commits), the current table range folds from the manifest
-    // with ZERO segment parses — the scheduled auto pass's drift check
-    // then costs one manifest read at any table size. Pre-r13 refs carry
-    // conservative superset summaries (an overstated range would force a
-    // spurious full rewrite), so they take the entry-resolving path.
-    // (A declined-tie None summary is invisible here: ties that decline
-    // are beyond double precision, identical in z-numeric space.)
+    // (r13+ commits) AND covers the probed column (a None summary could
+    // be a declined beyond-double tie, not just all-NULL — dropping that
+    // ref would LOSE its extremum and silently miss real drift), the
+    // current table range folds from the manifest with ZERO segment
+    // parses — the scheduled auto pass's drift check then costs one
+    // manifest read at any table size. Pre-r13 refs carry conservative
+    // superset summaries (an overstated range would force a spurious
+    // full rewrite), so they take the entry-resolving path, as does any
+    // column with a summary gap.
     val exact = m.segments.nonEmpty && m.segments.forall(_.exactSummary)
-    lastDriftExact = Some(exact)
+    var allFast = exact
     lazy val entryStats = readStats(spark, root, m.version)
-    if (!exact && entryStats.isEmpty) return false
-    mk.zCols.zip(mk.axes).exists { case (c, (mn, mx)) =>
+    val drifted = mk.zCols.zip(mk.axes).exists { case (c, (mn, mx)) =>
       val i = m.statsCols.indexOf(c)
       if (i < 0) false
       else {
@@ -2088,14 +2096,18 @@ object LakeTable {
             java.time.LocalDate.parse(s).toEpochDay * 86400d).toOption
           case _ => _ => None
         }
+        val covered = exact && m.segments.forall(r =>
+          r.mins.lift(i).flatten.isDefined && r.maxs.lift(i).flatten.isDefined)
+        if (!covered) allFast = false
         val (losRaw, hisRaw) =
-          if (exact)
+          if (covered)
             (m.segments.flatMap(_.mins.lift(i).flatten),
               m.segments.flatMap(_.maxs.lift(i).flatten))
-          else {
-            val st = entryStats.get
-            (st.values.flatMap(_.mins.lift(i).flatten).toSeq,
-              st.values.flatMap(_.maxs.lift(i).flatten).toSeq)
+          else entryStats match {
+            case Some(st) =>
+              (st.values.flatMap(_.mins.lift(i).flatten).toSeq,
+                st.values.flatMap(_.maxs.lift(i).flatten).toSeq)
+            case None => (Nil, Nil)
           }
         val los = losRaw.flatMap(toNum)
         val his = hisRaw.flatMap(toNum)
@@ -2108,6 +2120,8 @@ object LakeTable {
         }
       }
     }
+    lastDriftExact = Some(allFast)
+    drifted
   }
 
   /** The operational entry point a maintenance schedule wants: bootstrap
@@ -3632,21 +3646,26 @@ object LakeTable {
     val cutoff = System.currentTimeMillis - maxAgeMillis
     // publish timestamps are monotone in slot order only on ONE clock; a
     // multi-host writer set skews them, so a newer slot can carry an
-    // older stamp. The walk may only stop once a stamp is older than the
-    // cutoff by MORE than the skew bound (`graft.lake.vacuumClockSkewMs`,
-    // default 5 min — NTP-disciplined fleets sit far under it): any slot
-    // below one stamped before `cutoff - skew` published earlier in real
-    // time, so its own stamp is < cutoff and it is genuinely out of
-    // window. Slots stamped inside the margin don't count as recent (the
-    // window is exact) but don't end the walk either — a skewed
-    // in-window slot may still sit below them. Still O(window + slots in
-    // the skew margin) small reads, never a deletion inside the window.
+    // older stamp — in EITHER direction. The skew bound
+    // (`graft.lake.vacuumClockSkewMs`, default 5 min — NTP-disciplined
+    // fleets sit far under it) therefore cuts both ways:
+    //  - the walk may only STOP once a stamp is older than the cutoff by
+    //    more than the bound (any slot below one stamped before
+    //    `cutoff - skew` published earlier in real time, so it is
+    //    genuinely out of window);
+    //  - a slot stamped INSIDE the margin [cutoff - skew, cutoff) must
+    //    be KEPT, not just walked past: its slow-clock stamp may
+    //    understate a true publish time inside the window, and retention
+    //    errs on keeping (the cost is a few extra small manifests for
+    //    one cycle, never a lost in-window version).
+    // Set the bound to 0 on single-writer/single-clock tables for the
+    // exact window. O(window + margin) small reads either way.
     val skewMs = spark.sparkContext.hadoopConfiguration
       .getLong("graft.lake.vacuumClockSkewMs", 300000L)
     val tsOf = "\"ts\":(\\d+)".r
-    // keep down to the DEEPEST in-window slot: a margin-stamped slot
-    // sitting ABOVE an in-window one is inside the keep span by position
-    // (vacuum keeps the newest k slots, not a stamp-selected subset)
+    // keep down to the DEEPEST margin-or-better slot: anything above it
+    // is inside the keep span by position (vacuum keeps the newest k
+    // slots, not a stamp-selected subset)
     var walked = 0
     var recent = 0
     val it = versions(fs, root).sorted.reverseIterator
@@ -3658,8 +3677,8 @@ object LakeTable {
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       val ts = tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      if (ts >= cutoff) recent = walked
-      else if (ts < cutoff - skewMs) stop = true
+      if (ts >= cutoff - skewMs) recent = walked
+      else stop = true
     }
     vacuum(spark, root, math.max(1, recent))
   }

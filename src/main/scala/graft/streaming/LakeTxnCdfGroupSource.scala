@@ -184,10 +184,16 @@ object LakeTxnCdfGroupSource {
     // the chain, and aborted mid-chain slots are rare one-step hops).
     def liveAtOrBelow(root: String, floor: Long, v: Long): Long = {
       if (v <= floor) return floor
+      // direct probe first: in the uncapped steady state the candidate
+      // IS the polled live head, so this is one manifest read with no
+      // directory listing — the walk below only runs for rate-capped or
+      // clamped candidates that landed on a dead/missing slot
+      if (scala.util.Try(LakeTable.manifestAt(spark, root, v)).toOption
+          .exists(LakeTable.liveOf(spark, _))) return v
       val fs = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       LakeTable.versions(fs, root)
-        .filter(x => x > floor && x <= v).sorted.reverseIterator
+        .filter(x => x > floor && x < v).sorted.reverseIterator
         .find(x => scala.util.Try(LakeTable.manifestAt(spark, root, x))
           .toOption.exists(LakeTable.liveOf(spark, _)))
         .getOrElse(floor)

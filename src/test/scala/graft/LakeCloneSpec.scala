@@ -87,6 +87,30 @@ class LakeCloneSpec extends SparkTestBase {
     content(dst).size shouldBe (200 + ins.count())
   }
 
+  test("cloning a PRE-optimize version does not copy the head's layout marker") {
+    val (src, dst) = roots()
+    LakeTable.init(rows(1 to 200, "a"), src, Seq("id"), numBuckets = 2,
+      sortCols = Seq("x"), statsCols = Seq("x", "id"), maxRecordsPerFile = 16L)
+    // the head optimizes AFTER v0: the marker postdates the snapshot
+    LakeTable.optimizeZOrder(spark, src, Seq("id", "x"))
+    LakeTable.cloneShallow(spark, src, dst, version = Some(0L))
+    // the cloned entries carry no tightness stamps, so a copied marker
+    // would claim a layout the snapshot never had — the branch's first
+    // incremental pass would silently full-rewrite under foreign axes.
+    // Instead: no marker, and the incremental pass refuses loudly,
+    // exactly like any pre-optimize table
+    java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dst, "_zorder")) shouldBe false
+    an[RuntimeException] should be thrownBy
+      LakeTable.optimizeZOrderIncremental(spark, dst)
+    // the branch bootstraps its own layout normally
+    LakeTable.optimizeZOrder(spark, dst, Seq("id", "x"))
+    LakeTable.optimizeZOrderIncremental(spark, dst) shouldBe
+      LakeTable.manifest(spark, dst).version
+    content(dst) shouldBe rows(1 to 200, "a").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+  }
+
   test("writes diverge: clone-local files only, source untouched and vice versa") {
     val (src, dst) = roots()
     LakeTable.init(rows(1 to 50, "a"), src, Seq("id"), numBuckets = 2)

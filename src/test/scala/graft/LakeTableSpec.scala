@@ -110,14 +110,21 @@ class LakeTableSpec extends SparkTestBase {
     val windowStart = System.currentTimeMillis
     LakeTable.merge(spark, root, Seq((2L, "B!", 20.0)).toDF("id", "name", "score"))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // window covers only v2 -> v0/v1 vacuumed, head kept
-    LakeTable.vacuumOlderThan(spark, root,
-      System.currentTimeMillis - windowStart)
-    LakeTable.versions(fs, root) shouldBe Seq(2L)
-    rows(LakeTable.read(spark, root)).keySet should contain allOf (1L, 2L)
-    // a zero window still keeps the head (never vacuums the table away)
-    LakeTable.vacuumOlderThan(spark, root, 0L)
-    LakeTable.versions(fs, root) shouldBe Seq(2L)
+    // single-writer single-clock lifecycle: the skew margin is an
+    // operator knob and 0 gives the exact window (the default 5 min
+    // margin would rightly keep these milliseconds-old versions)
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.setLong("graft.lake.vacuumClockSkewMs", 0L)
+    try {
+      // window covers only v2 -> v0/v1 vacuumed, head kept
+      LakeTable.vacuumOlderThan(spark, root,
+        System.currentTimeMillis - windowStart)
+      LakeTable.versions(fs, root) shouldBe Seq(2L)
+      rows(LakeTable.read(spark, root)).keySet should contain allOf (1L, 2L)
+      // a zero window still keeps the head (never vacuums the table away)
+      LakeTable.vacuumOlderThan(spark, root, 0L)
+      LakeTable.versions(fs, root) shouldBe Seq(2L)
+    } finally conf.unset("graft.lake.vacuumClockSkewMs")
   }
 
   test("fastCount answers from metadata when exact, declines when it can't") {
@@ -600,6 +607,38 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.lastZIncrRefs shouldBe Some((0, 1))
   }
 
+  test("axes drift is still detected when a declined-tie ref summary hides the extremum") {
+    import org.apache.spark.sql.functions.col
+    val root = newRoot()
+    def gridOf(r: org.apache.spark.sql.DataFrame) = r.select(col("id"),
+      col("id").alias("x"), (col("id") % 8).alias("y"))
+    LakeTable.init(gridOf(spark.range(101).toDF("id")), root, Seq("id"),
+      numBuckets = 1, sortCols = Seq("x"), statsCols = Seq("x", "y"),
+      maxRecordsPerFile = 1L)
+    LakeTable.optimizeZOrder(spark, root, Seq("x", "y")) // axes x:[0,100]
+    val m1 = LakeTable.manifest(spark, root)
+    // a delivery whose two per-file maxes are 2^53 and 2^53+1: distinct
+    // longs whose double views compare 0, so the delivery ref's EXACT
+    // max summary declines (None) — the manifest alone no longer shows
+    // the table's true extremum, though it is ~9e13x past the axis
+    LakeTable.merge(spark, root, gridOf(
+      Seq(9007199254740992L, 9007199254740993L).toDF("id")))
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y"))
+    // the summary gap forced the drift check down to the entry path
+    // (folding only the covered refs would have reported hi=100, no
+    // drift, and quietly clamped all future data into one boundary
+    // bucket) — detected, so auto re-bootstrapped: nothing carried
+    LakeTable.lastDriftExact shouldBe Some(false)
+    val m2 = LakeTable.manifest(spark, root)
+    m1.files.toSet.intersect(m2.files.toSet) shouldBe empty
+    // refreshed axes cover the new extremum: the tight table is a no-op
+    // again (the tie still declines the summary, so the check keeps
+    // using the entry path — slower but never wrong)
+    LakeTable.optimizeZOrderAuto(spark, root, Seq("x", "y")) shouldBe
+      m2.version
+    LakeTable.read(spark, root).count() shouldBe 103L
+  }
+
   test("optimizeZOrderAuto survives alterIndexing re-declaring statsCols under a live marker") {
     import org.apache.spark.sql.functions.{col, shiftright}
     val root = newRoot()
@@ -977,6 +1016,32 @@ class LakeTableSpec extends SparkTestBase {
     // version inside maxAgeMillis); v1 stays, and v2 above it stays by
     // position; only the genuinely ancient v0 goes
     LakeTable.versions(fs, root) shouldBe Seq(1L, 2L, 3L)
+    // the symmetric direction: a margin-stamped slot with NO in-window
+    // slot below it is still KEPT — its slow-clock stamp may understate
+    // a true publish time inside the window, and retention errs on
+    // keeping (the pre-fix rule vacuumed it on its stamp alone)
+    val root2 = newRoot()
+    LakeTable.init(base, root2, Seq("id"), numBuckets = 2)              // v0
+    LakeTable.merge(spark, root2, Seq((1L, "A", 1.0)).toDF("id", "name", "score")) // v1
+    LakeTable.merge(spark, root2, Seq((2L, "B", 2.0)).toDF("id", "name", "score")) // v2
+    val fs2 = new Path(root2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp2(v: Long, ts: Long): Unit = {
+      val p = new Path(root2, s"_versions/$v.json")
+      val in = fs2.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      fs2.delete(p, false)
+      val out = fs2.create(p, false)
+      try out.write(s.replaceAll("\"ts\":\\d+", s""""ts":$ts""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val now2 = System.currentTimeMillis
+    stamp2(0L, now2 - 400000L) // beyond the margin: goes
+    stamp2(1L, now2 - 70000L)  // inside the margin, nothing in-window below
+    stamp2(2L, now2)
+    LakeTable.vacuumOlderThan(spark, root2, 60000L)
+    LakeTable.versions(fs2, root2) shouldBe Seq(1L, 2L)
   }
 
   test("vacuum's empty-dir prune is age-gated on the DIRECTORY itself: a just-mkdir'd still-empty data dir survives") {
