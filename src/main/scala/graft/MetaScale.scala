@@ -97,7 +97,8 @@ object MetaScale {
         concat(lit("t"), col("id")).alias("tag"))
       LakeTable.init(df, root, Seq("id"), numBuckets = buckets,
         sortCols = Seq("v"), statsCols = Seq("v", "id"),
-        bloomCols = Seq("tag"), maxRecordsPerFile = perFile)
+        bloomCols = Seq("tag"), ndvCols = Seq("tag"),
+        maxRecordsPerFile = perFile)
       val files0 = LakeTable.manifest(spark, root).fileCount
       val segs0 = {
         val d = new Path(root, "_segments")
@@ -129,6 +130,16 @@ object MetaScale {
         case _ => -1
       }
 
+      // NDV ask (r15): fold the per-ref merged sketches — O(refs) driver
+      // work, zero segment parses, zero Spark jobs. Runs BEFORE the MoR
+      // delete (outstanding vectors make fastNdv decline by design).
+      // Claim: flat-ish across decades (refs grow /64/4096 ≈ slowly),
+      // never O(live files).
+      val (ndvVal, ndvCpuMs, ndvAllocBytes) =
+        measured(LakeTable.fastNdv(spark, root, "tag"))
+      require(ndvVal.nonEmpty && LakeTable.lastNdvRefs.exists(_._2 == 0),
+        s"ndv ask fell off the ref path: $ndvVal ${LakeTable.lastNdvRefs}")
+
       // metadata-only commit: MoR delete of 10 keys
       LakeTable.deleteMor(spark, root,
         spark.range(10).select(col("id")))
@@ -150,11 +161,28 @@ object MetaScale {
       val warm = (System.nanoTime() - t1) / 1e6
 
       val tableMetaBytes = dirBytes(spark, root, "_segments") + manifestBytes
+
+      // vacuum (r15): the manifest walk is O(keep window) — pinned by
+      // lastVacuumManifestReads — but reclamation LISTS every data dir:
+      // declared O(table) maintenance, priced here. grace=0 so the
+      // listing + delete actually run (no writer is in flight).
+      spark.sparkContext.hadoopConfiguration
+        .setLong("graft.lake.vacuumGraceMs", 0L)
+      val vt0 = System.nanoTime()
+      val ((vacRemoved, vacWalked), vacCpuMs, _) = measured {
+        val r = LakeTable.vacuum(spark, root, keepLast = 1)
+        (r.size, LakeTable.lastVacuumManifestReads.getOrElse(-1))
+      }
+      val vacWallMs = (System.nanoTime() - vt0) / 1e6
+
       System.err.println(f"[meta] F=$files0%6d newSeg=$newSegBytes%9d " +
         f"manifest=$manifestBytes%7d mor=$morManifestBytes%7d " +
         f"fresh=$freshFiles%4d table=$tableMetaBytes%10d " +
         f"cold=$cold%8.1fms warm=$warm%8.1fms " +
-        f"mergeCpu=$mergeCpuMs%8.1fms mergeAllocMB=${mergeAllocBytes / 1e6}%7.1f")
+        f"mergeCpu=$mergeCpuMs%8.1fms mergeAllocMB=${mergeAllocBytes / 1e6}%7.1f " +
+        f"ndv=${ndvVal.get}%d ndvCpu=$ndvCpuMs%6.1fms " +
+        f"vacWall=$vacWallMs%8.1fms vacCpu=$vacCpuMs%8.1fms " +
+        f"vacRm=$vacRemoved%5d vacReads=$vacWalked%2d")
       s"""{"files":$files0,"buckets":$buckets,""" +
         s""""table_meta_bytes":$tableMetaBytes,""" +
         s""""merge_commit":{"segment_bytes":$newSegBytes,""" +
@@ -162,6 +190,12 @@ object MetaScale {
         s""""driver_cpu_ms":${f"$mergeCpuMs%.1f"},""" +
         s""""driver_alloc_bytes":$mergeAllocBytes},""" +
         s""""mor_commit":{"manifest_bytes":$morManifestBytes},""" +
+        s""""ndv_ask":{"estimate":${ndvVal.get},""" +
+        s""""driver_cpu_ms":${f"$ndvCpuMs%.1f"},""" +
+        s""""driver_alloc_bytes":$ndvAllocBytes},""" +
+        s""""vacuum":{"wall_ms":${f"$vacWallMs%.1f"},""" +
+        s""""driver_cpu_ms":${f"$vacCpuMs%.1f"},""" +
+        s""""removed_files":$vacRemoved,"manifest_reads":$vacWalked},""" +
         s""""plan_cold_ms":${f"$cold%.1f"},"plan_warm_ms":${f"$warm%.1f"}}"""
     }
     val json = s"""{"metric":"lake_meta_commit_bytes",""" +

@@ -122,10 +122,23 @@ object LakeTable {
     * with, never parsing a segment whose every file is already z-tight.
     * Recomputed on shrink exactly like the zone summary.
     */
+  /** `sks`: one merged HLL sketch per declared ndvCol, the register-max
+    * union of EXACTLY this ref's live entries' per-file sketches —
+    * [[fastNdv]] folds these in O(refs) with zero segment parses. The
+    * union is lossless at equal lgK (identical registers to a single
+    * pass over the union of the files), so the two-level fold answers
+    * exactly what the per-file union answered. Recomputed on every
+    * shrink like the zone summary; Nil (absent) on pre-r15 refs or when
+    * any covered entry is unmeasured — absence sends [[fastNdv]] down
+    * the entry-resolving path. A present-but-None position means NO
+    * live entry carries a sketch for that column (all-NULL or empty
+    * files): measured, contributing zero distinct values.
+    */
   final case class SegmentRef(path: String, buckets: Seq[Int],
       dead: Seq[Int], files: Int, rows: Long, bytes: Long,
       mins: Seq[Option[String]], maxs: Seq[Option[String]],
-      exactSummary: Boolean = false, zg: Long = -1L)
+      exactSummary: Boolean = false, zg: Long = -1L,
+      sks: Seq[Option[String]] = Nil)
 
   /** One file's complete metadata inside a segment: identity (path,
     * bucket, bytes) plus the payloads the manifest's column declarations
@@ -495,6 +508,8 @@ object LakeTable {
       s""""rows":${r.rows},"bytes":${r.bytes},""" +
       (if (r.exactSummary) """"xs":1,""" else "") +
       (if (r.zg >= 0) s""""zg":${r.zg},""" else "") +
+      (if (r.sks.nonEmpty)
+        s""""sk":[${r.sks.map(jOptStr).mkString(",")}],""" else "") +
       s""""min":[${r.mins.map(jOptStr).mkString(",")}],""" +
       s""""max":[${r.maxs.map(jOptStr).mkString(",")}]}"""
 
@@ -541,7 +556,8 @@ object LakeTable {
         Json.num(ro, "files").toInt, Json.num(ro, "rows", -1L),
         Json.num(ro, "bytes", -1L),
         Json.optStrSeq(ro, "min"), Json.optStrSeq(ro, "max"),
-        Json.num(ro, "xs") == 1L, Json.num(ro, "zg", -1L))
+        Json.num(ro, "xs") == 1L, Json.num(ro, "zg", -1L),
+        Json.optStrSeq(ro, "sk"))
     }
     Manifest(Json.num(o, "version"), Json.strSeq(o, "keys"),
       Json.num(o, "num_buckets").toInt, Json.str(o, "schema_ddl"),
@@ -966,6 +982,39 @@ object LakeTable {
     if (g >= 0 && entries.forall(_.zg == g)) g else -1L
   }
 
+  /** Ref-level merged NDV sketches over exactly `entries` (one per
+    * ndvCol): driver-side register-max union of the per-file HLL
+    * sketches. Union at equal lgK is lossless — the merged sketch's
+    * registers are IDENTICAL to a single pass over the union of the
+    * files — so [[fastNdv]]'s fold of per-ref sketches estimates
+    * exactly what the per-file union estimated. Runs where the zone
+    * summary recomputes (fresh chunks and shrinks, ≤ [[MaxSegmentEntries]]
+    * entries in hand), so the cost is O(delta files) per commit, never
+    * O(table). Nil when the table declares no ndvCols or any covered
+    * entry is unmeasured (rows < 0) — consumers treat Nil as "no ref
+    * sketch" and fall back to entry resolution. Stored compact (HLL_4,
+    * ~2 KB per (ref, col) base64): ndv sketching is opt-in per column,
+    * so only ANALYZE-asking tables pay the manifest bytes.
+    */
+  private def refSketches(entries: Seq[SegEntry],
+      nN: Int): Seq[Option[String]] = {
+    if (nN == 0 || entries.exists(_.rows < 0)) return Nil
+    val dec = java.util.Base64.getDecoder
+    val enc = java.util.Base64.getEncoder
+    (0 until nN).map { i =>
+      val per = entries.flatMap(_.sks.lift(i).flatten)
+      if (per.isEmpty) None
+      else {
+        val u = new org.apache.datasketches.hll.Union(NdvLgK)
+        per.foreach(s => u.update(org.apache.datasketches.hll.HllSketch
+          .heapify(org.apache.datasketches.memory.Memory.wrap(
+            dec.decode(s)))))
+        Some(enc.encodeToString(u.getResult(
+          org.apache.datasketches.hll.TgtHllType.HLL_4).toCompactByteArray))
+      }
+    }
+  }
+
   /** Metadata-only commit (MoR delete vectors, CDF toggle, restore): the
     * data-file list and the indexed-column declarations are untouched, so
     * every ref republishes VERBATIM — no segment is loaded, no file
@@ -1074,7 +1123,8 @@ object LakeTable {
               refSummary(keptE, schemaT(next.statsCols(i)).dataType, i, -1)),
             next.statsCols.indices.map(i =>
               refSummary(keptE, schemaT(next.statsCols(i)).dataType, i, 1)),
-            exactSummary = true, zg = refZg(keptE)))
+            exactSummary = true, zg = refZg(keptE),
+            sks = refSketches(keptE, next.ndvCols.size)))
         }
       }
     }
@@ -1136,7 +1186,8 @@ object LakeTable {
               refSummary(chunk, schema(next.statsCols(i)).dataType, i, -1)),
             next.statsCols.indices.map(i =>
               refSummary(chunk, schema(next.statsCols(i)).dataType, i, 1)),
-            exactSummary = true, zg = refZg(chunk))
+            exactSummary = true, zg = refZg(chunk),
+            sks = refSketches(chunk, next.ndvCols.size))
         }.toSeq
       }
     val toPublish = next.copy(filesEager = null,
@@ -1313,6 +1364,14 @@ object LakeTable {
       .map(e => e.path -> (e.sks: Seq[Option[String]])).toMap)
   }
 
+  /** (refs folded, per-file sketches resolved) of the last [[fastNdv]]
+    * this JVM answered — `(n, 0)` pins the O(refs) manifest-only fold
+    * (ZERO segment files parsed); a non-zero second component means the
+    * entry-resolving fallback ran (pre-r15 refs or sidecar gaps). Spec
+    * pin for the metadata-ask contract; not part of the public API.
+    */
+  private[graft] var lastNdvRefs: Option[(Int, Int)] = None
+
   /** Approximate table-level NDV of a stats column from metadata alone:
     * register-max union of the per-file HLL sketches (≈0.8% rse at
     * lgK=12) — the ANALYZE-style statistic that decides broadcast vs
@@ -1321,18 +1380,44 @@ object LakeTable {
     * (deleted rows are still in the sketches), a column not declared in
     * `ndvCols`, or a sidecar gap. Sketching is opt-in per column
     * (`ndvCols` at [[init]]/[[alterIndexing]]) so tables that never ask
-    * for ANALYZE pay zero sketch cost per commit. The union runs as one Spark aggregation over ≤|files|
-    * 2.5 KB rows — driver-bounded by construction.
+    * for ANALYZE pay zero sketch cost per commit.
+    *
+    * The steady-state ask is O(refs): every r15+ ref carries a merged
+    * sketch per ndv column ([[SegmentRef.sks]], recomputed on every
+    * shrink over exactly its live entries), and HLL union at equal lgK
+    * is lossless, so folding the ≤|refs| ref sketches driver-side gives
+    * the IDENTICAL estimate the per-file union gave — zero segment
+    * files parsed, zero Spark jobs, an NDV over 10⁷ files in
+    * milliseconds (the [[fastCount]]/[[fastMinMax]] discipline, third
+    * instance). Pre-r15 refs (no merged sketch) force the
+    * entry-resolving path below, which ships ≤|files| 2.5 KB sketch
+    * strings into one Spark aggregation — degraded but never wrong,
+    * until the next shrink re-stamps the ref.
     */
   def fastNdv(spark: SparkSession, root: String, colName: String,
       version: Option[Long] = None): Option[Long] = {
     val m = manifest(spark, root, version)
     val i = m.ndvCols.indexOf(colName)
     if (m.dvFiles.nonEmpty || i < 0) return None
+    if (m.segments.nonEmpty &&
+        m.segments.forall(r => r.rows >= 0 && r.sks.size == m.ndvCols.size)) {
+      lastNdvRefs = Some((m.segments.size, 0))
+      val per = m.segments.flatMap(_.sks(i))
+      return Some(
+        if (per.isEmpty) 0L // measured everywhere, no non-null value
+        else {
+          val u = new org.apache.datasketches.hll.Union(NdvLgK)
+          per.foreach(s => u.update(org.apache.datasketches.hll.HllSketch
+            .heapify(org.apache.datasketches.memory.Memory.wrap(b64(s)))))
+          math.round(u.getResult.getEstimate)
+        })
+    }
+    lastNdvRefs = None
     readNdv(spark, root, m.version).flatMap { sk =>
       val perFile = m.files.map(f => sk.get(f._1))
       if (perFile.exists(_.isEmpty)) None
       else {
+        lastNdvRefs = Some((0, perFile.size))
         val sketches = perFile.flatten.flatMap(_.lift(i).flatten)
         if (sketches.isEmpty) Some(0L)
         else {

@@ -219,6 +219,46 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.fastNdv(spark, bare, "name") shouldBe None
   }
 
+  test("fastNdv r15: O(refs) manifest fold — zero segment parses; pre-r15 refs fall back") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 4,
+      ndvCols = Seq("name", "score"))
+    // a delta commit: the touched refs shrink (merged sketches
+    // recomputed over kept entries), untouched refs carry theirs
+    LakeTable.merge(spark, root,
+      Seq((9L, "i", 9.0), (2L, "B!", 2.0)).toDF("id", "name", "score"))
+    // PHYSICAL proof the ask is manifest-only: hide the whole segment
+    // plane and drop the parse cache — the answer must not change,
+    // because the per-ref merged sketches live in the manifest
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(root, "_segments"), new Path(root, "_segments_aside"))
+    LakeTable.clearSegmentCache()
+    LakeTable.fastNdv(spark, root, "name") shouldBe Some(9L)
+    LakeTable.fastNdv(spark, root, "score") shouldBe Some(9L)
+    // the hook pins the fold shape: refs folded, ZERO entries resolved
+    val (folded, resolved) = LakeTable.lastNdvRefs.get
+    folded should be > 0
+    resolved shouldBe 0
+    fs.rename(new Path(root, "_segments_aside"), new Path(root, "_segments"))
+    // a pre-r15 manifest (refs without merged sketches) forces the
+    // entry-resolving path: strip the "sk" arrays from the head
+    // manifest on disk and re-ask — same answer, degraded shape
+    val head = LakeTable.manifest(spark, root).version
+    val mp = new Path(root, s"_versions/$head.json")
+    val raw = { val in = fs.open(mp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close() }
+    raw should include (""""sk":[""")
+    val stripped = raw.replaceAll(""""sk":\[[^\]]*\],""", "")
+    fs.delete(mp, false)
+    val out = fs.create(mp)
+    try out.write(stripped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    LakeTable.fastNdv(spark, root, "name") shouldBe Some(9L)
+    LakeTable.lastNdvRefs.get._2 should be > 0 // entry path ran
+  }
+
   test("timestamp time travel: readAsOf pins the snapshot live at the cutoff") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 4)
