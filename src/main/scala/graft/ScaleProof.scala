@@ -113,7 +113,10 @@ object ScaleProof {
     // drift alarm (two index builds + four delta measurements per run)
     "q_lake_txn_mirror", "q_ann_drift_alarm",
     // r13: the N-table (fact+dim+bridge) consistent-cut mirror lifecycle
-    "q_lake_txn_mirror3")
+    "q_lake_txn_mirror3",
+    // r15: the clock-skew-safe vacuum lifecycle (joined the board r14
+    // without a scale entry)
+    "q_lake_retention")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

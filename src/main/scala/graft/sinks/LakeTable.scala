@@ -2018,13 +2018,23 @@ object LakeTable {
         maxRecordsPerFile = m.maxRecordsPerFile,
         sortExprs = Seq(zValue(ranged)))
       // full rewrite: every carried ref drops, one full segment measured;
-      // the fresh entries stamp the NEW generation (= this version), and
-      // the marker records only the layout — O(1) bytes at any table size
+      // the fresh entries stamp the NEW generation, and the marker
+      // records only the layout — O(1) bytes at any table size. The
+      // generation is the slot, advanced PAST any generation this table
+      // has ever recorded: a shallow clone inherits the source's stamps
+      // while its own version counter restarts at 0, so a clone-local
+      // optimize landing on the inherited gen's slot number would
+      // otherwise mint an identical gen under new axes — and a restore
+      // to a pre-optimize clone version would then falsely count
+      // source-layout entries tight, silently starving the incremental
+      // pass (layout staleness only, but permanent).
+      val gen = math.max(slot,
+        readZMarker(spark, root).map(_.gen + 1L).getOrElse(0L))
       val next = commitDelta(spark, root, m.copy(version = slot,
         txn = None, filesEager = null, segments = Nil, dvFiles = Nil),
-        Set.empty, files, zGen = slot)
+        Set.empty, files, zGen = gen)
       writeZMarker(spark, root, ZMarker(next.version, zCols,
-        ranged.map { case (_, mn, mx) => (mn, mx) }, Nil, gen = slot))
+        ranged.map { case (_, mn, mx) => (mn, mx) }, Nil, gen = gen))
       if (m.cdfRecord) writeCdfMarker(spark, root, next.version, Nil)
       next.version
     }
@@ -3748,24 +3758,32 @@ object LakeTable {
     val skewMs = spark.sparkContext.hadoopConfiguration
       .getLong("graft.lake.vacuumClockSkewMs", 300000L)
     val tsOf = "\"ts\":(\\d+)".r
-    // keep down to the DEEPEST margin-or-better slot: anything above it
-    // is inside the keep span by position (vacuum keeps the newest k
-    // slots, not a stamp-selected subset)
-    var walked = 0
-    var recent = 0
+    // keep down to the DEEPEST margin-or-better slot. The count handed
+    // to vacuum is in vacuum's OWN currency — LIVE (committed-visible)
+    // slots, its keep-walk classification — so only in-window live slots
+    // advance it: counting raw walked slots (the pre-r15 form) inflated
+    // the keep window by every aborted/in-flight transaction slot the
+    // window contained, retaining live versions OLDER than the requested
+    // age (over-retention only, never loss — but a retention contract
+    // should mean what it says). Aborted slots in the window need no
+    // count of their own (dead everywhere, vacuum reclaims them at any
+    // keepLast); in-flight slots are protected unconditionally inside
+    // vacuum, counted or not.
+    var liveInWindow = 0
     val it = versions(fs, root).sorted.reverseIterator
     var stop = false
     while (it.hasNext && !stop) {
       val v = it.next()
-      walked += 1
       val in = fs.open(new Path(root, s"_versions/$v.json"))
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       val ts = tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
-      if (ts >= cutoff - skewMs) recent = walked
-      else stop = true
+      if (ts >= cutoff - skewMs) {
+        if (parse(s).txn.forall(p => txnOutcome(spark, p).contains(true)))
+          liveInWindow += 1
+      } else stop = true
     }
-    vacuum(spark, root, math.max(1, recent))
+    vacuum(spark, root, math.max(1, liveInWindow))
   }
 
   /** Manifest files read by the last [[vacuum]] this JVM ran — spec pin

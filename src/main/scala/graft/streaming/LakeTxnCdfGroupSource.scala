@@ -77,8 +77,12 @@ class LakeTxnCdfGroupSource(spark: SparkSession, roots: Seq[String],
         math.min(x, p + n) }
       case _ => h1
     }
+    // h1 is live by construction — each component is either the polled
+    // live head or the prepare-time cap (a live head when captured, and
+    // slot liveness is immutable) — so the cut skips its direct probe
+    // whenever the rate cap didn't lower the candidate below it
     consistentCutN(spark, roots,
-      base.getOrElse(IndexedSeq.fill(roots.size)(-1L)), h)
+      base.getOrElse(IndexedSeq.fill(roots.size)(-1L)), h, knownLive = h1)
   }
 
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
@@ -153,7 +157,8 @@ object LakeTxnCdfGroupSource {
     * consistent and immutable).
     */
   private[graft] def consistentCutN(spark: SparkSession, roots: Seq[String],
-      prev: IndexedSeq[Long], h: IndexedSeq[Long]): IndexedSeq[Long] = {
+      prev: IndexedSeq[Long], h: IndexedSeq[Long],
+      knownLive: IndexedSeq[Long] = IndexedSeq.empty): IndexedSeq[Long] = {
     val n = roots.size
     require(prev.size == n && h.size == n,
       s"offset arity ${prev.size}/${h.size} != roots $n")
@@ -200,8 +205,15 @@ object LakeTxnCdfGroupSource {
     }
     // initial candidates normalize too: the caller's rate cap `prev + n`
     // is a raw slot number that can land on a dead slot just like a clamp
-    val c = Array.tabulate(n)(i =>
-      liveAtOrBelow(roots(i), prev(i), math.max(h(i), prev(i))))
+    // — but a candidate the caller already VERIFIED live (`knownLive`,
+    // the polled head or the prepare-time cap — liveness is decided once
+    // and immutable) skips the probe, so the uncapped steady state pays
+    // no extra manifest/outcome read per root per poll
+    val c = Array.tabulate(n) { i =>
+      val cand = math.max(h(i), prev(i))
+      if (knownLive.lift(i).contains(cand)) cand
+      else liveAtOrBelow(roots(i), prev(i), cand)
+    }
     var changed = true
     while (changed) {
       changed = false

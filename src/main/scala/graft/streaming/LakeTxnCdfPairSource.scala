@@ -71,8 +71,12 @@ class LakeTxnCdfPairSource(spark: SparkSession, rootA: String,
         (math.min(hA1, a + n), math.min(hB1, b + n))
       case _ => (hA1, hB1)
     }
+    // hA1/hB1 are live by construction (polled head or prepare-time cap),
+    // so the cut skips its direct liveness probe unless the rate cap
+    // lowered the candidate below them
     consistentCut(spark, rootA, rootB,
-      base.map(_._1).getOrElse(-1L), base.map(_._2).getOrElse(-1L), hA, hB)
+      base.map(_._1).getOrElse(-1L), base.map(_._2).getOrElse(-1L), hA, hB,
+      knownLiveA = hA1, knownLiveB = hB1)
   }
 
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
@@ -146,9 +150,11 @@ object LakeTxnCdfPairSource {
     */
   private[graft] def consistentCut(spark: SparkSession, rootA: String,
       rootB: String, prevA: Long, prevB: Long, hA: Long,
-      hB: Long): (Long, Long) = {
+      hB: Long, knownLiveA: Long = -1L,
+      knownLiveB: Long = -1L): (Long, Long) = {
     val c = LakeTxnCdfGroupSource.consistentCutN(spark,
-      Seq(rootA, rootB), IndexedSeq(prevA, prevB), IndexedSeq(hA, hB))
+      Seq(rootA, rootB), IndexedSeq(prevA, prevB), IndexedSeq(hA, hB),
+      knownLive = IndexedSeq(knownLiveA, knownLiveB))
     (c(0), c(1))
   }
 

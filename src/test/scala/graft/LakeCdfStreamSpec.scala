@@ -671,5 +671,15 @@ class LakeCdfStreamSpec extends SparkTestBase {
     graft.streaming.LakeTxnCdfGroupSource.consistentCutN(spark,
       Seq(a, b), IndexedSeq(h0A - 1, h0B), IndexedSeq(h0A + 1, h0B))
       .shouldBe(IndexedSeq(h0A, h0B))
+    // knownLive (r15): a candidate the poller already verified live
+    // skips the direct probe — same cut, one less manifest/outcome read
+    // per root per poll in the uncapped steady state. A candidate BELOW
+    // the known-live head (rate cap) still normalizes via the probe.
+    graft.streaming.LakeTxnCdfGroupSource.consistentCutN(spark,
+      Seq(a, b), IndexedSeq(h0A, h0B), IndexedSeq(vA, vB - 1),
+      knownLive = IndexedSeq(vA, vB)) shouldBe IndexedSeq(h0A, vB - 1)
+    graft.streaming.LakeTxnCdfGroupSource.consistentCutN(spark,
+      Seq(a, b), IndexedSeq(h0A - 1, h0B), IndexedSeq(h0A + 1, h0B),
+      knownLive = IndexedSeq(vA, vB)) shouldBe IndexedSeq(h0A, h0B)
   }
 }

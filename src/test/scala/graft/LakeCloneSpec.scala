@@ -111,6 +111,50 @@ class LakeCloneSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
   }
 
+  test("clone-local optimize mints a generation past the inherited one: a restore never fakes tightness") {
+    val (src, dst) = roots()
+    LakeTable.init(rows(1 to 200, "a"), src, Seq("id"), numBuckets = 2,
+      sortCols = Seq("x"), statsCols = Seq("x", "id"), maxRecordsPerFile = 16L)
+    // advance the SOURCE's version counter so its optimize lands on a
+    // high slot — the clone's counter restarts at 0 and can catch up to
+    // that number with its own commits
+    LakeTable.merge(spark, src, rows(201 to 210, "a"))          // src v1
+    LakeTable.merge(spark, src, rows(211 to 220, "a"))          // src v2
+    LakeTable.merge(spark, src, rows(221 to 230, "a"))          // src v3
+    LakeTable.optimizeZOrder(spark, src, Seq("id", "x"))        // src v4, gen 4
+    LakeTable.cloneShallow(spark, src, dst)                     // dst v0
+    // clone-local deliveries march the local counter to the inherited
+    // generation's slot number, then a local full optimize RE-LAYS under
+    // swapped z columns — landing on slot 4, the inherited gen's number
+    LakeTable.merge(spark, dst, rows(231 to 240, "b"))          // dst v1
+    LakeTable.merge(spark, dst, rows(241 to 250, "b"))          // dst v2
+    LakeTable.merge(spark, dst, rows(251 to 260, "b"))          // dst v3
+    val optV = LakeTable.optimizeZOrder(spark, dst, Seq("x", "id")) // dst v4
+    optV shouldBe 4L
+    val preRestore = content(dst)
+    // restore to the PRE-optimize snapshot: its entries carry the
+    // INHERITED source-layout stamps (gen 4). If the local optimize had
+    // minted gen = slot = 4, those stamps would falsely match the head
+    // marker's generation and the incremental pass would skip them
+    // forever (silent permanent layout staleness). Generations are
+    // collision-proof across the clone boundary, so the pass must SEE
+    // the restored files as stale and re-lay them.
+    LakeTable.restore(spark, dst, 3L)
+    val restoredHead = LakeTable.manifest(spark, dst).version
+    val incrV = LakeTable.optimizeZOrderIncremental(spark, dst)
+    incrV should be > restoredHead // re-laid, not a no-op skip
+    // the discriminator: NO ref may be skipped as tight — the restored
+    // state predates the local layout entirely, so every ref must parse
+    // and re-lay. Under the collision (gen = slot number = inherited
+    // gen) the carried source-layout refs read as wholly tight and are
+    // silently skipped, forever.
+    LakeTable.lastZIncrRefs.map(_._2) shouldBe Some(0)
+    content(dst) shouldBe preRestore // optimize passes never change rows
+    // and once re-laid under the local layout, incremental no-ops
+    LakeTable.optimizeZOrderIncremental(spark, dst) shouldBe
+      LakeTable.manifest(spark, dst).version
+  }
+
   test("writes diverge: clone-local files only, source untouched and vice versa") {
     val (src, dst) = roots()
     LakeTable.init(rows(1 to 50, "a"), src, Seq("id"), numBuckets = 2)

@@ -1084,6 +1084,47 @@ class LakeTableSpec extends SparkTestBase {
     LakeTable.versions(fs2, root2) shouldBe Seq(1L, 2L)
   }
 
+  test("vacuumOlderThan counts LIVE slots only: an aborted txn slot inside the window doesn't inflate retention") {
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2)            // v0
+    LakeTable.merge(spark, root,
+      Seq((11L, "A", 1.0)).toDF("id", "name", "score"))              // v1
+    LakeTable.merge(spark, root,
+      Seq((12L, "B", 2.0)).toDF("id", "name", "score"))              // v2
+    try graft.sinks.LakeTxn.atomically(spark, root) { t =>
+      t.merge(root, Seq((13L, "P", -1.0)).toDF("id", "name", "score"))
+      sys.error("injected failure before commit")
+    } catch { case _: RuntimeException => () }                       // v3 aborted
+    LakeTable.merge(spark, root,
+      Seq((14L, "C", 4.0)).toDF("id", "name", "score"))              // v4
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(v: Long, ts: Long): Unit = {
+      val p = new Path(root, s"_versions/$v.json")
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(s.replaceAll("\"ts\":\\d+", s""""ts":$ts""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val now = System.currentTimeMillis
+    stamp(0L, now - 400000L)
+    stamp(1L, now - 400000L) // both genuinely ancient (past the margin)
+    // v2, v3 (aborted), v4 keep their real in-window stamps. The window
+    // holds TWO live slots; the count handed to vacuum is in vacuum's
+    // own live-slot currency, so exactly v2 and v4 stay — the pre-fix
+    // raw-walk count (3) would have retained v1, a version OLDER than
+    // the requested age, because an aborted slot inflated the window
+    LakeTable.vacuumOlderThan(spark, root, 60000L)
+    LakeTable.versions(fs, root) shouldBe Seq(2L, 4L)
+    // the kept older version still reads (its files survived), and the
+    // aborted delta never landed anywhere
+    LakeTable.read(spark, root, Some(2L)).count() shouldBe 10L
+    LakeTable.read(spark, root).count() shouldBe 11L
+  }
+
   test("vacuum's empty-dir prune is age-gated on the DIRECTORY itself: a just-mkdir'd still-empty data dir survives") {
     val root = newRoot()
     LakeTable.init(base, root, Seq("id"), numBuckets = 2)
