@@ -187,10 +187,12 @@ object JoinMaterializedView {
     * serving the new state (unchanged if both tables are current).
     * `maxDimDeltaKeys` bounds the driver-side collect of changed dim keys
     * that drives the fact-side file pruning; past it the dim leg degrades
-    * to a full fact scan at the pinned old version.
+    * to a full fact scan at the pinned old version. The default sizes
+    * the collect (~MBs), not the per-file check — zone pruning binary-
+    * searches the sorted key set, so 10⁵ selective keys still skip files.
     */
   def refresh(spark: SparkSession, factRoot: String, dimRoot: String,
-      mvRoot: String, maxDimDeltaKeys: Int = 10000): Long = {
+      mvRoot: String, maxDimDeltaKeys: Int = 100000): Long = {
     var last: Throwable = null
     for (_ <- 0 until 5) {
       try return refreshOnce(spark, factRoot, dimRoot, mvRoot,

@@ -999,20 +999,27 @@ object LakeTable {
   private def refSketches(entries: Seq[SegEntry],
       nN: Int): Seq[Option[String]] = {
     if (nN == 0 || entries.exists(_.rows < 0)) return Nil
-    val dec = java.util.Base64.getDecoder
     val enc = java.util.Base64.getEncoder
     (0 until nN).map { i =>
       val per = entries.flatMap(_.sks.lift(i).flatten)
       if (per.isEmpty) None
-      else {
-        val u = new org.apache.datasketches.hll.Union(NdvLgK)
-        per.foreach(s => u.update(org.apache.datasketches.hll.HllSketch
-          .heapify(org.apache.datasketches.memory.Memory.wrap(
-            dec.decode(s)))))
-        Some(enc.encodeToString(u.getResult(
-          org.apache.datasketches.hll.TgtHllType.HLL_4).toCompactByteArray))
-      }
+      else Some(enc.encodeToString(unionNdvSketches(per).getResult(
+        org.apache.datasketches.hll.TgtHllType.HLL_4).toCompactByteArray))
     }
+  }
+
+  /** Driver-side register-max union of base64 HLL sketches — the ONE
+    * definition of the fold both the shrink-time per-ref merge
+    * ([[refSketches]]) and the ask-time O(refs) fold ([[fastNdv]]) run,
+    * so lgK and heapify semantics can never silently diverge between
+    * the writer and the reader of the sketch plane.
+    */
+  private def unionNdvSketches(
+      per: Seq[String]): org.apache.datasketches.hll.Union = {
+    val u = new org.apache.datasketches.hll.Union(NdvLgK)
+    per.foreach(s => u.update(org.apache.datasketches.hll.HllSketch
+      .heapify(org.apache.datasketches.memory.Memory.wrap(b64(s)))))
+    u
   }
 
   /** Metadata-only commit (MoR delete vectors, CDF toggle, restore): the
@@ -1405,12 +1412,7 @@ object LakeTable {
       val per = m.segments.flatMap(_.sks(i))
       return Some(
         if (per.isEmpty) 0L // measured everywhere, no non-null value
-        else {
-          val u = new org.apache.datasketches.hll.Union(NdvLgK)
-          per.foreach(s => u.update(org.apache.datasketches.hll.HllSketch
-            .heapify(org.apache.datasketches.memory.Memory.wrap(b64(s)))))
-          math.round(u.getResult.getEstimate)
-        })
+        else math.round(unionNdvSketches(per).getResult.getEstimate))
     }
     lastNdvRefs = None
     readNdv(spark, root, m.version).flatMap { sk =>
@@ -1494,23 +1496,80 @@ object LakeTable {
     if (values.isEmpty) return Some(Nil)
     val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
     // hash exactly as the bloom build did: xxhash64 of the value cast to
-    // the column's stored type — one job for the whole value set
+    // the column's stored type — one job for the whole value set. The
+    // bloom veto has no sorted structure to search, so a probe costs
+    // O(V) per entry that survives the zone check — above this cap the
+    // veto is SKIPPED (blooms are an optional tightener; skipping keeps
+    // a superset, never drops a file) so a dense probe set can't turn
+    // the driver-side prune into an O(V·E) stall. Zone checks have no
+    // such cap: they cost O(log V) per entry whatever V is.
+    val bloomProbeCap = 10000
     val hs: Seq[Long] =
-      if (bi < 0) Nil
+      if (bi < 0 || values.size > bloomProbeCap) Nil
       else {
         import spark.implicits._
         values.toDF("__v").select(xxhash64(col("__v").cast(colType)))
           .collect().map(_.getLong(0)).toSeq
       }
+    // "any value inside [mn, mx]?" — answered per entry/ref by BINARY
+    // SEARCH over the probe set sorted ONCE (first value ≥ mn, hit iff
+    // it is ≤ mx): O(V log V) setup + O(log V) per zone check, instead
+    // of the O(V) statCmp re-parse per entry the naive exists pays —
+    // the difference between a 10⁵-key dim delta pruning a 10⁵-file
+    // fact in milliseconds and an O(V·E) driver stall. Soundness needs
+    // a total order CONSISTENT with statCmp: doubles give exactly
+    // statCmp's numeric compare (beyond-double ties collapse to equal
+    // on both paths — conservative keeps, never a wrong dismissal);
+    // everything else is statCmp's lexicographic branch verbatim. A
+    // numeric column with an unparsable stringified value (defensive —
+    // CAST(x AS STRING) output always re-parses) keeps the exists scan,
+    // because statCmp's mixed-parse fallback is not a consistent order
+    // to sort by.
+    val rangeHit: (String, String) => Boolean = {
+      def existsScan(mn: String, mx: String): Boolean =
+        values.exists(v => statCmp(colType, v, mn) >= 0 &&
+          statCmp(colType, v, mx) <= 0)
+      colType match {
+        case _: NumericType =>
+          val parsed = values.map(_.toDoubleOption)
+          if (parsed.exists(_.isEmpty)) existsScan
+          else {
+            val sorted = parsed.flatten.toArray
+            java.util.Arrays.sort(sorted) // NaN sorts greatest, like compare
+            (mn, mx) => (mn.toDoubleOption, mx.toDoubleOption) match {
+              case (Some(lo), Some(hi)) =>
+                var a = 0; var b = sorted.length
+                while (a < b) { // first index with sorted(i) >= lo
+                  val mid = (a + b) >>> 1
+                  if (java.lang.Double.compare(sorted(mid), lo) < 0) a = mid + 1
+                  else b = mid
+                }
+                a < sorted.length &&
+                  java.lang.Double.compare(sorted(a), hi) <= 0
+              case _ => existsScan(mn, mx)
+            }
+          }
+        case _ =>
+          val sorted = values.toArray
+          java.util.Arrays.sort(sorted, Ordering.String)
+          (mn, mx) => {
+            var a = 0; var b = sorted.length
+            while (a < b) { // first index with sorted(i) >= mn
+              val mid = (a + b) >>> 1
+              if (sorted(mid).compareTo(mn) < 0) a = mid + 1
+              else b = mid
+            }
+            a < sorted.length && sorted(a).compareTo(mx) <= 0
+          }
+      }
+    }
     def entryKeep(e: SegEntry): Boolean = {
       val zoneKeep = si < 0 || e.rows < 0 ||
         ((e.mins.lift(si).flatten, e.maxs.lift(si).flatten) match {
-          case (Some(mn), Some(mx)) =>
-            values.exists(v => statCmp(colType, v, mn) >= 0 &&
-              statCmp(colType, v, mx) <= 0)
+          case (Some(mn), Some(mx)) => rangeHit(mn, mx)
           case _ => true
         })
-      def bloomKeep = bi < 0 || e.rows < 0 ||
+      def bloomKeep = bi < 0 || hs.isEmpty || e.rows < 0 ||
         (e.blooms.lift(bi).flatten match {
           case Some(enc) =>
             val bf = org.apache.spark.util.sketch.BloomFilter
@@ -1533,9 +1592,7 @@ object LakeTable {
         // blooms are per-entry payloads, so they only veto after resolve
         val summaryHit = si < 0 ||
           ((ref.mins.lift(si).flatten, ref.maxs.lift(si).flatten) match {
-            case (Some(mn), Some(mx)) =>
-              values.exists(v => statCmp(colType, v, mn) >= 0 &&
-                statCmp(colType, v, mx) <= 0)
+            case (Some(mn), Some(mx)) => rangeHit(mn, mx)
             case _ => true
           })
         if (!summaryHit) { dismissed += 1; Nil }
@@ -1569,7 +1626,12 @@ object LakeTable {
       m.dvFiles)
     val t = df.schema(colName).dataType
     if (values.isEmpty) df.filter(lit(false))
-    else df.filter(values.map(v => col(colName) === lit(v).cast(t)).reduce(_ || _))
+    // a FLAT In (→ InSet after optimization), not a reduce(_ || _) Or
+    // chain: a dense value set (10⁴+) built as a binary tree of Ors
+    // overflows the converter's recursion and defeats the In/InSet
+    // fast path; each literal still casts to the column's stored type,
+    // so comparison semantics are unchanged
+    else df.filter(col(colName).isin(values.map(v => lit(v).cast(t)): _*))
   }
 
   /** Create the table at `root` (version 0) from `df`, keyed and bucketed.
@@ -2506,10 +2568,13 @@ object LakeTable {
     * `factCol`) it degrades to the full scan, never a wrong prune: at
     * 100 TB, a dim filtered to thousands of keys skips every fact file
     * outside those keys' zones without a shuffle or a data-file read to
-    * decide.
+    * decide. The bound sizes the driver collect only (100k keys ≈ a few
+    * MB): the zone check is a binary search over the sorted probe set
+    * (O(log V) per file — [[eqPrunedPaths]]), so a large SELECTIVE key
+    * set still prunes; the bloom veto self-caps above 10k values.
     */
   def dynamicPrunedScan(spark: SparkSession, root: String, factCol: String,
-      dimKeys: DataFrame, maxKeys: Int = 10000,
+      dimKeys: DataFrame, maxKeys: Int = 100000,
       version: Option[Long] = None): DataFrame = {
     require(dimKeys.columns.length == 1,
       s"dimKeys must be a single key column, got ${dimKeys.columns.toSeq}")
@@ -3760,16 +3825,20 @@ object LakeTable {
     val tsOf = "\"ts\":(\\d+)".r
     // keep down to the DEEPEST margin-or-better slot. The count handed
     // to vacuum is in vacuum's OWN currency — LIVE (committed-visible)
-    // slots, its keep-walk classification — so only in-window live slots
-    // advance it: counting raw walked slots (the pre-r15 form) inflated
-    // the keep window by every aborted/in-flight transaction slot the
-    // window contained, retaining live versions OLDER than the requested
-    // age (over-retention only, never loss — but a retention contract
-    // should mean what it says). Aborted slots in the window need no
-    // count of their own (dead everywhere, vacuum reclaims them at any
-    // keepLast); in-flight slots are protected unconditionally inside
-    // vacuum, counted or not.
-    var liveInWindow = 0
+    // slots, its keep-walk classification — so DECIDED-ABORTED in-window
+    // slots don't advance it: counting raw walked slots (the pre-r15
+    // form) inflated the keep window by every aborted transaction slot
+    // it contained, retaining live versions OLDER than the requested age
+    // (over-retention only, never loss — but a retention contract should
+    // mean what it says). UNDECIDED (in-flight) slots DO count: their
+    // outcome can flip to commit between this walk and vacuum's own —
+    // excluding one would let the newly-live slot consume a keep that
+    // belonged to the window's deepest live version (an in-window
+    // version lost to a race). Counting it is the one-sided-safe call:
+    // if it aborts instead, vacuum keeps one extra older live slot for
+    // a cycle. An aborted outcome can never flip (outcomes are claimed
+    // exactly once), so excluding those is race-free.
+    var retained = 0
     val it = versions(fs, root).sorted.reverseIterator
     var stop = false
     while (it.hasNext && !stop) {
@@ -3779,11 +3848,12 @@ object LakeTable {
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       val ts = tsOf.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
       if (ts >= cutoff - skewMs) {
-        if (parse(s).txn.forall(p => txnOutcome(spark, p).contains(true)))
-          liveInWindow += 1
+        val abortedSlot =
+          parse(s).txn.exists(p => txnOutcome(spark, p).contains(false))
+        if (!abortedSlot) retained += 1
       } else stop = true
     }
-    vacuum(spark, root, math.max(1, liveInWindow))
+    vacuum(spark, root, math.max(1, retained))
   }
 
   /** Manifest files read by the last [[vacuum]] this JVM ran — spec pin

@@ -77,12 +77,15 @@ class LakeTxnCdfGroupSource(spark: SparkSession, roots: Seq[String],
         math.min(x, p + n) }
       case _ => h1
     }
-    // h1 is live by construction — each component is either the polled
-    // live head or the prepare-time cap (a live head when captured, and
-    // slot liveness is immutable) — so the cut skips its direct probe
-    // whenever the rate cap didn't lower the candidate below it
+    // only the head THIS poll resolved is known-live: its manifest()
+    // read just proved both liveness and existence. The prepare-time
+    // AvailableNow cap was live when captured, but a concurrent vacuum
+    // may have DELETED its slot since — handing it out unprobed would
+    // wedge the checkpoint on a missing version — so capped candidates
+    // keep the direct probe (one read per capped trigger; the uncapped
+    // steady state is the case the skip pays for)
     consistentCutN(spark, roots,
-      base.getOrElse(IndexedSeq.fill(roots.size)(-1L)), h, knownLive = h1)
+      base.getOrElse(IndexedSeq.fill(roots.size)(-1L)), h, knownLive = h0)
   }
 
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
@@ -205,10 +208,13 @@ object LakeTxnCdfGroupSource {
     }
     // initial candidates normalize too: the caller's rate cap `prev + n`
     // is a raw slot number that can land on a dead slot just like a clamp
-    // — but a candidate the caller already VERIFIED live (`knownLive`,
-    // the polled head or the prepare-time cap — liveness is decided once
-    // and immutable) skips the probe, so the uncapped steady state pays
-    // no extra manifest/outcome read per root per poll
+    // — but a candidate the caller verified THIS poll (`knownLive`: the
+    // just-resolved live head, whose manifest read proved liveness AND
+    // existence) skips the probe, so the uncapped steady state pays no
+    // extra manifest/outcome read per root per poll. Only a same-poll
+    // verification qualifies: an older one (e.g. a prepare-time cap)
+    // proves liveness — immutable — but not that the slot still EXISTS
+    // under a concurrent vacuum
     val c = Array.tabulate(n) { i =>
       val cand = math.max(h(i), prev(i))
       if (knownLive.lift(i).contains(cand)) cand

@@ -71,12 +71,13 @@ class LakeTxnCdfPairSource(spark: SparkSession, rootA: String,
         (math.min(hA1, a + n), math.min(hB1, b + n))
       case _ => (hA1, hB1)
     }
-    // hA1/hB1 are live by construction (polled head or prepare-time cap),
-    // so the cut skips its direct liveness probe unless the rate cap
-    // lowered the candidate below them
+    // only the heads THIS poll resolved are known-live (their manifest()
+    // reads just proved liveness AND existence); a prepare-time cap slot
+    // may have been vacuumed since capture, so capped candidates keep
+    // the direct probe — see the group source's nextOffset
     consistentCut(spark, rootA, rootB,
       base.map(_._1).getOrElse(-1L), base.map(_._2).getOrElse(-1L), hA, hB,
-      knownLiveA = hA1, knownLiveB = hB1)
+      knownLiveA = hA0, knownLiveB = hB0)
   }
 
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {

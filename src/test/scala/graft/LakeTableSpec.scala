@@ -944,6 +944,39 @@ class LakeTableSpec extends SparkTestBase {
     } finally LakeTable.maxSegmentEntriesOverride = None
   }
 
+  test("eqPrunedPaths dense probe sets: sorted-probe zones still prune, bloom veto self-caps conservatively") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = newRoot()
+    val wide = spark.range(0, 20000).select(col("id"),
+      concat(lit("n"), col("id")).alias("name"),
+      (col("id") % 100).cast("double").alias("score"))
+    // ascending ids + rolling -> narrow per-file id zones
+    LakeTable.init(wide, root, Seq("id"), numBuckets = 1,
+      sortCols = Seq("id"), statsCols = Seq("id"), bloomCols = Seq("name"),
+      maxRecordsPerFile = 1024L)
+    val m = LakeTable.manifest(spark, root)
+    m.files.size should be > 15
+    // a probe set far ABOVE the bloom cap (12k values) but confined to a
+    // range: the zone check binary-searches the sorted set, so files
+    // outside [0, 11999] are still dismissed — large V must not force
+    // keep-all on a zone-covered column
+    val vals = (0L until 12000L).map(_.toString)
+    val kept = LakeTable.eqPrunedPaths(spark, root, "id", vals).get
+    kept.size should be < m.files.size
+    // and never a wrong dismissal: the exact scan over the kept files
+    // returns every probed row
+    LakeTable.readEqAny(spark, root, "id", vals).count() shouldBe 12000L
+    // a bloom-ONLY column above the probe cap keeps ALL files (the veto
+    // is an optional tightener; skipping it is conservative, and the
+    // caller's exact predicate still runs)
+    val names = (0L until 12000L).map(i => s"n$i")
+    LakeTable.eqPrunedPaths(spark, root, "name", names)
+      .get.size shouldBe m.files.size
+    // below the cap the bloom veto still prunes the bloom-only column
+    LakeTable.eqPrunedPaths(spark, root, "name", Seq("n17"))
+      .get.size should be < m.files.size
+  }
+
   test("prunedPaths/eqPrunedPaths dismiss whole delivery segments through manifest summaries") {
     val root = newRoot()
     // delivery-correlated values: each commit's segment carries a tight
@@ -1123,6 +1156,40 @@ class LakeTableSpec extends SparkTestBase {
     // aborted delta never landed anywhere
     LakeTable.read(spark, root, Some(2L)).count() shouldBe 10L
     LakeTable.read(spark, root).count() shouldBe 11L
+  }
+
+  test("vacuumOlderThan: an UNDECIDED txn slot in the window counts as retained — race-safe, never a lost in-window version") {
+    // an in-flight outcome can flip to COMMIT between this walk and the
+    // delegated vacuum's own keep walk; if the count excluded it, the
+    // newly-live slot would consume a keep that belonged to the window's
+    // deepest live version. Counting it risks only one extra retained
+    // older version for a cycle (here: the ancient v0 survives).
+    val root = newRoot()
+    LakeTable.init(base, root, Seq("id"), numBuckets = 2)            // v0
+    LakeTable.merge(spark, root,
+      Seq((11L, "A", 1.0)).toDF("id", "name", "score"))              // v1
+    LakeTable.merge(spark, root,
+      Seq((12L, "B", 2.0)).toDF("id", "name", "score"))              // v2
+    LakeTable.mergeTagged(spark, root,
+      Seq((13L, "G", 3.0)).toDF("id", "name", "score"), None,
+      Some(root + "/_txn/ghost-never-committed.json"))               // v3 in-flight
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stamp(v: Long, ts: Long): Unit = {
+      val p = new Path(root, s"_versions/$v.json")
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      fs.delete(p, false)
+      val out = fs.create(p, false)
+      try out.write(s.replaceAll("\"ts\":\\d+", s""""ts":$ts""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    stamp(0L, System.currentTimeMillis - 400000L) // genuinely ancient
+    // window holds v1, v2 (live) and v3 (undecided) -> retained = 3 ->
+    // vacuum keeps three LIVE slots: v2, v1, AND v0 — nothing dropped
+    LakeTable.vacuumOlderThan(spark, root, 60000L)
+    LakeTable.versions(fs, root) shouldBe Seq(0L, 1L, 2L, 3L)
   }
 
   test("vacuum's empty-dir prune is age-gated on the DIRECTORY itself: a just-mkdir'd still-empty data dir survives") {
