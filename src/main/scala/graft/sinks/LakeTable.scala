@@ -2587,7 +2587,10 @@ object LakeTable {
     val paths =
       if (keys.size > maxKeys) None
       else eqPrunedPaths(spark, root, factCol, keys, version)
-    lastDfpScan = paths.map(p => (p.size, m.files.size))
+    // fileCount sums the refs (O(refs)): the pin's denominator must not
+    // force full live-list resolution — that would parse every segment
+    // on the pruned fast path, the exact cost the prune exists to skip
+    lastDfpScan = paths.map(p => (p.size, m.fileCount))
     applyDv(spark, root, m,
       readFiles(spark, root, m, paths.getOrElse(m.files.map(_._1))),
       m.dvFiles)

@@ -769,8 +769,10 @@ object MaterializedView {
             val casted = exhVals.toSeq
             val paths = LakeTable.eqPrunedPaths(spark, tableRoot, pc,
               casted, Some(tv))
+            // fileCount folds the refs — the pin's denominator must not
+            // resolve the full live list on the pruned fast path
             lastRecomputeScan =
-              paths.map(p => (p.size, baseM.files.size))
+              paths.map(p => (p.size, baseM.fileCount))
             LakeTable.readEqAny(spark, tableRoot, pc, casted, Some(tv))
           }
         val exhG = exhausted.select(groupCols.map(col): _*)
