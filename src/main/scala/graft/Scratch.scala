@@ -21,8 +21,15 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // ad-hoc conf injection for attribution runs, e.g.
+    // SCRATCH_CONF="spark.sql.adaptive.enabled=false" (AQE futures hide
+    // stage callsites; a static plan keeps them)
+    sys.env.get("SCRATCH_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     val name = args(0)
     if (name == "corpus_export_legs") { exportLegs(spark, sfDir); spark.stop(); return }
+    if (name == "pagerank_legs") { pageRankLegs(spark, sfDir); spark.stop(); return }
     if (name == "mv_join_legs") { mvJoinLegs(spark, sfDir); spark.stop(); return }
     if (name == "mv_join_refresh_legs") { mvJoinRefreshLegs(spark, sfDir); spark.stop(); return }
     if (name == "cdf_record_legs") { cdfRecordLegs(spark, sfDir); spark.stop(); return }
@@ -31,10 +38,48 @@ object Scratch {
     if (name == "txnmir_legs") { txnMirrorLegs(spark, sfDir, three = false); spark.stop(); return }
     if (name == "txnmir3_legs") { txnMirrorLegs(spark, sfDir, three = true); spark.stop(); return }
     val fn = SparkEntry.queries(name)
+    // optional stage-level work attribution (SCRATCH_STAGE_DEBUG=1):
+    // summed executor run time per stage, heaviest first, after each run
+    val stMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stNm = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    if (sys.env.contains("SCRATCH_STAGE_DEBUG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (t.taskMetrics != null)
+              stMs.merge(t.stageId, t.taskMetrics.executorRunTime, _ + _)
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            stNm.merge(s.stageInfo.stageId,
+              s.stageInfo.name.takeWhile(_ != '$') + " " +
+              s.stageInfo.details.linesIterator
+                .filter(l => l.contains("graft") && !l.contains("Scratch"))
+                .take(2).mkString(" <- "), (a, b) => a + " " + b)
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            // AQE stage futures inherit the execution's thread locals, so
+            // the job description attributes every stage to the engine
+            // call that scheduled it (guide §1.5)
+            val d = Option(j.properties.getProperty("spark.job.description"))
+              .orElse(Option(j.properties.getProperty("callSite.short")))
+              .getOrElse("?")
+            j.stageIds.foreach(sid => stNm.merge(sid, d, (a, b) => b + " " + a))
+          }
+        })
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[scratch] run$i $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (sys.env.contains("SCRATCH_STAGE_DEBUG")) {
+        org.apache.spark.graftbridge.GraftCoreBridge
+          .waitListenerBusEmpty(spark.sparkContext)
+        import scala.jdk.CollectionConverters._
+        stMs.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (id, ms) =>
+          println(f"[stage] $id%5d ${ms / 1e3}%8.2fs ${stNm.getOrDefault(id, "?").take(150)}")
+        }
+        stMs.clear(); stNm.clear()
+      }
     }
     if (args.length > 1 && args(1) == "explain") fn(spark, sfDir).explain("formatted")
     spark.stop()
@@ -89,6 +134,79 @@ object Scratch {
           coalesce(sum(when(col("back_len") > col("orig_len"), 1L)), lit(0L)))
         .head().getLong(0)
     }
+  }
+
+  /** q_pagerank work attribution (r15 optimization round): the bench
+    * entry showed ~106 summed task-seconds for ~100k events — this leg
+    * splits edge derivation from the iteration loop and scales the
+    * iteration count, with SUMMED TASK TIME per leg (wall clock on this
+    * box is ±20-50% with JIT warmth; scheduled work is deterministic).
+    * Two reps each; read the second (JIT-warm) row.
+    */
+  private def pageRankLegs(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            taskMs.addAndGet(t.taskMetrics.executorRunTime)
+            stageMs.merge(t.stageId, t.taskMetrics.executorRunTime, _ + _)
+          }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stageName.put(s.stageInfo.stageId, s.stageInfo.name + " || " +
+            s.stageInfo.details.linesIterator
+              .filter(_.contains("graft")).take(3).mkString(" <- "))
+      })
+    val stageDebug = sys.env.contains("SCRATCH_STAGE_DEBUG")
+    def dumpStages(): Unit = if (stageDebug) {
+      import scala.jdk.CollectionConverters._
+      stageMs.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (id, ms) =>
+        println(f"[stage] $id%4d ${ms / 1e3}%8.2fs ${stageName.getOrDefault(id, "?").take(120)}")
+      }
+      stageMs.clear(); stageName.clear()
+    }
+    def edges() = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      val tsed = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      val ev = tsed.select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).alias("us"),
+          get_json_object(col("props"), "$.k").cast("long").alias("k"))
+        .filter(col("k").isNotNull)
+      ev.withColumn("dst", lead(col("k"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("k").alias("src"), col("dst"))
+    }
+    def leg(label: String)(body: => Long): Unit = (1 to 2).foreach { i =>
+      org.apache.spark.graftbridge.GraftCoreBridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      val m0 = taskMs.get; val t0 = System.nanoTime()
+      val n = body
+      org.apache.spark.graftbridge.GraftCoreBridge
+        .waitListenerBusEmpty(spark.sparkContext)
+      println(f"[legs] pagerank $label%-12s rep$i wall=${(System.nanoTime() - t0) / 1e9}%6.2f " +
+        f"taskSec=${(taskMs.get - m0) / 1e3}%8.2f rows=$n")
+      dumpStages()
+    }
+    leg("edges")(edges().count())
+    sys.env.get("SCRATCH_PR_CONF").foreach { kvs =>
+      kvs.split(";").foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      }
+    }
+    for (iters <- Seq(1, 2, 5))
+      leg(s"iter$iters")(graft.operators.LinkGraph
+        .pageRank(edges(), "src", "dst", iterations = iters).count())
   }
 
   /** q_lake_zorder lifecycle step breakdown: init (sorted bucketed

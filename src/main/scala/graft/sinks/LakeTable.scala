@@ -919,10 +919,12 @@ object LakeTable {
       .zipWithIndex.map { case (c, i) => c.alias(s"__a$i") }
     val b64enc = java.util.Base64.getEncoder
     val measured: Map[String, SegEntry] =
-      readFiles(spark, root, m, paths.map(_._1))
-        .groupBy(input_file_name().alias("__f"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
+      graft.JobLabel(spark, s"lake:measure ${new Path(root).getName}") {
+        readFiles(spark, root, m, paths.map(_._1))
+          .groupBy(input_file_name().alias("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+      }
         .map { r =>
           val p = keyOf(r.getString(0))
           val mins = (0 until nS).map(i => Option(r.getString(2 + 2 * i)))
@@ -1230,7 +1232,9 @@ object LakeTable {
     val writer0 = laid.write.partitionBy("__bucket").mode("overwrite")
     val writer = if (maxRecordsPerFile > 0)
       writer0.option("maxRecordsPerFile", maxRecordsPerFile) else writer0
-    writer.parquet(new Path(root, sub).toString)
+    graft.JobLabel(spark, s"lake:write ${new Path(root).getName}") {
+      writer.parquet(new Path(root, sub).toString)
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     for (d <- fs.listStatus(new Path(root, sub))
          if d.getPath.getName.startsWith("__bucket=")) {
@@ -2765,8 +2769,11 @@ object LakeTable {
     val m = baseVersion.map(v => manifest(spark, root, Some(v)))
       .getOrElse(liveHeadIn(spark, root, vs, txnTag))
     // bounded driver collect: at most numBuckets ints
-    val touched = source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = graft.JobLabel(spark,
+        s"lake:touched ${new Path(root).getName}") {
+      source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }
     // hot side only: resolve JUST the refs covering the touched buckets —
     // the cold live-file list is never materialized (at 10⁷ files that
     // was the last O(live files) driver step per commit)
@@ -2941,8 +2948,10 @@ object LakeTable {
     // the feed is delivery-sized; don't let the shuffle partitioning
     // scatter it into 32 near-empty files (file count scales with the
     // rewrite's width, bounded — a delivery-sized diff lands in a few)
-    feed.coalesce(math.min(8, math.max(1, freshPaths.size / 4)))
-      .write.parquet(s"$root/$dir")
+    graft.JobLabel(spark, s"lake:cdf ${new Path(root).getName}") {
+      feed.coalesce(math.min(8, math.max(1, freshPaths.size / 4)))
+        .write.parquet(s"$root/$dir")
+    }
     val fs = hfs(spark, root)
     val parts = fs.listStatus(new Path(root, dir))
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))

@@ -599,10 +599,12 @@ object MaterializedView {
     // quantile delta: SIGNED bucket counts per (group, column) — its own
     // two-shuffle aggregation of the same feed, joined NULL-safe onto the
     // grouped delta (every dd group has feed rows, so `left` covers)
-    val delta = (if (ddCols.isEmpty) delta0
+    val delta = graft.JobLabel(spark, "mv:delta") {
+      (if (ddCols.isEmpty) delta0
       else LakeTable.nullSafeKeyJoin(delta0,
         ddAggregate(feed, groupCols, ddCols, ddP.get, sign, "d_dd"),
         groupCols, "left")).localCheckpoint()
+    }
 
     val baseCols = groupCols.map(col) ++ Seq(
       (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L)))
@@ -731,9 +733,11 @@ object MaterializedView {
         (rnOld + dRn).alias(s"__rn_$c"),
         exhLo.alias(s"__exlo_$c"), exhHi.alias(s"__exhi_$c"))
     }
-    val merged0 = joined
-      .select(baseCols ++ mmCols ++ ndMergeCols ++ ddMergeCols: _*)
-      .localCheckpoint()
+    val merged0 = graft.JobLabel(spark, "mv:merge-reserves") {
+      joined
+        .select(baseCols ++ mmCols ++ ndMergeCols ++ ddMergeCols: _*)
+        .localCheckpoint()
+    }
 
     val exhAny = (minMaxCols.flatMap(c =>
       Seq(col(s"__exlo_$c"), col(s"__exhi_$c"))) ++
@@ -747,12 +751,14 @@ object MaterializedView {
     val baseM = LakeTable.manifest(spark, tableRoot, Some(tv))
     val pruneCol = groupCols.find(c =>
       baseM.statsCols.contains(c) || baseM.bloomCols.contains(c))
-    val exhVals: Array[String] = pruneCol match {
-      case Some(pc) => exhausted.select(col(pc).cast("string"))
-        .distinct().limit(maxRecomputeGroups + 1).collect()
-        .map(_.getString(0))
-      case None =>
-        if (exhausted.isEmpty) Array.empty else Array("__unprunable__")
+    val exhVals: Array[String] = graft.JobLabel(spark, "mv:exhaust-probe") {
+      pruneCol match {
+        case Some(pc) => exhausted.select(col(pc).cast("string"))
+          .distinct().limit(maxRecomputeGroups + 1).collect()
+          .map(_.getString(0))
+        case None =>
+          if (exhausted.isEmpty) Array.empty else Array("__unprunable__")
+      }
     }
 
     lastExhausted = exhVals.length

@@ -171,6 +171,12 @@ object LakeStreaming {
       (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
         val b = batch.toDF().localCheckpoint()
+        // ONE action decides which halves exist for EVERY member (was one
+        // grouped collect per member — N scheduler round-trips per batch
+        // for a bounded two-column aggregate)
+        val kindsAll = b.groupBy(col("_table"), col("_change_type")).count()
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
         try srcToTgt.foreach { case (src, tgt) =>
           // project onto the SOURCE table's schema (its columns are
           // exactly the non-null ones for this side's rows): merge's
@@ -184,8 +190,7 @@ object LakeStreaming {
             .fromDDL(LakeTable.manifest(s, src).schemaDdl)
             .fieldNames.toSeq.filter(b.columns.contains)
           val side = b.filter(col("_table") === src)
-          val kinds = side.groupBy(col("_change_type")).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val kinds = kindsAll.collect { case ((t, k), n) if t == src => k -> n }
           val ups = side.filter(col("_change_type")
             .isin("insert", "update_postimage")).select(cols.map(col): _*)
           val dels = side.filter(col("_change_type") === "delete")
