@@ -150,8 +150,14 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name warm failed: $e"); -1.0 }
       (name, cold, warm)
     }
+    // 6-decimal (µs) rendering halves the two 232-entry maps' bytes vs
+    // full double digits — the stdout line has been tail-truncated by log
+    // capture twice (rounds 5 and 14); a smaller line truncates less, and
+    // µs resolution is far below the board's run-to-run noise. -1
+    // failure markers render exactly.
     def timesJson(sel: ((String, Double, Double)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + sel(r)).mkString("{", ",", "}")
+      results.map(r => s"\"" + r._1 + "\":" + f"${sel(r)}%.6f")
+        .mkString("{", ",", "}")
     val failed = results.collect { case (k, c, w) if c < 0 || w < 0 => "\"" + k + "\"" }
     val coldTotal = results.map(_._2).filter(_ >= 0).sum
     val warmTotal = results.map(_._3).filter(_ >= 0).sum
@@ -200,6 +206,14 @@ object Bench {
       s"""{"q":"$n","tier":"$tier","warm":${f"$w%.3f"},"ref":${f"$r%.3f"},""" +
         s""""ratio":${f"$ratio%.2f"},"rerun":${f"$rerun%.3f"},""" +
         s""""verdict":"$verdict"}""" }.mkString("[", ",", "]")
+    // Field order is truncation-armor (r14's round-over-round comparison
+    // was lost to a capture that cut the line's tail): EVERY compact
+    // summary field — totals, validity, tiers, drift, failures, sf —
+    // precedes the two 232-entry per-query maps, so a tail-truncated
+    // capture still carries the whole verdict-grade summary and only the
+    // per-query detail degrades. The maps stay in the SAME line (the
+    // driver contract is one JSON line, and `bench_out.json` holds the
+    // full artifact regardless).
     val json =
       s"""{"metric":"total","value":$coldTotal,"unit":"sec","valid":${failed.isEmpty},""" +
         s""""warm_total":$warmTotal,"warm_runs":$warmRuns,""" +
@@ -207,9 +221,9 @@ object Bench {
         s""""drift":$driftJson,"drift_factor":$driftFactor,""" +
         s""""drift_factor_lifecycle":$lifeFactor,""" +
         s""""drift_ref_queries":${refWarm.size},""" +
+        s""""failures":[${failed.mkString(",")}],"sf":"$sfDir",""" +
         s""""queries":${timesJson(_._2)},""" +
-        s""""queries_warm":${timesJson(_._3)},""" +
-        s""""failures":[${failed.mkString(",")}],"sf":"$sfDir"}"""
+        s""""queries_warm":${timesJson(_._3)}}"""
     // File first, stdout second: if log capture truncates the line, the
     // artifact already exists on disk.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")

@@ -38,6 +38,22 @@ object Scratch {
     if (name == "txnmir_legs") { txnMirrorLegs(spark, sfDir, three = false); spark.stop(); return }
     if (name == "txnmir3_legs") { txnMirrorLegs(spark, sfDir, three = true); spark.stop(); return }
     val fn = SparkEntry.queries(name)
+    // optional per-JOB attribution (SCRATCH_JOB_DEBUG=1): every job's
+    // description in scheduling order after each run — the lifecycle
+    // tier is job-LATENCY-bound (~970 jobs / ~129 s warm board), so the
+    // first question for any lifecycle query is "which publish/probe
+    // steps schedule the jobs", not "where is the task time"
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    if (sys.env.contains("SCRATCH_JOB_DEBUG"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobLog.add(Option(
+              j.properties.getProperty("spark.job.description"))
+              .orElse(Option(j.properties.getProperty("callSite.short")))
+              .getOrElse("?"))
+        })
     // optional stage-level work attribution (SCRATCH_STAGE_DEBUG=1):
     // summed executor run time per stage, heaviest first, after each run
     val stMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
@@ -71,6 +87,16 @@ object Scratch {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[scratch] run$i $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (sys.env.contains("SCRATCH_JOB_DEBUG")) {
+        org.apache.spark.graftbridge.GraftCoreBridge
+          .waitListenerBusEmpty(spark.sparkContext)
+        import scala.jdk.CollectionConverters._
+        val descs = jobLog.iterator().asScala.toSeq
+        println(s"[jobs] run$i n=${descs.size}")
+        descs.groupBy(identity).toSeq.sortBy(-_._2.size).foreach {
+          case (d, js) => println(f"[jobs]   ${js.size}%4d  ${d.take(120)}") }
+        jobLog.clear()
+      }
       if (sys.env.contains("SCRATCH_STAGE_DEBUG")) {
         org.apache.spark.graftbridge.GraftCoreBridge
           .waitListenerBusEmpty(spark.sparkContext)

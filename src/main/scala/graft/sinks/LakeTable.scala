@@ -243,6 +243,40 @@ object LakeTable {
   private def bucketOf(keys: Seq[String], n: Int) =
     pmod(hash(keys.map(col): _*), lit(n))
 
+  /** [[bucketOf]] for callers outside this file that fold the bucket id of
+    * a row into an aggregation they already run (the probe-batching
+    * pattern: one action serves both the "which halves exist" decision
+    * and the touched-bucket precompute — see [[TouchedHint]]).
+    */
+  private[graft] def bucketExprFor(keys: Seq[String], numBuckets: Int) =
+    bucketOf(keys, numBuckets)
+
+  /** Precomputed touched-bucket set for a commit whose delta the caller
+    * has ALREADY aggregated in another action (a stream batch's kinds
+    * probe, a view refresh's delta probe). [[rewriteTouched]]/[[lookup]]
+    * accept it to skip their own probe job — but only when the hint was
+    * derived under the SAME key layout and bucket count as the manifest
+    * they resolve (a concurrent rebucket/alter between the hint's
+    * computation and the commit attempt invalidates it); on mismatch they
+    * fall back to probing, so a stale hint can cost a job, never rows.
+    */
+  private[graft] final case class TouchedHint(keys: Seq[String],
+      numBuckets: Int, buckets: Set[Int]) {
+    def matches(m: Manifest): Boolean =
+      keys == m.keys && numBuckets == m.numBuckets
+  }
+
+  /** One probe job: the distinct bucket ids `source`'s key tuples hash to
+    * under (`keys`, `numBuckets`) — the collect [[rewriteTouched]] runs
+    * when no [[TouchedHint]] is supplied, exposed so callers holding the
+    * layout can run it ONCE and share the result across the commit's
+    * read and write sides.
+    */
+  private[graft] def touchedBuckets(source: DataFrame, keys: Seq[String],
+      numBuckets: Int): Set[Int] =
+    source.select(bucketOf(keys, numBuckets).alias("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
   /** NULL-safe key-membership join (semi/anti): both sides' key tuples
     * wrap in a STRUCT, whose equality treats NULL fields as equal (the
     * per-field `IS NOT DISTINCT FROM` a keyed table needs — a NULL group
@@ -2658,7 +2692,7 @@ object LakeTable {
     */
   private[graft] def mergeTagged(spark: SparkSession, root: String,
       source: DataFrame, orderCol: Option[String],
-      txnTag: Option[String]): Long = {
+      txnTag: Option[String], hint: Option[TouchedHint] = None): Long = {
     val m = headFor(spark, root, txnTag)
     val curSchema = StructType.fromDDL(m.schemaDdl)
     source.schema.fields.foreach { f =>
@@ -2672,7 +2706,7 @@ object LakeTable {
           "silently null existing values; project the full row instead)"))
     rewriteTouched(spark, root, source,
       (cur, src) => Merge.upsert(widen(cur, source.schema), src, m.keys, orderCol),
-      txnTag = txnTag)
+      txnTag = txnTag, hint = hint)
   }
 
   /** Head resolution that also sees a transaction's OWN staged versions
@@ -2724,7 +2758,17 @@ object LakeTable {
     */
   def applyChanges(spark: SparkSession, root: String, upserts: DataFrame,
       deleteKeys: DataFrame, baseVersion: Option[Long] = None,
-      orderCol: Option[String] = None): Long = {
+      orderCol: Option[String] = None): Long =
+    applyChangesHinted(spark, root, upserts, deleteKeys, baseVersion,
+      orderCol, None)
+
+  /** [[applyChanges]] with a precomputed [[TouchedHint]] — the caller
+    * already knows the buckets the change keys hash to (it probed them to
+    * read the current state), so the commit's own probe job is skipped.
+    */
+  private[graft] def applyChangesHinted(spark: SparkSession, root: String,
+      upserts: DataFrame, deleteKeys: DataFrame, baseVersion: Option[Long],
+      orderCol: Option[String], hint: Option[TouchedHint]): Long = {
     val keys = manifest(spark, root, baseVersion).keys
     val touch = upserts.select(keys.map(col): _*)
       .unionByName(deleteKeys.select(keys.map(col): _*))
@@ -2732,7 +2776,7 @@ object LakeTable {
       keyMembershipJoin(Merge.upsert(cur, upserts, keys, orderCol),
         deleteKeys.select(keys.map(col): _*), keys, "left_anti",
         bcast = false),
-      baseVersion)
+      baseVersion, hint = hint)
   }
 
   /** Copy-on-write over the touched bucket set. `baseVersion` pins the
@@ -2760,7 +2804,8 @@ object LakeTable {
   private[sinks] def rewriteTouched(spark: SparkSession, root: String,
       source: DataFrame, apply: (DataFrame, DataFrame) => DataFrame,
       baseVersion: Option[Long] = None,
-      txnTag: Option[String] = None): Long =
+      txnTag: Option[String] = None,
+      hint: Option[TouchedHint] = None): Long =
       withCommitRetries(if (baseVersion.isDefined) 1 else 5) { () =>
     val fs = hfs(spark, root)
     val vs = versions(fs, root)
@@ -2768,11 +2813,17 @@ object LakeTable {
     val latest = vs.max
     val m = baseVersion.map(v => manifest(spark, root, Some(v)))
       .getOrElse(liveHeadIn(spark, root, vs, txnTag))
-    // bounded driver collect: at most numBuckets ints
-    val touched = graft.JobLabel(spark,
-        s"lake:touched ${new Path(root).getName}") {
-      source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
-        .distinct().collect().map(_.getInt(0)).toSet
+    // bounded driver collect: at most numBuckets ints. A caller-supplied
+    // hint (computed in an action the caller already ran — see
+    // [[TouchedHint]]) skips the probe iff it was derived under this
+    // manifest's exact layout.
+    val touched = hint match {
+      case Some(h) if h.matches(m) => h.buckets
+      case _ => graft.JobLabel(spark,
+          s"lake:touched ${new Path(root).getName}") {
+        source.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+      }
     }
     // hot side only: resolve JUST the refs covering the touched buckets —
     // the cold live-file list is never materialized (at 10⁷ files that
@@ -3164,11 +3215,23 @@ object LakeTable {
     * k probe keys against a 100 TB table this opens ≤ k buckets' files.
     */
   def lookup(spark: SparkSession, root: String, probes: DataFrame,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame =
+    lookupHinted(spark, root, probes, version, None)
+
+  /** [[lookup]] with a precomputed [[TouchedHint]]: a caller that already
+    * aggregated the probe keys' bucket ids (e.g. a view refresh sharing
+    * one probe between its read and its write) skips the collect here.
+    */
+  private[graft] def lookupHinted(spark: SparkSession, root: String,
+      probes: DataFrame, version: Option[Long],
+      hint: Option[TouchedHint]): DataFrame = {
     val m = manifest(spark, root, version)
     val p = probes.select(m.keys.map(col): _*).dropDuplicates(m.keys)
-    val touched = p.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = hint match {
+      case Some(h) if h.matches(m) => h.buckets
+      case _ => p.select(bucketOf(m.keys, m.numBuckets).alias("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }
     keyMembershipJoin(applyDv(spark, root, m,
       readFiles(spark, root, m,
         filesInBuckets(spark, root, m, touched).map(_._1)),

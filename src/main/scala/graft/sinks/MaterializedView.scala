@@ -664,10 +664,22 @@ object MaterializedView {
       return mvVersion
     }
 
+    // ONE touched-bucket probe for the whole refresh: the groups the
+    // lookup must read are exactly the groups the final applyChanges
+    // rewrites (merged's key set IS delta's — current is looked up only
+    // for delta's groups, and the full-outer join adds none), so the
+    // bucket set is computed once over the checkpointed delta and shared
+    // between the read and the write (was two identical probe jobs).
+    val touchedHint = Some(LakeTable.TouchedHint(groupCols,
+      mvManifest.numBuckets, graft.JobLabel(spark, "mv:touched") {
+        LakeTable.touchedBuckets(delta, groupCols, mvManifest.numBuckets)
+      }))
+
     // current state of ONLY the touched groups, read at the PINNED view
     // version (crash-orphan versions are invisible to the retry)
-    val current = LakeTable.lookup(spark, mvRoot,
-      delta.select(groupCols.map(col): _*), Some(sync.mvVersion))
+    val current = LakeTable.lookupHinted(spark, mvRoot,
+      delta.select(groupCols.map(col): _*), Some(sync.mvVersion),
+      touchedHint)
 
     // NULL-safe on the group key: a NULL group is a legal GROUP BY group
     // and its delta must land on its stored row, not beside it
@@ -832,7 +844,8 @@ object MaterializedView {
     val cleaned = merged.drop(minMaxCols.flatMap(c =>
       Seq(s"__exlo_$c", s"__exhi_$c")) ++
       ndCols.map(c => s"__exnd_$c"): _*)
-    try publishMerged(spark, mvRoot, cleaned, groupCols, sync, tv)
+    try publishMerged(spark, mvRoot, cleaned, groupCols, sync, tv,
+      touchedHint)
     finally {
       merged0.unpersist(blocking = false)
       delta.unpersist(blocking = false)
@@ -841,13 +854,13 @@ object MaterializedView {
 
   private def publishMerged(spark: SparkSession, mvRoot: String,
       merged: DataFrame, groupCols: Seq[String], sync: Sync,
-      tv: Long): Long = {
+      tv: Long, touchedHint: Option[LakeTable.TouchedHint]): Long = {
     val upserts = merged.filter(col("cnt") > 0)
     val gone = merged.filter(col("cnt") <= 0)
       .select(groupCols.map(col): _*)
     val mvVersion =
-      try LakeTable.applyChanges(spark, mvRoot, upserts, gone,
-        Some(sync.mvVersion))
+      try LakeTable.applyChangesHinted(spark, mvRoot, upserts, gone,
+        Some(sync.mvVersion), None, touchedHint)
       finally merged.unpersist(blocking = false)
     // the histogram α rides the chain forward — marker metadata, not state
     writeSync(spark, mvRoot, Sync(tv, mvVersion, sync.ddAlphaMicros))

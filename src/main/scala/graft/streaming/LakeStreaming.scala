@@ -93,7 +93,7 @@ object LakeStreaming {
     */
   def mirror(spark: org.apache.spark.sql.SparkSession, sourceRoot: String,
       targetRoot: String): DataStreamWriter[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, when}
     spark.readStream.format("graft-lake-cdf").option("root", sourceRoot)
       .load()
       .writeStream.outputMode("append").foreachBatch {
@@ -102,17 +102,28 @@ object LakeStreaming {
           val meta = Seq("_change_type", "_from_version", "_to_version")
           val b = batch.toDF().localCheckpoint()
           try {
-            // one action decides which halves exist — empty merges and
-            // deletes would otherwise publish pointless versions
-            val kinds = b.groupBy(col("_change_type")).count().collect()
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            // ONE action decides which halves exist AND precomputes the
+            // upsert rows' touched buckets under the target's layout —
+            // the merge then skips its own probe job ([[LakeTable
+            // .TouchedHint]]; bounded collect: ≤ kinds × numBuckets rows)
+            val tm = LakeTable.manifest(s, targetRoot)
+            val probe = b.groupBy(col("_change_type"),
+                LakeTable.bucketExprFor(tm.keys, tm.numBuckets).alias("__b"))
+              .count().collect()
+            val kinds = probe.groupBy(_.getString(0)).view
+              .mapValues(_.map(_.getLong(2)).sum).toMap
+            val upKinds = Set("insert", "update_postimage")
+            val touched = LakeTable.TouchedHint(tm.keys, tm.numBuckets,
+              probe.iterator.filter(r => upKinds(r.getString(0)))
+                .map(_.getInt(1)).toSet)
             val ups = b.filter(col("_change_type")
               .isin("insert", "update_postimage")).drop(meta: _*)
             val dels = b.filter(col("_change_type") === "delete")
               .drop(meta: _*)
             if (kinds.getOrElse("insert", 0L) +
                 kinds.getOrElse("update_postimage", 0L) > 0)
-              LakeTable.merge(s, targetRoot, ups)
+              LakeTable.mergeTagged(s, targetRoot, ups, None, None,
+                Some(touched))
             if (kinds.getOrElse("delete", 0L) > 0)
               LakeTable.deleteMor(s, targetRoot, dels)
           } finally b.unpersist(blocking = false)
@@ -166,17 +177,33 @@ object LakeStreaming {
 
   private def applyTxnBatches(stream: DataFrame,
       srcToTgt: Seq[(String, String)]): DataStreamWriter[Row] = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, when}
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
         val b = batch.toDF().localCheckpoint()
-        // ONE action decides which halves exist for EVERY member (was one
-        // grouped collect per member — N scheduler round-trips per batch
-        // for a bounded two-column aggregate)
-        val kindsAll = b.groupBy(col("_table"), col("_change_type")).count()
-          .collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        // ONE action decides which halves exist for EVERY member AND
+        // precomputes each member's upsert-touched buckets under its
+        // TARGET's layout (per-table bucket expr switched on _table), so
+        // the per-member merges skip their probe jobs too — bounded
+        // collect: ≤ members × kinds × numBuckets rows.
+        val targetMeta = srcToTgt.map { case (src, tgt) =>
+          src -> LakeTable.manifest(s, tgt) }.toMap
+        val bucketCol = srcToTgt.foldLeft(lit(null).cast("int")) {
+          case (acc, (src, _)) =>
+            val tm = targetMeta(src)
+            when(col("_table") === src,
+              LakeTable.bucketExprFor(tm.keys, tm.numBuckets)).otherwise(acc)
+        }
+        val probe = b.groupBy(col("_table"), col("_change_type"),
+          bucketCol.alias("__b")).count().collect()
+        val kindsAll = probe.groupBy(r => (r.getString(0), r.getString(1)))
+          .view.mapValues(_.map(_.getLong(3)).sum).toMap
+        val upKinds = Set("insert", "update_postimage")
+        val touchedAll: Map[String, Set[Int]] = probe.iterator
+          .filter(r => upKinds(r.getString(1)) && !r.isNullAt(2))
+          .toSeq.groupBy(_.getString(0))
+          .map { case (t, rs) => t -> rs.map(_.getInt(2)).toSet }
         try srcToTgt.foreach { case (src, tgt) =>
           // project onto the SOURCE table's schema (its columns are
           // exactly the non-null ones for this side's rows): merge's
@@ -191,13 +218,16 @@ object LakeStreaming {
             .fieldNames.toSeq.filter(b.columns.contains)
           val side = b.filter(col("_table") === src)
           val kinds = kindsAll.collect { case ((t, k), n) if t == src => k -> n }
+          val tm = targetMeta(src)
+          val touched = LakeTable.TouchedHint(tm.keys, tm.numBuckets,
+            touchedAll.getOrElse(src, Set.empty))
           val ups = side.filter(col("_change_type")
             .isin("insert", "update_postimage")).select(cols.map(col): _*)
           val dels = side.filter(col("_change_type") === "delete")
             .select(cols.map(col): _*)
           if (kinds.getOrElse("insert", 0L) +
               kinds.getOrElse("update_postimage", 0L) > 0)
-            LakeTable.merge(s, tgt, ups)
+            LakeTable.mergeTagged(s, tgt, ups, None, None, Some(touched))
           if (kinds.getOrElse("delete", 0L) > 0)
             LakeTable.deleteMor(s, tgt, dels)
         } finally b.unpersist(blocking = false)
