@@ -1072,7 +1072,11 @@ object SparkEntry {
       val customer = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       val existing = customer.filter(col("c_custkey") <= 700)
       val incoming = customer.filter(col("c_custkey").between(500, 900))
-      Merge.insertIgnore(existing, broadcast(incoming), Seq("c_custkey"))
+      // no broadcast hint: incoming is the LEFT (stream) side of
+      // insertIgnore's anti join, where a broadcast hint is unsupported
+      // (build-left left-anti) — it was dead and only logged a warning;
+      // the planner already broadcasts the key probe on the right
+      Merge.insertIgnore(existing, incoming, Seq("c_custkey"))
         .orderBy("c_custkey")
     }),
 
@@ -4564,8 +4568,13 @@ object SparkEntry {
     // without any historical text being rescanned.
     "q_dedup_incremental_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // typedLit, not array().cast("array<int>"): the DDL cast's type is
+      // array<int> containsNull=TRUE while the fresh leg's minhash arrays
+      // are containsNull=false — the union widened to true at analysis,
+      // the optimizer's empty-relation propagation narrowed back to false,
+      // and localCheckpoint logged that as a LogicalRDD output mismatch
       val emptyIdx = docs.limit(0).select(col("doc_id").alias("id"),
-        array().cast("array<int>").alias("sig"))
+        typedLit(Array.empty[Int]).alias("sig"))
       // Plant twins only on docs ≥ 12 tokens: a twin's true Jaccard is then
       // ≥ (n−2)/n ≈ 0.83, far above the 0.6 estimate threshold even with
       // the 64-hash estimator's σ ≈ 0.06 — the contract can't flake if the
@@ -4580,9 +4589,19 @@ object SparkEntry {
       // delivery 1's whole DAG — minhash + LSH self-join — per reference;
       // the disk layout ([[Dedup.persistNearDupIndex]], exercised by
       // StreamingSpec/CorpusDagSpec) is the cross-delivery equivalent.
+      // Rename-across-the-checkpoint pins the checkpointed frame's output
+      // exprIds: updatedIndex is union(limit-0 seed, fresh leg) and the
+      // optimizer's empty-relation propagation swaps the union's output
+      // ids for the surviving leg's — harmless, but localCheckpoint logged
+      // it as a LogicalRDD output mismatch every run. A renaming alias
+      // can't be stripped (the schema would change), so logical and
+      // optimized agree; the post-checkpoint rename restores (id, sig).
+      // Values unchanged — a pure lineage-shape pin.
       val index = graft.operators.Dedup
         .incrementalNearDup(indexed, emptyIdx, "doc_id").updatedIndex
+        .select(col("id").alias("__ckpt_id"), col("sig").alias("__ckpt_sig"))
         .localCheckpoint()
+        .select(col("__ckpt_id").alias("id"), col("__ckpt_sig").alias("sig"))
       val twins = indexed.select((col("doc_id") + 2000000L).alias("doc_id"),
         concat(col("text"), lit(" xq zv")).alias("text"))
       val novel = docs.filter(pmod(col("doc_id"), lit(10)) >= 3)

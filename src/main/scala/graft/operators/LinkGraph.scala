@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * zero edge shuffle per iteration) + ONE grouped sum by dst, exactly the
   * map-side-combinable shape that scales linearly in |E|. Dangling mass
   * (rank sitting on nodes with no out-edges) is redistributed uniformly
-  * each iteration via a single-row aggregate over the STATIC dangling-node
-  * set, riding the iteration's own plan as a broadcast scalar — never a
-  * blocking driver round-trip (measured: see the loop comment). Each
+  * each iteration via a single-row aggregate over the rank rows
+  * themselves — the static dangling FLAG rides every rank row through the
+  * checkpoints, so the mass needs no per-iteration join — as a broadcast
+  * scalar, never a blocking driver round-trip (measured: see the loop
+  * comment). Each
   * iteration's ranks are
   * `localCheckpoint`ed (eager) and the previous iteration's blocks then
   * freed: persist alone would keep the LOGICAL plan nesting every prior
@@ -58,20 +60,26 @@ object LinkGraph {
     val trans = e.join(outw, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("ow")).alias("p"))
       .persist()
+    // the dangling flag (no out-edges: rank mass spreads uniformly) is
+    // computed ONCE here and then RIDES THE RANK ROWS through every
+    // checkpoint — the per-iteration dangling mass becomes a plain
+    // aggregate over the already-materialized ranks instead of a
+    // node-sized join against a persisted dangling set (one exchange and
+    // its AQE scheduling round-trips fewer per iteration, same doubles)
     val nodes = e.select(col("src").alias("node"))
       .union(e.select(col("dst").alias("node")))
-      .distinct().persist()
+      .distinct()
+      .join(outw.select(col("src").alias("node"), lit(true).alias("__out")),
+        Seq("node"), "left")
+      .select(col("node"), col("__out").isNull.alias("__dang"))
+      .persist()
     val n = nodes.count() // bounded: the node-id domain, not the edge count
     require(n > 0, "pageRank needs at least one edge")
-    // nodes that only ever appear as dst — their rank mass has nowhere to
-    // go and is spread uniformly. The SET is static; only its mass varies.
-    val dangling = nodes
-      .join(outw.select(col("src").alias("node")), Seq("node"), "left_anti")
-      .persist()
 
     // localCheckpoint (eager): materializes AND truncates lineage — the
     // next iteration's plan starts from a leaf, not from i nested joins
-    var ranks = nodes.select(col("node"), lit(1.0 / n).alias("rank"))
+    var ranks = nodes
+      .select(col("node"), col("__dang"), lit(1.0 / n).alias("rank"))
       .localCheckpoint()
     var i = 0
     while (i < iterations) {
@@ -81,16 +89,19 @@ object LinkGraph {
       // scalar round-trip plus the checkpoint. Same-data isolated A/B at
       // sf0.1 (5 iterations): 6.5 s cold / 4.6 warm here vs 9.8 / 4.8 for
       // the driver-collect form — the saved round-trips dominate cold,
-      // warm ties within noise.
-      val dangMass = dangling.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("rank")), lit(0.0)).alias("__dm"))
+      // warm ties within noise. The flag on the rank rows makes this a
+      // join-free scan of the previous checkpoint.
+      val dangMass = ranks
+        .agg(coalesce(sum(when(col("__dang"), col("rank"))), lit(0.0))
+          .alias("__dm"))
       val contrib = trans
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(ranks.select(col("node").alias("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").alias("node"))
         .agg(sum(col("rank") * col("p")).alias("__c"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = ranks.select(col("node"), col("__dang"))
+        .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangMass))
-        .select(col("node"),
+        .select(col("node"), col("__dang"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("__c"), lit(0.0)) + col("__dm") / lit(n.toDouble)))
             .alias("rank"))
@@ -100,9 +111,8 @@ object LinkGraph {
       i += 1
     }
     trans.unpersist(blocking = false)
-    dangling.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     e.unpersist(blocking = false)
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 }

@@ -1534,20 +1534,32 @@ object LakeTable {
     if (values.isEmpty) return Some(Nil)
     val colType = StructType.fromDDL(m.schemaDdl)(colName).dataType
     // hash exactly as the bloom build did: xxhash64 of the value cast to
-    // the column's stored type — one job for the whole value set. The
-    // bloom veto has no sorted structure to search, so a probe costs
-    // O(V) per entry that survives the zone check — above this cap the
-    // veto is SKIPPED (blooms are an optional tightener; skipping keeps
-    // a superset, never drops a file) so a dense probe set can't turn
-    // the driver-side prune into an O(V·E) stall. Zone checks have no
-    // such cap: they cost O(log V) per entry whatever V is.
+    // the column's stored type — evaluated DRIVER-side with the same
+    // catalyst expressions (Cast under the session timezone, then
+    // XxHash64). The values are already a bounded driver-local list, so
+    // scheduling a Spark job to hash ≤ 10⁴ of them paid a scheduler
+    // round-trip per prune call for microseconds of CPU. The bloom veto
+    // has no sorted structure to search, so a probe costs O(V) per entry
+    // that survives the zone check — above this cap the veto is SKIPPED
+    // (blooms are an optional tightener; skipping keeps a superset,
+    // never drops a file) so a dense probe set can't turn the
+    // driver-side prune into an O(V·E) stall. Zone checks have no such
+    // cap: they cost O(log V) per entry whatever V is.
     val bloomProbeCap = 10000
     val hs: Seq[Long] =
       if (bi < 0 || values.size > bloomProbeCap) Nil
       else {
-        import spark.implicits._
-        values.toDF("__v").select(xxhash64(col("__v").cast(colType)))
-          .collect().map(_.getLong(0)).toSeq
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+        val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+        values.map { v =>
+          val litV =
+            if (v == null) Literal(null, org.apache.spark.sql.types.StringType)
+            else Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              org.apache.spark.sql.types.StringType)
+          XxHash64(Seq(Cast(litV, colType, tz)), 42L) // xxhash64()'s seed
+            .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+            .asInstanceOf[Long]
+        }
       }
     // "any value inside [mn, mx]?" — answered per entry/ref by BINARY
     // SEARCH over the probe set sorted ONCE (first value ≥ mn, hit iff
