@@ -32,11 +32,12 @@ import org.apache.spark.sql.SparkSession
   * average stopped meaning anything once 50+ lifecycle contracts joined;
   * the tiers keep both signals honest.
   *
-  * DRIFT: each parity query's warm median is compared against the
-  * committed same-SF recording (`bench_ref.json`, override with
-  * `SPARK_GRAFT_BENCH_REF`); queries past 2.5× (`SPARK_GRAFT_BENCH_
-  * DRIFT_FACTOR`) are LISTED in `drift` — flagged, not failed (see
-  * [[driftOutliers]]). `drift_ref_queries` says how many reference
+  * DRIFT: each query's warm median is compared against the committed
+  * same-SF recording (`bench_ref.json`, override with
+  * `SPARK_GRAFT_BENCH_REF`); queries past their tier's factor — parity
+  * 2.0 (`SPARK_GRAFT_BENCH_DRIFT_FACTOR`), lifecycle 2.5
+  * (`SPARK_GRAFT_BENCH_DRIFT_FACTOR_LIFECYCLE`) — are LISTED in `drift`
+  * — flagged, not failed (see [[driftOutliers]]). `drift_ref_queries` says how many reference
   * entries were comparable (0 = different SF or no ref file: gate off).
   * Each flag is SELF-ATTRIBUTED: the query is re-run once in isolation
   * after the board and the entry records the rerun plus a verdict —
@@ -173,15 +174,19 @@ object Bench {
     // drift gate (see driftOutliers): warm medians vs the committed
     // same-SF recording at bench_ref.json — BOTH tiers. Lifecycle queries
     // are exactly the expensive multi-publish contracts, so they get the
-    // same self-attributing gate under their own factor (default equal;
-    // they carry more publish-sequencing variance, which the isolated
-    // rerun verdict absorbs — r12's q_lake_agg_pushdown at 2.55× sailed
-    // through a parity-only gate unflagged).
+    // same self-attributing gate under their own factor (they carry more
+    // publish-sequencing variance, which the isolated rerun verdict
+    // absorbs — r12's q_lake_agg_pushdown at 2.55× sailed through a
+    // parity-only gate unflagged). Parity default TIGHTENED to 2.0 in
+    // r16: three r15 parity-tier 2.1-2.25× outliers slipped the 2.5 gate
+    // with no recorded verdict and had to be attributed by hand a round
+    // later; a flag is cheap (one isolated rerun + a self-attributed
+    // contention/regression verdict), a silent outlier is not.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
     val driftFactor = sys.env.get("SPARK_GRAFT_BENCH_DRIFT_FACTOR")
-      .map(_.toDouble).getOrElse(2.5)
+      .map(_.toDouble).getOrElse(2.0)
     val lifeFactor = sys.env.get("SPARK_GRAFT_BENCH_DRIFT_FACTOR_LIFECYCLE")
-      .map(_.toDouble).getOrElse(driftFactor)
+      .map(_.toDouble).getOrElse(2.5)
     val refWarm = try refWarmTimes(java.nio.file.Files.readString(
         java.nio.file.Paths.get(refPath)), sfDir)
       catch { case _: Exception => Map.empty[String, Double] }
